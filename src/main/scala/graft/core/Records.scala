@@ -1,0 +1,120 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Record keying & normalization — the Spark-native equivalent of the
+ * reference's `DataRecords::fromRawArray` semantics
+ * (reference: Classes/ValueObject/DataRecords.php:27-45):
+ *
+ *  - every record is keyed by a designated id attribute, coerced to
+ *    string (DataRecords.php:34);
+ *  - a missing/null id is an error (DataRecords.php:31-33);
+ *  - a missing version attribute is an error when a version attribute
+ *    is configured (DataRecords.php:36-38);
+ *  - a duplicate id keeps the LAST occurrence (keyed-map assignment,
+ *    DataRecords.php:30-44).
+ *
+ * Spark-first design: rather than a row-at-a-time keyed map, keying is
+ * a declarative plan fragment — a projection adding canonical
+ * `__id` / `__version` columns plus a window-based last-wins dedup.
+ * Catalyst prunes/pushes everything; the dedup is one shuffle on id.
+ *
+ * Scale note (100 TB): the dedup shuffles by id once — the same
+ * shuffle any keyed diff needs downstream, so AQE reuses the
+ * partitioning. No driver-side state, no collect.
+ */
+object Records {
+
+  /** Canonical metadata column names (prefixed to avoid collisions). */
+  val IdCol = "__id"
+  val VersionCol = "__version"
+  val SeqCol = "__seq"
+
+  /**
+   * Normalize an arbitrary "version" attribute to an epoch-seconds
+   * long, mirroring `DataVersion::parse`
+   * (reference: Classes/ValueObject/DataVersion.php:48-70):
+   *   - integral / numeric string → long (negative = invalid → null);
+   *   - date string → unix timestamp;
+   *   - timestamp/date typed column → unix timestamp;
+   *   - struct {date, timezone} → parse the date member;
+   *   - anything else / missing → null (== DataVersion::NONE).
+   *
+   * Pure `Column` expression composition — stays inside whole-stage
+   * codegen; no UDF.
+   */
+  def parseVersion(col: Column, dataType: DataType): Column = dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      when(col >= 0, col.cast(LongType))
+    case FloatType | DoubleType | _: DecimalType =>
+      when(col >= 0, col.cast(LongType))
+    case TimestampType | DateType => unix_timestamp(col)
+    case StringType =>
+      // numeric string first (DataVersion.php:60-62), then date string
+      when(col.rlike("^-?[0-9]+$"),
+        when(col.cast(LongType) >= 0, col.cast(LongType)))
+        .otherwise(unix_timestamp(try_to_timestamp(col)))
+    case s: StructType if s.fieldNames.contains("date") =>
+      unix_timestamp(try_to_timestamp(col.getField("date")))
+    case _ => lit(null).cast(LongType)
+  }
+
+  /** parseVersion resolved against a DataFrame's schema. */
+  def parseVersion(df: DataFrame, versionAttr: String): Column =
+    parseVersion(col(versionAttr), df.schema(versionAttr).dataType)
+
+  /**
+   * Key a raw source DataFrame: add `__id` (string, non-null enforced)
+   * and optionally `__version` (long, null == NONE), then deduplicate
+   * ids keeping the last occurrence in `orderCol` order.
+   *
+   * `orderCol` makes "last" well-defined in a distributed read: the
+   * reference's PHP array insertion order does not exist on a cluster
+   * (SURVEY §1.5.1). Callers pass an explicit ordering column; file
+   * sources without one get `monotonically_increasing_id()` over a
+   * single-partition read (see FileSource).
+   */
+  def keyRecords(
+      df: DataFrame,
+      idAttr: String,
+      versionAttr: Option[String] = None,
+      orderCol: Option[Column] = None): DataFrame = {
+    val withId = df.withColumn(
+      IdCol,
+      // missing id is an error (DataRecords.php:31-33) — raise_error
+      // keeps the check distributed and codegen'd.
+      when(col(idAttr).isNull,
+        raise_error(concat(lit("Missing id attribute '" + idAttr + "'"))))
+        .otherwise(col(idAttr).cast(StringType)))
+    val withVersion = versionAttr match {
+      case Some(v) =>
+        withId.withColumn(
+          VersionCol,
+          when(col(v).isNull,
+            raise_error(lit("Missing version attribute '" + v + "'"))
+              .cast(LongType))
+            .otherwise(parseVersion(df, v)))
+      case None => withId.withColumn(VersionCol, lit(null).cast(LongType))
+    }
+    dedupLastWins(withVersion, orderCol)
+  }
+
+  /**
+   * Last-wins dedup by `__id` (SURVEY §1.5.1). One shuffle; the window
+   * partitioning by id is reused by the downstream diff join under AQE.
+   * `dropDuplicates("id")` would keep an arbitrary row — NOT equivalent.
+   */
+  def dedupLastWins(df: DataFrame, orderCol: Option[Column]): DataFrame = {
+    val ord = orderCol.getOrElse(monotonically_increasing_id())
+    val seqd = df.withColumn(SeqCol, ord)
+    val w = Window.partitionBy(col(IdCol)).orderBy(col(SeqCol).desc)
+    seqd
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", SeqCol)
+  }
+}

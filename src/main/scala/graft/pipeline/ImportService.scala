@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import graft.core.{ChangeSet, Diff, DiffOptions, Records}
+import graft.mapper.Mapper
+import graft.sources.{DataSource, ValidationResult}
+import graft.targets.{ApplyResult, DataTarget}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The 13 lifecycle events (reference: Classes/ImportService.php:17-31). */
+object ImportEvent extends Enumeration {
+  val Error, PreComputeChanges, PreImportData,
+      PreAddData, DoAddData, PostAddData,
+      PreUpdateData, DoUpdateData, PostUpdateData,
+      PreRemoveData, DoRemoveData, PostRemoveData,
+      Finalize = Value
+}
+
+/**
+ * Preset — the configured pipeline (reference: Classes/Preset.php:19-52,
+ * Classes/Factory/PresetFactory.php:86-92). Wires a source through an
+ * optional dataProcessor and a declarative mapper into a target.
+ *
+ * `dataProcessor` is the reference's arbitrary records→records hook
+ * (Preset.php:44-50) — in Spark it is simply `DataFrame => DataFrame`
+ * (Dataset.transform), running AFTER keying and BEFORE the diff.
+ */
+final case class Preset(
+    source: DataSource,
+    target: DataTarget,
+    mapper: Mapper,
+    idAttribute: String,
+    versionAttribute: Option[String] = None,
+    dataProcessor: Option[DataFrame => DataFrame] = None,
+    skipAddedRecords: Boolean = false,
+    skipRemovedRecords: Boolean = false,
+    diffOptions: DiffOptions = DiffOptions()) {
+
+  /** Extract + key + transform (reference Preset::load, Preset.php:41-52). */
+  def load(spark: SparkSession): DataFrame = {
+    val raw = source.load(spark)
+    val keyed = Records.keyRecords(raw, idAttribute, versionAttribute,
+      source.orderColumn)
+    dataProcessor match {
+      // a processor may rewrite ids (DataRecordsTest.php:48-57) —
+      // re-dedup afterwards to restore the keyed-map invariant
+      case Some(f) => Records.dedupLastWins(f(keyed), source.orderColumn)
+      case None => keyed
+    }
+  }
+
+  def computeDataChanges(
+      spark: SparkSession, data: DataFrame, force: Boolean): ChangeSet =
+    Diff.computeDataChanges(data, target.currentState(spark),
+      diffOptions.copy(
+        forceUpdates = force,
+        skipAddedRecords = skipAddedRecords,
+        skipRemovedRecords = skipRemovedRecords))
+}
+
+final class ImportServiceException(msg: String) extends RuntimeException(msg)
+
+/**
+ * Orchestration (reference: Classes/ImportService.php:71-107):
+ * load → preComputeChanges → diff → guards → add → update → remove →
+ * finalize, with the event surface around each phase.
+ *
+ * Phase ORDER is preserved (add→update→remove); per-record order
+ * within a phase is relaxed — a distributed engine has no insertion
+ * order (documented divergence, SURVEY §1.5.3).
+ */
+final class ImportService(preset: Preset) {
+
+  private var listeners: List[(ImportEvent.Value, Any) => Unit] = Nil
+
+  /** `on`/`dispatch` (ImportService.php:44-55). */
+  def on(f: (ImportEvent.Value, Any) => Unit): ImportService = {
+    listeners = f :: listeners; this
+  }
+  private def dispatch(e: ImportEvent.Value, payload: Any = ()): Unit =
+    listeners.foreach(_(e, payload))
+
+  /** The main path (ImportService.php:71-88). */
+  def importData(spark: SparkSession, forceUpdates: Boolean = false): ApplyResult = {
+    val data = preset.load(spark)
+    dispatch(ImportEvent.PreComputeChanges, data)
+    val changeSet = preset.computeDataChanges(spark, data, forceUpdates)
+    dispatch(ImportEvent.PreImportData, changeSet)
+
+    // Guards BEFORE any write (ImportService.php:77-82). With our
+    // diff the skip flags already zero the branches, so these fire
+    // only for targets that ignore the flags — same belt-and-braces
+    // as the reference.
+    if (preset.skipAddedRecords && !changeSet.added.isEmpty)
+      throw new ImportServiceException(
+        "This preset is configured to skip added records, but the data " +
+          "target returned new records.")
+    if (preset.skipRemovedRecords && !changeSet.removedIds.isEmpty)
+      throw new ImportServiceException(
+        "This preset is configured to skip removed records, but the data " +
+          "target returned removed records.")
+
+    dispatch(ImportEvent.PreAddData, changeSet.added)
+    val result = preset.target.applyChanges(spark, changeSet, preset.mapper)
+    dispatch(ImportEvent.PostAddData, result.added)
+    dispatch(ImportEvent.PostUpdateData, result.updated)
+    dispatch(ImportEvent.PostRemoveData, result.removed)
+    if (result.errors > 0) dispatch(ImportEvent.Error, result.errors)
+    preset.target.finalizeRun(spark)
+    dispatch(ImportEvent.Finalize, result)
+    result
+  }
+
+  /** Prune (ImportService.php:96-107). */
+  def removeAllData(spark: SparkSession): Long = {
+    if (preset.skipAddedRecords || preset.skipRemovedRecords)
+      throw new ImportServiceException(
+        "This preset is configured to skip added/removed records, so no " +
+          "local records must be removed.")
+    try preset.target.removeAll(spark)
+    catch {
+      case e: Exception =>
+        throw new ImportServiceException(
+          s"Exception while removing all local records: ${e.getMessage}")
+    }
+  }
+
+  /** Setup/validate (ImportService.php:57-63). */
+  def setup(spark: SparkSession): ValidationResult =
+    preset.source.setup(spark).merge(preset.target.setup(spark))
+}

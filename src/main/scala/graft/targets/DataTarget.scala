@@ -1,0 +1,122 @@
+package graft.targets
+
+import graft.core.{ChangeSet, Records}
+import graft.mapper.Mapper
+import graft.sources.ValidationResult
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Counters returned by a sink application — feeds the event surface
+  * (reference: Classes/Command/ImportCommandController.php:191-254
+  * progress counters). */
+final case class ApplyResult(
+    added: Long, updated: Long, removed: Long, errors: Long = 0)
+
+/**
+ * A data target owns the local state the diff runs against and applies
+ * ChangeSets — the Spark equivalent of `DataTargetInterface`
+ * (reference: Classes/DataTarget/DataTargetInterface.php).
+ *
+ * Contract mirrors the reference lifecycle (SURVEY §3.1):
+ *  - `currentState` — narrow (id, version) snapshot
+ *    (DbalTarget.php:118-128); Catalyst prunes wider states.
+ *  - `applyChanges` — add → update → remove phase order
+ *    (ImportService.php:84-86); mapping applies AT WRITE TIME, the
+ *    diff ran on raw attributes (DbalTarget.php:136,145).
+ *  - `removeAll` — prune (DbalTarget.php:160-167).
+ *  - `finalize` — deferred flush hook (ContentRepositoryTarget.php:238-243).
+ */
+trait DataTarget {
+  def currentState(spark: SparkSession): DataFrame
+  def applyChanges(spark: SparkSession, cs: ChangeSet, mapper: Mapper): ApplyResult
+  def removeAll(spark: SparkSession): Long
+  def setup(spark: SparkSession): ValidationResult = ValidationResult()
+  def finalizeRun(spark: SparkSession): Unit = ()
+}
+
+/**
+ * Parquet-backed target (the fast-test / lakehouse sink). State lives
+ * as one parquet dataset keyed by `id` with a `version` column plus
+ * mapped attribute columns.
+ *
+ * Spark has no in-place parquet mutation, so apply = snapshot merge:
+ * new state = (old ∖ (updated ∪ removed)) ∪ mapped(added ∪ updated)
+ * written atomically via overwrite. This is the standard
+ * copy-on-write lakehouse pattern (what Delta/Iceberg do per file
+ * group); at 100 TB the same logic applies per partition directory
+ * with dynamic partition overwrite rather than whole-table rewrite.
+ */
+final case class FileTarget(
+    path: String,
+    idColumn: String = "id",
+    versionColumn: Option[String] = Some("version"))
+    extends DataTarget {
+
+  private def exists: Boolean = {
+    val f = new java.io.File(path)
+    f.exists() && (f.listFiles() != null && f.listFiles().nonEmpty)
+  }
+
+  override def currentState(spark: SparkSession): DataFrame =
+    if (!exists) {
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType))))
+    } else {
+      val df = spark.read.parquet(path)
+      val ver = versionColumn.filter(df.columns.contains)
+        .map(col(_).cast("long")).getOrElse(lit(null).cast("long"))
+      df.withColumn("id", col(idColumn).cast("string"))
+        .withColumn("version", ver)
+    }
+
+  override def applyChanges(
+      spark: SparkSession, cs: ChangeSet, mapper: Mapper): ApplyResult = {
+    // Mapping at write time; __version rides along as the new version.
+    def mapped(df: DataFrame): DataFrame = {
+      val m = mapper.applyKeepingKeys(df)
+      m.withColumn(idColumn, col(Records.IdCol))
+        .withColumn("version", col(Records.VersionCol))
+        .drop(Records.IdCol, Records.VersionCol)
+    }
+    val addedM = mapped(cs.added)
+    val updatedM = mapped(cs.updated)
+    val nAdd = addedM.count(); val nUpd = updatedM.count()
+    val nRem = cs.removedIds.count()
+
+    val old = currentState(spark)
+    val touched = cs.updated.select(col(Records.IdCol).as("id"))
+      .unionByName(cs.removedIds.select(col("id")))
+    val survivors = old.join(touched, Seq("id"), "left_anti")
+      .select(addedM.columns.map(c =>
+        (if (c == idColumn) col("id") else col(c)).as(c)): _*)
+    val next = survivors.unionByName(addedM).unionByName(updatedM)
+
+    // Overwrite must not read-while-write the same path: stage then swap.
+    val staging = path + ".staging"
+    next.write.mode("overwrite").parquet(staging)
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+    new java.io.File(staging).renameTo(dir)
+    ApplyResult(nAdd, nUpd, nRem)
+  }
+
+  override def removeAll(spark: SparkSession): Long = {
+    val n = if (exists) currentState(spark).count() else 0L
+    val dir = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (dir.exists()) rm(dir)
+    n
+  }
+}

