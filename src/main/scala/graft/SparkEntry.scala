@@ -1,8 +1,10 @@
 package graft
 
 import graft.core.{Diff, DiffOptions, Records}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.mapper.Mapper
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -60,7 +62,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_changeset")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    parityQueries ++ analyticsQueries ++ extQueries
+
+  /** SURVEY §2.1 reference-parity operators. */
+  def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── D1-D4: the core diff query ────────────────────────────────
     "q_changeset" -> ((s, dir) => {
@@ -123,6 +129,71 @@ object SparkEntry {
         .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
 
+    // ── T1: record map that REWRITES ids → re-dedup (last-wins) ───
+    "q_map_rekey" -> ((s, dir) => {
+      val keyed = Records.keyRecords(
+        s.read.parquet(t(dir, "customer")), "c_custkey")
+      val remapped = keyed.withColumn(Records.IdCol,
+        (col("c_custkey") % 50).cast("string"))
+      Records.dedupLastWins(remapped, Some(col("c_custkey")))
+        .select(col(Records.IdCol).as("id"),
+          col("c_custkey").as("src_key"), col("c_name").as("name"))
+    }),
+
+    // ── T3/T4: dataProcessor hook (arbitrary DataFrame=>DataFrame) ─
+    "q_processor" -> ((s, dir) => {
+      val processor: DataFrame => DataFrame = df =>
+        df.filter(col("o_totalprice") > 150000)
+          .withColumn("priority_class",
+            substring(col("o_orderpriority"), 1, 1))
+      processor(Records.keyRecords(
+        s.read.parquet(t(dir, "orders")), "o_orderkey"))
+        .select(col(Records.IdCol).as("id"),
+          col("o_totalprice").as("total"), col("priority_class"))
+    }),
+
+    // ── D3: node-table diff (idPrefix strip + hidden soft-delete) ─
+    "q_changeset_node" -> ((s, dir) => {
+      val source = Records.keyRecords(syncSource(s, dir), "id", Some("version"))
+      val local = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .select(
+          concat(lit("node-"), col("o_orderkey").cast("string")).as("id"),
+          (unix_timestamp(col("o_orderdate")) +
+            when(col("o_orderkey") % 3 === 0, -86400L).otherwise(0L))
+            .as("version"),
+          (col("o_orderkey") % 13 === 0).as("hidden"))
+      Diff.computeDataChanges(source, local,
+        DiffOptions(localIdPrefix = Some("node-"), hiddenCol = Some("hidden")))
+        .unioned
+    }),
+
+    // ── W5: variant fan-out (1 record → N node variants) ──────────
+    "q_variants_fanout" -> ((s, dir) => {
+      val keyed = Records.keyRecords(
+        s.read.parquet(t(dir, "customer")), "c_custkey")
+      keyed.withColumn("dim",
+          explode(array(lit("de"), lit("en"), lit("fr"))))
+        .select(
+          concat(col(Records.IdCol), lit("-"), col("dim")).as("variant_id"),
+          col(Records.IdCol).as("id"), col("dim"),
+          upper(col("c_name")).as("name"))
+    }),
+
+    // ── S4: narrow id/version scan (projection pushdown) ──────────
+    "q_narrow_scan" -> ((s, dir) =>
+      s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey").cast("string").as("id"),
+          unix_timestamp(col("o_orderdate")).as("version"))),
+
+    // ── set ops: semi-join (EXISTS) ───────────────────────────────
+    "q_semijoin" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
     // ── Aggregation (engine extension; TPC-H Q1 shape) ────────────
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(t(dir, "lineitem"))
@@ -143,6 +214,150 @@ object SparkEntry {
         .groupBy(col("l_orderkey"))
         .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
           .cast("long")).as("revenue_cents"))
+    })
+  )
+
+  /** Analytics surface (beyond reference parity — the engine is a
+    * full Spark SQL engine; these pin the behaviors to oracles). */
+  def analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // JSON extraction (source S1/S2 decode JSON; here: nested field)
+    "q_json" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // date/time bucketing (K2 version-parse machinery generalized)
+    "q_datetime" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"))),
+
+    // window functions: rank + running sum per user
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        sum(floor(col("value") * 100).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .as("running_cents"))
+    }),
+
+    // gap-based sessionization (30-minute inactivity boundary)
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("new_session"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+    }),
+
+    // grouping sets: rollup region → nation
+    "q_rollup" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val n = s.read.parquet(t(dir, "nation"))
+      val r = s.read.parquet(t(dir, "region"))
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+    }),
+
+    // top-k with deterministic total order
+    "q_topk" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("value_cents"))
+        .orderBy(col("value_cents").desc, col("event_id"))
+        .limit(100)),
+
+    // distinct
+    "q_distinct" -> ((s, dir) =>
+      tbl(s, dir, "events").select(col("event_type")).distinct())
+  )
+
+  /** LLM-training-data pipeline operators (BASELINE.json north star). */
+  def extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup on a 5-token-prefix fingerprint (creates real
+    // collisions in the synthetic corpus; keeps min doc_id per group)
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val fp = md5(concat_ws(" ",
+        slice(split(lower(trim(col("text"))), "\\s+"), 1, 5)).cast("binary"))
+      val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+      d.withColumn("fingerprint", fp)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("fingerprint"))
+    }),
+
+    // text analysis: tokens, ratios, quality, lang-id, fingerprint
+    "q_text_analysis" -> ((s, dir) =>
+      TextAnalysis.analyze(s.read.parquet(t(dir, "documents")))),
+
+    // brute-force cosine similarity pairs over embeddings
+    "q_embed_cosine" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      Similarity.bruteForcePairs(
+        e, e.filter(col("vec_id") % 100 === 0), 0.3)
+    }),
+
+    // MinHash LSH near-dedup (no SQL oracle — verified by unit tests
+    // + rows-only check; the candidate set is deterministic)
+    "q_minhash_dedup" -> ((s, dir) =>
+      Dedup.minhashDedup(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", threshold = 0.5)),
+
+    // SimHash near-dup pairs (rows-only check)
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", maxHamming = 8)),
+
+    // n-gram Jaccard near-dup pairs blocked by length bucket
+    // (near-dups have near-equal length; oracle-checked)
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        blockCol = floor(length(col("text")) / 50), threshold = 0.5, n = 3)
+    }),
+
+    // LSH-bucketed ANN top-k (rows-only: recall-dependent)
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
+        k = 5, nPlanes = 6)
+    }),
+
+    // multimodal: binary columns + typed metadata (oracle-checked)
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.synthesize(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      Multimodal.withMeta(media)
+        .select(col("media_id"), col("media_type"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.sha256").as("sha256"))
+    }),
+
+    // multimodal decode plumbing: stubbed codec via mapPartitions
+    // (rows-only: the fake feature values are JVM-hash derived)
+    "q_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.synthesize(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      Multimodal.decodeStub(media).toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("duration_ms"))
     })
   )
 
@@ -211,12 +426,179 @@ object SparkEntry {
 
     "q3_join" ->
       """SELECT l_orderkey,
-        |       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
         |         AS revenue_cents
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY l_orderkey""".stripMargin
+        |GROUP BY l_orderkey""".stripMargin,
+
+    "q_map_rekey" ->
+      """SELECT CAST(c_custkey % 50 AS VARCHAR) AS id,
+        |       c_custkey AS src_key, c_name AS name
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY c_custkey % 50 ORDER BY c_custkey DESC) AS rn
+        |      FROM customer) WHERE rn = 1""".stripMargin,
+
+    "q_processor" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id, o_totalprice AS total,
+        |       substring(o_orderpriority, 1, 1) AS priority_class
+        |FROM orders WHERE o_totalprice > 150000""".stripMargin,
+
+    "q_changeset_node" ->
+      s"""WITH source AS ($syncSourceSql), local AS (
+         |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         |         CAST(epoch(o_orderdate) AS BIGINT)
+         |           + CASE WHEN o_orderkey % 3 = 0 THEN -86400 ELSE 0 END AS version,
+         |         (o_orderkey % 13 = 0) AS hidden
+         |  FROM orders WHERE o_orderkey % 7 <> 0)
+         |SELECT s.id AS id, 'add' AS change_type
+         |  FROM source s LEFT JOIN local l USING (id) WHERE l.id IS NULL
+         |UNION ALL
+         |SELECT s.id, 'update' FROM source s JOIN local l USING (id)
+         |  WHERE s.version > l.version
+         |UNION ALL
+         |SELECT l.id, 'remove' FROM local l LEFT JOIN source s USING (id)
+         |  WHERE s.id IS NULL AND NOT l.hidden""".stripMargin,
+
+    "q_variants_fanout" ->
+      """SELECT CAST(c_custkey AS VARCHAR) || '-' || dim AS variant_id,
+        |       CAST(c_custkey AS VARCHAR) AS id, dim, upper(c_name) AS name
+        |FROM customer CROSS JOIN (SELECT unnest(['de','en','fr']) AS dim)""".stripMargin,
+
+    "q_narrow_scan" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS version
+        |FROM orders""".stripMargin,
+
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "q_datetime" ->
+      """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_window" ->
+      """SELECT event_id, user_id,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+        |FROM events""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |       CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |                     THEN 1 ELSE 0 END) OVER
+        |         (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM x""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS cnt,
+        |       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q_topk" ->
+      """SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS value_cents
+        |FROM events ORDER BY value_cents DESC, event_id LIMIT 100""".stripMargin,
+
+    "q_distinct" -> "SELECT DISTINCT event_type FROM events",
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, fingerprint FROM (
+        |  SELECT doc_id, fingerprint,
+        |         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        |  FROM (SELECT doc_id,
+        |          md5(array_to_string(
+        |            regexp_split_to_array(lower(trim(text)), '\s+')[1:5], ' '))
+        |            AS fingerprint
+        |        FROM documents)) WHERE rn = 1""".stripMargin,
+
+    "q_text_analysis" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+        |    len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_bpe,
+        |    round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+        |      / greatest(length(text), 1), 6) AS punct_ratio,
+        |    (""" + TextAnalysis.Stopwords.map(w =>
+          s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ") +
+        """) AS sw,
+        |""" + TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          "    (" + ms.map(m =>
+            s"len(regexp_extract_all(lower(text), '\\b$m\\b'))").mkString(" + ") +
+            s") AS s_$lang"
+        }.mkString(",\n") + """
+        |  FROM documents),
+        |r AS (SELECT *,
+        |  round(CAST(sw AS DOUBLE) / greatest(n_tokens_ws, 1), 6) AS stopword_ratio
+        |  FROM base)
+        |SELECT doc_id, length(text) AS n_chars, n_tokens_ws, n_tokens_bpe,
+        |  punct_ratio, stopword_ratio,
+        |  round((least(length(text) / 500.0, 1.0)
+        |    + (1.0 - least(punct_ratio * 5, 1.0))
+        |    + least(stopword_ratio * 4, 1.0)) / 3, 6) AS quality,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |       WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_guess,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM r""").stripMargin,
+
+    "q_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |         list_dot_product(q.v, e.v)
+        |           / (sqrt(list_dot_product(q.v, q.v))
+        |              * sqrt(list_dot_product(e.v, e.v))) AS s
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id)
+        |SELECT q_id, n_id, round(s, 6) AS sim FROM scored WHERE s >= 0.3""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, block,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN range(1, len(toks) - 1)] END) AS sh
+        |  FROM (SELECT doc_id, floor(length(text) / 50) AS block,
+        |          regexp_split_to_array(
+        |            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6)
+        |         AS jaccard
+        |FROM docs a JOIN docs b
+        |  ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |  / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS media_id,
+        |       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       sha256(text) AS sha256
+        |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`Array[Float]`) — engine
+ * extension per BASELINE.json.
+ *
+ * Two tiers:
+ *  - brute-force cosine top-k: exact baseline. The query set is
+ *    broadcast (it is small by construction); the corpus streams —
+ *    one pass, no shuffle of the corpus, top-k via window over the
+ *    (query, candidate) pairs.
+ *  - LSH-bucketed (random hyperplane signs): the scale path. Corpus
+ *    and queries hash to sign-pattern buckets; only same-bucket pairs
+ *    are scored. At 100 TB the bucket key is the only shuffle, and
+ *    multi-probe (flipping one bit) trades recall for fan-out.
+ *
+ * All arithmetic in double via `zip_with`/`aggregate` expressions —
+ * codegen'd, deterministic, no UDFs, no MLlib Vector boxing.
+ */
+object Similarity {
+
+  /** dot(a, b) over array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact brute-force top-k cosine neighbors for each query vector.
+   * `queries` must be small (it is broadcast); corpus can be
+   * arbitrarily large — the join is a broadcast-nested-loop producing
+   * |corpus| × |queries| scored rows that immediately collapse through
+   * the per-query top-k window.
+   */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+
+  /** Threshold variant (no ranking): all pairs with cosine ≥ t.
+    * Fully deterministic under rounding — used by the oracle gate. */
+  def bruteForcePairs(
+      corpus: DataFrame, queries: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d component
+    * derived from a hash — reproducible across engines and runs. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (pmod(xxhash64(lit(p), d), lit(1000003L)).cast("double") /
+      lit(1000003.0)) * 2.0 - 1.0
+
+  /** Sign-pattern LSH bucket id from `nPlanes` hyperplanes. */
+  def lshBucket(vec: Column, nPlanes: Int = 12): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce[Column](_ bitwiseOR _)
+
+  /**
+   * LSH-bucketed ANN: score only same-bucket (query, candidate)
+   * pairs. Recall < 1 by design; `nPlanes` tunes bucket granularity.
+   * The bucket join shuffles on a long key — at 1000 executors this
+   * partitions evenly (hash distribution) with no broadcast needed.
+   */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+
+  /**
+   * IVF-style variant: corpus assigned to the nearest of `nCells`
+   * deterministic seed centroids (derived from hashed unit vectors);
+   * queries probe their own cell only. Same shuffle shape as LSH but
+   * with distance-aware cells.
+   */
+  def ivfAssign(vec: Column, nCells: Int = 16): Column = {
+    val cells = (0 until nCells).map { cIdx =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(cIdx * 7919, d)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(proj.as("s"), lit(cIdx).as("c"))
+    }
+    greatest(cells: _*).getField("c")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines
+ * (engine extension beyond the reference surface — BASELINE.json
+ * north star). All pure `Column` expression compositions: codegen'd,
+ * no UDFs, embarrassingly parallel — each document is scored
+ * independently, so the plan is a single narrow projection that scales
+ * linearly to 100 TB with zero shuffles.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count (empty/blank text ⇒ 0). */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: word pieces + standalone punctuation, the
+    * `\w+|[^\w\s]` convention used by most pre-tokenizers. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("\\w+|[^\\w\\s]"))
+
+  /** Punctuation character ratio, rounded for cross-engine parity. */
+  def punctRatio(text: Column): Column =
+    round(regexp_count(text, lit("[^\\w\\s]")).cast("double") /
+      greatest(length(text), lit(1)), 6)
+
+  /** Stopword hit ratio over whitespace tokens. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column): Column =
+    Stopwords.map(w =>
+      regexp_count(lower(text), lit(s"\\b${w}\\b"))).reduce(_ + _)
+
+  def stopwordRatio(text: Column): Column =
+    round(stopwordCount(text).cast("double") /
+      greatest(wsTokenCount(text), lit(1)), 6)
+
+  /**
+   * Composite quality score in [0,1] — the standard
+   * length/punctuation/stopword heuristic (cf. Gopher/C4-style rules):
+   * prefers documents of reasonable length, low punctuation noise,
+   * and a healthy function-word ratio.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4, lit(1.0))
+    round((lenScore + punctPenalty + stopScore) / 3, 6)
+  }
+
+  /**
+   * N-gram-heuristic language ID: scores each candidate language by
+   * counting hits of its most characteristic function words and picks
+   * the argmax (deterministic tie-break by score list order).
+   * A real system would use character-n-gram profiles; the operator
+   * shape (per-doc scoring → argmax, no shuffle) is identical.
+   */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "fr" -> Seq("le", "et", "les", "est"),
+    "es" -> Seq("el", "y", "los", "es"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(w => regexp_count(lower(text), lit(s"\\b${w}\\b")))
+      .reduce(_ + _)
+
+  def langId(text: Column): Column = {
+    // argmax via a single greatest() pass over (score, -index, lang)
+    // structs — one expression, still codegen'd.
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, ms), i) =>
+      struct(langScore(text, ms).as("s"), lit(-i).as("o"), lit(lang).as("l"))
+    }
+    greatest(scored: _*).getField("l")
+  }
+
+  /** Document fingerprint: hash of whitespace-normalized lowercased
+    * text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+
+  /** Rolling (Karp-Rabin-style) content hash over words — order-aware
+    * fingerprint that, unlike md5, can be windowed for chunk-level
+    * dedup. Polynomial accumulation via `aggregate` over the token
+    * array; base/mod chosen to stay in exact Long range. */
+  def rollingHash(text: Column): Column = {
+    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    aggregate(tokens, lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(hash(t).cast("long"), lit(1000003L)),
+        lit(2147483647L)))
+  }
+
+  /** Full per-document analysis projection. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      wsTokenCount(t).as("n_tokens_ws"),
+      bpeTokenCount(t).as("n_tokens_bpe"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRatio(t).as("stopword_ratio"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_guess"),
+      fingerprint(t).as("fingerprint"))
+  }
+}
