@@ -62,9 +62,12 @@ object Mapper {
     case _ => None
   }
 
-  /** Rewrite `record.foo` → `foo` outside of string literals. */
+  /** Rewrite `record.foo` → `foo`, skipping single-quoted literals. */
   def rewriteRecordRefs(e: String): String =
-    e.replaceAll("""\brecord\.([A-Za-z_][A-Za-z0-9_]*)""", "$1")
+    """('[^']*')|\brecord\.([A-Za-z_][A-Za-z0-9_]*)""".r
+      .replaceAllIn(e, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (m.group(1) != null) m.group(1) else m.group(2)))
 
   /** Identity mapper: pass every column through unchanged. */
   def identity(df: DataFrame): Mapper =

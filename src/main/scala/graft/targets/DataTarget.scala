@@ -91,9 +91,16 @@ final case class FileTarget(
     val old = currentState(spark)
     val touched = cs.updated.select(col(Records.IdCol).as("id"))
       .unionByName(cs.removedIds.select(col("id")))
-    val survivors = old.join(touched, Seq("id"), "left_anti")
-      .select(addedM.columns.map(c =>
-        (if (c == idColumn) col("id") else col(c)).as(c)): _*)
+    // align the surviving rows to the mapped schema — the old state
+    // may lack newly-mapped columns (first run / mapping change)
+    val surviving = old.join(touched, Seq("id"), "left_anti")
+    val survivors = surviving.select(addedM.schema.map { f =>
+      val srcName =
+        if (f.name == idColumn) "id"
+        else surviving.columns.find(_.equalsIgnoreCase(f.name)).getOrElse("")
+      (if (srcName.nonEmpty) col(srcName).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
     val next = survivors.unionByName(addedM).unionByName(updatedM)
 
     // Overwrite must not read-while-write the same path: stage then swap.

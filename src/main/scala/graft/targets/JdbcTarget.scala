@@ -48,9 +48,14 @@ final case class JdbcTarget(
       .option("url", url).option("dbtable", table)
     val df = properties.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
       .load()
-    val ver = versionColumn.filter(df.columns.contains)
+    // JDBC dialects report their own identifier case (e.g. Derby
+    // uppercases) — resolve configured names case-insensitively.
+    def actual(name: String): Option[String] =
+      df.columns.find(_.equalsIgnoreCase(name))
+    val ver = versionColumn.flatMap(actual)
       .map(col(_).cast("long")).getOrElse(lit(null).cast("long"))
-    df.withColumn("id", col(idColumn).cast("string"))
+    df.withColumn("id",
+        col(actual(idColumn).getOrElse(idColumn)).cast("string"))
       .withColumn("version", ver)
   }
 
@@ -114,8 +119,15 @@ final case class JdbcTarget(
       spark: SparkSession, cs: ChangeSet, mapper: Mapper): ApplyResult = {
     def mapped(df: DataFrame): DataFrame = mapper.applyKeepingKeys(df)
 
+    // MATERIALIZE the full ChangeSet before the first write: the
+    // branches are lazy plans over the live target table — once the
+    // sink starts mutating it, re-evaluation would see the new state
+    // (the reference snapshots local rows per run for the same
+    // reason, DbalTarget.php:118-128 localRowsCache).
     val addedM = mapped(cs.added).cache()
     val updatedM = mapped(cs.updated).cache()
+    val removed = cs.removedIds.cache()
+    val (nAdd, nUpd, nRem) = (addedM.count(), updatedM.count(), removed.count())
     val dataCols = addedM.columns.filterNot(_.startsWith("__")).toSeq
     var errs = 0L
 
@@ -143,12 +155,11 @@ final case class JdbcTarget(
 
     // W3 — DELETE WHERE id (DbalTarget.php:152-155)
     val deleteSql = s"DELETE FROM $table WHERE $idColumn = ?"
-    errs += batchedWrite(cs.removedIds, deleteSql, (ps, row) =>
+    errs += batchedWrite(removed, deleteSql, (ps, row) =>
       ps.setString(1, row.getAs[Any]("id").toString))
 
-    val res = ApplyResult(addedM.count(), updatedM.count(),
-      cs.removedIds.count(), errs)
-    addedM.unpersist(); updatedM.unpersist()
+    val res = ApplyResult(nAdd, nUpd, nRem, errs)
+    addedM.unpersist(); updatedM.unpersist(); removed.unpersist()
     res
   }
 

@@ -1,0 +1,148 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Extension operators: dedup tiers, similarity, text analysis. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per fingerprint") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 5L)) // 4 collapses into 1
+  }
+
+  test("shingles: 3-gram over normalized words, distinct") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(Dedup.shingles($"text", 3)).as[Seq[String]].head()
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("over the lazy"))
+    assert(sh.length === 7) // 9 words → 7 trigrams, all distinct
+  }
+
+  test("shingles: short text falls back to whole string") {
+    val sh = Seq((9L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text", 3)).as[Seq[String]].head()
+    assert(sh === Seq("two words"))
+  }
+
+  test("jaccard: identical=1, near-dup high, disjoint=0") {
+    val pairs = docs.as("a").crossJoin(docs.as("b"))
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        Dedup.jaccardExpr(
+          Dedup.shingles($"a.text", 3), Dedup.shingles($"b.text", 3)).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 4L)) === 1.0)
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(pairs((1L, 3L)) === 0.0)
+  }
+
+  test("minhash LSH finds exact and near dups, skips disjoint") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 4L)))   // identical → all bands collide
+    assert(!cands.contains((1L, 3L)))  // disjoint → no band collides
+    val verified = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified === Set((1L, 4L)))
+  }
+
+  test("simhash: identical texts → distance 0; near-dups close") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) < 20)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 4L)))
+  }
+
+  test("cosine: orthogonal=0, identical=1, topk ranks correctly") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.1f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs, vecs.filter($"vec_id" === 0), k = 3)
+      .select("n_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out(2L) === 1) // closest
+    assert(out(1L) === 2) // orthogonal beats opposite
+    assert(out(3L) === 3)
+  }
+
+  test("lsh buckets: identical vectors share bucket; ann recalls exact dup") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val buckets = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 8))
+      .as[(Long, Long)].collect().toMap
+    assert(buckets(0L) === buckets(1L))
+    val ann = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0), k = 1,
+      nPlanes = 8).select("n_id").as[Long].collect()
+    assert(ann.headOption.contains(1L))
+  }
+
+  test("text analysis: counts and ratios on a known string") {
+    val out = TextAnalysis.analyze(
+      Seq((1L, "The cat, and a dog!")).toDF("doc_id", "text")).head()
+    assert(out.getAs[Int]("n_chars") === 19)
+    assert(out.getAs[Int]("n_tokens_ws") === 5)
+    assert(out.getAs[Int]("n_tokens_bpe") === 7)   // 5 words + ',' + '!'
+    assert(out.getAs[Double]("punct_ratio") === math.round(2.0 / 19 * 1e6) / 1e6)
+    // stopwords: the, and, a → 3 of 5 tokens
+    assert(out.getAs[Double]("stopword_ratio") === 0.6)
+    assert(out.getAs[String]("lang_guess") === "en")
+  }
+
+  test("lang id: german markers win for german text") {
+    val out = TextAnalysis.analyze(
+      Seq((1L, "der hund und die katze ist hier")).toDF("doc_id", "text")).head()
+    assert(out.getAs[String]("lang_guess") === "de")
+  }
+
+  test("empty text: zero tokens, no NaN") {
+    val out = TextAnalysis.analyze(Seq((1L, "")).toDF("doc_id", "text")).head()
+    assert(out.getAs[Int]("n_tokens_ws") === 0)
+    assert(!out.getAs[Double]("quality").isNaN)
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val fps = Seq((1L, "Hello  World"), (2L, "hello world"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps(0) === fps(1))
+  }
+
+  test("rolling hash: order-sensitive, deterministic") {
+    val h = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.rollingHash($"text")).as[Long].collect()
+    assert(h(0) === h(2))
+    assert(h(0) !== h(1))
+  }
+
+  test("multimodal: meta extraction + decode stub + frame sampling") {
+    val media = Multimodal.synthesize(docs.filter(length($"text") > 0),
+      "doc_id", "text")
+    val meta = Multimodal.withMeta(media)
+    val m1 = meta.filter($"media_id" === "1").select("meta.n_bytes").head()
+    assert(m1.getLong(0) === 43L)
+    val decoded = Multimodal.decodeStub(media).toDF()
+    assert(decoded.count() === 4)
+    assert(decoded.filter($"width" <= 0 || $"height" <= 0).count() === 0)
+    val frames = Multimodal.frameSamplePlan(decoded, everyMs = 60000)
+    // every video yields at least one frame (ts=0)
+    assert(frames.groupBy("media_id").count().count() ===
+      decoded.filter($"media_type" === "video").count())
+  }
+}

@@ -1,0 +1,100 @@
+package graft.targets
+
+import graft.SparkSpec
+import graft.core.{Diff, Records}
+import graft.mapper.Mapper
+import graft.pipeline.{ImportService, Preset}
+import graft.sources.InlineSource
+import java.sql.DriverManager
+
+/**
+ * JDBC merge sink (W1-W4) against embedded Derby — the batched
+ * INSERT/UPDATE/DELETE path with per-row error isolation.
+ */
+class JdbcTargetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDb(name: String): String = {
+    val url = s"jdbc:derby:memory:$name;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE persons (id VARCHAR(32) PRIMARY KEY, " +
+        "name VARCHAR(10), version BIGINT)")
+    conn.close()
+    s"jdbc:derby:memory:$name"
+  }
+
+  private def rows(url: String): Set[(String, String, Long)] = {
+    val conn = DriverManager.getConnection(url)
+    val rs = conn.createStatement().executeQuery("SELECT * FROM persons")
+    val buf = scala.collection.mutable.Set[(String, String, Long)]()
+    while (rs.next()) buf += ((rs.getString(1), rs.getString(2), rs.getLong(3)))
+    conn.close(); buf.toSet
+  }
+
+  private val mapper = Mapper(Seq("id" -> "${record.__id}",
+    "name" -> "name", "version" -> "${record.__version}"))
+
+  test("full jdbc sync: insert, update, delete via batched statements") {
+    val url = freshDb("sync1")
+    val target = JdbcTarget(url, "persons")
+    def preset(data: Seq[(String, Long, String)]) = Preset(
+      InlineSource(s => { import s.implicits._
+        data.toDF("id", "version", "name") }),
+      target, mapper, idAttribute = "id", versionAttribute = Some("version"))
+
+    // run 1: all inserts
+    val r1 = new ImportService(preset(Seq(
+      ("a", 1L, "Ada"), ("b", 1L, "Bob")))).importData(spark)
+    assert((r1.added, r1.errors) === ((2L, 0L)))
+    assert(rows(url) === Set(("a", "Ada", 1L), ("b", "Bob", 1L)))
+
+    // run 2: update a (newer), remove b, add c
+    val r2 = new ImportService(preset(Seq(
+      ("a", 2L, "Ada2"), ("c", 1L, "Cyd")))).importData(spark)
+    assert((r2.added, r2.updated, r2.removed) === ((1L, 1L, 1L)))
+    assert(rows(url) === Set(("a", "Ada2", 2L), ("c", "Cyd", 1L)))
+  }
+
+  test("per-row error isolation: oversize value fails its row only") {
+    val url = freshDb("sync2")
+    val target = JdbcTarget(url, "persons", batchSize = 1)
+    val preset = Preset(
+      InlineSource(s => { import s.implicits._
+        Seq(("a", 1L, "ok"),
+          ("b", 1L, "this-name-is-way-too-long-for-varchar10"),
+          ("c", 1L, "fine")).toDF("id", "version", "name") }),
+      target, mapper, idAttribute = "id", versionAttribute = Some("version"))
+    val r = new ImportService(preset).importData(spark)
+    assert(r.errors >= 1)
+    // the two good rows landed despite b's failure (SURVEY §1.5.5)
+    assert(rows(url).map(_._1) === Set("a", "c"))
+  }
+
+  test("removeAll returns affected count (DbalTarget.php:160-167)") {
+    val url = freshDb("sync3")
+    val target = JdbcTarget(url, "persons")
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "INSERT INTO persons VALUES ('x', 'X', 1)")
+    conn.close()
+    assert(target.removeAll(spark) === 1L)
+    assert(rows(url).isEmpty)
+  }
+
+  test("currentState reads narrow id/version snapshot") {
+    val url = freshDb("sync4")
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate("INSERT INTO persons VALUES ('x', 'X', 7)")
+    conn.close()
+    val state = JdbcTarget(url, "persons").currentState(spark)
+    val row = state.select("id", "version").head()
+    assert(row.getString(0) === "x" && row.getLong(1) === 7L)
+  }
+
+  test("setup warns when table missing (DbalTarget.php:47-64)") {
+    val url = freshDb("sync5")
+    assert(JdbcTarget(url, "nope").setup(spark).warnings.nonEmpty)
+    assert(JdbcTarget(url, "persons").setup(spark).ok)
+  }
+}
