@@ -1,18 +1,35 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main — driver-run per round against
+ * `SPARK_GRAFT_SF_DIR` (sf0.1 ≈ 600k lineitem rows); prints ONE JSON
+ * line. Runs every SparkEntry query once (cold, but one shared
+ * session, so JVM/codegen warmup is amortized across queries; the
+ * first query eats session spin-up — keep it cheap).
+ *
+ * Each timing includes full plan execution forced via `count()` on
+ * the query result (no result materialization to disk — the diff/agg
+ * work dominates, which is what we're measuring).
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.util.Tables.session("graft-bench", cpus)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // cheap warmup: spin executors + codegen before the first timing
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import graft.core.Records
+import graft.mapper.Mapper
+import graft.pipeline.Preset
+import graft.targets.DataTarget
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/**
+ * Streaming extension (SURVEY §7.5 — beyond reference parity; the
+ * reference is strictly batch, full snapshot per run,
+ * ImportService.php:71-88).
+ *
+ * Three Structured Streaming shapes:
+ *  1. incremental sync — each micro-batch is one sync run: the batch
+ *     diffs against the target's current state inside `foreachBatch`
+ *     and applies add/update/remove, reusing the exact batch
+ *     operators (same Diff, same sinks — micro-batch = one
+ *     `importData`);
+ *  2. watermarked windowed aggregation over an event stream;
+ *  3. custom keyed state via `flatMapGroupsWithState`
+ *     (session tracking with explicit timeout).
+ *
+ * Scale note: foreachBatch keeps the mutating-sink pattern identical
+ * to batch — state lives in the target, not in Spark state stores, so
+ * a 1000-executor streaming job restarts cleanly from the target's
+ * own content (the same idempotent re-run semantics the reference's
+ * diff gives batch runs).
+ */
+object IncrementalSync {
+
+  /**
+   * Run a preset's sync per micro-batch. The stream carries raw
+   * source records; keying/diff/apply happen inside foreachBatch via
+   * the standard batch operators.
+   */
+  def start(
+      spark: SparkSession,
+      stream: DataFrame,
+      preset: Preset,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val keyed = Records.keyRecords(batch.toDF(), preset.idAttribute,
+          preset.versionAttribute)
+        val data = preset.dataProcessor.map(_(keyed)).getOrElse(keyed)
+        val cs = preset.computeDataChanges(spark, data, force = false)
+        preset.target.applyChanges(spark, cs, preset.mapper)
+        ()
+      }
+      .start()
+
+  /** Watermarked tumbling-window aggregation over an event stream. */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+  final case class SessionState(nEvents: Long, totalCents: Long,
+      lastTs: Long)
+  final case class SessionOutput(user_id: Long, nEvents: Long,
+      totalCents: Long, closed: Boolean)
+
+  /**
+   * Custom keyed state: per-user running session via
+   * flatMapGroupsWithState with processing-time timeout — emits a
+   * closed-session row when a user goes quiet.
+   */
+  def sessionize(events: Dataset[SessionEvent],
+      timeoutMs: Long = 30 * 60 * 1000): Dataset[SessionOutput] = {
+    import events.sparkSession.implicits._
+    // timeoutMs <= 0 disables the inactivity timeout (useful for
+    // deterministic tests; production uses the timeout to emit
+    // closed-session records when a user goes quiet)
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOutput](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOutput(userId, s.nEvents, s.totalCents, closed = true))
+          } else {
+            val evs = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L, 0L))
+            val next = SessionState(
+              prev.nEvents + evs.size,
+              prev.totalCents + evs.map(e => math.floor(e.value * 100).toLong).sum,
+              evs.map(_.ts.getTime).maxOption.getOrElse(prev.lastTs))
+            state.update(next)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            Iterator(SessionOutput(userId, next.nEvents, next.totalCents,
+              closed = false))
+          }
+      }
+  }
+}

@@ -1,0 +1,166 @@
+package graft.targets
+
+import graft.core.{ChangeSet, Records}
+import graft.mapper.Mapper
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Node-table target — the data semantics of the reference's
+ * ContentRepository target (W5-W9,
+ * Classes/DataTarget/ContentRepository/ContentRepositoryTarget.php)
+ * modeled against a plain "node" table (parquet-backed), with the
+ * Neos/Flow CMS plumbing (Fusion caches, Doctrine EM) out of scope
+ * per SURVEY §7.4.6.
+ *
+ * Semantics preserved:
+ *  - `idPrefix` — node identifier = prefix + record id; stripped
+ *    before diffing (ContentRepositoryTarget.php:99);
+ *  - variant fan-out — one record becomes N node variants, one per
+ *    dimension returned by the resolver (`:173-192`): an `explode`
+ *    over a resolver column, the reference's one UDTF-shaped hook;
+ *  - soft delete — removal hides (`hidden := true`) instead of
+ *    deleting when configured (`:245-256`); hidden nodes are excluded
+ *    from removal candidates but un-hidden on update (`:95-107,202`);
+ *  - remove-all under a root path (`:215-236`).
+ *
+ * Node table schema: (identifier, variant, path, hidden,
+ * version, <mapped columns...>).
+ */
+final case class NodeTarget(
+    path: String,
+    idPrefix: String = "",
+    softDelete: Boolean = false,
+    rootPath: String = "/sites",
+    /** record DataFrame → array column of dimension values; default
+      * single empty variant (no dimensions configured). */
+    variantsResolver: DataFrame => Column = _ => array(lit(""))
+) extends DataTarget {
+
+  private def exists: Boolean = {
+    val f = new java.io.File(path)
+    f.exists() && Option(f.listFiles()).exists(_.nonEmpty)
+  }
+
+  private def emptyState(spark: SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("identifier", StringType),
+        StructField("variant", StringType),
+        StructField("path", StringType),
+        StructField("hidden", BooleanType),
+        StructField("version", LongType))))
+
+  private def nodes(spark: SparkSession): DataFrame =
+    if (exists) spark.read.parquet(path) else emptyState(spark)
+
+  /** Diff state: one row per record id (variants collapse), version =
+    * max over variants (the reference keys its node cache by stripped
+    * identifier, ContentRepositoryTarget.php:88-93). */
+  override def currentState(spark: SparkSession): DataFrame =
+    nodes(spark)
+      .groupBy(col("identifier").as("id"))
+      .agg(max(col("version")).as("version"),
+        // a record is "hidden" for diff purposes iff ALL its variants
+        // are hidden (an un-hidden variant still syncs normally)
+        min(col("hidden").cast("int")).cast("boolean").as("hidden"))
+
+  /** DiffOptions this target requires (wired by the Preset). */
+  def diffOptions: graft.core.DiffOptions = graft.core.DiffOptions(
+    localIdPrefix = if (idPrefix.nonEmpty) Some(idPrefix) else None,
+    hiddenCol = Some("hidden"))
+
+  override def applyChanges(
+      spark: SparkSession, cs: ChangeSet, mapper: Mapper): ApplyResult = {
+
+    // W5 fan-out: record → one node row per variant, at WRITE time
+    // (ContentRepositoryTarget.php:173-192)
+    def toNodes(df: DataFrame): DataFrame = {
+      val mapped = mapper.applyKeepingKeys(df)
+        .withColumn("variant", explode(variantsResolver(df)))
+      mapped.select(
+        Seq(
+          concat(lit(idPrefix), col(Records.IdCol)).as("identifier"),
+          col("variant"),
+          concat(lit(rootPath), lit("/"), col(Records.IdCol)).as("path"),
+          lit(false).as("hidden"),
+          col(Records.VersionCol).as("version")) ++
+          mapped.columns.filterNot(c =>
+            c.startsWith("__") || c == "variant").map(col): _*)
+    }
+
+    val addedN = toNodes(cs.added).cache()
+    val updatedN = toNodes(cs.updated).cache()
+    val removedP = cs.removedIds
+      .select(concat(lit(idPrefix), col("id")).as("identifier")).cache()
+    val nAdd = addedN.select("identifier").distinct().count()
+    val nUpd = updatedN.select("identifier").distinct().count()
+    val nRem = removedP.count()
+
+    val old = nodes(spark)
+    val oldAligned = addedN.schema.fields.foldLeft(old) { (acc, f) =>
+      if (acc.columns.exists(_.equalsIgnoreCase(f.name))) acc
+      else acc.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(addedN.columns.map(col): _*)
+
+    // updates replace every variant of the id and un-hide (W6, `:195-206`)
+    val untouched = oldAligned
+      .join(updatedN.select("identifier").distinct(), Seq("identifier"), "left_anti")
+
+    val next =
+      if (softDelete) {
+        // W7 soft delete: flag instead of dropping (`:245-256`)
+        val flagged = untouched.join(removedP.withColumn("__rm", lit(true)),
+            Seq("identifier"), "left_outer")
+          .withColumn("hidden", when(col("__rm"), lit(true))
+            .otherwise(col("hidden")))
+          .drop("__rm")
+        flagged.unionByName(addedN).unionByName(updatedN)
+      } else {
+        untouched.join(removedP, Seq("identifier"), "left_anti")
+          .unionByName(addedN).unionByName(updatedN)
+      }
+
+    val staging = path + ".staging"
+    next.write.mode("overwrite").parquet(staging)
+    val dir = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (dir.exists()) rm(dir)
+    new java.io.File(staging).renameTo(dir)
+
+    val res = ApplyResult(nAdd, nUpd, nRem)
+    addedN.unpersist(); updatedN.unpersist(); removedP.unpersist()
+    res
+  }
+
+  /** W8 — remove/hide all nodes under the root path (`:215-236`). */
+  override def removeAll(spark: SparkSession): Long = {
+    if (!exists) return 0L
+    val all = nodes(spark).cache()
+    val affected = all.filter(col("path").startsWith(rootPath))
+    val n = affected.select("identifier").distinct().count()
+    if (softDelete) {
+      val next = all.withColumn("hidden",
+        when(col("path").startsWith(rootPath), lit(true))
+          .otherwise(col("hidden")))
+      val staging = path + ".staging"
+      next.write.mode("overwrite").parquet(staging)
+      val dir = new java.io.File(path)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); new java.io.File(staging).renameTo(dir)
+    } else {
+      val dir = new java.io.File(path)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+    all.unpersist()
+    n
+  }
+}

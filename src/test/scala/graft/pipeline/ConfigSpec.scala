@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.sources.FileSource
+import graft.targets.FileTarget
+
+/** Options schema + preset templates/overrides (C5/C6). */
+class ConfigSpec extends SparkSpec {
+
+  test("options schema: required/unknown/type checks (OptionsSchema.php:45-106)") {
+    val schema = OptionsSchema()
+      .requires("filePath", "string").has("format", "string")
+    assert(schema.validate(Map("filePath" -> "/x.json")).isEmpty)
+    assert(schema.validate(Map.empty)
+      === Seq("Missing required option 'filePath'"))
+    assert(schema.validate(Map("filePath" -> "/x", "bogus" -> 1))
+      === Seq("Unknown option 'bogus'"))
+    assert(schema.validate(Map("filePath" -> 42))
+      === Seq("Option 'filePath' must be of type string"))
+  }
+
+  private val presets = Map(
+    "base" -> PresetConfig(
+      source = Map("type" -> "file",
+        "options" -> Map("filePath" -> "/tmp/base.json")),
+      target = Map("type" -> "file", "options" -> Map("path" -> "/tmp/t")),
+      mapping = Seq("id" -> "id"),
+      versionAttribute = Some("version")),
+    "child" -> PresetConfig(
+      template = Some("base"),
+      source = Map("options" -> Map("filePath" -> "/tmp/child.json"))))
+
+  test("template inheritance merges recursively, child wins " +
+      "(ImportServiceFactory.php:55-68)") {
+    val p = PresetFactory.create(presets, "child")
+    assert(p.source.asInstanceOf[FileSource].path === "/tmp/child.json")
+    assert(p.target.asInstanceOf[FileTarget].path === "/tmp/t")
+    assert(p.mapper.rules === Seq("id" -> "id"))
+  }
+
+  test("CLI overrides merge into source options (PresetFactory.php:41-44)") {
+    val p = PresetFactory.create(presets, "base",
+      overrideSource = Map("filePath" -> "/tmp/override.json"))
+    assert(p.source.asInstanceOf[FileSource].path === "/tmp/override.json")
+  }
+
+  test("fixture path swaps the source (S6, ImportServiceFactory.php:36-48)") {
+    val p = PresetFactory.create(presets, "base",
+      fixturePath = Some("/tmp/fixture.json"))
+    assert(p.source.asInstanceOf[FileSource].path === "/tmp/fixture.json")
+  }
+
+  test("unknown preset / bad options raise ConfigException") {
+    intercept[PresetFactory.ConfigException] {
+      PresetFactory.create(presets, "nope")
+    }
+    val bad = Map("p" -> PresetConfig(
+      source = Map("type" -> "file", "options" -> Map("bogus" -> "x")),
+      target = Map("type" -> "file", "options" -> Map("path" -> "/t"))))
+    val e = intercept[PresetFactory.ConfigException] {
+      PresetFactory.create(bad, "p")
+    }
+    assert(e.getMessage.contains("Unknown option 'bogus'"))
+    assert(e.getMessage.contains("Missing required option 'filePath'"))
+  }
+
+  test("cli preset file parsing + end-to-end run verb") {
+    val dir = tmpDir("cli")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data.json"),
+      """[{"id": "a", "version": 1, "name": "ada"}]""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "presets.conf"),
+      s"""demo.source.type = file
+         |demo.source.options.filePath = $dir/data.json
+         |demo.target.type = file
+         |demo.target.options.path = $dir/out
+         |demo.mapping.name = $${upper(record.name)}
+         |demo.idAttribute = id
+         |demo.versionAttribute = version
+         |""".stripMargin)
+    val presets = graft.cli.Main.parsePresetFile(s"$dir/presets.conf")
+    assert(presets.contains("demo"))
+    val preset = PresetFactory.create(presets, "demo")
+    val r = new ImportService(preset).importData(spark)
+    assert(r.added === 1)
+    import spark.implicits._
+    assert(spark.read.parquet(s"$dir/out").select("name").as[String]
+      .head() === "ADA")
+  }
+}

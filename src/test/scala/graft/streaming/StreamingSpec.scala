@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.mapper.Mapper
+import graft.pipeline.Preset
+import graft.sources.InlineSource
+import graft.targets.FileTarget
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming extension (SURVEY §7.5). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental sync: micro-batch = one sync run via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("stream-sync")
+    val input = MemoryStream[(String, Long, String)]
+    val target = FileTarget(s"$dir/target")
+    val preset = Preset(
+      InlineSource(_ => sys.error("unused — stream feeds the batches")),
+      target, Mapper(Seq("name" -> "${upper(record.name)}")),
+      idAttribute = "id", versionAttribute = Some("version"))
+
+    // data must exist BEFORE start with AvailableNow (it snapshots
+    // the available offsets at query start)
+    input.addData(("a", 1L, "ada"), ("b", 1L, "bob"))
+    val q = IncrementalSync.start(spark,
+      input.toDF().toDF("id", "version", "name"),
+      preset, s"$dir/chk",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q.awaitTermination(120000), "query did not terminate")
+    assert(spark.read.parquet(s"$dir/target").count() === 2)
+
+    // second micro-batch run: a newer, b absent — but streaming sync
+    // only ever ADDS/UPDATES from the batch; absence in a micro-batch
+    // must NOT delete (the batch is a delta, not a snapshot) — so b
+    // survives and a updates
+    val preset2 = preset.copy(skipRemovedRecords = true)
+    input.addData(("a", 2L, "ada2"))
+    val q2 = IncrementalSync.start(spark,
+      input.toDF().toDF("id", "version", "name"),
+      preset2, s"$dir/chk",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q2.awaitTermination(120000), "query2 did not terminate")
+    val state = spark.read.parquet(s"$dir/target")
+    assert(state.count() === 2)
+    assert(state.filter($"id" === "a").select("name").as[String].head() === "ADA2")
+  }
+
+  test("watermarked windowed aggregation over an event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = IncrementalSync.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.5),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:07:00"), "view", 3.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_type, n, value_cents FROM win_out")
+      .as[(String, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows === Set(("click", 2L, 350L), ("view", 1L, 300L)))
+  }
+
+  test("flatMapGroupsWithState session tracking") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IncrementalSync.SessionEvent]
+    val sessions = IncrementalSync.sessionize(input.toDS(), timeoutMs = 0)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    input.addData(
+      IncrementalSync.SessionEvent(1L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      IncrementalSync.SessionEvent(1L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2.0),
+      IncrementalSync.SessionEvent(2L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 5.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, nEvents, totalCents, closed FROM sess_out")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    q.stop()
+    assert(rows === Set((1L, 2L, 300L, false), (2L, 1L, 500L, false)))
+  }
+}

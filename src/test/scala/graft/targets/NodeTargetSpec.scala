@@ -1,0 +1,101 @@
+package graft.targets
+
+import graft.SparkSpec
+import graft.mapper.Mapper
+import graft.pipeline.{ImportService, Preset}
+import graft.sources.InlineSource
+import org.apache.spark.sql.functions._
+
+/** Node-table target semantics (W5-W9, ContentRepositoryTarget.php). */
+class NodeTargetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def preset(dir: String, data: Seq[(String, Long, String)],
+      softDelete: Boolean = false) = {
+    val target = NodeTarget(s"$dir/nodes", idPrefix = "node-",
+      softDelete = softDelete,
+      variantsResolver = _ => array(lit("de"), lit("en")))
+    Preset(
+      InlineSource(s => { import s.implicits._
+        data.toDF("id", "version", "name") }),
+      target, Mapper(Seq("name" -> "${upper(record.name)}")),
+      idAttribute = "id", versionAttribute = Some("version"),
+      diffOptions = target.diffOptions)
+  }
+
+  test("variant fan-out: 1 record → N node rows with prefixed ids") {
+    val dir = tmpDir("node1")
+    val r = new ImportService(preset(dir, Seq(("a", 1L, "Ada"))))
+      .importData(spark)
+    assert(r.added === 1)
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    assert(nodes.count() === 2) // de + en variants
+    assert(nodes.select("identifier").distinct().as[String].head() === "node-a")
+    assert(nodes.select("variant").as[String].collect().toSet === Set("de", "en"))
+    assert(nodes.select("name").distinct().as[String].head() === "ADA")
+  }
+
+  test("idempotent re-run against prefixed ids (idPrefix strip)") {
+    val dir = tmpDir("node2")
+    val p = preset(dir, Seq(("a", 1L, "Ada"), ("b", 2L, "Bob")))
+    new ImportService(p).importData(spark)
+    val r2 = new ImportService(p).importData(spark)
+    assert((r2.added, r2.updated, r2.removed) === ((0L, 0L, 0L)))
+  }
+
+  test("update replaces all variants and bumps version (W6)") {
+    val dir = tmpDir("node3")
+    new ImportService(preset(dir, Seq(("a", 1L, "Ada")))).importData(spark)
+    val r = new ImportService(preset(dir, Seq(("a", 5L, "Ada2"))))
+      .importData(spark)
+    assert(r.updated === 1)
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    assert(nodes.count() === 2)
+    assert(nodes.select("version").distinct().as[Long].head() === 5L)
+    assert(nodes.select("name").distinct().as[String].head() === "ADA2")
+  }
+
+  test("hard remove drops node rows") {
+    val dir = tmpDir("node4")
+    new ImportService(preset(dir, Seq(("a", 1L, "Ada"), ("b", 1L, "Bob"))))
+      .importData(spark)
+    val r = new ImportService(preset(dir, Seq(("a", 1L, "Ada"))))
+      .importData(spark)
+    assert(r.removed === 1)
+    val ids = spark.read.parquet(s"$dir/nodes")
+      .select("identifier").distinct().as[String].collect().toSet
+    assert(ids === Set("node-a"))
+  }
+
+  test("soft delete hides instead of dropping; hidden stays out of " +
+      "removal candidates (W7, ContentRepositoryTarget.php:95-107)") {
+    val dir = tmpDir("node5")
+    new ImportService(preset(dir, Seq(("a", 1L, "Ada"), ("b", 1L, "Bob")),
+      softDelete = true)).importData(spark)
+    // b disappears from source → hidden, not dropped
+    val r = new ImportService(preset(dir, Seq(("a", 1L, "Ada")),
+      softDelete = true)).importData(spark)
+    assert(r.removed === 1)
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    assert(nodes.select("identifier").distinct().count() === 2)
+    assert(nodes.filter($"identifier" === "node-b" && $"hidden").count() === 2)
+    // re-run with b still absent: hidden b is NOT a removal candidate again
+    val r2 = new ImportService(preset(dir, Seq(("a", 1L, "Ada")),
+      softDelete = true)).importData(spark)
+    assert(r2.removed === 0)
+    // b returns with a newer version → update un-hides (W6, `:202`)
+    val r3 = new ImportService(preset(dir, Seq(("a", 1L, "Ada"), ("b", 9L, "Bob")),
+      softDelete = true)).importData(spark)
+    assert(r3.updated === 1)
+    val b = spark.read.parquet(s"$dir/nodes").filter($"identifier" === "node-b")
+    assert(b.filter($"hidden").count() === 0)
+  }
+
+  test("removeAll under root path returns distinct id count (W8)") {
+    val dir = tmpDir("node6")
+    val p = preset(dir, Seq(("a", 1L, "Ada"), ("b", 1L, "Bob")))
+    new ImportService(p).importData(spark)
+    assert(p.target.removeAll(spark) === 2L)
+    assert(!new java.io.File(s"$dir/nodes").exists())
+  }
+}
