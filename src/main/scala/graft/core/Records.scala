@@ -104,17 +104,24 @@ object Records {
   }
 
   /**
-   * Last-wins dedup by `__id` (SURVEY §1.5.1). One shuffle; the window
-   * partitioning by id is reused by the downstream diff join under AQE.
-   * `dropDuplicates("id")` would keep an arbitrary row — NOT equivalent.
+   * Last-wins dedup by `__id` (SURVEY §1.5.1): keep the row with the
+   * max `orderCol` per id. `dropDuplicates("id")` would keep an
+   * arbitrary row — NOT equivalent.
+   *
+   * Implemented as `max_by(struct(row), ord)` aggregation rather than
+   * a `row_number` window: the aggregate gets map-side partial
+   * combining (each partition reduces to one candidate per id before
+   * the shuffle) and skips the per-partition sort a window needs. At
+   * 100 TB that is the difference between shuffling every duplicate
+   * and shuffling one row per (partition, id).
    */
   def dedupLastWins(df: DataFrame, orderCol: Option[Column]): DataFrame = {
     val ord = orderCol.getOrElse(monotonically_increasing_id())
-    val seqd = df.withColumn(SeqCol, ord)
-    val w = Window.partitionBy(col(IdCol)).orderBy(col(SeqCol).desc)
-    seqd
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", SeqCol)
+    val dataCols = df.columns.filterNot(_ == IdCol).toSeq
+    val packed = df.withColumn(SeqCol, ord)
+    packed
+      .groupBy(col(IdCol))
+      .agg(max_by(struct(dataCols.map(col): _*), col(SeqCol)).as("__row"))
+      .select(col(IdCol) +: dataCols.map(c => col(s"__row.$c").as(c)): _*)
   }
 }
