@@ -43,16 +43,14 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // norms precomputed per ROW, not per PAIR — the pair expression
-    // is a single dot product (higher-order fns are interpreted, so
-    // per-pair work is the cost driver)
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      norm(col(vecCol)).as("n_norm"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_norm"))
+    // per-pair scoring via the native codegen'd one-pass expression
+    // (graft.functions.CosineSimilarity) — interpreted zip_with/
+    // aggregate lambdas cost ~100µs/pair and dominate brute force
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("sim",
-        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+        graft.functions.GraftFunctions.cosine_sim(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -61,46 +59,19 @@ object Similarity {
         col("rank"))
   }
 
-  /**
-   * Scored (query × corpus) pairs via a PER-DIMENSION exploded join —
-   * the fully relational shape: `posexplode` both sides to
-   * (id, dim, value) rows, broadcast-join the (small) query side on
-   * dim, and hash-aggregate partial products into dot values. Every
-   * operator is whole-stage-codegen'd (no higher-order functions in
-   * the hot path — interpreted `aggregate`/`zip_with` lambdas cost
-   * ~100µs/pair, which dominates brute-force scoring), partial sums
-   * combine map-side, and the only shuffle is the (q_id, n_id)
-   * aggregation key.
-   */
-  private def explodedScored(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
-    val cNorm = corpus.select(col(idCol).as("n_id"),
-      norm(col(vecCol)).as("n_norm"))
-    val qNorm = queries.select(col(idCol).as("q_id"),
-      norm(col(vecCol)).as("q_norm"))
-    val cExp = corpus.select(col(idCol).as("n_id"),
-      posexplode(col(vecCol))).toDF("n_id", "dim", "nval")
-    val qExp = queries.select(col(idCol).as("q_id"),
-      posexplode(col(vecCol))).toDF("q_id", "dim", "qval")
-    cExp.join(broadcast(qExp), "dim")
-      .filter(col("q_id") =!= col("n_id"))
-      .groupBy(col("q_id"), col("n_id"))
-      .agg(sum(col("nval").cast("double") * col("qval").cast("double"))
-        .as("dot"))
-      .join(broadcast(qNorm), "q_id")
-      .join(cNorm, "n_id")
-      .withColumn("sim", col("dot") / (col("q_norm") * col("n_norm")))
-  }
-
   /** Threshold variant (no ranking): all pairs with cosine ≥ t.
     * Fully deterministic under rounding — used by the oracle gate. */
   def bruteForcePairs(
       corpus: DataFrame, queries: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    explodedScored(corpus, queries, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine_sim(col("q_vec"), col("n_vec")))
       .filter(col("sim") >= threshold)
       .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"))
+  }
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d component
     * derived from a hash — reproducible across engines and runs. */
@@ -128,15 +99,13 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      norm(col(vecCol)).as("n_norm"),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_norm"),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim",
-        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+        graft.functions.GraftFunctions.cosine_sim(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))

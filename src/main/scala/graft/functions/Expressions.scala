@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions — the (b)-tier of the custom-operator
+ * ladder (compose built-ins → custom Expression → custom plan):
+ * used where built-in operators CAN express the semantics but only
+ * via interpreted higher-order functions whose per-row lambda
+ * overhead dominates (measured ~100µs/pair for zip_with/aggregate
+ * cosine — see graft.ext.Similarity).
+ */
+
+/**
+ * One-pass cosine similarity over two float-array columns: a single
+ * codegen'd loop accumulating dot product and both norms — no
+ * intermediate arrays, no lambda dispatch, stays inside whole-stage
+ * codegen. Zero-magnitude vectors yield 0.0 (not NaN).
+ */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  // manual type check (ExpectsInputTypes.inputTypes needs the
+  // private[sql] AbstractDataType, unavailable outside org.apache.spark)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two array<float> arguments, got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = $a.getFloat(i);
+         |  double yi = $b.getFloat(i);
+         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |}
+         |double den = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
+         |${ev.value} = (den == 0.0) ? 0.0 : dot / den;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * `parse_version` — the reference's `DataVersion::parse` as a SQL
+ * function (Classes/ValueObject/DataVersion.php:48-70): ints pass
+ * through (negatives rejected to NULL), date strings / timestamps
+ * become epoch seconds, anything else NULL. Resolves its behavior
+ * from the child's data type at analysis time; interpreted
+ * (CodegenFallback) — version parsing is never the hot path.
+ */
+case class ParseVersion(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "parse_version"
+  override def nullable: Boolean = true
+
+  private lazy val parser: Any => Any = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      v => {
+        val l = v.asInstanceOf[Number].longValue()
+        if (l >= 0) l else null
+      }
+    case FloatType | DoubleType =>
+      v => {
+        val d = v.asInstanceOf[Number].doubleValue()
+        if (d >= 0) d.toLong else null
+      }
+    case TimestampType => v => v.asInstanceOf[Long] / 1000000L
+    case DateType => v => v.asInstanceOf[Int].toLong * 86400L
+    case StringType =>
+      v => {
+        val s = v.asInstanceOf[UTF8String].toString.trim
+        if (s.matches("-?[0-9]+")) {
+          val l = java.lang.Long.parseLong(s)
+          if (l >= 0) l else null
+        } else {
+          try {
+            java.time.OffsetDateTime.parse(s).toEpochSecond
+          } catch {
+            case _: Exception =>
+              try {
+                java.time.LocalDateTime
+                  .parse(s.replace(' ', 'T'))
+                  .toEpochSecond(java.time.ZoneOffset.UTC)
+              } catch { case _: Exception => null }
+          }
+        }
+      }
+    case _ => _ => null
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else parser(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ParseVersion =
+    copy(child = newChild)
+}
+
+/**
+ * Registration — both paths:
+ *  - `GraftFunctions.register(spark)` for an existing session
+ *    (used by Tables.session);
+ *  - `GraftExtensions` for
+ *    `spark.sql.extensions=graft.functions.GraftExtensions` at
+ *    session build (the SparkSessionExtensions route).
+ */
+object GraftFunctions {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(es.head, es(1))),
+    "parse_version" -> (es => ParseVersion(es.head)))
+
+  def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+  }
+
+  /** Column-API helpers (sessions register the functions via
+    * [[register]] / [[GraftExtensions]]; `call_function` resolves
+    * through the registry, which is the public route to a custom
+    * Expression since the Spark 4 Column/ColumnNode split). */
+  def cosine_sim(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  def parse_version(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("parse_version", c)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst expressions: cosine_sim (codegen) + parse_version. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 2.0f)), (1L, Array(0.5f, -1.0f, 0.25f)),
+    (2L, Array(0.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosine_sim matches the higher-order-function formulation") {
+    val nonZero = vecs.filter($"vec_id" =!= 2L)
+    val both = nonZero.as("a").crossJoin(nonZero.as("b")).select(
+      GraftFunctions.cosine_sim($"a.embedding", $"b.embedding").as("native"),
+      Similarity.cosine($"a.embedding", $"b.embedding").as("hof"))
+    both.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12, s"row $r")
+    }
+  }
+
+  test("cosine_sim: zero vector yields 0.0, not NaN or a div-by-zero " +
+      "error (the ANSI-mode HOF formulation throws)") {
+    val z = vecs.filter($"vec_id" === 2L).as("a")
+    val out = z.crossJoin(vecs.as("b")).select(
+      GraftFunctions.cosine_sim($"a.embedding", $"b.embedding")).as[Double]
+    assert(out.collect().forall(_ === 0.0))
+  }
+
+  test("cosine_sim callable from SQL") {
+    vecs.createOrReplaceTempView("v")
+    val sim = spark.sql(
+      """SELECT cosine_sim(a.embedding, b.embedding) FROM v a JOIN v b
+        |ON a.vec_id = 0 AND b.vec_id = 0""".stripMargin)
+      .as[Double].head()
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
+  test("parse_version: SQL surface over the DataVersion::parse matrix") {
+    val rows = spark.sql(
+      """SELECT parse_version(42L) AS a,
+        |       parse_version(-1) AS b,
+        |       parse_version('1722945600') AS c,
+        |       parse_version('2024-08-07T12:00:00+00:00') AS d,
+        |       parse_version('2024-08-07 12:00:00') AS e,
+        |       parse_version('garbage') AS f,
+        |       parse_version(TIMESTAMP '2024-08-07 12:00:00') AS g""".stripMargin)
+      .head()
+    assert(rows.getLong(0) === 42L)
+    assert(rows.isNullAt(1))
+    assert(rows.getLong(2) === 1722945600L)
+    assert(rows.getLong(3) === 1723032000L)
+    assert(rows.getLong(4) === 1723032000L)
+    assert(rows.isNullAt(5))
+    assert(rows.getLong(6) === 1723032000L)
+  }
+
+  test("expressions survive whole-stage codegen on real data") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = e.limit(50).select(
+      GraftFunctions.cosine_sim(col("embedding"), col("embedding")).as("self"))
+    assert(out.filter(abs(col("self") - 1.0) > 1e-9).count() === 0)
+  }
+}
