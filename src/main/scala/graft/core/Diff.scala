@@ -9,24 +9,28 @@ import org.apache.spark.sql.functions._
  * current state (reference: Classes/ValueObject/ChangeSet.php:11-21,
  * Classes/DataTarget/Dbal/DbalTarget.php:66-85).
  *
- * Each member is a lazy DataFrame (logical plan); nothing executes
- * until the sink applies it.
+ * `changes` is ONE discriminated frame (`__change` ∈ add/update/
+ * remove) over a SINGLE full-outer join; `added`/`updated`/
+ * `removedIds` are filters of it. Exposing three naive branch plans
+ * instead would re-plan the join per branch — `.explain` showed 3
+ * joins + 6 scans for one diff. Sinks `persist()` `changes` once and
+ * every branch (and every count) reuses the cached join.
  */
 final case class ChangeSet(
     added: DataFrame,
     updated: DataFrame,
-    removedIds: DataFrame) {
-  /** Single-frame view with a `change_type` discriminator — handy for
-    * tests, oracles, and a one-pass sink. */
-  def unioned: DataFrame = {
-    val a = added.select(col(Records.IdCol).as("id"))
-      .withColumn("change_type", lit("add"))
-    val u = updated.select(col(Records.IdCol).as("id"))
-      .withColumn("change_type", lit("update"))
-    val r = removedIds.select(col("id"))
-      .withColumn("change_type", lit("remove"))
-    a.unionByName(u).unionByName(r)
-  }
+    removedIds: DataFrame,
+    changes: DataFrame) {
+  /** Single-pass (id, change_type) view — one join in the plan. */
+  def unioned: DataFrame =
+    changes.select(col("__change_id").as("id"),
+      col("__change").as("change_type"))
+
+  /** Persist the shared join before multi-branch consumption; the
+    * branch plans contain `changes` as a subtree, so they hit the
+    * InMemoryRelation. Callers unpersist via [[unpersist]]. */
+  def persisted(): ChangeSet = { changes.persist(); this }
+  def unpersist(): Unit = changes.unpersist()
 }
 
 /** Options controlling the diff (reference: Classes/Preset.php:19-39,
@@ -102,30 +106,35 @@ object Diff {
       source(Records.IdCol) === localSnap("__local_id"),
       "full_outer")
 
-    val srcCols = source.columns.map(source(_))
-
-    val added =
-      if (opts.skipAddedRecords) source.limit(0)
-      else joined.filter(col("__local_id").isNull).select(srcCols: _*)
-
-    val updated = joined
-      .filter(
-        source(Records.IdCol).isNotNull && col("__local_id").isNotNull &&
+    // ONE pass discriminates every row; skip flags suppress their
+    // branch (DbalTarget.php:69,75-77). Hidden rows are neither
+    // removed nor added — they simply stay
+    // (ContentRepositoryTarget.php:95-107).
+    val addType =
+      if (opts.skipAddedRecords) lit(null) else lit("add")
+    val removeType =
+      if (opts.skipRemovedRecords) lit(null) else lit("remove")
+    val changeType =
+      when(col("__local_id").isNull, addType)
+        .when(source(Records.IdCol).isNotNull &&
           updateNeeded(source(Records.VersionCol), col("__local_version"),
-            opts.forceUpdates))
-      .select(srcCols: _*)
+            opts.forceUpdates), lit("update"))
+        .when(source(Records.IdCol).isNull && !col("__local_hidden"),
+          removeType)
 
-    // Removal candidates: local ∖ source, hidden rows excluded
-    // (ContentRepositoryTarget.php:95-107). Hidden rows are neither
-    // removed nor added — they simply stay.
-    val removedIds =
-      if (opts.skipRemovedRecords)
-        local.select(col("id").cast("string").as("id")).limit(0)
-      else joined
-        .filter(source(Records.IdCol).isNull && !col("__local_hidden"))
-        .select(col("__local_id").as("id"))
+    val changes = joined
+      .withColumn("__change", changeType)
+      .withColumn("__change_id",
+        coalesce(source(Records.IdCol), col("__local_id")))
+      .filter(col("__change").isNotNull)
 
-    ChangeSet(added, updated, removedIds)
+    val srcCols = source.columns.map(source(_))
+    ChangeSet(
+      added = changes.filter(col("__change") === "add").select(srcCols: _*),
+      updated = changes.filter(col("__change") === "update").select(srcCols: _*),
+      removedIds = changes.filter(col("__change") === "remove")
+        .select(col("__change_id").as("id")),
+      changes = changes)
   }
 
   /** D1 — id-set difference (DataIds::diff, DataIds.php:52-55):

@@ -83,6 +83,7 @@ final case class FileTarget(
         .withColumn("version", col(Records.VersionCol))
         .drop(Records.IdCol, Records.VersionCol)
     }
+    cs.persisted() // one evaluation of the diff join for all branches
     val addedM = mapped(cs.added)
     val updatedM = mapped(cs.updated)
     val nAdd = addedM.count(); val nUpd = updatedM.count()
@@ -114,6 +115,7 @@ final case class FileTarget(
       rm(dir)
     }
     new java.io.File(staging).renameTo(dir)
+    cs.unpersist()
     ApplyResult(nAdd, nUpd, nRem)
   }
 

@@ -119,14 +119,16 @@ final case class JdbcTarget(
       spark: SparkSession, cs: ChangeSet, mapper: Mapper): ApplyResult = {
     def mapped(df: DataFrame): DataFrame = mapper.applyKeepingKeys(df)
 
-    // MATERIALIZE the full ChangeSet before the first write: the
-    // branches are lazy plans over the live target table — once the
-    // sink starts mutating it, re-evaluation would see the new state
-    // (the reference snapshots local rows per run for the same
-    // reason, DbalTarget.php:118-128 localRowsCache).
-    val addedM = mapped(cs.added).cache()
-    val updatedM = mapped(cs.updated).cache()
-    val removed = cs.removedIds.cache()
+    // MATERIALIZE the ChangeSet before the first write: the shared
+    // changes frame is a lazy plan over the live target table — once
+    // the sink starts mutating it, re-evaluation would see the new
+    // state (the reference snapshots local rows per run for the same
+    // reason, DbalTarget.php:118-128 localRowsCache). One persist
+    // covers all three branches AND the counts.
+    cs.persisted()
+    val addedM = mapped(cs.added)
+    val updatedM = mapped(cs.updated)
+    val removed = cs.removedIds
     val (nAdd, nUpd, nRem) = (addedM.count(), updatedM.count(), removed.count())
     val dataCols = addedM.columns.filterNot(_.startsWith("__")).toSeq
     var errs = 0L
@@ -159,7 +161,7 @@ final case class JdbcTarget(
       ps.setString(1, row.getAs[Any]("id").toString))
 
     val res = ApplyResult(nAdd, nUpd, nRem, errs)
-    addedM.unpersist(); updatedM.unpersist(); removed.unpersist()
+    cs.unpersist()
     res
   }
 

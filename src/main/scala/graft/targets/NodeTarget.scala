@@ -90,6 +90,7 @@ final case class NodeTarget(
             c.startsWith("__") || c == "variant").map(col): _*)
     }
 
+    cs.persisted() // single evaluation of the diff join
     val addedN = toNodes(cs.added).cache()
     val updatedN = toNodes(cs.updated).cache()
     val removedP = cs.removedIds
@@ -133,6 +134,7 @@ final case class NodeTarget(
 
     val res = ApplyResult(nAdd, nUpd, nRem)
     addedN.unpersist(); updatedN.unpersist(); removedP.unpersist()
+    cs.unpersist()
     res
   }
 
