@@ -340,6 +340,28 @@ object SparkEntry {
         k = 5, nPlanes = 6)
     }),
 
+    // IVF-style ANN: nearest-seed-cell assignment, search own cell
+    // (rows-only: cell assignment is hash-derived)
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val celled = e.withColumn("cell",
+        Similarity.ivfAssign(col("embedding"), nCells = 8))
+      val q = celled.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("cell"))
+      val c = celled.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_vec"), col("cell"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("n_id"))
+      c.join(q, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", graft.functions.GraftFunctions
+          .cosine_sim(col("q_vec"), col("n_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"),
+          col("rank"))
+    }),
+
     // multimodal: binary columns + typed metadata (oracle-checked)
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.synthesize(

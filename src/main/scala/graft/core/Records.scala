@@ -63,9 +63,19 @@ object Records {
     case _ => lit(null).cast(LongType)
   }
 
+  /** Resolve an attribute name against a schema the way column
+    * resolution does — case-insensitively (JDBC dialects report their
+    * own identifier case, e.g. Derby uppercases). */
+  private[graft] def resolveField(df: DataFrame, name: String): StructField =
+    df.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"No attribute '$name' in [${df.columns.mkString(", ")}]"))
+
   /** parseVersion resolved against a DataFrame's schema. */
-  def parseVersion(df: DataFrame, versionAttr: String): Column =
-    parseVersion(col(versionAttr), df.schema(versionAttr).dataType)
+  def parseVersion(df: DataFrame, versionAttr: String): Column = {
+    val f = resolveField(df, versionAttr)
+    parseVersion(col(f.name), f.dataType)
+  }
 
   /**
    * Key a raw source DataFrame: add `__id` (string, non-null enforced)

@@ -31,9 +31,13 @@ final case class Mapper(rules: Seq[(String, String)]) {
       case Some(e) =>
         expr(Mapper.rewriteRecordRefs(e))
       case None =>
-        // missing attribute ⇒ NULL (typed: parquet can't hold NullType)
-        if (df.columns.contains(rule)) col(rule)
-        else lit(null).cast(org.apache.spark.sql.types.StringType)
+        // missing attribute ⇒ NULL (typed: parquet can't hold
+        // NullType). Name matching is case-insensitive, like Spark's
+        // own column resolution (JDBC dialects uppercase identifiers).
+        df.columns.find(_.equalsIgnoreCase(rule)) match {
+          case Some(actual) => col(actual)
+          case None => lit(null).cast(org.apache.spark.sql.types.StringType)
+        }
     }
 
   /** Apply the mapping as a single narrow projection. */
