@@ -284,7 +284,48 @@ object SparkEntry {
 
     // distinct
     "q_distinct" -> ((s, dir) =>
-      tbl(s, dir, "events").select(col("event_type")).distinct())
+      tbl(s, dir, "events").select(col("event_type")).distinct()),
+
+    // grouping sets: full cube
+    "q_cube" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .cube(col("event_type"),
+          date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // multi-join aggregation (TPC-H Q5 shape): revenue by nation
+    "q5_join" -> ((s, dir) => {
+      val r = s.read.parquet(t(dir, "region")).filter(col("r_name") === "ASIA")
+      val n = s.read.parquet(t(dir, "nation"))
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+      val l = s.read.parquet(t(dir, "lineitem"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("revenue_cents"))
+    }),
+
+    // anti-join (NOT EXISTS): customers with no orders
+    "q_antijoin" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // salted join for skewed keys — result equals the plain join
+    "q_salted_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val users = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_events"))
+      graft.core.Skew.saltedJoin(e, users, "user_id", saltFactor = 8)
+        .groupBy(col("user_id"), col("user_events"))
+        .agg(count(lit(1)).as("n"))
+    })
   )
 
   /** LLM-training-data pipeline operators (BASELINE.json north star). */
@@ -543,6 +584,33 @@ object SparkEntry {
         |FROM events ORDER BY value_cents DESC, event_id LIMIT 100""".stripMargin,
 
     "q_distinct" -> "SELECT DISTINCT event_type FROM events",
+
+    "q_cube" ->
+      """SELECT event_type, strftime(ts, '%Y-%m') AS month, count(*) AS cnt
+        |FROM events GROUP BY CUBE (event_type, month)""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |         AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_salted_join" ->
+      """WITH users AS (
+        |  SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
+        |SELECT e.user_id, u.user_events, count(*) AS n
+        |FROM events e JOIN users u ON e.user_id = u.user_id
+        |GROUP BY e.user_id, u.user_events""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, fingerprint FROM (
