@@ -317,6 +317,14 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // exact interpolated percentiles per group
+    "q_percentile" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.95)), 6).as("p95"))),
+
     // salted join for skewed keys — result equals the plain join
     "q_salted_join" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
@@ -604,6 +612,12 @@ object SparkEntry {
     "q_antijoin" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_salted_join" ->
       """WITH users AS (

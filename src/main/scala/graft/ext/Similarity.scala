@@ -115,6 +115,20 @@ object Similarity {
   }
 
   /**
+   * Aggregator-based grouped top-k: identical results to the window
+   * formulation but with a bounded per-group buffer and map-side
+   * combining — no full per-partition sort. The scale path for
+   * high-cardinality query sets.
+   */
+  def topKAgg(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopK.topK(k)(col("sim"), col("n_id").cast("long"))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("n_id"),
+        round(col("col._1"), 6).as("sim"), (col("pos") + 1).as("rank"))
+
+  /**
    * IVF-style variant: corpus assigned to the nearest of `nCells`
    * deterministic seed centroids (derived from hashed unit vectors);
    * queries probe their own cell only. Same shuffle shape as LSH but

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/**
+ * Typed top-k aggregator — the custom-aggregate tier (SURVEY §7.3:
+ * "Top-k similarity → custom Aggregator"). Keeps a bounded buffer of
+ * the k best (score, id) pairs per group with map-side partial
+ * combining, so a grouped top-k needs NO per-group sort of all rows
+ * (a `row_number` window sorts every partition fully — at 100 TB the
+ * difference between shuffling k rows per group and shuffling all of
+ * them).
+ *
+ * Ordering: score descending, id ascending tie-break — deterministic.
+ */
+class TopK(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    s.sortBy(t => (-t._1, t._2)).take(k)
+
+  override def zero: Seq[(Double, Long)] = Nil
+  override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+    if (b.size < k || a._1 > b.last._1 ||
+      (a._1 == b.last._1 && a._2 < b.last._2)) trim(a +: b)
+    else b
+  override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    trim(x ++ y)
+  override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(b)
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}
+
+object TopK {
+  /** Column form: `top_k(score, id)` → array<struct<_1 score, _2 id>>
+    * of the k best, ordered best-first. */
+  def topK(k: Int)(score: Column, id: Column): Column =
+    udaf(new TopK(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      .apply(score, id)
+}

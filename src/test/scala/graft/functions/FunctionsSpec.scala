@@ -59,6 +59,22 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.getLong(6) === 1723032000L)
   }
 
+  test("TopK aggregator equals the window top-k formulation") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" % 200 === 0)
+    val windowed = Similarity.bruteForceTopK(e, q, k = 4)
+      .select("q_id", "n_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val c = e.select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
+    val scored = c.crossJoin(
+        q.select($"vec_id".as("q_id"), $"embedding".as("q_vec")))
+      .filter($"q_id" =!= $"n_id")
+      .withColumn("sim", GraftFunctions.cosine_sim($"q_vec", $"n_vec"))
+    val agged = Similarity.topKAgg(scored, k = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(agged === windowed)
+  }
+
   test("expressions survive whole-stage codegen on real data") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = e.limit(50).select(
