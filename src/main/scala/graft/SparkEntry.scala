@@ -363,6 +363,17 @@ object SparkEntry {
         e, e.filter(col("vec_id") % 100 === 0), 0.3)
     }),
 
+    // embedding-cosine near-dup dedup: drop the higher id of every
+    // pair above threshold (greedy, deterministic; oracle-checked)
+    "q_embed_dedup" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val pairs = Similarity.bruteForcePairs(e, e, 0.4)
+        .filter(col("q_id") < col("n_id"))
+      e.join(pairs.select(col("n_id").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+    }),
+
     // MinHash LSH near-dedup (no SQL oracle — verified by unit tests
     // + rows-only check; the candidate set is deterministic)
     "q_minhash_dedup" -> ((s, dir) =>
@@ -678,6 +689,18 @@ object SparkEntry {
         |              * sqrt(list_dot_product(e.v, e.v))) AS s
         |  FROM q JOIN e ON q.vec_id <> e.vec_id)
         |SELECT q_id, n_id, round(s, 6) AS sim FROM scored WHERE s >= 0.3""".stripMargin,
+
+    "q_embed_dedup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) >= 0.4)
+        |SELECT vec_id, label FROM e
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dups)""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH docs AS (

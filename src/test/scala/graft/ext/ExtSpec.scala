@@ -144,5 +144,11 @@ class ExtSpec extends SparkSpec {
     // every video yields at least one frame (ts=0)
     assert(frames.groupBy("media_id").count().count() ===
       decoded.filter($"media_type" === "video").count())
+    // resize plan: aspect-preserving fit within maxSide
+    val resized = Multimodal.resizePlan(decoded, maxSide = 256)
+    assert(resized.filter($"out_width" > 256 || $"out_height" > 256)
+      .count() === 0)
+    assert(resized.filter($"out_width" <= 0 || $"out_height" <= 0)
+      .count() === 0)
   }
 }
