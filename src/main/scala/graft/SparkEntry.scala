@@ -317,6 +317,20 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // as-of join: each event's most recent strictly-prior click
+    "q_asof" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+      graft.core.AsOfJoin.asofJoin(
+        e, clicks, key = Seq("user_id"),
+        leftOrder = Seq("ts_us", "event_id"),
+        rightOrder = Seq("ts_us", "event_id"),
+        rightPayload = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("prev_click_id"))
+    }),
+
     // exact interpolated percentiles per group
     "q_percentile" -> ((s, dir) =>
       tbl(s, dir, "events")
@@ -623,6 +637,15 @@ object SparkEntry {
     "q_antijoin" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_asof" ->
+      """SELECT event_id, user_id,
+        |       last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |                  IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         AS prev_click_id
+        |FROM events""".stripMargin,
 
     "q_percentile" ->
       """SELECT event_type,
