@@ -370,6 +370,12 @@ object SparkEntry {
     "q_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(t(dir, "documents")))),
 
+    // order-aware rolling content hash (rows-only: seeded spark hash)
+    "q_text_rolling" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          TextAnalysis.rollingHash(col("text")).as("rolling_hash"))),
+
     // brute-force cosine similarity pairs over embeddings
     "q_embed_cosine" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))

@@ -1,0 +1,43 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** File source format handling (S1 generalized to csv/parquet). */
+class FileSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv with header and schema inference") {
+    val dir = tmpDir("fs-csv")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data.csv"),
+      "id,version,name\na,1,Ada\nb,2,Bob\n")
+    val df = FileSource(s"$dir/data.csv").load(spark)
+    assert(df.count() === 2)
+    assert(df.schema("version").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("parquet round trip") {
+    val dir = tmpDir("fs-parquet")
+    Seq(("a", 1L)).toDF("id", "version").write.parquet(s"$dir/data.parquet")
+    val df = FileSource(s"$dir/data.parquet").load(spark)
+    assert(df.count() === 1)
+  }
+
+  test("explicit format overrides extension sniffing") {
+    val dir = tmpDir("fs-fmt")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data.txt"),
+      """[{"id": "a", "version": 1}]""")
+    val df = FileSource(s"$dir/data.txt", format = Some("json")).load(spark)
+    assert(df.count() === 1)
+  }
+
+  test("setup flags missing and unreadable paths") {
+    assert(!FileSource("/does/not/exist.json").setup(spark).ok)
+    val dir = tmpDir("fs-ok")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "x.json"), "[]")
+    assert(FileSource(s"$dir/x.json").setup(spark).ok)
+  }
+}
