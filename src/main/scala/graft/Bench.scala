@@ -22,16 +22,29 @@ object Bench {
     // cheap warmup: spin executors + codegen before the first timing
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter (local iteration; driver passes none)
+    val wanted = args.toSet
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                 false }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.2fs")
-      name -> dt
+      // a failed query must read as an error marker (-1), not a timing —
+      // a 0.2s crash would otherwise look like a fast pass
+      val rec = if (ok) dt else -1.0
+      // queries that persist() intermediates must not bleed cached blocks
+      // into the next query's memory budget
+      spark.catalog.clearCache()
+      System.err.println(f"[bench] $name%-22s $rec%8.2fs")
+      name -> rec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -521,8 +521,8 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
-        |       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+        |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 

@@ -29,9 +29,10 @@ object Dedup {
   /** Exact dedup: keep the smallest id per normalized-text
     * fingerprint. One shuffle on the 128-bit key. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val in = graft.util.Tables.spread(df)
     val fp = TextAnalysis.fingerprint(col(textCol))
     val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
-    df.withColumn("fingerprint", fp)
+    in.withColumn("fingerprint", fp)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -89,7 +90,7 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+    val sh = graft.util.Tables.spread(df).select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("s"))
     val hashed = sh.select(col("id") +:
       (0 until k).map(seed => xxhash64(col("s"), lit(seed)).as(s"h$seed")): _*)
@@ -130,7 +131,7 @@ object Dedup {
       threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
       n: Int = 3): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, k, bands, n)
-    val docs = df.select(col(idCol).as("id"),
+    val docs = graft.util.Tables.spread(df).select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
     cands
       .join(docs.withColumnRenamed("id", "id_a")
@@ -171,7 +172,7 @@ object Dedup {
    */
   def simhashSignatures(
       df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
+    val hashed = graft.util.Tables.spread(df).select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
     val votes = hashed.groupBy("id").agg(
@@ -235,42 +236,59 @@ object Dedup {
     //     and the size-ratio bound J ≤ min(sz)/max(sz) prunes the
     //     rest cheaply;
     //  4. verify candidates with the true array intersection.
-    // Scale shape: shuffles on (block, shingle) and (block, id) only;
-    // no |block|² pair enumeration anywhere.
+    // Scale shape: shuffles on (block, shingle-hash) and (block, id)
+    // only; no |block|² pair enumeration anywhere. Candidate
+    // generation runs on xxhash64(shingle) — an 8-byte shuffle key
+    // instead of a ~20-byte string — which is sound because a hash
+    // collision can only MERGE universe elements, i.e. only ADD
+    // candidates; exact verification on the string arrays prunes them.
     // the shingled docs feed candidate generation AND verification —
     // persist so shingling (the hottest expression) runs once
-    val docs = df.select(col(idCol).as("id"), blockCol.as("block"),
-      shingles(col(textCol), n).as("sh"))
+    val docs = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"), blockCol.as("block"),
+        shingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
       .persist()
-    val inv = docs.select(col("id"), col("block"), col("sz"),
-      explode(col("sh")).as("s"))
-    val dfreq = inv.groupBy(col("block"), col("s"))
-      .agg(count(lit(1)).as("df"))
-    val rankW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("block"), col("id")).orderBy(col("df"), col("s"))
-    val prefix = inv.join(dfreq, Seq("block", "s"))
-      .withColumn("rk", row_number().over(rankW))
-      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .persist() // self-joined below: build the index once
-    val l = prefix.as("l"); val r = prefix.as("r")
-    val cands = l.join(r,
-        col("l.s") === col("r.s") && col("l.block") === col("r.block") &&
-        col("l.id") < col("r.id") &&
-        least(col("l.sz"), col("r.sz")).cast("double") >=
-          lit(threshold) * greatest(col("l.sz"), col("r.sz")))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    cands
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a"),
-        col("sz").as("sz_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b"),
-        col("sz").as("sz_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      // |A∪B| = |A|+|B|-|A∩B|
-      .withColumn("jaccard", col("inter").cast("double") /
-        greatest(col("sz_a") + col("sz_b") - col("inter"), lit(1)).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val prefix = {
+      val inv = docs.select(col("id"), col("block"), col("sz"),
+        explode(col("sh")).as("s"))
+        .withColumn("s64", xxhash64(col("s"))).drop("s")
+      val dfreq = inv.groupBy(col("block"), col("s64"))
+        .agg(count(lit(1)).as("df"))
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("block"), col("id")).orderBy(col("df"), col("s64"))
+      inv.join(dfreq, Seq("block", "s64"))
+        .withColumn("rk", row_number().over(rankW))
+        .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .persist() // self-joined below: build the index once
+    }
+    try {
+      val l = prefix.as("l"); val r = prefix.as("r")
+      val cands = l.join(r,
+          col("l.s64") === col("r.s64") && col("l.block") === col("r.block") &&
+          col("l.id") < col("r.id") &&
+          least(col("l.sz"), col("r.sz")).cast("double") >=
+            lit(threshold) * greatest(col("l.sz"), col("r.sz")))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct()
+      val verified = cands
+        .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a"),
+          col("sz").as("sz_a")), "id_a")
+        .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b"),
+          col("sz").as("sz_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        // |A∪B| = |A|+|B|-|A∩B|
+        .withColumn("jaccard", col("inter").cast("double") /
+          greatest(col("sz_a") + col("sz_b") - col("inter"), lit(1)).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      // materialize while the intermediates are cached, then release
+      // them — returning the lazy plan would either leak both persisted
+      // frames for the session (round-1 bench fallout) or recompute
+      // shingling 3×. The survivor set is tiny (pairs over threshold),
+      // so caching IT is cheap; callers see an already-computed frame.
+      verified.persist().count()
+      verified
+    } finally { docs.unpersist(); prefix.unpersist() }
   }
 }

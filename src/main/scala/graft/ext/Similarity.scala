@@ -46,7 +46,8 @@ object Similarity {
     // per-pair scoring via the native codegen'd one-pass expression
     // (graft.functions.CosineSimilarity) — interpreted zip_with/
     // aggregate lambdas cost ~100µs/pair and dominate brute force
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val c = graft.util.Tables.spread(corpus)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("sim",
@@ -64,7 +65,8 @@ object Similarity {
   def bruteForcePairs(
       corpus: DataFrame, queries: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val c = graft.util.Tables.spread(corpus)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("sim",
@@ -98,8 +100,9 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val c = graft.util.Tables.spread(corpus)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        lshBucket(col(vecCol), nPlanes).as("bucket"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
     val scored = c.join(q, Seq("bucket"))

@@ -99,7 +99,7 @@ object TextAnalysis {
   /** Full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    df.select(
+    graft.util.Tables.spread(df).select(
       col("doc_id"),
       length(t).as("n_chars"),
       wsTokenCount(t).as("n_tokens_ws"),

@@ -22,6 +22,20 @@ object Tables {
     }
   }
 
+  /**
+   * Spread a narrow scan across all cores before CPU-heavy narrow
+   * transforms (shingling, hashing, embedding math). A single parquet
+   * file with one row group plans as ONE input partition regardless of
+   * `maxPartitionBytes` — row groups are the split unit — so without
+   * this the per-document work runs on 1 of N cores. At production
+   * scale inputs already carry ≥ parallelism partitions and this is a
+   * no-op; the shuffle only ever moves data that fit in one partition.
+   */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Session defaults shared by Verify / Bench / tests. */
   def session(appName: String, cpus: String): SparkSession = {
     val s = SparkSession.builder()
