@@ -370,7 +370,8 @@ object SparkEntry {
     "q_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(t(dir, "documents")))),
 
-    // order-aware rolling content hash (rows-only: seeded spark hash)
+    // order-aware rolling content hash over portable token hashes —
+    // oracle-checked: DuckDB replays the exact polynomial fold
     "q_text_rolling" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"),
@@ -384,26 +385,35 @@ object SparkEntry {
     }),
 
     // embedding-cosine near-dup dedup: drop the higher id of every
-    // pair above threshold (greedy, deterministic; oracle-checked)
+    // pair above threshold (greedy, deterministic; oracle-checked).
+    // Pair generation is the bucketed multi-probe IVF join — no
+    // corpus broadcast, no all-pairs nested loop; nProbe=6/16 is
+    // pinned to exact recall on this corpus by SimilaritySpec + the
+    // DuckDB oracle (which recomputes the pairs exhaustively).
     "q_embed_dedup" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
-      val pairs = Similarity.bruteForcePairs(e, e, 0.4)
-        .filter(col("q_id") < col("n_id"))
+      val pairs = Similarity.bucketedPairs(e, 0.4, nCells = 16, nProbe = 6)
       e.join(pairs.select(col("n_id").as("vec_id")).distinct(),
           Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"))
     }),
 
-    // MinHash LSH near-dedup (no SQL oracle — verified by unit tests
-    // + rows-only check; the candidate set is deterministic)
+    // MinHash LSH near-dedup over md5-derived (portable) seeded
+    // hashes — oracle-checked: DuckDB recomputes the signatures,
+    // band candidates, and true-Jaccard verification end to end
     "q_minhash_dedup" -> ((s, dir) =>
       Dedup.minhashDedup(s.read.parquet(t(dir, "documents")),
-        "doc_id", "text", threshold = 0.5)),
+        "doc_id", "text", threshold = 0.5,
+        baseHash = TextAnalysis.portableHash60)),
 
-    // SimHash near-dup pairs (rows-only check)
+    // SimHash near-dup pairs at hamming ≤ 8 over a 60-bit portable
+    // signature; 9-segment pigeonhole blocking is exact at radius 8.
+    // Oracle-checked: DuckDB replays the signature bit votes and
+    // verifies all pairs via bit_count(xor(...))
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(t(dir, "documents")),
-        "doc_id", "text", maxHamming = 8)),
+        "doc_id", "text", maxHamming = 8, bits = 60,
+        hashFn = TextAnalysis.portableHash60)),
 
     // n-gram Jaccard near-dup pairs blocked by length bucket
     // (near-dups have near-equal length; oracle-checked)
@@ -413,11 +423,12 @@ object SparkEntry {
         blockCol = floor(length(col("text")) / 50), threshold = 0.5, n = 3)
     }),
 
-    // LSH-bucketed ANN top-k (rows-only: recall-dependent)
+    // LSH-bucketed ANN top-k (rows-only: recall-dependent; recall@5
+    // vs brute force is pinned by ExtSpec at the same settings)
     "q_ann_lsh" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
-        k = 5, nPlanes = 6)
+        k = 5, nPlanes = 6, probeRadius = 2)
     }),
 
     // IVF-style ANN: nearest-seed-cell assignment, search own cell
@@ -462,6 +473,22 @@ object SparkEntry {
           col("width"), col("height"), col("duration_ms"))
     })
   )
+
+  /** DuckDB replay of [[graft.ext.TextAnalysis.portableHash60]]. */
+  private def duckHash60(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Shared DuckDB shingle CTE body (3-gram, normalized, distinct) —
+    * identical to the q_ngram_jaccard oracle's, minus the block. */
+  private val duckShingles =
+    """SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE [array_to_string(toks[i:i+2], ' ')
+      |            FOR i IN range(1, len(toks) - 1)] END) AS sh
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(
+      |            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |        FROM documents)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_changeset" ->
@@ -749,6 +776,62 @@ object SparkEntry {
         |  ON a.block = b.block AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |  / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5""".stripMargin,
+
+    "q_simhash_pairs" -> {
+      val sigTerms = (0 until 60).map(j =>
+        s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString("\n      + ")
+      s"""WITH docs AS (
+         |  $duckShingles),
+         |hs AS (SELECT doc_id, ${duckHash60("s")} AS h
+         |       FROM (SELECT doc_id, unnest(sh) AS s FROM docs)),
+         |sigs AS (SELECT doc_id, $sigTerms AS sig
+         |         FROM hs GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 8""".stripMargin
+    },
+
+    "q_minhash_dedup" -> {
+      val p = graft.ext.Dedup.MinhashP
+      val minCols = graft.ext.Dedup.minhashParams(32).zipWithIndex.map {
+        case ((a, b), i) => s"min((h * $a + $b) % $p) AS m$i"
+      }.mkString(",\n   ")
+      val bandConds = (0 until 8).map { b =>
+        (b * 4 until (b + 1) * 4).map(i => s"a.m$i = b.m$i").mkString("(", " AND ", ")")
+      }.mkString("\n     OR ")
+      s"""WITH docs AS (
+         |  $duckShingles),
+         |ex AS (SELECT doc_id, ${duckHash60("s")} % $p AS h
+         |       FROM (SELECT doc_id, unnest(sh) AS s FROM docs)),
+         |sigs AS (SELECT doc_id,
+         |   $minCols
+         | FROM ex GROUP BY doc_id),
+         |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE $bandConds)
+         |SELECT c.id_a, c.id_b,
+         |  round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+         |    / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1), 6)
+         |    AS jaccard
+         |FROM cands c
+         |JOIN docs da ON c.id_a = da.doc_id
+         |JOIN docs db ON c.id_b = db.doc_id
+         |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+         |  / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1) >= 0.5""".stripMargin
+    },
+
+    "q_text_rolling" ->
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(
+         |      regexp_split_to_array(
+         |        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+         |      t -> ${duckHash60("t")} % 1000003)),
+         |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
+         |FROM documents""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT CAST(doc_id AS VARCHAR) AS media_id,

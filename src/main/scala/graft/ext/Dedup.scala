@@ -87,13 +87,32 @@ object Dedup {
    * Catalyst inlines the common subexpression k times — so it is kept
    * only as the single-row reference implementation.)
    */
+  /** Mersenne prime 2^31 - 1: the universal-hash modulus. With the
+    * base hash reduced mod p, a*h + b stays below 2^62 — exact in
+    * 64-bit integer arithmetic in both Spark and DuckDB. */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic (a_i, b_i) pairs for the k permutation
+    * approximations m_i = (a_i * h + b_i) mod p — Knuth's
+    * multiplicative constant spreads the a_i; any fixed nonzero a_i
+    * works. Shared verbatim by the DuckDB oracle generator. */
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i =>
+      ((2654435761L * (i + 1)) % MinhashP, (40503L * (i + 7919)) % MinhashP))
+
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, n: Int = 3): DataFrame = {
+      k: Int = 32, n: Int = 3,
+      baseHash: Column => Column = xxhash64(_)): DataFrame = {
+    // each shingle is hashed ONCE; the k "permutations" are universal
+    // hashes of that value — k multiply-mods instead of k full hashes
     val sh = graft.util.Tables.spread(df).select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("s"))
+      .select(col("id"), pmod(baseHash(col("s")), lit(MinhashP)).as("h"))
+    val params = minhashParams(k)
     val hashed = sh.select(col("id") +:
-      (0 until k).map(seed => xxhash64(col("s"), lit(seed)).as(s"h$seed")): _*)
+      params.zipWithIndex.map { case ((a, b), i) =>
+        pmod(col("h") * a + b, lit(MinhashP)).as(s"h$i") }: _*)
     hashed.groupBy("id")
       .agg(min(s"h0").as("m0"),
         (1 until k).map(i => min(s"h$i").as(s"m$i")): _*)
@@ -107,9 +126,10 @@ object Dedup {
    */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, bands: Int = 8, n: Int = 3): DataFrame = {
+      k: Int = 32, bands: Int = 8, n: Int = 3,
+      baseHash: Column => Column = xxhash64(_)): DataFrame = {
     val r = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, k, n)
+    val sig = minhashSignatures(df, idCol, textCol, k, n, baseHash)
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",",
@@ -129,8 +149,9 @@ object Dedup {
   def minhashDedup(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
-      n: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, k, bands, n)
+      n: Int = 3,
+      baseHash: Column => Column = xxhash64(_)): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, bands, n, baseHash)
     val docs = graft.util.Tables.spread(df).select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
     cands
@@ -171,40 +192,58 @@ object Dedup {
    * reference implementation.
    */
   def simhashSignatures(
-      df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      bits: Int = 64,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
     val hashed = graft.util.Tables.spread(df).select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      .select(col("id"), hashFn(col("s")).as("h"))
     val votes = hashed.groupBy("id").agg(
       sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as("v0"),
-      (1 until 64).map(j =>
+      (1 until bits).map(j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L)
           .otherwise(-1L)).as(s"v$j")): _*)
     votes.select(col("id"),
-      (0 until 64).map(j =>
+      (0 until bits).map(j =>
         when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
         .reduce[Column](_ bitwiseOR _).as("sig"))
   }
 
-  /** SimHash near-dup pairs: block on the 4 16-bit quadrants (a pair
-    * within hamming ≤ 3 of 64 bits must agree on ≥1 quadrant — the
-    * standard pigeonhole blocking), verify by full hamming. */
+  /**
+   * SimHash near-dup pairs, blocked by the pigeonhole principle:
+   * the signature is split into `maxHamming + 1` near-equal segments,
+   * so any pair within hamming ≤ maxHamming differs in at most
+   * maxHamming segments and MUST agree on at least one — blocking is
+   * exact at the configured radius, not just for small radii. Full
+   * hamming over the complete signature verifies each candidate.
+   * (cf. Manku et al., WWW'07 §3: k+1 blocks for distance k.)
+   */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, n: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol, n)
+      maxHamming: Int = 3, n: Int = 3, bits: Int = 64,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val nSeg = maxHamming + 1
+    require(nSeg <= bits, "maxHamming + 1 segments need at least as many bits")
+    // segment widths as even as possible: bits = nSeg*base + rem
+    val base = bits / nSeg; val rem = bits % nSeg
+    val widths = Seq.tabulate(nSeg)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val sigs = simhashSignatures(df, idCol, textCol, n, bits, hashFn)
     val blocked = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("sig"), q * 16).bitwiseAND(65535)): _*)))
-      .toDF("id", "sig", "quadrant", "block")
+      posexplode(array(widths.zip(offsets).map { case (w, off) =>
+        val mask = if (w >= 64) -1L else (1L << w) - 1 // 1L<<64 wraps to 1
+        shiftright(col("sig"), off).bitwiseAND(mask)
+      }: _*)))
+      .toDF("id", "sig", "segment", "block")
     val l = blocked.as("l"); val r = blocked.as("r")
     l.join(r,
-        col("l.quadrant") === col("r.quadrant") &&
+        col("l.segment") === col("r.segment") &&
         col("l.block") === col("r.block") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        hamming(col("l.sig"), col("r.sig")).as("hamming"))
+        hamming(col("l.sig"), col("r.sig")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -93,18 +93,29 @@ object Similarity {
 
   /**
    * LSH-bucketed ANN: score only same-bucket (query, candidate)
-   * pairs. Recall < 1 by design; `nPlanes` tunes bucket granularity.
+   * pairs. Recall < 1 by design; `nPlanes` tunes bucket granularity
+   * and `probeRadius` is the multi-probe knob — each QUERY also
+   * probes every bucket within hamming ≤ probeRadius of its own sign
+   * pattern (Σ C(nPlanes, i) probes), trading query fan-out for
+   * recall while the corpus keeps exactly one bucket per vector.
    * The bucket join shuffles on a long key — at 1000 executors this
    * partitions evenly (hash distribution) with no broadcast needed.
    */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 12,
+      probeRadius: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
+      (0 until nPlanes).combinations(r).map(
+        _.foldLeft(0L)((m, i) => m | (1L << i))))
     val c = graft.util.Tables.spread(corpus)
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         lshBucket(col(vecCol), nPlanes).as("bucket"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+        lshBucket(col(vecCol), nPlanes).as("b0"))
+      .select(col("q_id"), col("q_vec"),
+        explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*))
+          .as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim",
@@ -131,20 +142,65 @@ object Similarity {
       .select(col("q_id"), col("col._2").as("n_id"),
         round(col("col._1"), 6).as("sim"), (col("pos") + 1).as("rank"))
 
-  /**
-   * IVF-style variant: corpus assigned to the nearest of `nCells`
-   * deterministic seed centroids (derived from hashed unit vectors);
-   * queries probe their own cell only. Same shuffle shape as LSH but
-   * with distance-aware cells.
-   */
-  def ivfAssign(vec: Column, nCells: Int = 16): Column = {
-    val cells = (0 until nCells).map { cIdx =>
+  /** Per-cell projection structs (proj, cellId) shared by
+    * [[ivfAssign]] (argmax) and [[bucketedPairs]] (top-P probe). */
+  private def cellProjections(vec: Column, nCells: Int): Seq[Column] =
+    (0 until nCells).map { cIdx =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
           (x, d) => x.cast("double") * planeComponent(cIdx * 7919, d)),
         lit(0.0), (acc, v) => acc + v)
       struct(proj.as("s"), lit(cIdx).as("c"))
     }
-    greatest(cells: _*).getField("c")
+
+  /**
+   * Scale path for embedding near-dup PAIR generation: multi-probe
+   * IVF self-join. Each vector lands in its `nProbe`
+   * highest-projection cells of `nCells` deterministic
+   * pseudo-centroids; candidates are pairs co-occurring in ≥1 cell,
+   * scored in place (the cell join already co-locates both vectors)
+   * and kept only if exact cosine ≥ threshold — precision is always
+   * exact, recall is tuned by `nProbe` and degrades to exhaustive at
+   * `nProbe = nCells` (specs pin exact recall on the test corpora).
+   *
+   * Plan shape — the 100 TB contract: posexplode to (cell, vec) rows,
+   * ONE shuffle on the cell key, sort-merge self-join within cells,
+   * distinct on the scored pair. No broadcast of the corpus, no
+   * nested-loop join; each cell is a bounded partition-local join at
+   * any corpus size (cells scale with `nCells`, and a hot cell splits
+   * further under AQE skew handling).
+   */
+  def bucketedPairs(
+      corpus: DataFrame, threshold: Double, nCells: Int = 16,
+      nProbe: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells]")
+    val projs = array(cellProjections(col(vecCol), nCells): _*)
+    // top-nProbe cells by projection, deterministic tie-break on cell id
+    val byProj = array_sort(projs, (a, b) =>
+      when(a.getField("s") > b.getField("s"), -1)
+        .when(a.getField("s") < b.getField("s"), 1)
+        .otherwise(a.getField("c") - b.getField("c")))
+    val probed = transform(slice(byProj, 1, nProbe), c => c.getField("c"))
+    val celled = graft.util.Tables.spread(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(probed).as("cell"))
+    val l = celled.as("l"); val r = celled.as("r")
+    l.join(r, col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine_sim(col("l.vec"), col("r.vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("l.id").as("q_id"), col("r.id").as("n_id"),
+        round(col("sim"), 6).as("sim"))
+      .distinct()
   }
+
+  /**
+   * IVF-style variant: corpus assigned to the nearest of `nCells`
+   * deterministic seed centroids (derived from hashed unit vectors);
+   * queries probe their own cell only. Same shuffle shape as LSH but
+   * with distance-aware cells.
+   */
+  def ivfAssign(vec: Column, nCells: Int = 16): Column =
+    greatest(cellProjections(vec, nCells): _*).getField("c")
 }

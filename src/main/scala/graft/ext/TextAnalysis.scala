@@ -85,14 +85,28 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
 
+  /**
+   * 60-bit engine-portable hash: the top 15 hex chars of md5,
+   * parsed as an integer. Spark (`conv(substring(md5(x),1,15),16,10)`)
+   * and DuckDB (`CAST('0x' || substr(md5(x),1,15) AS BIGINT)`) produce
+   * the identical value, which is what lets the sketch queries
+   * (simhash / minhash / rolling hash) be oracle-checked end to end.
+   * xxhash64 stays the default for paths that don't need cross-engine
+   * replay — it's several times faster.
+   */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Rolling (Karp-Rabin-style) content hash over words — order-aware
     * fingerprint that, unlike md5, can be windowed for chunk-level
     * dedup. Polynomial accumulation via `aggregate` over the token
-    * array; base/mod chosen to stay in exact Long range. */
+    * array; base/mod chosen to stay in exact Long range. Token hashes
+    * come from [[portableHash60]], so an oracle can replay the exact
+    * polynomial (acc*31 + h) mod p in another engine. */
   def rollingHash(text: Column): Column = {
     val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
     aggregate(tokens, lit(0L),
-      (acc, t) => pmod(acc * 31 + pmod(hash(t).cast("long"), lit(1000003L)),
+      (acc, t) => pmod(acc * 31 + pmod(portableHash60(t), lit(1000003L)),
         lit(2147483647L)))
   }
 

@@ -92,6 +92,50 @@ class ExtSpec extends SparkSpec {
     assert(ann.headOption.contains(1L))
   }
 
+  test("bucketed pairs: exhaustive probe equals brute force") {
+    val vecs = Seq.tabulate(40) { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        math.sin(i * 7 + d * 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForcePairs(vecs, vecs, 0.4)
+      .filter($"q_id" < $"n_id")
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.bucketedPairs(vecs, 0.4,
+        nCells = 8, nProbe = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(bucketed === brute)
+  }
+
+  test("bucketed pairs: production probe is exact on the test corpus, " +
+      "no nested-loop join") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bucketed = Similarity.bucketedPairs(e, 0.4, nCells = 16, nProbe = 6)
+    // the 100 TB contract: candidate generation is a shuffle-on-cell
+    // join — the corpus must never feed a broadcast nested loop
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val brute = Similarity.bruteForcePairs(e, e, 0.4)
+      .filter($"q_id" < $"n_id")
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val got = bucketed.select("q_id", "n_id").as[(Long, Long)]
+      .collect().toSet
+    assert(got === brute) // exact recall at nProbe=6 of 16, pinned
+  }
+
+  test("lsh ann: recall@5 vs brute force on the test corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" % 100 === 0)
+    val brute = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(e, q, k = 5, nPlanes = 6, probeRadius = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    // deterministic (hash-derived planes): pinned lower bound —
+    // radius-2 multi-probe measures 0.68 on this corpus while
+    // scanning ~37% of it; radius trades fan-out for recall
+    assert(recall >= 0.6, s"recall@5 = $recall")
+  }
+
   test("text analysis: counts and ratios on a known string") {
     val out = TextAnalysis.analyze(
       Seq((1L, "The cat, and a dog!")).toDF("doc_id", "text")).head()
