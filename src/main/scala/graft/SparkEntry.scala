@@ -3,6 +3,9 @@ package graft
 import graft.core.{Diff, DiffOptions, Records}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.mapper.Mapper
+import graft.pipeline.{ImportService, Preset}
+import graft.sources.InlineSource
+import graft.targets.FileTarget
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -166,6 +169,38 @@ object SparkEntry {
       Diff.computeDataChanges(source, local,
         DiffOptions(localIdPrefix = Some("node-"), hiddenCol = Some("hidden")))
         .unioned
+    }),
+
+    // ── C2+W1–W3 end to end: full importData through a FileTarget ──
+    // Seeds local state (k%7≠0) with stale payload markers, then runs
+    // the whole pipeline — InlineSource → keying → one-join diff →
+    // add/update/remove apply — and returns the final target state.
+    // The stale markers make each write path distinct in the output:
+    // added rows (k%7=0) carry real payload, updated rows (k%3=0,
+    // strictly-newer version) get re-mapped payload, untouched
+    // survivors keep the marker, removed ids (k%10=0) are gone.
+    "q_sync_apply" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sync_").toString + "/state"
+      s.read.parquet(t(dir, "orders"))
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").cast("string").as("id"),
+          (unix_timestamp(col("o_orderdate")) +
+            when(col("o_orderkey") % 3 === 0, -86400L).otherwise(0L))
+            .as("version"),
+          lit(-1L).as("total_cents"), lit("OLD").as("status"))
+        .write.mode("overwrite").parquet(path)
+      val preset = Preset(
+        source = InlineSource(sp => syncSource(sp, dir)),
+        target = FileTarget(path),
+        mapper = Mapper(Seq(
+          "total_cents" -> "${floor(record.o_totalprice * 100)}",
+          "status" -> "o_orderstatus")),
+        idAttribute = "id",
+        versionAttribute = Some("version"))
+      new ImportService(preset).importData(s)
+      s.read.parquet(path).select(col("id"), col("version").cast("long"),
+        col("total_cents").cast("long"), col("status"))
     }),
 
     // ── W5: variant fan-out (1 record → N node variants) ──────────
@@ -776,6 +811,28 @@ object SparkEntry {
         |  ON a.block = b.block AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |  / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5""".stripMargin,
+
+    "q_sync_apply" ->
+      """WITH source AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |         CAST(epoch(o_orderdate) AS BIGINT) AS version,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |         o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 10 <> 0),
+        |local AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |         CAST(epoch(o_orderdate) AS BIGINT)
+        |           + CASE WHEN o_orderkey % 3 = 0 THEN -86400 ELSE 0 END AS version,
+        |         CAST(-1 AS BIGINT) AS total_cents, 'OLD' AS status
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT s.id AS id,
+        |  CASE WHEN l.id IS NULL OR s.version > l.version
+        |       THEN s.version ELSE l.version END AS version,
+        |  CASE WHEN l.id IS NULL OR s.version > l.version
+        |       THEN s.total_cents ELSE l.total_cents END AS total_cents,
+        |  CASE WHEN l.id IS NULL OR s.version > l.version
+        |       THEN s.status ELSE l.status END AS status
+        |FROM source s LEFT JOIN local l ON s.id = l.id""".stripMargin,
 
     "q_simhash_pairs" -> {
       val sigTerms = (0 until 60).map(j =>

@@ -86,8 +86,15 @@ object Diff {
       local: DataFrame,
       opts: DiffOptions = DiffOptions()): ChangeSet = {
 
+    // Literal prefix strip (reference: ContentRepositoryTarget.php:99
+    // does a fixed-length substr) — NOT a regex: a prefix like
+    // 'node.' contains metacharacters, and interpolating it into a
+    // pattern would strip unintended ids.
     val localId = opts.localIdPrefix match {
-      case Some(p) => expr(s"regexp_replace(id, '^${p}', '')")
+      case Some(p) =>
+        when(col("id").startsWith(p),
+          col("id").substr(lit(p.length + 1), length(col("id"))))
+          .otherwise(col("id"))
       case None => col("id")
     }
     val hidden = opts.hiddenCol

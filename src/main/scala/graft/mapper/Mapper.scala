@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
  * (EelEvaluator.php:28-31).
  *
  * Everything is a `Column` expression — codegen'd, no UDFs. Custom
- * helpers register through `Helpers.register` as named SQL functions.
+ * helpers register through [[Helpers.register]] as named SQL
+ * functions with inlined bodies, usable inside `${...}` rules.
  */
 final case class Mapper(rules: Seq[(String, String)]) {
 

@@ -21,6 +21,26 @@ final case class OptionsSchema(
   def has(name: String, tpe: String): OptionsSchema =
     copy(optional = optional + (name -> tpe))
 
+  /** Coerce string option values to the schema-declared type — the
+    * presets-file parser and `--override-*-options` CLI path always
+    * produce strings ('8', 'true'), while the reference receives
+    * typed YAML; without coercion every such option would fail the
+    * type check below. Unparseable strings pass through and fail
+    * validation with the proper message. */
+  def coerced(options: Map[String, Any]): Map[String, Any] =
+    options.map { case (k, v) =>
+      k -> (((required.get(k) orElse optional.get(k)), v) match {
+        case (Some("integer"), s: String) =>
+          s.trim.toLongOption.map(l => l: Any).getOrElse(v)
+        case (Some("boolean"), s: String) => s.trim.toLowerCase match {
+          case "true" => true
+          case "false" => false
+          case _ => v
+        }
+        case _ => v
+      })
+    }
+
   /** Validate; returns error strings (empty = valid), mirroring
     * OptionsSchema::validate (OptionsSchema.php:45-106). */
   def validate(options: Map[String, Any]): Seq[String] = {
@@ -103,9 +123,11 @@ object PresetFactory {
 
   private def buildSource(conf: Map[String, Any]): DataSource = {
     val tpe = conf.getOrElse("type", "file").toString
-    val options = conf.getOrElse("options", Map.empty[String, Any])
+    val schemaOpt = sourceSchemas.get(tpe)
+    val rawOptions = conf.getOrElse("options", Map.empty[String, Any])
       .asInstanceOf[Map[String, Any]]
-    val errors = sourceSchemas.get(tpe) match {
+    val options = schemaOpt.map(_.coerced(rawOptions)).getOrElse(rawOptions)
+    val errors = schemaOpt match {
       case Some(schema) => schema.validate(options)
       case None => Seq(s"Unknown source type '$tpe'")
     }
@@ -127,9 +149,11 @@ object PresetFactory {
 
   private def buildTarget(conf: Map[String, Any]): DataTarget = {
     val tpe = conf.getOrElse("type", "file").toString
-    val options = conf.getOrElse("options", Map.empty[String, Any])
+    val schemaOpt = targetSchemas.get(tpe)
+    val rawOptions = conf.getOrElse("options", Map.empty[String, Any])
       .asInstanceOf[Map[String, Any]]
-    val errors = targetSchemas.get(tpe) match {
+    val options = schemaOpt.map(_.coerced(rawOptions)).getOrElse(rawOptions)
+    val errors = schemaOpt match {
       case Some(schema) => schema.validate(options)
       case None => Seq(s"Unknown target type '$tpe'")
     }

@@ -99,12 +99,28 @@ final class ImportService(preset: Preset) {
         "This preset is configured to skip removed records, but the data " +
           "target returned removed records.")
 
-    dispatch(ImportEvent.PreAddData, changeSet.added)
-    val result = preset.target.applyChanges(spark, changeSet, preset.mapper)
-    dispatch(ImportEvent.PostAddData, result.added)
-    dispatch(ImportEvent.PostUpdateData, result.updated)
-    dispatch(ImportEvent.PostRemoveData, result.removed)
-    if (result.errors > 0) dispatch(ImportEvent.Error, result.errors)
+    // The target owns phase sequencing, so it dispatches the nine
+    // phase events (Pre/Do/Post × add/update/remove) in reference
+    // order; a connection-class failure inside a phase propagates as
+    // the reference's abort-the-import Exception
+    // (ImportService.php:144-149).
+    val result =
+      try preset.target.applyChanges(spark, changeSet, preset.mapper, dispatch)
+      catch {
+        case e: ImportServiceException => throw e
+        case scala.util.control.NonFatal(e) =>
+          throw new ImportServiceException(
+            s"Exception while importing data: ${e.getMessage}")
+      }
+    // per-record failures continue the run and surface on the error
+    // event with the failing id + message (ImportService.php:144-146)
+    result.errorSamples.foreach { case (id, msg) =>
+      dispatch(ImportEvent.Error,
+        s"""Error while importing record "$id": $msg""")
+    }
+    if (result.errors > result.errorSamples.size)
+      dispatch(ImportEvent.Error,
+        s"${result.errors - result.errorSamples.size} further record errors")
     preset.target.finalizeRun(spark)
     dispatch(ImportEvent.Finalize, result)
     result

@@ -160,11 +160,26 @@ final case class JdbcSource(
     }
     partitionColumn match {
       case Some(pc) =>
-        // bounds queried once, driver-side, then N range-sharded scans
+        // REAL bounds, queried once driver-side: Spark strides
+        // (upper - lower) / numPartitions, so Long.MinValue/MaxValue
+        // placeholder bounds would put every realistic key in the one
+        // stride covering ~0 — a serial read behind N-1 empty tasks.
+        val props = new java.util.Properties()
+        properties.foreach { case (k, v) => props.setProperty(k, v) }
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        val (lo, hi) =
+          try {
+            val rs = conn.createStatement()
+              .executeQuery(s"SELECT MIN($pc), MAX($pc) FROM $table")
+            rs.next()
+            val lo = rs.getLong(1); val empty = rs.wasNull()
+            val hi = rs.getLong(2)
+            if (empty) (0L, 1L) else (lo, math.max(hi, lo + 1))
+          } finally conn.close()
         withProps.option("partitionColumn", pc)
           .option("numPartitions", numPartitions.toString)
-          .option("lowerBound", Long.MinValue.toString)
-          .option("upperBound", Long.MaxValue.toString)
+          .option("lowerBound", lo.toString)
+          .option("upperBound", hi.toString)
           .load()
       case None => withProps.load()
     }

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * (reference: Classes/Command/ImportCommandController.php:191-254
   * progress counters). */
 final case class ApplyResult(
-    added: Long, updated: Long, removed: Long, errors: Long = 0)
+    added: Long, updated: Long, removed: Long, errors: Long = 0,
+    errorSamples: Seq[(String, String)] = Nil)
 
 /**
  * A data target owns the local state the diff runs against and applies
@@ -28,10 +29,51 @@ final case class ApplyResult(
  */
 trait DataTarget {
   def currentState(spark: SparkSession): DataFrame
-  def applyChanges(spark: SparkSession, cs: ChangeSet, mapper: Mapper): ApplyResult
+
+  /** Apply a ChangeSet. `dispatch` receives the per-phase lifecycle
+    * events (Pre/Do/Post × add/update/remove) in the reference's
+    * order (ImportService.php:133-211) — the target owns phase
+    * sequencing, so it owns the phase event surface too. `Do*`
+    * events carry the phase's record count (a distributed engine has
+    * no per-record hook; SURVEY §1.5.3). Empty phases stay silent,
+    * mirroring the reference's early return on empty record sets. */
+  def applyChanges(
+      spark: SparkSession, cs: ChangeSet, mapper: Mapper,
+      dispatch: DataTarget.EventDispatch = DataTarget.noopDispatch): ApplyResult
   def removeAll(spark: SparkSession): Long
   def setup(spark: SparkSession): ValidationResult = ValidationResult()
   def finalizeRun(spark: SparkSession): Unit = ()
+}
+
+object DataTarget {
+  type EventDispatch = (graft.pipeline.ImportEvent.Value, Any) => Unit
+  val noopDispatch: EventDispatch = (_, _) => ()
+
+  /** Phase-event sequence for snapshot-merge targets (File/Node):
+    * the merge commits all three phases in ONE atomic write, so the
+    * nine phase events fire in reference order at commit time —
+    * `Post*` here means "phase data is in the committed snapshot".
+    * Row-oriented targets (JDBC) instead interleave events with
+    * their physical per-phase writes. */
+  def dispatchSnapshotPhases(
+      dispatch: EventDispatch,
+      added: DataFrame, nAdd: Long,
+      updated: DataFrame, nUpd: Long,
+      removedIds: DataFrame, nRem: Long): Unit = {
+    import graft.pipeline.ImportEvent._
+    if (nAdd > 0) {
+      dispatch(PreAddData, added); dispatch(DoAddData, nAdd)
+      dispatch(PostAddData, nAdd)
+    }
+    if (nUpd > 0) {
+      dispatch(PreUpdateData, updated); dispatch(DoUpdateData, nUpd)
+      dispatch(PostUpdateData, nUpd)
+    }
+    if (nRem > 0) {
+      dispatch(PreRemoveData, removedIds); dispatch(DoRemoveData, nRem)
+      dispatch(PostRemoveData, nRem)
+    }
+  }
 }
 
 /**
@@ -75,7 +117,8 @@ final case class FileTarget(
     }
 
   override def applyChanges(
-      spark: SparkSession, cs: ChangeSet, mapper: Mapper): ApplyResult = {
+      spark: SparkSession, cs: ChangeSet, mapper: Mapper,
+      dispatch: DataTarget.EventDispatch): ApplyResult = {
     // Mapping at write time; __version rides along as the new version.
     def mapped(df: DataFrame): DataFrame = {
       val m = mapper.applyKeepingKeys(df)
@@ -116,6 +159,8 @@ final case class FileTarget(
     }
     new java.io.File(staging).renameTo(dir)
     cs.unpersist()
+    DataTarget.dispatchSnapshotPhases(dispatch,
+      addedM, nAdd, updatedM, nUpd, cs.removedIds, nRem)
     ApplyResult(nAdd, nUpd, nRem)
   }
 

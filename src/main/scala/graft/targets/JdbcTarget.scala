@@ -19,10 +19,16 @@ import java.sql.{Connection, DriverManager, PreparedStatement}
  * ContentRepositoryTarget.php:45).
  *
  * Per-record error isolation (SURVEY §1.5.5): a row failure inside
- * the batch loop is caught, counted on an accumulator, and the loop
- * continues — the reference continues past per-record `\Error` and
- * only aborts on `\Exception` (ImportService.php:144-149). Connection
- * -level failures rethrow and fail the task (fatal class).
+ * the batch loop is caught, counted on an accumulator together with a
+ * capped (id, message) sample, and the loop continues — mirroring the
+ * reference, which continues past per-record `\Error` carrying the
+ * record and message on the error event, and only aborts on
+ * `\Exception` (ImportService.php:144-149). The `\Exception` class
+ * maps to connection-level failures (non-transient/timeout): those
+ * rethrow, fail the task, and abort the import. A failed batch is
+ * re-executed row by row first — JDBC drivers may stop a batch at the
+ * first failure, and committing only the pre-failure prefix would
+ * silently lose the survivors.
  *
  * Scale note (100 TB): writes shard naturally by partition — 1000
  * executors each hold one connection and stream batches; no driver
@@ -75,16 +81,36 @@ final case class JdbcTarget(
     case other => ps.setObject(i, other)
   }
 
-  /** Run `sql` batched over a DataFrame's rows; returns error count.
-    * Rows are bound by `binder`; per-row bind failures and per-batch
-    * execute failures are isolated (counted, not thrown). */
+  /** Per-partition cap on collected (id, message) error samples —
+    * bounds accumulator traffic when a whole partition fails. */
+  private val SamplesPerPartition = 10
+
+  /** Fatal = the reference's abort-the-import `\Exception` class:
+    * the connection (not a record) is broken, so continuing would
+    * turn a dead sink into "N errors, import finished". */
+  private def isFatal(e: Throwable): Boolean = e match {
+    case _: java.sql.SQLNonTransientConnectionException => true
+    case _: java.sql.SQLTransientConnectionException => true
+    case _: java.sql.SQLTimeoutException => true
+    case _: java.sql.SQLRecoverableException => true
+    case _ => false
+  }
+
+  /** Run `sql` batched over a DataFrame's rows; returns (error count,
+    * capped (id, message) samples). Per-row bind failures are
+    * isolated; a failed batch falls back to row-by-row re-execution
+    * so survivors are applied and the error count is exact; fatal
+    * (connection-class) failures rethrow and abort the import. */
   private def batchedWrite(
       df: DataFrame, sql: String,
-      binder: (PreparedStatement, Row) => Unit): Long = {
+      binder: (PreparedStatement, Row) => Unit,
+      idOf: Row => String): (Long, Seq[(String, String)]) = {
     val spark = df.sparkSession
     val errAcc = spark.sparkContext.longAccumulator("sink-errors")
+    val samplesAcc = spark.sparkContext
+      .collectionAccumulator[(String, String)]("sink-error-samples")
     val bs = batchSize
-    val (u, t, props) = (url, table, properties)
+    val (u, props, cap) = (url, properties, SamplesPerPartition)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val p = new java.util.Properties()
@@ -93,30 +119,55 @@ final case class JdbcTarget(
         try {
           conn.setAutoCommit(false)
           val ps = conn.prepareStatement(sql)
-          var pending = 0
-          def flush(): Unit = if (pending > 0) {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var sampled = 0
+          def recordError(row: Row, e: Throwable): Unit = {
+            errAcc.add(1)
+            if (sampled < cap) {
+              samplesAcc.add(idOf(row) -> String.valueOf(e.getMessage))
+              sampled += 1
+            }
+          }
+          def flush(): Unit = if (buf.nonEmpty) {
             try { ps.executeBatch(); conn.commit() }
             catch {
-              case e: java.sql.BatchUpdateException =>
-                errAcc.add(e.getUpdateCounts.count(_ < 0).max(1).toLong)
-                try conn.commit() catch { case _: Exception => () }
+              case e: Throwable if isFatal(e) => throw e
+              case _: java.sql.SQLException =>
+                // the driver may have stopped mid-batch — re-execute
+                // row by row so survivors land and errors are exact
+                ps.clearBatch()
+                buf.foreach { row =>
+                  try { binder(ps, row); ps.executeUpdate() }
+                  catch {
+                    case f: Throwable if isFatal(f) => throw f
+                    case e: Exception =>
+                      recordError(row, e); ps.clearParameters()
+                  }
+                }
+                conn.commit()
             }
-            pending = 0
+            buf.clear()
           }
           rows.foreach { row =>
-            try { binder(ps, row); ps.addBatch(); pending += 1 }
-            catch { case _: Exception => errAcc.add(1) }
-            if (pending >= bs) flush()
+            try { binder(ps, row); ps.addBatch(); buf += row }
+            catch {
+              case e: Throwable if isFatal(e) => throw e
+              case e: Exception => recordError(row, e); ps.clearParameters()
+            }
+            if (buf.size >= bs) flush()
           }
           flush()
         } finally conn.close()
       }
     }
-    errAcc.value
+    import scala.jdk.CollectionConverters._
+    (errAcc.value, samplesAcc.value.asScala.toSeq.take(20))
   }
 
   override def applyChanges(
-      spark: SparkSession, cs: ChangeSet, mapper: Mapper): ApplyResult = {
+      spark: SparkSession, cs: ChangeSet, mapper: Mapper,
+      dispatch: DataTarget.EventDispatch): ApplyResult = {
+    import graft.pipeline.ImportEvent._
     def mapped(df: DataFrame): DataFrame = mapper.applyKeepingKeys(df)
 
     // MATERIALIZE the ChangeSet before the first write: the shared
@@ -132,35 +183,52 @@ final case class JdbcTarget(
     val (nAdd, nUpd, nRem) = (addedM.count(), updatedM.count(), removed.count())
     val dataCols = addedM.columns.filterNot(_.startsWith("__")).toSeq
     var errs = 0L
+    var samples = Seq.empty[(String, String)]
+    val rowId = (row: Row) => row.getAs[Any](Records.IdCol).toString
 
-    // W1 — INSERT per added record (DbalTarget.php:134-137)
-    val insertSql = s"INSERT INTO $table (${dataCols.mkString(", ")}) " +
-      s"VALUES (${dataCols.map(_ => "?").mkString(", ")})"
-    errs += batchedWrite(addedM, insertSql, (ps, row) => {
-      dataCols.zipWithIndex.foreach { case (c, i) =>
-        bind(ps, i + 1, row.getAs[Any](c))
-      }
-    })
+    // W1 — INSERT per added record (DbalTarget.php:134-137); events
+    // bracket the phase's physical writes, as in the reference loop
+    if (nAdd > 0) {
+      dispatch(PreAddData, addedM); dispatch(DoAddData, nAdd)
+      val insertSql = s"INSERT INTO $table (${dataCols.mkString(", ")}) " +
+        s"VALUES (${dataCols.map(_ => "?").mkString(", ")})"
+      val (e, sm) = batchedWrite(addedM, insertSql, (ps, row) => {
+        dataCols.zipWithIndex.foreach { case (c, i) =>
+          bind(ps, i + 1, row.getAs[Any](c))
+        }
+      }, rowId)
+      errs += e; samples ++= sm
+      dispatch(PostAddData, nAdd)
+    }
 
     // W2 — UPDATE ... WHERE id (DbalTarget.php:143-146)
     val updCols = dataCols.filterNot(_ == idColumn)
-    if (updCols.nonEmpty) {
+    if (nUpd > 0 && updCols.nonEmpty) {
+      dispatch(PreUpdateData, updatedM); dispatch(DoUpdateData, nUpd)
       val updateSql = s"UPDATE $table SET " +
         updCols.map(c => s"$c = ?").mkString(", ") + s" WHERE $idColumn = ?"
-      errs += batchedWrite(updatedM, updateSql, (ps, row) => {
+      val (e, sm) = batchedWrite(updatedM, updateSql, (ps, row) => {
         updCols.zipWithIndex.foreach { case (c, i) =>
           bind(ps, i + 1, row.getAs[Any](c))
         }
         ps.setString(updCols.size + 1, row.getAs[Any](Records.IdCol).toString)
-      })
+      }, rowId)
+      errs += e; samples ++= sm
+      dispatch(PostUpdateData, nUpd)
     }
 
     // W3 — DELETE WHERE id (DbalTarget.php:152-155)
-    val deleteSql = s"DELETE FROM $table WHERE $idColumn = ?"
-    errs += batchedWrite(removed, deleteSql, (ps, row) =>
-      ps.setString(1, row.getAs[Any]("id").toString))
+    if (nRem > 0) {
+      dispatch(PreRemoveData, removed); dispatch(DoRemoveData, nRem)
+      val deleteSql = s"DELETE FROM $table WHERE $idColumn = ?"
+      val (e, sm) = batchedWrite(removed, deleteSql, (ps, row) =>
+        ps.setString(1, row.getAs[Any]("id").toString),
+        row => row.getAs[Any]("id").toString)
+      errs += e; samples ++= sm
+      dispatch(PostRemoveData, nRem)
+    }
 
-    val res = ApplyResult(nAdd, nUpd, nRem, errs)
+    val res = ApplyResult(nAdd, nUpd, nRem, errs, samples.take(20))
     cs.unpersist()
     res
   }

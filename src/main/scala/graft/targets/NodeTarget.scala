@@ -72,7 +72,8 @@ final case class NodeTarget(
     hiddenCol = Some("hidden"))
 
   override def applyChanges(
-      spark: SparkSession, cs: ChangeSet, mapper: Mapper): ApplyResult = {
+      spark: SparkSession, cs: ChangeSet, mapper: Mapper,
+      dispatch: DataTarget.EventDispatch): ApplyResult = {
 
     // W5 fan-out: record → one node row per variant, at WRITE time
     // (ContentRepositoryTarget.php:173-192)
@@ -132,6 +133,8 @@ final case class NodeTarget(
     if (dir.exists()) rm(dir)
     new java.io.File(staging).renameTo(dir)
 
+    DataTarget.dispatchSnapshotPhases(dispatch,
+      addedN, nAdd, updatedN, nUpd, removedP, nRem)
     val res = ApplyResult(nAdd, nUpd, nRem)
     addedN.unpersist(); updatedN.unpersist(); removedP.unpersist()
     cs.unpersist()

@@ -28,6 +28,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) === None)        // B: no quote before t=15
   }
 
+  test("NULL payload values survive; all columns come from ONE right row") {
+    // latest prior quote at t=20 has px=NULL and src='late' — the
+    // carried row must be exactly that row: px NULL (not backfilled
+    // from t=5) and src='late' (not mixed from another row)
+    val q = Seq(
+      ("A", 5L, Option(100.0), "early"),
+      ("A", 20L, Option.empty[Double], "late"))
+      .toDF("sym", "t", "px", "src")
+    val out = AsOfJoin.asofJoin(
+      Seq(("A", 30L)).toDF("sym", "t"), q, Seq("sym"),
+      Seq("t"), Seq("t"), Seq("px", "src")).head()
+    assert(out.isNullAt(out.fieldIndex("asof_px")))
+    assert(out.getAs[String]("asof_src") === "late")
+  }
+
   test("self-as-of never sees the row itself") {
     val e = Seq((1L, 10L, "click"), (1L, 20L, "view"), (1L, 30L, "click"))
       .toDF("u", "t", "kind")

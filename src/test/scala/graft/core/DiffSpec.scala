@@ -69,6 +69,18 @@ class DiffSpec extends SparkSpec {
     assert(cs.removedIds.as[String].collect().toSet === Set("3"))
   }
 
+  test("idPrefix with regex metacharacters strips literally") {
+    // 'node.' as a regex would match 'nodeX' too; the strip must be
+    // literal (reference does a fixed-length substr)
+    val src = sourceDf(Seq(("1", 10L: java.lang.Long)))
+    val loc = Seq(("node.1", 5L), ("nodeX2", 5L)).toDF("id", "version")
+    val cs = Diff.computeDataChanges(src, loc,
+      DiffOptions(localIdPrefix = Some("node.")))
+    // node.1 → 1 (updated); nodeX2 stays nodeX2 (removed), NOT '2'
+    assert(cs.updated.select("__id").as[String].collect().toSet === Set("1"))
+    assert(cs.removedIds.as[String].collect().toSet === Set("nodeX2"))
+  }
+
   test("idDiff = left key set minus right (DataIds.php:52-55)") {
     val l = Seq("a", "b", "c").toDF("id")
     val r = Seq("b").toDF("id")

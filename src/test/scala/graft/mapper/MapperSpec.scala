@@ -54,4 +54,22 @@ class MapperSpec extends SparkSpec {
       .applyKeepingKeys(keyed)
     assert(out.columns.toSet === Set("__id", "__version", "n"))
   }
+
+  test("custom helpers are usable inside ${...} rules " +
+      "(EelEvaluator.php:23-26 custom Eel helpers)") {
+    import spark.implicits._
+    Helpers.register(spark, "cents", "x DOUBLE",
+      "CAST(floor(x * 100) AS BIGINT)")
+    Helpers.register(spark, "shout", "s STRING", "upper(s) || '!'")
+    val df = Seq(("a", 1.239, "hi")).toDF("id", "price", "word")
+    val out = Mapper(Seq(
+      "c" -> "${cents(record.price)}",
+      "w" -> "${shout(record.word)}")).apply(df).head()
+    assert(out.getLong(0) === 123L)
+    assert(out.getString(1) === "HI!")
+    // SQL-bodied helpers inline at analysis: no UDF node in the plan
+    val plan = Mapper(Seq("c" -> "${cents(record.price)}"))
+      .apply(df).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
 }

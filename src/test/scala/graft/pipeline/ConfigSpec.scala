@@ -50,6 +50,29 @@ class ConfigSpec extends SparkSpec {
     assert(p.source.asInstanceOf[FileSource].path === "/tmp/fixture.json")
   }
 
+  test("string option values coerce to the schema-declared type " +
+      "(presets file / CLI overrides always produce strings)") {
+    val p = Map("p" -> PresetConfig(
+      source = Map("type" -> "jdbc", "options" -> Map(
+        "url" -> "jdbc:derby:memory:cfg", "table" -> "t",
+        "numPartitions" -> "8")),
+      target = Map("type" -> "node", "options" -> Map(
+        "path" -> "/tmp/nodes", "softDelete" -> "true"))))
+    val preset = PresetFactory.create(p, "p")
+    assert(preset.source.asInstanceOf[graft.sources.JdbcSource]
+      .numPartitions === 8)
+    assert(preset.target.asInstanceOf[graft.targets.NodeTarget].softDelete)
+    // unparseable strings still fail validation with the type message
+    val bad = Map("p" -> PresetConfig(
+      source = Map("type" -> "jdbc", "options" -> Map(
+        "url" -> "u", "table" -> "t", "numPartitions" -> "lots")),
+      target = Map("type" -> "file", "options" -> Map("path" -> "/t"))))
+    val e = intercept[PresetFactory.ConfigException] {
+      PresetFactory.create(bad, "p")
+    }
+    assert(e.getMessage.contains("'numPartitions' must be of type integer"))
+  }
+
   test("unknown preset / bad options raise ConfigException") {
     intercept[PresetFactory.ConfigException] {
       PresetFactory.create(presets, "nope")

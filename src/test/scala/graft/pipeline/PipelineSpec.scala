@@ -126,17 +126,28 @@ class PipelineSpec extends SparkSpec {
     assert(r.added === 1)
   }
 
-  test("events fire in phase order (ImportService.php:17-31)") {
+  test("all 13 lifecycle events fire in reference order " +
+      "(ImportService.php:17-31)") {
     val dir = tmpDir("pipeline-events")
-    val preset = Preset(
-      InlineSource(s => { import s.implicits._; Seq(("a", 1L)).toDF("id", "version") }),
+    // seed: b (stale → update), c (absent from source → remove);
+    // source: a (new → add), b
+    def preset(src: Seq[(String, Long)]) = Preset(
+      InlineSource(s => { import s.implicits._; src.toDF("id", "version") }),
       FileTarget(s"$dir/target"), Mapper(Seq("id" -> "id")),
       idAttribute = "id", versionAttribute = Some("version"))
+    new ImportService(preset(Seq("b" -> 1L, "c" -> 1L))).importData(spark)
     val seen = scala.collection.mutable.ArrayBuffer[ImportEvent.Value]()
-    new ImportService(preset).on((e, _) => seen += e).importData(spark)
-    assert(seen.toSeq.take(3) === Seq(ImportEvent.PreComputeChanges,
-      ImportEvent.PreImportData, ImportEvent.PreAddData))
-    assert(seen.contains(ImportEvent.Finalize))
+    new ImportService(preset(Seq("a" -> 1L, "b" -> 2L)))
+      .on((e, _) => seen += e).importData(spark)
+    import ImportEvent._
+    assert(seen.toSeq === Seq(PreComputeChanges, PreImportData,
+      PreAddData, DoAddData, PostAddData,
+      PreUpdateData, DoUpdateData, PostUpdateData,
+      PreRemoveData, DoRemoveData, PostRemoveData,
+      Finalize))
+    // Error is the 13th member of the surface; it fires on record
+    // failures (JdbcTargetSpec covers it with ids and messages)
+    assert(ImportEvent.values.size === 13)
   }
 
   test("setup validates source path (FileSource.php:26-35)") {

@@ -31,6 +31,23 @@ class JdbcSourceSpec extends SparkSpec {
     assert(scan.toString.contains("ID") && !scan.toString.contains("PAYLOAD"))
   }
 
+  test("partitioned read uses real min/max bounds: no empty shards") {
+    val url = db("src_part", Seq(
+      "CREATE TABLE items (id BIGINT, version BIGINT)",
+      "INSERT INTO items VALUES " +
+        (1 to 40).map(i => s"($i, $i)").mkString(", ")))
+    val df = JdbcSource(url, "items",
+      partitionColumn = Some("id"), numPartitions = 4).load(spark)
+    // with Long.MinValue/MaxValue placeholder bounds all 40 rows land
+    // in one stride; real bounds (1..40) give 4 busy partitions
+    val counts = df.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator(i -> it.size))
+      .collect().toMap
+    assert(counts.size === 4)
+    assert(counts.values.forall(_ > 0), counts.toString)
+    assert(counts.values.sum === 40)
+  }
+
   test("setup reports unreachable database (C4)") {
     assert(!JdbcSource("jdbc:derby:memory:nope_does_not_exist", "t")
       .setup(spark).ok)

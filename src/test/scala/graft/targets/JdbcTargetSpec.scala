@@ -56,8 +56,37 @@ class JdbcTargetSpec extends SparkSpec {
     assert(rows(url) === Set(("a", "Ada2", 2L), ("c", "Cyd", 1L)))
   }
 
-  test("per-row error isolation: oversize value fails its row only") {
+  test("per-row error isolation: oversize value fails its row only, " +
+      "with id + message on the error event") {
     val url = freshDb("sync2")
+    // default batchSize: all three rows share one batch, so this
+    // exercises the failed-batch row-by-row fallback — survivors must
+    // land even if the driver stopped the batch at b's failure
+    val target = JdbcTarget(url, "persons")
+    val preset = Preset(
+      InlineSource(s => { import s.implicits._
+        Seq(("a", 1L, "ok"),
+          ("b", 1L, "this-name-is-way-too-long-for-varchar10"),
+          ("c", 1L, "fine")).toDF("id", "version", "name") }),
+      target, mapper, idAttribute = "id", versionAttribute = Some("version"))
+    val errEvents = scala.collection.mutable.ArrayBuffer[String]()
+    val r = new ImportService(preset)
+      .on((e, p) => if (e == graft.pipeline.ImportEvent.Error)
+        errEvents += p.toString)
+      .importData(spark)
+    // row-by-row fallback makes the count exact, not >= 1
+    assert(r.errors === 1)
+    // the failing record's id and the db message are reported
+    // (reference: ImportService.php:144-146 error event payload)
+    assert(r.errorSamples.exists { case (id, msg) =>
+      id == "b" && msg != null && msg.nonEmpty })
+    assert(errEvents.exists(m => m.contains("\"b\"")))
+    // the two good rows landed despite b's failure (SURVEY §1.5.5)
+    assert(rows(url).map(_._1) === Set("a", "c"))
+  }
+
+  test("per-row isolation holds at batchSize=1 too") {
+    val url = freshDb("sync2b")
     val target = JdbcTarget(url, "persons", batchSize = 1)
     val preset = Preset(
       InlineSource(s => { import s.implicits._
@@ -66,9 +95,23 @@ class JdbcTargetSpec extends SparkSpec {
           ("c", 1L, "fine")).toDF("id", "version", "name") }),
       target, mapper, idAttribute = "id", versionAttribute = Some("version"))
     val r = new ImportService(preset).importData(spark)
-    assert(r.errors >= 1)
-    // the two good rows landed despite b's failure (SURVEY §1.5.5)
+    assert(r.errors === 1)
     assert(rows(url).map(_._1) === Set("a", "c"))
+  }
+
+  test("connection-class failure aborts the run instead of counting " +
+      "errors (ImportService.php:147-149 Exception semantics)") {
+    val good = freshDb("sync6")
+    val data = Records.keyRecords(
+      Seq(("a", 1L, "Ada")).toDF("id", "version", "name"),
+      "id", Some("version"))
+    val cs = Diff.computeDataChanges(data,
+      JdbcTarget(good, "persons").currentState(spark),
+      graft.core.DiffOptions())
+    // a database that refuses connections: every write task dies on
+    // getConnection — the import must THROW, not return "errors=N"
+    val poisoned = JdbcTarget("jdbc:derby:memory:no_such_db", "persons")
+    intercept[Exception] { poisoned.applyChanges(spark, cs, mapper) }
   }
 
   test("removeAll returns affected count (DbalTarget.php:160-167)") {
