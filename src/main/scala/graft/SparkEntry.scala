@@ -366,7 +366,12 @@ object SparkEntry {
           col("asof_event_id").as("prev_click_id"))
     }),
 
-    // exact interpolated percentiles per group
+    // Exact interpolated percentiles per group. SCALE CONSTRAINT:
+    // exact percentile buffers each group's values on its reducer —
+    // with few groups that is few hot tasks holding group-size state.
+    // At 100 TB swap in approx_percentile (t-digest, mergeable
+    // map-side partials, documented error bound); it is not used HERE
+    // because the oracle gate needs bit-exact cross-engine results.
     "q_percentile" -> ((s, dir) =>
       tbl(s, dir, "events")
         .groupBy(col("event_type"))
