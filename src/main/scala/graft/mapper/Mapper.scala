@@ -48,14 +48,19 @@ final case class Mapper(rules: Seq[(String, String)]) {
     }: _*)
 
   /** Apply while retaining the engine's `__id`/`__version` metadata
-    * columns (the sink needs `__id` for UPDATE/DELETE targeting). */
-  def applyKeepingKeys(df: DataFrame): DataFrame = {
-    val keep = Seq(graft.core.Records.IdCol, graft.core.Records.VersionCol)
-      .filter(df.columns.contains).map(c => col(c).as(c))
+    * columns (the sink needs `__id` for UPDATE/DELETE targeting),
+    * plus any `extra` engine columns a sink threads through (e.g.
+    * NodeTarget's resolved `__parent` path). */
+  def applyKeeping(df: DataFrame, extra: Seq[String]): DataFrame = {
+    val keep =
+      (Seq(graft.core.Records.IdCol, graft.core.Records.VersionCol) ++ extra)
+        .filter(df.columns.contains).map(c => col(c).as(c))
     df.select(keep ++ rules.map { case (target, rule) =>
       columnFor(df, rule).as(target)
     }: _*)
   }
+
+  def applyKeepingKeys(df: DataFrame): DataFrame = applyKeeping(df, Nil)
 }
 
 object Mapper {

@@ -23,7 +23,14 @@ import org.apache.spark.sql.types._
  *  - soft delete — removal hides (`hidden := true`) instead of
  *    deleting when configured (`:245-256`); hidden nodes are excluded
  *    from removal candidates but un-hidden on update (`:95-107,202`);
- *  - remove-all under a root path (`:215-236`).
+ *  - remove-all under a root path (`:215-236`);
+ *  - parent resolution — a `parentPathResolver` places each record
+ *    under a record-derived parent path instead of flat
+ *    `rootPath/id`, and missing parent container nodes are
+ *    auto-created (`:161-171` parentNodeResolver + `:363-392`
+ *    getNodeDataByPath auto-creation). Container rows carry the
+ *    reserved `auto:` identifier prefix and are excluded from the
+ *    diff state — they are structure, not records.
  *
  * Node table schema: (identifier, variant, path, hidden,
  * version, <mapped columns...>).
@@ -35,8 +42,14 @@ final case class NodeTarget(
     rootPath: String = "/sites",
     /** record DataFrame → array column of dimension values; default
       * single empty variant (no dimensions configured). */
-    variantsResolver: DataFrame => Column = _ => array(lit(""))
+    variantsResolver: DataFrame => Column = _ => array(lit("")),
+    /** record DataFrame → parent path column; default flat rootPath.
+      * Missing parents are auto-created as container rows. */
+    parentPathResolver: Option[DataFrame => Column] = None
 ) extends DataTarget {
+
+  /** Reserved identifier prefix for auto-created parent containers. */
+  private val AutoParent = "auto:"
 
   private def exists: Boolean = {
     val f = new java.io.File(path)
@@ -60,6 +73,7 @@ final case class NodeTarget(
     * identifier, ContentRepositoryTarget.php:88-93). */
   override def currentState(spark: SparkSession): DataFrame =
     nodes(spark)
+      .filter(!col("identifier").startsWith(AutoParent))
       .groupBy(col("identifier").as("id"))
       .agg(max(col("version")).as("version"),
         // a record is "hidden" for diff purposes iff ALL its variants
@@ -78,13 +92,17 @@ final case class NodeTarget(
     // W5 fan-out: record → one node row per variant, at WRITE time
     // (ContentRepositoryTarget.php:173-192)
     def toNodes(df: DataFrame): DataFrame = {
-      val mapped = mapper.applyKeepingKeys(df)
+      // parent resolution at write time (`:161-171`): the resolver
+      // column evaluates against the RECORD attributes, pre-mapping
+      val parent = parentPathResolver.map(_(df)).getOrElse(lit(rootPath))
+      val withParent = df.withColumn("__parent", parent)
+      val mapped = mapper.applyKeeping(withParent, Seq("__parent"))
         .withColumn("variant", explode(variantsResolver(df)))
       mapped.select(
         Seq(
           concat(lit(idPrefix), col(Records.IdCol)).as("identifier"),
           col("variant"),
-          concat(lit(rootPath), lit("/"), col(Records.IdCol)).as("path"),
+          concat(col("__parent"), lit("/"), col(Records.IdCol)).as("path"),
           lit(false).as("hidden"),
           col(Records.VersionCol).as("version")) ++
           mapped.columns.filterNot(c =>
@@ -124,8 +142,34 @@ final case class NodeTarget(
           .unionByName(addedN).unionByName(updatedN)
       }
 
+    // Auto-create missing parent containers (`:363-392`): one row
+    // per resolver-derived parent path with no node at that path yet.
+    // Containers re-derive from the written paths (strip the last
+    // segment), carry the reserved `auto:` identifier, and survive
+    // re-runs through `untouched` — so a second import is a no-op.
+    val withParents =
+      if (parentPathResolver.isEmpty) next
+      else {
+        val pPaths = addedN.select(col("path"))
+          .unionByName(updatedN.select(col("path")))
+          .select(regexp_replace(col("path"), "/[^/]*$", "").as("ppath"))
+          .filter(col("ppath") =!= "").distinct()
+        val missing = pPaths.join(
+          oldAligned.select(col("path").as("ppath")).distinct(),
+          Seq("ppath"), "left_anti")
+        val containers = missing.select(addedN.columns.map {
+          case "identifier" =>
+            concat(lit(AutoParent), md5(col("ppath"))).as("identifier")
+          case "variant" => lit("").as("variant")
+          case "path" => col("ppath").as("path")
+          case "hidden" => lit(false).as("hidden")
+          case c => lit(null).cast(addedN.schema(c).dataType).as(c)
+        }: _*)
+        next.unionByName(containers)
+      }
+
     val staging = path + ".staging"
-    next.write.mode("overwrite").parquet(staging)
+    withParents.write.mode("overwrite").parquet(staging)
     val dir = new java.io.File(path)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

@@ -35,6 +35,40 @@ class NodeTargetSpec extends SparkSpec {
     assert(nodes.select("name").distinct().as[String].head() === "ADA")
   }
 
+  test("parentPathResolver: record-derived paths + auto-created " +
+      "parent containers (ContentRepositoryTarget.php:161-171,363-392)") {
+    val dir = tmpDir("node-parent")
+    def p(data: Seq[(String, Long, String)]) = {
+      val target = NodeTarget(s"$dir/nodes", idPrefix = "node-",
+        parentPathResolver =
+          Some(df => concat(lit("/sites/"), col("cat"))))
+      Preset(
+        InlineSource(s => { import s.implicits._
+          data.toDF("id", "version", "cat") }),
+        target, Mapper(Seq("cat" -> "cat")),
+        idAttribute = "id", versionAttribute = Some("version"),
+        diffOptions = target.diffOptions)
+    }
+    val data = Seq(("a", 1L, "news"), ("b", 1L, "news"), ("c", 1L, "blog"))
+    val r1 = new ImportService(p(data)).importData(spark)
+    assert(r1.added === 3)
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    val paths = nodes.select("identifier", "path").as[(String, String)]
+      .collect().toMap
+    assert(paths("node-a") === "/sites/news/a")
+    assert(paths("node-c") === "/sites/blog/c")
+    // one container per distinct parent path, reserved identifier
+    val autos = nodes.filter($"identifier".startsWith("auto:"))
+      .select("path").as[String].collect().toSet
+    assert(autos === Set("/sites/news", "/sites/blog"))
+    // containers are structure, not records: diff ignores them and a
+    // re-run is a clean no-op (no duplicate containers either)
+    val r2 = new ImportService(p(data)).importData(spark)
+    assert((r2.added, r2.updated, r2.removed) === ((0L, 0L, 0L)))
+    assert(spark.read.parquet(s"$dir/nodes")
+      .filter($"identifier".startsWith("auto:")).count() === 2)
+  }
+
   test("idempotent re-run against prefixed ids (idPrefix strip)") {
     val dir = tmpDir("node2")
     val p = preset(dir, Seq(("a", 1L, "Ada"), ("b", 2L, "Bob")))
