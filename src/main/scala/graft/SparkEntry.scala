@@ -471,15 +471,16 @@ object SparkEntry {
         k = 5, nPlanes = 6, probeRadius = 2)
     }),
 
-    // IVF-style ANN: nearest-seed-cell assignment, search own cell
-    // (rows-only: cell assignment is hash-derived)
+    // IVF-style ANN: corpus in its nearest seed cell, queries probe
+    // their top-3 cells (rows-only: recall-dependent; recall@5 vs
+    // brute force pinned by ExtSpec at the same settings)
     "q_ann_ivf" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       val celled = e.withColumn("cell",
         Similarity.ivfAssign(col("embedding"), nCells = 8))
-      val q = celled.filter(col("vec_id") % 100 === 0)
+      val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-          col("cell"))
+          explode(Similarity.ivfProbe(col("embedding"), 8, 3)).as("cell"))
       val c = celled.select(col("vec_id").as("n_id"),
         col("embedding").as("n_vec"), col("cell"))
       val w = Window.partitionBy(col("q_id"))

@@ -175,16 +175,9 @@ object Similarity {
       nProbe: Int = 6, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells]")
-    val projs = array(cellProjections(col(vecCol), nCells): _*)
-    // top-nProbe cells by projection, deterministic tie-break on cell id
-    val byProj = array_sort(projs, (a, b) =>
-      when(a.getField("s") > b.getField("s"), -1)
-        .when(a.getField("s") < b.getField("s"), 1)
-        .otherwise(a.getField("c") - b.getField("c")))
-    val probed = transform(slice(byProj, 1, nProbe), c => c.getField("c"))
     val celled = graft.util.Tables.spread(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        explode(probed).as("cell"))
+        explode(ivfProbe(col(vecCol), nCells, nProbe)).as("cell"))
     val l = celled.as("l"); val r = celled.as("r")
     l.join(r, col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
       .withColumn("sim",
@@ -203,4 +196,17 @@ object Similarity {
    */
   def ivfAssign(vec: Column, nCells: Int = 16): Column =
     greatest(cellProjections(vec, nCells): _*).getField("c")
+
+  /** Top-`nProbe` cells by projection (deterministic tie-break on
+    * cell id) — the multi-probe assignment used by [[bucketedPairs]]
+    * and the query side of probed IVF search. `ivfProbe(v, n, 1)`
+    * equals `array(ivfAssign(v, n))`. */
+  def ivfProbe(vec: Column, nCells: Int, nProbe: Int): Column = {
+    val projs = array(cellProjections(vec, nCells): _*)
+    val byProj = array_sort(projs, (a, b) =>
+      when(a.getField("s") > b.getField("s"), -1)
+        .when(a.getField("s") < b.getField("s"), 1)
+        .otherwise(a.getField("c") - b.getField("c")))
+    transform(slice(byProj, 1, nProbe), c => c.getField("c"))
+  }
 }

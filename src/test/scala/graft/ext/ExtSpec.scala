@@ -136,6 +136,32 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("ivf ann: recall@5 vs brute force on the test corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" % 100 === 0)
+    val brute = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val celled = e.withColumn("cell",
+      Similarity.ivfAssign($"embedding", nCells = 8))
+    val qc = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        explode(Similarity.ivfProbe($"embedding", 8, 3)).as("cell"))
+    val cc = celled.select($"vec_id".as("n_id"),
+      $"embedding".as("n_vec"), $"cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    val ann = cc.join(qc, Seq("cell")).filter($"q_id" =!= $"n_id")
+      .withColumn("sim", graft.functions.GraftFunctions
+        .cosine_sim($"q_vec", $"n_vec"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    // deterministic (hash-derived cells): pinned lower bound at the
+    // production settings (8 cells, 3 probes ⇒ ~3/8 of the corpus)
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
   test("text analysis: counts and ratios on a known string") {
     val out = TextAnalysis.analyze(
       Seq((1L, "The cat, and a dog!")).toDF("doc_id", "text")).head()
