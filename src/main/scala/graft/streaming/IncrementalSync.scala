@@ -56,6 +56,25 @@ object IncrementalSync {
       }
       .start()
 
+  /**
+   * Streaming exact dedup — the streaming tier of
+   * [[graft.ext.Dedup.exact]]: fingerprint each document and drop
+   * duplicate fingerprints within the watermark horizon.
+   * `dropDuplicatesWithinWatermark` EVICTS state older than the
+   * watermark, so state is bounded by (arrival rate × horizon) —
+   * plain `dropDuplicates` on a stream grows state forever, which is
+   * the difference between a pipeline that runs for months and one
+   * that OOMs.
+   */
+  def streamingDedup(
+      docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        graft.ext.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Watermarked tumbling-window aggregation over an event stream. */
   def windowedCounts(
       events: DataFrame,

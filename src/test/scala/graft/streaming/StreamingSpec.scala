@@ -66,6 +66,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set(("click", 2L, 350L), ("view", 1L, 300L)))
   }
 
+  test("streaming dedup: duplicate fingerprints dropped within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = IncrementalSync.streamingDedup(
+      input.toDF().toDF("doc_id", "ts", "text"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData(
+      (1L, t0, "the quick brown fox"),
+      (2L, t0, "THE  quick   brown fox"), // same normalized fingerprint
+      (3L, t0, "something else entirely"))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM dedup_out")
+      .as[Long].collect().toSet
+    q.stop()
+    // one survivor per fingerprint: {1 or 2} + {3}
+    assert(kept.size === 2)
+    assert(kept.contains(3L))
+    assert(kept.intersect(Set(1L, 2L)).size === 1)
+  }
+
   test("flatMapGroupsWithState session tracking") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[IncrementalSync.SessionEvent]
