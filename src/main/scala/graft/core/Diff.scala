@@ -31,6 +31,17 @@ final case class ChangeSet(
     * InMemoryRelation. Callers unpersist via [[unpersist]]. */
   def persisted(): ChangeSet = { changes.persist(); this }
   def unpersist(): Unit = changes.unpersist()
+
+  /** Branch counts (added, updated, removed) in ONE aggregation job
+    * over the shared frame — three separate `count()` actions would
+    * each launch a scan of the (cached) join. The collect is ≤ 3
+    * discriminator rows, not data. */
+  def counts: (Long, Long, Long) = {
+    val m = changes.groupBy(col("__change")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (m.getOrElse("add", 0L), m.getOrElse("update", 0L),
+      m.getOrElse("remove", 0L))
+  }
 }
 
 /** Options controlling the diff (reference: Classes/Preset.php:19-39,

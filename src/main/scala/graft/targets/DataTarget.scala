@@ -129,8 +129,7 @@ final case class FileTarget(
     cs.persisted() // one evaluation of the diff join for all branches
     val addedM = mapped(cs.added)
     val updatedM = mapped(cs.updated)
-    val nAdd = addedM.count(); val nUpd = updatedM.count()
-    val nRem = cs.removedIds.count()
+    val (nAdd, nUpd, nRem) = cs.counts // one job, not three
 
     val old = currentState(spark)
     val touched = cs.updated.select(col(Records.IdCol).as("id"))

@@ -180,7 +180,7 @@ final case class JdbcTarget(
     val addedM = mapped(cs.added)
     val updatedM = mapped(cs.updated)
     val removed = cs.removedIds
-    val (nAdd, nUpd, nRem) = (addedM.count(), updatedM.count(), removed.count())
+    val (nAdd, nUpd, nRem) = cs.counts // one job, not three
     val dataCols = addedM.columns.filterNot(_.startsWith("__")).toSeq
     var errs = 0L
     var samples = Seq.empty[(String, String)]

@@ -114,9 +114,9 @@ final case class NodeTarget(
     val updatedN = toNodes(cs.updated).cache()
     val removedP = cs.removedIds
       .select(concat(lit(idPrefix), col("id")).as("identifier")).cache()
-    val nAdd = addedN.select("identifier").distinct().count()
-    val nUpd = updatedN.select("identifier").distinct().count()
-    val nRem = removedP.count()
+    // record counts == distinct fanned-out identifiers (1 record →
+    // 1 identifier across variants) — one aggregation over the diff
+    val (nAdd, nUpd, nRem) = cs.counts
 
     val old = nodes(spark)
     val oldAligned = addedN.schema.fields.foldLeft(old) { (acc, f) =>
