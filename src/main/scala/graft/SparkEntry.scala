@@ -182,7 +182,7 @@ object SparkEntry {
     "q_sync_apply" -> ((s, dir) => {
       val path = java.nio.file.Files
         .createTempDirectory("graft_sync_").toString + "/state"
-      s.read.parquet(t(dir, "orders"))
+      graft.util.Tables.spread(s.read.parquet(t(dir, "orders")))
         .filter(col("o_orderkey") % 7 =!= 0)
         .select(col("o_orderkey").cast("string").as("id"),
           (unix_timestamp(col("o_orderdate")) +
