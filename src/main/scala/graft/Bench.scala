@@ -19,8 +19,19 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.util.Tables.session("graft-bench", cpus)
 
-    // cheap warmup: spin executors + codegen before the first timing
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // warmup: spin executors and compile the common codegen shapes
+    // (scan → filter → broadcast join → partial agg → shuffle → sort)
+    // on the two tiny dims, so the first timed query measures the
+    // query, not one-time JIT
+    {
+      import org.apache.spark.sql.functions._
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("n_nationkey") >= 0)
+        .groupBy(col("r_name")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc).count()
+    }
 
     // optional args = query-name filter (local iteration; driver passes none)
     val wanted = args.toSet
