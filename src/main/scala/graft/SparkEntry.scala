@@ -353,6 +353,22 @@ object SparkEntry {
     }),
 
     // as-of join: each event's most recent strictly-prior click
+    // bucketized range join: events against per-user first-6h
+    // windows — one equi-join on the time bucket instead of a
+    // nested-loop theta join (oracle: DuckDB range predicate)
+    "q_range_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val pts = e.select(col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      val iv = e.filter(col("user_id") % 50 === 0)
+        .groupBy(col("user_id").as("iv_user"))
+        .agg(min(unix_timestamp(col("ts"))).as("start_s"))
+        .withColumn("end_s", col("start_s") + 21600L)
+      graft.core.RangeJoin.rangeJoin(pts, "ts_s", iv,
+          "start_s", "end_s", bucketWidth = 3600L)
+        .select(col("event_id"), col("iv_user"), col("ts_s"))
+    }),
+
     "q_asof" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
         .withColumn("ts_us", unix_micros(col("ts")))
@@ -711,6 +727,17 @@ object SparkEntry {
     "q_antijoin" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT user_id AS iv_user,
+        |         CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s
+        |  FROM events WHERE user_id % 50 = 0 GROUP BY user_id),
+        |pts AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |        FROM events)
+        |SELECT p.event_id, i.iv_user, p.ts_s
+        |FROM pts p JOIN iv i
+        |  ON p.ts_s >= i.start_s AND p.ts_s <= i.start_s + 21600""".stripMargin,
 
     "q_asof" ->
       """SELECT event_id, user_id,
