@@ -78,6 +78,8 @@ final case class PresetConfig(
     source: Map[String, Any] = Map.empty,
     target: Map[String, Any] = Map.empty,
     mapping: Seq[(String, String)] = Nil,
+    /** (name, params, sqlBody) helper functions for `${...}` rules. */
+    helpers: Seq[(String, String, String)] = Nil,
     idAttribute: String = "id",
     versionAttribute: Option[String] = None,
     skipAddedRecords: Boolean = false,
@@ -198,7 +200,8 @@ object PresetFactory {
         raw.copy(
           source = mergeOverrule(base.source, raw.source),
           target = mergeOverrule(base.target, raw.target),
-          mapping = if (raw.mapping.nonEmpty) raw.mapping else base.mapping)
+          mapping = if (raw.mapping.nonEmpty) raw.mapping else base.mapping,
+          helpers = if (raw.helpers.nonEmpty) raw.helpers else base.helpers)
       case None => raw
     }
     val sourceConf = mergeOverrule(resolved.source,
@@ -218,6 +221,7 @@ object PresetFactory {
       case _ => DiffOptions()
     }
     Preset(source, target, Mapper(resolved.mapping),
+      helpers = resolved.helpers,
       idAttribute = resolved.idAttribute,
       versionAttribute = resolved.versionAttribute,
       skipAddedRecords = resolved.skipAddedRecords,

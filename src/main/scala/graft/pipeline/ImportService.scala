@@ -33,10 +33,17 @@ final case class Preset(
     dataProcessor: Option[DataFrame => DataFrame] = None,
     skipAddedRecords: Boolean = false,
     skipRemovedRecords: Boolean = false,
-    diffOptions: DiffOptions = DiffOptions()) {
+    diffOptions: DiffOptions = DiffOptions(),
+    /** Per-preset `${...}` helpers as (name, params, sqlBody) — the
+      * reference's custom Eel helpers configured in settings
+      * (EelEvaluator.php:23-26); registered on the session at load. */
+    helpers: Seq[(String, String, String)] = Nil) {
 
   /** Extract + key + transform (reference Preset::load, Preset.php:41-52). */
   def load(spark: SparkSession): DataFrame = {
+    helpers.foreach { case (name, params, body) =>
+      graft.mapper.Helpers.register(spark, name, params, body)
+    }
     val raw = source.load(spark)
     val keyed = Records.keyRecords(raw, idAttribute, versionAttribute,
       source.orderColumn)

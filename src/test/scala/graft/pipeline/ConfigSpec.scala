@@ -50,6 +50,35 @@ class ConfigSpec extends SparkSpec {
     assert(p.source.asInstanceOf[FileSource].path === "/tmp/fixture.json")
   }
 
+  test("per-preset helpers flow from config into ${...} rules " +
+      "(custom Eel helpers, EelEvaluator.php:23-26)") {
+    import graft.pipeline.{ImportService, Preset}
+    import graft.sources.InlineSource
+    import graft.targets.FileTarget
+    // factory threads helpers through (incl. template inheritance)
+    val p = PresetFactory.create(Map(
+      "base" -> PresetConfig(
+        source = Map("type" -> "file",
+          "options" -> Map("filePath" -> "/tmp/x.json")),
+        target = Map("type" -> "file", "options" -> Map("path" -> "/t")),
+        helpers = Seq(("cents2", "x DOUBLE",
+          "CAST(floor(x * 100) AS BIGINT)"))),
+      "child" -> PresetConfig(template = Some("base"))), "child")
+    assert(p.helpers.map(_._1) === Seq("cents2"))
+    // and load() registers them so mapping rules can call them
+    val dir = java.nio.file.Files.createTempDirectory("cfg-helpers").toString
+    val preset = Preset(
+      InlineSource(s => { import s.implicits._
+        Seq(("a", 1L, 1.239)).toDF("id", "version", "price") }),
+      FileTarget(s"$dir/target"),
+      graft.mapper.Mapper(Seq("c" -> "${cents2(record.price)}")),
+      idAttribute = "id", versionAttribute = Some("version"),
+      helpers = Seq(("cents2", "x DOUBLE", "CAST(floor(x * 100) AS BIGINT)")))
+    new ImportService(preset).importData(spark)
+    assert(spark.read.parquet(s"$dir/target")
+      .select("c").head().getLong(0) === 123L)
+  }
+
   test("string option values coerce to the schema-declared type " +
       "(presets file / CLI overrides always produce strings)") {
     val p = Map("p" -> PresetConfig(
