@@ -91,8 +91,19 @@ object DataTarget {
 final case class FileTarget(
     path: String,
     idColumn: String = "id",
-    versionColumn: Option[String] = Some("version"))
+    versionColumn: Option[String] = Some("version"),
+    /** > 0 ⇒ hash-partitioned copy-on-write: state lives under
+      * `pt=<bucket>/` dirs keyed by `pmod(xxhash64(id), partitions)`
+      * and a sync rewrites ONLY the partitions its changed ids touch.
+      * At 100 TB this turns the snapshot merge from O(table) into
+      * O(touched partitions) — the lakehouse incremental-merge
+      * pattern. 0 (default) = single-snapshot whole-table rewrite. */
+    partitions: Int = 0)
     extends DataTarget {
+
+  /** Partition bucket for an id column. */
+  private def bucketOf(id: org.apache.spark.sql.Column) =
+    pmod(xxhash64(id.cast("string")), lit(partitions.toLong))
 
   private def exists: Boolean = {
     val f = new java.io.File(path)
@@ -131,7 +142,24 @@ final case class FileTarget(
     val updatedM = mapped(cs.updated)
     val (nAdd, nUpd, nRem) = cs.counts // one job, not three
 
-    val old = currentState(spark)
+    // touched partition buckets (partitioned mode): collect is ≤
+    // `partitions` longs, driver-side metadata — not data
+    val touchedParts: Array[Long] =
+      if (partitions > 0)
+        cs.changes.filter(col("__change").isNotNull)
+          .select(bucketOf(col("__change_id")).as("pt"))
+          .distinct().collect().map(_.getLong(0)).sorted
+      else Array.empty
+    val touchedSet = touchedParts.toSet
+
+    val old0 = currentState(spark)
+    // partitioned mode: restrict the merge to touched buckets via the
+    // PARTITION DIRECTORY column — Catalyst prunes untouched dirs out
+    // of the scan entirely (they are neither read nor rewritten)
+    val old =
+      if (partitions > 0 && old0.columns.contains("pt"))
+        old0.filter(col("pt").isInCollection(touchedSet))
+      else old0
     val touched = cs.updated.select(col(Records.IdCol).as("id"))
       .unionByName(cs.removedIds.select(col("id")))
     // align the surviving rows to the mapped schema — the old state
@@ -146,17 +174,37 @@ final case class FileTarget(
     }: _*)
     val next = survivors.unionByName(addedM).unionByName(updatedM)
 
-    // Overwrite must not read-while-write the same path: stage then swap.
-    val staging = path + ".staging"
-    next.write.mode("overwrite").parquet(staging)
-    val dir = new java.io.File(path)
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
-    new java.io.File(staging).renameTo(dir)
+    val staging = path + ".staging"
+    if (partitions > 0) {
+      // Partitioned copy-on-write: only the buckets containing a
+      // changed id are recomputed and swapped; untouched partition
+      // dirs are not read, written, or moved.
+      val nextTouched = next
+        .withColumn("pt", bucketOf(col(idColumn)))
+        .filter(col("pt").isInCollection(touchedSet))
+      nextTouched.write.mode("overwrite")
+        .partitionBy("pt").parquet(staging)
+      touchedParts.foreach { p =>
+        val src = new java.io.File(s"$staging/pt=$p")
+        val dst = new java.io.File(s"$path/pt=$p")
+        if (dst.exists()) rm(dst)
+        dst.getParentFile.mkdirs()
+        if (src.exists()) src.renameTo(dst)
+        // a touched bucket whose rows were all removed simply
+        // disappears (no staging dir written for it)
+      }
+      rm(new java.io.File(staging))
+    } else {
+      // Overwrite must not read-while-write the same path: stage then
+      // swap.
+      next.write.mode("overwrite").parquet(staging)
+      val dir = new java.io.File(path)
+      if (dir.exists()) rm(dir)
+      new java.io.File(staging).renameTo(dir)
+    }
     cs.unpersist()
     DataTarget.dispatchSnapshotPhases(dispatch,
       addedM, nAdd, updatedM, nUpd, cs.removedIds, nRem)

@@ -150,6 +150,51 @@ class PipelineSpec extends SparkSpec {
     assert(ImportEvent.values.size === 13)
   }
 
+  test("partitioned copy-on-write: untouched partition dirs are not " +
+      "rewritten") {
+    val dir = tmpDir("pipeline-cow")
+    val target = FileTarget(s"$dir/target", partitions = 8)
+    def preset(data: Seq[(String, Long, String)]) = Preset(
+      InlineSource(s => { import s.implicits._
+        data.toDF("id", "version", "name") }),
+      target, Mapper(Seq("name" -> "name")),
+      idAttribute = "id", versionAttribute = Some("version"))
+    val seed = (1 to 200).map(i => (s"id$i", 1L, s"v$i"))
+    new ImportService(preset(seed)).importData(spark)
+
+    def listing(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$dir/target")
+      root.listFiles().filter(_.getName.startsWith("pt="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = listing()
+    assert(before.nonEmpty)
+
+    // delta: update id1 (newer), add idNEW, drop id2; everything else
+    // re-asserted identically (no change)
+    val delta = seed.filterNot(_._1 == "id2")
+      .map { case ("id1", _, _) => ("id1", 2L, "v1b"); case x => x } :+
+      (("idNEW", 1L, "new"))
+    val r = new ImportService(preset(delta)).importData(spark)
+    assert((r.added, r.updated, r.removed) === ((1L, 1L, 1L)))
+
+    val after = listing()
+    val touched = before.keySet.union(after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    // only the buckets of id1/id2/idNEW may differ: ≤ 3 dirs
+    assert(touched.size <= 3, s"rewrote $touched")
+    assert(touched.size < before.size, "everything was rewritten")
+
+    // and the merged state is exactly right
+    val state = spark.read.parquet(s"$dir/target")
+    import spark.implicits._
+    val got = state.select("id", "version", "name")
+      .as[(String, Long, String)].collect().toSet
+    val want = delta.toSet
+    assert(got === want)
+  }
+
   test("setup validates source path (FileSource.php:26-35)") {
     val preset = Preset(FileSource("/nonexistent/file.json"),
       FileTarget(tmpDir("t")), Mapper(Seq("id" -> "id")), "id")
