@@ -522,6 +522,10 @@ object SparkEntry {
 
     // multimodal decode plumbing: stubbed codec via mapPartitions
     // (rows-only: the fake feature values are JVM-hash derived)
+    // decode stub over mapPartitions batches — oracle-checked: the
+    // deterministic fake dimensions derive from the portable 60-bit
+    // md5 hash, which DuckDB replays (the real-codec swap point keeps
+    // the same schema/batch contract)
     "q_multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.synthesize(
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
@@ -922,6 +926,21 @@ object SparkEntry {
          |      t -> ${duckHash60("t")} % 1000003)),
          |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
          |FROM documents""".stripMargin,
+
+    "q_multimodal_decode" ->
+      s"""WITH m AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         |         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+         |           AS media_type,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |         ${duckHash60("text")} AS h
+         |  FROM documents)
+         |SELECT media_id, media_type, n_bytes,
+         |       CAST(h % 1920 + 1 AS INT) AS width,
+         |       CAST(h % 1080 + 1 AS INT) AS height,
+         |       CASE WHEN media_type = 'image' THEN CAST(0 AS BIGINT)
+         |            ELSE h % 600000 END AS duration_ms
+         |FROM m""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT CAST(doc_id AS VARCHAR) AS media_id,

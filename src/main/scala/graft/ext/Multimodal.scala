@@ -72,17 +72,24 @@ object Multimodal {
     implicit val enc = Encoders.product[DecodedMedia]
     media.select("media_id", "media_type", "content")
       .mapPartitions { rows =>
-        // real impl: initialize codec ONCE per partition here
+        // real impl: initialize codec ONCE per partition here — the
+        // MessageDigest stands in for that per-partition init
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val id = r.getString(0); val tpe = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
-          val h = java.util.Arrays.hashCode(bytes)
+          // fake dimensions derive from the ENGINE-PORTABLE 60-bit
+          // md5 hash (top 15 hex chars == top 60 bits, the same value
+          // as TextAnalysis.portableHash60) so even the stub output
+          // is oracle-replayable in another engine
+          val dig = md.digest(bytes)
+          val h = java.nio.ByteBuffer.wrap(dig, 0, 8).getLong >>> 4
           DecodedMedia(
             media_id = id, media_type = tpe, n_bytes = bytes.length.toLong,
-            width = math.abs(h % 1920) + 1, height = math.abs(h % 1080) + 1,
-            duration_ms = if (tpe == "image") 0L else math.abs(h % 600000).toLong,
+            width = (h % 1920 + 1).toInt, height = (h % 1080 + 1).toInt,
+            duration_ms = if (tpe == "image") 0L else h % 600000,
             feature = Array.tabulate(featureDim)(i =>
-              ((h * (i + 1)) % 1000) / 1000.0f))
+              ((h % 1000003) * (i + 1) % 1000) / 1000.0f))
         }
       }
   }
