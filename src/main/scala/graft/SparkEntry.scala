@@ -317,6 +317,20 @@ object SparkEntry {
         .orderBy(col("value_cents").desc, col("event_id"))
         .limit(100)),
 
+    // grouped top-k through the custom bounded-buffer Aggregator
+    // (map-side combine, no per-group full sort) — oracle-checked
+    // against the window formulation in DuckDB
+    "q_topk_grouped" -> ((s, dir) =>
+      graft.ext.Similarity.topKAgg(
+        tbl(s, dir, "events")
+          .select(col("event_type").as("q_id"),
+            floor(col("value") * 100).cast("double").as("sim"),
+            col("event_id").as("n_id")), k = 5)
+        .select(col("q_id").as("event_type"),
+          col("n_id").as("event_id"),
+          col("sim").cast("long").as("value_cents"),
+          col("rank").cast("long").as("rank"))),
+
     // distinct
     "q_distinct" -> ((s, dir) =>
       tbl(s, dir, "events").select(col("event_type")).distinct()),
@@ -709,6 +723,16 @@ object SparkEntry {
     "q_topk" ->
       """SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS value_cents
         |FROM events ORDER BY value_cents DESC, event_id LIMIT 100""".stripMargin,
+
+    "q_topk_grouped" ->
+      """SELECT event_type, event_id, value_cents,
+        |       CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT event_type, event_id,
+        |        CAST(floor(value * 100) AS BIGINT) AS value_cents,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY floor(value * 100) DESC, event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 5""".stripMargin,
 
     "q_distinct" -> "SELECT DISTINCT event_type FROM events",
 
