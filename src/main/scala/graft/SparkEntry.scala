@@ -440,6 +440,21 @@ object SparkEntry {
     "q_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(t(dir, "documents")))),
 
+    // the C4-style corpus cleanup, composed end to end: language
+    // filter → quality gate → exact dedup (keep min id per
+    // fingerprint) — the flagship training-data pipeline shape,
+    // oracle-checked as one query
+    "q_corpus_clean" -> ((s, dir) => {
+      val scored = TextAnalysis.analyze(s.read.parquet(t(dir, "documents")))
+      val kept = scored.filter(
+        col("lang_guess") === "en" && col("quality") >= 0.5)
+      val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+      kept.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("lang_guess"), col("quality"),
+          col("n_tokens_ws"))
+    }),
+
     // order-aware rolling content hash over portable token hashes —
     // oracle-checked: DuckDB replays the exact polynomial fold
     "q_text_rolling" -> ((s, dir) =>
@@ -548,6 +563,40 @@ object SparkEntry {
           col("width"), col("height"), col("duration_ms"))
     })
   )
+
+  /** DuckDB replication of the full TextAnalysis projection —
+    * shared by q_text_analysis and the corpus-cleanup composition. */
+  private lazy val duckTextAnalysis: String =
+      ("""WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+        |    len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_bpe,
+        |    round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+        |      / greatest(length(text), 1), 6) AS punct_ratio,
+        |    (""" + TextAnalysis.Stopwords.map(w =>
+          s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ") +
+        """) AS sw,
+        |""" + TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          "    (" + ms.map(m =>
+            s"len(regexp_extract_all(lower(text), '\\b$m\\b'))").mkString(" + ") +
+            s") AS s_$lang"
+        }.mkString(",\n") + """
+        |  FROM documents),
+        |r AS (SELECT *,
+        |  round(CAST(sw AS DOUBLE) / greatest(n_tokens_ws, 1), 6) AS stopword_ratio
+        |  FROM base)
+        |SELECT doc_id, length(text) AS n_chars, n_tokens_ws, n_tokens_bpe,
+        |  punct_ratio, stopword_ratio,
+        |  round((least(length(text) / 500.0, 1.0)
+        |    + (1.0 - least(punct_ratio * 5, 1.0))
+        |    + least(stopword_ratio * 4, 1.0)) / 3, 6) AS quality,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |       WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_guess,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM r""").stripMargin
 
   /** DuckDB replay of [[graft.ext.TextAnalysis.portableHash60]]. */
   private def duckHash60(e: String): String =
@@ -799,37 +848,16 @@ object SparkEntry {
         |            AS fingerprint
         |        FROM documents)) WHERE rn = 1""".stripMargin,
 
-    "q_text_analysis" ->
-      ("""WITH base AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
-        |    len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_bpe,
-        |    round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
-        |      / greatest(length(text), 1), 6) AS punct_ratio,
-        |    (""" + TextAnalysis.Stopwords.map(w =>
-          s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ") +
-        """) AS sw,
-        |""" + TextAnalysis.LangMarkers.map { case (lang, ms) =>
-          "    (" + ms.map(m =>
-            s"len(regexp_extract_all(lower(text), '\\b$m\\b'))").mkString(" + ") +
-            s") AS s_$lang"
-        }.mkString(",\n") + """
-        |  FROM documents),
-        |r AS (SELECT *,
-        |  round(CAST(sw AS DOUBLE) / greatest(n_tokens_ws, 1), 6) AS stopword_ratio
-        |  FROM base)
-        |SELECT doc_id, length(text) AS n_chars, n_tokens_ws, n_tokens_bpe,
-        |  punct_ratio, stopword_ratio,
-        |  round((least(length(text) / 500.0, 1.0)
-        |    + (1.0 - least(punct_ratio * 5, 1.0))
-        |    + least(stopword_ratio * 4, 1.0)) / 3, 6) AS quality,
-        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
-        |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
-        |       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-        |       WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_guess,
-        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
-        |FROM r""").stripMargin,
+    "q_text_analysis" -> duckTextAnalysis,
+
+    "q_corpus_clean" ->
+      s"""WITH ta AS ($duckTextAnalysis)
+         |SELECT doc_id, lang_guess, quality, n_tokens_ws
+         |FROM (SELECT *, row_number() OVER
+         |        (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+         |      FROM ta
+         |      WHERE lang_guess = 'en' AND quality >= 0.5)
+         |WHERE rn = 1""".stripMargin,
 
     "q_embed_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
