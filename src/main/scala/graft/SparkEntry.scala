@@ -436,6 +436,14 @@ object SparkEntry {
         .select(col("doc_id"), col("fingerprint"))
     }),
 
+    // deterministic stratified hash sampling — same rows every run,
+    // every engine, any partitioning (oracle replays the selection)
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.ext.Sampling.stratified(
+        tbl(s, dir, "events"), "event_id", "event_type",
+        rates = Map("view" -> 0.1, "click" -> 0.5), defaultRate = 1.0)
+        .select(col("event_id"), col("event_type"), col("user_id"))),
+
     // text analysis: tokens, ratios, quality, lang-id, fingerprint
     "q_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(t(dir, "documents")))),
@@ -847,6 +855,13 @@ object SparkEntry {
         |            regexp_split_to_array(lower(trim(text)), '\s+')[1:5], ' '))
         |            AS fingerprint
         |        FROM documents)) WHERE rn = 1""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT event_id, event_type, user_id FROM events
+         |WHERE ${duckHash60("CAST(event_id AS VARCHAR)")} % 1000000
+         |  < CASE event_type WHEN 'view' THEN 100000.0
+         |                    WHEN 'click' THEN 500000.0
+         |                    ELSE 1000000.0 END""".stripMargin,
 
     "q_text_analysis" -> duckTextAnalysis,
 

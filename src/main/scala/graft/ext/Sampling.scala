@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data curation (engine
+ * extension; BASELINE.json north star).
+ *
+ * `df.sample()` is seed-and-partitioning dependent — re-running on a
+ * repartitioned 100 TB corpus selects DIFFERENT rows, which breaks
+ * reproducibility and incremental reprocessing. Hash sampling keys
+ * the decision on the RECORD ID via the engine-portable 60-bit md5
+ * hash ([[TextAnalysis.portableHash60]]): the same row is kept in
+ * every run, on every engine, under any partitioning — and an oracle
+ * can replay the exact selection.
+ *
+ * Scale shape: a pure narrow filter — no shuffle, pushes past
+ * projections, combines with any downstream pipeline.
+ */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  private def keep(idCol: Column, rate: Double): Column =
+    pmod(TextAnalysis.portableHash60(idCol.cast("string")), lit(Buckets)) <
+      math.round(rate * Buckets)
+
+  /** Keep a stable `rate` fraction keyed on `idCol`. */
+  def byHash(df: DataFrame, idCol: String, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    df.filter(keep(col(idCol), rate))
+  }
+
+  /**
+   * Stratified variant: per-stratum rates (e.g. downsample `view`
+   * events to 10% but keep every `purchase`). Strata missing from
+   * `rates` fall back to `defaultRate`.
+   */
+  def stratified(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((defaultRate +: rates.values.toSeq)
+      .forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0, 1]")
+    val rateCol = rates.foldLeft(lit(defaultRate)) {
+      case (acc, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(
+      pmod(TextAnalysis.portableHash60(col(idCol).cast("string")),
+        lit(Buckets)).cast("double") < rateCol * Buckets)
+  }
+}

@@ -162,6 +162,25 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("hash sampling: deterministic, monotone in rate, stratified") {
+    val df = spark.range(0, 2000).selectExpr("id",
+      "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS s")
+    val s30a = Sampling.byHash(df, "id", 0.3).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val s30b = Sampling.byHash(df, "id", 0.3)
+      .repartition(7).select("id").collect().map(_.getLong(0)).toSet
+    assert(s30a === s30b) // partitioning-independent
+    assert(math.abs(s30a.size - 600) < 100, s"got ${s30a.size}")
+    val s60 = Sampling.byHash(df, "id", 0.6).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s30a.subsetOf(s60)) // rates nest: raising keeps prior rows
+    val strat = Sampling.stratified(df, "id", "s",
+      rates = Map("a" -> 0.0), defaultRate = 1.0)
+    assert(strat.filter($"s" === "a").count() === 0)
+    assert(strat.filter($"s" === "b").count() ===
+      df.filter($"s" === "b").count())
+  }
+
   test("text analysis: counts and ratios on a known string") {
     val out = TextAnalysis.analyze(
       Seq((1L, "The cat, and a dog!")).toDF("doc_id", "text")).head()
