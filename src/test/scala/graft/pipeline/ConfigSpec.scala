@@ -91,6 +91,12 @@ class ConfigSpec extends SparkSpec {
     assert(preset.source.asInstanceOf[graft.sources.JdbcSource]
       .numPartitions === 8)
     assert(preset.target.asInstanceOf[graft.targets.NodeTarget].softDelete)
+    val pf = PresetFactory.create(Map("f" -> PresetConfig(
+      source = Map("type" -> "file",
+        "options" -> Map("filePath" -> "/tmp/x.json")),
+      target = Map("type" -> "file", "options" -> Map(
+        "path" -> "/tmp/t2", "partitions" -> "16")))), "f")
+    assert(pf.target.asInstanceOf[graft.targets.FileTarget].partitions === 16)
     // unparseable strings still fail validation with the type message
     val bad = Map("p" -> PresetConfig(
       source = Map("type" -> "jdbc", "options" -> Map(
