@@ -859,9 +859,9 @@ object SparkEntry {
     "q_sample_stratified" ->
       s"""SELECT event_id, event_type, user_id FROM events
          |WHERE ${duckHash60("CAST(event_id AS VARCHAR)")} % 1000000
-         |  < CASE event_type WHEN 'view' THEN 100000.0
-         |                    WHEN 'click' THEN 500000.0
-         |                    ELSE 1000000.0 END""".stripMargin,
+         |  < CASE event_type WHEN 'view' THEN 100000
+         |                    WHEN 'click' THEN 500000
+         |                    ELSE 1000000 END""".stripMargin,
 
     "q_text_analysis" -> duckTextAnalysis,
 

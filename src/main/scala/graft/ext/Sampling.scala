@@ -42,12 +42,17 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     require((defaultRate +: rates.values.toSeq)
       .forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0, 1]")
-    val rateCol = rates.foldLeft(lit(defaultRate)) {
+    // thresholds resolve to INTEGERS driver-side: comparing the hash
+    // against `rate * Buckets` as a double would make the boundary
+    // bucket engine-dependent (0.1 * 1e6 folds to 100000.00000000001)
+    val thresholdCol = rates.foldLeft(
+      lit(math.round(defaultRate * Buckets))) {
       case (acc, (stratum, r)) =>
-        when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+        when(col(stratumCol) === stratum,
+          lit(math.round(r * Buckets))).otherwise(acc)
     }
     df.filter(
       pmod(TextAnalysis.portableHash60(col(idCol).cast("string")),
-        lit(Buckets)).cast("double") < rateCol * Buckets)
+        lit(Buckets)) < thresholdCol)
   }
 }
