@@ -50,6 +50,10 @@ object Dedup {
    * expression in the dedup pipeline — the zip form is ~10× less
    * work). `concat` (null-propagating) marks the ragged tail where
    * the shifted slice ran out; the final slice drops it.
+   *
+   * The result is SORTED (binary order) as well as distinct — the
+   * contract the native `sorted_intersect_size` verification kernel
+   * relies on; set semantics downstream are order-independent.
    */
   def shingles(text: Column, n: Int = 3): Column = {
     val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
@@ -58,9 +62,9 @@ object Dedup {
       zip_with(acc, slice(tokens, lit(k), greatest(nTok - k + 1, lit(0))),
         (a, b) => concat(a, lit(" "), b))
     }
-    array_distinct(
+    array_sort(array_distinct(
       when(nTok < n, array(concat_ws(" ", tokens)))
-        .otherwise(slice(grams, lit(1), nTok - n + 1)))
+        .otherwise(slice(grams, lit(1), nTok - n + 1))))
   }
 
   // ── 2. minhash + LSH ────────────────────────────────────────────
@@ -274,10 +278,15 @@ object Dedup {
 
   // ── 4. n-gram Jaccard ───────────────────────────────────────────
 
-  /** |A∩B| / |A∪B| over shingle arrays, as a pure expression. */
-  def jaccardExpr(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      greatest(size(array_union(a, b)), lit(1)).cast("double")
+  /** |A∩B| / |A∪B| over SORTED shingle arrays: one codegen'd merge
+    * pass (graft.functions.SortedIntersectSize) instead of the
+    * hash-set-per-call `array_intersect`/`array_union` pair;
+    * |A∪B| = |A| + |B| - |A∩B|. */
+  def jaccardExpr(a: Column, b: Column): Column = {
+    val inter = graft.functions.GraftFunctions.sorted_intersect_size(a, b)
+    inter.cast("double") /
+      greatest(size(a) + size(b) - inter, lit(1)).cast("double")
+  }
 
   /** All-pairs n-gram Jaccard within a blocking key (e.g. a length
     * bucket or LSH bucket) — the verification join used by tests and
@@ -356,7 +365,8 @@ object Dedup {
           col("sz").as("sz_a")), "id_a")
         .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b"),
           col("sz").as("sz_b")), "id_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("inter", graft.functions.GraftFunctions
+          .sorted_intersect_size(col("sh_a"), col("sh_b")))
         // |A∪B| = |A|+|B|-|A∩B|
         .withColumn("jaccard", col("inter").cast("double") /
           greatest(col("sz_a") + col("sz_b") - col("inter"), lit(1)).cast("double"))

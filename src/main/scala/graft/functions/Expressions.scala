@@ -137,6 +137,65 @@ case class ParseVersion(child: Expression)
 }
 
 /**
+ * Intersection size of two SORTED, distinct string arrays via a
+ * single merge pass — the verification kernel for set-similarity
+ * joins (Jaccard over shingles; `graft.ext.Dedup.shingles` emits
+ * sorted-distinct arrays). `array_intersect` builds a hash set per
+ * CALL; at millions of candidate pairs the per-pair allocation
+ * dominates verification. The merge is allocation-free and stays in
+ * whole-stage codegen. Precondition: ascending binary-sorted, no
+ * null elements (behavior undefined otherwise).
+ */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size requires two array<string> arguments, " +
+          s"got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var n = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int nx = $a.numElements(), ny = $b.numElements();
+         |int i = 0, j = 0, n = 0;
+         |while (i < nx && j < ny) {
+         |  int c = $a.getUTF8String(i).compareTo($b.getUTF8String(j));
+         |  if (c == 0) { n++; i++; j++; }
+         |  else if (c < 0) i++;
+         |  else j++;
+         |}
+         |${ev.value} = n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Registration — both paths:
  *  - `GraftFunctions.register(spark)` for an existing session
  *    (used by Tables.session);
@@ -147,7 +206,8 @@ case class ParseVersion(child: Expression)
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es.head, es(1))),
-    "parse_version" -> (es => ParseVersion(es.head)))
+    "parse_version" -> (es => ParseVersion(es.head)),
+    "sorted_intersect_size" -> (es => SortedIntersectSize(es.head, es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -162,6 +222,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
   def parse_version(c: Column): Column =
     org.apache.spark.sql.functions.call_function("parse_version", c)
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sorted_intersect_size", a, b)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -75,6 +75,30 @@ class FunctionsSpec extends SparkSpec {
     assert(agged === windowed)
   }
 
+  test("sorted_intersect_size equals array_intersect on sorted input") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val sh = docs.select($"doc_id",
+      graft.ext.Dedup.shingles($"text", 3).as("sh"))
+    val pairs = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select(
+        GraftFunctions.sorted_intersect_size($"a.sh", $"b.sh").as("fast"),
+        size(array_intersect($"a.sh", $"b.sh")).as("ref"))
+    assert(pairs.filter($"fast" =!= $"ref").count() === 0)
+    assert(pairs.filter($"fast" > 0).count() > 0) // non-degenerate
+    // edge cases: empty-vs-any, disjoint, identical
+    val edge = Seq(
+      (Seq[String](), Seq("a", "b"), 0),
+      (Seq("a", "c"), Seq("b", "d"), 0),
+      (Seq("a", "b", "c"), Seq("a", "b", "c"), 3),
+      (Seq("a", "b", "z"), Seq("b", "c", "z"), 2))
+      .toDF("x", "y", "want")
+    assert(edge.filter(
+      GraftFunctions.sorted_intersect_size($"x", $"y") =!= $"want")
+      .count() === 0)
+  }
+
   test("expressions survive whole-stage codegen on real data") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = e.limit(50).select(
