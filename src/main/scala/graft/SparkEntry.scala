@@ -436,6 +436,31 @@ object SparkEntry {
         .select(col("doc_id"), col("fingerprint"))
     }),
 
+    // passage-level dedup: chunk fingerprints shared by >1 document
+    // (aligned duplication — boilerplate, common prefixes, copies)
+    "q_chunk_dedup" -> ((s, dir) =>
+      graft.util.Tables.spread(s.read.parquet(t(dir, "documents")))
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunkHashes(col("text"), 32))
+            .as("chunk_hash"))
+        .groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .filter(col("n_docs") > 1)),
+
+    // content-defined chunking: shared passages found regardless of
+    // their offset in the document (the fixed-position variant above
+    // only catches aligned duplication)
+    "q_cdc_chunks" -> ((s, dir) =>
+      TextAnalysis.cdcChunks(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", 64)
+        .filter(col("n_tokens") >= 8)
+        .groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") > 1)),
+
     // deterministic stratified hash sampling — same rows every run,
     // every engine, any partitioning (oracle replays the selection)
     "q_sample_stratified" -> ((s, dir) =>
@@ -855,6 +880,49 @@ object SparkEntry {
         |            regexp_split_to_array(lower(trim(text)), '\s+')[1:5], ' '))
         |            AS fingerprint
         |        FROM documents)) WHERE rn = 1""".stripMargin,
+
+    "q_chunk_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      range(0, CAST(ceil(len(t) / 32.0) AS INT)),
+         |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(t[i*32+1 : (i+1)*32],
+         |               s -> ${duckHash60("s")} % 1000003)),
+         |           (a, b) -> (a * 31 + b) % 2147483647))) AS chunk_hash
+         |  FROM toks)
+         |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "q_cdc_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |flat AS (SELECT doc_id,
+         |    unnest(range(1, len(t) + 1)) AS pos,
+         |    unnest(list_transform(t, s -> ${duckHash60("s")} % 1000003)) AS h
+         |  FROM toks),
+         |chunked AS (SELECT doc_id, pos, h,
+         |    COALESCE(sum(CASE WHEN h % 64 = 0 THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY doc_id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+         |  FROM flat),
+         |fp AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list(h ORDER BY pos)),
+         |      (a, b) -> (a * 31 + b) % 2147483647) AS chunk_hash,
+         |    count(*) AS n_tokens
+         |  FROM chunked GROUP BY doc_id, chunk)
+         |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+         |       count(*) AS n_occurrences
+         |FROM fp WHERE n_tokens >= 8
+         |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1""".stripMargin,
 
     "q_sample_stratified" ->
       s"""SELECT event_id, event_type, user_id FROM events

@@ -110,6 +110,65 @@ object TextAnalysis {
         lit(2147483647L)))
   }
 
+  /**
+   * Fixed-position chunk fingerprints: non-overlapping `chunkTokens`-
+   * token chunks, each reduced by the portable rolling hash —
+   * passage-level dedup keys. Shared chunk hashes across documents
+   * reveal ALIGNED duplication (boilerplate headers/footers, common
+   * prefixes, whole-document copies) that per-document similarity
+   * reports as one opaque score. Position-shifted copies need
+   * content-defined chunking ([[cdcChunkHashes]]).
+   */
+  def chunkHashes(text: Column, chunkTokens: Int = 32): Column = {
+    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val nChunks = ceil(size(tokens).cast("double") / chunkTokens).cast("int")
+    transform(sequence(lit(0), nChunks - 1), i =>
+      aggregate(slice(tokens, i * chunkTokens + 1, lit(chunkTokens)), lit(0L),
+        (acc, t) => pmod(acc * 31 + pmod(portableHash60(t), lit(1000003L)),
+          lit(2147483647L))))
+  }
+
+  /**
+   * Content-defined chunking (CDC): a token ends up starting a new
+   * chunk wherever its hash satisfies `h % avgChunkTokens == 0` —
+   * boundaries derive from CONTENT, not position, so a passage two
+   * documents share at DIFFERENT offsets still splits into identical
+   * chunks (the insertion-shift problem that defeats fixed-position
+   * [[chunkHashes]]; the standard dedup-storage technique applied
+   * token-wise). Returns (id, chunk, chunk_hash, n_tokens).
+   *
+   * Scale shape: explode to (id, pos, token-hash) rows, ONE shuffle
+   * on the document id (window cumsum assigns chunk ids), per-chunk
+   * fold bounded by chunk length. All hashes portable — an oracle
+   * replays boundaries and fingerprints exactly.
+   */
+  def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      avgChunkTokens: Int = 64): DataFrame = {
+    val toks = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        posexplode(split(
+          regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")))
+      .toDF("id", "pos", "tok")
+    val hashed = toks.select(col("id"), col("pos"),
+      pmod(portableHash60(col("tok")), lit(1000003L)).as("h"))
+      .withColumn("b",
+        when(pmod(col("h"), lit(avgChunkTokens.toLong)) === 0, 1L)
+          .otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val chunked = hashed.withColumn("chunk",
+      coalesce(sum(col("b")).over(w), lit(0L)))
+    chunked.groupBy(col("id"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("hs"))
+      .select(col("id"), col("chunk"),
+        aggregate(col("hs"), lit(0L), (acc, s) =>
+          pmod(acc * 31 + s.getField("h"), lit(2147483647L)))
+          .as("chunk_hash"),
+        size(col("hs")).cast("long").as("n_tokens"))
+  }
+
   /** Full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -162,6 +162,26 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("cdc chunking finds position-shifted shared passages; " +
+      "fixed-position chunking misses them") {
+    // the same 300-word passage at DIFFERENT offsets in two docs
+    val passage = (0 until 300).map(i => s"w$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, "intro one two three " + passage),
+      (2L, "a much longer and differently sized preamble here " + passage))
+      .toDF("doc_id", "text")
+    val cdc = TextAnalysis.cdcChunks(docs2, "doc_id", "text", 64)
+      .filter($"n_tokens" >= 8)
+      .groupBy($"chunk_hash").agg(countDistinct($"id").as("n"))
+      .filter($"n" > 1).count()
+    assert(cdc > 0, "shifted passage must share CDC chunks")
+    val fixed = docs2.select($"doc_id",
+        explode(TextAnalysis.chunkHashes($"text", 32)).as("h"))
+      .groupBy($"h").agg(countDistinct($"doc_id").as("n"))
+      .filter($"n" > 1).count()
+    assert(fixed === 0, "misaligned prefixes defeat fixed chunking")
+  }
+
   test("hash sampling: deterministic, monotone in rate, stratified") {
     val df = spark.range(0, 2000).selectExpr("id",
       "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS s")
