@@ -87,15 +87,18 @@ object TextAnalysis {
 
   /**
    * 60-bit engine-portable hash: the top 15 hex chars of md5,
-   * parsed as an integer. Spark (`conv(substring(md5(x),1,15),16,10)`)
-   * and DuckDB (`CAST('0x' || substr(md5(x),1,15) AS BIGINT)`) produce
-   * the identical value, which is what lets the sketch queries
+   * parsed as an integer. Spark and DuckDB
+   * (`CAST('0x' || substr(md5(x),1,15) AS BIGINT)`) produce the
+   * identical value, which is what lets the sketch queries
    * (simhash / minhash / rolling hash) be oracle-checked end to end.
-   * xxhash64 stays the default for paths that don't need cross-engine
-   * replay — it's several times faster.
+   * Computed by the codegen'd [[graft.functions.PortableHash60]]
+   * kernel — same value as `conv(substring(md5(x),1,15),16,10)`
+   * without the hex-string round-trip that dominated BENCH_r02's
+   * dedup queries. xxhash64 stays the default for paths that don't
+   * need cross-engine replay — it's still faster.
    */
   def portableHash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.GraftFunctions.portable_hash60(c)
 
   /** Rolling (Karp-Rabin-style) content hash over words — order-aware
     * fingerprint that, unlike md5, can be windowed for chunk-level

@@ -59,16 +59,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName everywhere: fixed locals like `i` collide with
+      // Spark's own generated variables in fused whole-stage code,
+      // and janino's compile failure silently demotes the WHOLE
+      // stage to interpreted mode
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val den = ctx.freshName("den")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.getFloat(i);
-         |  double yi = $b.getFloat(i);
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getFloat($i);
+         |  double $yi = $b.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |double den = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
-         |${ev.value} = (den == 0.0) ? 0.0 : dot / den;
+         |double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
        """.stripMargin
     })
 
@@ -177,22 +186,104 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: see CosineSimilarity — fixed locals break fused
+      // whole-stage compilation
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
       s"""
-         |int nx = $a.numElements(), ny = $b.numElements();
-         |int i = 0, j = 0, n = 0;
-         |while (i < nx && j < ny) {
-         |  int c = $a.getUTF8String(i).compareTo($b.getUTF8String(j));
-         |  if (c == 0) { n++; i++; j++; }
-         |  else if (c < 0) i++;
-         |  else j++;
+         |int $nx = $a.numElements(), $ny = $b.numElements();
+         |int $i = 0, $j = 0, $n = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $n++; $i++; $j++; }
+         |  else if ($c < 0) $i++;
+         |  else $j++;
          |}
-         |${ev.value} = n;
+         |${ev.value} = $n;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectSize =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * 60-bit engine-portable hash, natively: the value of
+ * `conv(substring(md5(x), 1, 15), 16, 10)` — i.e. the top 60 bits of
+ * the md5 digest — computed straight from the digest bytes. The
+ * composed form round-trips through a 32-char hex string and a
+ * base-16 string parse PER CALL; at one call per exploded shingle
+ * (minhash/simhash signatures: |docs| × |shingles| rows) that string
+ * arithmetic dominated the dedup bench (BENCH_r02: q_minhash_dedup
+ * 10.3 s vs 3.4 s with xxhash64). This kernel keeps the cross-engine
+ * contract — DuckDB replays it as
+ * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)` — at near-xxhash
+ * cost. Accepts string (hashes UTF-8 bytes, matching
+ * `cast(s AS binary)`) or binary input.
+ */
+case class PortableHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_hash60"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"portable_hash60 requires a string or binary argument, got ${t.simpleString}")
+  }
+
+  private def digestTop60(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val d = md.digest(bytes)
+    // big-endian value of the first 8 digest bytes, dropping the low
+    // nibble = integer value of the first 15 hex chars
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  @transient private lazy val localMd =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = child.dataType match {
+      case StringType => input.asInstanceOf[UTF8String].getBytes
+      case _ => input.asInstanceOf[Array[Byte]]
+    }
+    digestTop60(localMd, bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) {
+              |  throw new RuntimeException(e);
+              |}""".stripMargin)
+    val toBytes: String => String = child.dataType match {
+      case StringType => a => s"$a.getBytes()"
+      case _ => a => a
+    }
+    nullSafeCodeGen(ctx, ev, a => {
+      val dig = ctx.freshName("digest")
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      s"""
+         |$md.reset();
+         |byte[] $dig = $md.digest(${toBytes(a)});
+         |long $v = 0L;
+         |for (int $i = 0; $i < 8; $i++) {
+         |  $v = ($v << 8) | ($dig[$i] & 0xffL);
+         |}
+         |${ev.value} = $v >>> 4;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableHash60 =
+    copy(child = newChild)
 }
 
 /**
@@ -207,7 +298,8 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es.head, es(1))),
     "parse_version" -> (es => ParseVersion(es.head)),
-    "sorted_intersect_size" -> (es => SortedIntersectSize(es.head, es(1))))
+    "sorted_intersect_size" -> (es => SortedIntersectSize(es.head, es(1))),
+    "portable_hash60" -> (es => PortableHash60(es.head)))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -224,6 +316,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("parse_version", c)
   def sorted_intersect_size(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("sorted_intersect_size", a, b)
+  def portable_hash60(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("portable_hash60", c)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -99,6 +99,29 @@ class FunctionsSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("portable_hash60 equals the composed md5/conv form exactly " +
+      "(the cross-engine contract the DuckDB oracles replay)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val both = docs.select(
+      GraftFunctions.portable_hash60($"text").as("native"),
+      conv(substring(md5($"text".cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("composed"))
+    assert(both.filter($"native" =!= $"composed").count() === 0)
+    assert(both.filter($"native" < 0).count() === 0) // top 60 bits: positive
+    // edge cases: empty string, unicode, binary input = utf-8 string bytes
+    val edge = spark.sql(
+      """SELECT portable_hash60('') AS a,
+        |  CAST(conv(substring(md5(CAST('' AS binary)),1,15),16,10) AS BIGINT) AS a0,
+        |  portable_hash60('héllo wörld ⚡') AS b,
+        |  CAST(conv(substring(md5(CAST('héllo wörld ⚡' AS binary)),1,15),16,10) AS BIGINT) AS b0,
+        |  portable_hash60(CAST('xyz' AS binary)) AS c,
+        |  portable_hash60('xyz') AS c0""".stripMargin).head()
+    assert(edge.getLong(0) === edge.getLong(1))
+    assert(edge.getLong(2) === edge.getLong(3))
+    assert(edge.getLong(4) === edge.getLong(5))
+  }
+
   test("expressions survive whole-stage codegen on real data") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = e.limit(50).select(
