@@ -205,9 +205,14 @@ final case class FileTarget(
       if (dir.exists()) rm(dir)
       new java.io.File(staging).renameTo(dir)
     }
-    cs.unpersist()
+    // Dispatch BEFORE releasing the cached diff: the phase payload
+    // frames (addedM/updatedM) are plans over the persisted ChangeSet
+    // whose subtree reads the just-overwritten target path — a
+    // listener evaluating them after unpersist would re-diff against
+    // the POST-commit state (an empty re-diff), not the phase's data.
     DataTarget.dispatchSnapshotPhases(dispatch,
       addedM, nAdd, updatedM, nUpd, cs.removedIds, nRem)
+    cs.unpersist()
     ApplyResult(nAdd, nUpd, nRem)
   }
 

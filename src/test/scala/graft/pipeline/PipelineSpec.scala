@@ -150,6 +150,36 @@ class PipelineSpec extends SparkSpec {
     assert(ImportEvent.values.size === 13)
   }
 
+  test("Pre* phase event payloads evaluate to the PHASE's data, not " +
+      "the post-commit state (dispatch happens before the cached " +
+      "diff is released)") {
+    val dir = tmpDir("pipeline-payload")
+    def preset(src: Seq[(String, Long)]) = Preset(
+      InlineSource(s => { import s.implicits._; src.toDF("id", "version") }),
+      FileTarget(s"$dir/target"), Mapper(Seq("id" -> "id")),
+      idAttribute = "id", versionAttribute = Some("version"))
+    new ImportService(preset(Seq("b" -> 1L, "c" -> 1L))).importData(spark)
+    // a,d new; b stale -> update; c absent -> remove. A listener that
+    // evaluates the Pre* payload frames AT DISPATCH TIME must see the
+    // phase rows: after the snapshot swap the same lazy plans would
+    // re-diff against the committed state and come back empty.
+    val counted = scala.collection.mutable.Map[ImportEvent.Value, Long]()
+    val r = new ImportService(
+        preset(Seq("a" -> 1L, "b" -> 2L, "d" -> 1L)))
+      .on((e, payload) => payload match {
+        case df: org.apache.spark.sql.DataFrame
+            if e == ImportEvent.PreAddData || e == ImportEvent.PreUpdateData ||
+               e == ImportEvent.PreRemoveData =>
+          counted(e) = df.count()
+        case _ => ()
+      })
+      .importData(spark)
+    assert((r.added, r.updated, r.removed) === ((2L, 1L, 1L)))
+    assert(counted(ImportEvent.PreAddData) === r.added)
+    assert(counted(ImportEvent.PreUpdateData) === r.updated)
+    assert(counted(ImportEvent.PreRemoveData) === r.removed)
+  }
+
   test("partitioned copy-on-write: untouched partition dirs are not " +
       "rewritten") {
     val dir = tmpDir("pipeline-cow")
