@@ -5,7 +5,7 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.mapper.Mapper
 import graft.pipeline.{ImportService, Preset}
 import graft.sources.InlineSource
-import graft.targets.FileTarget
+import graft.targets.{FileTarget, JdbcTarget}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -60,6 +60,32 @@ object SparkEntry {
       |       CAST(epoch(o_orderdate) AS BIGINT)
       |         + CASE WHEN o_orderkey % 3 = 0 THEN -86400 ELSE 0 END AS version
       |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin
+
+  /** Expected post-sync merged state — shared by the FileTarget
+    * (`q_sync_apply`, full volume) and JdbcTarget
+    * (`q_sync_apply_jdbc`, the k%4=1 slice) e2e runs: the sink
+    * changes, the semantics must not. */
+  private def syncApplyOracleSql(extraPred: String = ""): String =
+    s"""WITH source AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+      |         CAST(epoch(o_orderdate) AS BIGINT) AS version,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+      |         o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 10 <> 0$extraPred),
+      |local AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+      |         CAST(epoch(o_orderdate) AS BIGINT)
+      |           + CASE WHEN o_orderkey % 3 = 0 THEN -86400 ELSE 0 END AS version,
+      |         CAST(-1 AS BIGINT) AS total_cents, 'OLD' AS status
+      |  FROM orders WHERE o_orderkey % 7 <> 0$extraPred)
+      |SELECT s.id AS id,
+      |  CASE WHEN l.id IS NULL OR s.version > l.version
+      |       THEN s.version ELSE l.version END AS version,
+      |  CASE WHEN l.id IS NULL OR s.version > l.version
+      |       THEN s.total_cents ELSE l.total_cents END AS total_cents,
+      |  CASE WHEN l.id IS NULL OR s.version > l.version
+      |       THEN s.status ELSE l.status END AS status
+      |FROM source s LEFT JOIN local l ON s.id = l.id""".stripMargin
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -201,6 +227,60 @@ object SparkEntry {
       new ImportService(preset).importData(s)
       s.read.parquet(path).select(col("id"), col("version").cast("long"),
         col("total_cents").cast("long"), col("status"))
+    }),
+
+    // ── W1–W3 end to end on the REAL JDBC sink: same importData
+    // pipeline as q_sync_apply, but local state lives in a Derby
+    // table and the add/update/remove phases run as INSERT / UPDATE
+    // ... WHERE id / DELETE WHERE id through JdbcTarget — certifying
+    // the reference's DbalTarget semantics
+    // (Classes/DataTarget/Dbal/DbalTarget.php:134-155) against the
+    // same merged-state oracle. Runs on the deterministic quarter
+    // slice k%4=1 — every change class (add k%7=0, update k%3=0,
+    // remove k%10=0, survivor) stays populated by CRT, the
+    // row-at-a-time JDBC protocol cost stays bounded at bench scale,
+    // and the full-volume e2e remains covered by q_sync_apply. ──────
+    "q_sync_apply_jdbc" -> ((s, dir) => {
+      val db = "sync_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try conn.createStatement().execute(
+        // unquoted DDL ⇒ canonical UPPERCASE names: both Spark's
+        // quoted-identifier JDBC writer (seed, uppercase df columns)
+        // and JdbcTarget's unquoted statements resolve to them
+        "CREATE TABLE sync_state (id VARCHAR(32) PRIMARY KEY, " +
+          "version BIGINT, total_cents BIGINT, status VARCHAR(8))")
+      finally conn.close()
+      graft.util.Tables.spread(s.read.parquet(t(dir, "orders")))
+        .filter(col("o_orderkey") % 4 === 1 && col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").cast("string").as("ID"),
+          (unix_timestamp(col("o_orderdate")) +
+            when(col("o_orderkey") % 3 === 0, -86400L).otherwise(0L))
+            .as("VERSION"),
+          lit(-1L).as("TOTAL_CENTS"), lit("OLD").as("STATUS"))
+        .coalesce(8)
+        .write.mode("append")
+        .format("jdbc").option("url", url)
+        .option("dbtable", "sync_state").save()
+      val preset = Preset(
+        source = InlineSource(sp =>
+          syncSource(sp, dir).filter(col("id") % 4 === 1)),
+        target = JdbcTarget(url, "sync_state"),
+        mapper = Mapper(Seq(
+          "id" -> "id", "version" -> "version",
+          "total_cents" -> "${floor(record.o_totalprice * 100)}",
+          "status" -> "o_orderstatus")),
+        idAttribute = "id", versionAttribute = Some("version"))
+      new ImportService(preset).importData(s)
+      val out = s.read.format("jdbc").option("url", url)
+        .option("dbtable", "sync_state").load()
+        .select(col("ID").as("id"), col("VERSION").cast("long").as("version"),
+          col("TOTAL_CENTS").cast("long").as("total_cents"),
+          col("STATUS").as("status"))
+        .localCheckpoint() // materialize, then the in-memory db can drop
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLException => () } // 08006 = success
+      out
     }),
 
     // ── W5: variant fan-out (1 record → N node variants) ──────────
@@ -984,27 +1064,11 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |  / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5""".stripMargin,
 
-    "q_sync_apply" ->
-      """WITH source AS (
-        |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
-        |         CAST(epoch(o_orderdate) AS BIGINT) AS version,
-        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
-        |         o_orderstatus AS status
-        |  FROM orders WHERE o_orderkey % 10 <> 0),
-        |local AS (
-        |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
-        |         CAST(epoch(o_orderdate) AS BIGINT)
-        |           + CASE WHEN o_orderkey % 3 = 0 THEN -86400 ELSE 0 END AS version,
-        |         CAST(-1 AS BIGINT) AS total_cents, 'OLD' AS status
-        |  FROM orders WHERE o_orderkey % 7 <> 0)
-        |SELECT s.id AS id,
-        |  CASE WHEN l.id IS NULL OR s.version > l.version
-        |       THEN s.version ELSE l.version END AS version,
-        |  CASE WHEN l.id IS NULL OR s.version > l.version
-        |       THEN s.total_cents ELSE l.total_cents END AS total_cents,
-        |  CASE WHEN l.id IS NULL OR s.version > l.version
-        |       THEN s.status ELSE l.status END AS status
-        |FROM source s LEFT JOIN local l ON s.id = l.id""".stripMargin,
+    "q_sync_apply" -> syncApplyOracleSql(),
+
+    // identical merged-state semantics, certified on the JDBC sink
+    // (the k%4=1 slice — see the query's comment)
+    "q_sync_apply_jdbc" -> syncApplyOracleSql(" AND o_orderkey % 4 = 1"),
 
     "q_simhash_pairs" -> {
       val sigTerms = (0 until 60).map(j =>
