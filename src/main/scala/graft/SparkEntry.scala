@@ -622,11 +622,22 @@ object SparkEntry {
     }),
 
     // LSH-bucketed ANN top-k (rows-only: recall-dependent; recall@5
-    // vs brute force is pinned by ExtSpec at the same settings)
+    // ≥ 0.9 vs brute force is pinned by ExtSpec at the same settings)
     "q_ann_lsh" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
-        k = 5, nPlanes = 6, probeRadius = 2)
+        k = 5, nPlanes = 4, probeRadius = 2)
+    }),
+
+    // Trained-centroid IVF ANN: k-means centroids from a
+    // deterministic sample, corpus in its nearest cell, queries
+    // probe top-6 (rows-only: recall-dependent; recall@5 ≥ 0.9
+    // pinned by ExtSpec at the same settings)
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val cents = Similarity.trainCentroids(e, nCells = 8)
+      Similarity.ivfTopKTrained(e, e.filter(col("vec_id") % 100 === 0),
+        k = 5, cents, nProbe = 6)
     }),
 
     // IVF-style ANN: corpus in its nearest seed cell, queries probe

@@ -178,14 +178,7 @@ object Similarity {
     val celled = graft.util.Tables.spread(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         explode(ivfProbe(col(vecCol), nCells, nProbe)).as("cell"))
-    val l = celled.as("l"); val r = celled.as("r")
-    l.join(r, col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
-      .withColumn("sim",
-        graft.functions.GraftFunctions.cosine_sim(col("l.vec"), col("r.vec")))
-      .filter(col("sim") >= threshold)
-      .select(col("l.id").as("q_id"), col("r.id").as("n_id"),
-        round(col("sim"), 6).as("sim"))
-      .distinct()
+    selfJoinCells(celled, threshold)
   }
 
   /**
@@ -208,5 +201,190 @@ object Similarity {
         .when(a.getField("s") < b.getField("s"), 1)
         .otherwise(a.getField("c") - b.getField("c")))
     transform(slice(byProj, 1, nProbe), c => c.getField("c"))
+  }
+
+  // ── trained-centroid IVF ──────────────────────────────────────────
+  // The pseudo-centroid projection above is O(nCells·d) per row with
+  // data-blind cells; production IVF wants cells that FOLLOW the data
+  // distribution and an nCells that grows with the corpus. The
+  // trained tier: k-means over a bounded deterministic sample
+  // (driver-side — the sample, never the corpus), centroids broadcast
+  // as a literal, assignment is argmax-cosine against them.
+
+  /**
+   * Train `nCells` centroids with Lloyd's k-means over a
+   * deterministic sample of the corpus. The sample is the `sampleN`
+   * lowest `xxhash64(id)` values — stable across runs, cluster
+   * sizes, and engines; one TakeOrdered pass over the corpus, only
+   * `sampleN` vectors ever reach the driver (at 100 TB the corpus
+   * never collects). Initialization is farthest-point (k-means++
+   * without the RNG): deterministic, no seed to disagree about.
+   * Cosine geometry: vectors are L2-normalized before clustering and
+   * centroids re-normalized each round, so argmax-dot = nearest.
+   */
+  def trainCentroids(
+      corpus: DataFrame, nCells: Int, sampleN: Int = 2048,
+      iters: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Float]] = {
+    import org.apache.spark.sql.Row
+    val sampleRows = corpus
+      .select(col(vecCol), xxhash64(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h")).limit(sampleN)
+      .select(col(vecCol)).collect()
+    val sample: Array[Array[Double]] = sampleRows.map {
+      case Row(v: scala.collection.Seq[_]) =>
+        val a = v.map(_.asInstanceOf[Float].toDouble).toArray
+        normalize(a); a
+    }
+    require(sample.length >= nCells,
+      s"need at least $nCells sample vectors, got ${sample.length}")
+    val d = sample.head.length
+
+    // farthest-point init: start from the first sample (hash-order ⇒
+    // arbitrary but fixed), repeatedly add the point least similar to
+    // its nearest chosen centroid
+    val centers = scala.collection.mutable.ArrayBuffer(sample.head.clone())
+    val bestSim = Array.fill(sample.length)(Double.MinValue)
+    while (centers.length < nCells) {
+      var worst = 0; var worstSim = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        val s = dotArr(sample(i), centers.last)
+        if (s > bestSim(i)) bestSim(i) = s
+        if (bestSim(i) < worstSim) { worstSim = bestSim(i); worst = i }
+        i += 1
+      }
+      centers += sample(worst).clone()
+    }
+
+    // Lloyd rounds on the sample
+    var round = 0
+    while (round < iters) {
+      val sums = Array.fill(nCells)(new Array[Double](d))
+      val counts = new Array[Int](nCells)
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bs = Double.MinValue
+        var c = 0
+        while (c < nCells) {
+          val s = dotArr(sample(i), centers(c))
+          if (s > bs) { bs = s; best = c }
+          c += 1
+        }
+        val t = sums(best); val v = sample(i)
+        var j = 0
+        while (j < d) { t(j) += v(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < nCells) {
+        if (counts(c) > 0) {
+          val m = sums(c)
+          normalize(m)
+          centers(c) = m
+        } // empty cell: keep the old centroid (deterministic)
+        c += 1
+      }
+      round += 1
+    }
+    centers.map(_.map(_.toFloat).toSeq).toSeq
+  }
+
+  private def normalize(a: Array[Double]): Unit = {
+    var n = 0.0; var i = 0
+    while (i < a.length) { n += a(i) * a(i); i += 1 }
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    i = 0
+    while (i < a.length) { a(i) *= inv; i += 1 }
+  }
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Top-`nProbe` cells by cosine against EXTERNALLY SUPPLIED
+    * centroids (trained here or anywhere else). The centroid matrix
+    * rides into the plan as one literal (broadcast with the plan,
+    * O(nCells·d) floats — metadata next to any corpus); per row this
+    * is `nCells` native one-pass cosines, so it reaches the
+    * nCells≈10³–10⁴ range the pseudo-centroid expression column
+    * stack cannot. */
+  def centroidProbe(
+      vec: Column, centroids: Seq[Seq[Float]], nProbe: Int): Column = {
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      "nProbe must be in [1, centroids.length]")
+    val cents = typedLit(centroids)
+    val scored = transform(cents, (c, i) => struct(
+      graft.functions.GraftFunctions.cosine_sim(vec, c).as("s"),
+      i.as("c")))
+    val bySim = array_sort(scored, (a, b) =>
+      when(a.getField("s") > b.getField("s"), -1)
+        .when(a.getField("s") < b.getField("s"), 1)
+        .otherwise((a.getField("c") - b.getField("c")).cast("int")))
+    transform(slice(bySim, 1, nProbe), x => x.getField("c").cast("int"))
+  }
+
+  /** Nearest trained centroid (argmax cosine) — the corpus-side
+    * single-cell assignment. */
+  def centroidAssign(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    centroidProbe(vec, centroids, 1).getItem(0)
+
+  /**
+   * [[bucketedPairs]] with trained centroids: identical plan shape
+   * (explode probes → ONE cell-key shuffle → partition-local
+   * self-join → exact verify → distinct), but cells follow the data
+   * distribution, so candidate volume concentrates where near-dups
+   * actually live and nCells can scale with the corpus.
+   */
+  def bucketedPairsTrained(
+      corpus: DataFrame, threshold: Double, centroids: Seq[Seq[Float]],
+      nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val celled = graft.util.Tables.spread(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(centroidProbe(col(vecCol), centroids, nProbe)).as("cell"))
+    selfJoinCells(celled, threshold)
+  }
+
+  /** Shared cell-join body: sort-merge self-join within cells, exact
+    * cosine verify, distinct on the pair. */
+  private def selfJoinCells(celled: DataFrame, threshold: Double): DataFrame = {
+    val l = celled.as("l"); val r = celled.as("r")
+    l.join(r, col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine_sim(col("l.vec"), col("r.vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("l.id").as("q_id"), col("r.id").as("n_id"),
+        round(col("sim"), 6).as("sim"))
+      .distinct()
+  }
+
+  /**
+   * Trained-centroid IVF ANN search: corpus in its ONE nearest cell,
+   * queries probe their `nProbe` nearest — the classical IVF probe
+   * contract. Same single cell-key shuffle as [[lshTopK]].
+   */
+  def ivfTopKTrained(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[Seq[Float]], nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = graft.util.Tables.spread(corpus)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        centroidAssign(col(vecCol), centroids).as("cell"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        explode(centroidProbe(col(vecCol), centroids, nProbe)).as("cell"))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine_sim(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"),
+        col("rank"))
   }
 }
