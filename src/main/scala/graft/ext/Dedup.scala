@@ -240,30 +240,58 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup pairs, blocked by the pigeonhole principle:
-   * the signature is split into `maxHamming + 1` near-equal segments,
-   * so any pair within hamming ≤ maxHamming differs in at most
-   * maxHamming segments and MUST agree on at least one — blocking is
-   * exact at the configured radius, not just for small radii. Full
-   * hamming over the complete signature verifies each candidate.
-   * (cf. Manku et al., WWW'07 §3: k+1 blocks for distance k.)
+   * SimHash near-dup pairs, blocked by the pigeonhole principle
+   * (Manku et al., WWW'07 §3 — cited as published algorithm, not
+   * code): the signature is split into `maxHamming + cleanSegments`
+   * near-equal segments, so any pair within hamming ≤ maxHamming has
+   * at most maxHamming dirty segments and MUST agree on at least
+   * `cleanSegments` of them — one "table" per `cleanSegments`-sized
+   * segment combination, keyed by those segments' concatenated bits.
+   * Blocking is exact at the configured radius for EVERY
+   * cleanSegments; full hamming over the complete signature verifies
+   * each candidate.
+   *
+   * `cleanSegments` is the corpus-size knob. At 1 (default) there
+   * are maxHamming+1 tables with bits/(k+1)-wide keys — cheapest
+   * explode, but a 60-bit/9-segment key is only 6–7 bits, so blocks
+   * beyond ~10⁶ docs go quadratic inside a bucket. At 2 the key
+   * widens to ~12–13 bits (4096+ buckets/table): candidate volume
+   * per doc-pair drops ~13× (C(10,2)=45 tables ÷ 2¹² keys vs 9 ÷
+   * 2⁶) at the cost of a 45-row explode — the classical Manku
+   * multi-table trade. [[simhashPairsAuto]] switches on measured
+   * corpus size.
    */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, n: Int = 3, bits: Int = 64,
-      hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    val nSeg = maxHamming + 1
-    require(nSeg <= bits, "maxHamming + 1 segments need at least as many bits")
+      hashFn: Column => Column = xxhash64(_),
+      cleanSegments: Int = 1): DataFrame = {
+    require(cleanSegments >= 1, "cleanSegments must be >= 1")
+    val nSeg = maxHamming + cleanSegments
+    require(nSeg <= bits,
+      "maxHamming + cleanSegments segments need at least as many bits")
     // segment widths as even as possible: bits = nSeg*base + rem
     val base = bits / nSeg; val rem = bits % nSeg
     val widths = Seq.tabulate(nSeg)(i => if (i < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
+    def segment(i: Int): Column = {
+      val w = widths(i)
+      val mask = if (w >= 64) -1L else (1L << w) - 1 // 1L<<64 wraps to 1
+      shiftright(col("sig"), offsets(i)).bitwiseAND(mask)
+    }
+    // one table per combination: key = the combination's segments
+    // packed bit-adjacent into one long (≤ cleanSegments·⌈bits/nSeg⌉
+    // bits — well under 64 for every realistic setting)
+    val combos = (0 until nSeg).combinations(cleanSegments).toSeq
+    val tableKeys = combos.map { combo =>
+      combo.foldLeft((lit(0L), 0)) { case ((acc, shift), segIdx) =>
+        (acc.bitwiseOR(shiftleft(segment(segIdx), shift)),
+          shift + widths(segIdx))
+      }._1
+    }
     val sigs = simhashSignatures(df, idCol, textCol, n, bits, hashFn)
     val blocked = sigs.select(col("id"), col("sig"),
-      posexplode(array(widths.zip(offsets).map { case (w, off) =>
-        val mask = if (w >= 64) -1L else (1L << w) - 1 // 1L<<64 wraps to 1
-        shiftright(col("sig"), off).bitwiseAND(mask)
-      }: _*)))
+      posexplode(array(tableKeys: _*)))
       .toDF("id", "sig", "segment", "block")
     val l = blocked.as("l"); val r = blocked.as("r")
     l.join(r,
@@ -274,6 +302,20 @@ object Dedup {
         hamming(col("l.sig"), col("r.sig")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** [[simhashPairs]] with `cleanSegments` chosen from the measured
+    * corpus size: single-segment keys while the corpus is small
+    * enough that 2^(bits/(k+1)) buckets keep blocks subquadratic,
+    * two-segment (multi-table) keys beyond `switchAt` docs. The
+    * count is one cheap job over ids (column-pruned scan). */
+  def simhashPairsAuto(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, n: Int = 3, bits: Int = 64,
+      hashFn: Column => Column = xxhash64(_),
+      switchAt: Long = 1000000L): DataFrame = {
+    val clean = if (df.select(idCol).count() >= switchAt) 2 else 1
+    simhashPairs(df, idCol, textCol, maxHamming, n, bits, hashFn, clean)
   }
 
   // ── 4. n-gram Jaccard ───────────────────────────────────────────

@@ -66,6 +66,32 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Set((1L, 4L)))
   }
 
+  test("simhash multi-table (Manku) blocking finds the SAME pairs as " +
+      "single-segment blocking, via equi-joins only") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(clean: Int) = Dedup.simhashPairs(d, "doc_id", "text",
+        maxHamming = 8, bits = 60, cleanSegments = clean)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = pairs(1)
+    val multi = pairs(2)
+    // both blockings are exact at the radius ⇒ identical output;
+    // multi-table trades a wider explode for ~13x-fewer candidates
+    // per key (the >1e6-docs/block successor)
+    assert(single === multi)
+    assert(single.nonEmpty)
+    // candidate generation must stay an equi-join at every setting —
+    // the whole point of the blocking
+    val plan = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 8,
+      bits = 60, cleanSegments = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the auto switch picks single-segment below the threshold and
+    // multi-table above it, same pairs either way
+    assert(Dedup.simhashPairsAuto(d, "doc_id", "text", maxHamming = 8,
+        bits = 60, switchAt = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet === single)
+  }
+
   test("cosine: orthogonal=0, identical=1, topk ranks correctly") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
