@@ -16,10 +16,44 @@ import org.apache.spark.sql.SparkSession
  */
 object Main {
 
-  private def parseKv(s: String): Map[String, Any] =
-    s.split(",").filter(_.nonEmpty).map { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      k -> (v: Any)
+  /** Split on `sep` at quote depth 0 — `'...'`/`"..."` protect
+    * separators and `=`; `\` escapes inside quotes. */
+  private[graft] def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0; var escaped = false
+    s.foreach { ch =>
+      if (escaped) { cur += ch; escaped = false }
+      else if (quote != 0 && ch == '\\') { cur += ch; escaped = true }
+      else if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      else if (ch == '\'' || ch == '"') { cur += ch; quote = ch }
+      else if (ch == sep) { out += cur.result(); cur.clear() }
+      else cur += ch
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  private def unquote(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
+      t.substring(1, t.length - 1)
+        .replace("\\" + t.head, t.head.toString).replace("\\\\", "\\")
+    else t
+  }
+
+  /** `k=v,k=v` option overrides. Values may be single- or
+    * double-quoted to carry `,` and `=` (e.g.
+    * `--override-source-options 'url="jdbc:db;a=1,b=2"'`) — the
+    * unquoted form chokes on exactly the values JDBC URLs and HTTP
+    * headers are made of. */
+  private[graft] def parseKv(s: String): Map[String, Any] =
+    splitTop(s, ',').map(_.trim).filter(_.nonEmpty).map { kv =>
+      splitTop(kv, '=') match {
+        case Seq(k) => k.trim -> ("": Any)
+        case parts => parts.head.trim -> (unquote(
+          parts.tail.mkString("=")): Any)
+      }
     }.toMap
 
   def parsePresetFile(path: String): Map[String, PresetConfig] = {

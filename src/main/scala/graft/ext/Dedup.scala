@@ -173,7 +173,9 @@ object Dedup {
     // one shingling pass feeds signatures AND both verification
     // joins; eager materialization + unpersist, as in
     // [[ngramJaccardPairs]] (returning the lazy plan would leak the
-    // cache or re-shingle 3×)
+    // cache or re-shingle 3×). localCheckpoint: computed,
+    // lineage-free, no caller unpersist obligation (see
+    // ngramJaccardPairs for the full rationale).
     val docs = shingled(df, idCol, textCol, n).persist()
     try {
       val cands = bandedCandidates(
@@ -187,8 +189,7 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
-      verified.persist().count()
-      verified
+      verified.localCheckpoint()
     } finally docs.unpersist()
   }
 
@@ -417,10 +418,12 @@ object Dedup {
       // materialize while the intermediates are cached, then release
       // them — returning the lazy plan would either leak both persisted
       // frames for the session (round-1 bench fallout) or recompute
-      // shingling 3×. The survivor set is tiny (pairs over threshold),
-      // so caching IT is cheap; callers see an already-computed frame.
-      verified.persist().count()
-      verified
+      // shingling 3×. localCheckpoint (not persist) hands the caller a
+      // computed, lineage-free frame with NO unpersist obligation: its
+      // blocks are ContextCleaner-managed (freed when the frame is
+      // GC'd) and never enter the SQL cache registry. The survivor set
+      // is tiny (pairs over threshold), so materializing it is cheap.
+      verified.localCheckpoint()
     } finally { docs.unpersist(); prefix.unpersist() }
   }
 }

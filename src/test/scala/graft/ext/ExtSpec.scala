@@ -54,6 +54,12 @@ class ExtSpec extends SparkSpec {
     val verified = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(verified === Set((1L, 4L)))
+    // library-consumer cache hygiene: the wrapped calls release their
+    // internal persists and the returned frame is localCheckpoint'ed
+    // (ContextCleaner-owned) — nothing lingers in the SQL cache
+    // registry for the caller to unpersist
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedup call leaked SQL-cache entries")
   }
 
   test("simhash: identical texts → distance 0; near-dups close") {

@@ -146,4 +146,22 @@ class ConfigSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").select("name").as[String]
       .head() === "ADA")
   }
+
+  test("CLI k=v overrides: quoted values carry ',' and '=' " +
+      "(JDBC URLs, HTTP headers)") {
+    val kv = graft.cli.Main.parseKv(
+      """url="jdbc:derby:memory:db;a=1,b=2",table=t,""" +
+        """hdr='X-Key: a=b, c',empty=,flag""")
+    assert(kv("url") === "jdbc:derby:memory:db;a=1,b=2")
+    assert(kv("table") === "t")
+    assert(kv("hdr") === "X-Key: a=b, c")
+    assert(kv("empty") === "")
+    assert(kv("flag") === "")
+    // unquoted values keep the old fast path, incl. bare '=' in value
+    assert(graft.cli.Main.parseKv("a=1,b=x=y") ===
+      Map("a" -> "1", "b" -> "x=y"))
+    // escaped quote inside a quoted value
+    assert(graft.cli.Main.parseKv("""msg="he said \"hi\", twice"""")
+      ("msg") === """he said "hi", twice""")
+  }
 }
