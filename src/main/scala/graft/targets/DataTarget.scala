@@ -49,6 +49,29 @@ object DataTarget {
   type EventDispatch = (graft.pipeline.ImportEvent.Value, Any) => Unit
   val noopDispatch: EventDispatch = (_, _) => ()
 
+  /** `Do*` event payload: the phase's record count plus a bounded id
+    * sample. The reference dispatches one event PER RECORD with the
+    * record itself (ImportService.php:140-209) — a distributed engine
+    * aggregates, and the sample restores the progress detail its CLI
+    * prints (ImportCommandController.php:191-254) without shipping
+    * phase data through the driver. */
+  final case class PhaseProgress(count: Long, sampleIds: Seq[String]) {
+    override def toString: String =
+      s"$count record(s)" + (if (sampleIds.isEmpty) ""
+        else sampleIds.mkString(" (e.g. ", ", ", ")"))
+  }
+
+  /** First `n` ids of a phase frame (one tiny job on the cached
+    * diff; never the phase data itself). Falls back from the
+    * configured id column to `id`/`__id`/first column — phase frames
+    * differ per target (mapped rows vs raw removed-id sets). */
+  def sampleIds(df: DataFrame, idCol: String, n: Int = 5): Seq[String] = {
+    val c = Seq(idCol, "id", Records.IdCol).find(df.columns.contains)
+      .getOrElse(df.columns.head)
+    df.select(col(c).cast("string")).limit(n)
+      .collect().map(_.getString(0)).toSeq
+  }
+
   /** Phase-event sequence for snapshot-merge targets (File/Node):
     * the merge commits all three phases in ONE atomic write, so the
     * nine phase events fire in reference order at commit time —
@@ -59,18 +82,22 @@ object DataTarget {
       dispatch: EventDispatch,
       added: DataFrame, nAdd: Long,
       updated: DataFrame, nUpd: Long,
-      removedIds: DataFrame, nRem: Long): Unit = {
+      removedIds: DataFrame, nRem: Long,
+      idCol: String = "id"): Unit = {
     import graft.pipeline.ImportEvent._
     if (nAdd > 0) {
-      dispatch(PreAddData, added); dispatch(DoAddData, nAdd)
+      dispatch(PreAddData, added)
+      dispatch(DoAddData, PhaseProgress(nAdd, sampleIds(added, idCol)))
       dispatch(PostAddData, nAdd)
     }
     if (nUpd > 0) {
-      dispatch(PreUpdateData, updated); dispatch(DoUpdateData, nUpd)
+      dispatch(PreUpdateData, updated)
+      dispatch(DoUpdateData, PhaseProgress(nUpd, sampleIds(updated, idCol)))
       dispatch(PostUpdateData, nUpd)
     }
     if (nRem > 0) {
-      dispatch(PreRemoveData, removedIds); dispatch(DoRemoveData, nRem)
+      dispatch(PreRemoveData, removedIds)
+      dispatch(DoRemoveData, PhaseProgress(nRem, sampleIds(removedIds, idCol)))
       dispatch(PostRemoveData, nRem)
     }
   }
@@ -211,7 +238,7 @@ final case class FileTarget(
     // listener evaluating them after unpersist would re-diff against
     // the POST-commit state (an empty re-diff), not the phase's data.
     DataTarget.dispatchSnapshotPhases(dispatch,
-      addedM, nAdd, updatedM, nUpd, cs.removedIds, nRem)
+      addedM, nAdd, updatedM, nUpd, cs.removedIds, nRem, idCol = idColumn)
     cs.unpersist()
     ApplyResult(nAdd, nUpd, nRem)
   }

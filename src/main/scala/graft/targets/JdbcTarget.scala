@@ -189,7 +189,9 @@ final case class JdbcTarget(
     // W1 — INSERT per added record (DbalTarget.php:134-137); events
     // bracket the phase's physical writes, as in the reference loop
     if (nAdd > 0) {
-      dispatch(PreAddData, addedM); dispatch(DoAddData, nAdd)
+      dispatch(PreAddData, addedM)
+      dispatch(DoAddData, DataTarget.PhaseProgress(nAdd,
+        DataTarget.sampleIds(addedM, Records.IdCol)))
       val insertSql = s"INSERT INTO $table (${dataCols.mkString(", ")}) " +
         s"VALUES (${dataCols.map(_ => "?").mkString(", ")})"
       val (e, sm) = batchedWrite(addedM, insertSql, (ps, row) => {
@@ -204,7 +206,9 @@ final case class JdbcTarget(
     // W2 — UPDATE ... WHERE id (DbalTarget.php:143-146)
     val updCols = dataCols.filterNot(_ == idColumn)
     if (nUpd > 0 && updCols.nonEmpty) {
-      dispatch(PreUpdateData, updatedM); dispatch(DoUpdateData, nUpd)
+      dispatch(PreUpdateData, updatedM)
+      dispatch(DoUpdateData, DataTarget.PhaseProgress(nUpd,
+        DataTarget.sampleIds(updatedM, Records.IdCol)))
       val updateSql = s"UPDATE $table SET " +
         updCols.map(c => s"$c = ?").mkString(", ") + s" WHERE $idColumn = ?"
       val (e, sm) = batchedWrite(updatedM, updateSql, (ps, row) => {
@@ -219,7 +223,9 @@ final case class JdbcTarget(
 
     // W3 — DELETE WHERE id (DbalTarget.php:152-155)
     if (nRem > 0) {
-      dispatch(PreRemoveData, removed); dispatch(DoRemoveData, nRem)
+      dispatch(PreRemoveData, removed)
+      dispatch(DoRemoveData, DataTarget.PhaseProgress(nRem,
+        DataTarget.sampleIds(removed, "id")))
       val deleteSql = s"DELETE FROM $table WHERE $idColumn = ?"
       val (e, sm) = batchedWrite(removed, deleteSql, (ps, row) =>
         ps.setString(1, row.getAs[Any]("id").toString),

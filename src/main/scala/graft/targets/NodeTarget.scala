@@ -178,7 +178,7 @@ final case class NodeTarget(
     new java.io.File(staging).renameTo(dir)
 
     DataTarget.dispatchSnapshotPhases(dispatch,
-      addedN, nAdd, updatedN, nUpd, removedP, nRem)
+      addedN, nAdd, updatedN, nUpd, removedP, nRem, idCol = "identifier")
     val res = ApplyResult(nAdd, nUpd, nRem)
     addedN.unpersist(); updatedN.unpersist(); removedP.unpersist()
     cs.unpersist()

@@ -51,13 +51,16 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 4L)))   // identical → all bands collide
     assert(!cands.contains((1L, 3L)))  // disjoint → no band collides
-    val verified = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.9)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(verified === Set((1L, 4L)))
     // library-consumer cache hygiene: the wrapped calls release their
     // internal persists and the returned frame is localCheckpoint'ed
     // (ContextCleaner-owned) — nothing lingers in the SQL cache
-    // registry for the caller to unpersist
+    // registry for the caller to unpersist. Start from a clean
+    // registry so entries cached by other specs on the shared
+    // session don't blur the assertion.
+    spark.catalog.clearCache()
+    val verified = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified === Set((1L, 4L)))
     assert(spark.sharedState.cacheManager.isEmpty,
       "dedup call leaked SQL-cache entries")
   }

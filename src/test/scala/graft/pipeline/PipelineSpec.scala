@@ -164,6 +164,8 @@ class PipelineSpec extends SparkSpec {
     // phase rows: after the snapshot swap the same lazy plans would
     // re-diff against the committed state and come back empty.
     val counted = scala.collection.mutable.Map[ImportEvent.Value, Long]()
+    val progress = scala.collection.mutable
+      .Map[ImportEvent.Value, graft.targets.DataTarget.PhaseProgress]()
     val r = new ImportService(
         preset(Seq("a" -> 1L, "b" -> 2L, "d" -> 1L)))
       .on((e, payload) => payload match {
@@ -171,6 +173,7 @@ class PipelineSpec extends SparkSpec {
             if e == ImportEvent.PreAddData || e == ImportEvent.PreUpdateData ||
                e == ImportEvent.PreRemoveData =>
           counted(e) = df.count()
+        case p: graft.targets.DataTarget.PhaseProgress => progress(e) = p
         case _ => ()
       })
       .importData(spark)
@@ -178,6 +181,12 @@ class PipelineSpec extends SparkSpec {
     assert(counted(ImportEvent.PreAddData) === r.added)
     assert(counted(ImportEvent.PreUpdateData) === r.updated)
     assert(counted(ImportEvent.PreRemoveData) === r.removed)
+    // Do* payloads carry the count plus a bounded id sample — the
+    // per-record progress detail the reference CLI prints
+    assert(progress(ImportEvent.DoAddData).count === r.added)
+    assert(progress(ImportEvent.DoAddData).sampleIds.toSet === Set("a", "d"))
+    assert(progress(ImportEvent.DoUpdateData).sampleIds === Seq("b"))
+    assert(progress(ImportEvent.DoRemoveData).sampleIds === Seq("c"))
   }
 
   test("partitioned copy-on-write: untouched partition dirs are not " +
