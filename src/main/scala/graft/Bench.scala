@@ -47,8 +47,9 @@ object Bench {
         "q_sync_apply", "q_corpus_clean")
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
         warmSet.foreach { name =>
+          // best-effort, but fatal errors (OOM, interrupt) must abort
           try SparkEntry.queries(name)(spark, warmDir).count()
-          catch { case _: Throwable => () } // warmup is best-effort
+          catch { case scala.util.control.NonFatal(_) => () }
           spark.catalog.clearCache()
         }
     }
@@ -60,7 +61,7 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
+               catch { case scala.util.control.NonFatal(e) =>
                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
                  false }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -26,6 +26,27 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Temp dirs backing lazily-read result frames can only be freed at
+    * JVM exit — one shutdown hook recursively deletes all of them
+    * (plain deleteOnExit skips non-empty directories). */
+  private val tempDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path])
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach { root =>
+        try {
+          import java.nio.file._
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      }))
+  }
+  private def tempStateDir(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_sync_")
+    tempDirs.add(p)
+    p.toString
+  }
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     graft.util.Tables.read(s, dir, name)
 
@@ -206,8 +227,7 @@ object SparkEntry {
     // strictly-newer version) get re-mapped payload, untouched
     // survivors keep the marker, removed ids (k%10=0) are gone.
     "q_sync_apply" -> ((s, dir) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_sync_").toString + "/state"
+      val path = tempStateDir() + "/state"
       graft.util.Tables.spread(s.read.parquet(t(dir, "orders")))
         .filter(col("o_orderkey") % 7 =!= 0)
         .select(col("o_orderkey").cast("string").as("id"),

@@ -17,7 +17,11 @@ import org.apache.spark.sql.SparkSession
 object Main {
 
   /** Split on `sep` at quote depth 0 — `'...'`/`"..."` protect
-    * separators and `=`; `\` escapes inside quotes. */
+    * separators and `=`; `\` escapes inside quotes. A quote only
+    * OPENS at the start of a field or right after `=` (an interior
+    * apostrophe — `name=O'Brien` — is plain data, not quoting).
+    * Unterminated quotes fail loudly rather than silently swallowing
+    * the rest of the argument. */
   private[graft] def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -26,10 +30,13 @@ object Main {
       if (escaped) { cur += ch; escaped = false }
       else if (quote != 0 && ch == '\\') { cur += ch; escaped = true }
       else if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
-      else if (ch == '\'' || ch == '"') { cur += ch; quote = ch }
+      else if ((ch == '\'' || ch == '"') &&
+               (cur.isEmpty || cur.last == '=')) { cur += ch; quote = ch }
       else if (ch == sep) { out += cur.result(); cur.clear() }
       else cur += ch
     }
+    if (quote != 0) throw new IllegalArgumentException(
+      s"unterminated $quote-quote in option value: $s")
     out += cur.result()
     out.result()
   }

@@ -245,15 +245,12 @@ case class PortableHash60(child: Expression) extends UnaryExpression {
     v >>> 4
   }
 
-  @transient private lazy val localMd =
-    java.security.MessageDigest.getInstance("MD5")
-
   override def nullSafeEval(input: Any): Any = {
     val bytes = child.dataType match {
       case StringType => input.asInstanceOf[UTF8String].getBytes
       case _ => input.asInstanceOf[Array[Byte]]
     }
-    digestTop60(localMd, bytes)
+    digestTop60(PortableHash60.threadMd.get(), bytes)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -284,6 +281,15 @@ case class PortableHash60(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): PortableHash60 =
     copy(child = newChild)
+}
+
+object PortableHash60 {
+  /** MessageDigest is not thread-safe; a per-expression lazy val is
+    * only safe while Spark deserializes a fresh tree per task. A
+    * ThreadLocal stays correct even if one bound projection is ever
+    * shared across threads (e.g. driver-side concurrent eval). */
+  private[functions] val threadMd: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 /**

@@ -163,5 +163,14 @@ class ConfigSpec extends SparkSpec {
     // escaped quote inside a quoted value
     assert(graft.cli.Main.parseKv("""msg="he said \"hi\", twice"""")
       ("msg") === """he said "hi", twice""")
+    // an INTERIOR apostrophe is data, not a quote opener — later
+    // pairs must survive
+    assert(graft.cli.Main.parseKv("name=O'Brien,x=1") ===
+      Map("name" -> "O'Brien", "x" -> "1"))
+    // unterminated quotes fail loudly instead of silently eating
+    // the rest of the argument
+    intercept[IllegalArgumentException] {
+      graft.cli.Main.parseKv("a='oops,b=1")
+    }
   }
 }
