@@ -76,20 +76,29 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d component
-    * derived from a hash — reproducible across engines and runs. */
-  private def planeComponent(p: Int, d: Column): Column =
+    * derived from a hash — reproducible across engines and runs.
+    * Kept as the REFERENCE formulation: the shipped path is the
+    * native cached-matrix kernel (graft.functions.PlaneProjections /
+    * PlaneBucket), bit-parity-checked against this column stack by
+    * FunctionsSpec. The HOF form re-derived every (plane, dim)
+    * component per ROW — ~nPlanes·d interpreted lambdas each with an
+    * xxhash64 — which was the entire cost of the ANN bench tier. */
+  private[graft] def planeComponent(p: Int, d: Column): Column =
     (pmod(xxhash64(lit(p), d), lit(1000003L)).cast("double") /
       lit(1000003.0)) * 2.0 - 1.0
 
-  /** Sign-pattern LSH bucket id from `nPlanes` hyperplanes. */
+  /** Reference-formulation projection of `vec` onto plane `p` —
+    * parity oracle for the native kernel (tests only). */
+  private[graft] def planeProjectionRef(vec: Column, p: Int): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, d) => x.cast("double") * planeComponent(p, d)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign-pattern LSH bucket id from `nPlanes` hyperplanes — one
+    * fused native pass over the cached plane matrix. */
   def lshBucket(vec: Column, nPlanes: Int = 12): Column =
-    (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeComponent(p, d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(0L)
-    }.reduce[Column](_ bitwiseOR _)
+    graft.functions.GraftFunctions.plane_bucket(vec, nPlanes, 1)
 
   /**
    * LSH-bucketed ANN: score only same-bucket (query, candidate)
@@ -143,15 +152,15 @@ object Similarity {
         round(col("col._1"), 6).as("sim"), (col("pos") + 1).as("rank"))
 
   /** Per-cell projection structs (proj, cellId) shared by
-    * [[ivfAssign]] (argmax) and [[bucketedPairs]] (top-P probe). */
-  private def cellProjections(vec: Column, nCells: Int): Seq[Column] =
-    (0 until nCells).map { cIdx =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeComponent(cIdx * 7919, d)),
-        lit(0.0), (acc, v) => acc + v)
-      struct(proj.as("s"), lit(cIdx).as("c"))
-    }
+    * [[ivfAssign]] (argmax) and [[bucketedPairs]] (top-P probe).
+    * The projections come out of the native cached-matrix kernel in
+    * one pass (seed stride 7919 = the IVF hash stream, disjoint from
+    * the LSH planes); only the tiny nCells-element struct/sort layer
+    * stays in column-land. */
+  private def cellProjections(vec: Column, nCells: Int): Column =
+    transform(
+      graft.functions.GraftFunctions.plane_proj(vec, nCells, 7919),
+      (s, i) => struct(s.as("s"), i.as("c")))
 
   /**
    * Scale path for embedding near-dup PAIR generation: multi-probe
@@ -188,14 +197,14 @@ object Similarity {
    * with distance-aware cells.
    */
   def ivfAssign(vec: Column, nCells: Int = 16): Column =
-    greatest(cellProjections(vec, nCells): _*).getField("c")
+    array_max(cellProjections(vec, nCells)).getField("c")
 
   /** Top-`nProbe` cells by projection (deterministic tie-break on
     * cell id) — the multi-probe assignment used by [[bucketedPairs]]
     * and the query side of probed IVF search. `ivfProbe(v, n, 1)`
     * equals `array(ivfAssign(v, n))`. */
   def ivfProbe(vec: Column, nCells: Int, nProbe: Int): Column = {
-    val projs = array(cellProjections(vec, nCells): _*)
+    val projs = cellProjections(vec, nCells)
     val byProj = array_sort(projs, (a, b) =>
       when(a.getField("s") > b.getField("s"), -1)
         .when(a.getField("s") < b.getField("s"), 1)

@@ -293,6 +293,133 @@ object PortableHash60 {
 }
 
 /**
+ * Shared kernel for the pseudo-random hyperplane family
+ * ([[PlaneProjections]], [[PlaneBucket]]): the component of plane `p`
+ * at dimension `d` is a pure function of (p, d) —
+ * `(pmod(xxhash64(p, d), 1000003) / 1000003.0) * 2 - 1`, exactly the
+ * value the composed `zip_with`/`aggregate` formulation in
+ * graft.ext.Similarity produced — so the whole plane matrix is
+ * computed ONCE per process and cached, not re-derived per row per
+ * plane per dimension. At nPlanes=12, d=64 the HOF stack evaluated
+ * 768 interpreted lambdas (each with an xxhash64) per row; the cached
+ * matrix reduces a row to nPlanes fused dot products.
+ */
+object Planes {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  /** Bit-parity with `xxhash64(lit(p), d)` (seed 42, ints hashed in
+    * order) feeding `pmod(·, 1000003)` — verified by FunctionsSpec
+    * against the composed column formulation. */
+  private def component(p: Int, d: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = XXH64.hashInt(d, XXH64.hashInt(p, 42L))
+    val r = h % 1000003L
+    val q = if (r < 0) r + 1000003L else r
+    (q.toDouble / 1000003.0) * 2.0 - 1.0
+  }
+
+  def matrix(nPlanes: Int, seedStride: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((nPlanes, seedStride, dim), _ =>
+      Array.tabulate(nPlanes, dim)((p, j) => component(p * seedStride, j)))
+}
+
+/**
+ * `plane_proj(vec, nPlanes, seedStride)` — the `nPlanes` hyperplane
+ * dot products of a float vector as `array<double>`, one cached-matrix
+ * pass per row. Plane `p` uses seed `p * seedStride` (stride 1 = the
+ * LSH plane family, 7919 = the IVF pseudo-centroid family — disjoint
+ * hash streams). Precondition: non-null float elements.
+ */
+case class PlaneProjections(child: Expression, nPlanes: Int, seedStride: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "plane_proj"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"plane_proj requires an array<float> argument, got ${t.simpleString}")
+  }
+
+  /** Public — invoked from generated code via a reference object. */
+  def project(vec: ArrayData): ArrayData = {
+    val d = vec.numElements()
+    val m = Planes.matrix(nPlanes, seedStride, d)
+    val out = new Array[Double](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      val row = m(p)
+      var s = 0.0; var i = 0
+      while (i < d) { s += vec.getFloat(i).toDouble * row(i); i += 1 }
+      out(p) = s; p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    project(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planeProjExpr", this,
+      classOf[PlaneProjections].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.project($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneProjections =
+    copy(child = newChild)
+}
+
+/**
+ * `plane_bucket(vec, nPlanes, seedStride)` — the sign-pattern LSH
+ * bucket id (bit `p` set iff projection `p` ≥ 0) as one long, fused
+ * over the same cached matrix as [[PlaneProjections]] (no
+ * intermediate array, no per-bit column stack).
+ */
+case class PlaneBucket(child: Expression, nPlanes: Int, seedStride: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "plane_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"plane_bucket requires an array<float> argument, got ${t.simpleString}")
+  }
+
+  /** Public — invoked from generated code via a reference object. */
+  def bucket(vec: ArrayData): Long = {
+    val d = vec.numElements()
+    val m = Planes.matrix(nPlanes, seedStride, d)
+    var b = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val row = m(p)
+      var s = 0.0; var i = 0
+      while (i < d) { s += vec.getFloat(i).toDouble * row(i); i += 1 }
+      if (s >= 0) b |= 1L << p
+      p += 1
+    }
+    b
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    bucket(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planeBucketExpr", this,
+      classOf[PlaneBucket].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.bucket($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneBucket =
+    copy(child = newChild)
+}
+
+/**
  * Registration — both paths:
  *  - `GraftFunctions.register(spark)` for an existing session
  *    (used by Tables.session);
@@ -301,11 +428,23 @@ object PortableHash60 {
  *    session build (the SparkSessionExtensions route).
  */
 object GraftFunctions {
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es.head, es(1))),
     "parse_version" -> (es => ParseVersion(es.head)),
     "sorted_intersect_size" -> (es => SortedIntersectSize(es.head, es(1))),
-    "portable_hash60" -> (es => PortableHash60(es.head)))
+    "portable_hash60" -> (es => PortableHash60(es.head)),
+    "plane_proj" -> (es => PlaneProjections(es.head,
+      litInt(es(1), "plane_proj", "nPlanes"),
+      litInt(es(2), "plane_proj", "seedStride"))),
+    "plane_bucket" -> (es => PlaneBucket(es.head,
+      litInt(es(1), "plane_bucket", "nPlanes"),
+      litInt(es(2), "plane_bucket", "seedStride"))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -324,6 +463,14 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("sorted_intersect_size", a, b)
   def portable_hash60(c: Column): Column =
     org.apache.spark.sql.functions.call_function("portable_hash60", c)
+  def plane_proj(vec: Column, nPlanes: Int, seedStride: Int): Column =
+    org.apache.spark.sql.functions.call_function("plane_proj", vec,
+      org.apache.spark.sql.functions.lit(nPlanes),
+      org.apache.spark.sql.functions.lit(seedStride))
+  def plane_bucket(vec: Column, nPlanes: Int, seedStride: Int): Column =
+    org.apache.spark.sql.functions.call_function("plane_bucket", vec,
+      org.apache.spark.sql.functions.lit(nPlanes),
+      org.apache.spark.sql.functions.lit(seedStride))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -128,4 +128,45 @@ class FunctionsSpec extends SparkSpec {
       GraftFunctions.cosine_sim(col("embedding"), col("embedding")).as("self"))
     assert(out.filter(abs(col("self") - 1.0) > 1e-9).count() === 0)
   }
+
+  test("plane_proj is bit-identical to the composed zip_with/aggregate " +
+      "hyperplane formulation (both seed strides) on real embeddings") {
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    for (stride <- Seq(1, 7919); nPlanes <- Seq(4, 8)) {
+      val refs = (0 until nPlanes).map(p =>
+        Similarity.planeProjectionRef($"embedding", p * stride).as(s"r$p"))
+      val rows = e.select(
+        GraftFunctions.plane_proj($"embedding", nPlanes, stride).as("nat")
+          +: refs: _*).collect()
+      rows.foreach { r =>
+        val nat = r.getSeq[Double](0)
+        (0 until nPlanes).foreach { p =>
+          // exact ==: the kernel must replay the identical double
+          // accumulation order, not merely approximate it
+          assert(nat(p) === r.getDouble(p + 1),
+            s"plane $p stride $stride: ${nat(p)} vs ${r.getDouble(p + 1)}")
+        }
+      }
+    }
+  }
+
+  test("plane_bucket equals the sign-pattern fold over plane_proj, and " +
+      "the pre-kernel lshBucket results (ExtSpec pins recall) still hold") {
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    val both = e.select(
+      GraftFunctions.plane_bucket($"embedding", 8, 1).as("nat"),
+      aggregate(
+        zip_with(
+          GraftFunctions.plane_proj($"embedding", 8, 1),
+          sequence(lit(0), lit(7)),
+          (s, p) => when(s >= 0,
+            call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc.bitwiseOR(v)).as("folded"))
+    assert(both.filter($"nat" =!= $"folded").count() === 0)
+    // buckets use all nPlanes bits and nothing above them
+    val range = both.agg(min($"nat"), max($"nat")).head()
+    assert(range.getLong(0) >= 0L && range.getLong(1) < 256L)
+  }
 }
