@@ -573,6 +573,30 @@ object SparkEntry {
     "q_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(t(dir, "documents")))),
 
+    // PII scrub: redact emails → IPv4s → phones with typed
+    // placeholders, counting each class. The corpus carries no PII,
+    // so a deterministic contact line derived from doc_id is appended
+    // on BOTH engines (the synthetic-input convention the sync
+    // queries use) — the scrub does real work and the oracle verifies
+    // real redactions.
+    "q_pii_scrub" -> ((s, dir) => {
+      val withPii = s.read.parquet(t(dir, "documents")).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 (555) 010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" at 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.1")).as("text"))
+      TextAnalysis.piiScrub(withPii, "doc_id", "text")
+    }),
+
+    // Gopher-style repetition quality signals: top token / top 2-gram
+    // frequency, longest same-token run, duplicate-token fraction
+    "q_quality_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // the C4-style corpus cleanup, composed end to end: language
     // filter → quality gate → exact dedup (keep min id per
     // fingerprint) — the flagship training-data pipeline shape,
@@ -1043,6 +1067,73 @@ object SparkEntry {
          |                    ELSE 1000000 END""".stripMargin,
 
     "q_text_analysis" -> duckTextAnalysis,
+
+    "q_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |           || '@example.com or +1 (555) 010-'
+         |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |           || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+         |           AS text
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+         |           AS BIGINT) AS n_emails,
+         |         regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g')
+         |           AS t1
+         |       FROM p),
+         |s2 AS (SELECT doc_id, n_emails,
+         |         CAST(len(regexp_extract_all(t1, '${TextAnalysis.Ipv4Re}'))
+         |           AS BIGINT) AS n_ips,
+         |         regexp_replace(t1, '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS t2
+         |       FROM s1)
+         |SELECT doc_id,
+         |       regexp_replace(t2, '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')
+         |         AS scrubbed,
+         |       n_emails, n_ips,
+         |       CAST(len(regexp_extract_all(t2, '${TextAnalysis.PhoneRe}'))
+         |         AS BIGINT) AS n_phones
+         |FROM s2""".stripMargin,
+
+    "q_quality_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |flat AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+        |                unnest(t) AS tok FROM toks),
+        |tokc AS (SELECT doc_id, tok, count(*) AS c FROM flat
+        |         GROUP BY doc_id, tok),
+        |tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              count(*) AS n_distinct, max(c) AS top_tok_n
+        |       FROM tokc GROUP BY doc_id),
+        |gr AS (SELECT doc_id, tok || ' ' ||
+        |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |       FROM flat),
+        |gc AS (SELECT doc_id, max(c) AS top_2gram_n FROM
+        |        (SELECT doc_id, g, count(*) AS c FROM gr
+        |         WHERE g IS NOT NULL GROUP BY doc_id, g)
+        |       GROUP BY doc_id),
+        |rn AS (SELECT doc_id, pos, tok,
+        |         CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                IS NULL
+        |              OR lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                <> tok
+        |              THEN 1 ELSE 0 END AS chg
+        |       FROM flat),
+        |sg AS (SELECT doc_id, sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS seg FROM rn),
+        |rs AS (SELECT doc_id, max(c) AS max_run FROM
+        |        (SELECT doc_id, seg, count(*) AS c FROM sg
+        |         GROUP BY doc_id, seg)
+        |       GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tokens, t.n_distinct, t.top_tok_n,
+        |       COALESCE(g.top_2gram_n, 0) AS top_2gram_n, r.max_run,
+        |       round(1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6)
+        |         AS dup_tok_frac
+        |FROM tt t LEFT JOIN gc g USING (doc_id)
+        |LEFT JOIN rs r USING (doc_id)""".stripMargin,
 
     "q_corpus_clean" ->
       s"""WITH ta AS ($duckTextAnalysis)

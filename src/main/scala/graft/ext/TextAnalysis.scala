@@ -172,6 +172,100 @@ object TextAnalysis {
         size(col("hs")).cast("long").as("n_tokens"))
   }
 
+  // ── PII scrubbing ─────────────────────────────────────────────────
+  // Patterns live in the common Java-regex / RE2 subset so the DuckDB
+  // oracle replays them verbatim (with the 'g' flag); both engines'
+  // match semantics coincide on these (greedy character classes with
+  // a fixed tail — leftmost-first-with-backtracking and
+  // leftmost-longest pick the same span).
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Digit-led runs of digits/space/()-. with a digit tail, ≥ 9 chars
+    * — phone-shaped. Applied AFTER [[Ipv4Re]] (an IPv4 is itself
+    * phone-shaped). */
+  val PhoneRe = "\\+?\\d[\\d() .-]{7,}\\d"
+
+  /**
+   * PII scrub for training corpora: redact emails → IPv4s → phone
+   * numbers (in that order — each class would otherwise swallow the
+   * next: `@`-less IPs are phone-shaped) with typed placeholder
+   * tokens, counting each class as it is removed. A single narrow
+   * projection — per-document regex work, zero shuffles, linear to
+   * 100 TB.
+   */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.util.Tables.spread(df)
+      .select(col(idCol), col(textCol).as("__t0"))
+      .withColumn("n_emails", regexp_count(col("__t0"), lit(EmailRe)).cast("long"))
+      .withColumn("__t1", regexp_replace(col("__t0"), EmailRe, "<EMAIL>"))
+      .withColumn("n_ips", regexp_count(col("__t1"), lit(Ipv4Re)).cast("long"))
+      .withColumn("__t2", regexp_replace(col("__t1"), Ipv4Re, "<IP>"))
+      .withColumn("n_phones", regexp_count(col("__t2"), lit(PhoneRe)).cast("long"))
+      .select(col(idCol),
+        regexp_replace(col("__t2"), PhoneRe, "<PHONE>").as("scrubbed"),
+        col("n_emails"), col("n_ips"), col("n_phones"))
+
+  // ── Repetition signals (Gopher-style quality filters) ─────────────
+
+  /**
+   * Per-document repetition statistics — the Gopher/C4 family of
+   * repetition-based quality filters: most-frequent-token count,
+   * most-frequent-2-gram count, longest consecutive same-token run,
+   * and the duplicate-token fraction. Highly repetitive documents
+   * (boilerplate, keyword stuffing, degenerate generations) score
+   * high and get filtered before training.
+   *
+   * Scale shape: explode to (id, pos, token) rows — narrow — then
+   * every aggregate/window is keyed by the document id, so the plan
+   * is id-hash shuffles whose partitions are bounded by document
+   * length regardless of corpus size. No driver-side collection, no
+   * per-document O(len²) lambda work.
+   */
+  def repetitionSignals(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        posexplode(split(
+          regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")))
+      .toDF("id", "pos", "tok")
+    val w = Window.partitionBy("id").orderBy("pos")
+
+    val tokCounts = toks.groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val tokStats = tokCounts.groupBy(col("id")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_tok_n"))
+
+    val gramStats = toks
+      .withColumn("next", lead(col("tok"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .select(col("id"), concat_ws(" ", col("tok"), col("next")).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(max(col("c")).as("top_2gram_n"))
+
+    val runStats = toks
+      .withColumn("chg",
+        when(lag(col("tok"), 1).over(w).isNull ||
+          lag(col("tok"), 1).over(w) =!= col("tok"), 1L).otherwise(0L))
+      .withColumn("seg",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("seg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(max(col("c")).as("max_run"))
+
+    tokStats
+      .join(gramStats, Seq("id"), "left")
+      .join(runStats, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("n_distinct"),
+        col("top_tok_n"),
+        coalesce(col("top_2gram_n"), lit(0L)).as("top_2gram_n"),
+        col("max_run"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_tokens"), 6).as("dup_tok_frac"))
+  }
+
   /** Full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

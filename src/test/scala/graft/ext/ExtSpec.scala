@@ -335,4 +335,42 @@ class ExtSpec extends SparkSpec {
     assert(resized.filter($"out_width" <= 0 || $"out_height" <= 0)
       .count() === 0)
   }
+
+  test("pii scrub: emails, IPv4s, phones redacted with typed " +
+      "placeholders in class order; clean text passes untouched") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@sub.example.org and carol@x.io today"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255, call +1 (555) 010-9999"),
+      (3L, "digits 123 but nothing sensitive here"),
+      (4L, "phone 555-010-1234 x2")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === (("mail <EMAIL> and <EMAIL> today", 2L, 0L, 0L)))
+    // the IPs must be typed <IP>, not swallowed by the phone pattern
+    assert(out(2L) ===
+      (("server at <IP> and <IP>, call <PHONE>", 0L, 2L, 1L)))
+    assert(out(3L) === (("digits 123 but nothing sensitive here", 0L, 0L, 0L)))
+    assert(out(4L) === (("phone <PHONE> x2", 0L, 0L, 1L)))
+  }
+
+  test("repetition signals: top token/2-gram counts, longest run, " +
+      "duplicate-token fraction on crafted documents") {
+    val docs = Seq(
+      // "a b" twice, run of 3 "c"
+      (1L, "a b a b c c c"),
+      // no repetition at all
+      (2L, "x y z"),
+      // single token
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    // doc 1: 7 tokens, 3 distinct, top token c×3, top 2-gram "c c"×2
+    // ("a b" also ×2 — max is 2), run ccc = 3
+    assert(out(1L) === ((7L, 3L, 3L, 2L, 3L, math.round((1 - 3.0 / 7) * 1e6) / 1e6)))
+    assert(out(2L) === ((3L, 3L, 1L, 1L, 1L, 0.0)))
+    assert(out(3L) === ((1L, 1L, 1L, 0L, 1L, 0.0)))
+  }
 }
