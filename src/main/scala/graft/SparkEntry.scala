@@ -597,6 +597,20 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // train/test contamination: 13-gram overlap of each "test" doc
+    // (odd ids) against the "train" corpus (even ids) — the
+    // decontamination pass run before training. Hash-keyed semi-join;
+    // the oracle joins the gram STRINGS, so a green row also
+    // certifies the 60-bit hash join is collision-free here.
+    "q_contamination" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      Dedup.contamination(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 13)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // the C4-style corpus cleanup, composed end to end: language
     // filter → quality gate → exact dedup (keep min id per
     // fingerprint) — the flagship training-data pipeline shape,
@@ -1095,6 +1109,30 @@ object SparkEntry {
          |       CAST(len(regexp_extract_all(t2, '${TextAnalysis.PhoneRe}'))
          |         AS BIGINT) AS n_phones
          |FROM s2""".stripMargin,
+
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |docs AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+        |    ELSE [array_to_string(toks[i:i+12], ' ')
+        |          FOR i IN range(1, len(toks) - 11)] END) AS sh
+        |  FROM toks),
+        |traing AS (SELECT DISTINCT unnest(sh) AS g FROM docs
+        |           WHERE doc_id % 2 = 0),
+        |testg AS (SELECT doc_id, unnest(sh) AS g FROM docs
+        |          WHERE doc_id % 2 = 1),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM testg
+        |        GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS n_hit FROM testg
+        |        WHERE g IN (SELECT g FROM traing) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+        |       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams, 6)
+        |         AS contaminated_frac
+        |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin,
 
     "q_quality_repetition" ->
       """WITH toks AS (

@@ -325,6 +325,43 @@ object Dedup {
     * pass (graft.functions.SortedIntersectSize) instead of the
     * hash-set-per-call `array_intersect`/`array_union` pair;
     * |A∪B| = |A| + |B| - |A∩B|. */
+  /**
+   * Train/test contamination check — the standard n-gram-overlap
+   * decontamination pass an LLM data pipeline runs before training:
+   * for every test/eval document, the count and fraction of its
+   * distinct `n`-grams (default 13, the common convention) that
+   * appear anywhere in the training corpus.
+   *
+   * Scale shape: both corpora explode to (id, gram-hash) rows; the
+   * training side collapses to DISTINCT 8-byte hashes (one shuffle),
+   * the test side left-semi-joins it on the hash (second shuffle) and
+   * re-aggregates per document. Nothing is broadcast or collected —
+   * at 100 TB the distinct-gram frame shards across executors like
+   * any other key set, and AQE picks a broadcast semi-join by itself
+   * whenever the training gram set is genuinely small.
+   */
+  def contamination(
+      train: DataFrame, test: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    def gramHashes(df: DataFrame): DataFrame =
+      graft.util.Tables.spread(df)
+        .select(col(idCol).as("id"),
+          explode(shingles(col(textCol), n)).as("g"))
+        .select(col("id"), TextAnalysis.portableHash60(col("g")).as("gh"))
+    val trainGrams = gramHashes(train).select(col("gh")).distinct()
+    val testGrams = gramHashes(test)
+    // shingles() emits distinct grams, so count(*) = distinct grams
+    val totals = testGrams.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = testGrams.join(trainGrams, Seq("gh"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("contaminated_frac"))
+  }
+
   def jaccardExpr(a: Column, b: Column): Column = {
     val inter = graft.functions.GraftFunctions.sorted_intersect_size(a, b)
     inter.cast("double") /

@@ -373,4 +373,22 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) === ((3L, 3L, 1L, 1L, 1L, 0.0)))
     assert(out(3L) === ((1L, 1L, 1L, 0L, 1L, 0.0)))
   }
+
+  test("contamination: test docs sharing an n-gram with train are " +
+      "flagged with exact gram counts; clean docs report zero") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val test = Seq(
+      // contains "quick brown fox" (1 of its 4 trigrams in train)
+      (1L, "a very quick brown fox appears"),
+      // fully contained passage: all trigrams of this text are in train
+      (2L, "quick brown fox jumps over"),
+      (3L, "completely unrelated words here")).toDF("doc_id", "text")
+    val out = Dedup.contamination(train, test, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((4L, 1L, 0.25)))
+    assert(out(2L) === ((3L, 3L, 1.0)))
+    assert(out(3L) === ((2L, 0L, 0.0)))
+  }
 }
