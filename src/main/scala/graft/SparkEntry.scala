@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Diff, DiffOptions, Records}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Assemble, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.mapper.Mapper
 import graft.pipeline.{ImportService, Preset}
 import graft.sources.InlineSource
@@ -597,6 +597,33 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // unigram-LM surprisal scoring (the CCNet/KenLM quality-filter
+    // shape: corpus-trained token frequencies → per-doc total/mean
+    // surprisal; integer micro-nats before the sum, so the aggregate
+    // is exact and order-free)
+    "q_unigram_ppl" -> ((s, dir) =>
+      Assemble.unigramSurprisal(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // deterministic domain-mixture sampling over events: hit target
+    // event_type proportions 1:3:6 by downsampling only; exact
+    // integer thresholds end to end (signup/error carry no weight —
+    // dropped)
+    "q_mix_domains" -> ((s, dir) =>
+      Assemble.mixture(tbl(s, dir, "events"), "event_id", "event_type",
+        Map("view" -> 1L, "click" -> 3L, "purchase" -> 6L))
+        .select(col("event_id"), col("event_type"), col("user_id"))),
+
+    // sequence packing: documents → fixed-512-token training
+    // sequences in 8 hash shards (greedy concat-and-chop in id order
+    // per shard)
+    "q_seq_pack" -> ((s, dir) =>
+      Assemble.packSequences(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        seqLen = 512, shards = 8)
+        .withColumnRenamed("id", "doc_id")),
+
     // train/test contamination: 13-gram overlap of each "test" doc
     // (odd ids) against the "train" corpus (even ids) — the
     // decontamination pass run before training. Hash-keyed semi-join;
@@ -1109,6 +1136,57 @@ object SparkEntry {
          |       CAST(len(regexp_extract_all(t2, '${TextAnalysis.PhoneRe}'))
          |         AS BIGINT) AS n_phones
          |FROM s2""".stripMargin,
+
+    "q_unigram_ppl" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |freq AS (SELECT tok, count(*) AS c FROM flat GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(-ln(CAST(c AS DOUBLE) / total) * 1000000)
+        |          AS BIGINT) AS u
+        |      FROM flat JOIN freq USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(u) AS BIGINT) AS surprisal_unats,
+        |       round(CAST(sum(u) AS DOUBLE) / 1000000.0 / count(*), 6)
+        |         AS mean_nats
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    "q_mix_domains" -> {
+      val hash = duckHash60("CAST(event_id AS VARCHAR)")
+      s"""WITH c AS (SELECT event_type AS d, count(*) AS cd FROM events
+         |           GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES ('view', 1), ('click', 3),
+         |                            ('purchase', 6)) AS t(d, wt)),
+         |b AS (SELECT min(cd // wt) AS bu FROM c JOIN w USING (d)),
+         |th AS (SELECT d, (wt * bu * 1000000) // cd AS thr
+         |       FROM c JOIN w USING (d) CROSS JOIN b)
+         |SELECT event_id, event_type, user_id
+         |FROM events JOIN th ON event_type = th.d
+         |WHERE $hash % 1000000 < thr""".stripMargin
+    },
+
+    "q_seq_pack" -> {
+      val hash = duckHash60("CAST(doc_id AS VARCHAR)")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS BIGINT) AS n_tokens,
+         |    $hash % 8 AS shard
+         |  FROM documents),
+         |o AS (SELECT doc_id, shard, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+         |      FROM base)
+         |SELECT doc_id, shard, n_tokens,
+         |       CAST(tok_offset AS BIGINT) AS tok_offset,
+         |       CAST(tok_offset // 512 AS BIGINT) AS seq_id
+         |FROM o""".stripMargin
+    },
 
     "q_contamination" ->
       """WITH toks AS (

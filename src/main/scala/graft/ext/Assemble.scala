@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-assembly operators — the steps between "cleaned documents"
+ * and "training batches" in an LLM data pipeline (engine extension
+ * beyond the reference surface; BASELINE.json north star):
+ *
+ *  - unigram-LM surprisal scoring (the CCNet/KenLM quality-filter
+ *    shape, with a corpus-trained unigram model standing in for the
+ *    external KenLM binary — identical plan shape);
+ *  - deterministic domain-mixture sampling (hit target domain
+ *    proportions via downsampling only, exact integer arithmetic);
+ *  - sequence packing (assign documents to fixed-token-budget
+ *    training sequences, sharded for parallelism).
+ *
+ * All outputs are reproducible under any partitioning and replayable
+ * by another engine — decisions key on ids and exact integers, never
+ * on row order or Spark's RNG.
+ */
+object Assemble {
+
+  private val Buckets = 1000000L
+
+  /**
+   * Per-document unigram surprisal: train a unigram LM on the corpus
+   * itself (token frequencies), then score every document by total
+   * and mean token surprisal −ln p(tok). Low-mean documents are
+   * commonplace/repetitive; high-mean ones are rare-token noise —
+   * both tails get filtered (the CCNet perplexity-filter shape; a
+   * real deployment swaps the frequency JOIN for a KenLM scorer UDF,
+   * the plan stays identical).
+   *
+   * Scale shape: one explode + one groupBy(token) for the model, one
+   * hash join back (AQE broadcasts it while the vocab is small), one
+   * groupBy(id). Surprisals are fixed to integer micro-nats BEFORE
+   * the per-document sum, so the aggregate is exact-integer —
+   * order-free, engine-portable (FP summation order never leaks into
+   * the result).
+   */
+  def unigramSurprisal(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        explode(split(
+          regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
+          .as("tok"))
+    val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freqs.agg(sum(col("c")).as("total"))
+    val scored = toks
+      .join(freqs, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        floor(-log(col("c").cast("double") / col("total")) * 1000000L)
+          .cast("long").as("u"))
+    scored.groupBy(col("id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("u")).as("surprisal_unats"))
+      .select(col("id"), col("n_tokens"), col("surprisal_unats"),
+        round(col("surprisal_unats").cast("double") / 1000000.0 /
+          col("n_tokens"), 6).as("mean_nats"))
+  }
+
+  /**
+   * Deterministic domain-mixture sampling: downsample each domain so
+   * the surviving corpus hits the target proportions `weights`
+   * (relative integer weights) with maximum retention. Entirely
+   * exact-integer: the scaled budget per domain is
+   * `w_d * min_d(count_d div w_d)` and the keep-threshold is its
+   * bucket share `(budget_d * 1e6) div count_d` — no double ever
+   * enters the decision, so every engine selects the identical rows.
+   * Domains absent from `weights` are dropped (weight 0).
+   *
+   * The per-domain counts are ≤ |domains| longs — driver-side
+   * metadata, not data (the same contract as IVF centroids). The
+   * selection itself is a pure narrow hash filter, zero shuffles.
+   */
+  def mixture(
+      df: DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (d, _) => counts.getOrElse(d, 0L) > 0 }
+    val budgetUnit = present.map { case (d, w) => counts(d) / w }
+      .foldLeft(Long.MaxValue)(math.min)
+    val thresholds: Map[String, Long] = present.map { case (d, w) =>
+      d -> (w * budgetUnit * Buckets) / counts(d)
+    }
+    val thresholdCol = thresholds.foldLeft(lit(0L)) {
+      case (acc, (d, thr)) =>
+        when(col(domainCol) === d, lit(thr)).otherwise(acc)
+    }
+    df.filter(
+      pmod(TextAnalysis.portableHash60(col(idCol).cast("string")),
+        lit(Buckets)) < thresholdCol)
+  }
+
+  /**
+   * Sequence packing: assign documents to fixed-token-budget training
+   * sequences. Documents shard by id hash (the parallel unit — real
+   * packing runs per output shard); within a shard they pack in id
+   * order by cumulative token offset, and a document belongs to the
+   * sequence its first token falls in (`offset div seqLen` — the
+   * greedy concat-and-chop packer used for pretraining).
+   *
+   * Scale shape: one narrow projection, then per-shard window cumsum
+   * — partitions bounded by shard size, shards chosen for the target
+   * write layout. Every column is an exact integer.
+   */
+  def packSequences(
+      df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int = 2048, shards: Int = 64): DataFrame = {
+    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    val base = graft.util.Tables.spread(df).select(
+      col(idCol).as("id"),
+      TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"),
+      pmod(TextAnalysis.portableHash60(col(idCol).cast("string")),
+        lit(shards.toLong)).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base
+      .withColumn("tok_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("id"), col("shard"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div ${seqLen.toLong}").as("seq_id"))
+  }
+}

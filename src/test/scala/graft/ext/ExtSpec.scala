@@ -391,4 +391,50 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) === ((3L, 3L, 1.0)))
     assert(out(3L) === ((2L, 0L, 0.0)))
   }
+
+  test("unigram surprisal: exact micro-nat accounting on a " +
+      "hand-computed corpus") {
+    // corpus = 6 tokens, a×3 b×3 ⇒ p = 1/2 each,
+    // surprisal = ln 2 ⇒ floor(693147.18…) = 693147 µnats/token
+    val docs = Seq((1L, "a a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val out = Assemble.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 3L * 693147L, 0.693147)))
+    assert(out(2L) === ((3L, 3L * 693147L, 0.693147)))
+  }
+
+  test("mixture: exact-integer thresholds hit the target proportions " +
+      "by downsampling only; unweighted domains drop") {
+    val rows = (1L to 10L).map(i => (i, "x")) ++
+      Seq((11L, "y"), (12L, "y")) ++ Seq((13L, "z"))
+    val df = rows.toDF("id", "domain")
+    val out = Assemble.mixture(df, "id", "domain",
+      Map("x" -> 1L, "y" -> 1L)).collect()
+    // budgetUnit = min(10/1, 2/1) = 2 ⇒ budgets x=2, y=2:
+    // y keeps everything (threshold 1e6); z has no weight ⇒ dropped
+    assert(out.count(_.getString(1) == "y") === 2)
+    assert(out.count(_.getString(1) == "z") === 0)
+    // x downsamples via threshold 2*1e6/10 = 200000 — exactly the
+    // ids whose hash bucket is under it (reproducible every run)
+    val expectedX = df.filter($"domain" === "x").filter(
+      pmod(TextAnalysis.portableHash60($"id".cast("string")), lit(1000000L))
+        < 200000L).count()
+    assert(out.count(_.getString(1) == "x") === expectedX)
+    assert(expectedX < 10) // the threshold actually bites
+  }
+
+  test("sequence packing: greedy concat-and-chop in id order, " +
+      "offsets and sequence ids exact") {
+    val docs = Seq(
+      (1L, "t1 t2 t3"), (2L, "t1 t2"), (3L, "t1 t2 t3 t4"))
+      .toDF("doc_id", "text")
+    val out = Assemble.packSequences(docs, "doc_id", "text",
+      seqLen = 4, shards = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((0L, 3L, 0L, 0L)))
+    assert(out(2L) === ((0L, 2L, 3L, 0L)))
+    assert(out(3L) === ((0L, 4L, 5L, 1L)))
+  }
 }
