@@ -245,8 +245,11 @@ object Similarity {
         val a = v.map(_.asInstanceOf[Float].toDouble).toArray
         normalize(a); a
     }
-    require(sample.length >= nCells,
-      s"need at least $nCells sample vectors, got ${sample.length}")
+    // Degenerate corpora cap the cell count instead of failing: an
+    // empty or tiny input (a pruned partition, a fresh tenant) must
+    // flow through, not abort the pipeline.
+    if (sample.isEmpty) return Nil
+    val kCells = math.min(nCells, sample.length)
     val d = sample.head.length
 
     // farthest-point init: start from the first sample (hash-order ⇒
@@ -254,7 +257,7 @@ object Similarity {
     // its nearest chosen centroid
     val centers = scala.collection.mutable.ArrayBuffer(sample.head.clone())
     val bestSim = Array.fill(sample.length)(Double.MinValue)
-    while (centers.length < nCells) {
+    while (centers.length < kCells) {
       var worst = 0; var worstSim = Double.MaxValue
       var i = 0
       while (i < sample.length) {
@@ -269,13 +272,13 @@ object Similarity {
     // Lloyd rounds on the sample
     var round = 0
     while (round < iters) {
-      val sums = Array.fill(nCells)(new Array[Double](d))
-      val counts = new Array[Int](nCells)
+      val sums = Array.fill(kCells)(new Array[Double](d))
+      val counts = new Array[Int](kCells)
       var i = 0
       while (i < sample.length) {
         var best = 0; var bs = Double.MinValue
         var c = 0
-        while (c < nCells) {
+        while (c < kCells) {
           val s = dotArr(sample(i), centers(c))
           if (s > bs) { bs = s; best = c }
           c += 1
@@ -287,7 +290,7 @@ object Similarity {
         i += 1
       }
       var c = 0
-      while (c < nCells) {
+      while (c < kCells) {
         if (counts(c) > 0) {
           val m = sums(c)
           normalize(m)
@@ -323,8 +326,11 @@ object Similarity {
     * stack cannot. */
   def centroidProbe(
       vec: Column, centroids: Seq[Seq[Float]], nProbe: Int): Column = {
-    require(nProbe >= 1 && nProbe <= centroids.length,
-      "nProbe must be in [1, centroids.length]")
+    require(nProbe >= 1 && centroids.nonEmpty,
+      "nProbe must be >= 1 and centroids non-empty")
+    // a tiny trained model (degenerate corpus) clamps the probe
+    // fan-out rather than failing
+    val probes = math.min(nProbe, centroids.length)
     val cents = typedLit(centroids)
     val scored = transform(cents, (c, i) => struct(
       graft.functions.GraftFunctions.cosine_sim(vec, c).as("s"),
@@ -333,7 +339,7 @@ object Similarity {
       when(a.getField("s") > b.getField("s"), -1)
         .when(a.getField("s") < b.getField("s"), 1)
         .otherwise((a.getField("c") - b.getField("c")).cast("int")))
-    transform(slice(bySim, 1, nProbe), x => x.getField("c").cast("int"))
+    transform(slice(bySim, 1, probes), x => x.getField("c").cast("int"))
   }
 
   /** Nearest trained centroid (argmax cosine) — the corpus-side
@@ -352,6 +358,11 @@ object Similarity {
       corpus: DataFrame, threshold: Double, centroids: Seq[Seq[Float]],
       nProbe: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // no centroids ⇔ the training corpus was empty ⇒ no pairs
+    // (schema preserved from the corpus id type)
+    if (centroids.isEmpty)
+      return corpus.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
+        lit(0.0).as("sim")).limit(0)
     val celled = graft.util.Tables.spread(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         explode(centroidProbe(col(vecCol), centroids, nProbe)).as("cell"))
@@ -380,6 +391,10 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       centroids: Seq[Seq[Float]], nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // no centroids ⇔ the training corpus was empty ⇒ no neighbors
+    if (centroids.isEmpty)
+      return queries.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
+        lit(0.0).as("sim"), lit(1).as("rank")).limit(0)
     val c = graft.util.Tables.spread(corpus)
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         centroidAssign(col(vecCol), centroids).as("cell"))

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Robustness: every `SparkEntry.queries` entry must run (and return
+ * an empty result, not crash) on EMPTY input tables with the
+ * production schemas. At 100 TB this is not a corner case — a
+ * partition-pruned scan, a fresh tenant, or a filtered branch hands
+ * every operator a zero-row frame routinely; `head()` on empty,
+ * divide-by-zero in a ratio, or a `require` on corpus size must not
+ * take the pipeline down.
+ */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_").toString
+    val src = "/root/testdata/sf0.001"
+    new java.io.File(src).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        // limit(0) preserves the exact schema, including the nanos ts
+        spark.read.parquet(f.getAbsolutePath).limit(0)
+          .write.mode("overwrite").parquet(s"$dir/${f.getName}")
+      }
+    dir
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name returns an empty result on empty inputs") {
+      val n = fn(spark, emptyDir).count()
+      assert(n === 0L, s"$name produced $n rows from empty inputs")
+      spark.catalog.clearCache()
+    }
+  }
+}
