@@ -392,6 +392,20 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) === ((2L, 0L, 0.0)))
   }
 
+  test("null text flows through the text operators without crashing " +
+      "(null scores / zero rows, never an NPE)") {
+    val docs = Seq((1L, "real words here"), (2L, null))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.analyze(docs).count() === 2)
+    assert(TextAnalysis.piiScrub(docs, "doc_id", "text").count() === 2)
+    // explode of a null token array simply drops the document
+    assert(TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .count() === 1)
+    assert(Assemble.unigramSurprisal(docs, "doc_id", "text").count() === 1)
+    assert(Assemble.packSequences(docs, "doc_id", "text").count() === 2)
+    assert(Dedup.exact(docs, "doc_id", "text").count() >= 1)
+  }
+
   test("unigram surprisal: exact micro-nat accounting on a " +
       "hand-computed corpus") {
     // corpus = 6 tokens, a×3 b×3 ⇒ p = 1/2 each,
