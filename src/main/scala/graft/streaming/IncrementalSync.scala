@@ -86,6 +86,27 @@ object IncrementalSync {
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100).cast("long")).as("value_cents"))
 
+  /**
+   * Watermarked stream-stream interval join: each right-side row
+   * joins left-side rows of the same key whose timestamp precedes it
+   * by at most `horizon` (click-to-view attribution, impression
+   * matching). BOTH sides carry watermarks and the join predicate
+   * bounds the time range in BOTH directions — that is what lets
+   * Spark evict join state; an unbounded stream-stream join grows
+   * state forever (the same class of leak streamingDedup avoids).
+   */
+  def streamIntervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      tsCol: String = "ts", watermark: String = "10 minutes",
+      horizon: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r, expr(
+      s"""l.$key = r.$key AND
+         |r.$tsCol >= l.$tsCol AND
+         |r.$tsCol <= l.$tsCol + interval $horizon""".stripMargin))
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
       value: Double)
   final case class SessionState(nEvents: Long, totalCents: Long,

@@ -88,6 +88,35 @@ class StreamingSpec extends SparkSpec {
     assert(kept.intersect(Set(1L, 2L)).size === 1)
   }
 
+  test("stream-stream interval join: clicks attribute to views of the " +
+      "same user within the horizon; outside-horizon clicks drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("stream-ssjoin")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(mins: Int) = new java.sql.Timestamp(t0.getTime + mins * 60000L)
+
+    val views = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    views.addData((1L, t0, "v1"), (2L, t0, "v2"))
+    clicks.addData(
+      (1L, at(10), "c-in"),      // within 30 min of v1 → joins
+      (1L, at(120), "c-late"),   // beyond horizon → dropped
+      (2L, at(-5), "c-before"))  // before the view → dropped
+    val joined = IncrementalSync.streamIntervalJoin(
+      views.toDF().toDF("user_id", "ts", "view_id"),
+      clicks.toDF().toDF("user_id", "ts", "click_id"),
+      key = "user_id", horizon = "30 minutes")
+      .select(col("l.view_id"), col("r.click_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("ssjoin").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("v1", "c-in")))
+  }
+
   test("flatMapGroupsWithState session tracking") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[IncrementalSync.SessionEvent]
