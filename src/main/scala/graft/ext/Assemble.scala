@@ -36,32 +36,45 @@ object Assemble {
    *
    * Scale shape: one explode + one groupBy(token) for the model, one
    * hash join back (AQE broadcasts it while the vocab is small), one
-   * groupBy(id). Surprisals are fixed to integer micro-nats BEFORE
-   * the per-document sum, so the aggregate is exact-integer —
-   * order-free, engine-portable (FP summation order never leaks into
-   * the result).
+   * groupBy(id). The token frame feeds the model AND the scoring
+   * pass, so it is persisted for the call and the (per-document)
+   * result handed back localCheckpoint'ed — computed, lineage-free,
+   * no unpersist obligation on the caller (the minhashDedup
+   * contract).
+   *
+   * Parity note: fixing surprisals to integer micro-nats BEFORE the
+   * per-document sum makes the aggregate order-free — FP summation
+   * order never leaks into the result. The per-token floor itself
+   * still evaluates `ln` on each engine's libm; a value landing
+   * within 1 ulp of a micro-nat boundary could floor differently
+   * (probability ~1e-10 per distinct frequency; both gate scale
+   * factors verified clean). A production deployment pins the scorer
+   * library (KenLM) anyway.
    */
   def unigramSurprisal(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = graft.util.Tables.spread(df)
       .select(col(idCol).as("id"),
-        explode(split(
-          regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
-          .as("tok"))
+        explode(TextAnalysis.normTokens(col(textCol))).as("tok"))
+      .persist()
     val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val total = freqs.agg(sum(col("c")).as("total"))
-    val scored = toks
-      .join(freqs, Seq("tok"))
-      .crossJoin(broadcast(total))
-      .select(col("id"),
-        floor(-log(col("c").cast("double") / col("total")) * 1000000L)
-          .cast("long").as("u"))
-    scored.groupBy(col("id")).agg(
-      count(lit(1)).as("n_tokens"),
-      sum(col("u")).as("surprisal_unats"))
-      .select(col("id"), col("n_tokens"), col("surprisal_unats"),
-        round(col("surprisal_unats").cast("double") / 1000000.0 /
-          col("n_tokens"), 6).as("mean_nats"))
+      .persist()
+    try {
+      val total = freqs.agg(sum(col("c")).as("total"))
+      val scored = toks
+        .join(freqs, Seq("tok"))
+        .crossJoin(broadcast(total))
+        .select(col("id"),
+          floor(-log(col("c").cast("double") / col("total")) * 1000000L)
+            .cast("long").as("u"))
+      scored.groupBy(col("id")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("u")).as("surprisal_unats"))
+        .select(col("id"), col("n_tokens"), col("surprisal_unats"),
+          round(col("surprisal_unats").cast("double") / 1000000.0 /
+            col("n_tokens"), 6).as("mean_nats"))
+        .localCheckpoint()
+    } finally { toks.unpersist(); freqs.unpersist() }
   }
 
   /**
@@ -89,7 +102,11 @@ object Assemble {
     val budgetUnit = present.map { case (d, w) => counts(d) / w }
       .foldLeft(Long.MaxValue)(math.min)
     val thresholds: Map[String, Long] = present.map { case (d, w) =>
-      d -> (w * budgetUnit * Buckets) / counts(d)
+      // BigInt: w·budgetUnit is bounded by the domain count, so the
+      // ·1e6 product overflows Long once a weighted domain passes
+      // ~9e12 rows — driver-side metadata math, so arbitrary
+      // precision costs nothing (the quotient is always ≤ 1e6)
+      d -> ((BigInt(w) * budgetUnit * Buckets) / counts(d)).toLong
     }
     val thresholdCol = thresholds.foldLeft(lit(0L)) {
       case (acc, (d, thr)) =>

@@ -56,7 +56,7 @@ object Dedup {
    * relies on; set semantics downstream are order-independent.
    */
   def shingles(text: Column, n: Int = 3): Column = {
-    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val tokens = TextAnalysis.normTokens(text)
     val nTok = size(tokens)
     val grams = (2 to n).foldLeft(tokens) { (acc, k) =>
       zip_with(acc, slice(tokens, lit(k), greatest(nTok - k + 1, lit(0))),
@@ -321,10 +321,6 @@ object Dedup {
 
   // ── 4. n-gram Jaccard ───────────────────────────────────────────
 
-  /** |A∩B| / |A∪B| over SORTED shingle arrays: one codegen'd merge
-    * pass (graft.functions.SortedIntersectSize) instead of the
-    * hash-set-per-call `array_intersect`/`array_union` pair;
-    * |A∪B| = |A| + |B| - |A∩B|. */
   /**
    * Train/test contamination check — the standard n-gram-overlap
    * decontamination pass an LLM data pipeline runs before training:
@@ -349,19 +345,30 @@ object Dedup {
           explode(shingles(col(textCol), n)).as("g"))
         .select(col("id"), TextAnalysis.portableHash60(col("g")).as("gh"))
     val trainGrams = gramHashes(train).select(col("gh")).distinct()
-    val testGrams = gramHashes(test)
-    // shingles() emits distinct grams, so count(*) = distinct grams
-    val totals = testGrams.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_grams"))
-    val hits = testGrams.join(trainGrams, Seq("gh"), "left_semi")
-      .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
-    totals.join(hits, Seq("id"), "left")
-      .select(col("id"), col("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
-          col("n_grams"), 6).as("contaminated_frac"))
+    // the test grams feed BOTH the totals and the hit join — persist
+    // for the call so the test corpus shingles once; result handed
+    // back localCheckpoint'ed (computed, lineage-free, no unpersist
+    // obligation on the caller)
+    val testGrams = gramHashes(test).persist()
+    try {
+      // shingles() emits distinct grams, so count(*) = distinct grams
+      val totals = testGrams.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val hits = testGrams.join(trainGrams, Seq("gh"), "left_semi")
+        .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+      totals.join(hits, Seq("id"), "left")
+        .select(col("id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_grams"), 6).as("contaminated_frac"))
+        .localCheckpoint()
+    } finally { testGrams.unpersist() }
   }
 
+  /** |A∩B| / |A∪B| over SORTED shingle arrays: one codegen'd merge
+    * pass (graft.functions.SortedIntersectSize) instead of the
+    * hash-set-per-call `array_intersect`/`array_union` pair;
+    * |A∪B| = |A| + |B| - |A∩B|. */
   def jaccardExpr(a: Column, b: Column): Column = {
     val inter = graft.functions.GraftFunctions.sorted_intersect_size(a, b)
     inter.cast("double") /

@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /** The ONE canonical tokenization every shingle/hash/stat operator
+    * shares: lowercase, trim, collapse whitespace, split on single
+    * spaces. The DuckDB oracles replay this normalization verbatim
+    * (`regexp_split_to_array(regexp_replace(lower(trim(text)),
+    * '\s+', ' ', 'g'), ' ')`) — keeping it in one place keeps the
+    * cross-engine contract in one place. */
+  def normTokens(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
   /** Whitespace token count (empty/blank text ⇒ 0). */
   def wsTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
@@ -107,7 +116,7 @@ object TextAnalysis {
     * come from [[portableHash60]], so an oracle can replay the exact
     * polynomial (acc*31 + h) mod p in another engine. */
   def rollingHash(text: Column): Column = {
-    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val tokens = normTokens(text)
     aggregate(tokens, lit(0L),
       (acc, t) => pmod(acc * 31 + pmod(portableHash60(t), lit(1000003L)),
         lit(2147483647L)))
@@ -123,7 +132,7 @@ object TextAnalysis {
    * content-defined chunking ([[cdcChunkHashes]]).
    */
   def chunkHashes(text: Column, chunkTokens: Int = 32): Column = {
-    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val tokens = normTokens(text)
     val nChunks = ceil(size(tokens).cast("double") / chunkTokens).cast("int")
     transform(sequence(lit(0), nChunks - 1), i =>
       aggregate(slice(tokens, i * chunkTokens + 1, lit(chunkTokens)), lit(0L),
@@ -150,8 +159,7 @@ object TextAnalysis {
       avgChunkTokens: Int = 64): DataFrame = {
     val toks = graft.util.Tables.spread(df)
       .select(col(idCol).as("id"),
-        posexplode(split(
-          regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")))
+        posexplode(normTokens(col(textCol))))
       .toDF("id", "pos", "tok")
     val hashed = toks.select(col("id"), col("pos"),
       pmod(portableHash60(col("tok")), lit(1000003L)).as("h"))
@@ -220,50 +228,57 @@ object TextAnalysis {
    * every aggregate/window is keyed by the document id, so the plan
    * is id-hash shuffles whose partitions are bounded by document
    * length regardless of corpus size. No driver-side collection, no
-   * per-document O(len²) lambda work.
+   * per-document O(len²) lambda work. The exploded frame feeds three
+   * independent aggregation branches, so it is persisted for the
+   * call (re-deriving it would re-scan and re-explode the corpus 3×)
+   * and the per-document result handed back localCheckpoint'ed —
+   * computed, lineage-free, no unpersist obligation on the caller.
    */
   def repetitionSignals(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = graft.util.Tables.spread(df)
       .select(col(idCol).as("id"),
-        posexplode(split(
-          regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")))
+        posexplode(normTokens(col(textCol))))
       .toDF("id", "pos", "tok")
-    val w = Window.partitionBy("id").orderBy("pos")
+      .persist()
+    try {
+      val w = Window.partitionBy("id").orderBy("pos")
 
-    val tokCounts = toks.groupBy(col("id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-    val tokStats = tokCounts.groupBy(col("id")).agg(
-      sum(col("c")).as("n_tokens"),
-      count(lit(1)).as("n_distinct"),
-      max(col("c")).as("top_tok_n"))
+      val tokCounts = toks.groupBy(col("id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val tokStats = tokCounts.groupBy(col("id")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_tok_n"))
 
-    val gramStats = toks
-      .withColumn("next", lead(col("tok"), 1).over(w))
-      .filter(col("next").isNotNull)
-      .select(col("id"), concat_ws(" ", col("tok"), col("next")).as("g"))
-      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("id")).agg(max(col("c")).as("top_2gram_n"))
+      val gramStats = toks
+        .withColumn("next", lead(col("tok"), 1).over(w))
+        .filter(col("next").isNotNull)
+        .select(col("id"), concat_ws(" ", col("tok"), col("next")).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("id")).agg(max(col("c")).as("top_2gram_n"))
 
-    val runStats = toks
-      .withColumn("chg",
-        when(lag(col("tok"), 1).over(w).isNull ||
-          lag(col("tok"), 1).over(w) =!= col("tok"), 1L).otherwise(0L))
-      .withColumn("seg",
-        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("id"), col("seg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("id")).agg(max(col("c")).as("max_run"))
+      val runStats = toks
+        .withColumn("chg",
+          when(lag(col("tok"), 1).over(w).isNull ||
+            lag(col("tok"), 1).over(w) =!= col("tok"), 1L).otherwise(0L))
+        .withColumn("seg",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("id"), col("seg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("id")).agg(max(col("c")).as("max_run"))
 
-    tokStats
-      .join(gramStats, Seq("id"), "left")
-      .join(runStats, Seq("id"), "left")
-      .select(col("id"), col("n_tokens"), col("n_distinct"),
-        col("top_tok_n"),
-        coalesce(col("top_2gram_n"), lit(0L)).as("top_2gram_n"),
-        col("max_run"),
-        round(lit(1.0) - col("n_distinct").cast("double") /
-          col("n_tokens"), 6).as("dup_tok_frac"))
+      tokStats
+        .join(gramStats, Seq("id"), "left")
+        .join(runStats, Seq("id"), "left")
+        .select(col("id"), col("n_tokens"), col("n_distinct"),
+          col("top_tok_n"),
+          coalesce(col("top_2gram_n"), lit(0L)).as("top_2gram_n"),
+          col("max_run"),
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_tokens"), 6).as("dup_tok_frac"))
+        .localCheckpoint()
+    } finally { toks.unpersist() }
   }
 
   /** Full per-document analysis projection. */

@@ -376,7 +376,11 @@ case class PlaneProjections(child: Expression, nPlanes: Int, seedStride: Int)
  * `plane_bucket(vec, nPlanes, seedStride)` — the sign-pattern LSH
  * bucket id (bit `p` set iff projection `p` ≥ 0) as one long, fused
  * over the same cached matrix as [[PlaneProjections]] (no
- * intermediate array, no per-bit column stack).
+ * intermediate array, no per-bit column stack). Precondition:
+ * non-null float elements (a null slot reads as 0.0, which the HOF
+ * reference formulation instead propagated to a null projection).
+ * A zero-length vector yields bucket 0 — matching the reference
+ * formulation's null-projection → bit-unset behavior.
  */
 case class PlaneBucket(child: Expression, nPlanes: Int, seedStride: Int)
     extends UnaryExpression {
@@ -393,6 +397,7 @@ case class PlaneBucket(child: Expression, nPlanes: Int, seedStride: Int)
   /** Public — invoked from generated code via a reference object. */
   def bucket(vec: ArrayData): Long = {
     val d = vec.numElements()
+    if (d == 0) return 0L // degenerate vector: no bits set
     val m = Planes.matrix(nPlanes, seedStride, d)
     var b = 0L
     var p = 0

@@ -16,7 +16,9 @@ class EmptyInputSpec extends SparkSpec {
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_").toString
     val src = "/root/testdata/sf0.001"
-    new java.io.File(src).listFiles().filter(_.getName.endsWith(".parquet"))
+    val files = Option(new java.io.File(src).listFiles()).getOrElse(
+      fail(s"schema source $src is missing — cannot build empty fixtures"))
+    files.filter(_.getName.endsWith(".parquet"))
       .foreach { f =>
         // limit(0) preserves the exact schema, including the nanos ts
         spark.read.parquet(f.getAbsolutePath).limit(0)
