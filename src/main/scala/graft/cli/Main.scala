@@ -87,6 +87,11 @@ object Main {
         mapping = kv.collect {
           case (k, v) if k.startsWith("mapping.") => k.drop(8) -> v
         }.toSeq,
+        dataProcessor = kv.get("dataProcessor"),
+        processorOptions = kv.collect {
+          case (k, v) if k.startsWith("processor.options.") =>
+            k.drop(18) -> (v: Any)
+        }.toMap,
         idAttribute = kv.getOrElse("idAttribute", "id"),
         versionAttribute = kv.get("versionAttribute"),
         skipAddedRecords = kv.get("skipAddedRecords").contains("true"),

@@ -194,6 +194,17 @@ object TextAnalysis {
     * phone-shaped). */
   val PhoneRe = "\\+?\\d[\\d() .-]{7,}\\d"
 
+  /** The scrub expression alone — emails → IPv4s → phones replaced
+    * in class order with typed placeholders. Schema-preserving, so a
+    * configured dataProcessor can rewrite a text attribute in place
+    * ([[graft.pipeline.Processors]] "scrub_text"). */
+  def piiScrubText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /**
    * PII scrub for training corpora: redact emails → IPv4s → phone
    * numbers (in that order — each class would otherwise swallow the

@@ -80,6 +80,13 @@ final case class PresetConfig(
     mapping: Seq[(String, String)] = Nil,
     /** (name, params, sqlBody) helper functions for `${...}` rules. */
     helpers: Seq[(String, String, String)] = Nil,
+    /** Transform hook by NAME — a registered processor or a
+      * `ClassName::methodName` reference (Preset.php:44-50); resolved
+      * by [[Processors.resolve]] at preset build. */
+    dataProcessor: Option[String] = None,
+    /** Options handed to the configured processor (the reference
+      * passes the preset's options array). */
+    processorOptions: Map[String, Any] = Map.empty,
     idAttribute: String = "id",
     versionAttribute: Option[String] = None,
     skipAddedRecords: Boolean = false,
@@ -204,7 +211,10 @@ object PresetFactory {
           source = mergeOverrule(base.source, raw.source),
           target = mergeOverrule(base.target, raw.target),
           mapping = if (raw.mapping.nonEmpty) raw.mapping else base.mapping,
-          helpers = if (raw.helpers.nonEmpty) raw.helpers else base.helpers)
+          helpers = if (raw.helpers.nonEmpty) raw.helpers else base.helpers,
+          dataProcessor = raw.dataProcessor.orElse(base.dataProcessor),
+          processorOptions =
+            mergeOverrule(base.processorOptions, raw.processorOptions))
       case None => raw
     }
     val sourceConf = mergeOverrule(resolved.source,
@@ -223,8 +233,14 @@ object PresetFactory {
       case n: NodeTarget => n.diffOptions
       case _ => DiffOptions()
     }
+    // resolve at BUILD time so a bad spec fails the preset load, not
+    // the first micro-batch
+    val processor = resolved.dataProcessor.map(Processors.resolve).map {
+      p => (df: DataFrame) => p(df, resolved.processorOptions)
+    }
     Preset(source, target, Mapper(resolved.mapping),
       helpers = resolved.helpers,
+      dataProcessor = processor,
       idAttribute = resolved.idAttribute,
       versionAttribute = resolved.versionAttribute,
       skipAddedRecords = resolved.skipAddedRecords,

@@ -4,6 +4,17 @@ import graft.SparkSpec
 import graft.sources.FileSource
 import graft.targets.FileTarget
 
+/** Reflection targets for the `ClassName::methodName` dataProcessor
+  * contract (Preset.php:44-50). */
+object TestProcs {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  def tag(df: DataFrame, options: Map[String, Any]): DataFrame =
+    df.withColumn("tag", lit(options.getOrElse("marker", "?").toString))
+  def passThrough(df: DataFrame): DataFrame = df
+  def notAProcessor(df: DataFrame): String = df.toString
+}
+
 /** Options schema + preset templates/overrides (C5/C6). */
 class ConfigSpec extends SparkSpec {
 
@@ -145,6 +156,84 @@ class ConfigSpec extends SparkSpec {
     import spark.implicits._
     assert(spark.read.parquet(s"$dir/out").select("name").as[String]
       .head() === "ADA")
+  }
+
+  test("dataProcessor configured by NAME runs in the pipeline " +
+      "(Preset.php:44-50): registry processor scrubs in place") {
+    val dir = tmpDir("proc")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data.json"),
+      """[{"id": "a", "version": 1,
+        |  "text": "mail me at bob@example.org today"}]"""
+        .stripMargin.replace("\n", ""))
+    val presets = Map("p" -> PresetConfig(
+      source = Map("type" -> "file",
+        "options" -> Map("filePath" -> s"$dir/data.json")),
+      target = Map("type" -> "file",
+        "options" -> Map("path" -> s"$dir/out")),
+      mapping = Seq("text" -> "text"),
+      dataProcessor = Some("scrub_text"),
+      versionAttribute = Some("version")))
+    val r = new ImportService(PresetFactory.create(presets, "p"))
+      .importData(spark)
+    assert(r.added === 1)
+    import spark.implicits._
+    assert(spark.read.parquet(s"$dir/out").select("text").as[String]
+      .head() === "mail me at <EMAIL> today")
+  }
+
+  test("dataProcessor as ClassName::methodName resolves via " +
+      "reflection, receives the options map; bad specs fail at " +
+      "preset build with the reference's error shape") {
+    val tag = Processors.resolve("graft.pipeline.TestProcs::tag")
+    import spark.implicits._
+    val out = tag(Seq(("a", 1L)).toDF("id", "version"),
+      Map("marker" -> "X"))
+    assert(out.columns.contains("tag") &&
+      out.select("tag").as[String].head() === "X")
+    // one-arg form (no options) also resolves
+    val noop = Processors.resolve("graft.pipeline.TestProcs::passThrough")
+    assert(noop(Seq(("a", 1L)).toDF("id", "version"), Map.empty)
+      .count() === 1)
+    // unknown name, missing class, non-DataFrame return all fail fast
+    intercept[PresetFactory.ConfigException] {
+      Processors.resolve("no_such_processor")
+    }
+    intercept[PresetFactory.ConfigException] {
+      Processors.resolve("graft.pipeline.NoSuchClass::m")
+    }
+    intercept[PresetFactory.ConfigException] {
+      Processors.resolve("graft.pipeline.TestProcs::notAProcessor")
+    }
+  }
+
+  test("CLI presets file: dataProcessor + processor.options keys " +
+      "parse and flow into the run") {
+    val dir = tmpDir("procfile")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data.json"),
+      """[{"id": "a", "version": 1, "text": "low"},
+        | {"id": "b", "version": 1,
+        |  "text": "the cat and the dog sat in it and a rug is here """
+        .stripMargin.replace("\n", "") + ("word " * 100) + "\"}]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "presets.conf"),
+      s"""p.source.type = file
+         |p.source.options.filePath = $dir/data.json
+         |p.target.type = file
+         |p.target.options.path = $dir/out
+         |p.mapping.text = text
+         |p.dataProcessor = filter_quality
+         |p.processor.options.minQuality = 0.5
+         |p.versionAttribute = version
+         |""".stripMargin)
+    val presets = graft.cli.Main.parsePresetFile(s"$dir/presets.conf")
+    assert(presets("p").dataProcessor === Some("filter_quality"))
+    assert(presets("p").processorOptions === Map("minQuality" -> "0.5"))
+    val r = new ImportService(PresetFactory.create(presets, "p"))
+      .importData(spark)
+    // the low-quality one-word doc is filtered before the diff
+    assert(r.added === 1)
   }
 
   test("CLI k=v overrides: quoted values carry ',' and '=' " +
