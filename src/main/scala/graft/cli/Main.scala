@@ -88,9 +88,12 @@ object Main {
           case (k, v) if k.startsWith("mapping.") => k.drop(8) -> v
         }.toSeq,
         dataProcessor = kv.get("dataProcessor"),
+        // one key family: `dataProcessor = name` +
+        // `dataProcessor.options.k = v` (a `processor.options.` typo
+        // would otherwise be swallowed silently)
         processorOptions = kv.collect {
-          case (k, v) if k.startsWith("processor.options.") =>
-            k.drop(18) -> (v: Any)
+          case (k, v) if k.startsWith("dataProcessor.options.") =>
+            k.stripPrefix("dataProcessor.options.") -> (v: Any)
         }.toMap,
         idAttribute = kv.getOrElse("idAttribute", "id"),
         versionAttribute = kv.get("versionAttribute"),

@@ -40,7 +40,9 @@ object Assemble {
    * pass, so it is persisted for the call and the (per-document)
    * result handed back localCheckpoint'ed — computed, lineage-free,
    * no unpersist obligation on the caller (the minhashDedup
-   * contract).
+   * contract). The trade: checkpoint blocks are not recomputable
+   * under executor loss — long-lived consumers at cluster scale
+   * should write the result to storage rather than hold the frame.
    *
    * Parity note: fixing surprisals to integer micro-nats BEFORE the
    * per-document sum makes the aggregate order-free — FP summation

@@ -348,7 +348,8 @@ object Dedup {
     // the test grams feed BOTH the totals and the hit join — persist
     // for the call so the test corpus shingles once; result handed
     // back localCheckpoint'ed (computed, lineage-free, no unpersist
-    // obligation on the caller)
+    // obligation on the caller; not recomputable under executor
+    // loss — persist to storage for long-lived use)
     val testGrams = gramHashes(test).persist()
     try {
       // shingles() emits distinct grams, so count(*) = distinct grams

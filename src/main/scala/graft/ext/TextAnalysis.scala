@@ -244,6 +244,9 @@ object TextAnalysis {
    * call (re-deriving it would re-scan and re-explode the corpus 3×)
    * and the per-document result handed back localCheckpoint'ed —
    * computed, lineage-free, no unpersist obligation on the caller.
+   * The trade: checkpoint blocks are not recomputable under executor
+   * loss — long-lived consumers at cluster scale should write the
+   * result to storage rather than hold the frame.
    */
   def repetitionSignals(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -329,7 +329,10 @@ object Planes {
  * dot products of a float vector as `array<double>`, one cached-matrix
  * pass per row. Plane `p` uses seed `p * seedStride` (stride 1 = the
  * LSH plane family, 7919 = the IVF pseudo-centroid family — disjoint
- * hash streams). Precondition: non-null float elements.
+ * hash streams). Precondition: non-null float elements and a
+ * non-empty vector (d=0 yields all-zero projections where the HOF
+ * reference formulation produced nulls — out-of-contract input;
+ * [[PlaneBucket]] pins ITS d=0 case to bucket 0, the HOF behavior).
  */
 case class PlaneProjections(child: Expression, nPlanes: Int, seedStride: Int)
     extends UnaryExpression {

@@ -213,8 +213,13 @@ object PresetFactory {
           mapping = if (raw.mapping.nonEmpty) raw.mapping else base.mapping,
           helpers = if (raw.helpers.nonEmpty) raw.helpers else base.helpers,
           dataProcessor = raw.dataProcessor.orElse(base.dataProcessor),
+          // a child that switches to a DIFFERENT processor must not
+          // inherit the template's options for the old one (stray
+          // options silently change e.g. which column gets scrubbed)
           processorOptions =
-            mergeOverrule(base.processorOptions, raw.processorOptions))
+            if (raw.dataProcessor.exists(d => !base.dataProcessor.contains(d)))
+              raw.processorOptions
+            else mergeOverrule(base.processorOptions, raw.processorOptions))
       case None => raw
     }
     val sourceConf = mergeOverrule(resolved.source,
@@ -233,8 +238,10 @@ object PresetFactory {
       case n: NodeTarget => n.diffOptions
       case _ => DiffOptions()
     }
-    // resolve at BUILD time so a bad spec fails the preset load, not
-    // the first micro-batch
+    // resolve at BUILD time so a bad spec (unknown name, missing
+    // class, wrong method shape, instance method) fails the preset
+    // load; option VALUES surface on first use with a typed
+    // ConfigException from the processor itself
     val processor = resolved.dataProcessor.map(Processors.resolve).map {
       p => (df: DataFrame) => p(df, resolved.processorOptions)
     }

@@ -43,7 +43,10 @@ object Processors {
     df.withColumn(c, graft.ext.TextAnalysis.piiScrubText(col(c)))
   })
   register("filter_quality", (df, options) => {
-    val minQ = options.getOrElse("minQuality", "0.5").toString.toDouble
+    val raw = options.getOrElse("minQuality", "0.5").toString
+    val minQ = raw.toDoubleOption.getOrElse(
+      throw PresetFactory.ConfigException(
+        s"dataProcessor option 'minQuality' must be a number, got '$raw'"))
     df.filter(graft.ext.TextAnalysis.qualityScore(col(textCol(options))) >= minQ)
   })
   register("filter_lang", (df, options) => {
@@ -66,7 +69,7 @@ object Processors {
           val c = Class.forName(clsName + "$") // Scala object
           (c, c.getField("MODULE$").get(null))
         } catch {
-          case _: ClassNotFoundException =>
+          case _: ClassNotFoundException | _: NoSuchFieldException =>
             try (Class.forName(clsName), null) // Java static
             catch {
               case _: ClassNotFoundException =>
@@ -74,23 +77,52 @@ object Processors {
                   s"dataProcessor class '$clsName' not found")
             }
         }
+      // an options param may be declared as any Map supertype our
+      // immutable Map satisfies, or as java.util.Map (the natural
+      // Java signature) — converted at call time
+      def optsParam(t: Class[_]): Boolean =
+        t.isAssignableFrom(classOf[Map[_, _]]) ||
+          t.isAssignableFrom(classOf[java.util.Map[_, _]])
       val methods = clazz.getMethods.filter(_.getName == methodName)
       val withOpts = methods.find(m => m.getParameterCount == 2 &&
-        classOf[DataFrame].isAssignableFrom(m.getParameterTypes()(0)) &&
-        classOf[Map[_, _]].isAssignableFrom(m.getParameterTypes()(1)))
+        m.getParameterTypes()(0).isAssignableFrom(classOf[org.apache.spark.sql.Dataset[_]]) &&
+        optsParam(m.getParameterTypes()(1)))
       val plain = methods.find(m => m.getParameterCount == 1 &&
-        classOf[DataFrame].isAssignableFrom(m.getParameterTypes()(0)))
+        m.getParameterTypes()(0).isAssignableFrom(classOf[org.apache.spark.sql.Dataset[_]]))
       val method = withOpts.orElse(plain).getOrElse(
         throw PresetFactory.ConfigException(
           s"dataProcessor '$spec' must be a method taking a DataFrame " +
             "(and optionally an options Map)"))
-      if (!classOf[DataFrame].isAssignableFrom(method.getReturnType))
+      // instance methods have no receiver here — fail at preset
+      // build, not with an NPE inside the first import
+      if (target == null &&
+          !java.lang.reflect.Modifier.isStatic(method.getModifiers))
+        throw PresetFactory.ConfigException(
+          s"dataProcessor '$spec' resolves to an INSTANCE method — " +
+            "declare it on a Scala object or as a Java static")
+      if (!classOf[org.apache.spark.sql.Dataset[_]]
+            .isAssignableFrom(method.getReturnType))
         // the reference's error contract (Preset.php:48)
         throw PresetFactory.ConfigException(
           s"The \"dataProcessor\" must return a DataFrame but " +
             s"'$spec' returns ${method.getReturnType.getSimpleName}")
+      val wantsJavaMap = withOpts.exists(m =>
+        m.getParameterTypes()(1).isAssignableFrom(classOf[java.util.Map[_, _]]) &&
+          !m.getParameterTypes()(1).isAssignableFrom(classOf[Map[_, _]]))
       (df, options) =>
-        (if (withOpts.isDefined) method.invoke(target, df, options)
-         else method.invoke(target, df)).asInstanceOf[DataFrame]
+        try {
+          val optArg: AnyRef =
+            if (wantsJavaMap) {
+              val jm = new java.util.HashMap[String, Any]()
+              options.foreach { case (k, v) => jm.put(k, v) }
+              jm
+            } else options
+          (if (withOpts.isDefined) method.invoke(target, df, optArg)
+           else method.invoke(target, df)).asInstanceOf[DataFrame]
+        } catch {
+          // surface the processor's own failure, not the wrapper
+          case e: java.lang.reflect.InvocationTargetException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
     }
 }

@@ -207,7 +207,7 @@ class ConfigSpec extends SparkSpec {
     }
   }
 
-  test("CLI presets file: dataProcessor + processor.options keys " +
+  test("CLI presets file: dataProcessor + dataProcessor.options keys " +
       "parse and flow into the run") {
     val dir = tmpDir("procfile")
     java.nio.file.Files.writeString(
@@ -224,7 +224,7 @@ class ConfigSpec extends SparkSpec {
          |p.target.options.path = $dir/out
          |p.mapping.text = text
          |p.dataProcessor = filter_quality
-         |p.processor.options.minQuality = 0.5
+         |p.dataProcessor.options.minQuality = 0.5
          |p.versionAttribute = version
          |""".stripMargin)
     val presets = graft.cli.Main.parsePresetFile(s"$dir/presets.conf")
