@@ -624,6 +624,23 @@ object SparkEntry {
         seqLen = 512, shards = 8)
         .withColumnRenamed("id", "doc_id")),
 
+    // corpus vocabulary with document frequencies (tokenizer/BPE
+    // corpus prep): token -> total count + containing-doc count
+    "q_vocab" -> ((s, dir) =>
+      Assemble.vocabulary(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        minCount = 5L)),
+
+    // int8 embedding quantization (the 4-bytes/dim -> 1 storage
+    // path): absmax scale + floor quantizer; the oracle checks the
+    // scale and an exact integer checksum of the quantized vector
+    "q_embed_quantize" -> ((s, dir) =>
+      Assemble.quantizeInt8(
+        s.read.parquet(t(dir, "embeddings")), "vec_id")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          size(col("q")).cast("long").as("n_dims"))),
+
     // train/test contamination: 13-gram overlap of each "test" doc
     // (odd ids) against the "train" corpus (even ids) — the
     // decontamination pass run before training. Hash-keyed semi-join;
@@ -1187,6 +1204,30 @@ object SparkEntry {
          |       CAST(tok_offset // 512 AS BIGINT) AS seq_id
          |FROM o""".stripMargin
     },
+
+    "q_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |flat AS (SELECT doc_id, unnest(t) AS tok FROM toks)
+        |SELECT tok, count(*) AS n_total,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM flat GROUP BY tok HAVING count(*) >= 5""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+        |          AS scale
+        |      FROM e)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(v, x -> CAST(floor(x * 127 / scale)
+        |           AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS q_sum,
+        |       CAST(len(v) AS BIGINT) AS n_dims
+        |FROM s""".stripMargin,
 
     "q_contamination" ->
       """WITH toks AS (

@@ -120,6 +120,46 @@ object Assemble {
   }
 
   /**
+   * Corpus vocabulary with document frequencies — the first step of
+   * tokenizer training / BPE corpus preparation: every token with its
+   * total count and the number of documents containing it, thresholded
+   * by `minCount`. One explode + one groupBy(token) with map-side
+   * partials; at 100 TB the vocabulary frame IS the bounded output.
+   */
+  def vocabulary(
+      df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2L): DataFrame =
+    graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.normTokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_total") >= minCount)
+
+  /**
+   * Int8 embedding quantization — the storage path for a 100 TB
+   * vector corpus (4 bytes/dim → 1): per-vector absmax scale,
+   * `floor(x·127/scale)` per component (floor, not round — identical
+   * in every engine, no round-half convention to disagree about).
+   * Returns (id, scale, q) with the quantized vector as array<long>
+   * in [-127, 127]. Pure narrow projection, zero shuffles.
+   */
+  def quantizeInt8(
+      df: DataFrame, idCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val scale = greatest(
+      array_max(transform(v, x => abs(x))), lit(1e-30))
+    graft.util.Tables.spread(df)
+      .select(col(idCol), col(vecCol))
+      .withColumn("scale", scale)
+      .select(col(idCol), col("scale"),
+        transform(v, x => floor(x * 127 / col("scale")).cast("long"))
+          .as("q"))
+  }
+
+  /**
    * Sequence packing: assign documents to fixed-token-budget training
    * sequences. Documents shard by id hash (the parallel unit — real
    * packing runs per output shard); within a shard they pack in id

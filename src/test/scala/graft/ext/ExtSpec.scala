@@ -438,6 +438,30 @@ class ExtSpec extends SparkSpec {
     assert(expectedX < 10) // the threshold actually bites
   }
 
+  test("vocabulary: counts and doc frequencies, thresholded") {
+    val docs = Seq(
+      (1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = Assemble.vocabulary(docs, "doc_id", "text", minCount = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map("a" -> ((3L, 2L)), "b" -> ((2L, 2L))))
+  }
+
+  test("int8 quantization: absmax scale, floor quantizer, values in " +
+      "[-127, 127]") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Assemble.quantizeInt8(vecs, "vec_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Long](2)))).toMap
+    assert(out(1L)._1 === 1.0)
+    // floor(127·1)=127, floor(-63.5)=-64, floor(31.75)=31
+    assert(out(1L)._2 === Seq(127L, -64L, 31L))
+    // all-zero vector: epsilon scale, all-zero quants (no div-by-0)
+    assert(out(2L)._2 === Seq(0L, 0L, 0L))
+  }
+
   test("sequence packing: greedy concat-and-chop in id order, " +
       "offsets and sequence ids exact") {
     val docs = Seq(
