@@ -1224,7 +1224,8 @@ object SparkEntry {
         |      FROM e)
         |SELECT vec_id, round(scale, 6) AS scale_r,
         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |         list_transform(v, x -> CAST(floor(x * 127 / scale)
+        |         list_transform(v, x -> CAST(greatest(least(
+        |           floor(x * 127 / scale), 127), -127)
         |           AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS q_sum,
         |       CAST(len(v) AS BIGINT) AS n_dims
         |FROM s""".stripMargin,

@@ -103,6 +103,17 @@ object Assemble {
     val present = weights.filter { case (d, _) => counts.getOrElse(d, 0L) > 0 }
     val budgetUnit = present.map { case (d, w) => counts(d) / w }
       .foldLeft(Long.MaxValue)(math.min)
+    // A weighted domain with fewer rows than its weight integer-divides
+    // to 0, which would zero EVERY domain's budget — silent total data
+    // loss. Fail loudly naming the limiting domain instead.
+    if (present.nonEmpty && budgetUnit == 0L) {
+      val limiting = present.minBy { case (d, w) => counts(d) / w }._1
+      throw new IllegalArgumentException(
+        s"mixture: domain '$limiting' has ${counts(limiting)} rows but " +
+          s"weight ${present(limiting)} — the weighted budget rounds to " +
+          "zero and would drop the entire corpus; lower its weight or " +
+          "drop the domain from the mix")
+    }
     val thresholds: Map[String, Long] = present.map { case (d, w) =>
       // BigInt: w·budgetUnit is bounded by the domain count, so the
       // ·1e6 product overflows Long once a weighted domain passes
@@ -141,9 +152,12 @@ object Assemble {
    * Int8 embedding quantization — the storage path for a 100 TB
    * vector corpus (4 bytes/dim → 1): per-vector absmax scale,
    * `floor(x·127/scale)` per component (floor, not round — identical
-   * in every engine, no round-half convention to disagree about).
-   * Returns (id, scale, q) with the quantized vector as array<long>
-   * in [-127, 127]. Pure narrow projection, zero shuffles.
+   * in every engine, no round-half convention to disagree about),
+   * clamped to [-127, 127]: `fl(fl(x·127)/scale)` can exceed 127 in
+   * magnitude by ~2 ulp for the negative absmax element, and floor
+   * then yields -128 — the clamp keeps the documented int8-packing
+   * invariant. Returns (id, scale, q) with the quantized vector as
+   * array<long> in [-127, 127]. Pure narrow projection, zero shuffles.
    */
   def quantizeInt8(
       df: DataFrame, idCol: String,
@@ -155,7 +169,9 @@ object Assemble {
       .select(col(idCol), col(vecCol))
       .withColumn("scale", scale)
       .select(col(idCol), col("scale"),
-        transform(v, x => floor(x * 127 / col("scale")).cast("long"))
+        transform(v, x =>
+          greatest(least(floor(x * 127 / col("scale")), lit(127L)),
+            lit(-127L)).cast("long"))
           .as("q"))
   }
 

@@ -305,6 +305,14 @@ object PortableHash60 {
  * matrix reduces a row to nPlanes fused dot products.
  */
 object Planes {
+  // Keyed by (nPlanes, seedStride, dim): dim comes from the DATA, so a
+  // corpus with ragged vector lengths materializes one matrix per
+  // distinct dim. Bounded: past MaxEntries the cache is cleared before
+  // the insert — lookups stay lock-free CHM reads (this runs per row),
+  // and a miss only costs the nPlanes×dim tabulate. A corpus cycling
+  // through >MaxEntries distinct dims would thrash recompute, but
+  // stays correct and memory-bounded.
+  private val MaxEntries = 64
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
 
@@ -319,9 +327,14 @@ object Planes {
     (q.toDouble / 1000003.0) * 2.0 - 1.0
   }
 
-  def matrix(nPlanes: Int, seedStride: Int, dim: Int): Array[Array[Double]] =
-    cache.computeIfAbsent((nPlanes, seedStride, dim), _ =>
+  def matrix(nPlanes: Int, seedStride: Int, dim: Int): Array[Array[Double]] = {
+    val key = (nPlanes, seedStride, dim)
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    if (cache.size >= MaxEntries) cache.clear()
+    cache.computeIfAbsent(key, _ =>
       Array.tabulate(nPlanes, dim)((p, j) => component(p * seedStride, j)))
+  }
 }
 
 /**

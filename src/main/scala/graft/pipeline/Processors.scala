@@ -93,13 +93,28 @@ object Processors {
         throw PresetFactory.ConfigException(
           s"dataProcessor '$spec' must be a method taking a DataFrame " +
             "(and optionally an options Map)"))
-      // instance methods have no receiver here — fail at preset
-      // build, not with an NPE inside the first import
-      if (target == null &&
-          !java.lang.reflect.Modifier.isStatic(method.getModifiers))
-        throw PresetFactory.ConfigException(
-          s"dataProcessor '$spec' resolves to an INSTANCE method — " +
-            "declare it on a Scala object or as a Java static")
+      // The reference instantiates the class and calls the method on
+      // the instance (Preset.php:45, `[new $className, $methodName]`)
+      // — mirror that: a non-static method with a public no-arg ctor
+      // gets a fresh receiver at preset build. Only a class with NO
+      // usable ctor fails (at build, not with an NPE mid-import).
+      val receiver: AnyRef =
+        if (target != null ||
+            java.lang.reflect.Modifier.isStatic(method.getModifiers)) target
+        else
+          try clazz.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+          catch {
+            case _: NoSuchMethodException | _: IllegalAccessException =>
+              throw PresetFactory.ConfigException(
+                s"dataProcessor '$spec' resolves to an INSTANCE method " +
+                  "and the class has no public no-arg constructor — " +
+                  "add one, or declare the method on a Scala object / " +
+                  "as a Java static")
+            case e: java.lang.reflect.InvocationTargetException =>
+              throw PresetFactory.ConfigException(
+                s"dataProcessor class '$clsName' constructor failed: " +
+                  Option(e.getCause).getOrElse(e).toString)
+          }
       if (!classOf[org.apache.spark.sql.Dataset[_]]
             .isAssignableFrom(method.getReturnType))
         // the reference's error contract (Preset.php:48)
@@ -117,8 +132,8 @@ object Processors {
               options.foreach { case (k, v) => jm.put(k, v) }
               jm
             } else options
-          (if (withOpts.isDefined) method.invoke(target, df, optArg)
-           else method.invoke(target, df)).asInstanceOf[DataFrame]
+          (if (withOpts.isDefined) method.invoke(receiver, df, optArg)
+           else method.invoke(receiver, df)).asInstanceOf[DataFrame]
         } catch {
           // surface the processor's own failure, not the wrapper
           case e: java.lang.reflect.InvocationTargetException =>

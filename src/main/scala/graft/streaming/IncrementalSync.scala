@@ -94,17 +94,27 @@ object IncrementalSync {
    * bounds the time range in BOTH directions — that is what lets
    * Spark evict join state; an unbounded stream-stream join grows
    * state forever (the same class of leak streamingDedup avoids).
+   *
+   * Output schema: `key` once, then every other column of each side
+   * prefixed `l_` / `r_` (so `l_ts`, `r_ts`) — no duplicate names,
+   * usable without side aliases. The join condition is built with the
+   * Column API, so key/timestamp names needing quoting just work.
    */
   def streamIntervalJoin(
       left: DataFrame, right: DataFrame, key: String,
       tsCol: String = "ts", watermark: String = "10 minutes",
       horizon: String = "30 minutes"): DataFrame = {
-    val l = left.withWatermark(tsCol, watermark).alias("l")
-    val r = right.withWatermark(tsCol, watermark).alias("r")
-    l.join(r, expr(
-      s"""l.$key = r.$key AND
-         |r.$tsCol >= l.$tsCol AND
-         |r.$tsCol <= l.$tsCol + interval $horizon""".stripMargin))
+    val l = left.withWatermark(tsCol, watermark)
+    val r = right.withWatermark(tsCol, watermark)
+    val joined = l.join(r,
+      l.col(key) === r.col(key) &&
+        r.col(tsCol) >= l.col(tsCol) &&
+        r.col(tsCol) <= l.col(tsCol) + expr(s"interval $horizon"))
+    val out =
+      l.col(key).as(key) +:
+        (left.columns.filter(_ != key).map(c => l.col(c).as(s"l_$c")) ++
+          right.columns.filter(_ != key).map(c => r.col(c).as(s"r_$c")))
+    joined.select(out.toIndexedSeq: _*)
   }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,

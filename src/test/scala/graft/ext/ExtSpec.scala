@@ -438,6 +438,23 @@ class ExtSpec extends SparkSpec {
     assert(expectedX < 10) // the threshold actually bites
   }
 
+  test("mixture: a weighted domain smaller than its weight fails " +
+      "loudly naming the domain (never silently zeroes the corpus)") {
+    val rows = (1L to 100L).map(i => (i, "big")) ++ Seq((101L, "tiny"))
+    val df = rows.toDF("id", "domain")
+    // tiny has 1 row but weight 5 ⇒ 1 div 5 = 0 ⇒ budgetUnit 0 —
+    // pre-guard this returned an EMPTY frame for every domain
+    val e = intercept[IllegalArgumentException] {
+      Assemble.mixture(df, "id", "domain",
+        Map("big" -> 1L, "tiny" -> 5L)).collect()
+    }
+    assert(e.getMessage.contains("tiny"))
+    // domains absent from the data don't trip the guard
+    val ok = Assemble.mixture(df, "id", "domain",
+      Map("big" -> 1L, "absent" -> 5L))
+    assert(ok.count() === 100L)
+  }
+
   test("vocabulary: counts and doc frequencies, thresholded") {
     val docs = Seq(
       (1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
@@ -460,6 +477,26 @@ class ExtSpec extends SparkSpec {
     assert(out(1L)._2 === Seq(127L, -64L, 31L))
     // all-zero vector: epsilon scale, all-zero quants (no div-by-0)
     assert(out(2L)._2 === Seq(0L, 0L, 0L))
+  }
+
+  test("int8 quantization clamps to [-127, 127]: the negative absmax " +
+      "element can floor to -128 when fl(fl(x*127)/scale) rounds past " +
+      "-127 by an ulp") {
+    // sweep of absmax-negative vectors — the overflow needs a rare
+    // double-rounding alignment, so the spec pins the INVARIANT (the
+    // clamp guarantees it for every input, aligned or not)
+    val vecs = (1 to 512).map(i =>
+      (i.toLong, Array(-(1.0f + i / 97.0f), i / 194.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val qs = Assemble.quantizeInt8(vecs, "vec_id")
+      .select(explode(col("q")).as("qv"))
+      .agg(min(col("qv")), max(col("qv"))).collect()(0)
+    assert(qs.getLong(0) >= -127L && qs.getLong(1) <= 127L)
+    // the negative absmax element maps to exactly -127 post-clamp
+    val m = Assemble.quantizeInt8(vecs, "vec_id")
+      .select(col("q").getItem(0).as("q0"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(m === Set(-127L))
   }
 
   test("sequence packing: greedy concat-and-chop in id order, " +

@@ -15,6 +15,21 @@ object TestProcs {
   def notAProcessor(df: DataFrame): String = df.toString
 }
 
+/** Instance-method reflection target — the reference's actual shape
+  * (`[new $className, $methodName]`, Preset.php:45). */
+class InstanceProcs {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  def stamp(df: DataFrame): DataFrame =
+    df.withColumn("stamped", lit(true))
+}
+
+/** Instance method but no public no-arg ctor ⇒ build-time failure. */
+class NoCtorProcs private (ignored: Int) {
+  import org.apache.spark.sql.DataFrame
+  def m(df: DataFrame): DataFrame = df
+}
+
 /** Options schema + preset templates/overrides (C5/C6). */
 class ConfigSpec extends SparkSpec {
 
@@ -205,6 +220,19 @@ class ConfigSpec extends SparkSpec {
     intercept[PresetFactory.ConfigException] {
       Processors.resolve("graft.pipeline.TestProcs::notAProcessor")
     }
+  }
+
+  test("dataProcessor instance method: class with a public no-arg " +
+      "ctor is instantiated as the receiver (Preset.php:45); a class " +
+      "without one fails at preset build") {
+    import spark.implicits._
+    val stamp = Processors.resolve("graft.pipeline.InstanceProcs::stamp")
+    val out = stamp(Seq(("a", 1L)).toDF("id", "version"), Map.empty)
+    assert(out.columns.contains("stamped"))
+    val e = intercept[PresetFactory.ConfigException] {
+      Processors.resolve("graft.pipeline.NoCtorProcs::m")
+    }
+    assert(e.getMessage.contains("no-arg constructor"))
   }
 
   test("CLI presets file: dataProcessor + dataProcessor.options keys " +

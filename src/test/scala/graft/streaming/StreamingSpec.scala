@@ -106,7 +106,7 @@ class StreamingSpec extends SparkSpec {
       views.toDF().toDF("user_id", "ts", "view_id"),
       clicks.toDF().toDF("user_id", "ts", "click_id"),
       key = "user_id", horizon = "30 minutes")
-      .select(col("l.view_id"), col("r.click_id"))
+      .select(col("l_view_id"), col("r_click_id"))
     val q = joined.writeStream.format("memory").queryName("ssjoin")
       .option("checkpointLocation", s"$dir/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
