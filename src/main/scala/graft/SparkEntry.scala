@@ -655,6 +655,41 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Bloom-prefiltered contamination — IDENTICAL output to
+    // q_contamination (same oracle SQL): the test-gram bloom filters
+    // the training grams map-side BEFORE their distinct shuffle, and
+    // the exact semi-join after it absorbs the bloom's false
+    // positives. The green row certifies the composed path is exact.
+    "q_contamination_bloom" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      Dedup.contaminationBloom(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 13)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // near-dup CLUSTERS: minhash pairs collapsed by connected
+    // components (large-star/small-star) — transitive closure, so
+    // A~B, B~C lands A,B,C in ONE cluster even when A~C was never a
+    // pair. Oracle: DuckDB replays the pairs, then a recursive CTE
+    // computes reachability and takes the component min.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashDedup(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", threshold = 0.5,
+        baseHash = TextAnalysis.portableHash60)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // duplicate-passage annotation per document (Dolma-style quality
+    // signal): fraction of each doc's 32-token chunks that appear in
+    // at least one OTHER document
+    "q_dup_chunks" -> ((s, dir) =>
+      TextAnalysis.dupChunkStats(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // the C4-style corpus cleanup, composed end to end: language
     // filter → quality gate → exact dedup (keep min id per
     // fingerprint) — the flagship training-data pipeline shape,
@@ -839,6 +874,64 @@ object SparkEntry {
       |          regexp_split_to_array(
       |            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
       |        FROM documents)""".stripMargin
+
+  /** Shared CTE chain replaying minhash signatures → band candidates
+    * → Jaccard-verified pairs (threshold 0.5) — the q_minhash_dedup
+    * oracle body, reused by the connected-components oracle. Ends
+    * with a `pairs(id_a, id_b, jaccard)` CTE; callers append the
+    * final SELECT. */
+  private lazy val minhashPairsCtes: String = {
+    val p = graft.ext.Dedup.MinhashP
+    val minCols = graft.ext.Dedup.minhashParams(32).zipWithIndex.map {
+      case ((a, b), i) => s"min((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n   ")
+    val bandConds = (0 until 8).map { b =>
+      (b * 4 until (b + 1) * 4).map(i => s"a.m$i = b.m$i").mkString("(", " AND ", ")")
+    }.mkString("\n     OR ")
+    s"""docs AS (
+       |  $duckShingles),
+       |ex AS (SELECT doc_id, ${duckHash60("s")} % $p AS h
+       |       FROM (SELECT doc_id, unnest(sh) AS s FROM docs)),
+       |sigs AS (SELECT doc_id,
+       |   $minCols
+       | FROM ex GROUP BY doc_id),
+       |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |  WHERE $bandConds),
+       |pairs AS (SELECT c.id_a, c.id_b,
+       |  round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+       |    / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1), 6)
+       |    AS jaccard
+       |FROM cands c
+       |JOIN docs da ON c.id_a = da.doc_id
+       |JOIN docs db ON c.id_b = db.doc_id
+       |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+       |  / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1) >= 0.5)""".stripMargin
+  }
+
+  private val contaminationSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |docs AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+      |    ELSE [array_to_string(toks[i:i+12], ' ')
+      |          FOR i IN range(1, len(toks) - 11)] END) AS sh
+      |  FROM toks),
+      |traing AS (SELECT DISTINCT unnest(sh) AS g FROM docs
+      |           WHERE doc_id % 2 = 0),
+      |testg AS (SELECT doc_id, unnest(sh) AS g FROM docs
+      |          WHERE doc_id % 2 = 1),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM testg
+      |        GROUP BY doc_id),
+      |hit AS (SELECT doc_id, count(*) AS n_hit FROM testg
+      |        WHERE g IN (SELECT g FROM traing) GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+      |       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams, 6)
+      |         AS contaminated_frac
+      |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_changeset" ->
@@ -1230,29 +1323,11 @@ object SparkEntry {
         |       CAST(len(v) AS BIGINT) AS n_dims
         |FROM s""".stripMargin,
 
-    "q_contamination" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM documents),
-        |docs AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
-        |    ELSE [array_to_string(toks[i:i+12], ' ')
-        |          FOR i IN range(1, len(toks) - 11)] END) AS sh
-        |  FROM toks),
-        |traing AS (SELECT DISTINCT unnest(sh) AS g FROM docs
-        |           WHERE doc_id % 2 = 0),
-        |testg AS (SELECT doc_id, unnest(sh) AS g FROM docs
-        |          WHERE doc_id % 2 = 1),
-        |tot AS (SELECT doc_id, count(*) AS n_grams FROM testg
-        |        GROUP BY doc_id),
-        |hit AS (SELECT doc_id, count(*) AS n_hit FROM testg
-        |        WHERE g IN (SELECT g FROM traing) GROUP BY doc_id)
-        |SELECT t.doc_id, t.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
-        |       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams, 6)
-        |         AS contaminated_frac
-        |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin,
+    "q_contamination" -> contaminationSql,
+
+    // bloom prefilter is exact by construction — the oracle IS the
+    // plain contamination query; a green row certifies that
+    "q_contamination_bloom" -> contaminationSql,
 
     "q_quality_repetition" ->
       """WITH toks AS (
@@ -1367,34 +1442,47 @@ object SparkEntry {
          |WHERE bit_count(xor(a.sig, b.sig)) <= 8""".stripMargin
     },
 
-    "q_minhash_dedup" -> {
-      val p = graft.ext.Dedup.MinhashP
-      val minCols = graft.ext.Dedup.minhashParams(32).zipWithIndex.map {
-        case ((a, b), i) => s"min((h * $a + $b) % $p) AS m$i"
-      }.mkString(",\n   ")
-      val bandConds = (0 until 8).map { b =>
-        (b * 4 until (b + 1) * 4).map(i => s"a.m$i = b.m$i").mkString("(", " AND ", ")")
-      }.mkString("\n     OR ")
-      s"""WITH docs AS (
-         |  $duckShingles),
-         |ex AS (SELECT doc_id, ${duckHash60("s")} % $p AS h
-         |       FROM (SELECT doc_id, unnest(sh) AS s FROM docs)),
-         |sigs AS (SELECT doc_id,
-         |   $minCols
-         | FROM ex GROUP BY doc_id),
-         |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |  WHERE $bandConds)
-         |SELECT c.id_a, c.id_b,
-         |  round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-         |    / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1), 6)
-         |    AS jaccard
-         |FROM cands c
-         |JOIN docs da ON c.id_a = da.doc_id
-         |JOIN docs db ON c.id_b = db.doc_id
-         |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-         |  / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1) >= 0.5""".stripMargin
-    },
+    "q_minhash_dedup" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    // transitive closure of the verified pair graph via a recursive
+    // CTE (reachability), component label = min reachable id
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS n, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a
+         |)
+         |SELECT n AS doc_id, least(n, min(r)) AS cluster_id
+         |FROM reach GROUP BY n""".stripMargin,
+
+    "q_dup_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      range(0, CAST(ceil(len(t) / 32.0) AS INT)),
+         |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(t[i*32+1 : (i+1)*32],
+         |               s -> ${duckHash60("s")} % 1000003)),
+         |           (a, b) -> (a * 31 + b) % 2147483647))) AS ch
+         |  FROM toks),
+         |freq AS (SELECT ch AS fch, count(DISTINCT doc_id) AS n_docs
+         |         FROM ch GROUP BY ch)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_dup_chunks,
+         |       round(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / count(*), 6) AS dup_chunk_frac
+         |FROM ch JOIN freq ON ch.ch = freq.fch
+         |GROUP BY doc_id""".stripMargin,
 
     "q_text_rolling" ->
       s"""SELECT doc_id,

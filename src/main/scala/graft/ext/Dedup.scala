@@ -366,6 +366,157 @@ object Dedup {
     } finally { testGrams.unpersist() }
   }
 
+  /**
+   * Bloom-prefiltered contamination — same OUTPUT as [[contamination]]
+   * (the green oracle row certifies that), different scale shape. The
+   * plain version collapses the TRAINING side's grams to DISTINCT
+   * hashes first: at 100 TB that distinct is a full shuffle of every
+   * training gram, even though only the tiny test-overlapping slice
+   * matters. Here a Bloom filter built over the TEST grams (test sets
+   * are benchmark suites — thousands of docs, not billions) is
+   * broadcast and applied to the training grams as a NARROW map-side
+   * filter, so only bloom survivors (≈ test-gram count + fpp·train)
+   * reach the distinct shuffle. No false negatives, and the exact
+   * semi-join still follows, so the bloom's false positives never
+   * reach the output — exactness is preserved by construction.
+   *
+   * The bloom build itself is one aggregation job over the test grams
+   * (`DataFrameStatFunctions.bloomFilter`); sized from an exact count
+   * of distinct test grams, `fpp` = 1% by default.
+   */
+  def contaminationBloom(
+      train: DataFrame, test: DataFrame, idCol: String, textCol: String,
+      n: Int = 13, fpp: Double = 0.01): DataFrame = {
+    def gramHashes(df: DataFrame): DataFrame =
+      graft.util.Tables.spread(df)
+        .select(col(idCol).as("id"),
+          explode(shingles(col(textCol), n)).as("g"))
+        .select(col("id"), TextAnalysis.portableHash60(col("g")).as("gh"))
+    val testGrams = gramHashes(test).persist()
+    try {
+      val distinctTest = testGrams.select(col("gh")).distinct().persist()
+      try {
+        val nTest = distinctTest.count()
+        val bloom = distinctTest.stat
+          .bloomFilter("gh", math.max(nTest, 1L), fpp)
+        val spark = train.sparkSession
+        val bloomB = spark.sparkContext.broadcast(bloom)
+        val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+        // narrow prefilter BEFORE the distinct shuffle — the whole point
+        val trainHits = gramHashes(train)
+          .filter(mightContain(col("gh")))
+          .select(col("gh")).distinct()
+        val totals = testGrams.groupBy(col("id"))
+          .agg(count(lit(1)).as("n_grams"))
+        val hits = testGrams.join(trainHits, Seq("gh"), "left_semi")
+          .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+        totals.join(hits, Seq("id"), "left")
+          .select(col("id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_grams"), 6).as("contaminated_frac"))
+          .localCheckpoint()
+      } finally distinctTest.unpersist()
+    } finally testGrams.unpersist()
+  }
+
+  // ── 6. connected components (cluster collapse) ──────────────────
+
+  /**
+   * Connected components over an undirected near-dup pair graph — the
+   * collapse step after ANY pair generator ([[minhashDedup]],
+   * [[simhashPairs]], `Similarity.bucketedPairs`): transitive closure
+   * turns pairs into clusters so "keep one per cluster" drops a whole
+   * dup family, not just the second half of each pair (A~B, B~C must
+   * collapse to ONE survivor even when A~C was never emitted).
+   *
+   * Algorithm: alternating large-star / small-star (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+   * half-round is one grouped min + one join over the edge list, and
+   * the edge set converges to per-component stars centered at the
+   * minimum id in O(log² n) rounds REGARDLESS of component diameter.
+   * Naive min-label propagation is O(diameter) rounds: a 1M-doc chain
+   * (pathological but real — chained near-dups) would need 1M shuffles;
+   * this needs ~40. Every round is equi-join + groupBy — no driver
+   * collect, nothing broadcast; edges localCheckpoint each round so
+   * lineage stays O(1) instead of O(rounds).
+   *
+   * Returns (id, cluster_id) for every node appearing in `pairs`,
+   * where cluster_id = min id of the node's component. Ids must be an
+   * orderable column type (the min is the cluster representative).
+   * Deterministic. Throws if `maxIter` rounds don't converge (loud,
+   * never silently-partial clusters).
+   */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // canonical undirected edge list, self-loops dropped
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: connect every neighbor v > u to m = min(Γ(u) ∪ {u});
+    // small-star: connect every neighbor v ≤ u (and u) to that min.
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = und.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      und.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // direct each edge large→small: (u, v) with v < u
+      val dir = e.select(col("b").as("u"), col("a").as("v"))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .select(col("v"), col("m"))
+        .unionByName(mins.select(col("u").as("v"), col("m")))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    // convergence = edge set unchanged; order-free signature
+    // (count + XOR of per-edge hashes — xor, not sum: sum of 2^63-range
+    // hashes overflows under ANSI mode), computed right after the
+    // round's checkpoint materializes
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(a, b))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: no convergence after $maxIter rounds " +
+        s"(${sig._1} edges) — raise maxIter")
+    // converged edge set is a star per component: (member, center)
+    // with center = component min; centers label themselves
+    edges.select(col("b").as("id"), col("a").as("cluster_id"))
+      .unionByName(
+        edges.select(col("a").as("id"), col("a").as("cluster_id"))
+          .distinct())
+  }
+
   /** |A∩B| / |A∪B| over SORTED shingle arrays: one codegen'd merge
     * pass (graft.functions.SortedIntersectSize) instead of the
     * hash-set-per-call `array_intersect`/`array_union` pair;

@@ -141,6 +141,47 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document duplicate-passage annotation (the Dolma/RefinedWeb
+   * "fraction of duplicated paragraphs" quality signal): for each doc,
+   * how many of its fixed-position chunks ([[chunkHashes]]) also
+   * appear in at LEAST one OTHER document. Unlike the dedup queries
+   * (which return the shared chunks), this annotates every document —
+   * the gating signal a curation pipeline thresholds on ("drop docs
+   * that are >30% boilerplate") without deciding for the caller.
+   *
+   * Scale shape: explode to (id, chunk_hash), ONE shuffle to count
+   * distinct docs per hash (distinct-then-count, both combine
+   * map-side), join back on the hash, re-aggregate per doc. The
+   * fraction is over ALL of the doc's chunks (with multiplicity —
+   * it measures how much of the DOCUMENT is duplicated), but a hash
+   * only counts as duplicated when some OTHER document contains it;
+   * within-doc repetition alone is [[repetitionSignals]]' business.
+   *
+   * Returns (id, n_chunks, n_dup_chunks, dup_chunk_frac).
+   */
+  def dupChunkStats(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 32): DataFrame = {
+    val chunks = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        explode(chunkHashes(col(textCol), chunkTokens)).as("ch"))
+      .persist()
+    try {
+      val docFreq = chunks.distinct().groupBy(col("ch"))
+        .agg(count(lit(1)).as("n_docs"))
+      val perDoc = chunks.join(docFreq, "ch")
+        .groupBy(col("id")).agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L))
+            .as("n_dup_chunks"))
+      perDoc.select(col("id"), col("n_chunks"), col("n_dup_chunks"),
+          round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+            .as("dup_chunk_frac"))
+        .localCheckpoint()
+    } finally chunks.unpersist()
+  }
+
+  /**
    * Content-defined chunking (CDC): a token ends up starting a new
    * chunk wherever its hash satisfies `h % avgChunkTokens == 0` —
    * boundaries derive from CONTENT, not position, so a passage two

@@ -392,6 +392,71 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) === ((2L, 0L, 0.0)))
   }
 
+  test("contamination: bloom-prefiltered variant returns the EXACT " +
+      "same rows as the plain one (no false negatives by construction, " +
+      "false positives absorbed by the exact semi-join)") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "an unrelated training document about engines")).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "a very quick brown fox appears"),
+      (2L, "quick brown fox jumps over"),
+      (3L, "completely unrelated words here")).toDF("doc_id", "text")
+    val plain = Dedup.contamination(train, test, "doc_id", "text", n = 3)
+      .collect().map(_.toSeq).toSet
+    val bloomed = Dedup.contaminationBloom(train, test, "doc_id", "text",
+      n = 3).collect().map(_.toSeq).toSet
+    assert(bloomed === plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("connected components: transitive chains collapse to one " +
+      "cluster labeled by the component min; disjoint pairs stay apart") {
+    // A~B, B~C (A~C never emitted) + separate D~E, arbitrary direction
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("connected components: a long path (worst case for label " +
+      "propagation) converges to a single star in few rounds") {
+    // path 1-2-3-...-40: diameter 39, so O(diameter) propagation would
+    // need ~39 rounds; large-star/small-star stays within maxIter=12
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 40)
+    assert(out.values.toSet === Set(1L))
+  }
+
+  test("connected components: empty and self-pair inputs yield empty " +
+      "output; duplicate pairs don't duplicate labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() === 0)
+    val selfs = Seq((7L, 7L)).toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(selfs, "id_a", "id_b").count() === 0)
+    val dups = Seq((1L, 2L), (2L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(dups, "id_a", "id_b").collect()
+    assert(out.length === 2)
+  }
+
+  test("dup chunk stats: docs sharing a 32-token chunk are annotated " +
+      "with the duplicated fraction; unique docs report zero") {
+    val passage = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 32).map(i => s"alt$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$passage $other"),   // chunk0 shared with doc 2, chunk1 unique
+      (2L, passage),              // single chunk, shared
+      (3L, "entirely different words")).toDF("doc_id", "text")
+    val out = TextAnalysis.dupChunkStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((1L, 1L, 1.0)))
+    assert(out(3L) === ((1L, 0L, 0.0)))
+  }
+
   test("null text flows through the text operators without crashing " +
       "(null scores / zero rows, never an NPE)") {
     val docs = Seq((1L, "real words here"), (2L, null))
