@@ -682,6 +682,14 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // LSH bucket-skew pre-flight: per band, bucket counts and the
+    // EXACT candidate-pair volume the banded self-join would generate
+    // — the number that predicts (and would flag) a degenerate-bucket
+    // blowup before a 100 TB dedup run
+    "q_lsh_skew" -> ((s, dir) =>
+      Dedup.lshBucketStats(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", baseHash = TextAnalysis.portableHash60)),
+
     // duplicate-passage annotation per document (Dolma-style quality
     // signal): fraction of each doc's 32-token chunks that appear in
     // at least one OTHER document
@@ -880,21 +888,28 @@ object SparkEntry {
     * oracle body, reused by the connected-components oracle. Ends
     * with a `pairs(id_a, id_b, jaccard)` CTE; callers append the
     * final SELECT. */
-  private lazy val minhashPairsCtes: String = {
+  /** DuckDB replay of the 32-hash minhash signature table (`sigs`
+    * CTE with columns m0..m31), shared by the dedup, cluster, and
+    * skew oracles. */
+  private lazy val minhashSigCtes: String = {
     val p = graft.ext.Dedup.MinhashP
     val minCols = graft.ext.Dedup.minhashParams(32).zipWithIndex.map {
       case ((a, b), i) => s"min((h * $a + $b) % $p) AS m$i"
     }.mkString(",\n   ")
-    val bandConds = (0 until 8).map { b =>
-      (b * 4 until (b + 1) * 4).map(i => s"a.m$i = b.m$i").mkString("(", " AND ", ")")
-    }.mkString("\n     OR ")
     s"""docs AS (
        |  $duckShingles),
        |ex AS (SELECT doc_id, ${duckHash60("s")} % $p AS h
        |       FROM (SELECT doc_id, unnest(sh) AS s FROM docs)),
        |sigs AS (SELECT doc_id,
        |   $minCols
-       | FROM ex GROUP BY doc_id),
+       | FROM ex GROUP BY doc_id)""".stripMargin
+  }
+
+  private lazy val minhashPairsCtes: String = {
+    val bandConds = (0 until 8).map { b =>
+      (b * 4 until (b + 1) * 4).map(i => s"a.m$i = b.m$i").mkString("(", " AND ", ")")
+    }.mkString("\n     OR ")
+    s"""$minhashSigCtes,
        |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |  WHERE $bandConds),
@@ -1459,6 +1474,23 @@ object SparkEntry {
          |)
          |SELECT n AS doc_id, least(n, min(r)) AS cluster_id
          |FROM reach GROUP BY n""".stripMargin,
+
+    // bucket identity: Spark groups by xxhash64(minhash tuple), the
+    // oracle by the tuple itself — same partition of docs into
+    // buckets (a collision would merge two buckets; none at oracle
+    // scale, and the green row certifies that)
+    "q_lsh_skew" -> {
+      val perBand = (0 until 8).map { b =>
+        val cols = (b * 4 until (b + 1) * 4).map(i => s"m$i").mkString(", ")
+        s"SELECT $b AS band, count(*) AS c FROM sigs GROUP BY $cols"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $minhashSigCtes,
+         |per AS (
+         |  $perBand)
+         |SELECT band, count(*) AS n_buckets, max(c) AS max_bucket,
+         |       CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS n_cand_pairs
+         |FROM per GROUP BY band""".stripMargin
+    },
 
     "q_dup_chunks" ->
       s"""WITH toks AS (

@@ -142,18 +142,48 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, n: Int = 3,
-      baseHash: Column => Column = xxhash64(_)): DataFrame =
+      baseHash: Column => Column = xxhash64(_),
+      maxBucket: Int = 0): DataFrame =
     bandedCandidates(
-      minhashSignatures(df, idCol, textCol, k, n, baseHash), k, bands)
+      minhashSignatures(df, idCol, textCol, k, n, baseHash), k, bands,
+      maxBucket)
 
-  private def bandedCandidates(
+  private def bandedSignatures(
       sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    val banded = sig.select(col("id"),
+    sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",",
           (b * r until (b + 1) * r).map(i => col(s"m$i")): _*), lit(b))): _*)))
       .toDF("id", "band", "bucket")
+  }
+
+  private def bandedCandidates(
+      sig: DataFrame, k: Int, bands: Int,
+      maxBucket: Int = 0): DataFrame = {
+    val banded0 = bandedSignatures(sig, k, bands)
+    // Opt-in hot-bucket cap: a degenerate bucket of size m (near-empty
+    // docs, boilerplate, adversarial shingle collisions) contributes
+    // m·(m-1)/2 candidate pairs to the self-join — at 100 TB one
+    // million-doc bucket is 5·10¹¹ pairs in a single task. Capping
+    // drops ONLY buckets above the limit, and a pair survives unless
+    // EVERY band it collides in is hot, so recall loss is confined to
+    // pathological families; the drop is LOGGED, never silent.
+    // maxBucket = 0 (default) disables the cap — the oracle-checked
+    // queries run uncapped.
+    val banded = if (maxBucket > 0) {
+      val sizes = banded0.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bsz"))
+      val hot = sizes.filter(col("bsz") > maxBucket)
+        .agg(count(lit(1)), sum(col("bsz"))).collect()(0)
+      if (hot.getLong(0) > 0)
+        System.err.println(
+          s"[graft.Dedup] minhash hot-bucket cap $maxBucket dropped " +
+            s"${hot.getLong(0)} buckets covering ${hot.getLong(1)} " +
+            "band entries — pairs confined to those buckets are lost")
+      banded0.join(sizes.filter(col("bsz") <= maxBucket),
+        Seq("band", "bucket"), "left_semi")
+    } else banded0
     val l = banded.as("l"); val rgt = banded.as("r")
     l.join(rgt,
         col("l.band") === col("r.band") &&
@@ -163,13 +193,38 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * LSH bucket-skew pre-flight diagnostic: per band, the bucket-size
+   * distribution and the exact candidate-pair count the banded
+   * self-join would generate (Σ c·(c-1)/2 over buckets). THE number to
+   * look at before running [[minhashDedup]] on a new corpus — a single
+   * hot bucket shows up here as a `max_bucket` spike and a pair count
+   * orders of magnitude above `n_docs`, and picks the `maxBucket` cap.
+   * One shuffle on (band, bucket); output is `bands` rows.
+   */
+  def lshBucketStats(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, n: Int = 3,
+      baseHash: Column => Column = xxhash64(_)): DataFrame =
+    bandedSignatures(
+      minhashSignatures(df, idCol, textCol, k, n, baseHash), k, bands)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("c"))
+      .groupBy(col("band")).agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_bucket"),
+        // c·(c-1) is even, so `div 2` is exact — and everything stays
+        // integral (`/` would go through double and lose precision
+        // once the pair count passes 2^53)
+        expr("sum(c * (c - 1)) div 2").as("n_cand_pairs"))
+
   /** MinHash near-dedup: candidates verified by true n-gram Jaccard
     * ≥ threshold. */
   def minhashDedup(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
       n: Int = 3,
-      baseHash: Column => Column = xxhash64(_)): DataFrame = {
+      baseHash: Column => Column = xxhash64(_),
+      maxBucket: Int = 0): DataFrame = {
     // one shingling pass feeds signatures AND both verification
     // joins; eager materialization + unpersist, as in
     // [[ngramJaccardPairs]] (returning the lazy plan would leak the
@@ -179,7 +234,7 @@ object Dedup {
     val docs = shingled(df, idCol, textCol, n).persist()
     try {
       val cands = bandedCandidates(
-        signaturesFromShingled(docs, k, baseHash), k, bands)
+        signaturesFromShingled(docs, k, baseHash), k, bands, maxBucket)
       val verified = cands
         .join(docs.withColumnRenamed("id", "id_a")
           .withColumnRenamed("sh", "sh_a"), "id_a")

@@ -410,6 +410,33 @@ class ExtSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("lsh bucket stats: exact candidate-pair accounting; hot-bucket " +
+      "cap drops only the degenerate bucket's pairs and is opt-in") {
+    // 6 identical docs form one size-6 bucket in EVERY band (15 pairs);
+    // one distinct doc stays alone
+    val boiler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = ((1L to 6L).map(i => (i, boiler)) :+
+      ((7L, "something else entirely this one"))).toDF("doc_id", "text")
+    val stats = Dedup.lshBucketStats(corpus, "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.length === 8)
+    assert(stats.forall { case (_, _, maxB, pairs) =>
+      maxB === 6L && pairs === 15L })
+    // uncapped: the clique is found
+    val un = Dedup.minhashCandidates(corpus, "doc_id", "text")
+    assert(un.count() === 15)
+    // cap 5 < bucket size 6: every band's hot bucket is dropped, the
+    // clique's pairs are confined to those buckets → gone; nothing
+    // else was there to lose
+    val capped = Dedup.minhashCandidates(corpus, "doc_id", "text",
+      maxBucket = 5)
+    assert(capped.count() === 0)
+    // cap above the bucket size changes nothing
+    val loose = Dedup.minhashCandidates(corpus, "doc_id", "text",
+      maxBucket = 6)
+    assert(loose.count() === 15)
+  }
+
   test("connected components: transitive chains collapse to one " +
       "cluster labeled by the component min; disjoint pairs stay apart") {
     // A~B, B~C (A~C never emitted) + separate D~E, arbitrary direction
