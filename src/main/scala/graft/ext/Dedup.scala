@@ -452,15 +452,18 @@ object Dedup {
       val distinctTest = testGrams.select(col("gh")).distinct().persist()
       try {
         val nTest = distinctTest.count()
-        val bloom = distinctTest.stat
-          .bloomFilter("gh", math.max(nTest, 1L), fpp)
-        val spark = train.sparkSession
-        val bloomB = spark.sparkContext.broadcast(bloom)
-        val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
-        // narrow prefilter BEFORE the distinct shuffle — the whole point
-        val trainHits = gramHashes(train)
-          .filter(mightContain(col("gh")))
-          .select(col("gh")).distinct()
+        // Spark's stat.bloomFilter NPEs on an empty frame — and with
+        // zero test grams no train gram can matter anyway
+        val trainHits = if (nTest == 0L) distinctTest else {
+          val bloom = distinctTest.stat.bloomFilter("gh", nTest, fpp)
+          val bloomB = train.sparkSession.sparkContext.broadcast(bloom)
+          val mightContain =
+            udf((h: Long) => bloomB.value.mightContainLong(h))
+          // narrow prefilter BEFORE the distinct shuffle — the whole point
+          gramHashes(train)
+            .filter(mightContain(col("gh")))
+            .select(col("gh")).distinct()
+        }
         val totals = testGrams.groupBy(col("id"))
           .agg(count(lit(1)).as("n_grams"))
         val hits = testGrams.join(trainHits, Seq("gh"), "left_semi")
@@ -515,26 +518,30 @@ object Dedup {
 
     // large-star: connect every neighbor v > u to m = min(Γ(u) ∪ {u});
     // small-star: connect every neighbor v ≤ u (and u) to that min.
+    // The per-node neighborhood min comes from a whole-partition
+    // window (partitionBy only, no ordering): ONE shuffle per
+    // half-round where groupBy-then-join-back would take two, and the
+    // only other wide dependency is the round-final distinct —
+    // 3 shuffles per round total. Intermediate duplicate edges are
+    // tolerated everywhere (they can't change a min) and collapsed
+    // once, by that final distinct.
+    val byNode = Window.partitionBy("u")
     def largeStar(e: DataFrame): DataFrame = {
       val und = e.select(col("a").as("u"), col("b").as("v"))
         .unionByName(e.select(col("b").as("u"), col("a").as("v")))
-      val mins = und.groupBy(col("u"))
-        .agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      und.join(mins, "u")
+      und.withColumn("m", least(min(col("v")).over(byNode), col("u")))
         .filter(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("a"),
           greatest(col("v"), col("m")).as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
-      // direct each edge large→small: (u, v) with v < u
+      // direct each edge large→small: (u, v) with v < u; m ≤ v < u,
+      // so min(v) alone is the neighborhood min
       val dir = e.select(col("b").as("u"), col("a").as("v"))
-      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
-      dir.join(mins, "u")
-        .select(col("v"), col("m"))
-        .unionByName(mins.select(col("u").as("v"), col("m")))
+      val withM = dir.withColumn("m", min(col("v")).over(byNode))
+      withM.select(col("v"), col("m"))
+        .unionByName(withM.select(col("u").as("v"), col("m")))
         .select(least(col("v"), col("m")).as("a"),
           greatest(col("v"), col("m")).as("b"))
         .filter(col("a") =!= col("b"))
