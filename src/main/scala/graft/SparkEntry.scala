@@ -749,6 +749,18 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.5,
         baseHash = TextAnalysis.portableHash60)),
 
+    // incremental dedup: today's batch (odd ids) LSH-paired against
+    // the accumulated corpus (even ids) — candidate volume scales
+    // with the batch, the corpus never self-compares
+    "q_minhash_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      Dedup.minhashPairsAgainst(
+        d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", threshold = 0.5,
+        baseHash = TextAnalysis.portableHash60)
+    }),
+
     // SimHash near-dup pairs at hamming ≤ 8 over a 60-bit portable
     // signature; 9-segment pigeonhole blocking is exact at radius 8.
     // Oracle-checked: DuckDB replays the signature bit votes and
@@ -905,10 +917,14 @@ object SparkEntry {
        | FROM ex GROUP BY doc_id)""".stripMargin
   }
 
-  private lazy val minhashPairsCtes: String = {
-    val bandConds = (0 until 8).map { b =>
+  /** "some band fully matches" predicate between sig aliases a/b. */
+  private lazy val minhashBandConds: String =
+    (0 until 8).map { b =>
       (b * 4 until (b + 1) * 4).map(i => s"a.m$i = b.m$i").mkString("(", " AND ", ")")
     }.mkString("\n     OR ")
+
+  private lazy val minhashPairsCtes: String = {
+    val bandConds = minhashBandConds
     s"""$minhashSigCtes,
        |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
@@ -1460,6 +1476,24 @@ object SparkEntry {
     "q_minhash_dedup" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    // signatures depend only on the doc, so one sigs CTE serves both
+    // sides; the batch/corpus split happens in the candidate join
+    "q_minhash_incremental" ->
+      s"""WITH $minhashSigCtes,
+         |cands AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r
+         |  FROM sigs a JOIN sigs b
+         |    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  WHERE $minhashBandConds)
+         |SELECT c.id_l, c.id_r,
+         |  round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+         |    / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1), 6)
+         |    AS jaccard
+         |FROM cands c
+         |JOIN docs da ON c.id_l = da.doc_id
+         |JOIN docs db ON c.id_r = db.doc_id
+         |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+         |  / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1) >= 0.5""".stripMargin,
 
     // transitive closure of the verified pair graph via a recursive
     // CTE (reachability), component label = min reachable id

@@ -248,6 +248,54 @@ object Dedup {
     } finally docs.unpersist()
   }
 
+  /**
+   * Two-corpus (incremental) minhash near-dup pairs: every verified
+   * pair has its LEFT id from `left` and RIGHT id from `right` — the
+   * daily-increment production pattern, where `left` is today's batch
+   * and `right` the accumulated corpus. Dropping batch docs that pair
+   * with the corpus is then one anti-join:
+   * {{{
+   *   val pairs = Dedup.minhashPairsAgainst(batch, corpus, "id", "text")
+   *   val novel = batch.join(pairs.select(col("id_l").as("id")).distinct(),
+   *     Seq("id"), "left_anti")   // then minhashDedup(novel) intra-batch
+   * }}}
+   * Same banded LSH as [[minhashDedup]], but the candidate join is
+   * batch-bands × corpus-bands instead of a self-join — candidate
+   * volume scales with |batch|·collision-rate, NOT |corpus|², and the
+   * corpus side never compares against itself (at 100 TB re-verifying
+   * the historical corpus every day is the cost that matters).
+   * Ids equal across the two sides are excluded (a doc already in the
+   * corpus is not "a near-dup of itself"). `maxBucket` caps hot
+   * buckets as in [[minhashCandidates]] (left side's buckets).
+   */
+  def minhashPairsAgainst(
+      left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 32, bands: Int = 8, n: Int = 3,
+      baseHash: Column => Column = xxhash64(_)): DataFrame = {
+    val dl = shingled(left, idCol, textCol, n).persist()
+    val dr = shingled(right, idCol, textCol, n).persist()
+    try {
+      val bl = bandedSignatures(signaturesFromShingled(dl, k, baseHash), k, bands)
+      val br = bandedSignatures(signaturesFromShingled(dr, k, baseHash), k, bands)
+      val cands = bl.as("l").join(br.as("r"),
+          col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") =!= col("r.id"))
+        .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
+        .distinct()
+      val verified = cands
+        .join(dl.withColumnRenamed("id", "id_l")
+          .withColumnRenamed("sh", "sh_l"), "id_l")
+        .join(dr.withColumnRenamed("id", "id_r")
+          .withColumnRenamed("sh", "sh_r"), "id_r")
+        .withColumn("jaccard", jaccardExpr(col("sh_l"), col("sh_r")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_l"), col("id_r"),
+          round(col("jaccard"), 6).as("jaccard"))
+      verified.localCheckpoint()
+    } finally { dl.unpersist(); dr.unpersist() }
+  }
+
   // ── 3. simhash ──────────────────────────────────────────────────
 
   /**

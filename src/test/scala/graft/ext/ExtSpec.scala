@@ -410,6 +410,30 @@ class ExtSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("incremental minhash: batch docs pair only against the corpus " +
+      "side; novel docs survive the anti-join; corpus never " +
+      "self-pairs") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick brown fox jumps over the lazy dog"), // intra-corpus dup
+      (102L, "some corpus document about databases")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 100/101
+      (2L, "a completely novel incoming document")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsAgainst(batch, corpus, "doc_id", "text",
+      threshold = 0.5)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // left ids are batch-only, right ids corpus-only; the intra-corpus
+    // dup pair (100, 101) must NOT appear
+    assert(got === Set((1L, 100L), (1L, 101L)))
+    // drop-batch-dups composition: novel doc survives
+    val novel = batch.join(
+      pairs.select(col("id_l").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    assert(novel.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("lsh bucket stats: exact candidate-pair accounting; hot-bucket " +
       "cap drops only the degenerate bucket's pairs and is opt-in") {
     // 6 identical docs form one size-6 bucket in EVERY band (15 pairs);
