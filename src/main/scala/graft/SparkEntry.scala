@@ -682,6 +682,14 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // deterministic corpus shuffle-and-shard: reproducible training
+    // permutation with no global sort — hash-mod shard, row_number
+    // within shard on (hash, id)
+    "q_shuffle_shards" -> ((s, dir) =>
+      Assemble.shuffleShards(
+        s.read.parquet(t(dir, "documents")), "doc_id", shards = 64)
+        .withColumnRenamed("id", "doc_id")),
+
     // LSH bucket-skew pre-flight: per band, bucket counts and the
     // EXACT candidate-pair volume the banded self-join would generate
     // — the number that predicts (and would flag) a degenerate-bucket
@@ -1508,6 +1516,17 @@ object SparkEntry {
          |)
          |SELECT n AS doc_id, least(n, min(r)) AS cluster_id
          |FROM reach GROUP BY n""".stripMargin,
+
+    "q_shuffle_shards" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${duckHash60("concat(CAST(doc_id AS VARCHAR), ':0')")} AS h
+         |  FROM documents)
+         |SELECT doc_id, h % 64 AS shard,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY h % 64 ORDER BY h, doc_id) - 1 AS BIGINT)
+         |         AS pos
+         |FROM h""".stripMargin,
 
     // bucket identity: Spark groups by xxhash64(minhash tuple), the
     // oracle by the tuple itself — same partition of docs into

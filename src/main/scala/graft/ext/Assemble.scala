@@ -204,4 +204,33 @@ object Assemble {
       .select(col("id"), col("shard"), col("n_tokens"), col("tok_offset"),
         expr(s"tok_offset div ${seqLen.toLong}").as("seq_id"))
   }
+
+  /**
+   * Deterministic corpus shuffle-and-shard — the "global shuffle"
+   * every training run needs, WITHOUT a global sort: order by a
+   * seeded hash of the id and you have a reproducible permutation,
+   * but a global `row_number` would funnel the corpus through one
+   * window partition. Instead: shard = hash mod `shards` (narrow),
+   * position = row_number within the shard ordered by (hash, id) —
+   * one bounded-size window partition per shard, `shards` chosen to
+   * match the output layout (e.g. training file count). Reading
+   * shards in order, positions in order, replays the SAME permutation
+   * on any cluster size; changing `seed` reshuffles epochs.
+   * Ties on the hash break by id, so the order is total and
+   * engine-replayable.
+   */
+  def shuffleShards(
+      df: DataFrame, idCol: String,
+      shards: Int = 64, seed: Long = 0L): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = TextAnalysis.portableHash60(
+      concat(col(idCol).cast("string"), lit(":"), lit(seed.toString)))
+    val base = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("id"))
+    base.select(col("id"), col("shard"),
+      (row_number().over(w) - 1).cast("long").as("pos"))
+  }
 }

@@ -627,6 +627,27 @@ object Dedup {
           .distinct())
   }
 
+  /**
+   * End-to-end fuzzy dedup: [[minhashDedup]] pairs →
+   * [[connectedComponents]] clusters → keep each cluster's min id —
+   * the composition a curation pipeline actually runs. Transitive:
+   * A~B, B~C drops BOTH B and C even though (A, C) was never a pair
+   * (pairwise drop-the-higher-id would keep C whenever the A~C edge
+   * is missing). Returns the surviving rows of `df`, all columns.
+   */
+  def fuzzyDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 32, bands: Int = 8, n: Int = 3,
+      baseHash: Column => Column = xxhash64(_),
+      maxBucket: Int = 0): DataFrame = {
+    val pairs = minhashDedup(df, idCol, textCol, threshold, k, bands, n,
+      baseHash, maxBucket)
+    val drop = connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** |A∩B| / |A∪B| over SORTED shingle arrays: one codegen'd merge
     * pass (graft.functions.SortedIntersectSize) instead of the
     * hash-set-per-call `array_intersect`/`array_union` pair;

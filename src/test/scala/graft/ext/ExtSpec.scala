@@ -434,6 +434,15 @@ class ExtSpec extends SparkSpec {
     assert(novel.select("doc_id").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("fuzzy dedup: transitive chains drop entirely, one survivor " +
+      "per cluster, novel docs untouched") {
+    // 1≈2 (near), 1=4 (exact) ⇒ {1,2,4} one cluster via transitivity
+    // even if the (2,4) pair were never emitted; 3 and 5 novel
+    val out = Dedup.fuzzyDedup(docs, "doc_id", "text", threshold = 0.5)
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 5L))
+    assert(out.columns.toSeq === docs.columns.toSeq)
+  }
+
   test("lsh bucket stats: exact candidate-pair accounting; hot-bucket " +
       "cap drops only the degenerate bucket's pairs and is opt-in") {
     // 6 identical docs form one size-6 bucket in EVERY band (15 pairs);
@@ -613,6 +622,30 @@ class ExtSpec extends SparkSpec {
       .select(col("q").getItem(0).as("q0"))
       .distinct().collect().map(_.getLong(0)).toSet
     assert(m === Set(-127L))
+  }
+
+  test("shuffle shards: total deterministic permutation — contiguous " +
+      "positions per shard, partitioning-independent, seed reshuffles") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Assemble.shuffleShards(docs, "doc_id", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 200)
+    // positions within each shard are 0..n-1 with no gaps
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // same input partitioned differently ⇒ identical assignment
+    val re = Assemble.shuffleShards(docs.repartition(13), "doc_id", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSet === out.toSet)
+    // a different seed is a different permutation (same shard sizes
+    // modulo hashing, different order)
+    val seeded = Assemble.shuffleShards(docs, "doc_id", shards = 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(seeded.toSet !== out.toSet)
+    // not the identity order: some adjacent ids land far apart
+    val posOfId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert((1L to 199L).exists(i => posOfId(i)._1 !== posOfId(i + 1)._1))
   }
 
   test("sequence packing: greedy concat-and-chop in id order, " +
