@@ -552,6 +552,13 @@ object Dedup {
    * orderable column type (the min is the cluster representative).
    * Deterministic. Throws if `maxIter` rounds don't converge (loud,
    * never silently-partial clusters).
+   *
+   * Fault-tolerance note: rounds are `localCheckpoint`ed — O(1)
+   * lineage, but blocks live on executors, so an executor loss
+   * mid-run fails the job (retry = rerun). For multi-hour runs on a
+   * preemptible cluster, set `spark.sparkContext.setCheckpointDir`
+   * and swap the two `localCheckpoint()` calls for `checkpoint()` —
+   * same algorithm, durable rounds.
    */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
@@ -605,7 +612,10 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var sig = signature(edges)
+    // sentinel: never equal to a real signature, so round 1 always
+    // runs — which it must anyway unless the input is already a star;
+    // convergence compares consecutive rounds, no job on the input
+    var sig = (-1L, -1L)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {

@@ -490,6 +490,20 @@ class ExtSpec extends SparkSpec {
     assert(out.values.toSet === Set(1L))
   }
 
+  test("connected components compose with the embedding pair " +
+      "generator: semantic near-dup chains collapse transitively") {
+    // cos(A,B)=0.970, cos(B,C)=0.857, cos(A,C)=0.707: at 0.85 the
+    // chain A-B-C has no direct A-C edge; D is far from everything
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(4f, 1f)),
+      (3L, Array(1f, 1f)), (4L, Array(-1f, 2f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.bucketedPairs(vecs, threshold = 0.85,
+      nCells = 2, nProbe = 2)
+    val out = Dedup.connectedComponents(pairs, "q_id", "n_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("connected components: empty and self-pair inputs yield empty " +
       "output; duplicate pairs don't duplicate labels") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
