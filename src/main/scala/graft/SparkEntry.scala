@@ -749,6 +749,17 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
     }),
 
+    // semantic near-dup CLUSTERS: connected components over the
+    // bucketed embedding pair graph (same IVF settings as
+    // q_embed_dedup, whose exact recall is spec-pinned); oracle
+    // recomputes pairs exhaustively and closes them recursively
+    "q_embed_clusters" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val pairs = Similarity.bucketedPairs(e, 0.4, nCells = 16, nProbe = 6)
+      Dedup.connectedComponents(pairs, "q_id", "n_id")
+        .withColumnRenamed("id", "vec_id")
+    }),
+
     // MinHash LSH near-dedup over md5-derived (portable) seeded
     // hashes — oracle-checked: DuckDB recomputes the signatures,
     // band candidates, and true-Jaccard verification end to end
@@ -1438,6 +1449,25 @@ object SparkEntry {
         |       * sqrt(list_dot_product(b.v, b.v))) >= 0.4)
         |SELECT vec_id, label FROM e
         |WHERE vec_id NOT IN (SELECT vec_id FROM dups)""".stripMargin,
+
+    "q_embed_clusters" ->
+      """WITH RECURSIVE emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        |edges AS (SELECT ia AS a, ib AS b FROM p
+        |          UNION SELECT ib, ia FROM p),
+        |reach AS (
+        |  SELECT a AS n, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.n, g.b FROM reach JOIN edges g ON reach.r = g.a
+        |)
+        |SELECT n AS vec_id, least(n, min(r)) AS cluster_id
+        |FROM reach GROUP BY n""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH docs AS (
