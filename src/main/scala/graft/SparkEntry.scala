@@ -914,14 +914,9 @@ object SparkEntry {
       |            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
       |        FROM documents)""".stripMargin
 
-  /** Shared CTE chain replaying minhash signatures → band candidates
-    * → Jaccard-verified pairs (threshold 0.5) — the q_minhash_dedup
-    * oracle body, reused by the connected-components oracle. Ends
-    * with a `pairs(id_a, id_b, jaccard)` CTE; callers append the
-    * final SELECT. */
-  /** DuckDB replay of the 32-hash minhash signature table (`sigs`
-    * CTE with columns m0..m31), shared by the dedup, cluster, and
-    * skew oracles. */
+  /** DuckDB replay of the 32-hash minhash signature table (ends with
+    * a `sigs` CTE, columns m0..m31), shared by the dedup, cluster,
+    * incremental, and skew oracles. */
   private lazy val minhashSigCtes: String = {
     val p = graft.ext.Dedup.MinhashP
     val minCols = graft.ext.Dedup.minhashParams(32).zipWithIndex.map {
@@ -942,6 +937,11 @@ object SparkEntry {
       (b * 4 until (b + 1) * 4).map(i => s"a.m$i = b.m$i").mkString("(", " AND ", ")")
     }.mkString("\n     OR ")
 
+  /** [[minhashSigCtes]] extended to band candidates → Jaccard-verified
+    * pairs (threshold 0.5) — the q_minhash_dedup oracle body, reused
+    * by the connected-components oracle. Ends with a
+    * `pairs(id_a, id_b, jaccard)` CTE; callers append the final
+    * SELECT. */
   private lazy val minhashPairsCtes: String = {
     val bandConds = minhashBandConds
     s"""$minhashSigCtes,

@@ -218,6 +218,12 @@ object Assemble {
    * on any cluster size; changing `seed` reshuffles epochs.
    * Ties on the hash break by id, so the order is total and
    * engine-replayable.
+   *
+   * Size `shards` so one shard stays well under ~10⁸ rows: each shard
+   * is ONE window partition, i.e. one task's sort — that bound is the
+   * operational limit long before any numeric one (the position
+   * counter is a windowed count, LongType — it cannot overflow the
+   * way a 32-bit `row_number` would past 2³¹ rows/shard).
    */
   def shuffleShards(
       df: DataFrame, idCol: String,
@@ -230,7 +236,8 @@ object Assemble {
       .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     base.select(col("id"), col("shard"),
-      (row_number().over(w) - 1).cast("long").as("pos"))
+      coalesce(count(lit(1)).over(w), lit(0L)).as("pos"))
   }
 }

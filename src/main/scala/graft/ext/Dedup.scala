@@ -171,19 +171,9 @@ object Dedup {
     // pathological families; the drop is LOGGED, never silent.
     // maxBucket = 0 (default) disables the cap — the oracle-checked
     // queries run uncapped.
-    val banded = if (maxBucket > 0) {
-      val sizes = banded0.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("bsz"))
-      val hot = sizes.filter(col("bsz") > maxBucket)
-        .agg(count(lit(1)), sum(col("bsz"))).collect()(0)
-      if (hot.getLong(0) > 0)
-        System.err.println(
-          s"[graft.Dedup] minhash hot-bucket cap $maxBucket dropped " +
-            s"${hot.getLong(0)} buckets covering ${hot.getLong(1)} " +
-            "band entries — pairs confined to those buckets are lost")
-      banded0.join(sizes.filter(col("bsz") <= maxBucket),
-        Seq("band", "bucket"), "left_semi")
-    } else banded0
+    val banded = if (maxBucket > 0)
+      capHotBuckets(banded0, maxBucket)
+    else banded0
     val l = banded.as("l"); val rgt = banded.as("r")
     l.join(rgt,
         col("l.band") === col("r.band") &&
@@ -191,6 +181,26 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+  }
+
+  /** Drop (band, bucket) groups larger than `maxBucket` from a banded
+    * frame, loudly. The bucket-size table is `localCheckpoint`ed so
+    * the banded input is evaluated ONCE for the sizes (the drop
+    * report reads the checkpointed sizes, not a recompute) — the
+    * returned plan re-reads only the banded side. */
+  private def capHotBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val sizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .localCheckpoint()
+    val hot = sizes.filter(col("bsz") > maxBucket)
+      .agg(count(lit(1)), sum(col("bsz"))).collect()(0)
+    if (hot.getLong(0) > 0)
+      System.err.println(
+        s"[graft.Dedup] minhash hot-bucket cap $maxBucket dropped " +
+          s"${hot.getLong(0)} buckets covering ${hot.getLong(1)} " +
+          "band entries — pairs confined to those buckets are lost")
+    banded.join(sizes.filter(col("bsz") <= maxBucket),
+      Seq("band", "bucket"), "left_semi")
   }
 
   /**
@@ -265,18 +275,29 @@ object Dedup {
    * corpus side never compares against itself (at 100 TB re-verifying
    * the historical corpus every day is the cost that matters).
    * Ids equal across the two sides are excluded (a doc already in the
-   * corpus is not "a near-dup of itself"). `maxBucket` caps hot
-   * buckets as in [[minhashCandidates]] (left side's buckets).
+   * corpus is not "a near-dup of itself"). `maxBucket` (opt-in, as in
+   * [[minhashCandidates]]) caps the COMBINED batch+corpus size of a
+   * (band, bucket) group — the candidate blowup here is the
+   * batch-side × corpus-side product, so the cap must see both sides.
    */
   def minhashPairsAgainst(
       left: DataFrame, right: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 32, bands: Int = 8, n: Int = 3,
-      baseHash: Column => Column = xxhash64(_)): DataFrame = {
+      baseHash: Column => Column = xxhash64(_),
+      maxBucket: Int = 0): DataFrame = {
     val dl = shingled(left, idCol, textCol, n).persist()
     val dr = shingled(right, idCol, textCol, n).persist()
     try {
-      val bl = bandedSignatures(signaturesFromShingled(dl, k, baseHash), k, bands)
-      val br = bandedSignatures(signaturesFromShingled(dr, k, baseHash), k, bands)
+      val bl0 = bandedSignatures(signaturesFromShingled(dl, k, baseHash), k, bands)
+      val br0 = bandedSignatures(signaturesFromShingled(dr, k, baseHash), k, bands)
+      // side markers survive the union so one capped frame splits back
+      val (bl, br) = if (maxBucket > 0) {
+        val both = capHotBuckets(
+          bl0.withColumn("side", lit("l"))
+            .unionByName(br0.withColumn("side", lit("r"))), maxBucket)
+        (both.filter(col("side") === "l").drop("side"),
+          both.filter(col("side") === "r").drop("side"))
+      } else (bl0, br0)
       val cands = bl.as("l").join(br.as("r"),
           col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&
@@ -439,21 +460,29 @@ object Dedup {
    * any other key set, and AQE picks a broadcast semi-join by itself
    * whenever the training gram set is genuinely small.
    */
+  /** (id, gram-hash) explosion shared by [[contamination]] and
+    * [[contaminationBloom]] — ONE definition, because the bloom
+    * variant's oracle is literally the plain variant's SQL: the
+    * bit-identical-output guarantee holds only while both sides hash
+    * the same grams the same way. */
+  private def gramHashFrame(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .select(col("id"), TextAnalysis.portableHash60(col("g")).as("gh"))
+
   def contamination(
       train: DataFrame, test: DataFrame, idCol: String, textCol: String,
       n: Int = 13): DataFrame = {
-    def gramHashes(df: DataFrame): DataFrame =
-      graft.util.Tables.spread(df)
-        .select(col(idCol).as("id"),
-          explode(shingles(col(textCol), n)).as("g"))
-        .select(col("id"), TextAnalysis.portableHash60(col("g")).as("gh"))
-    val trainGrams = gramHashes(train).select(col("gh")).distinct()
+    val trainGrams = gramHashFrame(train, idCol, textCol, n)
+      .select(col("gh")).distinct()
     // the test grams feed BOTH the totals and the hit join — persist
     // for the call so the test corpus shingles once; result handed
     // back localCheckpoint'ed (computed, lineage-free, no unpersist
     // obligation on the caller; not recomputable under executor
     // loss — persist to storage for long-lived use)
-    val testGrams = gramHashes(test).persist()
+    val testGrams = gramHashFrame(test, idCol, textCol, n).persist()
     try {
       // shingles() emits distinct grams, so count(*) = distinct grams
       val totals = testGrams.groupBy(col("id"))
@@ -490,12 +519,9 @@ object Dedup {
   def contaminationBloom(
       train: DataFrame, test: DataFrame, idCol: String, textCol: String,
       n: Int = 13, fpp: Double = 0.01): DataFrame = {
-    def gramHashes(df: DataFrame): DataFrame =
-      graft.util.Tables.spread(df)
-        .select(col(idCol).as("id"),
-          explode(shingles(col(textCol), n)).as("g"))
-        .select(col("id"), TextAnalysis.portableHash60(col("g")).as("gh"))
-    val testGrams = gramHashes(test).persist()
+    val testGrams = gramHashFrame(test, idCol, textCol, n).persist()
+    var bloomB: Option[org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]] = None
     try {
       val distinctTest = testGrams.select(col("gh")).distinct().persist()
       try {
@@ -504,11 +530,11 @@ object Dedup {
         // zero test grams no train gram can matter anyway
         val trainHits = if (nTest == 0L) distinctTest else {
           val bloom = distinctTest.stat.bloomFilter("gh", nTest, fpp)
-          val bloomB = train.sparkSession.sparkContext.broadcast(bloom)
-          val mightContain =
-            udf((h: Long) => bloomB.value.mightContainLong(h))
+          val b = train.sparkSession.sparkContext.broadcast(bloom)
+          bloomB = Some(b)
+          val mightContain = udf((h: Long) => b.value.mightContainLong(h))
           // narrow prefilter BEFORE the distinct shuffle — the whole point
-          gramHashes(train)
+          gramHashFrame(train, idCol, textCol, n)
             .filter(mightContain(col("gh")))
             .select(col("gh")).distinct()
         }
@@ -523,7 +549,13 @@ object Dedup {
               col("n_grams"), 6).as("contaminated_frac"))
           .localCheckpoint()
       } finally distinctTest.unpersist()
-    } finally testGrams.unpersist()
+    } finally {
+      testGrams.unpersist()
+      // the result is already materialized (localCheckpoint), so the
+      // bloom can be dropped from driver + executors deterministically
+      // instead of waiting for GC — long sessions run many test suites
+      bloomB.foreach(_.destroy())
+    }
   }
 
   // ── 6. connected components (cluster collapse) ──────────────────
@@ -547,8 +579,10 @@ object Dedup {
    * collect, nothing broadcast; edges localCheckpoint each round so
    * lineage stays O(1) instead of O(rounds).
    *
-   * Returns (id, cluster_id) for every node appearing in `pairs`,
-   * where cluster_id = min id of the node's component. Ids must be an
+   * Returns (id, cluster_id) for every node appearing in at least one
+   * NON-SELF pair (a row with id_a = id_b asserts no relation to any
+   * other doc and is dropped, so its node gets no label row), with
+   * cluster_id = min id of the node's component. Ids must be an
    * orderable column type (the min is the cluster representative).
    * Deterministic. Throws if `maxIter` rounds don't converge (loud,
    * never silently-partial clusters).
@@ -573,18 +607,21 @@ object Dedup {
 
     // large-star: connect every neighbor v > u to m = min(Γ(u) ∪ {u});
     // small-star: connect every neighbor v ≤ u (and u) to that min.
-    // The per-node neighborhood min comes from a whole-partition
-    // window (partitionBy only, no ordering): ONE shuffle per
-    // half-round where groupBy-then-join-back would take two, and the
-    // only other wide dependency is the round-final distinct —
-    // 3 shuffles per round total. Intermediate duplicate edges are
-    // tolerated everywhere (they can't change a min) and collapsed
-    // once, by that final distinct.
-    val byNode = Window.partitionBy("u")
+    // The per-node min is a groupBy + join-back, NOT a whole-partition
+    // window: the min itself combines map-side (a 10⁶-degree star
+    // center — one boilerplate family — contributes ONE row per map
+    // partition instead of 10⁶ rows through one window task), and the
+    // join-back is a plain equi-join AQE can skew-split; a window
+    // partition cannot be split at all. Costs one more exchange per
+    // half-round than the window form — robustness over round-trips.
+    // Intermediate duplicate edges are tolerated (they can't change a
+    // min) and collapsed once, by the round-final distinct.
     def largeStar(e: DataFrame): DataFrame = {
       val und = e.select(col("a").as("u"), col("b").as("v"))
         .unionByName(e.select(col("b").as("u"), col("a").as("v")))
-      und.withColumn("m", least(min(col("v")).over(byNode), col("u")))
+      val mins = und.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      und.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("a"),
           greatest(col("v"), col("m")).as("b"))
@@ -594,9 +631,10 @@ object Dedup {
       // direct each edge large→small: (u, v) with v < u; m ≤ v < u,
       // so min(v) alone is the neighborhood min
       val dir = e.select(col("b").as("u"), col("a").as("v"))
-      val withM = dir.withColumn("m", min(col("v")).over(byNode))
-      withM.select(col("v"), col("m"))
-        .unionByName(withM.select(col("u").as("v"), col("m")))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .select(col("v"), col("m"))
+        .unionByName(mins.select(col("u").as("v"), col("m")))
         .select(least(col("v"), col("m")).as("a"),
           greatest(col("v"), col("m")).as("b"))
         .filter(col("a") =!= col("b"))
@@ -612,6 +650,18 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // a localCheckpoint'ed frame's blocks are only reclaimed when the
+    // ContextCleaner notices the RDD is unreachable — O(rounds) edge
+    // copies could pile up on executors before a driver GC. Release
+    // each round's blocks deterministically once the next round is
+    // materialized (best-effort: if the plan isn't the expected
+    // LogicalRDD, the cleaner still handles it eventually).
+    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
     // sentinel: never equal to a real signature, so round 1 always
     // runs — which it must anyway unless the input is already a star;
     // convergence compares consecutive rounds, no job on the input
@@ -622,6 +672,7 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nextSig = signature(next)
       converged = nextSig == sig
+      release(edges)
       edges = next
       sig = nextSig
       iter += 1
@@ -630,11 +681,17 @@ object Dedup {
       s"connectedComponents: no convergence after $maxIter rounds " +
         s"(${sig._1} edges) — raise maxIter")
     // converged edge set is a star per component: (member, center)
-    // with center = component min; centers label themselves
-    edges.select(col("b").as("id"), col("a").as("cluster_id"))
+    // with center = component min; centers label themselves. The
+    // labels are materialized so the final round's blocks can be
+    // released too — the caller gets a computed, lineage-free frame.
+    val labels = edges
+      .select(col("b").as("id"), col("a").as("cluster_id"))
       .unionByName(
         edges.select(col("a").as("id"), col("a").as("cluster_id"))
           .distinct())
+      .localCheckpoint()
+    release(edges)
+    labels
   }
 
   /**

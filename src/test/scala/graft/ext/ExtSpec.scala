@@ -434,6 +434,26 @@ class ExtSpec extends SparkSpec {
     assert(novel.select("doc_id").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("incremental minhash: combined-bucket cap drops the hot " +
+      "batch-x-corpus family, leaves the rest") {
+    val boiler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = ((100L to 104L).map(i => (i, boiler)) :+
+      ((105L, "one small doc about engines and sparks"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, boiler),                                     // joins the hot family
+      (2L, "one small doc about engines and sparks")    // small bucket, kept
+    ).toDF("doc_id", "text")
+    val un = Dedup.minhashPairsAgainst(batch, corpus, "doc_id", "text",
+      threshold = 0.5)
+    assert(un.count() === 6) // 1×{100..104} + 2×105
+    // cap 5 < combined family size 6 (1 batch + 5 corpus): family
+    // pairs gone, the small (2, 105) pair survives
+    val capped = Dedup.minhashPairsAgainst(batch, corpus, "doc_id", "text",
+      threshold = 0.5, maxBucket = 5)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((2L, 105L)))
+  }
+
   test("fuzzy dedup: transitive chains drop entirely, one survivor " +
       "per cluster, novel docs untouched") {
     // 1≈2 (near), 1=4 (exact) ⇒ {1,2,4} one cluster via transitivity
