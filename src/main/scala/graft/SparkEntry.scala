@@ -706,6 +706,14 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // shift-robust duplicate-passage annotation: token-weighted dup
+    // fraction over content-defined chunks (catches offset-shifted
+    // shared passages that fixed-position chunks miss)
+    "q_dup_chunks_cdc" -> ((s, dir) =>
+      TextAnalysis.dupCdcStats(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // the C4-style corpus cleanup, composed end to end: language
     // filter → quality gate → exact dedup (keep min id per
     // fingerprint) — the flagship training-data pipeline shape,
@@ -1234,6 +1242,38 @@ object SparkEntry {
          |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
          |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "q_dup_chunks_cdc" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |flat AS (SELECT doc_id,
+         |    unnest(range(1, len(t) + 1)) AS pos,
+         |    unnest(list_transform(t, s -> ${duckHash60("s")} % 1000003)) AS h
+         |  FROM toks),
+         |chunked AS (SELECT doc_id, pos, h,
+         |    COALESCE(sum(CASE WHEN h % 64 = 0 THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY doc_id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+         |  FROM flat),
+         |fp AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list(h ORDER BY pos)),
+         |      (a, b) -> (a * 31 + b) % 2147483647) AS chunk_hash,
+         |    count(*) AS n_tokens
+         |  FROM chunked GROUP BY doc_id, chunk),
+         |f AS (SELECT * FROM fp WHERE n_tokens >= 8),
+         |freq AS (SELECT chunk_hash AS fch, count(DISTINCT doc_id) AS n_docs
+         |         FROM f GROUP BY chunk_hash)
+         |SELECT doc_id,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_considered,
+         |       CAST(sum(CASE WHEN n_docs >= 2 THEN n_tokens ELSE 0 END)
+         |         AS BIGINT) AS n_dup_tokens,
+         |       round(CAST(sum(CASE WHEN n_docs >= 2 THEN n_tokens ELSE 0 END)
+         |         AS DOUBLE) / sum(n_tokens), 6) AS dup_token_frac
+         |FROM f JOIN freq ON f.chunk_hash = freq.fch
+         |GROUP BY doc_id""".stripMargin,
 
     "q_cdc_chunks" ->
       s"""WITH toks AS (

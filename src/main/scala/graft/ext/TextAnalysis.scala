@@ -182,6 +182,40 @@ object TextAnalysis {
   }
 
   /**
+   * Shift-robust duplicate-passage annotation: like [[dupChunkStats]]
+   * but over CONTENT-DEFINED chunks ([[cdcChunks]]), so a passage two
+   * docs share at different offsets still counts — and TOKEN-weighted
+   * (`dup_token_frac` = tokens inside cross-doc-duplicated chunks /
+   * total tokens), because CDC chunks vary in length and "30% of the
+   * document" should mean text, not chunk count. Tiny chunks below
+   * `minTokens` are ignored on BOTH sides of the fraction (boundary
+   * slivers shared by accident would otherwise inflate it).
+   *
+   * Returns (id, n_tokens_considered, n_dup_tokens, dup_token_frac).
+   */
+  def dupCdcStats(
+      df: DataFrame, idCol: String, textCol: String,
+      avgChunkTokens: Int = 64, minTokens: Int = 8): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, avgChunkTokens)
+      .filter(col("n_tokens") >= minTokens)
+      .select(col("id"), col("chunk_hash"), col("n_tokens"))
+      .persist()
+    try {
+      val docFreq = chunks.select(col("id"), col("chunk_hash")).distinct()
+        .groupBy(col("chunk_hash")).agg(count(lit(1)).as("n_docs"))
+      chunks.join(docFreq, "chunk_hash")
+        .groupBy(col("id")).agg(
+          sum(col("n_tokens")).as("n_tokens_considered"),
+          sum(when(col("n_docs") >= 2, col("n_tokens")).otherwise(0L))
+            .as("n_dup_tokens"))
+        .select(col("id"), col("n_tokens_considered"), col("n_dup_tokens"),
+          round(col("n_dup_tokens").cast("double") /
+            col("n_tokens_considered"), 6).as("dup_token_frac"))
+        .localCheckpoint()
+    } finally chunks.unpersist()
+  }
+
+  /**
    * Content-defined chunking (CDC): a token ends up starting a new
    * chunk wherever its hash satisfies `h % avgChunkTokens == 0` —
    * boundaries derive from CONTENT, not position, so a passage two

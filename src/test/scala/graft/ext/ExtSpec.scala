@@ -551,6 +551,29 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) === ((1L, 0L, 0.0)))
   }
 
+  test("dup cdc stats: offset-shifted shared passage annotates BOTH " +
+      "docs with a positive token-weighted dup fraction; unique doc " +
+      "reports zero") {
+    val passage = (1 to 60).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"unique prefix words here $passage"), // passage at offset 4
+      (2L, passage),                              // passage at offset 0
+      (3L, (1 to 40).map(i => s"own$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.dupCdcStats(docs, "doc_id", "text",
+      avgChunkTokens = 8, minTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._3 > 0.0 && out(2L)._3 > 0.0)
+    assert(out(3L)._3 === 0.0)
+    out.values.foreach { case (considered, dup, frac) =>
+      assert(dup <= considered)
+      assert(math.abs(frac - dup.toDouble / considered) < 1e-6)
+    }
+    // the doc that IS the passage is (nearly) all duplicated —
+    // only boundary chunks around the splice can differ
+    assert(out(2L)._3 > 0.5)
+  }
+
   test("null text flows through the text operators without crashing " +
       "(null scores / zero rows, never an NPE)") {
     val docs = Seq((1L, "real words here"), (2L, null))
