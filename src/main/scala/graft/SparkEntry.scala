@@ -991,6 +991,32 @@ object SparkEntry {
       |         AS contaminated_frac
       |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin
 
+  /** DuckDB replay of content-defined chunking — token hashes, h%64
+    * boundaries, per-chunk polynomial fingerprints; ends with an
+    * `fp(doc_id, chunk_hash, n_tokens)` CTE. ONE definition shared by
+    * the q_cdc_chunks and q_dup_chunks_cdc oracles, mirroring the one
+    * `TextAnalysis.cdcChunks` both queries call. */
+  private lazy val cdcFpCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |flat AS (SELECT doc_id,
+       |    unnest(range(1, len(t) + 1)) AS pos,
+       |    unnest(list_transform(t, s -> ${duckHash60("s")} % 1000003)) AS h
+       |  FROM toks),
+       |chunked AS (SELECT doc_id, pos, h,
+       |    COALESCE(sum(CASE WHEN h % 64 = 0 THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM flat),
+       |fp AS (SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list(h ORDER BY pos)),
+       |      (a, b) -> (a * 31 + b) % 2147483647) AS chunk_hash,
+       |    count(*) AS n_tokens
+       |  FROM chunked GROUP BY doc_id, chunk)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_changeset" ->
       s"""WITH source AS ($syncSourceSql), local AS ($syncLocalSql)
@@ -1244,25 +1270,7 @@ object SparkEntry {
          |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1""".stripMargin,
 
     "q_dup_chunks_cdc" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array(
-         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
-         |  FROM documents),
-         |flat AS (SELECT doc_id,
-         |    unnest(range(1, len(t) + 1)) AS pos,
-         |    unnest(list_transform(t, s -> ${duckHash60("s")} % 1000003)) AS h
-         |  FROM toks),
-         |chunked AS (SELECT doc_id, pos, h,
-         |    COALESCE(sum(CASE WHEN h % 64 = 0 THEN 1 ELSE 0 END) OVER
-         |      (PARTITION BY doc_id ORDER BY pos
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
-         |  FROM flat),
-         |fp AS (SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list(h ORDER BY pos)),
-         |      (a, b) -> (a * 31 + b) % 2147483647) AS chunk_hash,
-         |    count(*) AS n_tokens
-         |  FROM chunked GROUP BY doc_id, chunk),
+      s"""WITH $cdcFpCtes,
          |f AS (SELECT * FROM fp WHERE n_tokens >= 8),
          |freq AS (SELECT chunk_hash AS fch, count(DISTINCT doc_id) AS n_docs
          |         FROM f GROUP BY chunk_hash)
@@ -1276,25 +1284,7 @@ object SparkEntry {
          |GROUP BY doc_id""".stripMargin,
 
     "q_cdc_chunks" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array(
-         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
-         |  FROM documents),
-         |flat AS (SELECT doc_id,
-         |    unnest(range(1, len(t) + 1)) AS pos,
-         |    unnest(list_transform(t, s -> ${duckHash60("s")} % 1000003)) AS h
-         |  FROM toks),
-         |chunked AS (SELECT doc_id, pos, h,
-         |    COALESCE(sum(CASE WHEN h % 64 = 0 THEN 1 ELSE 0 END) OVER
-         |      (PARTITION BY doc_id ORDER BY pos
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
-         |  FROM flat),
-         |fp AS (SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list(h ORDER BY pos)),
-         |      (a, b) -> (a * 31 + b) % 2147483647) AS chunk_hash,
-         |    count(*) AS n_tokens
-         |  FROM chunked GROUP BY doc_id, chunk)
+      s"""WITH $cdcFpCtes
          |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
          |       count(*) AS n_occurrences
          |FROM fp WHERE n_tokens >= 8

@@ -139,6 +139,11 @@ object Dedup {
    * pair. The band hash is the shuffle key; bucket sizes stay small
    * because a collision needs r equal minhashes.
    */
+  /** Note: with `maxBucket > 0` this lazy-contract entry point leaves
+    * the internal bucket-size checkpoint to the ContextCleaner (the
+    * returned plan still needs it); [[minhashDedup]] /
+    * [[minhashPairsAgainst]] materialize and release deterministically
+    * — prefer them for long-lived sessions. */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, n: Int = 3,
@@ -146,7 +151,7 @@ object Dedup {
       maxBucket: Int = 0): DataFrame =
     bandedCandidates(
       minhashSignatures(df, idCol, textCol, k, n, baseHash), k, bands,
-      maxBucket)
+      maxBucket)._1
 
   private def bandedSignatures(
       sig: DataFrame, k: Int, bands: Int): DataFrame = {
@@ -160,7 +165,7 @@ object Dedup {
 
   private def bandedCandidates(
       sig: DataFrame, k: Int, bands: Int,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0): (DataFrame, () => Unit) = {
     val banded0 = bandedSignatures(sig, k, bands)
     // Opt-in hot-bucket cap: a degenerate bucket of size m (near-empty
     // docs, boilerplate, adversarial shingle collisions) contributes
@@ -171,24 +176,41 @@ object Dedup {
     // pathological families; the drop is LOGGED, never silent.
     // maxBucket = 0 (default) disables the cap — the oracle-checked
     // queries run uncapped.
-    val banded = if (maxBucket > 0)
+    val (banded, release) = if (maxBucket > 0)
       capHotBuckets(banded0, maxBucket)
-    else banded0
+    else (banded0, () => ())
     val l = banded.as("l"); val rgt = banded.as("r")
-    l.join(rgt,
+    (l.join(rgt,
         col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+      .distinct(), release)
   }
+
+  /** Deterministically free a `localCheckpoint`ed frame's blocks
+    * instead of waiting for the ContextCleaner to notice the RDD is
+    * unreachable (best-effort: if the plan isn't the expected
+    * LogicalRDD, the cleaner still reclaims it eventually). Only call
+    * once every plan derived from the frame has been materialized. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Drop (band, bucket) groups larger than `maxBucket` from a banded
     * frame, loudly. The bucket-size table is `localCheckpoint`ed so
     * the banded input is evaluated ONCE for the sizes (the drop
     * report reads the checkpointed sizes, not a recompute) — the
-    * returned plan re-reads only the banded side. */
-  private def capHotBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    * returned plan re-reads only the banded side. Returns the capped
+    * frame plus a release handle for the sizes checkpoint: callers
+    * that materialize their result MUST invoke it (at scale the size
+    * table is one row per bucket — too big to leave to driver GC);
+    * lazy-contract callers leave it to the ContextCleaner. */
+  private def capHotBuckets(
+      banded: DataFrame, maxBucket: Int): (DataFrame, () => Unit) = {
     val sizes = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
       .localCheckpoint()
@@ -199,8 +221,9 @@ object Dedup {
         s"[graft.Dedup] minhash hot-bucket cap $maxBucket dropped " +
           s"${hot.getLong(0)} buckets covering ${hot.getLong(1)} " +
           "band entries — pairs confined to those buckets are lost")
-    banded.join(sizes.filter(col("bsz") <= maxBucket),
-      Seq("band", "bucket"), "left_semi")
+    (banded.join(sizes.filter(col("bsz") <= maxBucket),
+      Seq("band", "bucket"), "left_semi"),
+      () => releaseCheckpoint(sizes))
   }
 
   /**
@@ -242,9 +265,9 @@ object Dedup {
     // lineage-free, no caller unpersist obligation (see
     // ngramJaccardPairs for the full rationale).
     val docs = shingled(df, idCol, textCol, n).persist()
+    val (cands, releaseCap) = bandedCandidates(
+      signaturesFromShingled(docs, k, baseHash), k, bands, maxBucket)
     try {
-      val cands = bandedCandidates(
-        signaturesFromShingled(docs, k, baseHash), k, bands, maxBucket)
       val verified = cands
         .join(docs.withColumnRenamed("id", "id_a")
           .withColumnRenamed("sh", "sh_a"), "id_a")
@@ -255,7 +278,7 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
       verified.localCheckpoint()
-    } finally docs.unpersist()
+    } finally { docs.unpersist(); releaseCap() }
   }
 
   /**
@@ -287,14 +310,21 @@ object Dedup {
       maxBucket: Int = 0): DataFrame = {
     val dl = shingled(left, idCol, textCol, n).persist()
     val dr = shingled(right, idCol, textCol, n).persist()
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     try {
       val bl0 = bandedSignatures(signaturesFromShingled(dl, k, baseHash), k, bands)
       val br0 = bandedSignatures(signaturesFromShingled(dr, k, baseHash), k, bands)
-      // side markers survive the union so one capped frame splits back
+      // side markers survive the union so ONE capped frame splits back
+      // into the two join sides; the capped union is checkpointed —
+      // without it, each side's filter would re-run both corpora's
+      // signature pipelines as separate subtrees of the candidate join
       val (bl, br) = if (maxBucket > 0) {
-        val both = capHotBuckets(
+        val (capped, relSizes) = capHotBuckets(
           bl0.withColumn("side", lit("l"))
             .unionByName(br0.withColumn("side", lit("r"))), maxBucket)
+        val both = capped.localCheckpoint()
+        releases += relSizes
+        releases += (() => releaseCheckpoint(both))
         (both.filter(col("side") === "l").drop("side"),
           both.filter(col("side") === "r").drop("side"))
       } else (bl0, br0)
@@ -314,7 +344,9 @@ object Dedup {
         .select(col("id_l"), col("id_r"),
           round(col("jaccard"), 6).as("jaccard"))
       verified.localCheckpoint()
-    } finally { dl.unpersist(); dr.unpersist() }
+    } finally {
+      dl.unpersist(); dr.unpersist(); releases.foreach(_.apply())
+    }
   }
 
   // ── 3. simhash ──────────────────────────────────────────────────
@@ -591,7 +623,8 @@ object Dedup {
    * lineage, but blocks live on executors, so an executor loss
    * mid-run fails the job (retry = rerun). For multi-hour runs on a
    * preemptible cluster, set `spark.sparkContext.setCheckpointDir`
-   * and swap the two `localCheckpoint()` calls for `checkpoint()` —
+   * and swap ALL of this function's `localCheckpoint()` calls (input
+   * canonicalization, per-round, final labels) for `checkpoint()` —
    * same algorithm, durable rounds.
    */
   def connectedComponents(
@@ -650,29 +683,25 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    // a localCheckpoint'ed frame's blocks are only reclaimed when the
-    // ContextCleaner notices the RDD is unreachable — O(rounds) edge
-    // copies could pile up on executors before a driver GC. Release
-    // each round's blocks deterministically once the next round is
-    // materialized (best-effort: if the plan isn't the expected
-    // LogicalRDD, the cleaner still handles it eventually).
-    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
-
-    // sentinel: never equal to a real signature, so round 1 always
-    // runs — which it must anyway unless the input is already a star;
-    // convergence compares consecutive rounds, no job on the input
-    var sig = (-1L, -1L)
+    // O(rounds) checkpointed edge copies would otherwise pile up on
+    // executors until a driver GC lets the ContextCleaner reclaim
+    // them — release each round deterministically (releaseCheckpoint)
+    // once the next round is materialized.
+    //
+    // The initial signature job is deliberate, not redundant: an input
+    // that is ALREADY a star forest converges at round 1 (round 1's
+    // signature equals the input's), keeping the documented contract
+    // that maxIter bounds the number of improvement rounds — a
+    // sentinel would make tight-maxIter calls throw on inputs the
+    // function previously handled.
+    var sig = signature(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nextSig = signature(next)
       converged = nextSig == sig
-      release(edges)
+      releaseCheckpoint(edges)
       edges = next
       sig = nextSig
       iter += 1
@@ -690,7 +719,7 @@ object Dedup {
         edges.select(col("a").as("id"), col("a").as("cluster_id"))
           .distinct())
       .localCheckpoint()
-    release(edges)
+    releaseCheckpoint(edges)
     labels
   }
 

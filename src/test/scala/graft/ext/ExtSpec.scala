@@ -524,6 +524,21 @@ class ExtSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("connected components release round blocks deterministically: " +
+      "at most the returned labels checkpoint survives the call") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    assert(out.count() === 30)
+    // the multi-round loop checkpointed O(rounds) edge frames; all but
+    // the labels frame must be unpersisted already (NOT waiting for
+    // the ContextCleaner) — if the LogicalRDD release path silently
+    // stopped matching, this count grows with the round count
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"expected <=1 surviving checkpoint (labels), found ${leaked.size}")
+  }
+
   test("connected components: empty and self-pair inputs yield empty " +
       "output; duplicate pairs don't duplicate labels") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
