@@ -199,6 +199,26 @@ object Similarity {
   def ivfAssign(vec: Column, nCells: Int = 16): Column =
     array_max(cellProjections(vec, nCells)).getField("c")
 
+  /**
+   * IVF cell-occupancy pre-flight — the embedding-tier counterpart of
+   * `Dedup.lshBucketStats`: per probed cell, how many vectors land in
+   * it and the exact within-cell pair volume the bucketed self-join
+   * would generate (Σ over cells of c·(c-1)/2, with `nProbe`-way
+   * multi-probe multiplicity included, because that IS the join's
+   * input). A skewed corpus shows up as one cell holding a large
+   * share of the vectors — the signal to raise `nCells`, switch to
+   * trained centroids (`bucketedPairsTrained`), or both, BEFORE
+   * launching the pair join. One (cell) shuffle; `nCells` output rows.
+   */
+  def cellStats(
+      corpus: DataFrame, nCells: Int = 16, nProbe: Int = 1,
+      vecCol: String = "embedding"): DataFrame =
+    graft.util.Tables.spread(corpus)
+      .select(explode(ivfProbe(col(vecCol), nCells, nProbe)).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .select(col("cell"), col("n_vectors"),
+        expr("n_vectors * (n_vectors - 1) div 2").as("n_cand_pairs"))
+
   /** Top-`nProbe` cells by projection (deterministic tie-break on
     * cell id) — the multi-probe assignment used by [[bucketedPairs]]
     * and the query side of probed IVF search. `ivfProbe(v, n, 1)`

@@ -157,6 +157,20 @@ class ExtSpec extends SparkSpec {
     assert(got === brute) // exact recall at nProbe=6 of 16, pinned
   }
 
+  test("ivf cell stats: occupancy sums to nProbe x corpus, pair " +
+      "volume is exactly sum c(c-1)/2, deterministic") {
+    val vecs = (1L to 50L).map(i =>
+      (i, Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val stats = Similarity.cellStats(vecs, nCells = 4, nProbe = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(stats.map(_._2).sum === 100L) // 50 vectors x 2 probes
+    stats.foreach { case (_, c, p) => assert(p === c * (c - 1) / 2) }
+    val again = Similarity.cellStats(vecs, nCells = 4, nProbe = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet === stats.toSet)
+  }
+
   test("lsh ann: recall@5 vs brute force on the test corpus") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" % 100 === 0)
