@@ -682,6 +682,18 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // the capstone composition: fuzzy dedup (minhash pairs → CC →
+    // one survivor per cluster) then the deterministic training
+    // permutation over the survivors — "prepare this corpus for
+    // training" as ONE oracle-certified query
+    "q_dedup_shuffle" -> ((s, dir) => {
+      val survivors = Dedup.fuzzyDedup(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        threshold = 0.5, baseHash = TextAnalysis.portableHash60)
+      Assemble.shuffleShards(survivors, "doc_id", shards = 16)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // deterministic corpus shuffle-and-shard: reproducible training
     // permutation with no global sort — hash-mod shard, row_number
     // within shard on (hash, id)
@@ -1576,6 +1588,31 @@ object SparkEntry {
          |)
          |SELECT n AS doc_id, least(n, min(r)) AS cluster_id
          |FROM reach GROUP BY n""".stripMargin,
+
+    // pairs → recursive closure → drop non-representatives → permute
+    // the survivors: every stage of the pipeline replayed in one query
+    "q_dedup_shuffle" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS n, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.n, g.b FROM reach JOIN edges g ON reach.r = g.a
+         |),
+         |dropped AS (SELECT n FROM reach GROUP BY n
+         |            HAVING n <> least(n, min(r))),
+         |keep AS (SELECT doc_id FROM documents
+         |         WHERE doc_id NOT IN (SELECT n FROM dropped)),
+         |h AS (
+         |  SELECT doc_id,
+         |    ${duckHash60("concat(CAST(doc_id AS VARCHAR), ':0')")} AS h
+         |  FROM keep)
+         |SELECT doc_id, h % 16 AS shard,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS BIGINT)
+         |         AS pos
+         |FROM h""".stripMargin,
 
     "q_shuffle_shards" ->
       s"""WITH h AS (
