@@ -502,6 +502,15 @@ class ExtSpec extends SparkSpec {
     val loose = Dedup.minhashCandidates(corpus, "doc_id", "text",
       maxBucket = 6)
     assert(loose.count() === 15)
+    // the materializing entry point: capped verified pairs, and the
+    // internal bucket-size checkpoint is released (no persistent-RDD
+    // growth beyond the returned localCheckpoint)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val dedup = Dedup.minhashDedup(corpus, "doc_id", "text",
+      threshold = 0.5, maxBucket = 5)
+    assert(dedup.count() === 0)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"cap path leaked ${leaked.size} RDDs")
   }
 
   test("connected components: transitive chains collapse to one " +
