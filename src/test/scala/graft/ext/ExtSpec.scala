@@ -547,6 +547,40 @@ class ExtSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("connected components: randomized graphs match a union-find " +
+      "oracle exactly (labels, membership, and cluster count)") {
+    val rnd = new scala.util.Random(20260812)
+    for (trial <- 1 to 3) {
+      val nNodes = 60 + trial * 40
+      val nEdges = nNodes + rnd.nextInt(nNodes)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      // in-test oracle: classic union-find with min-label extraction
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // union-by-min keeps the component's min id as the root, so
+      // find(id) IS the expected cluster label; nodes appearing only
+      // in self-loops get no label (the documented contract)
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .filter(id => edges.exists(e =>
+          (e._1 == id || e._2 == id) && e._1 != e._2))
+        .map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial: nNodes=$nNodes nEdges=$nEdges")
+    }
+  }
+
   test("connected components release round blocks deterministically: " +
       "at most the returned labels checkpoint survives the call") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
