@@ -208,10 +208,14 @@ object Similarity {
    * input). A skewed corpus shows up as one cell holding a large
    * share of the vectors — the signal to raise `nCells`, switch to
    * trained centroids (`bucketedPairsTrained`), or both, BEFORE
-   * launching the pair join. One (cell) shuffle; `nCells` output rows.
+   * launching the pair join. One (cell) shuffle; AT MOST `nCells`
+   * output rows (cells no probe lands in are absent — few returned
+   * rows on a skewed corpus is itself the warning sign). Pass the
+   * SAME (nCells, nProbe) you will give the join — the defaults here
+   * match [[bucketedPairs]]'s defaults for exactly that reason.
    */
   def cellStats(
-      corpus: DataFrame, nCells: Int = 16, nProbe: Int = 1,
+      corpus: DataFrame, nCells: Int = 16, nProbe: Int = 6,
       vecCol: String = "embedding"): DataFrame =
     graft.util.Tables.spread(corpus)
       .select(explode(ivfProbe(col(vecCol), nCells, nProbe)).as("cell"))

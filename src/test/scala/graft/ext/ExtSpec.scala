@@ -165,7 +165,14 @@ class ExtSpec extends SparkSpec {
     val stats = Similarity.cellStats(vecs, nCells = 4, nProbe = 2)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(stats.map(_._2).sum === 100L) // 50 vectors x 2 probes
-    stats.foreach { case (_, c, p) => assert(p === c * (c - 1) / 2) }
+    // independent recompute: occupancy AND pair volume from the raw
+    // probe assignments, not from cellStats' own output columns
+    val probed = vecs.select(explode(
+        Similarity.ivfProbe(col("embedding"), 4, 2)).as("cell"))
+      .collect().map(_.getInt(0))
+      .groupBy(identity).map { case (c, xs) => (c, xs.length.toLong) }
+    val expected = probed.map { case (c, n) => (c, n, n * (n - 1) / 2) }.toSet
+    assert(stats.toSet === expected)
     val again = Similarity.cellStats(vecs, nCells = 4, nProbe = 2)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(again.toSet === stats.toSet)
