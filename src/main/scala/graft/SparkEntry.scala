@@ -718,6 +718,18 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // winnowing (MOSS) shared-substring report: fingerprints present
+    // in >1 doc — guaranteed to fire for any shared token run of
+    // length >= k + window - 1 = 11, at any offsets
+    "q_winnow_dup" -> ((s, dir) => {
+      val fps = TextAnalysis.winnowFingerprints(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      fps.groupBy(col("fp")).agg(
+          count(lit(1)).as("n_docs"),
+          min(col("id")).as("min_doc"), max(col("id")).as("max_doc"))
+        .filter(col("n_docs") > 1)
+    }),
+
     // shift-robust duplicate-passage annotation: token-weighted dup
     // fraction over content-defined chunks (catches offset-shifted
     // shared passages that fixed-position chunks miss)
@@ -1294,6 +1306,30 @@ object SparkEntry {
          |         AS DOUBLE) / sum(n_tokens), 6) AS dup_token_frac
          |FROM f JOIN freq ON f.chunk_hash = freq.fch
          |GROUP BY doc_id""".stripMargin,
+
+    "q_winnow_dup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, greatest(len(t) - 8 + 1, 0) + 1)) AS pos,
+         |    unnest(CASE WHEN len(t) >= 8 THEN
+         |      [${duckHash60("array_to_string(t[i:i+7], ' ')")} % 1000003
+         |       FOR i IN range(1, len(t) - 6)]
+         |      ELSE [] END) AS h
+         |  FROM toks),
+         |wins AS (
+         |  SELECT doc_id,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         |    pos
+         |  FROM grams),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos >= 4)
+         |SELECT fp, count(*) AS n_docs,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM fps GROUP BY fp HAVING count(*) > 1""".stripMargin,
 
     "q_cdc_chunks" ->
       s"""WITH $cdcFpCtes

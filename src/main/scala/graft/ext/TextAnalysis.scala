@@ -182,6 +182,54 @@ object TextAnalysis {
   }
 
   /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+   * the MOSS algorithm): hash every `k`-token gram, slide a
+   * `window`-gram window, keep each window's MINIMUM hash. The
+   * guarantee the chunk-based passes lack: any shared token run of
+   * length ≥ k + window - 1 yields at least one shared fingerprint,
+   * at ANY offset in either document — while storing only ~2/(window+1)
+   * of the gram hashes. [[chunkHashes]] needs alignment, [[cdcChunks]]
+   * needs a boundary to land inside the overlap; winnowing needs
+   * neither.
+   *
+   * Returns DISTINCT (id, fp) rows — the document's fingerprint set.
+   * Shared-substring detection is then a fingerprint equi-join
+   * (see the q_winnow_dup query). Only full windows fingerprint, so a
+   * doc needs ≥ k + window - 1 tokens to produce any row (shorter
+   * docs are absent, deterministically).
+   *
+   * Scale shape: explode to (id, pos, gram-hash) — positional, NOT
+   * the distinct [[graft.ext.Dedup.shingles]] set — then ONE shuffle
+   * on the doc id for the rolling window min, then distinct. All
+   * hashes portable; an oracle replays window mins exactly.
+   */
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1, "k and window must be >= 1")
+    val tokens = normTokens(col(textCol))
+    val nGrams = size(tokens) - k + 1
+    // sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — short
+    // docs need the explicit empty branch
+    val grams = when(nGrams >= 1,
+      transform(sequence(lit(1), nGrams),
+        i => concat_ws(" ", slice(tokens, i, lit(k)))))
+      .otherwise(array())
+    val hashed = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"), posexplode(grams))
+      .select(col("id"), (col("pos") + 1).as("pos"),
+        pmod(portableHash60(col("col")), lit(1000003L)).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+      .rowsBetween(-(window - 1), 0)
+    hashed
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("pos") >= window) // full windows only
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
+
+  /**
    * Shift-robust duplicate-passage annotation: like [[dupChunkStats]]
    * but over CONTENT-DEFINED chunks ([[cdcChunks]]), so a passage two
    * docs share at different offsets still counts — and TOKEN-weighted

@@ -630,6 +630,30 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) === ((1L, 0L, 0.0)))
   }
 
+  test("winnowing: a shared run of exactly k+window-1 tokens at " +
+      "different offsets is GUARANTEED a shared fingerprint; disjoint " +
+      "docs share none; short docs fingerprint nothing") {
+    // k=8, window=4 ⇒ guarantee threshold 11 tokens
+    val run = (1 to 11).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $run"),               // run at offset 4
+      (2L, s"$run tail1 tail2"),                          // run at offset 0
+      (3L, (1 to 30).map(i => s"own$i").mkString(" ")),   // disjoint
+      (4L, "too short for any gram")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert(byDoc.contains(1L) && byDoc.contains(2L) && byDoc.contains(3L))
+    assert(!byDoc.contains(4L)) // < k tokens ⇒ no grams at all
+    // the guarantee: docs 1 and 2 share at least one fingerprint
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    // no false sharing with the disjoint doc
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    assert((byDoc(2L) intersect byDoc(3L)).isEmpty)
+    // compression: far fewer fingerprints than grams (~2/(w+1) rate)
+    assert(byDoc(3L).size < 30 - 8 + 1)
+  }
+
   test("dup cdc stats: offset-shifted shared passage annotates BOTH " +
       "docs with a positive token-weighted dup fraction; unique doc " +
       "reports zero") {
