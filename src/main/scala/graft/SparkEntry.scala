@@ -738,6 +738,31 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // the full Gopher rule battery (Rae et al. 2021, Table A1):
+    // per-doc quality signals + the composite pass flag, every
+    // fraction rounded before comparison so the flag replays exactly
+    "q_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        minWords = 20L)
+        .withColumnRenamed("id", "doc_id")),
+
+    // hashed-bag-of-words linear classifier scoring (the fastText
+    // quality-gate shape): token → hash bucket → deterministic
+    // weight; exact-integer keep decision, engine-replayable
+    "q_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.hashedClassifierScore(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // CCNet-style perplexity bucketing: per-language head/middle/tail
+    // thirds by exact-integer mean unigram surprisal, split with
+    // ntile over a total order — no FP in the bucket decision
+    "q_ppl_buckets" -> ((s, dir) =>
+      Assemble.pplBuckets(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", "lang")
+        .withColumnRenamed("id", "doc_id")),
+
     // the C4-style corpus cleanup, composed end to end: language
     // filter → quality gate → exact dedup (keep min id per
     // fingerprint) — the flagship training-data pipeline shape,
@@ -846,6 +871,20 @@ object SparkEntry {
       val cents = Similarity.trainCentroids(e, nCells = 8)
       Similarity.ivfTopKTrained(e, e.filter(col("vec_id") % 100 === 0),
         k = 5, cents, nProbe = 6)
+    }),
+
+    // PQ/ADC ANN with exact refine: corpus compressed to m one-byte
+    // codes per vector (deterministic per-subspace k-means
+    // codebooks); the full ADC scan runs over the COMPRESSED corpus,
+    // then only |queries|·shortlist full vectors are re-ranked
+    // exactly (rows-only: codebooks are trained floats; shortlist +
+    // refined recall@5 vs brute pinned by ExtSpec at these settings)
+    "q_ann_pq" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val cbs = Similarity.trainPqCodebooks(e, m = 16, k = 32)
+      val codes = Similarity.pqEncode(e, cbs)
+      Similarity.pqTopKRefined(codes, e,
+        e.filter(col("vec_id") % 100 === 0), cbs, k = 5, shortlist = 50)
     }),
 
     // IVF-style ANN: corpus in its nearest seed cell, queries probe
@@ -1495,6 +1534,102 @@ object SparkEntry {
         |         AS dup_tok_frac
         |FROM tt t LEFT JOIN gc g USING (doc_id)
         |LEFT JOIN rs r USING (doc_id)""".stripMargin,
+
+    "q_gopher_rules" -> {
+      val stopSum = graft.ext.TextAnalysis.GopherStops.map(w =>
+        s"CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(
+         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t,
+         |    string_split(text, chr(10)) AS ls
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS BIGINT) AS n_words,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(t, x -> CAST(length(x) AS BIGINT))),
+         |      (a, b) -> a + b) AS BIGINT) AS sum_len,
+         |    CAST(len(regexp_extract_all(text, '#'))
+         |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls,
+         |      l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT)
+         |      AS n_bullet,
+         |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')))
+         |      AS BIGINT) AS n_ell,
+         |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST($stopSum AS BIGINT) AS n_stop_kinds
+         |  FROM base),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    round(CAST(sum_len AS DOUBLE) / greatest(n_words, 1), 6)
+         |      AS mean_word_len,
+         |    round(CAST(n_sym AS DOUBLE) / greatest(n_words, 1), 6)
+         |      AS symbol_ratio,
+         |    round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_line_frac,
+         |    round(CAST(n_ell AS DOUBLE) / n_lines, 6) AS ellipsis_line_frac,
+         |    round(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1), 6)
+         |      AS alpha_word_frac,
+         |    n_stop_kinds
+         |  FROM s)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+         |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+         |  n_stop_kinds,
+         |  CAST(CASE WHEN n_words >= 20 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+         |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+         |    AND n_stop_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS gopher_pass
+         |FROM r""".stripMargin
+    },
+
+    "q_quality_classifier" -> {
+      val bucket = s"${duckHash60("tok")} % 4096"
+      val weight =
+        s"${duckHash60(s"concat('clf:', CAST($bucket AS VARCHAR))")} % 2001 - 1000"
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+         |  FROM documents),
+         |w AS (SELECT doc_id, CAST($weight AS BIGINT) AS w_milli FROM toks)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(w_milli) AS BIGINT) AS w_sum_milli,
+         |  round(1.0 / (1.0 + exp(-CAST(sum(w_milli) AS DOUBLE)
+         |    / (count(*) * 1000.0))), 6) AS score,
+         |  CAST(CASE WHEN sum(w_milli) >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS clf_keep
+         |FROM w GROUP BY doc_id""".stripMargin
+    },
+
+    "q_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |freq AS (SELECT tok, count(*) AS c FROM flat GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(-ln(CAST(c AS DOUBLE) / total) * 1000000)
+        |          AS BIGINT) AS u
+        |      FROM flat JOIN freq USING (tok) CROSS JOIN tot),
+        |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |               CAST(sum(u) AS BIGINT) AS su
+        |        FROM s GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, lang, n_tokens,
+        |        CAST(su // n_tokens AS BIGINT) AS mu_unats
+        |      FROM doc d JOIN documents USING (doc_id))
+        |SELECT doc_id, lang, n_tokens, mu_unats,
+        |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY mu_unats, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS ppl_bucket
+        |FROM j""".stripMargin,
 
     "q_corpus_clean" ->
       s"""WITH ta AS ($duckTextAnalysis)

@@ -80,6 +80,41 @@ object Assemble {
   }
 
   /**
+   * CCNet-style perplexity bucketing: score every document with the
+   * corpus-trained unigram LM ([[unigramSurprisal]]), then split each
+   * language into equal-count head / middle / tail thirds by mean
+   * token surprisal (head = most-probable text — the slice CCNet
+   * keeps; tail = rare-token noise). The bucket metric is the exact
+   * integer `surprisal_unats div n_tokens` and the split is
+   * `ntile(3)` over the total order (metric, id) — no floating point
+   * anywhere in the decision, so any engine replays the exact same
+   * bucket per document (interpolated-percentile cutoffs would risk
+   * 1-ulp disagreement at bucket boundaries).
+   *
+   * Scale shape: [[unigramSurprisal]]'s shuffles, one doc-id join for
+   * the language, then ONE window per language over per-DOCUMENT rows
+   * (a few orders lighter than the token-level passes). The ntile
+   * window funnels each language through one partition; at corpus
+   * scales where that bites, swap the ntile for approx_percentile
+   * cutoffs broadcast as metadata — the decision becomes approximate,
+   * which is why the exact form is the default here.
+   */
+  def pplBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val scored = unigramSurprisal(df, idCol, textCol)
+    val withLang = scored.join(
+      df.select(col(idCol).as("id"), col(langCol).as("lang")), Seq("id"))
+      .withColumn("mu_unats", expr("surprisal_unats div n_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mu_unats"), col("id"))
+    withLang.withColumn("b", ntile(3).over(w))
+      .select(col("id"), col("lang"), col("n_tokens"), col("mu_unats"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  /**
    * Deterministic domain-mixture sampling: downsample each domain so
    * the surviving corpus hits the target proportions `weights`
    * (relative integer weights) with maximum retention. Entirely

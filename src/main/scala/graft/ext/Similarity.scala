@@ -435,4 +435,220 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"),
         col("rank"))
   }
+
+  // ── Product quantization (PQ) ─────────────────────────────────────
+  // The storage-bound ANN tier (Jégou et al., PAMI 2011): compress
+  // each vector to `m` one-byte codes (one codeword index per
+  // contiguous subspace) and score queries against the COMPRESSED
+  // corpus by asymmetric distance (ADC) — query stays full-precision,
+  // candidates are looked up subspace-wise. At 100 TB of float32
+  // embeddings, PQ(m=8) is a 16–64× storage cut, which is what lets
+  // the candidate side of a similarity join live in executor memory.
+
+  /**
+   * Train PQ codebooks: split the dimension into `m` contiguous
+   * subspaces and run Euclidean Lloyd's k-means (`k` codewords each)
+   * per subspace over the SAME bounded deterministic sample
+   * discipline as [[trainCentroids]] (lowest-xxhash64 ids, farthest-
+   * point init — no RNG, replayable anywhere). Vectors are
+   * L2-normalized first so ADC dot products approximate cosine.
+   * Returns m × k × (d/m) floats — plan-literal metadata, like the
+   * IVF centroids. Requires d divisible by `m`.
+   */
+  def trainPqCodebooks(
+      corpus: DataFrame, m: Int = 4, k: Int = 16, sampleN: Int = 2048,
+      iters: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] = {
+    import org.apache.spark.sql.Row
+    require(m >= 1 && k >= 1, "m and k must be >= 1")
+    val sampleRows = corpus
+      .select(col(vecCol), xxhash64(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h")).limit(sampleN)
+      .select(col(vecCol)).collect()
+    val sample: Array[Array[Double]] = sampleRows.map {
+      case Row(v: scala.collection.Seq[_]) =>
+        val a = v.map(_.asInstanceOf[Float].toDouble).toArray
+        normalize(a); a
+    }
+    if (sample.isEmpty) return Nil
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dSub = d / m
+
+    (0 until m).map { j =>
+      val sub = sample.map(v => v.slice(j * dSub, (j + 1) * dSub))
+      val kEff = math.min(k, sub.length)
+      // farthest-point init under L2 (deterministic)
+      val centers = scala.collection.mutable.ArrayBuffer(sub.head.clone())
+      val bestD = Array.fill(sub.length)(Double.MaxValue)
+      while (centers.length < kEff) {
+        var worst = 0; var worstD = Double.MinValue
+        var i = 0
+        while (i < sub.length) {
+          val dd = sqDist(sub(i), centers.last)
+          if (dd < bestD(i)) bestD(i) = dd
+          if (bestD(i) > worstD) { worstD = bestD(i); worst = i }
+          i += 1
+        }
+        centers += sub(worst).clone()
+      }
+      // Lloyd rounds (argmin L2; empty cell keeps its codeword)
+      var round = 0
+      while (round < iters) {
+        val sums = Array.fill(kEff)(new Array[Double](dSub))
+        val counts = new Array[Int](kEff)
+        var i = 0
+        while (i < sub.length) {
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < kEff) {
+            val dd = sqDist(sub(i), centers(c))
+            if (dd < bd) { bd = dd; best = c }
+            c += 1
+          }
+          val t = sums(best); val v = sub(i)
+          var x = 0
+          while (x < dSub) { t(x) += v(x); x += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        var c = 0
+        while (c < kEff) {
+          if (counts(c) > 0) {
+            val mean = sums(c)
+            var x = 0
+            while (x < dSub) { mean(x) /= counts(c); x += 1 }
+            centers(c) = mean
+          }
+          c += 1
+        }
+        round += 1
+      }
+      centers.map(_.map(_.toFloat).toSeq).toSeq
+    }
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** L2-normalized copy of an array column (zero vector stays zero). */
+  private def l2norm(v: Column): Column = {
+    val n = norm(transform(v, x => x.cast("double")))
+    transform(v, x =>
+      when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
+  }
+
+  /**
+   * Encode every vector to its `m` PQ codes: per subspace, the index
+   * of the nearest (L2) codeword of the L2-normalized vector. Pure
+   * narrow projection — the output (id, array<int> of length m) is
+   * the compressed corpus a 100 TB vector store actually materializes
+   * (m bytes/vector of payload vs 4·d). Degenerate training (empty
+   * corpus ⇒ no codebooks) yields an empty frame, schema preserved.
+   */
+  def pqEncode(
+      corpus: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    if (codebooks.isEmpty)
+      return corpus.select(col(idCol).as("id"),
+        array().cast("array<int>").as("codes")).limit(0)
+    val dSub = codebooks.head.head.length
+    val nv = l2norm(col(vecCol))
+    val codeCols: Seq[Column] = codebooks.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(nv, j * dSub + 1, dSub)
+      // argmin L2 over codewords via one greatest() pass on
+      // (-dist, -idx) structs — same trick as TextAnalysis.langId
+      val scored = cb.zipWithIndex.map { case (cw, ci) =>
+        val cwCol = typedLit(cw)
+        val dist = aggregate(
+          zip_with(sub, cwCol, (x, y) => {
+            val dd = x - y.cast("double"); dd * dd
+          }), lit(0.0), (acc, v) => acc + v)
+        struct((-dist).as("s"), lit(-ci).as("o"), lit(ci).as("c"))
+      }
+      greatest(scored: _*).getField("c")
+    }
+    graft.util.Tables.spread(corpus)
+      .select(col(idCol).as("id"), array(codeCols: _*).as("codes"))
+  }
+
+  /**
+   * ADC top-k search: full-precision queries against the PQ-encoded
+   * corpus. Score ≈ cosine = Σ_j dot(q_sub_j, codeword_{j, code_j})
+   * (query normalized; codewords live in normalized space). The
+   * corpus side ships ONLY (id, codes) — the point of PQ: the
+   * broadcast-nested-loop here is the same plan as [[bruteForceTopK]]
+   * but streams m-byte rows instead of 4d-byte rows; compose with the
+   * IVF cell join ([[ivfTopKTrained]]) to bound candidates at scale.
+   * Exact re-ranking of the top candidates against stored vectors is
+   * the standard refinement and composes as a join on id.
+   */
+  def pqTopK(
+      codes: DataFrame, queries: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
+      k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    if (codebooks.isEmpty)
+      return queries.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
+        lit(0.0).as("sim"), lit(1).as("rank")).limit(0)
+    val dSub = codebooks.head.head.length
+    // flat m·k × dSub codeword matrix as ONE literal; codeword (j, c)
+    // is row j·k + c — element_at is O(1) per lookup
+    val flat: Seq[Seq[Float]] = codebooks.flatten
+    val kPerSub = codebooks.head.length
+    val cbCol = typedLit(flat)
+    val q = queries.select(col(idCol).as("q_id"),
+      l2norm(col(vecCol)).as("q_vec"))
+    val scored = codes.join(broadcast(q), col("q_id") =!= col("id"))
+      .withColumn("sim",
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(codebooks.length - 1)),
+            (code, j) => {
+              val cw = element_at(cbCol, (j * kPerSub + code + 1).cast("int"))
+              aggregate(
+                zip_with(slice(col("q_vec"), j * dSub + 1, lit(dSub)), cw,
+                  (x, y) => x * y.cast("double")),
+                lit(0.0), (acc, v) => acc + v)
+            }),
+          lit(0.0), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id").as("n_id"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /**
+   * PQ search with exact re-ranking — the production composition:
+   * [[pqTopK]] generates a `shortlist`-sized candidate set per query
+   * from the COMPRESSED corpus (the only full scan), then exactly
+   * `|queries| · shortlist` full vectors are fetched by id and
+   * re-ranked with true cosine. ADC alone is a recall-lossy ranker
+   * (quantization error reorders close neighbors); as a SHORTLIST
+   * generator it is high-recall, and the refine step restores exact
+   * order within it — the two-stage contract every PQ deployment
+   * (FAISS IVFPQ+refine) runs on.
+   */
+  def pqTopKRefined(
+      codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]], k: Int, shortlist: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val short = pqTopK(codes, queries, codebooks, shortlist, idCol, vecCol)
+      .select(col("q_id"), col("n_id"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = short.join(c, Seq("n_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine_sim(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
 }

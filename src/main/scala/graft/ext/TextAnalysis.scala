@@ -418,6 +418,119 @@ object TextAnalysis {
     } finally { toks.unpersist() }
   }
 
+  // ── Gopher rule battery ───────────────────────────────────────────
+
+  /** The Gopher repetition-free quality-filter stopword set (Rae et
+    * al. 2021, Table A1) — a document must contain at least two of
+    * these to pass. Distinct from [[Stopwords]] (the RATIO heuristic);
+    * the rule battery counts KINDS present. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * The full Gopher document-quality rule battery (Rae et al. 2021,
+   * Table A1) — the standard pre-training hygiene gate: word-count
+   * bounds, mean word length, symbol-to-word ratio, bullet-line and
+   * ellipsis-line fractions, alphabetic-word fraction, and
+   * stopword-kind count, each returned as its own signal plus the
+   * composite pass flag (so a pipeline can threshold individual rules
+   * differently without recomputing).
+   *
+   * Every signal is a pure narrow expression over one document — zero
+   * shuffles, linear to 100 TB — and every fraction is rounded to 6
+   * places BEFORE the rule comparison, so another engine replays the
+   * pass flag exactly.
+   */
+  def gopherRules(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val toks = normTokens(t)
+    val nWords = wsTokenCount(t).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, x) => a + length(x))
+    val meanLen = round(sumLen.cast("double") /
+      greatest(nWords, lit(1L)), 6)
+    val symRatio = round(
+      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")))
+        .cast("double") / greatest(nWords, lit(1L)), 6)
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long") // split('') = [''] — never 0
+    val bulletFrac = round(
+      size(filter(lines, l =>
+        substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+        .cast("double") / nLines, 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => endswith(rtrim(l), lit("..."))))
+        .cast("double") / nLines, 6)
+    val alphaFrac = round(
+      size(filter(toks, x => x.rlike("[a-z]"))).cast("double") /
+        greatest(nWords, lit(1L)), 6)
+    val nStopKinds = GopherStops.map(w =>
+      when(lower(t).rlike(s"\\b${w}\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+
+    graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"),
+        alphaFrac.as("alpha_word_frac"), nStopKinds.as("n_stop_kinds"))
+      .withColumn("gopher_pass",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("n_stop_kinds") >= 2L).cast("long"))
+  }
+
+  // ── Hashed linear quality classifier ──────────────────────────────
+
+  /**
+   * Hashed-bag-of-words linear classifier scoring — the
+   * fastText-classifier shape every production curation stack runs
+   * (CCNet/FineWeb "looks like wiki/edu" gates): token → hash bucket
+   * (mod `dim`), bucket → weight, document score = sigmoid of the
+   * mean bucket weight. Weights here are derived deterministically
+   * from the portable hash (milli-units in [-1000, 1000]) so the
+   * whole path — including the KEEP decision — is engine-replayable;
+   * a real deployment swaps `weightOf` for a trained weight table
+   * joined the same way (the plan shape is identical: the weight
+   * table is vocabulary-sized metadata, broadcast).
+   *
+   * The decision is exact-integer: `clf_keep = (Σ w_milli >= 0)` —
+   * the sigmoid never enters it (sigmoid is monotone, so score ≥ 0.5
+   * ⟺ margin ≥ 0), and the only floating-point output (`score`) is
+   * one libm `exp` on an exact ratio, rounded to 6 (the
+   * [[graft.ext.Assemble.unigramSurprisal]] parity contract).
+   *
+   * Scale shape: explode → narrow bucket/weight projection → ONE
+   * groupBy(id) with map-side partial sums. Empty docs keep with
+   * margin 0 (score 0.5) — the caller thresholds.
+   */
+  def hashedClassifierScore(
+      df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 4096, seed: String = "clf"): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val toks = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        explode(normTokens(col(textCol))).as("tok"))
+    val weighted = toks.select(col("id"),
+      (pmod(portableHash60(
+        concat(lit(seed + ":"),
+          pmod(portableHash60(col("tok")), lit(dim.toLong)).cast("string"))),
+        lit(2001L)) - 1000L).as("w_milli"))
+    weighted.groupBy(col("id")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("w_milli")).as("w_sum_milli"))
+      .select(col("id"), col("n_tokens"), col("w_sum_milli"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-col("w_sum_milli").cast("double") /
+            (col("n_tokens") * 1000.0))), 6).as("score"),
+        (col("w_sum_milli") >= 0L).cast("long").as("clf_keep"))
+  }
+
   /** Full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -821,4 +821,139 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) === ((0L, 2L, 3L, 0L)))
     assert(out(3L) === ((0L, 4L, 5L, 1L)))
   }
+
+  test("gopher rules: each signal fires on its designed offender; " +
+      "composite pass flag matches the per-rule signals") {
+    val docs = Seq(
+      // clean prose: all rules pass
+      (1L, "the cat and the dog have fun with that ball be good " +
+        "to them of course every day they play in the garden"),
+      (2L, "tiny doc"), // under the word floor
+      (3L, "- the cat and that dog\n- the dog be with that cat\n" +
+        "- more of the same be with them"), // every line bulleted
+      (4L, "the cat and that dog went on...\nthe dog be with cats of...\n" +
+        "the end came to pass..."), // every line ends in ellipsis
+      (5L, "# # # # the cat and that dog be of it"), // symbol-heavy
+      (6L, "11 22 33 44 55 66 77 88 99 00"), // zero alphabetic words
+      (7L, "zebra giraffe elephant monkey lion tiger puma wolf")
+        // no Gopher stopwords at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text",
+      minWords = 5L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("gopher_pass") === 1L)
+    assert(out(2L).getAs[Long]("n_words") === 2L)
+    assert(out(2L).getAs[Long]("gopher_pass") === 0L)
+    assert(out(3L).getAs[Double]("bullet_line_frac") === 1.0)
+    assert(out(3L).getAs[Long]("gopher_pass") === 0L)
+    assert(out(4L).getAs[Double]("ellipsis_line_frac") === 1.0)
+    assert(out(4L).getAs[Long]("gopher_pass") === 0L)
+    assert(out(5L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(out(5L).getAs[Long]("gopher_pass") === 0L)
+    assert(out(6L).getAs[Double]("alpha_word_frac") === 0.0)
+    assert(out(6L).getAs[Long]("gopher_pass") === 0L)
+    assert(out(7L).getAs[Long]("n_stop_kinds") === 0L)
+    assert(out(7L).getAs[Long]("gopher_pass") === 0L)
+    // the composite is exactly the conjunction of the published rules
+    out.values.foreach { r =>
+      val expected =
+        r.getAs[Long]("n_words") >= 5L &&
+        r.getAs[Long]("n_words") <= 100000L &&
+        r.getAs[Double]("mean_word_len") >= 3.0 &&
+        r.getAs[Double]("mean_word_len") <= 10.0 &&
+        r.getAs[Double]("symbol_ratio") <= 0.1 &&
+        r.getAs[Double]("bullet_line_frac") <= 0.9 &&
+        r.getAs[Double]("ellipsis_line_frac") <= 0.3 &&
+        r.getAs[Double]("alpha_word_frac") >= 0.8 &&
+        r.getAs[Long]("n_stop_kinds") >= 2L
+      assert(r.getAs[Long]("gopher_pass") === (if (expected) 1L else 0L))
+    }
+  }
+
+  test("hashed classifier: deterministic scoring, keep decision is " +
+      "exactly sign(weight sum), identical texts score identically") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // same text
+      (3L, "completely different content about spark engines"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out(1L) === out(2L)) // identical text ⇒ identical row
+    assert(out(1L)._1 === 9L)
+    out.values.foreach { case (n, wSum, score, keep) =>
+      // keep is the exact integer decision; the sigmoid agrees with it
+      assert(keep === (if (wSum >= 0L) 1L else 0L))
+      val expected = BigDecimal(1.0 / (1.0 +
+        math.exp(-wSum.toDouble / (n * 1000.0))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(score - expected) < 1e-9)
+    }
+    // the whole path is deterministic across invocations
+    val again = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(again === out)
+  }
+
+  test("ppl buckets: per-language equal thirds by exact integer " +
+      "surprisal; head <= middle <= tail within every language") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Assemble.pplBuckets(d, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getString(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._3).view
+        .mapValues(_.map(_._2)).toMap
+      // ntile thirds: sizes differ by at most 1
+      val sizes = Seq("head", "middle", "tail")
+        .map(b => byBucket.getOrElse(b, Array.empty[Long]).length)
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+      // buckets are ordered by the metric (ties may straddle)
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+      } assert(h.max <= m.min, s"$lang head/middle overlap")
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } assert(m.max <= t.min, s"$lang middle/tail overlap")
+    }
+  }
+
+  test("pq: deterministic codebooks, codes in range, exact dups share " +
+      "codes, shortlist + refined recall@5 at the shipped settings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cbs = Similarity.trainPqCodebooks(e, m = 16, k = 32)
+    assert(cbs === Similarity.trainPqCodebooks(e, m = 16, k = 32))
+    assert(cbs.length === 16)
+    assert(cbs.forall(_.forall(_.length === 4))) // 64 dims / 16 subspaces
+    val codes = Similarity.pqEncode(e, cbs)
+    val collected = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(collected.values.forall(c =>
+      c.length === 16 && c.forall(x => x >= 0 && x < 32)))
+    // a duplicated vector encodes to the identical codes
+    val dup = e.limit(1).withColumn("vec_id", lit(-1L))
+    val dupCodes = Similarity.pqEncode(dup.unionAll(e.limit(1)), cbs)
+      .collect().map(_.getSeq[Int](1))
+    assert(dupCodes(0) === dupCodes(1))
+    val q = e.filter($"vec_id" % 100 === 0)
+    val brute = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // ADC is a SHORTLIST generator, not a final ranker (quantization
+    // error reorders close neighbors on this weakly-separated
+    // synthetic corpus): pin the property production relies on — the
+    // true top-5 survive into the ADC top-50 shortlist...
+    val shortlist = Similarity.pqTopK(codes, q, cbs, k = 50)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val shortRecall = (shortlist & brute).size.toDouble / brute.size
+    assert(shortRecall >= 0.9, s"shortlist recall@5-in-50 = $shortRecall")
+    // ...and the refine stage restores exact order within it, so the
+    // composed two-stage search matches brute force top-5 recall
+    val refined = Similarity.pqTopKRefined(codes, e, q, cbs,
+        k = 5, shortlist = 50)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (refined & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"refined recall@5 = $recall")
+  }
 }
