@@ -763,6 +763,31 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text", "lang")
         .withColumnRenamed("id", "doc_id")),
 
+    // BPE training, round-1 scoring: weighted adjacent-char-pair
+    // counts over the word-type table (the corpus-scale part of
+    // tokenizer training; the iterative merge loop is bpeTrain,
+    // spec-verified against a hand-computed Sennrich example)
+    "q_bpe_pairs" -> ((s, dir) =>
+      Assemble.bpePairCounts(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        minCount = 5L)),
+
+    // per-document OOV rate against the corpus's own top-100 vocab
+    // (tokenizer-coverage signal); vocab selection is a total order —
+    // count desc, token asc — so every engine picks the same vocab
+    "q_oov_rate" -> ((s, dir) =>
+      Assemble.oovRate(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", topN = 100)
+        .withColumnRenamed("id", "doc_id")),
+
+    // element-wise mean pooling of embeddings per label (chunk→doc /
+    // class-prototype reduction): exact integer micro-units before
+    // the sum, one flat row per (label, dim)
+    "q_embed_meanpool" -> ((s, dir) =>
+      Similarity.meanPoolDims(
+        s.read.parquet(t(dir, "embeddings")), "label")
+        .withColumnRenamed("g", "label")),
+
     // the C4-style corpus cleanup, composed end to end: language
     // filter → quality gate → exact dedup (keep min id per
     // fingerprint) — the flagship training-data pipeline shape,
@@ -1534,6 +1559,54 @@ object SparkEntry {
         |         AS dup_tok_frac
         |FROM tt t LEFT JOIN gc g USING (doc_id)
         |LEFT JOIN rs r USING (doc_id)""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |types AS (SELECT w, count(*) AS freq FROM toks
+        |          WHERE length(w) > 0 GROUP BY w),
+        |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+        |      FROM (SELECT w, freq, unnest(range(1, length(w))) AS i
+        |            FROM types WHERE length(w) >= 2))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM p GROUP BY pair HAVING sum(freq) >= 5""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |v AS (SELECT tok FROM (
+        |        SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rn
+        |        FROM freq)
+        |      WHERE rn <= 100)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM toks LEFT JOIN v ON toks.tok = v.tok
+        |GROUP BY doc_id""".stripMargin,
+
+    // mean is an exact TRUNCATING integer division — Spark `div`
+    // truncates toward zero; replicated sign-explicitly over
+    // DuckDB's nonnegative `//`
+    "q_embed_meanpool" ->
+      """WITH x AS (
+        |  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS xm
+        |  FROM embeddings, range(1, 65) t(i)),
+        |a AS (SELECT label, dim, count(*) AS n_vecs,
+        |        CAST(sum(xm) AS BIGINT) AS sum_micro
+        |      FROM x GROUP BY label, dim)
+        |SELECT label, dim, n_vecs, sum_micro,
+        |  CAST(CASE WHEN sum_micro >= 0 THEN sum_micro // n_vecs
+        |       ELSE -((-sum_micro) // n_vecs) END AS BIGINT) AS mean_micro
+        |FROM a""".stripMargin,
 
     "q_gopher_rules" -> {
       val stopSum = graft.ext.TextAnalysis.GopherStops.map(w =>

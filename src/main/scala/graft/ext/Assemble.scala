@@ -184,6 +184,142 @@ object Assemble {
       .filter(col("n_total") >= minCount)
 
   /**
+   * Corpus word-type table — (word, freq) — the input representation
+   * BPE training actually consumes (Sennrich et al., ACL 2016): the
+   * corpus collapses through ONE groupBy(word) shuffle with map-side
+   * partials, and everything after runs over vocabulary-sized data.
+   */
+  def wordTypeTable(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.util.Tables.spread(df)
+      .select(explode(TextAnalysis.normTokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /**
+   * Weighted adjacent-character-pair counts over the word-type table
+   * — the first scoring round of BPE training, exposed as its own
+   * operator because it is the part that touches corpus-derived data
+   * and the part another engine can replay (the merge LOOP is
+   * iterative — see [[bpeTrain]]). Returns (pair, n) for every
+   * 2-character window of every word type, weighted by word
+   * frequency, thresholded by `minCount`.
+   */
+  def bpePairCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2L): DataFrame = {
+    val types = wordTypeTable(df, idCol, textCol)
+    types.filter(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /**
+   * BPE tokenizer training (Sennrich et al., ACL 2016): build the
+   * distributed word-type table (the ONLY corpus-scale pass), take
+   * the top `maxTypes` types by (freq desc, word asc) — bounded,
+   * deterministic driver metadata, the standard practice for
+   * tokenizer training at corpus scale — and run `nMerges` merge
+   * rounds in memory: count adjacent symbol pairs weighted by type
+   * frequency, merge the argmax pair (count desc, pair lexicographic
+   * asc — a total order, replayable anywhere), stop early when no
+   * pair reaches `minPairCount`. Words carry the `</w>` end-of-word
+   * marker, so merges distinguish suffixes from mid-word units.
+   * Returns the ordered merge list — the tokenizer model.
+   */
+  def bpeTrain(
+      df: DataFrame, idCol: String, textCol: String, nMerges: Int,
+      maxTypes: Int = 100000, minPairCount: Long = 2L)
+      : Seq[(String, String)] = {
+    require(nMerges >= 0 && maxTypes > 0, "nMerges/maxTypes invalid")
+    val collected = wordTypeTable(df, idCol, textCol)
+      .orderBy(col("freq").desc, col("w")).limit(maxTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // symbols: characters + end-of-word marker
+    var types: Array[(Array[String], Long)] = collected.map { case (w, f) =>
+      (w.map(_.toString).toArray :+ "</w>", f)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      types.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      val best = counts.filter(_._2 >= minPairCount)
+      if (best.isEmpty) done = true
+      else {
+        // total order: count desc, then pair lexicographic asc
+        val (pair, _) = best.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += pair
+        val merged = pair._1 + pair._2
+        types = types.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 &&
+                syms(i) == pair._1 && syms(i + 1) == pair._2) {
+              out += merged; i += 2 // greedy left-to-right, no overlap
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /**
+   * Per-document out-of-vocabulary rate against the corpus's own
+   * top-`topN` token vocabulary — the tokenizer-coverage signal
+   * (how much of each document a fixed vocab would shatter into
+   * unknowns; high-OOV docs are noise or the wrong language for the
+   * tokenizer). Vocabulary selection is deterministic: count desc,
+   * token asc, row_number ≤ topN — a total order, so every engine
+   * picks the identical vocab even across count ties.
+   *
+   * Scale shape: one groupBy(token) (the model — vocabulary-sized
+   * output), the top-N window over VOCAB rows (not corpus rows), one
+   * hash join back (AQE broadcasts the vocab), one groupBy(id).
+   * The token frame feeds both passes — persisted for the call,
+   * result localCheckpoint'ed (the [[unigramSurprisal]] contract).
+   */
+  def oovRate(
+      df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 1000): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val toks = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.normTokens(col(textCol))).as("tok"))
+      .persist()
+    try {
+      val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c").desc, col("tok"))
+      val vocab = freqs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= topN).select(col("tok"))
+      toks.join(vocab.withColumn("in_vocab", lit(1L)), Seq("tok"), "left")
+        .groupBy(col("id")).agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("id"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 6)
+            .as("oov_rate"))
+        .localCheckpoint()
+    } finally toks.unpersist()
+  }
+
+  /**
    * Int8 embedding quantization — the storage path for a 100 TB
    * vector corpus (4 bytes/dim → 1): per-vector absmax scale,
    * `floor(x·127/scale)` per component (floor, not round — identical

@@ -436,6 +436,33 @@ object Similarity {
         col("rank"))
   }
 
+  /**
+   * Element-wise mean pooling of embeddings per group — the
+   * chunk-embeddings → document-embedding (or per-class prototype)
+   * reduction every embedding pipeline runs. Returns one flat
+   * (group, dim, n_vecs, sum_micro, mean_micro) row per dimension:
+   * scalable (rows are |groups|·d, aggregates combine map-side) and
+   * exactly replayable — each component is fixed to integer
+   * micro-units BEFORE the sum (the
+   * [[graft.ext.Assemble.unigramSurprisal]] parity discipline) and
+   * the mean is an exact truncating integer division (a rounded
+   * double mean lands on .5-ulp boundaries where engines' round-half
+   * conventions disagree — observed at sf0.01). Reassembling an
+   * array column is one further groupBy(group) with
+   * sort_array(collect_list) if the caller wants vectors back.
+   */
+  def meanPoolDims(
+      df: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    graft.util.Tables.spread(df)
+      .select(col(groupCol).as("g"), posexplode(col(vecCol)))
+      .select(col("g"), col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1000000L).cast("long").as("xm"))
+      .groupBy(col("g"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("xm")).as("sum_micro"))
+      .select(col("g"), col("dim"), col("n_vecs"), col("sum_micro"),
+        expr("sum_micro div n_vecs").as("mean_micro"))
+
   // ── Product quantization (PQ) ─────────────────────────────────────
   // The storage-bound ANN tier (Jégou et al., PAMI 2011): compress
   // each vector to `m` one-byte codes (one codeword index per
@@ -556,18 +583,26 @@ object Similarity {
       return corpus.select(col(idCol).as("id"),
         array().cast("array<int>").as("codes")).limit(0)
     val dSub = codebooks.head.head.length
-    val nv = l2norm(col(vecCol))
+    // argmin_c ||x̂_j − cw_c||² over the NORMALIZED vector x̂ ≡
+    // argmax_c (x_j·cw_c / ||x|| − ||cw_c||²/2) over the RAW vector —
+    // every score is one native 4-to-8-dim dot kernel call, no
+    // higher-order function anywhere. The first cut normalized with
+    // an interpreted transform/aggregate HOF that was re-inlined into
+    // all m·k score expressions (no CSE in interpreted mode): ~20
+    // ms/row, 100 s for the sf0.1 corpus. This shape encodes the same
+    // corpus in under a second. Zero vectors: the norm clamp makes
+    // every dot 0 ⇒ argmax picks the min-norm codeword —
+    // deterministic, same as the normalized-space argmin.
+    val x = col(vecCol)
+    val nrm = greatest(
+      sqrt(graft.functions.GraftFunctions.dot_product(x, x)), lit(1e-30))
     val codeCols: Seq[Column] = codebooks.zipWithIndex.map { case (cb, j) =>
-      val sub = slice(nv, j * dSub + 1, dSub)
-      // argmin L2 over codewords via one greatest() pass on
-      // (-dist, -idx) structs — same trick as TextAnalysis.langId
+      val sub = slice(x, j * dSub + 1, dSub)
       val scored = cb.zipWithIndex.map { case (cw, ci) =>
-        val cwCol = typedLit(cw)
-        val dist = aggregate(
-          zip_with(sub, cwCol, (x, y) => {
-            val dd = x - y.cast("double"); dd * dd
-          }), lit(0.0), (acc, v) => acc + v)
-        struct((-dist).as("s"), lit(-ci).as("o"), lit(ci).as("c"))
+        val cwNorm2 = cw.map(v => v.toDouble * v.toDouble).sum
+        val s = graft.functions.GraftFunctions.dot_product(sub, typedLit(cw)) /
+          nrm - lit(cwNorm2 / 2)
+        struct(s.as("s"), lit(-ci).as("o"), lit(ci).as("c"))
       }
       greatest(scored: _*).getField("c")
     }
@@ -593,26 +628,26 @@ object Similarity {
     if (codebooks.isEmpty)
       return queries.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
         lit(0.0).as("sim"), lit(1).as("rank")).limit(0)
-    val dSub = codebooks.head.head.length
-    // flat m·k × dSub codeword matrix as ONE literal; codeword (j, c)
-    // is row j·k + c — element_at is O(1) per lookup
+    // ADC identity: Σ_j dot(q_j, cw_{j,code_j}) = dot(q, concat_j cw).
+    // Decode each corpus row's reconstruction ONCE (m element_at
+    // lookups into the flat codeword literal — per ROW, below the
+    // join), then score every (query, candidate) pair with the native
+    // codegen'd dot kernel. The first cut scored pairs with nested
+    // interpreted zip_with/aggregate lambdas: 173 s for 250k pairs at
+    // sf0.1 vs ~1 s this way — the same lesson as brute-force cosine
+    // (see the CosineSimilarity note). Storage still ships codes, not
+    // floats; the reconstruction is compute-local to the scan.
     val flat: Seq[Seq[Float]] = codebooks.flatten
     val kPerSub = codebooks.head.length
     val cbCol = typedLit(flat)
+    val recon = flatten(transform(col("codes"), (code, j) =>
+      element_at(cbCol, (j * kPerSub + code + 1).cast("int"))))
     val q = queries.select(col(idCol).as("q_id"),
       l2norm(col(vecCol)).as("q_vec"))
-    val scored = codes.join(broadcast(q), col("q_id") =!= col("id"))
+    val scored = codes.withColumn("recon", recon)
+      .join(broadcast(q), col("q_id") =!= col("id"))
       .withColumn("sim",
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(codebooks.length - 1)),
-            (code, j) => {
-              val cw = element_at(cbCol, (j * kPerSub + code + 1).cast("int"))
-              aggregate(
-                zip_with(slice(col("q_vec"), j * dSub + 1, lit(dSub)), cw,
-                  (x, y) => x * y.cast("double")),
-                lit(0.0), (acc, v) => acc + v)
-            }),
-          lit(0.0), (acc, v) => acc + v))
+        graft.functions.GraftFunctions.dot_product(col("q_vec"), col("recon")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

@@ -87,6 +87,75 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 /**
+ * One-pass dot product over two numeric-array columns (float or
+ * double element type on either side) — the ADC scoring kernel for
+ * the PQ tier ([[graft.ext.Similarity.pqTopK]]): the interpreted
+ * zip_with/aggregate form costs ~100µs+/pair and dominated the PQ
+ * scan (measured 173 s for 250k pairs at sf0.1); this stays inside
+ * whole-stage codegen like [[CosineSimilarity]].
+ */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires array<float|double> arguments, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  private def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left.dataType); val rf = isFloat(right.dataType)
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      // element accessor picked at CODEGEN time from the child types
+      val getX = if (isFloat(left.dataType)) "getFloat" else "getDouble"
+      val getY = if (isFloat(right.dataType)) "getFloat" else "getDouble"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ((double) $a.$getX($i)) * ((double) $b.$getY($i));
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * `parse_version` — the reference's `DataVersion::parse` as a SQL
  * function (Classes/ValueObject/DataVersion.php:48-70): ints pass
  * through (negatives rejected to NULL), date strings / timestamps
@@ -457,6 +526,7 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es.head, es(1))),
+    "dot_product" -> (es => DotProduct(es.head, es(1))),
     "parse_version" -> (es => ParseVersion(es.head)),
     "sorted_intersect_size" -> (es => SortedIntersectSize(es.head, es(1))),
     "portable_hash60" -> (es => PortableHash60(es.head)),
@@ -478,6 +548,8 @@ object GraftFunctions {
     * Expression since the Spark 4 Column/ColumnNode split). */
   def cosine_sim(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  def dot_product(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("dot_product", a, b)
   def parse_version(c: Column): Column =
     org.apache.spark.sql.functions.call_function("parse_version", c)
   def sorted_intersect_size(a: Column, b: Column): Column =

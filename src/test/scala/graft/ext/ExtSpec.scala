@@ -920,6 +920,72 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("mean pooling: exact micro-unit sums and truncating means " +
+      "per (group, dim)") {
+    val vecs = Seq(
+      (1, Array(1.0f, 2.0f)), (1, Array(3.0f, 4.0f)),
+      (2, Array(-1.5f, 0.5f)))
+      .toDF("label", "embedding")
+    val out = Similarity.meanPoolDims(vecs, "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out((1, 0L)) === ((2L, 4000000L, 2000000L)))
+    assert(out((1, 1L)) === ((2L, 6000000L, 3000000L)))
+    assert(out((2, 0L)) === ((1L, -1500000L, -1500000L)))
+    assert(out((2, 1L)) === ((1L, 500000L, 500000L)))
+    // the mean truncates TOWARD ZERO (Spark `div`), not floor:
+    // sum_micro = -1 over 2 vectors ⇒ mean_micro 0, not -1 — the
+    // convention the oracle replicates sign-explicitly
+    val odd = Seq((3, Array(-0.000001f)), (3, Array(0.0f)))
+      .toDF("label", "embedding")
+    val m = Similarity.meanPoolDims(odd, "label").collect().head
+    assert(m.getLong(2) === 2L && m.getLong(3) === -1L &&
+      m.getLong(4) === 0L)
+  }
+
+  test("oov rate: top-N vocab picked by (count desc, token asc) — " +
+      "deterministic across count ties; per-doc fractions exact") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // topN=2: freq a=3, b=1, c=1 — the b/c tie breaks by token asc ⇒
+    // vocab {a, b}; doc 1 fully covered, doc 2's 'c' is OOV
+    val out2 = Assemble.oovRate(docs, "doc_id", "text", topN = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out2(1L) === ((3L, 0L, 0.0)))
+    assert(out2(2L) === ((2L, 1L, 0.5)))
+    // topN=1: only 'a' survives
+    val out1 = Assemble.oovRate(docs, "doc_id", "text", topN = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out1(1L) === ((3L, 1L, 0.333333)))
+    assert(out1(2L) === ((2L, 1L, 0.5)))
+  }
+
+  test("bpe: merge sequence matches the hand-computed Sennrich " +
+      "example; ties break (count desc, pair asc); early stop") {
+    // word types: low x5, lower x2, newest x6, widest x3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    // round 1: (e,s)=(s,t)=(t,</w>)=9 — lexicographic tie-break picks
+    // (e,s); then the est suffix assembles, then lo/low
+    val merges = Assemble.bpeTrain(docs, "doc_id", "text", nMerges = 5)
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w")))
+    // early stop: once no pair reaches minPairCount, training ends
+    val stopped = Assemble.bpeTrain(docs, "doc_id", "text",
+      nMerges = 100, minPairCount = 8L)
+    assert(stopped === Seq(("e", "s"), ("es", "t"), ("est", "</w>")))
+    // the oracle-checked round-1 scoring agrees with the hand counts
+    // (char pairs, no end marker in the exposed query)
+    val pairs = Assemble.bpePairCounts(docs, "doc_id", "text",
+        minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs("es") === 9L && pairs("st") === 9L)
+    assert(pairs("lo") === 7L && pairs("ow") === 7L)
+    assert(pairs("we") === 8L) // 2 from lower + 6 from newest
+  }
+
   test("pq: deterministic codebooks, codes in range, exact dups share " +
       "codes, shortlist + refined recall@5 at the shipped settings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

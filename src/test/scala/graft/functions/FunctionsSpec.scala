@@ -31,6 +31,25 @@ class FunctionsSpec extends SparkSpec {
     assert(out.collect().forall(_ === 0.0))
   }
 
+  test("dot_product matches the HOF formulation on float arrays and " +
+      "accepts mixed float/double sides") {
+    val both = vecs.as("a").crossJoin(vecs.as("b")).select(
+      GraftFunctions.dot_product($"a.embedding", $"b.embedding").as("native"),
+      Similarity.dot($"a.embedding", $"b.embedding").as("hof"))
+    both.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12, s"row $r")
+    }
+    // double side (the PQ query path: normalized query vs float recon)
+    val mixed = vecs.as("a").crossJoin(vecs.as("b")).select(
+      GraftFunctions.dot_product(
+        transform($"a.embedding", x => x.cast("double")),
+        $"b.embedding").as("native"),
+      Similarity.dot($"a.embedding", $"b.embedding").as("hof"))
+    mixed.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12, s"row $r")
+    }
+  }
+
   test("cosine_sim callable from SQL") {
     vecs.createOrReplaceTempView("v")
     val sim = spark.sql(
