@@ -763,6 +763,17 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text", "lang")
         .withColumnRenamed("id", "doc_id")),
 
+    // C4 line-level cleaning: keep lines ending in terminal
+    // punctuation with >= minWords words and no boilerplate markers;
+    // doc survives with >= minKeptLines lines. The oracle replays the
+    // cleaned TEXT byte-for-byte. Documents are single-line prose, so
+    // minWords=5/minKeptLines=1 exercises both keep and drop paths.
+    "q_c4_lines" -> ((s, dir) =>
+      TextAnalysis.c4LineFilter(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        minWords = 5, minKeptLines = 1)
+        .withColumnRenamed("id", "doc_id")),
+
     // BPE training, round-1 scoring: weighted adjacent-char-pair
     // counts over the word-type table (the corpus-scale part of
     // tokenizer training; the iterative merge loop is bpeTrain,
@@ -1559,6 +1570,27 @@ object SparkEntry {
         |         AS dup_tok_frac
         |FROM tt t LEFT JOIN gc g USING (doc_id)
         |LEFT JOIN rs r USING (doc_id)""".stripMargin,
+
+    "q_c4_lines" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |k AS (
+        |  SELECT doc_id, ls,
+        |    list_filter(ls, l ->
+        |      substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"')
+        |      AND CASE WHEN length(trim(l)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(l), '\s+')) END >= 5
+        |      AND NOT contains(lower(l), 'javascript')
+        |      AND NOT contains(l, '{')
+        |      AND NOT contains(lower(l), 'lorem ipsum')) AS kept
+        |  FROM base)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(CASE WHEN len(kept) >= 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS c4_keep
+        |FROM k""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH toks AS (

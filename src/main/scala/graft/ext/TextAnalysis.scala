@@ -485,6 +485,43 @@ object TextAnalysis {
           col("n_stop_kinds") >= 2L).cast("long"))
   }
 
+  // ── C4 line-level cleaning ────────────────────────────────────────
+
+  /**
+   * The C4 line-level cleaning pass (Raffel et al. 2020): keep only
+   * lines that end in terminal punctuation, have at least `minWords`
+   * words, and are free of the boilerplate markers ("javascript",
+   * '{', "lorem ipsum" — the published rules); a document survives
+   * when at least `minKeptLines` lines remain. Returns the cleaned
+   * text plus line counts and the keep flag, so a pipeline can gate
+   * or just annotate.
+   *
+   * One narrow projection — line split, filter, re-join are all
+   * per-document array expressions; zero shuffles. Every predicate
+   * is in the cross-engine-safe subset (suffix char test, word
+   * count, substring containment), so the oracle replays the cleaned
+   * TEXT byte-for-byte, not just the counts.
+   */
+  def c4LineFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def keepLine(l: Column): Column =
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(trim(l), "\\s+")) >= minWords &&
+        !contains(lower(l), lit("javascript")) &&
+        !contains(l, lit("{")) &&
+        !contains(lower(l), lit("lorem ipsum"))
+    val kept = filter(lines, keepLine(_))
+    graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        array_join(kept, "\n").as("cleaned"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"))
+      .withColumn("c4_keep",
+        (col("n_kept") >= minKeptLines.toLong).cast("long"))
+  }
+
   // ── Hashed linear quality classifier ──────────────────────────────
 
   /**

@@ -683,10 +683,18 @@ class ExtSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(TextAnalysis.analyze(docs).count() === 2)
     assert(TextAnalysis.piiScrub(docs, "doc_id", "text").count() === 2)
+    // null text ⇒ null signals, never a crash
+    assert(TextAnalysis.gopherRules(docs, "doc_id", "text").count() === 2)
+    assert(TextAnalysis.c4LineFilter(docs, "doc_id", "text").count() === 2)
     // explode of a null token array simply drops the document
     assert(TextAnalysis.repetitionSignals(docs, "doc_id", "text")
       .count() === 1)
+    assert(TextAnalysis.hashedClassifierScore(docs, "doc_id", "text")
+      .count() === 1)
     assert(Assemble.unigramSurprisal(docs, "doc_id", "text").count() === 1)
+    assert(Assemble.oovRate(docs, "doc_id", "text").count() === 1)
+    assert(Assemble.bpeTrain(docs, "doc_id", "text", nMerges = 3)
+      .nonEmpty) // trains on the non-null doc
     assert(Assemble.packSequences(docs, "doc_id", "text").count() === 2)
     assert(Dedup.exact(docs, "doc_id", "text").count() >= 1)
   }
@@ -959,6 +967,29 @@ class ExtSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out1(1L) === ((3L, 1L, 0.333333)))
     assert(out1(2L) === ((2L, 1L, 0.5)))
+  }
+
+  test("c4 line filter: each published rule drops its designed line; " +
+      "cleaned text is the kept lines rejoined") {
+    val doc = Seq(
+      "This is a good clean sentence with enough words.",
+      "short one.",
+      "no terminal punctuation at all in this line here",
+      "Uses javascript for everything on the page.",
+      "An object { with braces } inside the line.",
+      "Lorem ipsum dolor sit amet consectetur adipiscing.",
+      "Another worthy sentence with enough words!").mkString("\n")
+    val docs = Seq((1L, doc), (2L, "all dropped\nhere too"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(docs, "doc_id", "text",
+        minWords = 5, minKeptLines = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L)._1 ===
+      "This is a good clean sentence with enough words.\n" +
+      "Another worthy sentence with enough words!")
+    assert(out(1L)._2 === 7L && out(1L)._3 === 2L && out(1L)._4 === 1L)
+    assert(out(2L) === (("", 2L, 0L, 0L)))
   }
 
   test("bpe: merge sequence matches the hand-computed Sennrich " +
