@@ -606,6 +606,14 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // bigram-LM surprisal with add-one smoothing (one rung up the LM
+    // ladder toward the CCNet 5-gram scorer): integer micro-nats
+    // before the sum, exact integer mean — order-free and replayable
+    "q_bigram_ppl" -> ((s, dir) =>
+      Assemble.bigramSurprisal(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // deterministic domain-mixture sampling over events: hit target
     // event_type proportions 1:3:6 by downsampling only; exact
     // integer thresholds end to end (signup/error carry no weight —
@@ -1466,6 +1474,36 @@ object SparkEntry {
         |       CAST(sum(u) AS BIGINT) AS surprisal_unats,
         |       round(CAST(sum(u) AS DOUBLE) / 1000000.0 / count(*), 6)
         |         AS mean_nats
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    "q_bigram_ppl" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+        |                unnest(t) AS tok FROM base),
+        |wp AS (SELECT doc_id, pos, tok,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |       FROM toks),
+        |uni AS (SELECT tok AS u_tok, count(*) AS cu FROM toks GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vn FROM uni),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS total FROM uni),
+        |bi AS (SELECT prev AS b_prev, tok AS b_tok, count(*) AS cb
+        |       FROM wp WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT doc_id,
+        |        CAST(CASE WHEN prev IS NULL THEN
+        |          floor(-ln(CAST(cu AS DOUBLE) / total) * 1000000)
+        |        ELSE
+        |          floor(-ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE)
+        |            / (cu + vn)) * 1000000) END AS BIGINT) AS u
+        |      FROM wp
+        |      JOIN uni ON coalesce(prev, wp.tok) = u_tok
+        |      LEFT JOIN bi ON prev = b_prev AND wp.tok = b_tok
+        |      CROSS JOIN tot CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(u) AS BIGINT) AS surprisal_unats,
+        |  CAST(sum(u) // count(*) AS BIGINT) AS mean_unats
         |FROM s GROUP BY doc_id""".stripMargin,
 
     "q_mix_domains" -> {

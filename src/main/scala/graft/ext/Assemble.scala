@@ -80,6 +80,67 @@ object Assemble {
   }
 
   /**
+   * Per-document bigram surprisal with add-one smoothing — one rung
+   * up the LM ladder from [[unigramSurprisal]] toward the CCNet
+   * 5-gram KenLM scorer: each token is scored by
+   * −ln p(w_i | w_{i−1}) with p = (c(w_{i−1} w_i) + 1) /
+   * (c(w_{i−1}) + V), the first token by its unigram probability.
+   * Same exact-arithmetic discipline: integer micro-nats per token
+   * BEFORE the per-document sum (order-free aggregate), same plan
+   * family — two count groupBys train the model, two hash joins
+   * score (AQE broadcasts both model frames while the vocab is
+   * small), one groupBy(id) reduces.
+   */
+  def bigramSurprisal(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.normTokens(col(textCol))))
+      .toDF("id", "pos", "tok")
+      .persist()
+    try {
+      val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+        .persist()
+      try {
+        val vocabN = uni.count() // V: driver-side scalar metadata
+        val total = uni.agg(sum(col("cu")).as("total"))
+        val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+        val withPrev = toks
+          .withColumn("prev", lag(col("tok"), 1).over(w))
+        val bi = withPrev.filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("b_prev"), col("tok").as("b_tok"))
+          .agg(count(lit(1)).as("cb"))
+        val scored = withPrev
+          .join(uni.withColumnRenamed("tok", "u_tok"),
+            // first token scores against the unigram model; the rest
+            // condition on their predecessor
+            coalesce(col("prev"), col("tok")) === col("u_tok"))
+          .join(bi,
+            col("prev") === col("b_prev") && col("tok") === col("b_tok"),
+            "left")
+          .crossJoin(broadcast(total))
+          .select(col("id"),
+            when(col("prev").isNull,
+              floor(-log(col("cu").cast("double") / col("total")) * 1000000L))
+              .otherwise(
+                floor(-log((coalesce(col("cb"), lit(0L)) + 1L).cast("double") /
+                  (col("cu") + lit(vocabN))) * 1000000L))
+              .cast("long").as("u"))
+        scored.groupBy(col("id")).agg(
+            count(lit(1)).as("n_tokens"),
+            sum(col("u")).as("surprisal_unats"))
+          // exact integer mean (micro-nats/token, truncating): a
+          // rounded double mean can land on .5-ulp boundaries where
+          // engines' round-half conventions split (the
+          // q_embed_meanpool lesson)
+          .select(col("id"), col("n_tokens"), col("surprisal_unats"),
+            expr("surprisal_unats div n_tokens").as("mean_unats"))
+          .localCheckpoint()
+      } finally uni.unpersist()
+    } finally toks.unpersist()
+  }
+
+  /**
    * CCNet-style perplexity bucketing: score every document with the
    * corpus-trained unigram LM ([[unigramSurprisal]]), then split each
    * language into equal-count head / middle / tail thirds by mean

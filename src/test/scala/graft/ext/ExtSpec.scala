@@ -711,6 +711,28 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) === ((3L, 3L * 693147L, 0.693147)))
   }
 
+  test("bigram surprisal: exact micro-nat accounting with add-one " +
+      "smoothing on a hand-computed corpus") {
+    // corpus = "a b" twice: uni a=2 b=2, V=2, total=4; first token
+    // u = -ln(2/4) = 693147 µnats; second: p(b|a) = (2+1)/(2+2)
+    // ⇒ u = -ln(3/4) = floor(287682.07) = 287682
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Assemble.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((2L, 693147L + 287682L, 490414L)))
+    assert(out(2L) === ((2L, 693147L + 287682L, 490414L)))
+    // an unseen bigram backs off to the smoothed floor: "b a" has
+    // cb=0 ⇒ p(a|b) = 1/(2+2)
+    val out2 = Assemble.bigramSurprisal(
+        Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc2: first b: -ln(2/4)=693147; then a|b: cb(b,a)=1 ⇒
+    // p=(1+1)/(2+2)=1/2 ⇒ 693147
+    assert(out2(2L) === 693147L + 693147L)
+  }
+
   test("mixture: exact-integer thresholds hit the target proportions " +
       "by downsampling only; unweighted domains drop") {
     val rows = (1L to 10L).map(i => (i, "x")) ++
