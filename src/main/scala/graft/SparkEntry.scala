@@ -771,6 +771,28 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text", "lang")
         .withColumnRenamed("id", "doc_id")),
 
+    // encoding-damage signals: U+FFFD replacement chars + C0 control
+    // chars (minus tab/LF/CR). The corpus is clean, so deterministic
+    // damage is injected by doc_id (the synthetic-input convention
+    // the PII query uses) — the gate verifies real detections.
+    "q_encoding" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("�"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0, expr("chr(7)"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.encodingSignals(d, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // per-document character-distribution entropy in exact integer
+    // micro-nats (gibberish / degenerate-text signal)
+    "q_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // C4 line-level cleaning: keep lines ending in terminal
     // punctuation with >= minWords words and no boilerplate markers;
     // doc survives with >= minKeptLines lines. The oracle replays the
@@ -1608,6 +1630,44 @@ object SparkEntry {
         |         AS dup_tok_frac
         |FROM tt t LEFT JOIN gc g USING (doc_id)
         |LEFT JOIN rs r USING (doc_id)""".stripMargin,
+
+    "q_encoding" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '�' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+        |    AS n_replacement,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control,
+        |  CAST(CASE WHEN len(regexp_extract_all(text, '�')) = 0
+        |    AND len(regexp_extract_all(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) * 100 <= length(text)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS enc_clean
+        |FROM d""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents)),
+        |counts AS (SELECT doc_id, c, count(*) AS n_c FROM chars
+        |           GROUP BY doc_id, c),
+        |pd AS (SELECT doc_id, CAST(sum(n_c) AS BIGINT) AS n_chars,
+        |              count(*) AS n_distinct
+        |       FROM counts GROUP BY doc_id),
+        |h AS (SELECT doc_id, n_chars, n_distinct,
+        |        CAST(sum(n_c * CAST(floor(
+        |          -ln(CAST(n_c AS DOUBLE) / n_chars) * 1000000)
+        |          AS BIGINT)) AS BIGINT) AS h_sum
+        |      FROM counts JOIN pd USING (doc_id)
+        |      GROUP BY doc_id, n_chars, n_distinct)
+        |SELECT doc_id, n_chars, n_distinct,
+        |  CAST(h_sum // n_chars AS BIGINT) AS entropy_unats
+        |FROM h""".stripMargin,
 
     "q_c4_lines" ->
       """WITH base AS (

@@ -485,6 +485,66 @@ object TextAnalysis {
           col("n_stop_kinds") >= 2L).cast("long"))
   }
 
+  // ── Encoding-damage + entropy signals ─────────────────────────────
+
+  /**
+   * Encoding-damage signals: U+FFFD replacement characters (the
+   * scar mojibake leaves after a bad decode) and C0 control
+   * characters other than tab/newline/CR — the Dolma/C4-family
+   * "drop encoding-damaged documents" gate. One narrow regex
+   * projection, zero shuffles; both character classes are literal
+   * code-point ranges, so any engine replays the counts.
+   * `enc_clean` = no replacement chars and control ratio under 1%.
+   */
+  def encodingSignals(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        length(t).as("n_chars"),
+        regexp_count(t, lit("�")).cast("long").as("n_replacement"),
+        regexp_count(t, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+          .cast("long").as("n_control"))
+      .withColumn("enc_clean",
+        (col("n_replacement") === 0L &&
+          col("n_control") * 100L <= col("n_chars")).cast("long"))
+  }
+
+  /**
+   * Per-document character-distribution entropy in exact integer
+   * micro-nats — the gibberish/degenerate-text signal (natural prose
+   * sits in a band; keyboard mash, base64 blobs, and single-char
+   * floods fall outside it). H = Σ_c (n_c/N)·(−ln(n_c/N)); each
+   * term is fixed to integer micro-nats as n_c · floor(−ln(n_c/N)·1e6)
+   * BEFORE the sum, divided by N with truncating integer division —
+   * the [[graft.ext.Assemble.unigramSurprisal]] parity discipline,
+   * so the result replays exactly.
+   *
+   * Scale shape: explode to (id, char), ONE groupBy(id, char) then
+   * ONE groupBy(id) — both combine map-side; partitions bounded by
+   * document length.
+   */
+  def charEntropy(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"), explode(split(col(textCol), "")).as("c"))
+      .filter(length(col("c")) > 0)
+    val counts = chars.groupBy(col("id"), col("c"))
+      .agg(count(lit(1)).as("n_c"))
+    val perDoc = counts.groupBy(col("id")).agg(
+      sum(col("n_c")).as("n_chars"),
+      count(lit(1)).as("n_distinct"))
+    counts.join(perDoc, Seq("id"))
+      .select(col("id"), col("n_chars"), col("n_distinct"),
+        (col("n_c") *
+          floor(-log(col("n_c").cast("double") / col("n_chars")) * 1000000L)
+            .cast("long")).as("h_part"))
+      .groupBy(col("id"), col("n_chars"), col("n_distinct"))
+      .agg(sum(col("h_part")).as("h_sum"))
+      .select(col("id"), col("n_chars"), col("n_distinct"),
+        expr("h_sum div n_chars").as("entropy_unats"))
+  }
+
   // ── C4 line-level cleaning ────────────────────────────────────────
 
   /**

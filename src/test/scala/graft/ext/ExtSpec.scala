@@ -991,6 +991,39 @@ class ExtSpec extends SparkSpec {
     assert(out1(2L) === ((2L, 1L, 0.5)))
   }
 
+  test("encoding signals: replacement and control chars counted, " +
+      "tab/newline exempt, clean flag thresholds at 1%") {
+    val bel = 7.toChar.toString
+    val docs = Seq(
+      (1L, "perfectly clean text with tabs\tand\nnewlines"),
+      (2L, "damaged � text here"),
+      (3L, "bell" + bel + "ring" + bel),
+      (4L, "x" + bel) // 1 control char in 2 ⇒ 50% > 1% ⇒ dirty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.encodingSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((0L, 0L, 1L)))
+    assert(out(2L) === ((1L, 0L, 0L)))
+    assert(out(3L) === ((0L, 2L, 0L)))
+    assert(out(4L) === ((0L, 1L, 0L)))
+  }
+
+  test("char entropy: exact micro-nat values on hand-computed " +
+      "distributions; degenerate text scores zero") {
+    val docs = Seq(
+      (1L, "aabb"),   // H = ln 2 exactly
+      (2L, "aaaa"),   // H = 0
+      (3L, "abcd"))   // H = ln 4
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((4L, 2L, 693147L)))
+    assert(out(2L) === ((4L, 1L, 0L)))
+    assert(out(3L) === ((4L, 4L, 1386294L)))
+  }
+
   test("c4 line filter: each published rule drops its designed line; " +
       "cleaned text is the kept lines rejoined") {
     val doc = Seq(
