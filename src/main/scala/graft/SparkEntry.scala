@@ -998,6 +998,26 @@ object SparkEntry {
       Multimodal.decodeStub(media).toDF()
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("width"), col("height"), col("duration_ms"))
+    }),
+
+    // frame-sample plan: per-video sampled timestamps exploded from
+    // METADATA only (frame bytes never materialize); durations come
+    // from the portable-hash decode stub, so the oracle replays the
+    // exact sampled grid
+    "q_multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.synthesize(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      Multimodal.frameSamplePlan(
+        Multimodal.decodeStub(media).toDF(), everyMs = 60000L)
+    }),
+
+    // aspect-preserving resize plan in exact integer arithmetic
+    // (no round-half convention in the contract)
+    "q_multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.synthesize(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      Multimodal.resizePlan(
+        Multimodal.decodeStub(media).toDF(), maxSide = 512)
     })
   )
 
@@ -2070,6 +2090,41 @@ object SparkEntry {
         |       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       sha256(text) AS sha256
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_frames" ->
+      s"""WITH m AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         |         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+         |           AS media_type,
+         |         ${duckHash60("text")} AS h
+         |  FROM documents),
+         |v AS (SELECT media_id, h % 600000 AS duration_ms FROM m
+         |      WHERE media_type = 'video')
+         |SELECT media_id,
+         |  CAST(unnest(range(0, duration_ms + 1, 60000)) AS BIGINT)
+         |    AS frame_ts_ms
+         |FROM v""".stripMargin,
+
+    "q_multimodal_resize" ->
+      s"""WITH m AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         |         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+         |           AS media_type,
+         |         ${duckHash60("text")} AS h
+         |  FROM documents),
+         |i AS (SELECT media_id,
+         |        CAST(h % 1920 + 1 AS INT) AS width,
+         |        CAST(h % 1080 + 1 AS INT) AS height
+         |      FROM m WHERE media_type = 'image'),
+         |x AS (SELECT *, greatest(width, height) AS mx FROM i)
+         |SELECT media_id, width, height,
+         |  CAST(CASE WHEN mx <= 512 THEN width
+         |       ELSE greatest((width * 512) // mx, 1) END AS INT)
+         |    AS out_width,
+         |  CAST(CASE WHEN mx <= 512 THEN height
+         |       ELSE greatest((height * 512) // mx, 1) END AS INT)
+         |    AS out_height
+         |FROM x""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -106,13 +106,23 @@ object Multimodal {
       .select(col("media_id"), col("frame_ts_ms"))
 
   /** Resize request plan for images: pure metadata transform the
-    * decoder executes per batch (aspect-preserving fit). */
-  def resizePlan(decoded: DataFrame, maxSide: Int = 512): DataFrame =
+    * decoder executes per batch (aspect-preserving fit). Exact
+    * integer arithmetic — `(side · maxSide) div max(w, h)`, clamped
+    * to ≥ 1 — so another engine replays the output dimensions
+    * without any round-half convention entering the contract. */
+  def resizePlan(decoded: DataFrame, maxSide: Int = 512): DataFrame = {
+    // floor((side·maxSide)/mx) on positive sub-2^53 integers is exact
+    // integer division (the product is double-exact, and a non-exact
+    // quotient sits ≥ 1/mx away from any integer)
+    def fit(side: Column, mx: Column): Column =
+      when(mx <= maxSide, side)
+        .otherwise(greatest(
+          floor(side.cast("double") * maxSide / mx).cast("long"),
+          lit(1L)).cast("int"))
     decoded.filter(col("media_type") === "image")
-      .withColumn("scale",
-        least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))
-          .cast("double")))
+      .withColumn("mx", greatest(col("width"), col("height")))
       .select(col("media_id"), col("width"), col("height"),
-        round(col("width") * col("scale")).cast("int").as("out_width"),
-        round(col("height") * col("scale")).cast("int").as("out_height"))
+        fit(col("width"), col("mx")).cast("int").as("out_width"),
+        fit(col("height"), col("mx")).cast("int").as("out_height"))
+  }
 }
