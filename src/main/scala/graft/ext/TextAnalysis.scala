@@ -520,21 +520,26 @@ object TextAnalysis {
    * the [[graft.ext.Assemble.unigramSurprisal]] parity discipline,
    * so the result replays exactly.
    *
-   * Scale shape: explode to (id, char), ONE groupBy(id, char) then
-   * ONE groupBy(id) — both combine map-side; partitions bounded by
-   * document length.
+   * Scale shape: ONE corpus scan — explode to (id, char) (narrow),
+   * groupBy(id, char) with map-side combine, then the per-document
+   * totals come from a window over the (id, char) COUNT rows (one
+   * id-exchange over rows bounded by per-doc alphabet size, not text
+   * length), then the final groupBy(id) reuses that partitioning.
+   * The first cut joined a second aggregation branch back instead —
+   * two corpus scans; the window form halves the I/O.
    */
   def charEntropy(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val chars = graft.util.Tables.spread(df)
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.util.Tables.spread(df)
       .select(col(idCol).as("id"), explode(split(col(textCol), "")).as("c"))
       .filter(length(col("c")) > 0)
-    val counts = chars.groupBy(col("id"), col("c"))
+      .groupBy(col("id"), col("c"))
       .agg(count(lit(1)).as("n_c"))
-    val perDoc = counts.groupBy(col("id")).agg(
-      sum(col("n_c")).as("n_chars"),
-      count(lit(1)).as("n_distinct"))
-    counts.join(perDoc, Seq("id"))
+    val w = Window.partitionBy(col("id"))
+    counts
+      .withColumn("n_chars", sum(col("n_c")).over(w))
+      .withColumn("n_distinct", count(lit(1)).over(w))
       .select(col("id"), col("n_chars"), col("n_distinct"),
         (col("n_c") *
           floor(-log(col("n_c").cast("double") / col("n_chars")) * 1000000L)
