@@ -702,6 +702,17 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // quality-aware fuzzy dedup (the Dolma/FineWeb survivor rule):
+    // within each near-dup cluster keep the LONGEST doc (token
+    // count), ties by lowest id — instead of min-id
+    "q_dedup_best" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      Dedup.fuzzyDedupBest(d, "doc_id", "text",
+        metric = TextAnalysis.wsTokenCount(col("text")).cast("long"),
+        threshold = 0.5, baseHash = TextAnalysis.portableHash60)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // deterministic corpus shuffle-and-shard: reproducible training
     // permutation with no global sort — hash-mod shard, row_number
     // within shard on (hash, id)
@@ -2007,6 +2018,28 @@ object SparkEntry {
          |         PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS BIGINT)
          |         AS pos
          |FROM h""".stripMargin,
+
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS n, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.n, g.b FROM reach JOIN edges g ON reach.r = g.a
+         |),
+         |mc AS (SELECT n, least(n, min(r)) AS cl FROM reach GROUP BY n),
+         |m AS (SELECT mc.n, mc.cl,
+         |        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |          AS BIGINT) AS nt
+         |      FROM mc JOIN documents ON mc.n = doc_id),
+         |dropped AS (SELECT n FROM (
+         |    SELECT n, row_number() OVER (
+         |      PARTITION BY cl ORDER BY nt DESC, n) AS rn FROM m)
+         |  WHERE rn > 1)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT n FROM dropped)""".stripMargin,
 
     "q_shuffle_shards" ->
       s"""WITH h AS (

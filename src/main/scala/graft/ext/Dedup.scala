@@ -744,6 +744,36 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /**
+   * [[fuzzyDedup]] with QUALITY-AWARE survivor selection — the
+   * Dolma/FineWeb convention: within each near-dup cluster keep the
+   * row maximizing `metric` (ties break by lowest id — a total
+   * order, so selection replays anywhere), not the lowest id. The
+   * metric column is evaluated against `df` (length, quality score,
+   * any scorer from this tier). Clusters are tiny relative to the
+   * corpus, so the extra cost over [[fuzzyDedup]] is one window over
+   * CLUSTER-MEMBER rows only (non-members never shuffle: the
+   * components frame contains only ids that appear in some pair).
+   */
+  def fuzzyDedupBest(
+      df: DataFrame, idCol: String, textCol: String, metric: Column,
+      threshold: Double = 0.8, k: Int = 32, bands: Int = 8, n: Int = 3,
+      baseHash: Column => Column = xxhash64(_),
+      maxBucket: Int = 0): DataFrame = {
+    val pairs = minhashDedup(df, idCol, textCol, threshold, k, bands, n,
+      baseHash, maxBucket)
+    val members = connectedComponents(pairs, "id_a", "id_b")
+    val scored = members.join(
+      df.select(col(idCol).as("id"), metric.as("__m")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("__m").desc, col("id"))
+    val drop = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** |A∩B| / |A∪B| over SORTED shingle arrays: one codegen'd merge
     * pass (graft.functions.SortedIntersectSize) instead of the
     * hash-set-per-call `array_intersect`/`array_union` pair;

@@ -991,6 +991,19 @@ class ExtSpec extends SparkSpec {
     assert(out1(2L) === ((2L, 1L, 0.5)))
   }
 
+  test("fuzzy dedup, quality-aware survivor: keeps the cluster member " +
+      "maximizing the metric, not the min id") {
+    // docs 1 and 4 are identical; min-id keeps 1, metric=id keeps 4
+    spark.catalog.clearCache()
+    val minId = Dedup.fuzzyDedup(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    val best = Dedup.fuzzyDedupBest(docs, "doc_id", "text",
+        metric = $"doc_id", threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId === Set(1L, 2L, 3L, 5L))
+    assert(best === Set(2L, 3L, 4L, 5L))
+  }
+
   test("encoding signals: replacement and control chars counted, " +
       "tab/newline exempt, clean flag thresholds at 1%") {
     val bel = 7.toChar.toString
