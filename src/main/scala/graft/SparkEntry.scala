@@ -623,6 +623,16 @@ object SparkEntry {
         Map("view" -> 1L, "click" -> 3L, "purchase" -> 6L))
         .select(col("event_id"), col("event_type"), col("user_id"))),
 
+    // temperature-flattened mixture (T=2 over 1:3:6): integer
+    // milli-weights computed once on the driver, identical literals
+    // embedded in the oracle — the exact-integer selection unchanged
+    "q_mix_temperature" -> ((s, dir) =>
+      Assemble.mixtureTemperature(tbl(s, dir, "events"),
+        "event_id", "event_type",
+        Map("view" -> 1L, "click" -> 3L, "purchase" -> 6L),
+        temperature = 2.0, scale = 100L)
+        .select(col("event_id"), col("event_type"), col("user_id"))),
+
     // sequence packing: documents → fixed-512-token training
     // sequences in 8 hash shards (greedy concat-and-chop in id order
     // per shard)
@@ -1565,6 +1575,23 @@ object SparkEntry {
          |           GROUP BY 1),
          |w AS (SELECT * FROM (VALUES ('view', 1), ('click', 3),
          |                            ('purchase', 6)) AS t(d, wt)),
+         |b AS (SELECT min(cd // wt) AS bu FROM c JOIN w USING (d)),
+         |th AS (SELECT d, (wt * bu * 1000000) // cd AS thr
+         |       FROM c JOIN w USING (d) CROSS JOIN b)
+         |SELECT event_id, event_type, user_id
+         |FROM events JOIN th ON event_type = th.d
+         |WHERE $hash % 1000000 < thr""".stripMargin
+    },
+
+    "q_mix_temperature" -> {
+      val hash = duckHash60("CAST(event_id AS VARCHAR)")
+      val milli = graft.ext.Assemble.temperatureMilliWeights(
+        Map("view" -> 1L, "click" -> 3L, "purchase" -> 6L), 2.0, 100L)
+      val values = Seq("view", "click", "purchase")
+        .map(d => s"('$d', ${milli(d)})").mkString(", ")
+      s"""WITH c AS (SELECT event_type AS d, count(*) AS cd FROM events
+         |           GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES $values) AS t(d, wt)),
          |b AS (SELECT min(cd // wt) AS bu FROM c JOIN w USING (d)),
          |th AS (SELECT d, (wt * bu * 1000000) // cd AS thr
          |       FROM c JOIN w USING (d) CROSS JOIN b)

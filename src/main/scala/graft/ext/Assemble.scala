@@ -227,6 +227,38 @@ object Assemble {
   }
 
   /**
+   * Temperature-flattened domain mixture — the standard multi-domain
+   * sampling knob (T > 1 flattens toward uniform, T < 1 sharpens;
+   * T = 1 is exactly [[mixture]]): effective integer milli-weights
+   * `round(w^(1/T) · 1000)` are computed ONCE on the driver (the
+   * only floating point, evaluated in one place and shipped as
+   * literals), then the selection path is [[mixture]]'s
+   * exact-integer machinery unchanged.
+   */
+  def mixtureTemperature(
+      df: DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Long], temperature: Double,
+      scale: Long = 1000L): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    mixture(df, idCol, domainCol,
+      temperatureMilliWeights(weights, temperature, scale))
+  }
+
+  /** The driver-side weight transform, exposed so an oracle (or any
+    * replica) can embed the IDENTICAL integer weights. `scale` sets
+    * the integer resolution of the flattened weights; every domain
+    * must carry at least `scale`-ish rows (the [[mixture]] budget
+    * guard fires loudly otherwise), so small corpora use a coarser
+    * scale. */
+  def temperatureMilliWeights(
+      weights: Map[String, Long], temperature: Double,
+      scale: Long = 1000L): Map[String, Long] =
+    weights.map { case (d, w) =>
+      d -> math.max(1L,
+        math.round(math.pow(w.toDouble, 1.0 / temperature) * scale))
+    }
+
+  /**
    * Corpus vocabulary with document frequencies — the first step of
    * tokenizer training / BPE corpus preparation: every token with its
    * total count and the number of documents containing it, thresholded

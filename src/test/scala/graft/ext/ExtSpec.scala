@@ -770,6 +770,32 @@ class ExtSpec extends SparkSpec {
     assert(ok.count() === 100L)
   }
 
+  test("temperature mixture: milli-weight transform exact; T=2 turns " +
+      "a 9:1 target into 3:1 with deterministic selection") {
+    // the driver-side transform is the whole FP surface — pin it
+    val w = Map("big" -> 9L, "small" -> 1L)
+    assert(Assemble.temperatureMilliWeights(w, 1.0) ===
+      Map("big" -> 9000L, "small" -> 1000L))
+    assert(Assemble.temperatureMilliWeights(w, 2.0) ===
+      Map("big" -> 3000L, "small" -> 1000L)) // 9^(1/2)=3, 1^(1/2)=1
+    // big 6000 rows, small 1000: at T=2 (3:1) budgetUnit =
+    // min(6000 div 3000, 1000 div 1000) = 1 ⇒ big keeps a 3000-row
+    // budget (threshold 500000 of 1e6 hash buckets), small keeps all
+    val rows = (1L to 6000L).map(i => (i, "big")) ++
+      (6001L to 7000L).map(i => (i, "small"))
+    val df = rows.toDF("id", "domain")
+    val out = Assemble.mixtureTemperature(df, "id", "domain", w, 2.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.count(_._2 == "small") === 1000)
+    val expectedBig = df.filter($"domain" === "big").filter(
+      pmod(TextAnalysis.portableHash60($"id".cast("string")), lit(1000000L))
+        < 500000L).count()
+    assert(out.count(_._2 == "big") === expectedBig)
+    // the flattening bites: far fewer than all 6000, far more than
+    // the sharp 9:1 mix would leave at this corpus
+    assert(expectedBig > 2000 && expectedBig < 4000)
+  }
+
   test("vocabulary: counts and doc frequencies, thresholded") {
     val docs = Seq(
       (1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
