@@ -630,7 +630,7 @@ object SparkEntry {
       Assemble.mixtureTemperature(tbl(s, dir, "events"),
         "event_id", "event_type",
         Map("view" -> 1L, "click" -> 3L, "purchase" -> 6L),
-        temperature = 2.0, scale = 100L)
+        temperature = 2.0, scale = 50L)
         .select(col("event_id"), col("event_type"), col("user_id"))),
 
     // sequence packing: documents → fixed-512-token training
@@ -1586,7 +1586,7 @@ object SparkEntry {
     "q_mix_temperature" -> {
       val hash = duckHash60("CAST(event_id AS VARCHAR)")
       val milli = graft.ext.Assemble.temperatureMilliWeights(
-        Map("view" -> 1L, "click" -> 3L, "purchase" -> 6L), 2.0, 100L)
+        Map("view" -> 1L, "click" -> 3L, "purchase" -> 6L), 2.0, 50L)
       val values = Seq("view", "click", "purchase")
         .map(d => s"('$d', ${milli(d)})").mkString(", ")
       s"""WITH c AS (SELECT event_type AS d, count(*) AS cd FROM events
