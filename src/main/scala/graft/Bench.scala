@@ -5,9 +5,17 @@ import org.apache.spark.sql.SparkSession
 /**
  * Benchmark main — driver-run per round against
  * `SPARK_GRAFT_SF_DIR` (sf0.1 ≈ 600k lineitem rows); prints ONE JSON
- * line. Runs every SparkEntry query once (cold, but one shared
- * session, so JVM/codegen warmup is amortized across queries; the
- * first query eats session spin-up — keep it cheap).
+ * line.
+ *
+ * Noise robustness (the driver host suffers multi-x steal bursts —
+ * BENCH_r06 recorded 262s for a query that measures 1.8s idle):
+ *  - each query runs up to 3x and the MINIMUM is reported (bursts
+ *    only ever inflate a run; min estimates steady-state throughput),
+ *    with early exit once two runs agree within 15%;
+ *  - the pure-scan q_json canary is interleaved every ~10 queries and
+ *    its min/max spread is emitted (`canary_max/canary_min <= 3` ⇒
+ *    the run is trustworthy);
+ *  - 1-minute loadavg is stamped before and after.
  *
  * Each timing includes full plan execution forced via `count()` on
  * the query result (no result materialization to disk — the diff/agg
@@ -51,30 +59,84 @@ object Bench {
         }
     }
 
-    // optional args = query-name filter (local iteration; driver passes none)
-    val wanted = args.toSet
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => wanted.isEmpty || wanted(n) }
-    val results = selected.map { case (name, fn) =>
+    def loadavg1: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+    // One timed execution; -1 marks failure (a 0.2s crash must not
+    // read as a fast pass).
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case scala.util.control.NonFatal(e) =>
                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
                  false }
       val dt = (System.nanoTime() - t0) / 1e9
-      // a failed query must read as an error marker (-1), not a timing —
-      // a 0.2s crash would otherwise look like a fast pass
-      val rec = if (ok) dt else -1.0
       // queries that persist() intermediates must not bleed cached blocks
       // into the next query's memory budget
       spark.catalog.clearCache()
+      if (ok) dt else -1.0
+    }
+
+    // Noise-robust timing: the driver host shows multi-x steal bursts
+    // (BENCH_r06: q_simhash_pairs 262s under load, 1.8s idle — same
+    // build). Steady-state throughput is the tracked series, so report
+    // the MINIMUM of up to 3 runs: a burst can only inflate a run,
+    // never deflate it, making min the noise-robust estimator. Early
+    // exit when two runs agree within 15% — on a quiet host almost
+    // every query stops at 2 runs, bounding suite cost at ~2x.
+    def timeStable(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      var best = timeOnce(name, fn)
+      if (best < 0) return best
+      var runs = 1
+      var stable = false
+      while (runs < 3 && !stable) {
+        val dt = timeOnce(name, fn)
+        runs += 1
+        if (dt >= 0) {
+          val hi = math.max(dt, best)
+          val lo = math.min(dt, best)
+          stable = (hi - lo) / math.max(lo, 1e-9) <= 0.15
+          best = lo
+        }
+      }
+      best
+    }
+
+    // optional args = query-name filter (local iteration; driver passes none)
+    val wanted = args.toSet
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+
+    // q_json is a pure parquet scan: its spread across the suite is a
+    // direct measure of host interference during THIS bench run.
+    // Interleave it every ~10 queries and report min/max so the driver
+    // series carries its own validity certificate
+    // (canary_max/canary_min <= 3 means the numbers are trustworthy).
+    val canaryFn = SparkEntry.queries.get("q_json")
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runCanary(): Unit = canaryFn.foreach { fn =>
+      val dt = timeOnce("canary:q_json", fn)
+      if (dt >= 0) { canaries += dt; System.err.println(f"[bench] canary q_json $dt%8.2fs") }
+    }
+
+    val loadBefore = loadavg1
+    runCanary()
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % 10 == 0) runCanary()
+      val rec = timeStable(name, fn)
       System.err.println(f"[bench] $name%-22s $rec%8.2fs")
       name -> rec
     }
+    runCanary()
+    val loadAfter = loadavg1
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val cMin = if (canaries.nonEmpty) canaries.min else -1.0
+    val cMax = if (canaries.nonEmpty) canaries.max else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_min":$cMin,"canary_max":$cMax,"canary_runs":${canaries.size},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"estimator":"min_of_3_early_exit_15pct"}""")
     spark.stop()
   }
 }

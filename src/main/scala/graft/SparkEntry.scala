@@ -226,27 +226,81 @@ object SparkEntry {
     // added rows (k%7=0) carry real payload, updated rows (k%3=0,
     // strictly-newer version) get re-mapped payload, untouched
     // survivors keep the marker, removed ids (k%10=0) are gone.
+    // State is a BUCKETED table on id (murmur bucketBy + catalog
+    // registration): the diff's full-outer join consumes the
+    // bucketing, so only the incoming source side exchanges — at
+    // 100 TB the state is the big side, and this halves the sync's
+    // shuffle volume (plan pinned by PipelineSpec's bucketed-state
+    // test; oracle unchanged).
     "q_sync_apply" -> ((s, dir) => {
       val path = tempStateDir() + "/state"
-      graft.util.Tables.spread(s.read.parquet(t(dir, "orders")))
-        .filter(col("o_orderkey") % 7 =!= 0)
-        .select(col("o_orderkey").cast("string").as("id"),
-          (unix_timestamp(col("o_orderdate")) +
-            when(col("o_orderkey") % 3 === 0, -86400L).otherwise(0L))
-            .as("version"),
-          lit(-1L).as("total_cents"), lit("OLD").as("status"))
-        .write.mode("overwrite").parquet(path)
+      // bucket count == session shuffle partitions: the source side's
+      // dedup exchange already partitions on __id at that count, so
+      // the diff join reuses it — ONE exchange in the whole diff
+      val target = FileTarget(path,
+        buckets = s.conf.get("spark.sql.shuffle.partitions").toInt)
+      target.writeState(s,
+        graft.util.Tables.spread(s.read.parquet(t(dir, "orders")))
+          .filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey").cast("string").as("id"),
+            (unix_timestamp(col("o_orderdate")) +
+              when(col("o_orderkey") % 3 === 0, -86400L).otherwise(0L))
+              .as("version"),
+            lit(-1L).as("total_cents"), lit("OLD").as("status")))
       val preset = Preset(
         source = InlineSource(sp => syncSource(sp, dir)),
-        target = FileTarget(path),
+        target = target,
         mapper = Mapper(Seq(
           "total_cents" -> "${floor(record.o_totalprice * 100)}",
           "status" -> "o_orderstatus")),
         idAttribute = "id",
         versionAttribute = Some("version"))
       new ImportService(preset).importData(s)
-      s.read.parquet(path).select(col("id"), col("version").cast("long"),
+      // read back through the catalog entry — schema-safe even for a
+      // zero-row state (no parquet footer to infer from)
+      target.currentState(s).select(col("id"),
+        col("version").cast("long"),
         col("total_cents").cast("long"), col("status"))
+    }),
+
+    // ── Streaming tier end to end (SURVEY §7.5): the events table
+    // replayed as 4 ts-ordered micro-batches through
+    // IncrementalSync.start — a file-source stream whose every
+    // micro-batch runs the full keying → diff → apply cycle against
+    // a partitioned FileTarget (skipRemovedRecords: a micro-batch is
+    // a delta, not a snapshot). The version rule (strict > update;
+    // in-batch last-wins BY VERSION) makes the final merged state
+    // independent of where the batch boundaries fall, so the oracle
+    // recomputes it from the FULL table in one pass: per user, the
+    // max-version event wins. version = event_id (unique ⇒ the
+    // winner is total-ordered and engine-replayable). ──
+    "q_sync_incremental" -> ((s, dir) => {
+      val work = tempStateDir()
+      val preset = Preset(
+        source = InlineSource(_ =>
+          sys.error("unused — the stream feeds the batches")),
+        target = FileTarget(s"$work/state", partitions = 8),
+        mapper = Mapper(Seq(
+          "event_type" -> "event_type",
+          "value_cents" -> "value_cents")),
+        idAttribute = "user_id",
+        versionAttribute = Some("version"),
+        skipRemovedRecords = true)
+      val ev = tbl(s, dir, "events").select(
+        col("user_id"), col("event_id").as("version"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("value_cents"),
+        col("ts"))
+      val state = graft.streaming.IncrementalSync
+        .replaySync(s, ev, "ts", preset, work, nBatches = 4)
+      // an all-empty replay never materializes the partitioned state
+      // (zero-row partitionBy writes no files), so the snapshot comes
+      // back with the minimal (id, version) schema — project the
+      // declared output schema stably either way
+      def c(name: String, tpe: String): Column =
+        (if (state.columns.contains(name)) col(name)
+         else lit(null).cast(tpe)).as(name)
+      state.select(c("id", "string"), c("version", "long"),
+        c("event_type", "string"), c("value_cents", "long"))
     }),
 
     // ── W1–W3 end to end on the REAL JDBC sink: same importData
@@ -502,12 +556,18 @@ object SparkEntry {
     // At 100 TB swap in approx_percentile (t-digest, mergeable
     // map-side partials, documented error bound); it is not used HERE
     // because the oracle gate needs bit-exact cross-engine results.
+    // Compared columns are floor-micro integers: floor(x·1e6) has no
+    // round-half convention to disagree about (only the accepted
+    // 1-ulp-at-a-boundary risk every micro-unit column carries) —
+    // both engines interpolate a + (b−a)·f over the same doubles.
     "q_percentile" -> ((s, dir) =>
       tbl(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          round(percentile(col("value"), lit(0.5)), 6).as("p50"),
-          round(percentile(col("value"), lit(0.95)), 6).as("p95"))),
+          floor(percentile(col("value"), lit(0.5)) * 1000000L)
+            .cast("long").as("p50_micro"),
+          floor(percentile(col("value"), lit(0.95)) * 1000000L)
+            .cast("long").as("p95_micro"))),
 
     // salted join for skewed keys — result equals the plain join
     "q_salted_join" -> ((s, dir) => {
@@ -651,11 +711,14 @@ object SparkEntry {
 
     // int8 embedding quantization (the 4-bytes/dim -> 1 storage
     // path): absmax scale + floor quantizer; the oracle checks the
-    // scale and an exact integer checksum of the quantized vector
+    // scale (floor-micro integer — no round-half convention; absmax
+    // of a float column is the same exact double in both engines)
+    // and an exact integer checksum of the quantized vector
     "q_embed_quantize" -> ((s, dir) =>
       Assemble.quantizeInt8(
         s.read.parquet(t(dir, "embeddings")), "vec_id")
-        .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+        .select(col("vec_id"),
+          floor(col("scale") * 1000000L).cast("long").as("scale_micro"),
           aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
           size(col("q")).cast("long").as("n_dims"))),
 
@@ -1400,8 +1463,10 @@ object SparkEntry {
 
     "q_percentile" ->
       """SELECT event_type,
-        |       round(quantile_cont(value, 0.5), 6) AS p50,
-        |       round(quantile_cont(value, 0.95), 6) AS p95
+        |       CAST(floor(quantile_cont(value, 0.5) * 1000000) AS BIGINT)
+        |         AS p50_micro,
+        |       CAST(floor(quantile_cont(value, 0.95) * 1000000) AS BIGINT)
+        |         AS p95_micro
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_salted_join" ->
@@ -1535,8 +1600,7 @@ object SparkEntry {
         |      FROM flat JOIN freq USING (tok) CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_tokens,
         |       CAST(sum(u) AS BIGINT) AS surprisal_unats,
-        |       round(CAST(sum(u) AS DOUBLE) / 1000000.0 / count(*), 6)
-        |         AS mean_nats
+        |       CAST(sum(u) // count(*) AS BIGINT) AS mean_unats
         |FROM s GROUP BY doc_id""".stripMargin,
 
     "q_bigram_ppl" ->
@@ -1636,7 +1700,7 @@ object SparkEntry {
         |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
         |          AS scale
         |      FROM e)
-        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |SELECT vec_id, CAST(floor(scale * 1000000) AS BIGINT) AS scale_micro,
         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |         list_transform(v, x -> CAST(greatest(least(
         |           floor(x * 127 / scale), 127), -127)
@@ -1774,8 +1838,8 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_oov,
-        |  round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*), 6) AS oov_rate
+        |  CAST((sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS oov_ppm
         |FROM toks LEFT JOIN v ON toks.tok = v.tok
         |GROUP BY doc_id""".stripMargin,
 
@@ -1963,6 +2027,21 @@ object SparkEntry {
         |  / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5""".stripMargin,
 
     "q_sync_apply" -> syncApplyOracleSql(),
+
+    // the streaming replay's final state is batch-boundary-insensitive
+    // (strict-> version rule), so one batch pass over the full table
+    // reproduces it: the max-version (= max event_id) record per user
+    "q_sync_incremental" ->
+      """WITH ranked AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS id,
+        |         CAST(event_id AS BIGINT) AS version,
+        |         event_type,
+        |         CAST(floor(value * 100) AS BIGINT) AS value_cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT id, version, event_type, value_cents
+        |FROM ranked WHERE rn = 1""".stripMargin,
 
     // identical merged-state semantics, certified on the JDBC sink
     // (the k%4=1 slice — see the query's comment)

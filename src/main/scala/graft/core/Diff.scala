@@ -26,11 +26,40 @@ final case class ChangeSet(
     changes.select(col("__change_id").as("id"),
       col("__change").as("change_type"))
 
-  /** Persist the shared join before multi-branch consumption; the
-    * branch plans contain `changes` as a subtree, so they hit the
-    * InMemoryRelation. Callers unpersist via [[unpersist]]. */
-  def persisted(): ChangeSet = { changes.persist(); this }
-  def unpersist(): Unit = changes.unpersist()
+  /** Materialize the shared join ONCE with lineage truncated
+    * (`localCheckpoint`) and rebuild every branch over the snapshot.
+    * A plain `persist()` is not enough for sinks: the commit swaps
+    * the very state files the join's subtree scans (and the bucketed
+    * FileTarget DROPs/re-CREATEs its catalog entry, which uncaches
+    * every dependent cached plan) — a post-commit evaluation of a
+    * persisted-but-invalidated branch would re-diff against the NEW
+    * state and hand listeners empty phase payloads. The checkpoint
+    * pins the diff's rows independent of the state files/catalog.
+    * Callers use the RETURNED ChangeSet and release via
+    * [[unpersist]]. */
+  def persisted(): ChangeSet = {
+    val snap = changes.localCheckpoint()
+    val srcCols = added.columns.toSeq // added selects exactly source's columns
+    ChangeSet(
+      added = snap.filter(col("__change") === "add")
+        .select(srcCols.map(col): _*),
+      updated = snap.filter(col("__change") === "update")
+        .select(srcCols.map(col): _*),
+      removedIds = snap.filter(col("__change") === "remove")
+        .select(col("__change_id").as("id")),
+      changes = snap)
+  }
+
+  /** Release the [[persisted]] snapshot's executor storage
+    * deterministically (the checkpoint RDD otherwise lingers until a
+    * driver GC lets the ContextCleaner reclaim it). Safe on a
+    * non-checkpointed ChangeSet — falls back to plan-cache
+    * unpersist. */
+  def unpersist(): Unit = changes.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.unpersist(blocking = false)
+    case _ => changes.unpersist()
+  }
 
   /** Branch counts (added, updated, removed) in ONE aggregation job
     * over the shared frame — three separate `count()` actions would

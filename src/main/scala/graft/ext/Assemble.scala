@@ -72,9 +72,12 @@ object Assemble {
       scored.groupBy(col("id")).agg(
         count(lit(1)).as("n_tokens"),
         sum(col("u")).as("surprisal_unats"))
+        // exact integer mean (micro-nats/token, truncating) — a
+        // rounded double mean can land on .5-ulp boundaries where
+        // engines' round-half conventions split (the q_embed_meanpool
+        // lesson; mirrors bigramSurprisal's mean_unats)
         .select(col("id"), col("n_tokens"), col("surprisal_unats"),
-          round(col("surprisal_unats").cast("double") / 1000000.0 /
-            col("n_tokens"), 6).as("mean_nats"))
+          expr("surprisal_unats div n_tokens").as("mean_unats"))
         .localCheckpoint()
     } finally { toks.unpersist(); freqs.unpersist() }
   }
@@ -90,6 +93,13 @@ object Assemble {
    * family — two count groupBys train the model, two hash joins
    * score (AQE broadcasts both model frames while the vocab is
    * small), one groupBy(id) reduces.
+   *
+   * Parity assumption (load-bearing, same as [[unigramSurprisal]]):
+   * `floor(−ln(p)·1e6)` takes each engine's libm `ln` — including on
+   * the smoothed `(cb+1)/(cu+V)` ratio here — and a value within
+   * 1 ulp of a micro-nat boundary could floor differently
+   * (~1e-10/distinct ratio; both gate scale factors verified clean).
+   * A production deployment pins the scorer library.
    */
   def bigramSurprisal(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -163,15 +173,66 @@ object Assemble {
   def pplBuckets(
       df: DataFrame, idCol: String, textCol: String,
       langCol: String): DataFrame = {
-    val scored = unigramSurprisal(df, idCol, textCol)
-    val withLang = scored.join(
-      df.select(col(idCol).as("id"), col(langCol).as("lang")), Seq("id"))
-      .withColumn("mu_unats", expr("surprisal_unats div n_tokens"))
+    val withLang = scoredWithLang(df, idCol, textCol, langCol)
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("mu_unats"), col("id"))
     withLang.withColumn("b", ntile(3).over(w))
       .select(col("id"), col("lang"), col("n_tokens"), col("mu_unats"),
         when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  private def scoredWithLang(
+      df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame =
+    unigramSurprisal(df, idCol, textCol)
+      .join(df.select(col(idCol).as("id"), col(langCol).as("lang")),
+        Seq("id"))
+      .withColumn("mu_unats", expr("surprisal_unats div n_tokens"))
+
+  /**
+   * The corpus-scale variant of [[pplBuckets]]: instead of the exact
+   * per-language `ntile` (whose window funnels each language through
+   * ONE task — fine until a single language holds 10⁹+ documents),
+   * split on `approx_percentile` cutoffs at 1/3 and 2/3 — a
+   * t-digest-style sketch aggregate with map-side mergeable partials,
+   * so no task ever sees more than its partition. The cutoff frame is
+   * |languages| rows of metadata, broadcast back; the bucket decision
+   * becomes `mu < c33 / mu < c67 / else` on the exact integer metric.
+   *
+   * The cutoff compares a UNIQUIFIED order key — `mu_unats·2²⁰ +
+   * (id mod 2²⁰)` — not the raw metric: integer surprisal means tied
+   * at the 1/3 boundary are common, and a value cutoff would dump a
+   * whole tie group into one bucket where ntile splits it by (metric,
+   * id) rank. The salt makes boundary values distinct, so the sketch
+   * cutoff reproduces the rank split up to the sketch's rank error
+   * (and, for ids past 2²⁰, up to tie-group-internal order — same
+   * bucket COUNTS, possibly different members within one boundary tie
+   * group). ExtSpec pins ≥ 99% per-document agreement with the exact
+   * form on the gate corpus. `accuracy` is Spark's
+   * `approx_percentile` knob (1/accuracy relative rank error).
+   */
+  def pplBucketsApprox(
+      df: DataFrame, idCol: String, textCol: String,
+      langCol: String, accuracy: Int = 10000): DataFrame = {
+    val salt = 1048576L // 2^20: metric stays the high-order word
+    // numeric ids keep their own order inside a tie group (exact
+    // ntile tie-break parity while id < 2^20); non-numeric ids fall
+    // back to a hash order — same bucket counts, boundary tie-group
+    // membership may differ from the exact form
+    val idOrd = coalesce(expr("try_cast(id AS long)"),
+      xxhash64(col("id").cast("string")))
+    val withLang = scoredWithLang(df, idCol, textCol, langCol)
+      .withColumn("__ukey", col("mu_unats") * salt + pmod(idOrd, lit(salt)))
+    val cuts = withLang.groupBy(col("lang")).agg(
+      percentile_approx(col("__ukey"), lit(1.0 / 3), lit(accuracy))
+        .as("c33"),
+      percentile_approx(col("__ukey"), lit(2.0 / 3), lit(accuracy))
+        .as("c67"))
+    withLang.join(broadcast(cuts), Seq("lang"))
+      .select(col("id"), col("lang"), col("n_tokens"), col("mu_unats"),
+        when(col("__ukey") <= col("c33"), "head")
+          .when(col("__ukey") <= col("c67"), "middle")
           .otherwise("tail").as("ppl_bucket"))
   }
 
@@ -383,10 +444,15 @@ object Assemble {
    * picks the identical vocab even across count ties.
    *
    * Scale shape: one groupBy(token) (the model — vocabulary-sized
-   * output), the top-N window over VOCAB rows (not corpus rows), one
-   * hash join back (AQE broadcasts the vocab), one groupBy(id).
-   * The token frame feeds both passes — persisted for the call,
-   * result localCheckpoint'ed (the [[unigramSurprisal]] contract).
+   * output), a DISTRIBUTED top-N over the vocab
+   * (`orderBy(...).limit(topN)` ⇒ TakeOrderedAndProject: every
+   * partition keeps its own top `topN`, the driver merges — no
+   * single-task global window even at 10⁸+ token types), one
+   * broadcast hash join back, one groupBy(id). The token frame feeds
+   * both passes — persisted for the call, result localCheckpoint'ed
+   * (the [[unigramSurprisal]] contract). The rate is an exact integer
+   * (parts-per-million, truncating division) — never a rounded
+   * double (the q_embed_meanpool round-half lesson).
    */
   def oovRate(
       df: DataFrame, idCol: String, textCol: String,
@@ -398,16 +464,17 @@ object Assemble {
       .persist()
     try {
       val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col("c").desc, col("tok"))
-      val vocab = freqs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= topN).select(col("tok"))
-      toks.join(vocab.withColumn("in_vocab", lit(1L)), Seq("tok"), "left")
+      // total order (count desc, token asc) ⇒ the limit is
+      // deterministic across engines and cluster sizes
+      val vocab = freqs.orderBy(col("c").desc, col("tok")).limit(topN)
+        .select(col("tok"))
+      toks.join(broadcast(vocab.withColumn("in_vocab", lit(1L))),
+          Seq("tok"), "left")
         .groupBy(col("id")).agg(
           count(lit(1)).as("n_tokens"),
           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
         .select(col("id"), col("n_tokens"), col("n_oov"),
-          round(col("n_oov").cast("double") / col("n_tokens"), 6)
-            .as("oov_rate"))
+          expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
         .localCheckpoint()
     } finally toks.unpersist()
   }

@@ -604,7 +604,11 @@ object Similarity {
           nrm - lit(cwNorm2 / 2)
         struct(s.as("s"), lit(-ci).as("o"), lit(ci).as("c"))
       }
-      greatest(scored: _*).getField("c")
+      // a single-codeword book (k = 1, or a 1-vector training corpus
+      // past the empty-corpus guard) has nothing to argmax — and
+      // Spark's `greatest` requires >= 2 arguments at analysis time
+      if (scored.length == 1) lit(0)
+      else greatest(scored: _*).getField("c")
     }
     graft.util.Tables.spread(corpus)
       .select(col(idCol).as("id"), array(codeCols: _*).as("codes"))

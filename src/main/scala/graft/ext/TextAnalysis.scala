@@ -608,8 +608,12 @@ object TextAnalysis {
    * [[graft.ext.Assemble.unigramSurprisal]] parity contract).
    *
    * Scale shape: explode → narrow bucket/weight projection → ONE
-   * groupBy(id) with map-side partial sums. Empty docs keep with
-   * margin 0 (score 0.5) — the caller thresholds.
+   * groupBy(id) with map-side partial sums. An empty/whitespace doc
+   * is NOT special-cased: [[normTokens]] yields a single "" token, so
+   * it scores the empty-string bucket's hashed weight (one fixed
+   * pseudo-weight per (seed, dim)) — deterministic, and replayed
+   * identically by any engine tokenizing the same way. Null text
+   * drops the document (explode of a null array).
    */
   def hashedClassifierScore(
       df: DataFrame, idCol: String, textCol: String,

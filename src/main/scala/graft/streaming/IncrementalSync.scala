@@ -47,14 +47,101 @@ object IncrementalSync {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // in-batch last-wins dedup orders by the VERSION when the
+        // preset has one: a micro-batch of a distributed stream has
+        // no meaningful "insertion order" (SURVEY §1.5.1), and the
+        // version rule is what makes the whole replay
+        // batch-boundary-insensitive — the certification property
+        // q_sync_incremental's oracle checks
         val keyed = Records.keyRecords(batch.toDF(), preset.idAttribute,
-          preset.versionAttribute)
+          preset.versionAttribute,
+          orderCol = preset.versionAttribute.map(_ =>
+            org.apache.spark.sql.functions.col(Records.VersionCol)))
         val data = preset.dataProcessor.map(_(keyed)).getOrElse(keyed)
         val cs = preset.computeDataChanges(spark, data, force = false)
         preset.target.applyChanges(spark, cs, preset.mapper)
         ()
       }
       .start()
+
+  /**
+   * Certification replay: split a STATIC table into `nBatches`
+   * timestamp-ordered micro-batches, stream them through [[start]]
+   * (file source, `maxFilesPerTrigger = 1`, modification-time
+   * ordering), and return the target's final merged state.
+   *
+   * This is the oracle bridge for the streaming tier: the sync's
+   * version rule (strict `>` update, last-wins in-batch dedup by
+   * version) makes the final state independent of where the batch
+   * boundaries fall, so a batch engine (DuckDB) can recompute the
+   * identical state from the FULL table in one pass — per id, the
+   * max-version record wins. The preset must set
+   * `skipRemovedRecords = true` (a micro-batch is a delta, not a
+   * snapshot — absence must not delete).
+   *
+   * Driver-side work is bounded metadata only: the two ts bounds and
+   * the file-listing/mtime stamping of the staged batch files; the
+   * table itself never collects.
+   */
+  def replaySync(
+      spark: SparkSession, table: DataFrame, tsCol: String,
+      preset: Preset, workDir: String, nBatches: Int = 4,
+      batchFiles: Int = 1): DataFrame = {
+    require(nBatches >= 1 && batchFiles >= 1,
+      "nBatches and batchFiles must be >= 1")
+    require(preset.skipRemovedRecords,
+      "replaySync needs skipRemovedRecords = true: a micro-batch is a " +
+        "delta, not a snapshot")
+    val inDir = s"$workDir/in"
+    // timestamp columns order by epoch micros; numeric ts columns
+    // (raw epoch values) order as-is
+    val tsOrd = table.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
+    val bounds = table.agg(min(tsOrd), max(tsOrd)).head()
+    // empty table ⇒ null bounds: the replay still runs (empty staged
+    // files ⇒ empty micro-batches ⇒ an empty state WITH the mapped
+    // schema), so downstream projections resolve
+    val (t0, t1) =
+      if (bounds.isNullAt(0)) (0L, 0L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val batched = table.withColumn("__batch",
+      floor((tsOrd - t0).cast("double") * nBatches /
+        (t1 - t0 + 1)).cast("int"))
+    // Stage batch k, then stamp its files with a fixed, strictly
+    // increasing per-batch mtime: the file stream source orders by
+    // modification time, so the query replays the batches in ts
+    // order (one file per trigger; files WITHIN a batch may process
+    // in any order — the version rule makes that immaterial).
+    val stamped = scala.collection.mutable.Set.empty[String]
+    val mtimeBase = 1000000000000L // fixed: replay order, not wall time
+    (0 until nBatches).foreach { k =>
+      // each staged batch is exactly `batchFiles` files so the replay
+      // runs nBatches·batchFiles micro-batches regardless of the
+      // table's input partitioning — replay-harness granularity, not
+      // a production write shape (production feeds `start` from a
+      // real stream source; nothing is staged)
+      batched.filter(col("__batch") === k).drop("__batch")
+        .repartition(batchFiles)
+        .write.mode("append").parquet(inDir)
+      Option(new java.io.File(inDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !stamped.contains(f.getName))
+        .foreach { f =>
+          f.setLastModified(mtimeBase + k * 60000L)
+          stamped += f.getName
+        }
+    }
+    val schema = batched.drop("__batch").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", batchFiles.toString).parquet(inDir)
+    val q = start(spark, stream, preset, s"$workDir/chk",
+      trigger = Trigger.AvailableNow())
+    if (!q.awaitTermination(600000L))
+      sys.error("replaySync: streaming query did not terminate")
+    preset.target.currentState(spark)
+  }
 
   /**
    * Streaming exact dedup — the streaming tier of

@@ -125,8 +125,84 @@ final case class FileTarget(
       * At 100 TB this turns the snapshot merge from O(table) into
       * O(touched partitions) — the lakehouse incremental-merge
       * pattern. 0 (default) = single-snapshot whole-table rewrite. */
-    partitions: Int = 0)
+    partitions: Int = 0,
+    /** > 0 ⇒ the state is a Spark BUCKETED table on `idColumn`
+      * (`bucketBy(buckets)` + `sortBy`, registered in the session
+      * catalog by a path-derived name): Catalyst then knows the state
+      * is hash-partitioned on the diff key, so the sync's full-outer
+      * diff join plans with NO exchange on the state side — only the
+      * incoming batch shuffles. At 100 TB the state is the big side
+      * (it IS the table), so this halves the diff's shuffle volume on
+      * every sync. Mutually exclusive with `partitions` (`pt=` dirs
+      * use an xxhash64 layout Catalyst's murmur bucketing cannot
+      * consume). The catalog entry is re-registered idempotently from
+      * the path, so a fresh session (or engine restart) picks the
+      * bucketing back up. */
+    buckets: Int = 0)
     extends DataTarget {
+
+  require(partitions == 0 || buckets == 0,
+    "partitions and buckets are mutually exclusive state layouts")
+
+  /** Session-catalog name for the bucketed state — derived from the
+    * path so concurrent targets never collide and a new session can
+    * re-register the same table. */
+  private def tableName: String =
+    "graft_state_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(16)
+
+  /** Register (idempotently) the on-disk bucketed state in the
+    * session catalog and return it. The CREATE TABLE records the
+    * bucket spec — metadata only, the files are already bucketed by
+    * [[writeState]]'s `bucketBy` write. The catalog entry is ALSO the
+    * schema of record: an all-empty state has no parquet footer to
+    * infer from (a zero-row bucketed write stages no files), so
+    * writers register the schema explicitly and readers prefer the
+    * existing entry; inference from files is only the fresh-session
+    * fallback. */
+  private def bucketedState(spark: SparkSession): DataFrame = {
+    if (!spark.catalog.tableExists(tableName))
+      registerBucketed(spark, spark.read.parquet(path).schema.toDDL)
+    spark.table(tableName)
+  }
+
+  private def registerBucketed(spark: SparkSession, ddl: String): Unit = {
+    spark.sql(
+      s"CREATE TABLE $tableName ($ddl) USING parquet " +
+        s"CLUSTERED BY ($idColumn) SORTED BY ($idColumn) " +
+        s"INTO $buckets BUCKETS LOCATION '$path'")
+    ()
+  }
+
+  /** Write `df` as this target's state in its native layout — the
+    * seeding path for tests/bootstrap and the commit path for the
+    * bucketed mode. */
+  def writeState(spark: SparkSession, df: DataFrame): Unit =
+    if (buckets > 0) {
+      val staging = path + ".staging"
+      val stagingTable = tableName + "_staging"
+      spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+      df.write.mode("overwrite")
+        .bucketBy(buckets, idColumn).sortBy(idColumn)
+        .option("path", staging).saveAsTable(stagingTable)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      val dir = new java.io.File(path)
+      if (dir.exists()) rm(dir)
+      new java.io.File(staging).renameTo(dir)
+      // external (path-backed) tables drop metadata only — the moved
+      // files stay; re-register the main name at the swapped path
+      // with the WRITER's schema (a zero-row state has no files to
+      // infer from)
+      spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      registerBucketed(spark, df.schema.toDDL)
+    } else if (partitions > 0) {
+      df.withColumn("pt", bucketOf(col(idColumn)))
+        .write.mode("overwrite").partitionBy("pt").parquet(path)
+    } else df.write.mode("overwrite").parquet(path)
 
   /** Partition bucket for an id column. */
   private def bucketOf(id: org.apache.spark.sql.Column) =
@@ -137,8 +213,86 @@ final case class FileTarget(
     f.exists() && (f.listFiles() != null && f.listFiles().nonEmpty)
   }
 
-  override def currentState(spark: SparkSession): DataFrame =
-    if (!exists) {
+  /** Swap-manifest path: present ⇔ a bucket swap is in flight. */
+  private def manifestFile = new java.io.File(path + ".swap-manifest")
+
+  /** Write the swap manifest ATOMICALLY (tmp + POSIX rename): line 1
+    * the staging dir, then one `<bucket>:<action>` line per touched
+    * bucket — `swap` (a staged dir replaces the live one) or `drop`
+    * (every row of the bucket was removed; the live dir goes). The
+    * action is recorded, not inferred, because DURING RECOVERY
+    * "staged dir absent" is ambiguous: it also describes a bucket
+    * whose rename already completed before the crash — inferring
+    * `drop` there would delete freshly-committed data. It is written
+    * only after the staging write has fully succeeded, so a manifest
+    * on disk always points at a COMPLETE staged next-state. */
+  private def writeManifest(staging: String, parts: Array[Long]): Unit = {
+    val entries = parts.map { p =>
+      val action =
+        if (new java.io.File(s"$staging/pt=$p").exists()) "swap" else "drop"
+      s"$p:$action"
+    }
+    val tmp = java.nio.file.Paths.get(path + ".swap-manifest.tmp")
+    java.nio.file.Files.write(tmp,
+      (staging +: entries).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, manifestFile.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Replay the bucket swap recorded in `manifest` — every step is
+    * idempotent, so this completes a swap crashed at ANY point
+    * between manifest write and manifest delete: a `swap` bucket
+    * whose staged dir still exists gets rm-then-rename (a crash
+    * between those two re-runs the rename); one whose staged dir is
+    * gone already renamed — skipped; a `drop` bucket's live dir is
+    * deleted (rm is idempotent). */
+  private def completeSwap(manifest: java.io.File): Unit = {
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(manifest.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+    val staging = lines.head
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    lines.tail.filter(_.nonEmpty).foreach { entry =>
+      val Array(p, action) = entry.split(":", 2)
+      val src = new java.io.File(s"$staging/pt=$p")
+      val dst = new java.io.File(s"$path/pt=$p")
+      action match {
+        case "swap" =>
+          if (src.exists()) {
+            if (dst.exists()) rm(dst)
+            dst.getParentFile.mkdirs()
+            src.renameTo(dst)
+          } // else: this bucket's rename completed before the crash
+        case _ => if (dst.exists()) rm(dst)
+      }
+    }
+    rm(new java.io.File(staging))
+    manifest.delete()
+  }
+
+  /** Crash recovery: a pending manifest means the last sync staged
+    * its next-state but died mid-swap — finish it before reading or
+    * writing, so readers never see a half-swapped table. */
+  private def recoverPendingSwap(): Unit = {
+    val m = manifestFile
+    if (m.exists()) completeSwap(m)
+  }
+
+  override def currentState(spark: SparkSession): DataFrame = {
+    recoverPendingSwap()
+    currentStateNoRecover(spark)
+  }
+
+  private def currentStateNoRecover(spark: SparkSession): DataFrame = {
+    // a registered bucketed state is readable even with ZERO data
+    // files (the catalog holds the schema) — check it before the
+    // on-disk existence probe
+    val bucketedReg = buckets > 0 && spark.catalog.tableExists(tableName)
+    if (!bucketedReg && !exists) {
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
@@ -147,12 +301,14 @@ final case class FileTarget(
           org.apache.spark.sql.types.StructField("version",
             org.apache.spark.sql.types.LongType))))
     } else {
-      val df = spark.read.parquet(path)
+      val df =
+        if (buckets > 0) bucketedState(spark) else spark.read.parquet(path)
       val ver = versionColumn.filter(df.columns.contains)
         .map(col(_).cast("long")).getOrElse(lit(null).cast("long"))
       df.withColumn("id", col(idColumn).cast("string"))
         .withColumn("version", ver)
     }
+  }
 
   override def applyChanges(
       spark: SparkSession, cs: ChangeSet, mapper: Mapper,
@@ -164,16 +320,18 @@ final case class FileTarget(
         .withColumn("version", col(Records.VersionCol))
         .drop(Records.IdCol, Records.VersionCol)
     }
-    cs.persisted() // one evaluation of the diff join for all branches
-    val addedM = mapped(cs.added)
-    val updatedM = mapped(cs.updated)
-    val (nAdd, nUpd, nRem) = cs.counts // one job, not three
+    // one evaluation of the diff join for all branches, lineage cut
+    // so the commit below cannot invalidate the phase payload frames
+    val csp = cs.persisted()
+    val addedM = mapped(csp.added)
+    val updatedM = mapped(csp.updated)
+    val (nAdd, nUpd, nRem) = csp.counts // one job, not three
 
     // touched partition buckets (partitioned mode): collect is ≤
     // `partitions` longs, driver-side metadata — not data
     val touchedParts: Array[Long] =
       if (partitions > 0)
-        cs.changes.filter(col("__change").isNotNull)
+        csp.changes.filter(col("__change").isNotNull)
           .select(bucketOf(col("__change_id")).as("pt"))
           .distinct().collect().map(_.getLong(0)).sorted
       else Array.empty
@@ -187,8 +345,8 @@ final case class FileTarget(
       if (partitions > 0 && old0.columns.contains("pt"))
         old0.filter(col("pt").isInCollection(touchedSet))
       else old0
-    val touched = cs.updated.select(col(Records.IdCol).as("id"))
-      .unionByName(cs.removedIds.select(col("id")))
+    val touched = csp.updated.select(col(Records.IdCol).as("id"))
+      .unionByName(csp.removedIds.select(col("id")))
     // align the surviving rows to the mapped schema — the old state
     // may lack newly-mapped columns (first run / mapping change)
     val surviving = old.join(touched, Seq("id"), "left_anti")
@@ -208,22 +366,27 @@ final case class FileTarget(
     if (partitions > 0) {
       // Partitioned copy-on-write: only the buckets containing a
       // changed id are recomputed and swapped; untouched partition
-      // dirs are not read, written, or moved.
+      // dirs are not read, written, or moved. The swap itself is a
+      // manifest-logged two-phase commit: stage everything, atomically
+      // record (staging dir + touched buckets), replay the idempotent
+      // per-bucket swap, delete the manifest. A crash anywhere
+      // between manifest write and delete is detected by the next
+      // reader/writer and completed from the manifest
+      // ([[recoverPendingSwap]]) — no half-swapped table is ever
+      // observable past that point.
       val nextTouched = next
         .withColumn("pt", bucketOf(col(idColumn)))
         .filter(col("pt").isInCollection(touchedSet))
       nextTouched.write.mode("overwrite")
         .partitionBy("pt").parquet(staging)
-      touchedParts.foreach { p =>
-        val src = new java.io.File(s"$staging/pt=$p")
-        val dst = new java.io.File(s"$path/pt=$p")
-        if (dst.exists()) rm(dst)
-        dst.getParentFile.mkdirs()
-        if (src.exists()) src.renameTo(dst)
-        // a touched bucket whose rows were all removed simply
-        // disappears (no staging dir written for it)
-      }
-      rm(new java.io.File(staging))
+      writeManifest(staging, touchedParts)
+      completeSwap(manifestFile)
+    } else if (buckets > 0) {
+      // Bucketed snapshot merge: the staged next-state is written
+      // with bucketBy (one murmur bucket per file group), swapped in,
+      // and re-registered — every later diff consumes the bucketing
+      // with zero state-side exchange.
+      writeState(spark, next)
     } else {
       // Overwrite must not read-while-write the same path: stage then
       // swap.
@@ -232,24 +395,25 @@ final case class FileTarget(
       if (dir.exists()) rm(dir)
       new java.io.File(staging).renameTo(dir)
     }
-    // Dispatch BEFORE releasing the cached diff: the phase payload
-    // frames (addedM/updatedM) are plans over the persisted ChangeSet
-    // whose subtree reads the just-overwritten target path — a
-    // listener evaluating them after unpersist would re-diff against
-    // the POST-commit state (an empty re-diff), not the phase's data.
+    // Dispatch BEFORE releasing the checkpointed diff: the phase
+    // payload frames (addedM/updatedM) are plans over the snapshot —
+    // a listener evaluating them after unpersist would find the
+    // checkpoint blocks gone.
     DataTarget.dispatchSnapshotPhases(dispatch,
-      addedM, nAdd, updatedM, nUpd, cs.removedIds, nRem, idCol = idColumn)
-    cs.unpersist()
+      addedM, nAdd, updatedM, nUpd, csp.removedIds, nRem, idCol = idColumn)
+    csp.unpersist()
     ApplyResult(nAdd, nUpd, nRem)
   }
 
   override def removeAll(spark: SparkSession): Long = {
-    val n = if (exists) currentState(spark).count() else 0L
+    recoverPendingSwap()
+    val n = if (exists) currentStateNoRecover(spark).count() else 0L
     val dir = new java.io.File(path)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
     if (dir.exists()) rm(dir)
+    if (buckets > 0) spark.sql(s"DROP TABLE IF EXISTS $tableName")
     n
   }
 }

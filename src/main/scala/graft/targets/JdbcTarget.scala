@@ -133,8 +133,13 @@ final case class JdbcTarget(
             catch {
               case e: Throwable if isFatal(e) => throw e
               case _: java.sql.SQLException =>
-                // the driver may have stopped mid-batch — re-execute
-                // row by row so survivors land and errors are exact
+                // the driver may have stopped mid-batch — roll back
+                // the batch's PARTIAL effects (rows executed before
+                // the failure are still pending in the transaction;
+                // re-executing them would fake duplicate-key errors),
+                // then re-execute row by row so survivors land and
+                // errors are exact
+                conn.rollback()
                 ps.clearBatch()
                 buf.foreach { row =>
                   try { binder(ps, row); ps.executeUpdate() }
@@ -176,11 +181,11 @@ final case class JdbcTarget(
     // state (the reference snapshots local rows per run for the same
     // reason, DbalTarget.php:118-128 localRowsCache). One persist
     // covers all three branches AND the counts.
-    cs.persisted()
-    val addedM = mapped(cs.added)
-    val updatedM = mapped(cs.updated)
-    val removed = cs.removedIds
-    val (nAdd, nUpd, nRem) = cs.counts // one job, not three
+    val csp = cs.persisted()
+    val addedM = mapped(csp.added)
+    val updatedM = mapped(csp.updated)
+    val removed = csp.removedIds
+    val (nAdd, nUpd, nRem) = csp.counts // one job, not three
     val dataCols = addedM.columns.filterNot(_.startsWith("__")).toSeq
     var errs = 0L
     var samples = Seq.empty[(String, String)]
@@ -235,7 +240,7 @@ final case class JdbcTarget(
     }
 
     val res = ApplyResult(nAdd, nUpd, nRem, errs, samples.take(20))
-    cs.unpersist()
+    csp.unpersist()
     res
   }
 

@@ -109,14 +109,14 @@ final case class NodeTarget(
             c.startsWith("__") || c == "variant").map(col): _*)
     }
 
-    cs.persisted() // single evaluation of the diff join
-    val addedN = toNodes(cs.added).cache()
-    val updatedN = toNodes(cs.updated).cache()
-    val removedP = cs.removedIds
+    val csp = cs.persisted() // single evaluation of the diff join
+    val addedN = toNodes(csp.added).cache()
+    val updatedN = toNodes(csp.updated).cache()
+    val removedP = csp.removedIds
       .select(concat(lit(idPrefix), col("id")).as("identifier")).cache()
     // record counts == distinct fanned-out identifiers (1 record →
     // 1 identifier across variants) — one aggregation over the diff
-    val (nAdd, nUpd, nRem) = cs.counts
+    val (nAdd, nUpd, nRem) = csp.counts
 
     val old = nodes(spark)
     val oldAligned = addedN.schema.fields.foldLeft(old) { (acc, f) =>
@@ -181,7 +181,7 @@ final case class NodeTarget(
       addedN, nAdd, updatedN, nUpd, removedP, nRem, idCol = "identifier")
     val res = ApplyResult(nAdd, nUpd, nRem)
     addedN.unpersist(); updatedN.unpersist(); removedP.unpersist()
-    cs.unpersist()
+    csp.unpersist()
     res
   }
 

@@ -706,9 +706,9 @@ class ExtSpec extends SparkSpec {
     val docs = Seq((1L, "a a b"), (2L, "a b b")).toDF("doc_id", "text")
     val out = Assemble.unigramSurprisal(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(out(1L) === ((3L, 3L * 693147L, 0.693147)))
-    assert(out(2L) === ((3L, 3L * 693147L, 0.693147)))
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 3L * 693147L, 693147L)))
+    assert(out(2L) === ((3L, 3L * 693147L, 693147L)))
   }
 
   test("bigram surprisal: exact micro-nat accounting with add-one " +
@@ -1006,15 +1006,15 @@ class ExtSpec extends SparkSpec {
     // vocab {a, b}; doc 1 fully covered, doc 2's 'c' is OOV
     val out2 = Assemble.oovRate(docs, "doc_id", "text", topN = 2)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(out2(1L) === ((3L, 0L, 0.0)))
-    assert(out2(2L) === ((2L, 1L, 0.5)))
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out2(1L) === ((3L, 0L, 0L)))
+    assert(out2(2L) === ((2L, 1L, 500000L)))
     // topN=1: only 'a' survives
     val out1 = Assemble.oovRate(docs, "doc_id", "text", topN = 1)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(out1(1L) === ((3L, 1L, 0.333333)))
-    assert(out1(2L) === ((2L, 1L, 0.5)))
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out1(1L) === ((3L, 1L, 333333L)))
+    assert(out1(2L) === ((2L, 1L, 500000L)))
   }
 
   test("fuzzy dedup, quality-aware survivor: keeps the cluster member " +
@@ -1146,5 +1146,30 @@ class ExtSpec extends SparkSpec {
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = (refined & brute).size.toDouble / brute.size
     assert(recall >= 0.9, s"refined recall@5 = $recall")
+  }
+
+  test("pplBucketsApprox: >= 99% per-document agreement with the " +
+      "exact ntile split on the gate corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = Assemble.pplBuckets(docs, "doc_id", "text", "lang")
+      .select(col("id"), col("ppl_bucket"))
+      .as[(Long, String)].collect().toMap
+    val approx = Assemble.pplBucketsApprox(docs, "doc_id", "text", "lang")
+      .select(col("id"), col("ppl_bucket"))
+      .as[(Long, String)].collect().toMap
+    assert(exact.keySet === approx.keySet)
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    val rate = agree.toDouble / exact.size
+    assert(rate >= 0.99, s"bucket agreement $rate (${exact.size} docs)")
+  }
+
+  test("pq: single-codeword books (k = 1) encode without the 2-arg " +
+      "greatest argmax — every code is 0") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb1 = Similarity.trainPqCodebooks(e, m = 4, k = 1)
+    assert(cb1.length === 4 && cb1.forall(_.length === 1))
+    val codes = Similarity.pqEncode(e.limit(3), cb1).collect()
+    assert(codes.length === 3)
+    assert(codes.forall(_.getSeq[Int](1).forall(_ === 0)))
   }
 }

@@ -234,6 +234,124 @@ class PipelineSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("bucketed state: the diff join consumes the bucketing — no " +
+      "state-side exchange; merged state matches the plain target") {
+    val dir = tmpDir("pipeline-bucketed")
+    def seed(t: FileTarget): Unit = t.writeState(spark, { import spark.implicits._
+      (1 to 200).filterNot(_ % 7 == 0)
+        .map(i => (s"id$i", 1L, "OLD")).toDF("id", "version", "name") })
+    def src = { import spark.implicits._
+      (1 to 200).filterNot(_ % 10 == 0)
+        .map(i => (s"id$i", if (i % 3 == 0) 2L else 1L, s"v$i"))
+        .toDF("id", "version", "name") }
+    def preset(t: FileTarget) = Preset(
+      InlineSource(_ => src), t, Mapper(Seq("name" -> "name")),
+      idAttribute = "id", versionAttribute = Some("version"))
+
+    // bucket count == session shuffle partitions: the source side's
+    // keying dedup already exchanges on __id at that count, so the
+    // join reuses it and the WHOLE diff runs on one exchange
+    val nShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val bucketed = FileTarget(s"$dir/bstate", buckets = nShuffle)
+    seed(bucketed)
+
+    // plan shape: with broadcast off (the big-big regime the
+    // bucketing exists for), the diff's full-outer join must show
+    // exactly ONE exchange — the incoming source side's dedup
+    // shuffle; the state side reads its bucketing from the catalog
+    // (FileScan ... Bucketed: true, no exchange above it)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val keyed = graft.core.Records.keyRecords(src, "id", Some("version"))
+      val changes = graft.core.Diff
+        .computeDataChanges(keyed, bucketed.currentState(spark)).changes
+      val plan = changes.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, plan.take(1500))
+      val below = plan.substring(joinIdx)
+      assert(below.contains("Bucketed: true"), below.take(2000))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(below).size
+      assert(exchanges === 1, below.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // end to end: bucketed result == plain result
+    val r = new ImportService(preset(bucketed)).importData(spark)
+    // add: 10∤i ∧ 7|i = 28−2; update: 3|i ∧ 10∤i ∧ 7∤i = 66−6−9;
+    // remove: 7∤i ∧ 10|i = 20−2
+    assert((r.added, r.updated, r.removed) === ((26L, 51L, 18L)))
+    val plain = FileTarget(s"$dir/pstate")
+    seed(plain)
+    new ImportService(preset(plain)).importData(spark)
+    import spark.implicits._
+    def rows(p: String): Set[(String, Long, String)] =
+      spark.read.parquet(p).select(col("id"), col("version").cast("long"),
+        col("name")).as[(String, Long, String)].collect().toSet
+    assert(rows(s"$dir/bstate") === rows(s"$dir/pstate"))
+  }
+
+  test("partitioned swap crash windows: a pending manifest is " +
+      "replayed to completion before the next read") {
+    val dir = tmpDir("pipeline-crash")
+    val target = FileTarget(s"$dir/target", partitions = 8)
+    def preset(data: Seq[(String, Long, String)]) = Preset(
+      InlineSource(s => { import s.implicits._
+        data.toDF("id", "version", "name") }),
+      target, Mapper(Seq("name" -> "name")),
+      idAttribute = "id", versionAttribute = Some("version"))
+    val seed = (1 to 200).map(i => (s"id$i", 1L, s"v$i"))
+    new ImportService(preset(seed)).importData(spark)
+
+    import spark.implicits._
+    def stateRows(): Set[(String, Long, String)] =
+      target.currentState(spark).select("id", "version", "name")
+        .as[(String, Long, String)].collect().toSet
+    val committed = stateRows()
+    assert(committed.size === 200)
+
+    val root = new java.io.File(s"$dir/target")
+    def buckets() = root.listFiles().filter(_.getName.startsWith("pt="))
+    val manifest = new java.io.File(s"$dir/target.swap-manifest")
+
+    def write(f: java.io.File, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(f.toPath, lines.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // window A — crash after rm(live) and before rename(staged):
+    // the staged dir holds the bucket's committed data, the live dir
+    // is gone, the manifest says swap. Recovery must rename it in.
+    val bx = buckets().head
+    val staging = new java.io.File(s"$dir/target.staging")
+    staging.mkdirs()
+    val staged = new java.io.File(staging, bx.getName)
+    assert(bx.renameTo(staged)) // live dir vanished, data only staged
+    write(manifest, Seq(staging.getPath, s"${bx.getName.drop(3)}:swap"))
+    assert(stateRows() === committed) // recovered, nothing lost
+    assert(!manifest.exists() && !staging.exists())
+    assert(bx.exists()) // the bucket is live again
+
+    // window B — crash before a drop bucket's rm ran: recovery
+    // deletes the live dir (all of the bucket's rows were removed).
+    val by = buckets().head
+    val droppedRows = committed.size - stateRows().size // 0 so far
+    staging.mkdirs() // staged next-state had nothing for this bucket
+    write(manifest, Seq(staging.getPath, s"${by.getName.drop(3)}:drop"))
+    target.currentState(spark).count()
+    assert(!manifest.exists() && !by.exists())
+
+    // window C — crash after a swap bucket's rename completed: the
+    // staged dir is gone, the live dir holds the NEW data. Recovery
+    // must leave it alone (this is the window where inferring "drop"
+    // from an absent staged dir would delete committed data).
+    val bz = buckets().head
+    val afterB = stateRows()
+    staging.mkdirs()
+    write(manifest, Seq(staging.getPath, s"${bz.getName.drop(3)}:swap"))
+    assert(stateRows() === afterB)
+    assert(!manifest.exists() && bz.exists())
+    assert(droppedRows === 0)
+  }
+
   test("setup validates source path (FileSource.php:26-35)") {
     val preset = Preset(FileSource("/nonexistent/file.json"),
       FileTarget(tmpDir("t")), Mapper(Seq("id" -> "id")), "id")

@@ -48,6 +48,39 @@ class StreamingSpec extends SparkSpec {
     assert(state.filter($"id" === "a").select("name").as[String].head() === "ADA2")
   }
 
+  test("replaySync: final merged state is batch-boundary-insensitive " +
+      "(1 batch == 3 batches == max-version per id)") {
+    def run(n: Int): Set[(String, Long, String)] = {
+      val dir = tmpDir(s"replay-$n")
+      val preset = Preset(
+        InlineSource(_ => sys.error("stream feeds the batches")),
+        FileTarget(s"$dir/state", partitions = 4),
+        Mapper(Seq("event_type" -> "event_type")),
+        idAttribute = "user_id", versionAttribute = Some("version"),
+        skipRemovedRecords = true)
+      val ev = spark.read
+        .parquet("/root/testdata/sf0.001/events.parquet")
+        .select(col("user_id"), col("event_id").as("version"),
+          col("event_type"), col("ts"))
+      IncrementalSync.replaySync(spark, ev, "ts", preset, dir, nBatches = n)
+        .select(col("id"), col("version").cast("long"), col("event_type"))
+        .as[(String, Long, String)].collect().toSet
+    }
+    val one = run(1)
+    val three = run(3)
+    assert(one === three)
+    // and both equal the batch-engine definition: max version per id
+    val want = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .groupBy(col("user_id").cast("string").as("id"))
+      .agg(max_by(struct(col("event_id"), col("event_type")),
+        col("event_id")).as("w"))
+      .select(col("id"), col("w.event_id").cast("long"),
+        col("w.event_type"))
+      .as[(String, Long, String)].collect().toSet
+    assert(one === want)
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
