@@ -830,6 +830,14 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // exact duplicated-span annotation (Lee et al. 2022 / Dolma
+    // exact-substring signal): maximal cross-doc repeated runs of
+    // >= 13 tokens, with exact per-doc token coverage in integer ppm
+    "q_span_dedup" -> ((s, dir) =>
+      TextAnalysis.dupSpanStats(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // the full Gopher rule battery (Rae et al. 2021, Table A1):
     // per-doc quality signals + the composite pass flag, every
     // fraction rounded before comparison so the flag replays exactly
@@ -1004,31 +1012,37 @@ object SparkEntry {
         blockCol = floor(length(col("text")) / 50), threshold = 0.5, n = 3)
     }),
 
-    // LSH-bucketed ANN top-k (rows-only: recall-dependent; recall@5
-    // ≥ 0.9 vs brute force is pinned by ExtSpec at the same settings)
+    // LSH-bucketed ANN top-k — oracle-checked: probeRadius=3 is
+    // pinned to EXACT agreement with the exhaustive top-5 on this
+    // corpus (RecallProbe), so the DuckDB oracle recomputes the
+    // brute-force answer; sub-exhaustive production probing
+    // (radius 1-2) is recall-pinned by ExtSpec
     "q_ann_lsh" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
-        k = 5, nPlanes = 4, probeRadius = 2)
+        k = 5, nPlanes = 4, probeRadius = 3)
     }),
 
     // Trained-centroid IVF ANN: k-means centroids from a
-    // deterministic sample, corpus in its nearest cell, queries
-    // probe top-6 (rows-only: recall-dependent; recall@5 ≥ 0.9
-    // pinned by ExtSpec at the same settings)
+    // deterministic sample, corpus in its nearest cell — oracle-
+    // checked: nProbe=7 of 8 cells is pinned to EXACT agreement with
+    // the exhaustive top-5 on this corpus (RecallProbe); production
+    // probe fractions are recall-pinned by ExtSpec
     "q_ann_ivf_trained" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       val cents = Similarity.trainCentroids(e, nCells = 8)
       Similarity.ivfTopKTrained(e, e.filter(col("vec_id") % 100 === 0),
-        k = 5, cents, nProbe = 6)
+        k = 5, cents, nProbe = 7)
     }),
 
     // PQ/ADC ANN with exact refine: corpus compressed to m one-byte
     // codes per vector (deterministic per-subspace k-means
     // codebooks); the full ADC scan runs over the COMPRESSED corpus,
     // then only |queries|·shortlist full vectors are re-ranked
-    // exactly (rows-only: codebooks are trained floats; shortlist +
-    // refined recall@5 vs brute pinned by ExtSpec at these settings)
+    // exactly. Oracle-checked: shortlist=50 (of a ~640-vector
+    // corpus — genuinely sub-exhaustive) re-ranks to EXACT agreement
+    // with the exhaustive top-5 (RecallProbe), so the DuckDB oracle
+    // recomputes the brute-force answer
     "q_ann_pq" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       val cbs = Similarity.trainPqCodebooks(e, m = 16, k = 32)
@@ -1038,15 +1052,20 @@ object SparkEntry {
     }),
 
     // IVF-style ANN: corpus in its nearest seed cell, queries probe
-    // their top-3 cells (rows-only: recall-dependent; recall@5 vs
-    // brute force pinned by ExtSpec at the same settings)
+    // cells in projection order. Oracle-checked at TOTAL coverage
+    // (nProbe = nCells): the data-blind seed cells never reach exact
+    // recall sub-exhaustively (RecallProbe: 3 misses even at 7/8),
+    // so the gate instead pins the PLUMBING — cell assignment, probe
+    // expansion, cell join, rank — which at total coverage must
+    // reproduce the exhaustive top-5 at any scale; production
+    // sub-exhaustive probing (nProbe=3) is recall-pinned by ExtSpec
     "q_ann_ivf" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       val celled = e.withColumn("cell",
         Similarity.ivfAssign(col("embedding"), nCells = 8))
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-          explode(Similarity.ivfProbe(col("embedding"), 8, 3)).as("cell"))
+          explode(Similarity.ivfProbe(col("embedding"), 8, 8)).as("cell"))
       val c = celled.select(col("vec_id").as("n_id"),
         col("embedding").as("n_vec"), col("cell"))
       val w = Window.partitionBy(col("q_id"))
@@ -1107,6 +1126,30 @@ object SparkEntry {
 
   /** DuckDB replication of the full TextAnalysis projection —
     * shared by q_text_analysis and the corpus-cleanup composition. */
+  /** Exhaustive cosine top-5 per query point — the shared oracle for
+    * ALL FOUR ANN variants: each query's settings are pinned (by
+    * RecallProbe + ExtSpec) to exact agreement with the brute-force
+    * answer on the gate corpus, so DuckDB certifies the ANN output by
+    * recomputing the search exhaustively. Rank ordering replays the
+    * engine's total order (sim desc, n_id asc) on the UNROUNDED sim;
+    * `list_dot_product` is bit-identical to the native cosine kernel
+    * (both are plain sequential folds — proven by q_embed_cosine). */
+  private lazy val duckAnnBruteTop5: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+      |         list_dot_product(q.v, e.v)
+      |           / (sqrt(list_dot_product(q.v, q.v))
+      |              * sqrt(list_dot_product(e.v, e.v))) AS s
+      |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, s,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rn
+      |  FROM scored)
+      |SELECT q_id, n_id, round(s, 6) AS sim, CAST(rn AS INTEGER) AS rank
+      |FROM ranked WHERE rn <= 5""".stripMargin
+
   private lazy val duckTextAnalysis: String =
       ("""WITH base AS (
         |  SELECT doc_id, text,
@@ -1976,6 +2019,13 @@ object SparkEntry {
         |  FROM q JOIN e ON q.vec_id <> e.vec_id)
         |SELECT q_id, n_id, round(s, 6) AS sim FROM scored WHERE s >= 0.3""".stripMargin,
 
+    // all four ANN variants share the exhaustive oracle — settings in
+    // `queries` are pinned to exact recall on the gate corpus
+    "q_ann_lsh" -> duckAnnBruteTop5,
+    "q_ann_ivf" -> duckAnnBruteTop5,
+    "q_ann_ivf_trained" -> duckAnnBruteTop5,
+    "q_ann_pq" -> duckAnnBruteTop5,
+
     "q_embed_dedup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
@@ -2198,6 +2248,49 @@ object SparkEntry {
          |         AS DOUBLE) / count(*), 6) AS dup_chunk_frac
          |FROM ch JOIN freq ON ch.ch = freq.fch
          |GROUP BY doc_id""".stripMargin,
+
+    // exact duplicated-span annotation: the oracle joins gram STRINGS
+    // (the contamination convention — certifies the engine's 60-bit
+    // gram hashes collision-free), then replays the gaps-and-islands
+    // span merge and the exact integer coverage arithmetic
+    "q_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 13 + 2)) AS p
+        |  FROM toks WHERE len(t) >= 13),
+        |grams AS (
+        |  SELECT doc_id, p, array_to_string(t[p : p + 12], ' ') AS g
+        |  FROM pos),
+        |freq AS (
+        |  SELECT g AS fg FROM (SELECT DISTINCT doc_id, g FROM grams)
+        |  GROUP BY g HAVING count(*) >= 2),
+        |dup AS (SELECT doc_id, p FROM grams
+        |        WHERE g IN (SELECT fg FROM freq)),
+        |brk AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+        |           > 13 THEN 1 ELSE 0 END AS b
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM brk),
+        |per_island AS (
+        |  SELECT doc_id, island, max(p) - min(p) + 13 AS covered
+        |  FROM isl GROUP BY doc_id, island),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |         CAST(sum(covered) AS BIGINT) AS dup_tokens
+        |  FROM per_island GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(d.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |       CAST(coalesce(d.dup_tokens, 0) * 1000000 // len(t.t)
+        |         AS BIGINT) AS dup_ppm
+        |FROM toks t LEFT JOIN per_doc d USING (doc_id)""".stripMargin,
 
     "q_text_rolling" ->
       s"""SELECT doc_id,

@@ -264,6 +264,83 @@ object TextAnalysis {
   }
 
   /**
+   * Exact duplicated-SPAN annotation (the Lee et al. 2022
+   * "Deduplicating Training Data Makes Language Models Better" /
+   * Dolma exact-substring signal): mark every token position whose
+   * `n`-gram also occurs in at least one OTHER document, merge
+   * overlapping-or-adjacent marked gram intervals `[p, p+n-1]` into
+   * MAXIMAL spans, and report per document the span count and the
+   * exact number of tokens inside some cross-document repeated run
+   * of ≥ n tokens. Where [[dupChunkStats]] counts whole aligned
+   * chunks and [[winnowFingerprints]] samples fingerprints, this
+   * names exactly WHICH tokens an exact-substring dedup pass would
+   * cut — and because any shared run of length L ≥ n marks all of
+   * its L tokens (every window inside it is shared), the coverage is
+   * exact at any offset, no alignment or boundary luck required.
+   *
+   * Span merge: duplicated gram starts p sorted per doc; a new span
+   * opens when `p - prev_p > n` (gap too wide for the token
+   * intervals to touch); a span covering gram starts [first..last]
+   * covers `last - first + n` tokens. All arithmetic is exact
+   * integers; `dup_ppm` is truncating integer parts-per-million, so
+   * the row replays bit-for-bit in any engine.
+   *
+   * Scale shape: posexplode to (id, p, gram-hash); distinct-then-
+   * count to find cross-doc hashes (both combine map-side); semi-join
+   * back (AQE broadcasts when the dup set is small — it is, it's the
+   * *shared* content); ONE shuffle on the doc id for the span window;
+   * the island aggregations reuse that partitioning (grouping keys ⊇
+   * id). Nothing driver-side; partitions bounded by doc length.
+   *
+   * Returns (id, n_tokens, n_spans, dup_tokens, dup_ppm).
+   */
+  def dupSpanStats(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val tokens = normTokens(col(textCol))
+    val nGrams = size(tokens) - n + 1
+    // sequence(1, 0) is DESCENDING, not empty — explicit empty branch
+    val grams = when(nGrams >= 1,
+      transform(sequence(lit(1), nGrams),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+      .otherwise(array())
+    val base = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"), size(tokens).as("n_tokens"),
+        grams.as("grams"))
+      .persist()
+    try {
+      val pos = base.select(col("id"), posexplode(col("grams")))
+        .select(col("id"), (col("pos") + 1).as("p"),
+          portableHash60(col("col")).as("gh"))
+      val dupGh = pos.select(col("id"), col("gh")).distinct()
+        .groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2).select(col("gh"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("p")
+      val islands = pos.join(dupGh, Seq("gh"), "left_semi")
+        .withColumn("brk",
+          when(col("p") - lag(col("p"), 1).over(w) > n, 1).otherwise(0))
+        .withColumn("island", sum(col("brk")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy(col("id"), col("island"))
+        .agg((max(col("p")) - min(col("p")) + n).as("covered"))
+      val perDoc = islands.groupBy(col("id")).agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("covered")).as("dup_tokens"))
+      base.select(col("id"), col("n_tokens").cast("long").as("n_tokens"))
+        .join(perDoc, Seq("id"), "left")
+        .select(col("id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          expr("(coalesce(dup_tokens, 0) * 1000000) div n_tokens")
+            .as("dup_ppm"))
+        .localCheckpoint()
+    } finally base.unpersist()
+  }
+
+  /**
    * Content-defined chunking (CDC): a token ends up starting a new
    * chunk wherever its hash satisfies `h % avgChunkTokens == 0` —
    * boundaries derive from CONTENT, not position, so a passage two

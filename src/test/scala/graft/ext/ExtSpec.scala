@@ -677,6 +677,40 @@ class ExtSpec extends SparkSpec {
     assert(out(2L)._3 > 0.5)
   }
 
+  test("dup span stats: exact coverage of a shared run at any offsets; " +
+      "nearby spans merge iff their token intervals touch; short and " +
+      "unique docs report zero") {
+    val docs = Seq(
+      (1L, "u1 u2 s1 s2 s3 s4 s5 u3"),          // shared run at offset 2
+      (2L, "s1 s2 s3 s4 s5 v1"),                // same run at offset 0
+      (3L, "s1 s2 s3 x1 x2 x3 x4 t1 t2 t3"),    // two FAR spans (gap > n)
+      (4L, "t1 t2 t3 z1"),                      // shares t-run with 3
+      (5L, "a1 a2 a3 b1 b2 b3"),                // two ADJACENT runs (gap = n)
+      (6L, "a1 a2 a3 k1"),                      // shares a-run with 5
+      (7L, "b1 b2 b3 k2"),                      // shares b-run with 5
+      (8L, "w1 w2"),                            // shorter than n ⇒ no grams
+      (9L, "only unique words appear here")).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpanStats(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // exact coverage: the 5-token run marks exactly 5 tokens, one span,
+    // at EITHER offset
+    assert(out(1L) === ((8L, 1L, 5L, 625000L)))
+    assert(out(2L) === ((6L, 1L, 5L, 833333L)))
+    // two duplicated runs with a gap wider than n stay separate spans
+    assert(out(3L) === ((10L, 2L, 6L, 600000L)))
+    // runs whose token intervals touch (gap == n) merge into ONE
+    // contiguous duplicated region covering the whole doc
+    assert(out(5L) === ((6L, 1L, 6L, 1000000L)))
+    // short docs produce no grams; unique docs report zero
+    assert(out(8L) === ((2L, 0L, 0L, 0L)))
+    assert(out(9L) === ((5L, 0L, 0L, 0L)))
+    // ppm is exact truncating integer arithmetic everywhere
+    out.values.foreach { case (n, _, dup, ppm) =>
+      assert(ppm === dup * 1000000L / n)
+    }
+  }
+
   test("null text flows through the text operators without crashing " +
       "(null scores / zero rows, never an NPE)") {
     val docs = Seq((1L, "real words here"), (2L, null))
