@@ -121,22 +121,49 @@ object Bench {
     }
 
     val loadBefore = loadavg1
-    runCanary()
-    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
-      if (i > 0 && i % 10 == 0) runCanary()
-      val rec = timeStable(name, fn)
-      System.err.println(f"[bench] $name%-22s $rec%8.2fs")
-      name -> rec
+
+    // The canary certificate is ENFORCED, not just emitted: a canary
+    // spread > 3x means host interference landed inside the suite, so
+    // the whole suite re-runs ONCE (per-query minimum kept across
+    // attempts — bursts only ever inflate). If the retry's canary is
+    // still contaminated the JSON says "valid": false, so the driver
+    // records the run as untrustworthy instead of as a regression.
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var attempt = 0
+    var valid = false
+    var cMin = -1.0
+    var cMax = -1.0
+    var canaryTotal = 0
+    while (attempt < 2 && !valid) {
+      attempt += 1
+      canaries.clear()
+      runCanary()
+      selected.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (i > 0 && i % 10 == 0) runCanary()
+        val rec = timeStable(name, fn)
+        System.err.println(f"[bench] $name%-22s $rec%8.2fs")
+        val prev = best.getOrElse(name, -1.0)
+        best(name) =
+          if (rec < 0) prev
+          else if (prev < 0) rec
+          else math.min(prev, rec)
+      }
+      runCanary()
+      cMin = if (canaries.nonEmpty) canaries.min else -1.0
+      cMax = if (canaries.nonEmpty) canaries.max else -1.0
+      canaryTotal += canaries.size
+      valid = cMin > 0 && cMax / cMin <= 3.0
+      if (!valid && attempt < 2)
+        System.err.println(
+          f"[bench] canary spread ${cMax / math.max(cMin, 1e-9)}%.1fx > 3 — " +
+            "host contaminated; re-running the suite once")
     }
-    runCanary()
     val loadAfter = loadavg1
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val cMin = if (canaries.nonEmpty) canaries.min else -1.0
-    val cMax = if (canaries.nonEmpty) canaries.max else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_min":$cMin,"canary_max":$cMax,"canary_runs":${canaries.size},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"estimator":"min_of_3_early_exit_15pct"}""")
+    val total = best.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","valid":$valid,"attempts":$attempt,"canary_min":$cMin,"canary_max":$cMax,"canary_runs":$canaryTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"estimator":"min_of_3_early_exit_15pct"}""")
     spark.stop()
   }
 }

@@ -86,6 +86,29 @@ object SparkEntry {
     * (`q_sync_apply`, full volume) and JdbcTarget
     * (`q_sync_apply_jdbc`, the k%4=1 slice) e2e runs: the sink
     * changes, the semantics must not. */
+  /** Shared oracle CTE chain: per-document exact-integer mean unigram
+    * surprisal with language — `j(doc_id, lang, n_tokens, mu_unats)`.
+    * Consumed by both ppl-bucket oracles (exact ntile and
+    * approx-cutoff replay). */
+  private val duckPplMetricCtes: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      |freq AS (SELECT tok, count(*) AS c FROM flat GROUP BY tok),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq),
+      |s AS (SELECT doc_id,
+      |        CAST(floor(-ln(CAST(c AS DOUBLE) / total) * 1000000)
+      |          AS BIGINT) AS u
+      |      FROM flat JOIN freq USING (tok) CROSS JOIN tot),
+      |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |               CAST(sum(u) AS BIGINT) AS su
+      |        FROM s GROUP BY doc_id),
+      |j AS (SELECT d.doc_id, lang, n_tokens,
+      |        CAST(su // n_tokens AS BIGINT) AS mu_unats
+      |      FROM doc d JOIN documents USING (doc_id))""".stripMargin
+
   private def syncApplyOracleSql(extraPred: String = ""): String =
     s"""WITH source AS (
       |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
@@ -569,6 +592,26 @@ object SparkEntry {
           floor(percentile(col("value"), lit(0.95)) * 1000000L)
             .cast("long").as("p95_micro"))),
 
+    // The 100 TB scale path for q_percentile, oracle-certified: Spark's
+    // `percentile_approx` (Greenwald-Khanna sketch, mergeable map-side
+    // partials — no reducer ever buffers a group). The sketch is
+    // DETERMINISTIC below its compression threshold: with error budget
+    // 2·n/accuracy < 1 no sample is ever merged away, and query(p)
+    // provably returns the element at rank ceil(p·n) — which the
+    // DuckDB oracle replays as an exact rank selection (gate groups
+    // are ~2000 events at accuracy 10000, budget 0.4). Past the
+    // threshold the answer degrades gracefully to ±n/accuracy ranks —
+    // the documented approx contract; the gate certifies the sketch
+    // path's plumbing and its small-group exactness.
+    "q_percentile_approx" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          floor(percentile_approx(col("value"), lit(0.5), lit(10000))
+            * 1000000L).cast("long").as("p50_micro"),
+          floor(percentile_approx(col("value"), lit(0.95), lit(10000))
+            * 1000000L).cast("long").as("p95_micro"))),
+
     // salted join for skewed keys — result equals the plain join
     "q_salted_join" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
@@ -860,6 +903,18 @@ object SparkEntry {
     // ntile over a total order — no FP in the bucket decision
     "q_ppl_buckets" -> ((s, dir) =>
       Assemble.pplBuckets(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", "lang")
+        .withColumnRenamed("id", "doc_id")),
+
+    // the 100 TB shape of q_ppl_buckets, oracle-certified: split on
+    // approx_percentile cutoffs over the salted unique key instead of
+    // the per-language ntile funnel. Below the sketch's compression
+    // threshold (2·n/accuracy < 1 — gate languages hold ≤ 218 docs at
+    // accuracy 10000) the cutoff is provably the element at rank
+    // ceil(p·n), which DuckDB replays as an exact rank selection —
+    // same contract as q_percentile_approx.
+    "q_ppl_buckets_approx" -> ((s, dir) =>
+      Assemble.pplBucketsApprox(
         s.read.parquet(t(dir, "documents")), "doc_id", "text", "lang")
         .withColumnRenamed("id", "doc_id")),
 
@@ -1512,6 +1567,25 @@ object SparkEntry {
         |         AS p95_micro
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // replay of the GK-sketch contract (see the query's comment): at
+    // gate group sizes the sketch keeps every sample and query(p)
+    // returns the element at rank ceil(p·n) — an exact rank selection
+    // here. The selected value is a RAW data double (no arithmetic),
+    // so floor-micro is 1-ulp-safe.
+    "q_percentile_approx" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |           AS rnk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(floor(max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT)
+        |      THEN value END) * 1000000) AS BIGINT) AS p50_micro,
+        |  CAST(floor(max(CASE WHEN rnk = CAST(ceil(0.95 * n) AS BIGINT)
+        |      THEN value END) * 1000000) AS BIGINT) AS p95_micro
+        |FROM r GROUP BY event_type""".stripMargin,
+
     "q_salted_join" ->
       """WITH users AS (
         |  SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
@@ -1976,28 +2050,36 @@ object SparkEntry {
     },
 
     "q_ppl_buckets" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-        |  FROM documents),
-        |flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-        |freq AS (SELECT tok, count(*) AS c FROM flat GROUP BY tok),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq),
-        |s AS (SELECT doc_id,
-        |        CAST(floor(-ln(CAST(c AS DOUBLE) / total) * 1000000)
-        |          AS BIGINT) AS u
-        |      FROM flat JOIN freq USING (tok) CROSS JOIN tot),
-        |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |               CAST(sum(u) AS BIGINT) AS su
-        |        FROM s GROUP BY doc_id),
-        |j AS (SELECT d.doc_id, lang, n_tokens,
-        |        CAST(su // n_tokens AS BIGINT) AS mu_unats
-        |      FROM doc d JOIN documents USING (doc_id))
-        |SELECT doc_id, lang, n_tokens, mu_unats,
-        |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY mu_unats, doc_id)
-        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
-        |    AS ppl_bucket
-        |FROM j""".stripMargin,
+      s"""WITH $duckPplMetricCtes
+         |SELECT doc_id, lang, n_tokens, mu_unats,
+         |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY mu_unats, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         |    AS ppl_bucket
+         |FROM j""".stripMargin,
+
+    // replay of the approx-cutoff contract (Assemble.pplBucketsApprox):
+    // below the GK sketch's compression threshold the cutoff IS the
+    // element at rank ceil(p·n) of the salted unique key — selected
+    // here exactly. `1.0/3` stays a double product on both sides so
+    // the ceil sees the identical IEEE value Spark's sketch computed.
+    "q_ppl_buckets_approx" ->
+      s"""WITH $duckPplMetricCtes,
+         |u AS (SELECT doc_id, lang, n_tokens, mu_unats,
+         |        mu_unats * 1048576 + (doc_id % 1048576) AS ukey FROM j),
+         |r AS (SELECT lang, ukey,
+         |        row_number() OVER (PARTITION BY lang ORDER BY ukey) AS rnk,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM u),
+         |cuts AS (SELECT lang,
+         |    max(CASE WHEN rnk = CAST(ceil((1.0/3) * n) AS BIGINT)
+         |        THEN ukey END) AS c33,
+         |    max(CASE WHEN rnk = CAST(ceil((2.0/3) * n) AS BIGINT)
+         |        THEN ukey END) AS c67
+         |  FROM r GROUP BY lang)
+         |SELECT doc_id, lang, n_tokens, mu_unats,
+         |  CASE WHEN ukey <= c33 THEN 'head'
+         |       WHEN ukey <= c67 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |FROM u JOIN cuts USING (lang)""".stripMargin,
 
     "q_corpus_clean" ->
       s"""WITH ta AS ($duckTextAnalysis)

@@ -537,10 +537,11 @@ object Dedup {
    * hashes first: at 100 TB that distinct is a full shuffle of every
    * training gram, even though only the tiny test-overlapping slice
    * matters. Here a Bloom filter built over the TEST grams (test sets
-   * are benchmark suites — thousands of docs, not billions) is
-   * broadcast and applied to the training grams as a NARROW map-side
-   * filter, so only bloom survivors (≈ test-gram count + fpp·train)
-   * reach the distinct shuffle. No false negatives, and the exact
+   * are benchmark suites — thousands of docs, not billions) rides the
+   * plan as a binary literal probed by Spark's native
+   * `BloomFilterMightContain`, applied to the training grams as a
+   * NARROW map-side filter, so only bloom survivors (≈ test-gram
+   * count + fpp·train) reach the distinct shuffle. No false negatives, and the exact
    * semi-join still follows, so the bloom's false positives never
    * reach the output — exactness is preserved by construction.
    *
@@ -552,8 +553,6 @@ object Dedup {
       train: DataFrame, test: DataFrame, idCol: String, textCol: String,
       n: Int = 13, fpp: Double = 0.01): DataFrame = {
     val testGrams = gramHashFrame(test, idCol, textCol, n).persist()
-    var bloomB: Option[org.apache.spark.broadcast.Broadcast[
-      org.apache.spark.util.sketch.BloomFilter]] = None
     try {
       val distinctTest = testGrams.select(col("gh")).distinct().persist()
       try {
@@ -562,12 +561,18 @@ object Dedup {
         // zero test grams no train gram can matter anyway
         val trainHits = if (nTest == 0L) distinctTest else {
           val bloom = distinctTest.stat.bloomFilter("gh", nTest, fpp)
-          val b = train.sparkSession.sparkContext.broadcast(bloom)
-          bloomB = Some(b)
-          val mightContain = udf((h: Long) => b.value.mightContainLong(h))
+          val bytes = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bytes)
+          // native probe (BloomFilterMightContain): the sketch rides
+          // the plan as a binary literal, deserialized ONCE per task,
+          // and the probe codegens into the scan's WholeStageCodegen
+          // span — a Scala closure UDF here would break codegen on
+          // the 100 TB side's hot prefilter
+          val mightContain = graft.functions.GraftFunctions
+            .bloom_might_contain(lit(bytes.toByteArray), col("gh"))
           // narrow prefilter BEFORE the distinct shuffle — the whole point
           gramHashFrame(train, idCol, textCol, n)
-            .filter(mightContain(col("gh")))
+            .filter(mightContain)
             .select(col("gh")).distinct()
         }
         val totals = testGrams.groupBy(col("id"))
@@ -581,13 +586,7 @@ object Dedup {
               col("n_grams"), 6).as("contaminated_frac"))
           .localCheckpoint()
       } finally distinctTest.unpersist()
-    } finally {
-      testGrams.unpersist()
-      // the result is already materialized (localCheckpoint), so the
-      // bloom can be dropped from driver + executors deterministically
-      // instead of waiting for GC — long sessions run many test suites
-      bloomB.foreach(_.destroy())
-    }
+    } finally testGrams.unpersist()
   }
 
   // ── 6. connected components (cluster collapse) ──────────────────

@@ -535,7 +535,14 @@ object GraftFunctions {
       litInt(es(2), "plane_proj", "seedStride"))),
     "plane_bucket" -> (es => PlaneBucket(es.head,
       litInt(es(1), "plane_bucket", "nPlanes"),
-      litInt(es(2), "plane_bucket", "seedStride"))))
+      litInt(es(2), "plane_bucket", "seedStride"))),
+    // Spark's native bloom-probe expression (codegen'd, deserializes
+    // the sketch once per task) is NOT in the public function
+    // registry (4.1 exposes only bloom_filter_agg) — surface it here
+    // so hot-path prefilters never need a Scala closure UDF.
+    "bloom_might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es.head, es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -564,6 +571,12 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("plane_bucket", vec,
       org.apache.spark.sql.functions.lit(nPlanes),
       org.apache.spark.sql.functions.lit(seedStride))
+  /** `bloom` is a serialized `org.apache.spark.util.sketch.BloomFilter`
+    * (binary, constant-foldable — e.g. `lit(bytes)`); `value` a LONG
+    * probed via `mightContainLong`. */
+  def bloom_might_contain(bloom: Column, value: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "bloom_might_contain", bloom, value)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

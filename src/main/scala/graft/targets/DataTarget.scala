@@ -183,22 +183,41 @@ final case class FileTarget(
       val staging = path + ".staging"
       val stagingTable = tableName + "_staging"
       spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
-      df.write.mode("overwrite")
+      // ONE exchange into exactly `buckets` tasks before the bucketed
+      // write: HashPartitioning's partitionIdExpression IS the bucket-id
+      // expression (pmod(murmur3(col), n)), so each task holds exactly
+      // one bucket and writes exactly ONE file. Without it every input
+      // task writes a file per bucket it touches — up to tasks×buckets
+      // tiny files per commit, and the file-create/commit-rename churn
+      // dominates the sync (profiled: the r7 regression).
+      df.repartition(buckets, col(idColumn))
+        .write.mode("overwrite")
         .bucketBy(buckets, idColumn).sortBy(idColumn)
         .option("path", staging).saveAsTable(stagingTable)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      val dir = new java.io.File(path)
-      if (dir.exists()) rm(dir)
-      new java.io.File(staging).renameTo(dir)
-      // external (path-backed) tables drop metadata only — the moved
-      // files stay; re-register the main name at the swapped path
-      // with the WRITER's schema (a zero-row state has no files to
-      // infer from)
+      // external (path-backed) staging table: DROP removes metadata
+      // only, the staged files stay for the swap below
       spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
-      spark.sql(s"DROP TABLE IF EXISTS $tableName")
-      registerBucketed(spark, df.schema.toDDL)
+      // whole-dir swap, manifest-logged (same two-phase commit as the
+      // partitioned path): a crash anywhere between manifest write and
+      // delete is completed idempotently by the next reader/writer —
+      // the staged next-state is never lost mid-swap.
+      writeManifest(staging, Seq("*:swap"))
+      completeSwap(manifestFile)
+      // stable catalog entry: the table's location never changes, so a
+      // commit only needs a REFRESH of the file listing. Re-register
+      // (DROP/CREATE) ONLY when the schema actually changed (first
+      // write / mapping change) — catalog churn per commit uncaches
+      // every dependent cached plan and costs three DDLs.
+      val sameSchema = spark.catalog.tableExists(tableName) && {
+        def shape(s: org.apache.spark.sql.types.StructType) =
+          s.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+        shape(spark.table(tableName).schema) == shape(df.schema)
+      }
+      if (sameSchema) spark.sql(s"REFRESH TABLE $tableName")
+      else {
+        spark.sql(s"DROP TABLE IF EXISTS $tableName")
+        registerBucketed(spark, df.schema.toDDL)
+      }
     } else if (partitions > 0) {
       df.withColumn("pt", bucketOf(col(idColumn)))
         .write.mode("overwrite").partitionBy("pt").parquet(path)
@@ -226,12 +245,16 @@ final case class FileTarget(
     * `drop` there would delete freshly-committed data. It is written
     * only after the staging write has fully succeeded, so a manifest
     * on disk always points at a COMPLETE staged next-state. */
-  private def writeManifest(staging: String, parts: Array[Long]): Unit = {
-    val entries = parts.map { p =>
+  private def writeManifest(staging: String, parts: Array[Long]): Unit =
+    writeManifest(staging, parts.toSeq.map { p =>
       val action =
         if (new java.io.File(s"$staging/pt=$p").exists()) "swap" else "drop"
       s"$p:$action"
-    }
+    })
+
+  /** Raw-entry overload — also carries the bucketed whole-dir swap
+    * (`*:swap`: the staging dir itself replaces the live dir). */
+  private def writeManifest(staging: String, entries: Seq[String]): Unit = {
     val tmp = java.nio.file.Paths.get(path + ".swap-manifest.tmp")
     java.nio.file.Files.write(tmp,
       (staging +: entries).mkString("\n")
@@ -258,8 +281,14 @@ final case class FileTarget(
     }
     lines.tail.filter(_.nonEmpty).foreach { entry =>
       val Array(p, action) = entry.split(":", 2)
-      val src = new java.io.File(s"$staging/pt=$p")
-      val dst = new java.io.File(s"$path/pt=$p")
+      // `*` = whole-dir swap (bucketed mode): the staging dir itself
+      // replaces the live dir; per-bucket entries swap `pt=` subdirs
+      val src =
+        if (p == "*") new java.io.File(staging)
+        else new java.io.File(s"$staging/pt=$p")
+      val dst =
+        if (p == "*") new java.io.File(path)
+        else new java.io.File(s"$path/pt=$p")
       action match {
         case "swap" =>
           if (src.exists()) {
@@ -277,13 +306,20 @@ final case class FileTarget(
   /** Crash recovery: a pending manifest means the last sync staged
     * its next-state but died mid-swap — finish it before reading or
     * writing, so readers never see a half-swapped table. */
-  private def recoverPendingSwap(): Unit = {
+  private def recoverPendingSwap(spark: SparkSession): Unit = {
     val m = manifestFile
-    if (m.exists()) completeSwap(m)
+    if (m.exists()) {
+      completeSwap(m)
+      // the recovered swap moved files under the table's location —
+      // a LIVE session completing another process's crash must drop
+      // its cached file listing or later scans chase deleted files
+      if (buckets > 0 && spark.catalog.tableExists(tableName))
+        spark.sql(s"REFRESH TABLE $tableName")
+    }
   }
 
   override def currentState(spark: SparkSession): DataFrame = {
-    recoverPendingSwap()
+    recoverPendingSwap(spark)
     currentStateNoRecover(spark)
   }
 
@@ -383,9 +419,9 @@ final case class FileTarget(
       completeSwap(manifestFile)
     } else if (buckets > 0) {
       // Bucketed snapshot merge: the staged next-state is written
-      // with bucketBy (one murmur bucket per file group), swapped in,
-      // and re-registered — every later diff consumes the bucketing
-      // with zero state-side exchange.
+      // with bucketBy (one file per murmur bucket), manifest-swapped
+      // in, and the stable catalog entry refreshed — every later diff
+      // consumes the bucketing with zero state-side exchange.
       writeState(spark, next)
     } else {
       // Overwrite must not read-while-write the same path: stage then
@@ -406,7 +442,7 @@ final case class FileTarget(
   }
 
   override def removeAll(spark: SparkSession): Long = {
-    recoverPendingSwap()
+    recoverPendingSwap(spark)
     val n = if (exists) currentStateNoRecover(spark).count() else 0L
     val dir = new java.io.File(path)
     def rm(f: java.io.File): Unit = {

@@ -431,6 +431,28 @@ class ExtSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("bloom prefilter probe is the native BloomFilterMightContain — " +
+      "codegen'd in the scan span, no Scala closure UDF in the plan") {
+    val members = (1L to 200L).map(_ * 7919L)
+    val df = members.toDF("gh")
+    val bloom = df.stat.bloomFilter("gh", members.size.toLong, 0.01)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bytes)
+    val probe = spark.range(1L, 3001L).select($"id".as("gh"))
+      .filter(graft.functions.GraftFunctions
+        .bloom_might_contain(lit(bytes.toByteArray), $"gh"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(1500))
+    assert(!plan.contains("UDF"), plan.take(1500))
+    // probing the member set through the expression finds every member
+    // (no false negatives); the 1..3000 probe stays a narrow filter
+    val hits = probe.collect().map(_.getLong(0)).toSet
+    val trueMembers = members.toSet.filter(_ <= 3000L)
+    assert(trueMembers.subsetOf(hits))
+    // fpp 1% on 3000 probes: survivors are members + a small fp tail
+    assert(hits.size <= trueMembers.size + 60)
+  }
+
   test("incremental minhash: batch docs pair only against the corpus " +
       "side; novel docs survive the anti-join; corpus never " +
       "self-pairs") {

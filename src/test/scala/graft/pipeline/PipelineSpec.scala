@@ -255,6 +255,15 @@ class PipelineSpec extends SparkSpec {
     val bucketed = FileTarget(s"$dir/bstate", buckets = nShuffle)
     seed(bucketed)
 
+    // commit shape: writeState repartitions on the bucket expression
+    // first, so each task writes exactly ONE bucket file — ≤ buckets
+    // data files total, never tasks×buckets tiny files (the r7 sync
+    // regression)
+    val dataFiles = new java.io.File(s"$dir/bstate").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.length <= nShuffle,
+      s"bucketed write produced ${dataFiles.length} files for $nShuffle buckets")
+
     // plan shape: with broadcast off (the big-big regime the
     // bucketing exists for), the diff's full-outer join must show
     // exactly ONE exchange — the incoming source side's dedup
@@ -288,6 +297,60 @@ class PipelineSpec extends SparkSpec {
       spark.read.parquet(p).select(col("id"), col("version").cast("long"),
         col("name")).as[(String, Long, String)].collect().toSet
     assert(rows(s"$dir/bstate") === rows(s"$dir/pstate"))
+  }
+
+  test("bucketed swap crash windows: a pending whole-dir manifest " +
+      "(`*:swap`) is replayed to completion before the next read") {
+    val dir = tmpDir("pipeline-bcrash")
+    val target = FileTarget(s"$dir/bstate", buckets = 4)
+    import spark.implicits._
+    target.writeState(spark,
+      (1 to 50).map(i => (s"id$i", 1L, s"v$i")).toDF("id", "version", "name"))
+    def stateRows(): Set[(String, Long, String)] =
+      target.currentState(spark)
+        .select(col("id"), col("version").cast("long"), col("name"))
+        .as[(String, Long, String)].collect().toSet
+    val committed = stateRows()
+    assert(committed.size === 50)
+
+    val live = new java.io.File(s"$dir/bstate")
+    val staging = new java.io.File(s"$dir/bstate.staging")
+    val manifest = new java.io.File(s"$dir/bstate.swap-manifest")
+    def write(lines: Seq[String]): Unit =
+      java.nio.file.Files.write(manifest.toPath, lines.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        if (f.isDirectory) copyDir(f, new java.io.File(dst, f.getName))
+        else java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dst, f.getName).toPath)
+      }
+    }
+
+    // window A — crash mid-rm(live): the staged next-state is
+    // complete, the live dir is PARTIALLY deleted. Recovery must
+    // finish the rm and rename the staged dir in — state intact.
+    copyDir(live, staging)
+    val victim = live.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete()) // live is now half-deleted (torn state)
+    write(Seq(staging.getPath, "*:swap"))
+    assert(stateRows() === committed)
+    assert(!manifest.exists() && !staging.exists())
+
+    // window B — crash after rm(live), before rename(staging): live
+    // is gone entirely, only the staged dir holds the state.
+    assert(live.renameTo(staging)) // live vanished, data only staged
+    write(Seq(staging.getPath, "*:swap"))
+    assert(stateRows() === committed)
+    assert(!manifest.exists() && !staging.exists() && live.exists())
+
+    // window C — crash after rename completed, before manifest
+    // delete: staging is gone, live holds the committed data.
+    // Recovery must leave it untouched and clear the manifest.
+    write(Seq(staging.getPath, "*:swap"))
+    assert(stateRows() === committed)
+    assert(!manifest.exists() && live.exists())
   }
 
   test("partitioned swap crash windows: a pending manifest is " +
