@@ -220,6 +220,7 @@ final case class FileTarget(
       }
     } else if (partitions > 0) {
       df.withColumn("pt", bucketOf(col(idColumn)))
+        .repartition(col("pt"))
         .write.mode("overwrite").partitionBy("pt").parquet(path)
     } else df.write.mode("overwrite").parquet(path)
 
@@ -410,9 +411,18 @@ final case class FileTarget(
       // reader/writer and completed from the manifest
       // ([[recoverPendingSwap]]) — no half-swapped table is ever
       // observable past that point.
+      // repartition on the dir column first: each touched pt dir is
+      // then written by ONE task as ONE file, instead of every task
+      // spraying a file into every dir it touches (tasks×dirs tiny
+      // files — the same churn the bucketed commit eliminated). A
+      // sync's touched delta is small relative to the table, so one
+      // task per touched dir is the right granularity; if a single
+      // dir's delta outgrows a task, `partitions` is under-sized for
+      // the volume.
       val nextTouched = next
         .withColumn("pt", bucketOf(col(idColumn)))
         .filter(col("pt").isInCollection(touchedSet))
+        .repartition(col("pt"))
       nextTouched.write.mode("overwrite")
         .partitionBy("pt").parquet(staging)
       writeManifest(staging, touchedParts)
