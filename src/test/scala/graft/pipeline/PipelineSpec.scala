@@ -286,6 +286,25 @@ class PipelineSpec extends SparkSpec {
 
     // end to end: bucketed result == plain result
     val r = new ImportService(preset(bucketed)).importData(spark)
+
+    // the commit REFRESHes the stable catalog entry (no DROP/CREATE):
+    // a SECOND sync's diff must still consume the bucketing with the
+    // single source-side exchange — the property must survive commits,
+    // not just the seed
+    val prev2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val keyed2 = graft.core.Records.keyRecords(src, "id", Some("version"))
+      val plan2 = graft.core.Diff
+        .computeDataChanges(keyed2, bucketed.currentState(spark)).changes
+        .queryExecution.executedPlan.toString
+      val joinIdx2 = plan2.indexOf("SortMergeJoin")
+      assert(joinIdx2 >= 0, plan2.take(1500))
+      val below2 = plan2.substring(joinIdx2)
+      assert(below2.contains("Bucketed: true"), below2.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(below2).size === 1,
+        below2.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev2)
     // add: 10∤i ∧ 7|i = 28−2; update: 3|i ∧ 10∤i ∧ 7∤i = 66−6−9;
     // remove: 7∤i ∧ 10|i = 20−2
     assert((r.added, r.updated, r.removed) === ((26L, 51L, 18L)))
