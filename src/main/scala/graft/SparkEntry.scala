@@ -326,6 +326,56 @@ object SparkEntry {
         c("event_type", "string"), c("value_cents", "long"))
     }),
 
+    // ── Watermarked tumbling-window aggregation, oracle-certified:
+    // events replayed as 4 ts-range-ordered micro-batches through
+    // windowedCounts (1-hour event-time windows, 0 s watermark
+    // delay) into an Append-mode memory sink. Append emits a window
+    // exactly when the watermark passes its end, so the emitted set
+    // is every window whose end ≤ max(ts) — one GROUP BY + threshold
+    // filter for a batch engine. The certification property: windows
+    // whose rows STRADDLE micro-batch boundaries accumulate state
+    // across batches and still emit the exact batch-engine counts. ──
+    "q_stream_window" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sync = graft.streaming.IncrementalSync
+      sync.replayTransform(
+        s, ev, sync.tsRangeBatch(ev, "ts", 4), tempStateDir(),
+        nBatches = 4)(st =>
+        sync.windowedCounts(st, watermark = "0 seconds",
+          window_ = "1 hour"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("value_cents"))
+    }),
+
+    // ── Watermark LATE-DATA DROP, oracle-certified: every 97th event
+    // is held back as a straggler and replayed LAST, after 3
+    // ts-range-ordered batches of the rest. Spark's watermark is
+    // two-phase (IncrementalExecution): late INPUT rows in batch N
+    // are filtered against batch N−1's watermark
+    // (eventTimeWatermarkForLateEvents — one batch of grace), while
+    // state eviction/emission uses batch N's. The straggler batch
+    // therefore drops stragglers whose window closed under
+    // W_late = max(on-time ts in batches 0..1) − 30 min and keeps
+    // the rest — a deterministic function of the data (verified
+    // against the observed per-batch watermark progression), so
+    // DuckDB replays the exact kept-row set. On-time rows are never
+    // late by construction: ts-range batches are disjoint and
+    // increasing, so every row arrives ahead of the operative
+    // watermark. ──
+    "q_stream_late" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sync = graft.streaming.IncrementalSync
+      val straggler = pmod(col("event_id"), lit(97)) === 0
+      val batchCol = when(straggler, lit(3))
+        .otherwise(sync.tsRangeBatch(ev, "ts", 3))
+      sync.replayTransform(s, ev, batchCol, tempStateDir(),
+        nBatches = 4)(st =>
+        sync.windowedCounts(st, watermark = "30 minutes",
+          window_ = "1 hour"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("value_cents"))
+    }),
+
     // ── W1–W3 end to end on the REAL JDBC sink: same importData
     // pipeline as q_sync_apply, but local state lives in a Derby
     // table and the add/update/remove phases run as INSERT / UPDATE
@@ -1013,19 +1063,27 @@ object SparkEntry {
     // DuckDB oracle (which recomputes the pairs exhaustively).
     "q_embed_dedup" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
-      val pairs = Similarity.bucketedPairs(e, 0.4, nCells = 16, nProbe = 6)
+      // exact-dup pre-collapse: the cell self-join runs on unique
+      // vectors only — duplicate CLIQUES (the dominant shape in a
+      // re-crawled corpus) contribute linear rep edges instead of
+      // quadratic pairs; the survivor set is provably identical
+      val pairs = Similarity.pairGraphCollapsed(
+        e, 0.4, nCells = 16, nProbe = 6)
       e.join(pairs.select(col("n_id").as("vec_id")).distinct(),
           Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"))
     }),
 
     // semantic near-dup CLUSTERS: connected components over the
-    // bucketed embedding pair graph (same IVF settings as
-    // q_embed_dedup, whose exact recall is spec-pinned); oracle
-    // recomputes pairs exhaustively and closes them recursively
+    // collapsed embedding pair graph (same IVF settings as
+    // q_embed_dedup, whose exact recall is spec-pinned; exact-dup
+    // members enter through rep edges — components unchanged);
+    // oracle recomputes pairs exhaustively and closes them
+    // recursively
     "q_embed_clusters" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
-      val pairs = Similarity.bucketedPairs(e, 0.4, nCells = 16, nProbe = 6)
+      val pairs = Similarity.pairGraphCollapsed(
+        e, 0.4, nCells = 16, nProbe = 6)
       Dedup.connectedComponents(pairs, "q_id", "n_id")
         .withColumnRenamed("id", "vec_id")
     }),
@@ -2174,6 +2232,54 @@ object SparkEntry {
         |  FROM events)
         |SELECT id, version, event_type, value_cents
         |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // append-mode emission: every window whose end passed the final
+    // watermark (delay 0 ⇒ max ts). The replay feeds ts-ordered
+    // batches, so no row is ever late — one plain GROUP BY replays
+    // the cross-batch state accumulation.
+    "q_stream_window" ->
+      """WITH w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart,
+        |                  event_type, value, ts
+        |           FROM events)
+        |SELECT CAST(floor(epoch(wstart)) AS BIGINT) AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM w
+        |WHERE wstart + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the straggler batch (event_id % 97 = 0, replayed last as batch
+    // 3) is late-filtered under Spark's TWO-PHASE watermark: late
+    // input rows in batch N are dropped against the watermark of
+    // batch N−1 (eventTimeWatermarkForLateEvents — one batch of
+    // grace), while eviction/emission uses the current one. So the
+    // drop threshold is W_late = max(on-time ts in ts-range batches
+    // 0..1) − 30 min (the same floor formula tsRangeBatch uses, over
+    // the full-table µs bounds), and the emission threshold is
+    // W_final = max(ts) − 30 min.
+    "q_stream_late" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+        |           FROM events),
+        |s AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart,
+        |             event_type, value, ts,
+        |             (event_id % 97 = 0) AS straggler,
+        |             CAST(floor((epoch_us(ts) - b.t0) * 3.0
+        |               / (b.t1 - b.t0 + 1)) AS INTEGER) AS batch
+        |      FROM events, b),
+        |wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w_late
+        |       FROM s WHERE NOT straggler AND batch <= 1),
+        |wmf AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w_final FROM s),
+        |kept AS (SELECT s.* FROM s, wm
+        |         WHERE NOT s.straggler
+        |            OR s.wstart + INTERVAL 1 HOUR > wm.w_late)
+        |SELECT CAST(floor(epoch(wstart)) AS BIGINT) AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM kept, wmf
+        |WHERE wstart + INTERVAL 1 HOUR <= wmf.w_final
+        |GROUP BY 1, 2""".stripMargin,
 
     // identical merged-state semantics, certified on the JDBC sink
     // (the k%4=1 slice — see the query's comment)

@@ -191,6 +191,61 @@ object Similarity {
   }
 
   /**
+   * Exact-duplicate collapse for the embedding corpus: one
+   * representative (min id) per BIT-IDENTICAL vector group, plus the
+   * rep→member edges that reconnect collapsed members downstream.
+   *
+   * Why this exists: real corpora carry large exact-duplicate groups
+   * (mirrored pages, re-crawls, boilerplate) — every such group of
+   * size g becomes a g-clique in the near-dup pair graph, so pair
+   * volume grows QUADRATICALLY in duplicate density while the useful
+   * information (the group) is linear. Collapsing first makes the
+   * expensive cell self-join run on unique vectors only; dup members
+   * rejoin through g−1 rep edges. Grouping is on the vector VALUE
+   * (array equality), not a hash of it — no collision can merge two
+   * distinct groups. Two linear shuffles (groupBy vec + join back),
+   * both on the vector key.
+   */
+  def collapseExactVectors(
+      corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val spreadC = graft.util.Tables.spread(corpus)
+    val reps = spreadC.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(vecCol))
+    val dupEdges = spreadC.select(col(idCol).as("__m"), col(vecCol))
+      .join(reps.select(col(idCol).as("__r"), col(vecCol)), Seq(vecCol))
+      .filter(col("__m") =!= col("__r"))
+      .select(col("__r").as("q_id"), col("__m").as("n_id"),
+        lit(1.0).as("sim"))
+    (reps, dupEdges)
+  }
+
+  /**
+   * Near-dup pair GRAPH with exact-duplicate pre-collapse: the
+   * [[bucketedPairs]] cell join over unique representatives, unioned
+   * with the rep→member edges. Connectivity-equivalent to the full
+   * pair set — identical vectors probe identical cells with identical
+   * sims, so (a) two groups are linked in the rep graph iff any of
+   * their members are linked in the full graph, and (b) a rep is some
+   * pair's n_id iff any smaller id is τ-similar to it — which makes
+   * both downstream contracts EXACTLY reproducible: connected
+   * components are unchanged, and the survivor set (ids never
+   * appearing as n_id) is unchanged. What it does NOT reproduce is
+   * the full quadratic pair LIST itself (member×member edges inside
+   * a clique are represented by their rep edges) — that list is the
+   * thing that cannot scale.
+   */
+  def pairGraphCollapsed(
+      corpus: DataFrame, threshold: Double, nCells: Int = 16,
+      nProbe: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (reps, dupEdges) = collapseExactVectors(corpus, idCol, vecCol)
+    bucketedPairs(reps, threshold, nCells, nProbe, idCol, vecCol)
+      .unionByName(dupEdges)
+  }
+
+  /**
    * IVF-style variant: corpus assigned to the nearest of `nCells`
    * deterministic seed centroids (derived from hashed unit vectors);
    * queries probe their own cell only. Same shuffle shape as LSH but

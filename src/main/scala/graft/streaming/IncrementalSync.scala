@@ -4,7 +4,7 @@ import graft.core.Records
 import graft.mapper.Mapper
 import graft.pipeline.Preset
 import graft.targets.DataTarget
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -92,36 +92,60 @@ object IncrementalSync {
     require(preset.skipRemovedRecords,
       "replaySync needs skipRemovedRecords = true: a micro-batch is a " +
         "delta, not a snapshot")
-    val inDir = s"$workDir/in"
-    // timestamp columns order by epoch micros; numeric ts columns
-    // (raw epoch values) order as-is
-    val tsOrd = table.schema(tsCol).dataType match {
+    val stream = stagedStream(spark, table,
+      tsRangeBatch(table, tsCol, nBatches), nBatches,
+      s"$workDir/in", batchFiles)
+    val q = start(spark, stream, preset, s"$workDir/chk",
+      trigger = Trigger.AvailableNow())
+    if (!q.awaitTermination(600000L))
+      sys.error("replaySync: streaming query did not terminate")
+    preset.target.currentState(spark)
+  }
+
+  /** Epoch-micros ordering column for a timestamp column; numeric ts
+    * columns (raw epoch values) order as-is. */
+  def tsOrdinal(table: DataFrame, tsCol: String): Column =
+    table.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
       case _ => col(tsCol).cast("long")
     }
+
+  /** 0..nBatches-1 assignment by equal ts ranges — the deterministic,
+    * engine-replayable batch split the streaming oracles share (the
+    * bounds agg is bounded driver metadata: two longs). Empty table ⇒
+    * null bounds ⇒ every (nonexistent) row maps to batch 0 and the
+    * replay still runs with the right schema. */
+  def tsRangeBatch(table: DataFrame, tsCol: String, nBatches: Int): Column = {
+    val tsOrd = tsOrdinal(table, tsCol)
     val bounds = table.agg(min(tsOrd), max(tsOrd)).head()
-    // empty table ⇒ null bounds: the replay still runs (empty staged
-    // files ⇒ empty micro-batches ⇒ an empty state WITH the mapped
-    // schema), so downstream projections resolve
     val (t0, t1) =
       if (bounds.isNullAt(0)) (0L, 0L)
       else (bounds.getLong(0), bounds.getLong(1))
-    val batched = table.withColumn("__batch",
-      floor((tsOrd - t0).cast("double") * nBatches /
-        (t1 - t0 + 1)).cast("int"))
-    // Stage batch k, then stamp its files with a fixed, strictly
-    // increasing per-batch mtime: the file stream source orders by
-    // modification time, so the query replays the batches in ts
-    // order (one file per trigger; files WITHIN a batch may process
-    // in any order — the version rule makes that immaterial).
+    floor((tsOrd - t0).cast("double") * nBatches /
+      (t1 - t0 + 1)).cast("int")
+  }
+
+  /**
+   * Stage `table` as `nBatches` file groups ordered by `batchCol` and
+   * return a file-source stream that replays them in that order.
+   *
+   * Batch k is staged as exactly `batchFiles` files stamped with a
+   * fixed, strictly increasing per-batch mtime: the file stream
+   * source orders by modification time, so with
+   * `maxFilesPerTrigger = batchFiles` the query replays the batches
+   * in order (files WITHIN a batch may process in any order — the
+   * caller's semantics must not depend on intra-batch order). This is
+   * replay-harness granularity, not a production write shape:
+   * production feeds [[start]] / the transforms from a real stream
+   * source and nothing is staged.
+   */
+  def stagedStream(
+      spark: SparkSession, table: DataFrame, batchCol: Column,
+      nBatches: Int, inDir: String, batchFiles: Int = 1): DataFrame = {
+    val batched = table.withColumn("__batch", batchCol)
     val stamped = scala.collection.mutable.Set.empty[String]
     val mtimeBase = 1000000000000L // fixed: replay order, not wall time
     (0 until nBatches).foreach { k =>
-      // each staged batch is exactly `batchFiles` files so the replay
-      // runs nBatches·batchFiles micro-batches regardless of the
-      // table's input partitioning — replay-harness granularity, not
-      // a production write shape (production feeds `start` from a
-      // real stream source; nothing is staged)
       batched.filter(col("__batch") === k).drop("__batch")
         .repartition(batchFiles)
         .write.mode("append").parquet(inDir)
@@ -133,14 +157,41 @@ object IncrementalSync {
           stamped += f.getName
         }
     }
-    val schema = batched.drop("__batch").schema
-    val stream = spark.readStream.schema(schema)
+    spark.readStream.schema(batched.drop("__batch").schema)
       .option("maxFilesPerTrigger", batchFiles.toString).parquet(inDir)
-    val q = start(spark, stream, preset, s"$workDir/chk",
-      trigger = Trigger.AvailableNow())
+  }
+
+  private val replayNames = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /**
+   * Certification replay for STATELESS-sink streaming transforms:
+   * stage `table` into `batchCol`-ordered micro-batches, run
+   * `transform` over the staged stream in Append mode into a memory
+   * sink, and return the sink's content.
+   *
+   * The memory sink collects to the driver, so this is ONLY for
+   * transforms whose output is bounded aggregate metadata (windowed
+   * counts: #windows × #types rows) — it is the oracle bridge that
+   * lets DuckDB replay watermark semantics, not a production sink
+   * (production `writeStream`s to files/Kafka/foreachBatch).
+   */
+  def replayTransform(
+      spark: SparkSession, table: DataFrame, batchCol: Column,
+      workDir: String, nBatches: Int = 4, batchFiles: Int = 1)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val stream = stagedStream(spark, table, batchCol, nBatches,
+      s"$workDir/in", batchFiles)
+    val name = s"graft_replay_${replayNames.incrementAndGet()}"
+    val q = transform(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", s"$workDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
     if (!q.awaitTermination(600000L))
-      sys.error("replaySync: streaming query did not terminate")
-    preset.target.currentState(spark)
+      sys.error("replayTransform: streaming query did not terminate")
+    spark.table(name)
   }
 
   /**

@@ -157,6 +157,33 @@ class ExtSpec extends SparkSpec {
     assert(got === brute) // exact recall at nProbe=6 of 16, pinned
   }
 
+  test("exact-dup collapse: survivor set and clusters are identical " +
+      "to the full pair graph on a corpus with duplicate cliques") {
+    // 30 distinct vectors, each replicated 1-4x with distinct ids —
+    // the re-crawled-corpus shape whose full pair graph holds a
+    // g-clique per duplicate group
+    val vecs = (0 until 30).flatMap { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 7 + d * 13).toFloat)
+      (0 to i % 4).map(r => (i.toLong + 100L * r, v))
+    }.toDF("vec_id", "embedding")
+    val full = Similarity.bucketedPairs(vecs, 0.4, nCells = 8, nProbe = 8)
+    val collapsed = Similarity.pairGraphCollapsed(vecs, 0.4,
+      nCells = 8, nProbe = 8)
+    // the collapsed graph is strictly smaller on clique-heavy input...
+    assert(collapsed.count() < full.count())
+    // ...but the survivor contract is unchanged
+    def survivors(pairs: org.apache.spark.sql.DataFrame) =
+      vecs.join(pairs.select($"n_id".as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+        .select("vec_id").as[Long].collect().toSet
+    assert(survivors(collapsed) === survivors(full))
+    // ...and the connected components are unchanged
+    def clusters(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(pairs, "q_id", "n_id")
+        .as[(Long, Long)].collect().toMap
+    assert(clusters(collapsed) === clusters(full))
+  }
+
   test("ivf cell stats: occupancy sums to nProbe x corpus, pair " +
       "volume is exactly sum c(c-1)/2, deterministic") {
     val vecs = (1L to 50L).map(i =>
