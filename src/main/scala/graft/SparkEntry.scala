@@ -376,6 +376,54 @@ object SparkEntry {
           col("event_type"), col("n"), col("value_cents"))
     }),
 
+    // ── Stream-STREAM interval join, oracle-certified: even
+    // event_ids are the left stream ("impressions"), odd the right
+    // ("clicks"); a click joins impressions of the same user at most
+    // 30 min before it. Both sides replay the SAME 4 ts-range
+    // batches in lockstep, which is what makes the append output
+    // provably COMPLETE: a left row is evicted only when the right
+    // watermark passes l.ts + 30 min, and every future right row has
+    // a later ts than that watermark (ts-range batches are disjoint
+    // and increasing), so no match can arrive after eviction. The
+    // streaming result therefore equals the batch interval join,
+    // which DuckDB computes directly. ──
+    "q_stream_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sync = graft.streaming.IncrementalSync
+      val batchCol = sync.tsRangeBatch(ev, "ts", 4)
+      sync.replayTransform2(s,
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        batchCol, tempStateDir(), nBatches = 4)((l, r) =>
+        sync.streamIntervalJoin(l, r, key = "user_id",
+          watermark = "0 seconds", horizon = "30 minutes"))
+        .select(col("user_id"),
+          col("l_event_id"), col("r_event_id"))
+    }),
+
+    // ── Streaming SESSION windows, oracle-certified: per-user
+    // sessions closing after 30 min of inactivity, replayed as 4
+    // ts-ordered batches — sessions that straddle batch boundaries
+    // MERGE in the session-window state and still emit the exact
+    // batch-engine aggregate. Append emits a session when the
+    // watermark (delay 0 ⇒ max ts) passes its end = last ts + gap;
+    // the oracle replays Spark's inclusive merge rule (new session
+    // at inter-event gap > 30 min, the same convention as the batch
+    // q_sessionize row) and the emission threshold with
+    // gaps-and-islands SQL. ──
+    "q_stream_session" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sync = graft.streaming.IncrementalSync
+      sync.replayTransform(
+        s, ev, sync.tsRangeBatch(ev, "ts", 4), tempStateDir(),
+        nBatches = 4)(st =>
+        sync.sessionCounts(st, gap = "30 minutes",
+          watermark = "0 seconds"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("sess_start"),
+          col("n"), col("value_cents"))
+    }),
+
     // ── W1–W3 end to end on the REAL JDBC sink: same importData
     // pipeline as q_sync_apply, but local state lives in a Derby
     // table and the add/update/remove phases run as INSERT / UPDATE
@@ -2280,6 +2328,47 @@ object SparkEntry {
         |FROM kept, wmf
         |WHERE wstart + INTERVAL 1 HOUR <= wmf.w_final
         |GROUP BY 1, 2""".stripMargin,
+
+    // the streaming interval join emits exactly the batch interval
+    // join (see the query's eviction-safety argument): clicks (odd
+    // event_id) × impressions (even) of the same user within
+    // [l.ts, l.ts + 30 min]
+    "q_stream_join" ->
+      """SELECT l.user_id,
+        |       l.event_id AS l_event_id, r.event_id AS r_event_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    // gaps-and-islands replay of session_window: the merge rule is
+    // INCLUSIVE (spec-pinned on the exact-gap boundary), so a
+    // session breaks exactly when the inter-event gap is > 30 min —
+    // the same rule as q_sessionize; a session emits when its end
+    // (last ts + gap) <= the final watermark (max ts). Same-ts
+    // events per user collapse into one window on both engines, so
+    // ordering ties are immaterial to the aggregates.
+    "q_stream_session" ->
+      """WITH x AS (SELECT user_id, ts, value, epoch_us(ts) AS us,
+        |                  lag(epoch_us(ts)) OVER
+        |                    (PARTITION BY user_id ORDER BY ts) AS prev
+        |           FROM events),
+        |g AS (SELECT *, sum(CASE WHEN prev IS NULL
+        |                         OR us - prev > 1800000000
+        |                         THEN 1 ELSE 0 END) OVER
+        |        (PARTITION BY user_id ORDER BY us
+        |         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x),
+        |s AS (SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us,
+        |             count(*) AS n,
+        |             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |               AS value_cents
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id,
+        |       CAST(floor(start_us / 1000000) AS BIGINT) AS sess_start,
+        |       n, value_cents
+        |FROM s, (SELECT max(epoch_us(ts)) AS mx FROM events)
+        |WHERE end_us + 1800000000 <= mx""".stripMargin,
 
     // identical merged-state semantics, certified on the JDBC sink
     // (the k%4=1 slice — see the query's comment)

@@ -181,8 +181,33 @@ object IncrementalSync {
       transform: DataFrame => DataFrame): DataFrame = {
     val stream = stagedStream(spark, table, batchCol, nBatches,
       s"$workDir/in", batchFiles)
+    runToMemorySink(spark, transform(stream), workDir)
+  }
+
+  /**
+   * Two-stream variant of [[replayTransform]] for stream-STREAM
+   * operators (interval joins): both sides are staged with the SAME
+   * `batchCol` (so micro-batch k of each side covers the same ts
+   * range — compute it once over the union table and it resolves
+   * against either side), and the query advances them in lockstep:
+   * each AvailableNow micro-batch takes the next mtime-ordered file
+   * from BOTH sources. The global watermark is the min across
+   * sources, so neither side can race ahead and evict state the
+   * other still needs.
+   */
+  def replayTransform2(
+      spark: SparkSession, left: DataFrame, right: DataFrame,
+      batchCol: Column, workDir: String, nBatches: Int = 4)(
+      transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val ls = stagedStream(spark, left, batchCol, nBatches, s"$workDir/inL")
+    val rs = stagedStream(spark, right, batchCol, nBatches, s"$workDir/inR")
+    runToMemorySink(spark, transform(ls, rs), workDir)
+  }
+
+  private def runToMemorySink(
+      spark: SparkSession, out: DataFrame, workDir: String): DataFrame = {
     val name = s"graft_replay_${replayNames.incrementAndGet()}"
-    val q = transform(stream).writeStream
+    val q = out.writeStream
       .outputMode(OutputMode.Append)
       .format("memory")
       .queryName(name)
@@ -221,6 +246,26 @@ object IncrementalSync {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+
+  /**
+   * Watermarked SESSION-window aggregation: per-user sessions that
+   * close after `gap` of inactivity. Spark merges an event into the
+   * running session iff its ts is within `gap` of the session end
+   * INCLUSIVE (spec-pinned on the exact-gap boundary), so the batch
+   * equivalent is gaps-and-islands with a new session at inter-event
+   * gap strictly > `gap` — the same convention as the batch
+   * sessionize operator. In Append mode a session emits when the
+   * watermark passes its end (= last event ts + gap); state is one
+   * open session per active user, evicted on emission.
+   */
+  def sessionCounts(
+      events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100).cast("long")).as("value_cents"))
 

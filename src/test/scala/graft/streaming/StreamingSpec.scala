@@ -150,6 +150,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set(("v1", "c-in")))
   }
 
+  test("session windows: cross-batch merge, half-open exact-gap split, " +
+      "open sessions withheld in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val agg = IncrementalSync.sessionCounts(
+      input.toDF().toDF("user_id", "ts", "value"))
+    val q = agg.select(col("user_id"),
+        col("session_window.start").as("start"),
+        col("n"), col("value_cents"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // batch 1: user 1's session opens (watermark after = 00:10)
+    input.addData((1L, at(0), 1.5), (1L, at(10), 2.0))
+    q.processAllAvailable()
+    // batch 2: user 1 extends the SAME session across the batch
+    // boundary; user 2's two events sit exactly 30 min apart — the
+    // merge rule is INCLUSIVE (same session iff gap <= the gap
+    // duration), so they are ONE session, same convention as the
+    // batch q_sessionize rule (new session only at gap > 30 min)
+    input.addData((1L, at(20), 4.25), (2L, at(20), 1.0), (2L, at(50), 2.0))
+    q.processAllAvailable()
+    // batch 3: a later event advances the watermark past every closed
+    // session's end; its own session stays open and must NOT emit
+    input.addData((9L, at(240), 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .as[(Long, java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(rows === Set(
+      (1L, at(0), 3L, 775L),   // merged across batches 1+2
+      (2L, at(20), 2L, 300L))) // exact-gap events merge (inclusive)
+  }
+
   test("flatMapGroupsWithState session tracking") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[IncrementalSync.SessionEvent]
