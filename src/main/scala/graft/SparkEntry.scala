@@ -326,6 +326,55 @@ object SparkEntry {
         c("event_type", "string"), c("value_cents", "long"))
     }),
 
+    // ── The same streaming replay against the REAL JDBC sink:
+    // every micro-batch's add/update phases run as INSERT/UPDATE
+    // statements on a Derby table, and the final merged state is the
+    // same batch-boundary-insensitive answer (max-version event per
+    // user). The u%4=1 slice bounds the row-at-a-time JDBC protocol
+    // cost at bench scale — the q_sync_apply_jdbc convention; the
+    // full-volume streaming path stays covered by q_sync_incremental.
+    // Together the streaming tier is now certified on BOTH target
+    // families (file state and JDBC). ──
+    "q_sync_incremental_jdbc" -> ((s, dir) => {
+      val db = "syncs_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try conn.createStatement().execute(
+        "CREATE TABLE sync_state (id VARCHAR(32) PRIMARY KEY, " +
+          "version BIGINT, event_type VARCHAR(32), value_cents BIGINT)")
+      finally conn.close()
+      val work = tempStateDir()
+      val preset = Preset(
+        source = InlineSource(_ =>
+          sys.error("unused — the stream feeds the batches")),
+        target = JdbcTarget(url, "sync_state"),
+        mapper = Mapper(Seq(
+          "id" -> "${cast(record.user_id as string)}",
+          "version" -> "version",
+          "event_type" -> "event_type",
+          "value_cents" -> "value_cents")),
+        idAttribute = "user_id",
+        versionAttribute = Some("version"),
+        skipRemovedRecords = true)
+      val ev = tbl(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(4)) === 1)
+        .select(
+          col("user_id"), col("event_id").as("version"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("value_cents"),
+          col("ts"))
+      val state = graft.streaming.IncrementalSync
+        .replaySync(s, ev, "ts", preset, work, nBatches = 4)
+      def anyCase(name: String): Column =
+        col(state.columns.find(_.equalsIgnoreCase(name)).getOrElse(name))
+      val out = state.select(col("id"), col("version"),
+          anyCase("event_type").as("event_type"),
+          anyCase("value_cents").cast("long").as("value_cents"))
+        .localCheckpoint() // materialize, then the in-memory db can drop
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLException => () } // 08006 = success
+      out
+    }),
+
     // ── Watermarked tumbling-window aggregation, oracle-certified:
     // events replayed as 4 ts-range-ordered micro-batches through
     // windowedCounts (1-hour event-time windows, 0 s watermark
@@ -789,6 +838,32 @@ object SparkEntry {
           lit(" at 10."), pmod(col("doc_id"), lit(256)).cast("string"),
           lit(".0.1")).as("text"))
       TextAnalysis.piiScrub(withPii, "doc_id", "text")
+    }),
+
+    // HTML→text extraction on synthetic markup (the PII convention:
+    // the corpus has no HTML, so a deterministic wrapper derived
+    // from doc_id is added on BOTH engines — scripts/styles/
+    // comments/tags/entities all exercised, cleaned text replayed
+    // byte-for-byte)
+    "q_html_strip" -> ((s, dir) => {
+      val wrapped = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><script type=\"text/javascript\">var n=2;\ntrack();</script><style>.c{margin:0}</style></head><body><!-- hdr -->"),
+          lit("<p class=\"b\">"), col("text"),
+          lit("</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot;&#39;s&nbsp;end</div></body></html>"))
+          .as("text"))
+      TextAnalysis.stripHtml(wrapped, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // corpus-wide duplicate-line removal (C4 repeated-line rule /
+    // Dolma paragraph dedup): each non-blank line keeps only its
+    // first (doc_id, position) occurrence across the corpus
+    "q_line_dedup" -> ((s, dir) => {
+      TextAnalysis.c4LineDedup(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
     }),
 
     // Gopher-style repetition quality signals: top token / top 2-gram
@@ -1781,6 +1856,63 @@ object SparkEntry {
 
     "q_text_analysis" -> duckTextAnalysis,
 
+    // same wrapper, same regex chain, same order (script/style →
+    // comments → tags → entities with &amp; last → collapse) —
+    // cleaned text replayed byte-for-byte
+    "q_html_strip" ->
+      """WITH w AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><script type="text/javascript">var n=2;' || chr(10) ||
+        |  'track();</script><style>.c{margin:0}</style></head><body><!-- hdr -->' ||
+        |  '<p class="b">' || text ||
+        |  '</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot;&#39;s&nbsp;end</div></body></html>'
+        |    AS raw
+        |  FROM documents),
+        |s AS (SELECT doc_id, raw, regexp_replace(regexp_replace(raw,
+        |         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |         '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t1
+        |      FROM w),
+        |t AS (SELECT doc_id, raw, regexp_replace(regexp_replace(t1,
+        |         '(?s)<!--.*?-->', ' ', 'g'), '(?s)<[^>]+>', ' ', 'g') AS t2
+        |      FROM s),
+        |d AS (SELECT doc_id, raw,
+        |        replace(replace(replace(replace(replace(replace(t2,
+        |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |          '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t3
+        |      FROM t)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t3, '[ \t]+', ' ', 'g')) AS clean_text,
+        |  CAST(len(regexp_extract_all(raw, '(?s)<[^>]+>')) AS BIGINT)
+        |    AS n_tags,
+        |  CAST(len(regexp_extract_all(raw, '&(amp|lt|gt|quot|nbsp|#39);'))
+        |    AS BIGINT) AS n_entities
+        |FROM d""".stripMargin,
+
+    // the same first-(doc,position)-occurrence rule: grouped min of
+    // the packed occurrence key per non-blank line, blank lines pass
+    // through; 1-based list indexes vs Spark's 0-based positions are
+    // a uniform shift, so the min picks the same occurrence
+    "q_line_dedup" ->
+      """WITH e AS (SELECT doc_id,
+        |        unnest(list_transform(
+        |          string_split(coalesce(text, ''), chr(10)),
+        |          (x, i) -> {'ln': i, 'line': x})) AS s
+        |      FROM documents),
+        |l AS (SELECT doc_id, s.ln AS ln, s.line AS line FROM e),
+        |f AS (SELECT line, min(doc_id * 1000000 + ln) AS first_key
+        |      FROM l WHERE length(trim(line)) > 0 GROUP BY line),
+        |k AS (SELECT l.doc_id, l.ln, l.line,
+        |             (length(trim(l.line)) = 0
+        |              OR l.doc_id * 1000000 + l.ln = f.first_key) AS keep
+        |      FROM l LEFT JOIN f ON l.line = f.line)
+        |SELECT doc_id,
+        |       count(*) AS n_lines,
+        |       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+        |         AS n_removed,
+        |       coalesce(string_agg(line, chr(10) ORDER BY ln)
+        |         FILTER (WHERE keep), '') AS cleaned
+        |FROM k GROUP BY doc_id""".stripMargin,
+
     "q_pii_scrub" ->
       s"""WITH p AS (
          |  SELECT doc_id,
@@ -2278,6 +2410,20 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id
         |                            ORDER BY event_id DESC) AS rn
         |  FROM events)
+        |SELECT id, version, event_type, value_cents
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // same merged-state semantics through the JDBC sink, on the
+    // u%4=1 slice (see the query's comment)
+    "q_sync_incremental_jdbc" ->
+      """WITH ranked AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS id,
+        |         CAST(event_id AS BIGINT) AS version,
+        |         event_type,
+        |         CAST(floor(value * 100) AS BIGINT) AS value_cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE user_id % 4 = 1)
         |SELECT id, version, event_type, value_cents
         |FROM ranked WHERE rn = 1""".stripMargin,
 

@@ -664,6 +664,91 @@ object TextAnalysis {
         (col("n_kept") >= minKeptLines.toLong).cast("long"))
   }
 
+  /**
+   * HTML→text extraction (the WET-style step upstream of every web
+   * curation pipeline): drop script/style blocks and comments, strip
+   * tags, decode the six common entities, collapse every horizontal
+   * whitespace run to one space. Returns the cleaned text plus
+   * tag/entity counts so
+   * a pipeline can gate on markup density.
+   *
+   * One narrow projection, zero shuffles. Every pattern sits in the
+   * Java-regex/RE2 common subset — in particular NO backreferences
+   * (RE2 lacks them), so script and style blocks use two separate
+   * literal patterns instead of `<(script|style)>.*?</\1>`. Entity
+   * decode runs AFTER tag-stripping (a decoded `&lt;` must not
+   * create a strippable tag) and `&amp;` decodes LAST (else
+   * `&amp;lt;` would double-decode) — the oracle replays the chain
+   * in the same order, so the cleaned text matches byte-for-byte.
+   */
+  def stripHtml(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = coalesce(col(textCol), lit(""))
+    val noBlocks = regexp_replace(
+      regexp_replace(raw, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(
+      regexp_replace(noBlocks, "(?s)<!--.*?-->", " "),
+      "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(ent), ch) }
+    graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        trim(regexp_replace(decoded, "[ \\t]+", " ")).as("clean_text"),
+        regexp_count(raw, lit("(?s)<[^>]+>")).cast("long").as("n_tags"),
+        regexp_count(raw, lit("&(amp|lt|gt|quot|nbsp|#39);")).cast("long")
+          .as("n_entities"))
+  }
+
+  /**
+   * Corpus-wide duplicate-LINE removal (the C4 "discard any repeated
+   * line" / Dolma paragraph-dedup rule): every non-blank line keeps
+   * only its FIRST occurrence across the whole corpus — first in the
+   * total order (doc id, line position) — and later copies are
+   * dropped; blank lines pass through (deduping them would collapse
+   * every paragraph break in the corpus onto one document).
+   *
+   * Scale shape: posexplode (narrow) → grouped-MIN of the occurrence
+   * key per line value (map-side combine shrinks hot boilerplate
+   * lines — millions of copies of a nav-bar line partial-aggregate
+   * to one row per map task, where a row_number window would drag
+   * them all to one reducer) → join back on the line value (AQE
+   * skew-splittable) → one groupBy(id) reassembles the text in line
+   * order. Two shuffles on the line value, one on id — all linear.
+   *
+   * The occurrence key packs (id, line_no) as `id·10^6 + line_no`,
+   * so documents are limited to 10^6 lines (fine: docs at 100 TB are
+   * split well below that) and ids to ~9·10^12.
+   */
+  def c4LineDedup(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("ln", "line")))
+    val occKey = col("id") * lit(1000000L) + col("ln")
+    val firsts = lines
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy(col("line"))
+      .agg(min(occKey).as("first_key"))
+    lines.join(firsts, Seq("line"), "left")
+      .withColumn("keep",
+        length(trim(col("line"))) === 0 || occKey === col("first_key"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("ln"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("cleaned"))
+  }
+
   // ── Hashed linear quality classifier ──────────────────────────────
 
   /**

@@ -59,7 +59,16 @@ object IncrementalSync {
             org.apache.spark.sql.functions.col(Records.VersionCol)))
         val data = preset.dataProcessor.map(_(keyed)).getOrElse(keyed)
         val cs = preset.computeDataChanges(spark, data, force = false)
-        preset.target.applyChanges(spark, cs, preset.mapper)
+        val res = preset.target.applyChanges(spark, cs, preset.mapper)
+        // row-level sink errors are isolated, not fatal (the
+        // reference's import-error contract) — but a stream that
+        // silently drops every row is a misconfigured pipeline, not
+        // an unlucky batch. Surface loudly either way.
+        if (res.errors > 0) {
+          Console.err.println(
+            s"[stream-sync] batch $batchId: ${res.errors} sink row " +
+              s"errors (samples: ${res.errorSamples.take(3)})")
+        }
         ()
       }
       .start()

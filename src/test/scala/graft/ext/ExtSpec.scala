@@ -1169,6 +1169,47 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) === (("", 2L, 0L, 0L)))
   }
 
+  test("html strip: blocks, comments, tags, entity order, null text") {
+    val docs = Seq(
+      (1L, "<p>a &amp;lt; b</p>"),          // &amp; decodes LAST: stays "&lt;" literal, not "<"
+      (2L, "<script>\nif (x<3) {}\n</script>keep<style a=b>.x{}</style>"),
+      (3L, "<!-- <p>gone</p> -->A &lt;tag&gt; survives stripping"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "no   markup\tat   all")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripHtml(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 === "a &lt; b") // NOT "a < b"
+    // multiline script body (with an inner '<') and attributed style
+    // block vanish wholly; the decoded "<tag>" from doc 3 is TEXT —
+    // entities decode after stripping, so it survives
+    assert(out(2L)._1 === "keep")
+    assert(out(3L)._1 === "A <tag> survives stripping")
+    assert(out(4L) === (("", 0L, 0L)))
+    // runs of spaces/tabs collapse to one space
+    assert(out(5L)._1 === "no markup at all")
+    assert(out(1L)._2 === 2L && out(1L)._3 === 1L) // <p></p>; &amp; only
+  }
+
+  test("corpus line dedup: first (doc,position) occurrence survives, " +
+      "later copies drop, blanks pass through") {
+    val docs = Seq(
+      (1L, "shared nav bar\nunique to one\n\nshared nav bar"),
+      (2L, "shared nav bar\nunique to two\n"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 keeps its first copy AND its blank line; the within-doc
+    // second copy drops
+    assert(out(1L) === ((4L, 1L, "shared nav bar\nunique to one\n")))
+    // doc 2's copy is a later occurrence → dropped; trailing empty
+    // line (from the trailing \n) passes through
+    assert(out(2L) === ((3L, 1L, "unique to two\n")))
+    // empty doc: one empty line, kept
+    assert(out(3L) === ((1L, 0L, "")))
+  }
+
   test("bpe: merge sequence matches the hand-computed Sennrich " +
       "example; ties break (count desc, pair asc); early stop") {
     // word types: low x5, lower x2, newest x6, widest x3
