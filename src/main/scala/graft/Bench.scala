@@ -149,9 +149,16 @@ object Bench {
           else math.min(prev, rec)
       }
       runCanary()
+      // the certificate (canary_min/max/runs) describes the FINAL
+      // attempt only, so its spread is recomputable from the record.
+      // Per-query times keep the min ACROSS attempts — sound under
+      // the estimator's contract (interference only ever inflates, so
+      // min-of-attempts is a conservative stable-floor estimate; a
+      // query that failed in the clean attempt reports its
+      // contaminated-attempt time, which can only overstate it).
       cMin = if (canaries.nonEmpty) canaries.min else -1.0
       cMax = if (canaries.nonEmpty) canaries.max else -1.0
-      canaryTotal += canaries.size
+      canaryTotal = canaries.size
       valid = cMin > 0 && cMax / cMin <= 3.0
       if (!valid && attempt < 2)
         System.err.println(

@@ -49,6 +49,11 @@ object SparkEntry {
   }
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     graft.util.Tables.read(s, dir, name)
+  /** Drop an in-memory Derby database (frees its driver heap).
+    * Derby signals a successful drop with SQLState 08006. */
+  private def dropDerby(db: String): Unit =
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+    catch { case _: java.sql.SQLException => () }
 
   /**
    * Deterministic synthetic sync inputs derived from `orders`:
@@ -362,17 +367,16 @@ object SparkEntry {
           col("user_id"), col("event_id").as("version"), col("event_type"),
           floor(col("value") * 100).cast("long").as("value_cents"),
           col("ts"))
-      val state = graft.streaming.IncrementalSync
-        .replaySync(s, ev, "ts", preset, work, nBatches = 4)
-      def anyCase(name: String): Column =
-        col(state.columns.find(_.equalsIgnoreCase(name)).getOrElse(name))
-      val out = state.select(col("id"), col("version"),
-          anyCase("event_type").as("event_type"),
-          anyCase("value_cents").cast("long").as("value_cents"))
-        .localCheckpoint() // materialize, then the in-memory db can drop
-      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
-      catch { case _: java.sql.SQLException => () } // 08006 = success
-      out
+      try {
+        val state = graft.streaming.IncrementalSync
+          .replaySync(s, ev, "ts", preset, work, nBatches = 4)
+        def anyCase(name: String): Column =
+          col(state.columns.find(_.equalsIgnoreCase(name)).getOrElse(name))
+        state.select(col("id"), col("version"),
+            anyCase("event_type").as("event_type"),
+            anyCase("value_cents").cast("long").as("value_cents"))
+          .localCheckpoint() // materialize, then the in-memory db can drop
+      } finally dropDerby(db) // drop even on failure — no heap leak
     }),
 
     // ── Watermarked tumbling-window aggregation, oracle-certified:
@@ -515,16 +519,16 @@ object SparkEntry {
           "total_cents" -> "${floor(record.o_totalprice * 100)}",
           "status" -> "o_orderstatus")),
         idAttribute = "id", versionAttribute = Some("version"))
-      new ImportService(preset).importData(s)
-      val out = s.read.format("jdbc").option("url", url)
-        .option("dbtable", "sync_state").load()
-        .select(col("ID").as("id"), col("VERSION").cast("long").as("version"),
-          col("TOTAL_CENTS").cast("long").as("total_cents"),
-          col("STATUS").as("status"))
-        .localCheckpoint() // materialize, then the in-memory db can drop
-      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
-      catch { case _: java.sql.SQLException => () } // 08006 = success
-      out
+      try {
+        new ImportService(preset).importData(s)
+        s.read.format("jdbc").option("url", url)
+          .option("dbtable", "sync_state").load()
+          .select(col("ID").as("id"),
+            col("VERSION").cast("long").as("version"),
+            col("TOTAL_CENTS").cast("long").as("total_cents"),
+            col("STATUS").as("status"))
+          .localCheckpoint() // materialize, then the in-memory db can drop
+      } finally dropDerby(db) // drop even on failure — no heap leak
     }),
 
     // ── W5: variant fan-out (1 record → N node variants) ──────────
@@ -850,7 +854,7 @@ object SparkEntry {
         .select(col("doc_id"), concat(
           lit("<html><head><title>Doc "), col("doc_id").cast("string"),
           lit("</title><script type=\"text/javascript\">var n=2;\ntrack();</script><style>.c{margin:0}</style></head><body><!-- hdr -->"),
-          lit("<p class=\"b\">"), col("text"),
+          lit("<p class=\"b\">"), coalesce(col("text"), lit("")),
           lit("</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot;&#39;s&nbsp;end</div></body></html>"))
           .as("text"))
       TextAnalysis.stripHtml(wrapped, "doc_id", "text")
@@ -1864,7 +1868,7 @@ object SparkEntry {
         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
         |  '</title><script type="text/javascript">var n=2;' || chr(10) ||
         |  'track();</script><style>.c{margin:0}</style></head><body><!-- hdr -->' ||
-        |  '<p class="b">' || text ||
+        |  '<p class="b">' || coalesce(text, '') ||
         |  '</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot;&#39;s&nbsp;end</div></body></html>'
         |    AS raw
         |  FROM documents),
@@ -2491,9 +2495,17 @@ object SparkEntry {
     // INCLUSIVE (spec-pinned on the exact-gap boundary), so a
     // session breaks exactly when the inter-event gap is > 30 min —
     // the same rule as q_sessionize; a session emits when its end
-    // (last ts + gap) <= the final watermark (max ts). Same-ts
-    // events per user collapse into one window on both engines, so
-    // ordering ties are immaterial to the aggregates.
+    // (last ts + gap) <= the final watermark. Spark tracks the
+    // watermark in MILLISECONDS (EventTimeStats floors event-time
+    // micros to ms), and session ends inherit the raw event-time
+    // precision — so the emission threshold floors max(ts) to ms
+    // before comparing, or a session ending within the final
+    // sub-millisecond would emit here but be withheld by Spark.
+    // (The tumbling-window oracles don't need this: their window
+    // ends are hour-aligned, and for an ms-aligned bound E,
+    // E <= max_us  <=>  E <= floor_ms(max_us) — provably identical.)
+    // Same-ts events per user collapse into one window on both
+    // engines, so ordering ties are immaterial to the aggregates.
     "q_stream_session" ->
       """WITH x AS (SELECT user_id, ts, value, epoch_us(ts) AS us,
         |                  lag(epoch_us(ts)) OVER
@@ -2514,7 +2526,7 @@ object SparkEntry {
         |       CAST(floor(start_us / 1000000) AS BIGINT) AS sess_start,
         |       n, value_cents
         |FROM s, (SELECT max(epoch_us(ts)) AS mx FROM events)
-        |WHERE end_us + 1800000000 <= mx""".stripMargin,
+        |WHERE end_us + 1800000000 <= (mx // 1000) * 1000""".stripMargin,
 
     // identical merged-state semantics, certified on the JDBC sink
     // (the k%4=1 slice — see the query's comment)

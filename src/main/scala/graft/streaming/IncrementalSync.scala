@@ -106,8 +106,10 @@ object IncrementalSync {
       s"$workDir/in", batchFiles)
     val q = start(spark, stream, preset, s"$workDir/chk",
       trigger = Trigger.AvailableNow())
-    if (!q.awaitTermination(600000L))
+    if (!q.awaitTermination(600000L)) {
+      q.stop() // don't leave an orphaned stream contending for cores
       sys.error("replaySync: streaming query did not terminate")
+    }
     preset.target.currentState(spark)
   }
 
@@ -179,10 +181,13 @@ object IncrementalSync {
    * sink, and return the sink's content.
    *
    * The memory sink collects to the driver, so this is ONLY for
-   * transforms whose output is bounded aggregate metadata (windowed
-   * counts: #windows × #types rows) — it is the oracle bridge that
-   * lets DuckDB replay watermark semantics, not a production sink
-   * (production `writeStream`s to files/Kafka/foreachBatch).
+   * transforms whose output fits one machine at certification scale
+   * (windowed counts, the gate-sized join pair list) — it is the
+   * oracle bridge that lets DuckDB replay watermark semantics, not a
+   * production sink (production `writeStream`s to
+   * files/Kafka/foreachBatch). The sink table is snapshotted and
+   * dropped before returning, so repeated replays don't accumulate
+   * driver heap.
    */
   def replayTransform(
       spark: SparkSession, table: DataFrame, batchCol: Column,
@@ -223,9 +228,17 @@ object IncrementalSync {
       .option("checkpointLocation", s"$workDir/chk")
       .trigger(Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(600000L))
+    if (!q.awaitTermination(600000L)) {
+      q.stop() // don't leave an orphaned stream contending for cores
       sys.error("replayTransform: streaming query did not terminate")
-    spark.table(name)
+    }
+    // the memory sink pins the whole result on the driver for the
+    // JVM's lifetime (clearCache does not release it) — snapshot to
+    // executor-side blocks and drop the sink table so repeated
+    // replays (bench min-of-3, retries) don't accumulate driver heap
+    val snap = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    snap
   }
 
   /**

@@ -4,11 +4,15 @@
 Local tooling only (like tools/check.py) — produces a larger synthetic
 scale (e.g. sf0.1 x 10 ~ sf1) for scale-cliff smoke runs of the bench
 queries. Primary-key columns are offset per copy so dedup/windows see
-unique ids; foreign keys and payloads repeat, which keeps group-size
-distributions roughly flat (users/custkeys gain no extra rows per key).
-Schema fidelity matters (events.ts is TIMESTAMP_NANOS), so this uses
-pyarrow concat with the original schema, never a rewrite through
-another engine's type system.
+unique ids; orders/lineitem share ONE orderkey stride so the FK holds
+across copies. Non-offset keys (user_id, custkey) and payloads repeat,
+so PER-KEY densities grow by K: per-user event counts, exact-dup
+cliques (every doc/vector becomes a K-clique), and anything quadratic
+in per-key density (interval-join pair lists) grows superlinearly —
+judge those queries on rows/sec, not wall-clock. Schema fidelity
+matters (events.ts is TIMESTAMP_NANOS), so this uses pyarrow concat
+with the original schema, never a rewrite through another engine's
+type system.
 """
 import sys
 import shutil
@@ -26,9 +30,22 @@ OFFSET_KEYS = {
     "lineitem": ["l_orderkey"],  # keeps (orderkey, linenumber) unique
 }
 
+# key groups that must share one stride across tables (FK pairs):
+# offsetting o_orderkey and l_orderkey by independently computed
+# maxima would break every orders⋈lineitem join past copy 0
+SHARED_STRIDE = {"o_orderkey": "orderkey", "l_orderkey": "orderkey"}
+
 
 def scale(src: pathlib.Path, dst: pathlib.Path, k: int) -> None:
     dst.mkdir(parents=True, exist_ok=True)
+    # pass 1: one stride per shared group = max over ALL its columns
+    shared: dict[str, int] = {}
+    for f in sorted(src.glob("*.parquet")):
+        for key in OFFSET_KEYS.get(f.stem, []):
+            group = SHARED_STRIDE.get(key)
+            if group is not None:
+                m = pc.max(pq.read_table(f, columns=[key]).column(key))
+                shared[group] = max(shared.get(group, 0), m.as_py() + 1)
     for f in sorted(src.glob("*.parquet")):
         name = f.stem
         t = pq.read_table(f)
@@ -39,8 +56,9 @@ def scale(src: pathlib.Path, dst: pathlib.Path, k: int) -> None:
             continue
         stride = {}
         for key in keys:
-            col = t.column(key)
-            stride[key] = pc.max(col).as_py() + 1
+            group = SHARED_STRIDE.get(key)
+            stride[key] = (shared[group] if group is not None
+                           else pc.max(t.column(key)).as_py() + 1)
         copies = [t]
         for i in range(1, k):
             c = t
