@@ -250,6 +250,17 @@ object IncrementalSync {
    * plain `dropDuplicates` on a stream grows state forever, which is
    * the difference between a pipeline that runs for months and one
    * that OOMs.
+   *
+   * Probed semantics (Spark 4.1.2, micro-batch replay): state expiry
+   * is FIXED at first-kept event time + delay — a dropped duplicate
+   * does NOT extend it — and eviction at batch N uses the watermark
+   * derived from batches < N, so a re-arrival after eviction emits
+   * again. This operator is deliberately spec-pinned rather than
+   * oracle-certified: within a micro-batch the surviving duplicate is
+   * iteration-order nondeterministic, and its event time sets the
+   * state expiry, so the emitted set is not a deterministic function
+   * of the data whenever a fingerprint has same-batch duplicates with
+   * distinct timestamps — no batch engine can replay it exactly.
    */
   def streamingDedup(
       docs: DataFrame, textCol: String = "text",
