@@ -609,6 +609,51 @@ object SparkEntry {
           .as("running_cents"))
     }),
 
+    // RANGE-framed window over event time: trailing 7-day sum/count
+    // per user. A RANGE frame is defined by the ORDER value, so peer
+    // rows (equal ts) share one frame and the result is
+    // tie-order-insensitive — the deterministic way to express
+    // "trailing window" when the sort key has duplicates (a ROWS
+    // frame would be order-dependent there).
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      tbl(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        sum(floor(col("value") * 100).cast("long")).over(w)
+          .as("trail7d_cents"),
+        count(lit(1)).over(w).as("n_7d"))
+    }),
+
+    // pivot (long → wide): per-user value_cents by event type. The
+    // value list is EXPLICIT — deterministic column set, no
+    // distinct-values pre-scan job on the driver
+    "q_pivot" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(floor(col("value") * 100).cast("long")))),
+
+    // unpivot (wide → long): lineitem measures melted to
+    // (measure, cents) rows — all cast to exact integer cents BEFORE
+    // the melt so the unified value column has one type
+    "q_unpivot" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          floor(col("l_quantity") * 100).cast("long").as("quantity"),
+          floor(col("l_extendedprice") * 100).cast("long").as("extendedprice"),
+          floor(col("l_discount") * 100).cast("long").as("discount"),
+          floor(col("l_tax") * 100).cast("long").as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+          Array(col("quantity"), col("extendedprice"),
+            col("discount"), col("tax")),
+          "measure", "cents")),
+
     // gap-based sessionization (30-minute inactivity boundary)
     "q_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
@@ -1666,6 +1711,58 @@ object SparkEntry {
         |         (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
         |FROM events""".stripMargin,
+
+    // RANGE frame on epoch micros — peers share a frame, so the
+    // trailing sums are tie-order-insensitive on both engines
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER
+        |         (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS trail7d_cents,
+        |       count(*) OVER
+        |         (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |         AS n_7d
+        |FROM events""".stripMargin,
+
+    // conditional aggregation replays the explicit-value pivot; a
+    // type with no rows for a user is NULL (sum over empty) on both
+    // engines
+    "q_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS click,
+        |  sum(CASE WHEN event_type = 'error'
+        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS error,
+        |  sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS purchase,
+        |  sum(CASE WHEN event_type = 'signup'
+        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS signup,
+        |  sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // UNION ALL replays the melt portably (no engine UNPIVOT syntax
+    // dependence)
+    "q_unpivot" ->
+      """WITH m AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CAST(floor(l_quantity * 100) AS BIGINT) AS quantity,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS extendedprice,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS discount,
+        |    CAST(floor(l_tax * 100) AS BIGINT) AS tax
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       'quantity' AS measure, quantity AS cents FROM m
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       'extendedprice', extendedprice FROM m
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       'discount', discount FROM m
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       'tax', tax FROM m""".stripMargin,
 
     "q_sessionize" ->
       """WITH x AS (
