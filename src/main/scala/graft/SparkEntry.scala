@@ -609,6 +609,26 @@ object SparkEntry {
           .as("running_cents"))
     }),
 
+    // relational set ops (set semantics — both engines dedup) over
+    // (user, day) keys: purchase∩view days and view∖purchase days,
+    // tagged. User-level keys would leave EXCEPT vacuously empty at
+    // this density (every user purchases); user-days exercise both
+    // branches with real rows.
+    "q_setops" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      def userDays(t: String) =
+        ev.filter(col("event_type") === t)
+          .select(col("user_id"),
+            floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+              .as("day_no"))
+      userDays("purchase").intersect(userDays("view"))
+        .select(lit("both").as("op"), col("user_id"), col("day_no"))
+        .unionByName(
+          userDays("view").except(userDays("purchase"))
+            .select(lit("view_only").as("op"), col("user_id"),
+              col("day_no")))
+    }),
+
     // RANGE-framed window over event time: trailing 7-day sum/count
     // per user. A RANGE frame is defined by the ORDER value, so peer
     // rows (equal ts) share one frame and the result is
@@ -1711,6 +1731,21 @@ object SparkEntry {
         |         (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
         |FROM events""".stripMargin,
+
+    "q_setops" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT)
+        |      AS day_no
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id,
+        |    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT)
+        |      AS day_no
+        |  FROM events WHERE event_type = 'view')
+        |SELECT 'both' AS op, user_id, day_no FROM
+        |  (SELECT * FROM p INTERSECT SELECT * FROM v)
+        |UNION ALL
+        |SELECT 'view_only' AS op, user_id, day_no FROM
+        |  (SELECT * FROM v EXCEPT SELECT * FROM p)""".stripMargin,
 
     // RANGE frame on epoch micros — peers share a frame, so the
     // trailing sums are tie-order-insensitive on both engines
