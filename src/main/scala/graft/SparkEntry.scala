@@ -1132,6 +1132,16 @@ object SparkEntry {
         minWords = 20L)
         .withColumnRenamed("id", "doc_id")),
 
+    // the full Gopher REPETITION battery (Rae et al. 2021, Table A1
+    // bottom half): duplicate-line / duplicate-line-char fractions,
+    // top-{2,3,4}-gram char fractions, duplicate-{5..10}-gram char
+    // fractions with exact overlap-free island coverage — every
+    // fraction a truncating integer ppm, so the rows replay exactly
+    "q_gopher_repetition" -> ((s, dir) =>
+      TextAnalysis.gopherRepetition(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // hashed-bag-of-words linear classifier scoring (the fastText
     // quality-gate shape): token → hash bucket → deterministic
     // weight; exact-integer keep decision, engine-replayable
@@ -2403,6 +2413,95 @@ object SparkEntry {
          |    AND n_stop_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT)
          |    AS gopher_pass
          |FROM r""".stripMargin
+    },
+
+    // the Gopher repetition battery: the per-n gram CTEs are generated
+    // programmatically; duplicate coverage replays the engine's
+    // gaps-and-islands merge on gram STRINGS (the q_span_dedup
+    // convention) and the top-gram tie-break (count desc, gram asc)
+    "q_gopher_repetition" -> {
+      val topNs = 2 to 4
+      val dupNs = 5 to 10
+      val gramCtes = (topNs ++ dupNs).map { n =>
+        s"""g$n AS (
+           |  SELECT doc_id, p, array_to_string(t[p : p + ${n - 1}], ' ') AS g
+           |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - $n + 2)) AS p
+           |        FROM toks WHERE len(t) >= $n))""".stripMargin
+      }
+      val topCtes = topNs.map { n =>
+        s"""top$n AS (
+           |  SELECT doc_id, CAST(c * length(g) AS BIGINT) AS top${n}_chars
+           |  FROM (SELECT doc_id, g, count(*) AS c,
+           |          row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY count(*) DESC, g) AS rn
+           |        FROM g$n GROUP BY doc_id, g)
+           |  WHERE rn = 1)""".stripMargin
+      }
+      val dupCtes = dupNs.map { n =>
+        s"""cov$n AS (
+           |  SELECT i.doc_id, CAST(sum(length(array_to_string(
+           |           tk.t[i.a : i.b], ' '))) AS BIGINT) AS dup${n}_chars
+           |  FROM (SELECT doc_id, island, min(p) AS a, max(p) + ${n - 1} AS b
+           |        FROM (SELECT doc_id, p, sum(brk) OVER
+           |                (PARTITION BY doc_id ORDER BY p) AS island
+           |              FROM (SELECT doc_id, p,
+           |                      CASE WHEN p - lag(p) OVER
+           |                          (PARTITION BY doc_id ORDER BY p)
+           |                        > ${n - 1} THEN 1 ELSE 0 END AS brk
+           |                    FROM (SELECT doc_id, p FROM
+           |                      (SELECT doc_id, p, count(*) OVER
+           |                         (PARTITION BY doc_id, g) AS c FROM g$n)
+           |                      WHERE c >= 2)))
+           |        GROUP BY doc_id, island) i
+           |  JOIN toks tk ON tk.doc_id = i.doc_id
+           |  GROUP BY i.doc_id)""".stripMargin
+      }
+      val topSel = topNs.map(n =>
+        s"CAST((coalesce(top${n}_chars, 0) * 1000000) // " +
+          s"greatest(coalesce(total_chars, 0), 1) AS BIGINT) " +
+          s"AS top${n}_char_ppm")
+      val dupSel = dupNs.map(n =>
+        s"CAST((coalesce(dup${n}_chars, 0) * 1000000) // " +
+          s"greatest(coalesce(total_chars, 0), 1) AS BIGINT) " +
+          s"AS dup${n}_char_ppm")
+      val joins = (topNs.map(n => s"LEFT JOIN top$n USING (doc_id)") ++
+        dupNs.map(n => s"LEFT JOIN cov$n USING (doc_id)"))
+        .mkString("\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |    CAST(length(array_to_string(t, ' ')) AS BIGINT) AS total_chars
+         |  FROM toks),
+         |${(gramCtes ++ topCtes ++ dupCtes).mkString(",\n")},
+         |lin AS (
+         |  SELECT doc_id, line FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(coalesce(text, ''), chr(10))) AS line
+         |    FROM documents)
+         |  WHERE length(trim(line)) > 0),
+         |lstat AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |    CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS dup_lines,
+         |    CAST(sum(length(line)) AS BIGINT) AS line_chars,
+         |    CAST(sum(CASE WHEN c >= 2 THEN length(line) ELSE 0 END)
+         |      AS BIGINT) AS dup_line_chars
+         |  FROM (SELECT doc_id, line, count(*) OVER
+         |          (PARTITION BY doc_id, line) AS c FROM lin)
+         |  GROUP BY doc_id)
+         |SELECT base.doc_id, total_chars,
+         |  ${(topSel ++ dupSel).mkString(",\n  ")},
+         |  CAST((coalesce(dup_lines, 0) * 1000000) //
+         |    greatest(coalesce(n_lines, 0), 1) AS BIGINT) AS dup_line_ppm,
+         |  CAST((coalesce(dup_line_chars, 0) * 1000000) //
+         |    greatest(coalesce(line_chars, 0), 1) AS BIGINT)
+         |    AS dup_line_char_ppm
+         |FROM base
+         |$joins
+         |LEFT JOIN lstat USING (doc_id)""".stripMargin
     },
 
     "q_quality_classifier" -> {

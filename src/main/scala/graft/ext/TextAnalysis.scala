@@ -749,6 +749,135 @@ object TextAnalysis {
           "\n").as("cleaned"))
   }
 
+  /**
+   * The FULL Gopher repetition battery (Rae et al. 2021, Table A1) —
+   * the signals [[repetitionSignals]]'s top-2-gram subset leaves out:
+   *
+   *  - duplicate-LINE fraction and duplicate-line CHARACTER fraction
+   *    (non-blank lines only: blank lines are paragraph breaks, and
+   *    deduping them would flag every multi-paragraph doc);
+   *  - top-{2,3,4}-gram character fraction: occurrences of the most
+   *    frequent n-gram × its character length, over the normalized
+   *    text length (ties break count desc then gram asc — the
+   *    engine-replayable total order);
+   *  - duplicate-{5..10}-gram character fraction with EXACT overlap
+   *    handling: token positions covered by any n-gram occurring
+   *    twice or more are unioned into maximal islands (the
+   *    [[dupSpanStats]] gaps-and-islands machinery, per doc and per
+   *    n), and the covered characters are measured on the normalized
+   *    string — no double counting where duplicated grams overlap.
+   *
+   * All fractions are truncating-integer ppm over the normalized
+   * character length (tokens joined by single spaces), so the rows
+   * replay exactly in any engine.
+   *
+   * Scale shape: ONE token explode and ONE window pass (lead 1..9
+   * over (doc, pos) — one WindowExec computes every gram arity),
+   * then per n a count-over-(id, gram) window, a per-doc island
+   * merge, and a slice-length join back to the token arrays. All
+   * partitions are doc-bounded; everything map-side combines.
+   */
+  def gopherRepetition(
+      df: DataFrame, idCol: String, textCol: String,
+      dupNs: Seq[Int] = 5 to 10, topNs: Seq[Int] = 2 to 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dupNs.nonEmpty && topNs.nonEmpty, "need at least one n")
+    val maxLead = (dupNs ++ topNs).max - 1
+    val docs = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        normTokens(col(textCol)).as("t"),
+        split(coalesce(col(textCol), lit("")), "\n").as("lines"))
+      .withColumn("total_chars",
+        length(array_join(col("t"), " ")).cast("long"))
+      .persist()
+    try {
+      val w = Window.partitionBy("id").orderBy("pos")
+      val withLeads = docs
+        .select(col("id"), posexplode(col("t")).as(Seq("pos", "tok")))
+        .select(col("id") +: col("pos") +: col("tok") +:
+          (1 to maxLead).map(k => lead(col("tok"), k).over(w).as(s"l$k")): _*)
+        .persist()
+      try {
+        def gramCol(n: Int): Column =
+          concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"l$k")): _*)
+        def occurrences(n: Int): DataFrame =
+          withLeads.filter(col(s"l${n - 1}").isNotNull)
+            .select(col("id"), col("pos"), gramCol(n).as("g"))
+
+        // duplicate n-gram char coverage, one frame per n
+        val dupCovs = dupNs.map { n =>
+          val dupPos = occurrences(n)
+            .withColumn("c", count(lit(1))
+              .over(Window.partitionBy(col("id"), col("g"))))
+            .filter(col("c") >= 2)
+            .select(col("id"), col("pos"))
+          val islands = dupPos
+            .withColumn("brk",
+              when(lag(col("pos"), 1).over(w).isNull ||
+                col("pos") - lag(col("pos"), 1).over(w) > n - 1, 1L)
+                .otherwise(0L))
+            .withColumn("isl", sum(col("brk"))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy(col("id"), col("isl"))
+            .agg(min(col("pos")).as("a"),
+              (max(col("pos")) + lit(n - 1)).as("b"))
+          islands.join(docs.select(col("id"), col("t")), Seq("id"))
+            .select(col("id"),
+              length(array_join(
+                slice(col("t"), col("a") + 1, col("b") - col("a") + 1),
+                " ")).cast("long").as("ch"))
+            .groupBy(col("id"))
+            .agg(sum(col("ch")).as(s"dup${n}_chars"))
+        }
+
+        // top n-gram chars = count(top) x char length(top), one per n
+        val topCovs = topNs.map { n =>
+          val counts = occurrences(n).groupBy(col("id"), col("g"))
+            .agg(count(lit(1)).as("c"))
+          counts
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("id").orderBy(col("c").desc, col("g"))))
+            .filter(col("rn") === 1)
+            .select(col("id"),
+              (col("c") * length(col("g"))).cast("long")
+                .as(s"top${n}_chars"))
+        }
+
+        // duplicate non-blank lines, by count and by characters
+        val lineStats = docs
+          .select(col("id"), explode(col("lines")).as("line"))
+          .filter(length(trim(col("line"))) > 0)
+          .withColumn("c", count(lit(1))
+            .over(Window.partitionBy(col("id"), col("line"))))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("c") >= 2, 1L).otherwise(0L)).as("dup_lines"),
+            sum(length(col("line")).cast("long")).as("line_chars"),
+            sum(when(col("c") >= 2, length(col("line")).cast("long"))
+              .otherwise(0L)).as("dup_line_chars"))
+
+        val joined = (dupCovs ++ topCovs :+ lineStats)
+          .foldLeft(docs.select(col("id"), col("total_chars"))) {
+            (acc, d) => acc.join(d, Seq("id"), "left")
+          }
+        joined.select(
+          col("id") +: col("total_chars") +:
+            (topNs.map(n => expr(
+              s"(coalesce(top${n}_chars, 0) * 1000000) div " +
+                s"greatest(total_chars, 1)").as(s"top${n}_char_ppm")) ++
+             dupNs.map(n => expr(
+               s"(coalesce(dup${n}_chars, 0) * 1000000) div " +
+                 s"greatest(total_chars, 1)").as(s"dup${n}_char_ppm")) ++
+             Seq(
+               expr("(coalesce(dup_lines, 0) * 1000000) div " +
+                 "greatest(n_lines, 1)").as("dup_line_ppm"),
+               expr("(coalesce(dup_line_chars, 0) * 1000000) div " +
+                 "greatest(line_chars, 1)").as("dup_line_char_ppm"))): _*)
+          .localCheckpoint()
+      } finally withLeads.unpersist()
+    } finally docs.unpersist()
+  }
+
   // ── Hashed linear quality classifier ──────────────────────────────
 
   /**

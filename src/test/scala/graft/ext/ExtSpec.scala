@@ -760,6 +760,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("gopher repetition battery: hand-computed top-n-gram chars, " +
+      "overlap-merged duplicate-gram coverage, and duplicate-line " +
+      "fractions, all exact integer ppm") {
+    val docs = Seq(
+      (1L, "x y x y x y z"),                      // top-gram ties + counts
+      (2L, "s1 s2 s3 s4 s5 u s1 s2 s3 s4 s5"),    // far dup-5 run, 2 islands
+      (3L, "r r r r r r"),                        // overlapping dups merge
+      (4L, "aaa\nbbb\naaa\n\n ccc"),              // duplicate lines
+      (5L, null.asInstanceOf[String]))            // null text ⇒ zeros
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 5)
+    val d1 = out(1L)
+    // "x y" appears 3x (len 3) over 13 normalized chars
+    assert(d1.getAs[Long]("total_chars") === 13L)
+    assert(d1.getAs[Long]("top2_char_ppm") === 3L * 3 * 1000000 / 13)
+    // "x y x" and "y x y" both appear 2x; tie breaks to the smaller gram
+    assert(d1.getAs[Long]("top3_char_ppm") === 2L * 5 * 1000000 / 13)
+    assert(d1.getAs[Long]("top4_char_ppm") === 2L * 7 * 1000000 / 13)
+    // no duplicated 5-gram in doc 1
+    assert(d1.getAs[Long]("dup5_char_ppm") === 0L)
+    val d2 = out(2L)
+    // the 5-token run repeats at gap > n-1: two islands of 14 chars
+    // each over 31 total
+    assert(d2.getAs[Long]("total_chars") === 31L)
+    assert(d2.getAs[Long]("dup5_char_ppm") === 28L * 1000000 / 31)
+    assert(d2.getAs[Long]("dup6_char_ppm") === 0L)
+    val d3 = out(3L)
+    // "r r r r r" at pos 0 and 1 overlap ⇒ ONE island covering the
+    // whole doc — no double counting
+    assert(d3.getAs[Long]("total_chars") === 11L)
+    assert(d3.getAs[Long]("dup5_char_ppm") === 1000000L)
+    assert(d3.getAs[Long]("top2_char_ppm") === 5L * 3 * 1000000 / 11)
+    val d4 = out(4L)
+    // 4 non-blank lines, "aaa" twice; char fraction over raw line chars
+    assert(d4.getAs[Long]("dup_line_ppm") === 2L * 1000000 / 4)
+    assert(d4.getAs[Long]("dup_line_char_ppm") === 6L * 1000000 / 13)
+    // null text: every ppm 0, total_chars null
+    val d5 = out(5L)
+    assert(d5.isNullAt(d5.fieldIndex("total_chars")))
+    assert(d5.getAs[Long]("dup5_char_ppm") === 0L)
+    assert(d5.getAs[Long]("dup_line_ppm") === 0L)
+  }
+
   test("null text flows through the text operators without crashing " +
       "(null scores / zero rows, never an NPE)") {
     val docs = Seq((1L, "real words here"), (2L, null))
