@@ -477,6 +477,40 @@ object SparkEntry {
           col("n"), col("value_cents"))
     }),
 
+    // ── Streaming DEDUP within watermark, oracle-certified: the
+    // streaming tier of exact dedup (state bounded by arrival-rate ×
+    // horizon — plain dropDuplicates grows state forever). The
+    // general operator is spec-pinned only (within a micro-batch the
+    // surviving duplicate is iteration-order nondeterministic); THIS
+    // row makes the survivor deterministic by construction — the
+    // input is pre-deduplicated per (key, batch) to the min-(ts,
+    // event_id) row, so each micro-batch carries at most ONE row per
+    // key and the emitted set is an exact function of the data. The
+    // oracle replays the probed state machine (fixed expiry at
+    // first-kept ts + delay; eviction at batch N under the watermark
+    // from batches < N; re-arrival after eviction emits again) with
+    // a recursive per-key fold over the ≤4 arrivals. Delay 72 h vs
+    // ~7.5-day batches exercises BOTH paths: keys kept early in the
+    // previous batch evict (~20%), later ones survive. ──
+    "q_stream_dedup" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sync = graft.streaming.IncrementalSync
+      val staged = ev
+        .withColumn("fp",
+          concat_ws(":", col("user_id"), col("event_type")))
+        .withColumn("__batch", sync.tsRangeBatch(ev, "ts", 4))
+      val w = Window.partitionBy(col("fp"), col("__batch"))
+        .orderBy(col("ts"), col("event_id"))
+      val uniq = staged.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      sync.replayTransform(s, uniq, col("__batch"), tempStateDir(),
+        nBatches = 4)(st =>
+        st.withWatermark("ts", "72 hours")
+          .dropDuplicatesWithinWatermark("fp"))
+        .select(col("fp"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+    }),
+
     // ── W1–W3 end to end on the REAL JDBC sink: same importData
     // pipeline as q_sync_apply, but local state lives in a Derby
     // table and the add/update/remove phases run as INSERT / UPDATE
@@ -836,7 +870,60 @@ object SparkEntry {
       graft.core.Skew.saltedJoin(e, users, "user_id", saltFactor = 8)
         .groupBy(col("user_id"), col("user_events"))
         .agg(count(lit(1)).as("n"))
-    })
+    }),
+
+    // ── Bloom-prefiltered SELECTIVE join — the runtime-filter shape
+    // (what Spark's InjectRuntimeFilter does for DPP-ineligible
+    // joins), built explicitly so the prefilter is plan-visible: the
+    // ~2%-selective order-key set builds a Bloom sketch (one agg job
+    // over the small side); the probe rides the lineitem scan as the
+    // codegen'd native BloomFilterMightContain — a NARROW map-side
+    // filter that drops ~98% of the fact side BEFORE the join
+    // shuffle. The exact semi-join after it absorbs the bloom's
+    // false positives, so the output is identical to the plain join
+    // — which is exactly what the oracle computes (same
+    // composed-path certification as q_contamination_bloom, on the
+    // relational tier). At 100 TB the sketch is KB-sized driver
+    // metadata; the 98% never leaves the scan stage. ──
+    "q_bloom_join" -> ((s, dir) => {
+      val sel = tbl(s, dir, "orders")
+        .filter(col("o_totalprice") > 490000.0)
+        .select(col("o_orderkey"))
+      val l = tbl(s, dir, "lineitem")
+      val nSel = sel.count()
+      val pre =
+        if (nSel == 0L) l.filter(lit(false))
+        else {
+          val bloom = sel.stat.bloomFilter("o_orderkey", nSel, 0.01)
+          val bytes = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bytes)
+          l.filter(graft.functions.GraftFunctions.bloom_might_contain(
+            lit(bytes.toByteArray), col("l_orderkey")))
+        }
+      pre.join(sel, pre("l_orderkey") === sel("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("revenue_cents"))
+    }),
+
+    // ── HLL++ approx-distinct CONTRACT row (the q_percentile_approx
+    // certification pattern): per event type, the exact user
+    // cardinality plus a boolean asserting the sketch estimate
+    // landed within 3·rsd (= 6%) of it. The oracle recomputes the
+    // exact count and expects ok = TRUE — the row goes red if the
+    // mergeable HLL sketch (the only distinct-count shape that
+    // survives 100 TB without shuffling raw ids to one reducer per
+    // group) drifts out of its own error bound. ──
+    "q_approx_distinct" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__approx") - col("n_exact")) <=
+            ceil(col("n_exact").cast("double") * 0.06).cast("long"))
+            .as("approx_ok")))
   )
 
   /** LLM-training-data pipeline operators (BASELINE.json north star). */
@@ -993,6 +1080,16 @@ object SparkEntry {
       Assemble.vocabulary(
         s.read.parquet(t(dir, "documents")), "doc_id", "text",
         minCount = 5L)),
+
+    // TF-IDF top-3 salient terms per document (keyword extraction /
+    // topic tagging / per-domain vocabulary-drift monitoring):
+    // exact-integer scoring — ln(N/df) truncated ONCE to micro-nats,
+    // then tf·idf is pure LONG arithmetic and the per-doc top-k is a
+    // total order (score desc, token asc)
+    "q_tfidf" -> ((s, dir) =>
+      Assemble.tfidfTopTerms(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", topK = 3)
+        .withColumnRenamed("id", "doc_id")),
 
     // int8 embedding quantization (the 4-bytes/dim -> 1 storage
     // path): absmax scale + floor quantizer; the oracle checks the
@@ -1920,6 +2017,22 @@ object SparkEntry {
         |FROM events e JOIN users u ON e.user_id = u.user_id
         |GROUP BY e.user_id, u.user_events""".stripMargin,
 
+    // the plain join — certifying the bloom-prefiltered path is exact
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |         AS revenue_cents
+        |FROM lineitem l
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 490000)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // exact cardinality + the contract bit the sketch must honor
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |       TRUE AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT doc_id, fingerprint FROM (
         |  SELECT doc_id, fingerprint,
@@ -2193,6 +2306,33 @@ object SparkEntry {
         |SELECT tok, count(*) AS n_total,
         |       count(DISTINCT doc_id) AS n_docs
         |FROM flat GROUP BY tok HAVING count(*) >= 5""".stripMargin,
+
+    // ln on an exact integer ratio, truncated once to micro-nats —
+    // the same double-discipline as q_unigram_ppl; everything after
+    // is LONG arithmetic and a total-order rank
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok <> '' GROUP BY doc_id, tok),
+        |dfreq AS (
+        |  SELECT tok, count(*) AS n_docs,
+        |         CAST(floor(ln(CAST((SELECT count(*) FROM documents)
+        |             AS DOUBLE) / count(*)) * 1000000) AS BIGINT)
+        |           AS idf_micro
+        |  FROM tf GROUP BY tok),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, d.idf_micro,
+        |         tf.tf * d.idf_micro AS score_micro,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf * d.idf_micro DESC, tf.tok) AS rnk
+        |  FROM tf JOIN dfreq d ON tf.tok = d.tok)
+        |SELECT doc_id, tok, tf, idf_micro, score_micro,
+        |       CAST(rnk AS INTEGER) AS rank
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH e AS (
@@ -2758,6 +2898,48 @@ object SparkEntry {
         |       n, value_cents
         |FROM s, (SELECT max(epoch_us(ts)) AS mx FROM events)
         |WHERE end_us + 1800000000 <= (mx // 1000) * 1000""".stripMargin,
+
+    // replays the probed dropDuplicatesWithinWatermark state machine
+    // (fixed expiry at first-kept ts + delay, no extension on drop;
+    // eviction during batch N under the watermark from batches
+    // <= N-2 — the eviction watermark lags one batch behind the
+    // late-row watermark, probed empirically and pinned by this row)
+    // as a recursive per-key fold over the <= 4 pre-deduped arrivals
+    "q_stream_dedup" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT event_id, epoch_us(ts) AS us,
+        |              concat(user_id, ':', event_type) AS fp
+        |       FROM events),
+        |bnd AS (SELECT min(us) AS t0, max(us) AS t1 FROM ev),
+        |batched AS (SELECT ev.*, CAST(floor((ev.us - bnd.t0) * 4.0
+        |              / (bnd.t1 - bnd.t0 + 1)) AS INT) AS bt
+        |            FROM ev, bnd),
+        |uniq AS (SELECT fp, event_id, us, bt FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp, bt
+        |      ORDER BY us, event_id) AS rn
+        |    FROM batched) WHERE rn = 1),
+        |wm AS (
+        |  SELECT k.bt,
+        |         (SELECT (max(u.us) // 1000 - 259200000) * 1000
+        |          FROM uniq u WHERE u.bt <= k.bt - 2) AS w_us
+        |  FROM (SELECT DISTINCT bt FROM uniq) k(bt)),
+        |arr AS (SELECT fp, event_id, us, bt,
+        |               row_number() OVER (PARTITION BY fp ORDER BY bt)
+        |                 AS i
+        |        FROM uniq),
+        |sim AS (
+        |  SELECT fp, event_id, us, bt, i, us AS kept_us, TRUE AS emitted
+        |  FROM arr WHERE i = 1
+        |  UNION ALL
+        |  SELECT a.fp, a.event_id, a.us, a.bt, a.i,
+        |         CASE WHEN w.w_us IS NOT NULL
+        |                   AND s.kept_us + 259200000000 < w.w_us
+        |              THEN a.us ELSE s.kept_us END,
+        |         (w.w_us IS NOT NULL
+        |          AND s.kept_us + 259200000000 < w.w_us)
+        |  FROM sim s JOIN arr a ON a.fp = s.fp AND a.i = s.i + 1
+        |  LEFT JOIN wm w ON w.bt = a.bt)
+        |SELECT fp, event_id, us AS ts_us FROM sim WHERE emitted""".stripMargin,
 
     // identical merged-state semantics, certified on the JDBC sink
     // (the k%4=1 slice — see the query's comment)

@@ -338,6 +338,52 @@ object Assemble {
       .filter(col("n_total") >= minCount)
 
   /**
+   * TF-IDF top-`topK` terms per document — the classic keyword /
+   * salient-term extraction over a corpus (document routing, topic
+   * tagging, per-domain vocabulary drift monitoring in a training
+   * pipeline). Scoring is exact-integer end to end: the only double
+   * is `ln(N/df)`, truncated once to integer micro-nats
+   * (`idf_micro`), then `score_micro = tf · idf_micro` is pure LONG
+   * arithmetic and the per-doc top-k rank is a total order
+   * (score desc, token asc) — replayable by any engine.
+   *
+   * Scale shape: one explode + one groupBy(id, token) with map-side
+   * partials for TF; document frequency is ONE more groupBy over the
+   * (already unique) TF frame — vocabulary-sized output, joined back
+   * on token (AQE broadcasts it while the vocab fits, shuffles
+   * otherwise — both correct); the final top-k window partitions on
+   * the document id, so there is no global hot key at any corpus
+   * size. N is a driver-side scalar (one count job), never data.
+   */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val nDocs = df.count()
+    val tf = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.normTokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    // TF rows are unique per (id, tok), so document frequency is a
+    // plain count(*) per token over the TF frame — no countDistinct
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("idf_micro",
+        floor(log(lit(nDocs.toDouble) / col("n_docs")) * 1000000L)
+          .cast("long"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score_micro").desc, col("tok"))
+    tf.join(dfreq, Seq("tok"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("tok"), col("tf"), col("idf_micro"),
+        col("score_micro"), col("rank"))
+  }
+
+  /**
    * Corpus word-type table — (word, freq) — the input representation
    * BPE training actually consumes (Sennrich et al., ACL 2016): the
    * corpus collapses through ONE groupBy(word) shuffle with map-side

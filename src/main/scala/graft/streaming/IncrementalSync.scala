@@ -253,14 +253,20 @@ object IncrementalSync {
    *
    * Probed semantics (Spark 4.1.2, micro-batch replay): state expiry
    * is FIXED at first-kept event time + delay — a dropped duplicate
-   * does NOT extend it — and eviction at batch N uses the watermark
-   * derived from batches < N, so a re-arrival after eviction emits
-   * again. This operator is deliberately spec-pinned rather than
-   * oracle-certified: within a micro-batch the surviving duplicate is
-   * iteration-order nondeterministic, and its event time sets the
-   * state expiry, so the emitted set is not a deterministic function
-   * of the data whenever a fingerprint has same-batch duplicates with
-   * distinct timestamps — no batch engine can replay it exactly.
+   * does NOT extend it — and eviction during batch N uses the
+   * watermark derived from batches <= N-2 (the EVICTION watermark
+   * lags one batch behind the late-row watermark; fitted exactly
+   * against a 4-batch replay and pinned by the q_stream_dedup oracle
+   * row), so a re-arrival after eviction emits again. The GENERAL
+   * operator is spec-pinned rather than oracle-certified: within a
+   * micro-batch the surviving duplicate is iteration-order
+   * nondeterministic, and its event time sets the state expiry, so
+   * the emitted set is not a deterministic function of the data
+   * whenever a fingerprint has same-batch duplicates with distinct
+   * timestamps. The certified q_stream_dedup row closes that gap by
+   * construction — its input is pre-deduplicated per (key, batch) to
+   * the min-(ts, id) row, making the survivor (and therefore the
+   * whole emitted set) deterministic and engine-replayable.
    */
   def streamingDedup(
       docs: DataFrame, textCol: String = "text",

@@ -2,15 +2,22 @@ package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
- * Testdata table reader. The driver-generated `events.parquet` stores
- * `ts` as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
- * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
- * and this reader converts the resulting long (nanoseconds) back to a
- * proper TimestampType at microsecond precision (the data is
- * micro-precise — sub-microsecond part is zero, verified).
+ * Testdata table reader. Driver generations have stored `events.ts`
+ * two ways, both normalized here to a session-TZ TimestampType so
+ * every downstream operator sees ONE type:
+ *  - parquet TIMESTAMP(NANOS) — Spark's vectorized reader rejects it;
+ *    sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and the
+ *    resulting long (nanoseconds) converts back to a TimestampType at
+ *    microsecond precision (the data is micro-precise — the
+ *    sub-microsecond part is zero, verified);
+ *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark infers
+ *    TIMESTAMP_NTZ, which time functions (`unix_micros`, watermarks)
+ *    reject; the cast to TimestampType is value-preserving because
+ *    sessions pin `spark.sql.session.timeZone=UTC` (the same naive-
+ *    as-UTC convention DuckDB applies reading the file).
  */
 object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -18,6 +25,8 @@ object Tables {
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.name == "ts" && f.dataType == LongType)
         acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else if (f.name == "ts" && f.dataType == TimestampNTZType)
+        acc.withColumn("ts", col("ts").cast(TimestampType))
       else acc
     }
   }

@@ -58,8 +58,10 @@ class StreamingSpec extends SparkSpec {
         Mapper(Seq("event_type" -> "event_type")),
         idAttribute = "user_id", versionAttribute = Some("version"),
         skipRemovedRecords = true)
-      val ev = spark.read
-        .parquet("/root/testdata/sf0.001/events.parquet")
+      // Tables.read, not a raw parquet read: it normalizes the ts
+      // layout (nanos-as-long or NTZ micros) to TimestampType
+      val ev = graft.util.Tables
+        .read(spark, "/root/testdata/sf0.001", "events")
         .select(col("user_id"), col("event_id").as("version"),
           col("event_type"), col("ts"))
       IncrementalSync.replaySync(spark, ev, "ts", preset, dir, nBatches = n)
