@@ -487,9 +487,11 @@ object SparkEntry {
     // event_id) row, so each micro-batch carries at most ONE row per
     // key and the emitted set is an exact function of the data. The
     // oracle replays the probed state machine (fixed expiry at
-    // first-kept ts + delay; eviction at batch N under the watermark
-    // from batches < N; re-arrival after eviction emits again) with
-    // a recursive per-key fold over the ≤4 arrivals. Delay 72 h vs
+    // first-kept ts + delay; eviction during batch N under the
+    // watermark from batches <= N-2 — the eviction watermark lags
+    // one batch behind the late-row watermark, fitted empirically;
+    // re-arrival after eviction emits again) with a recursive
+    // per-key fold over the ≤4 arrivals. Delay 72 h vs
     // ~7.5-day batches exercises BOTH paths: keys kept early in the
     // previous batch evict (~20%), later ones survive. ──
     "q_stream_dedup" -> ((s, dir) => {

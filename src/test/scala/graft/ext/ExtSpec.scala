@@ -1341,4 +1341,31 @@ class ExtSpec extends SparkSpec {
     assert(codes.length === 3)
     assert(codes.forall(_.getSeq[Int](1).forall(_ === 0)))
   }
+
+  test("tfidf: hand-computed micro-nat scores, score-desc/token-asc " +
+      "tie-break, rank bounded by topK") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple banana cherry date")).toDF("doc_id", "text")
+    val got = Assemble.tfidfTopTerms(docs, "doc_id", "text", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).toSet
+    // idf_micro: ln(3/2) -> 405465, ln(3/3) -> 0, ln(3/1) -> 1098612
+    val want = Set(
+      (1L, "apple", 2L, 405465L, 810930L, 1),
+      (1L, "banana", 1L, 0L, 0L, 2),
+      (2L, "cherry", 1L, 405465L, 405465L, 1),
+      (2L, "banana", 1L, 0L, 0L, 2),
+      // doc 3: date wins on idf; apple vs cherry tie broken token-asc
+      (3L, "date", 1L, 1098612L, 1098612L, 1),
+      (3L, "apple", 1L, 405465L, 405465L, 2),
+      (3L, "cherry", 1L, 405465L, 405465L, 3))
+    assert(got === want)
+    // partitioning-invariant: same rows from a repartitioned input
+    val re = Assemble.tfidfTopTerms(docs.repartition(7), "doc_id", "text",
+      topK = 3).collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toSet
+    assert(re === want)
+  }
 }
