@@ -513,6 +513,48 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"))
     }),
 
+    // ── SCD TYPE-2 HISTORY sync, oracle-certified: the replay
+    // harness drives 4 ts-ordered micro-batch syncs into Scd2Target —
+    // every sync whose diff supersedes a record closes its current
+    // history row (sync_out = ordinal) and opens a new one, so the
+    // final table is the full change history with validity ranges.
+    // The version is a Lehmer-permuted event_id ((id·48271) mod
+    // 2³¹−1 — exact integer arithmetic both engines replay), NON-
+    // monotone in time, so the strict-`>` update rule genuinely
+    // branches: ~half the batch winners supersede the current row
+    // (close+open), the rest are version-skips (history untouched) —
+    // both SCD2 paths certified. The oracle folds the per-(id, batch)
+    // winners through the same open/close state machine recursively
+    // and derives validity ranges with lead(). ──
+    "q_sync_scd2" -> ((s, dir) => {
+      val work = tempStateDir()
+      val preset = Preset(
+        source = InlineSource(_ =>
+          sys.error("unused — the stream feeds the batches")),
+        target = graft.targets.Scd2Target(s"$work/hist"),
+        mapper = Mapper(Seq(
+          "event_type" -> "event_type",
+          "value_cents" -> "value_cents")),
+        idAttribute = "user_id",
+        versionAttribute = Some("version"),
+        skipRemovedRecords = true)
+      val ev = tbl(s, dir, "events").select(
+        col("user_id"),
+        pmod(col("event_id") * 48271L, lit(2147483647L)).as("version"),
+        col("event_type"),
+        floor(col("value") * 100).cast("long").as("value_cents"),
+        col("ts"))
+      graft.streaming.IncrementalSync
+        .replaySync(s, ev, "ts", preset, work, nBatches = 4)
+      val h = graft.targets.Scd2Target(s"$work/hist").history(s)
+      def c(name: String, tpe: String): Column =
+        (if (h.columns.contains(name)) col(name)
+         else lit(null).cast(tpe)).as(name)
+      h.select(c("id", "string"), c("version", "long"),
+        c("event_type", "string"), c("value_cents", "long"),
+        c("sync_in", "long"), c("sync_out", "long"))
+    }),
+
     // ── W1–W3 end to end on the REAL JDBC sink: same importData
     // pipeline as q_sync_apply, but local state lives in a Derby
     // table and the add/update/remove phases run as INSERT / UPDATE
@@ -925,8 +967,75 @@ object SparkEntry {
         .select(col("event_type"), col("n_exact"),
           (abs(col("__approx") - col("n_exact")) <=
             ceil(col("n_exact").cast("double") * 0.06).cast("long"))
-            .as("approx_ok")))
+            .as("approx_ok"))),
+
+    // ── S1's JSON path certified IN the oracle harness (it was
+    // spec-only: the parquet-driven verify never touched it): a
+    // bounded slice stages as ONE JSON ARRAY document — the
+    // reference's whole-file model (FileSource.php:37-41) — and
+    // flows back through the engine's FileSource multiLine read
+    // into an aggregate the oracle recomputes from the parquet
+    // table. Green = the staged bytes, the reader, and the JSON
+    // number round-trip are all faithful. ──
+    "q_source_json" -> ((s, dir) => {
+      val slice = tbl(s, dir, "events")
+        .filter(pmod(col("event_id"), lit(7)) === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("value_cents"))
+      if (slice.isEmpty) emptySourceAgg(s)
+      else {
+        val work = tempStateDir()
+        val json = slice.toJSON.collect().mkString("[", ",", "]")
+        val f = new java.io.File(work, "events.json")
+        java.nio.file.Files.writeString(f.toPath, json)
+        graft.sources.FileSource(f.toString).load(s)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value_cents")).as("cents"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+      }
+    }),
+
+    // ── S1's CSV path, same certification shape (distributed
+    // header+inferSchema read over a staged part-file directory;
+    // inferred INT widths normalized by the explicit casts) ──
+    "q_source_csv" -> ((s, dir) => {
+      val slice = tbl(s, dir, "events")
+        .filter(pmod(col("event_id"), lit(5)) === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("value_cents"))
+      if (slice.isEmpty) emptySourceAgg(s)
+      else {
+        val work = tempStateDir()
+        slice.coalesce(4).write.option("header", "true")
+          .mode("overwrite").csv(s"$work/ev_csv")
+        graft.sources.FileSource(s"$work/ev_csv", Some("csv")).load(s)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value_cents").cast("long")).as("cents"),
+            min(col("event_id").cast("long")).as("min_id"),
+            max(col("event_id").cast("long")).as("max_id"))
+      }
+    })
   )
+
+  /** Shared empty-result schema for the staged-source rows (an empty
+    * staged file has no inferable schema to aggregate over). */
+  private def emptySourceAgg(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("min_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("max_id",
+          org.apache.spark.sql.types.LongType))))
 
   /** LLM-training-data pipeline operators (BASELINE.json north star). */
   def extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2035,6 +2144,22 @@ object SparkEntry {
         |       TRUE AS approx_ok
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // the staged-JSON round trip must agree with the parquet table
+    "q_source_json" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(floor(value * 100) AS BIGINT)) AS cents,
+        |       min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_id % 7 = 0
+        |GROUP BY event_type""".stripMargin,
+
+    // the staged-CSV round trip must agree with the parquet table
+    "q_source_csv" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(floor(value * 100) AS BIGINT)) AS cents,
+        |       min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_id % 5 = 0
+        |GROUP BY event_type""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT doc_id, fingerprint FROM (
         |  SELECT doc_id, fingerprint,
@@ -2942,6 +3067,46 @@ object SparkEntry {
         |  FROM sim s JOIN arr a ON a.fp = s.fp AND a.i = s.i + 1
         |  LEFT JOIN wm w ON w.bt = a.bt)
         |SELECT fp, event_id, us AS ts_us FROM sim WHERE emitted""".stripMargin,
+
+    // per-(id, batch) winners folded through the SCD2 open/close
+    // state machine: a winner opens iff its version strictly exceeds
+    // the currently-open version; validity ranges via lead()
+    "q_sync_scd2" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT user_id,
+        |              (event_id * 48271) % 2147483647 AS version,
+        |              event_type,
+        |              CAST(floor(value * 100) AS BIGINT) AS value_cents,
+        |              epoch_us(ts) AS us
+        |       FROM events),
+        |bnd AS (SELECT min(us) AS t0, max(us) AS t1 FROM ev),
+        |batched AS (SELECT ev.*, CAST(floor((ev.us - bnd.t0) * 4.0
+        |              / (bnd.t1 - bnd.t0 + 1)) AS INT) AS bt
+        |            FROM ev, bnd),
+        |winners AS (SELECT user_id, bt, version, event_type, value_cents
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bt
+        |          ORDER BY version DESC) AS rn
+        |        FROM batched) WHERE rn = 1),
+        |arr AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY bt) AS i
+        |        FROM winners),
+        |fold AS (
+        |  SELECT user_id, bt, version, event_type, value_cents, i,
+        |         version AS kept_v, TRUE AS opened
+        |  FROM arr WHERE i = 1
+        |  UNION ALL
+        |  SELECT a.user_id, a.bt, a.version, a.event_type,
+        |         a.value_cents, a.i,
+        |         CASE WHEN a.version > f.kept_v THEN a.version
+        |              ELSE f.kept_v END,
+        |         a.version > f.kept_v
+        |  FROM fold f JOIN arr a
+        |    ON a.user_id = f.user_id AND a.i = f.i + 1)
+        |SELECT CAST(user_id AS VARCHAR) AS id, version, event_type,
+        |       value_cents, CAST(bt AS BIGINT) AS sync_in,
+        |       CAST(lead(bt) OVER (PARTITION BY user_id ORDER BY bt)
+        |         AS BIGINT) AS sync_out
+        |FROM fold WHERE opened""".stripMargin,
 
     // identical merged-state semantics, certified on the JDBC sink
     // (the k%4=1 slice — see the query's comment)

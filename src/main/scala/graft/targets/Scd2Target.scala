@@ -1,0 +1,180 @@
+package graft.targets
+
+import graft.core.{ChangeSet, Records}
+import graft.mapper.Mapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * SCD TYPE-2 history sink — the warehouse-grade extension of the
+ * snapshot sync: instead of overwriting a record's row, every sync
+ * that changes a record CLOSES its current history row and OPENS a
+ * new one, so the table holds the full change history with validity
+ * ranges. The reference's sinks are all "current state only"
+ * (Classes/DataTarget/Dbal/DbalTarget.php:134-155 —
+ * INSERT/UPDATE/DELETE in place); this target keeps the same diff
+ * front-end (ChangeSet, strict-`>` update rule,
+ * DbalTarget.php:66-85) and changes only what "apply" writes.
+ *
+ * Schema: mapped attribute columns + `id`, `version`, and the
+ * validity pair `sync_in` / `sync_out` (sync ordinals; `sync_out`
+ * NULL = the record's CURRENT row). Point-in-time state at sync k is
+ * `sync_in <= k AND (sync_out IS NULL OR sync_out > k)` — the
+ * standard SCD2 time-travel predicate.
+ *
+ * Sync ordinals come from an append-only APPLY LEDGER (one empty
+ * marker file per apply under `_applies/`): ordinals must advance on
+ * EVERY sync — including one whose diff opens nothing — or two
+ * different syncs would share an ordinal and the history could not
+ * distinguish them. `max(sync_in)+1` cannot provide that (it stalls
+ * on a no-change sync); a driver-side marker is exact. A crash
+ * between marker and snapshot write leaves a gap in the ordinal
+ * sequence — harmless, ordinals are opaque and increasing.
+ *
+ * Scale shape: one snapshot merge per sync, same copy-on-write
+ * pattern as [[FileTarget]] — the close/open delta is the sync's
+ * changed-id set (small vs the table), joined against history as a
+ * broadcast of the touched-id list; at 100 TB the history partitions
+ * by id hash exactly like FileTarget's `partitions` mode and only
+ * touched partitions rewrite (the same O(touched) argument —
+ * deliberately not duplicated here; this target certifies the
+ * HISTORY semantics, the layout tiers are FileTarget's).
+ */
+final case class Scd2Target(
+    path: String,
+    idColumn: String = "id",
+    versionColumn: Option[String] = Some("version"))
+    extends DataTarget {
+
+  private def dataDir = new java.io.File(path, "data")
+  private def ledgerDir = new java.io.File(path, "_applies")
+
+  private def exists: Boolean = {
+    val f = dataDir
+    f.exists() && (f.listFiles() != null &&
+      f.listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
+  /** Full history table (empty two-column frame before first write —
+    * callers project their expected schema stably, the
+    * q_sync_incremental convention). */
+  def history(spark: SparkSession): DataFrame =
+    if (!exists)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(dataDir.toString)
+
+  /** Next sync ordinal = number of prior applies (see the ledger
+    * note in the class doc); records the new marker. */
+  private def nextOrdinal(): Long = {
+    ledgerDir.mkdirs()
+    val n = Option(ledgerDir.listFiles()).map(_.length.toLong).getOrElse(0L)
+    java.nio.file.Files.createFile(
+      new java.io.File(ledgerDir, f"k_$n%012d").toPath)
+    n
+  }
+
+  /** The diff runs against CURRENT rows only (`sync_out IS NULL`) —
+    * closed history never re-enters the comparison. */
+  override def currentState(spark: SparkSession): DataFrame = {
+    val h = history(spark)
+    val cur =
+      if (h.columns.contains("sync_out")) h.filter(col("sync_out").isNull)
+      else h
+    val ver = versionColumn.filter(cur.columns.contains)
+      .map(col(_).cast("long")).getOrElse(lit(null).cast("long"))
+    cur.withColumn("id", col(idColumn).cast("string"))
+      .withColumn("version", ver)
+  }
+
+  override def applyChanges(
+      spark: SparkSession, cs: ChangeSet, mapper: Mapper,
+      dispatch: DataTarget.EventDispatch): ApplyResult = {
+    def mapped(df: DataFrame): DataFrame = {
+      val m = mapper.applyKeepingKeys(df)
+      m.withColumn(idColumn, col(Records.IdCol))
+        .withColumn("version", col(Records.VersionCol))
+        .drop(Records.IdCol, Records.VersionCol)
+    }
+    val csp = cs.persisted()
+    val addedM = mapped(csp.added)
+    val updatedM = mapped(csp.updated)
+    val (nAdd, nUpd, nRem) = csp.counts
+    val k = nextOrdinal()
+
+    // ids whose current row closes this sync: superseded (update) or
+    // removed — the touched set is the sync's delta, broadcast-sized
+    // relative to the history
+    val touched = csp.updated.select(col(Records.IdCol).as("__tid"))
+      .unionByName(csp.removedIds.select(col("id").as("__tid")))
+      .distinct()
+
+    val opensSchema = addedM
+      .withColumn("sync_in", lit(k))
+      .withColumn("sync_out", lit(null).cast("long")).schema
+    val hist0 = history(spark)
+    // align old history to the open-row schema (first run / mapping
+    // change may add columns — same survivor-align rule as FileTarget)
+    val hist = hist0.select(opensSchema.map { f =>
+      val src = hist0.columns.find(_.equalsIgnoreCase(f.name)).getOrElse("")
+      (if (src.nonEmpty) col(src).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+    // close touched current rows at this ordinal; everything else —
+    // already-closed rows and untouched current rows — is carried
+    // through byte-identical
+    val closedOrKept = hist
+      .join(broadcast(touched),
+        col(idColumn).cast("string") === col("__tid"), "left")
+      .withColumn("sync_out",
+        when(col("sync_out").isNull && col("__tid").isNotNull, lit(k))
+          .otherwise(col("sync_out")))
+      .drop("__tid")
+    val opens = addedM.unionByName(updatedM)
+      .withColumn("sync_in", lit(k))
+      .withColumn("sync_out", lit(null).cast("long"))
+    val next = closedOrKept.unionByName(opens)
+
+    // stage-then-swap: never read-while-write the live snapshot
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    val staging = new java.io.File(path, "data.staging")
+    next.write.mode("overwrite").parquet(staging.toString)
+    if (dataDir.exists()) rm(dataDir)
+    staging.renameTo(dataDir)
+
+    DataTarget.dispatchSnapshotPhases(dispatch,
+      addedM, nAdd, updatedM, nUpd, csp.removedIds, nRem,
+      idCol = idColumn)
+    csp.unpersist()
+    ApplyResult(nAdd, nUpd, nRem)
+  }
+
+  /** Prune = SOFT-close every current row at a fresh ordinal — the
+    * history is the point of this target; nothing is deleted. */
+  override def removeAll(spark: SparkSession): Long = {
+    if (!exists) return 0L
+    val h = history(spark)
+    if (!h.columns.contains("sync_out")) return 0L
+    val n = h.filter(col("sync_out").isNull).count()
+    if (n > 0) {
+      val k = nextOrdinal()
+      val next = h.withColumn("sync_out",
+        coalesce(col("sync_out"), lit(k)))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      val staging = new java.io.File(path, "data.staging")
+      next.write.mode("overwrite").parquet(staging.toString)
+      if (dataDir.exists()) rm(dataDir)
+      staging.renameTo(dataDir)
+    }
+    n
+  }
+}

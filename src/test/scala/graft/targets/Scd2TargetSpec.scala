@@ -1,0 +1,88 @@
+package graft.targets
+
+import graft.SparkSpec
+import graft.mapper.Mapper
+import graft.pipeline.{ImportService, Preset}
+import graft.sources.InlineSource
+import org.apache.spark.sql.functions._
+
+/** SCD type-2 history semantics: closes, opens, version-skips,
+  * soft-prune, and the time-travel predicate. */
+class Scd2TargetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def preset(dir: String, src: Seq[(String, Long, String)]) =
+    Preset(
+      InlineSource(s => { import s.implicits._
+        src.toDF("id", "version", "attr") }),
+      Scd2Target(s"$dir/hist"),
+      Mapper(Seq("attr" -> "attr")),
+      idAttribute = "id", versionAttribute = Some("version"),
+      skipRemovedRecords = true)
+
+  test("history accumulates: update closes the old row and opens a " +
+      "new one; version-skip leaves history untouched; add opens") {
+    val dir = tmpDir("scd2")
+    // sync 0: a@5, b@5
+    new ImportService(preset(dir, Seq(
+      ("a", 5L, "a0"), ("b", 5L, "b0")))).importData(spark)
+    // sync 1: a@9 (update -> close+open), b@3 (skip), c@1 (add)
+    new ImportService(preset(dir, Seq(
+      ("a", 9L, "a1"), ("b", 3L, "bX"), ("c", 1L, "c0")))).importData(spark)
+    val h = Scd2Target(s"$dir/hist").history(spark)
+      .select($"id", $"version".cast("long"), $"attr",
+        $"sync_in".cast("long"), $"sync_out".cast("long"))
+      .as[(String, Long, String, Long, Option[Long])].collect().toSet
+    assert(h === Set(
+      ("a", 5L, "a0", 0L, Some(1L)),
+      ("a", 9L, "a1", 1L, None),
+      ("b", 5L, "b0", 0L, None), // the stale b@3 never entered history
+      ("c", 1L, "c0", 1L, None)))
+    // current state = open rows only
+    val cur = Scd2Target(s"$dir/hist").currentState(spark)
+      .select($"id", $"version").as[(String, Long)].collect().toSet
+    assert(cur === Set(("a", 9L), ("b", 5L), ("c", 1L)))
+  }
+
+  test("sync ordinals advance on NO-CHANGE syncs too (apply ledger, " +
+      "not max(sync_in)+1), so distinct syncs never share an ordinal") {
+    val dir = tmpDir("scd2-ordinal")
+    new ImportService(preset(dir, Seq(("a", 5L, "a0")))).importData(spark)
+    // sync 1 changes nothing (same version = skip)
+    new ImportService(preset(dir, Seq(("a", 5L, "aX")))).importData(spark)
+    // sync 2 updates — must close at ordinal 2, not 1
+    new ImportService(preset(dir, Seq(("a", 7L, "a2")))).importData(spark)
+    val h = Scd2Target(s"$dir/hist").history(spark)
+      .select($"id", $"version".cast("long"),
+        $"sync_in".cast("long"), $"sync_out".cast("long"))
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(h === Set(
+      ("a", 5L, 0L, Some(2L)),
+      ("a", 7L, 2L, None)))
+  }
+
+  test("removeAll soft-closes every current row; history survives; " +
+      "point-in-time predicate reconstructs any sync's state") {
+    val dir = tmpDir("scd2-prune")
+    new ImportService(preset(dir, Seq(
+      ("a", 1L, "a0"), ("b", 1L, "b0")))).importData(spark)
+    new ImportService(preset(dir, Seq(("a", 2L, "a1")))).importData(spark)
+    val t = Scd2Target(s"$dir/hist")
+    assert(t.removeAll(spark) === 2L)
+    assert(t.currentState(spark).count() === 0L)
+    val h = t.history(spark)
+    assert(h.count() === 3L) // nothing deleted
+    // state AS OF sync 0: a@1, b@1
+    val asOf0 = h.filter($"sync_in" <= 0 &&
+        ($"sync_out".isNull || $"sync_out" > 0))
+      .select($"id", $"version".cast("long"))
+      .as[(String, Long)].collect().toSet
+    assert(asOf0 === Set(("a", 1L), ("b", 1L)))
+    // state AS OF sync 1: a@2, b@1
+    val asOf1 = h.filter($"sync_in" <= 1 &&
+        ($"sync_out".isNull || $"sync_out" > 1))
+      .select($"id", $"version".cast("long"))
+      .as[(String, Long)].collect().toSet
+    assert(asOf1 === Set(("a", 2L), ("b", 1L)))
+  }
+}
