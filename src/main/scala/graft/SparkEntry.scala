@@ -1484,6 +1484,16 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup where each
+    // near-dup component keeps the member FARTHEST from its centroid
+    // (lowest cosine — the paper's diversity-preserving survivor
+    // rule) — centroid from exact integer micro-sums, similarities
+    // as fixed-order folds, so the keeper rank replays exactly
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(
+        s.read.parquet(t(dir, "embeddings")), 0.4,
+        nCells = 16, nProbe = 6)),
+
     // semantic near-dup CLUSTERS: connected components over the
     // collapsed embedding pair graph (same IVF settings as
     // q_embed_dedup, whose exact recall is spec-pinned; exact-dup
@@ -2878,6 +2888,49 @@ object SparkEntry {
         |)
         |SELECT n AS vec_id, least(n, min(r)) AS cluster_id
         |FROM reach GROUP BY n""".stripMargin,
+
+    // exhaustive pair graph -> recursive CC -> integer-micro centroid
+    // -> fixed-order cosine -> (sim asc, id asc) keeper — the same
+    // state the engine computes via the bucketed paths
+    "q_semdedup" ->
+      """WITH RECURSIVE emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        |edges AS (SELECT ia AS a, ib AS b FROM p
+        |          UNION SELECT ib, ia FROM p),
+        |reach AS (
+        |  SELECT a AS n, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.n, g.b FROM reach JOIN edges g ON reach.r = g.a),
+        |lab AS (SELECT n AS vec_id, least(n, min(r)) AS cluster_id
+        |        FROM reach GROUP BY n),
+        |mem AS (SELECT l.vec_id, l.cluster_id, e.v
+        |        FROM lab l JOIN emb e USING (vec_id)),
+        |cd AS (SELECT cluster_id, CAST(i - 1 AS INT) AS d,
+        |              sum(CAST(floor(v[i] * 1000000) AS BIGINT)) AS s,
+        |              count(*) AS cnt
+        |       FROM mem, range(1, 65) t(i) GROUP BY 1, 2),
+        |ca AS (SELECT cluster_id,
+        |              list(CAST(s AS DOUBLE) / (cnt * 1000000.0)
+        |                ORDER BY d) AS cent
+        |       FROM cd GROUP BY cluster_id),
+        |scored AS (SELECT m.vec_id, m.cluster_id,
+        |                  list_dot_product(m.v, c.cent)
+        |                    / (sqrt(list_dot_product(m.v, m.v))
+        |                       * sqrt(list_dot_product(c.cent, c.cent)))
+        |                    AS sim
+        |           FROM mem m JOIN ca c USING (cluster_id)),
+        |verdict AS (SELECT vec_id, cluster_id,
+        |                   row_number() OVER (PARTITION BY cluster_id
+        |                     ORDER BY sim, vec_id) = 1 AS kept
+        |            FROM scored)
+        |SELECT e.vec_id, v.cluster_id, coalesce(v.kept, TRUE) AS kept
+        |FROM embeddings e LEFT JOIN verdict v USING (vec_id)""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH docs AS (

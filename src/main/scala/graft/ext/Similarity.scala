@@ -745,4 +745,67 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"),
         col("rank"))
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+   * over embeddings — near-duplicate GROUPS keep the member FARTHEST
+   * from the group centroid (lowest cosine similarity), preserving
+   * the most atypical example instead of an arbitrary one; everything
+   * closer to the centroid is redundant with it and drops. Groups are
+   * the connected components of the thresholded pair graph (the
+   * paper's within-k-means-cluster pairing generalized to the exact
+   * transitive closure this engine already certifies).
+   *
+   * Determinism discipline (the survivor pick must replay in any
+   * engine): the centroid is derived from EXACT integers — per-dim
+   * sums of `floor(x·10⁶)` micro-units divided as
+   * `sum / (n · 10⁶)` — and every similarity is a fixed-order
+   * sequential fold over the dims (Spark `aggregate`, DuckDB
+   * `list_dot_product` — bit-identical, proven by the ANN tier), so
+   * the (sim asc, id asc) keeper rank is a total order on identical
+   * doubles in both engines. FP enters nothing else.
+   *
+   * Scale shape: pair graph + CC are the certified bucketed/banded
+   * paths; the centroid is ONE groupBy(cluster, dim) with map-side
+   * combine (output = clusters × dims rows, tiny); the join-back and
+   * keeper window partition on the cluster id — no corpus-global key.
+   * Returns every corpus row annotated (cluster_id NULL = singleton,
+   * `kept` = survives the dedup).
+   */
+  def semDedup(
+      corpus: DataFrame, threshold: Double, nCells: Int = 16,
+      nProbe: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pairs = pairGraphCollapsed(corpus, threshold, nCells, nProbe,
+      idCol, vecCol)
+    val labels = graft.ext.Dedup.connectedComponents(pairs, "q_id", "n_id")
+      .withColumnRenamed("id", idCol)
+    val mem = graft.util.Tables.spread(corpus)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .join(labels, Seq(idCol))
+    val cent = mem
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("xm", floor(col("x") * 1000000L).cast("long"))
+      .groupBy(col("cluster_id"), col("d"))
+      .agg(sum(col("xm")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("c", col("s").cast("double") / (col("cnt") * 1000000.0))
+      .groupBy(col("cluster_id"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        e => e.getField("c")).as("cent"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, y) => acc + y)
+    val scored = mem.join(cent, Seq("cluster_id"))
+      .withColumn("sim", dot(col("v"), col("cent")) /
+        (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cent"), col("cent")))))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("sim"), col(idCol))
+    val verdict = scored
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col("kept"))
+    graft.util.Tables.spread(corpus).select(col(idCol))
+      .join(verdict, Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+      .localCheckpoint()
+  }
 }

@@ -1342,6 +1342,25 @@ class ExtSpec extends SparkSpec {
     assert(codes.forall(_.getSeq[Int](1).forall(_ === 0)))
   }
 
+  test("semDedup: the component keeps the member FARTHEST from the " +
+      "centroid; singletons always survive") {
+    // three near-identical vectors + one orthogonal singleton: the
+    // component centroid sits near (1, 0, ...); v3 tilts most toward
+    // the second axis -> lowest cosine to centroid -> the keeper
+    val mk: (Float, Float) => Array[Float] = (a, b) =>
+      Array(a, b) ++ Array.fill(62)(0f)
+    val e = Seq(
+      (1L, mk(1f, 0f)), (2L, mk(0.99f, 0.05f)), (3L, mk(0.9f, 0.4f)),
+      (9L, mk(0f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(e, threshold = 0.7, nCells = 4,
+        nProbe = 4)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(
+      (1L, 1L, false), (2L, 1L, false), (3L, 1L, true),
+      (9L, -1L, true)))
+  }
+
   test("tfidf: hand-computed micro-nat scores, score-desc/token-asc " +
       "tie-break, rank bounded by topK") {
     val docs = Seq(
