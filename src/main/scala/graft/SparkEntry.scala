@@ -969,6 +969,60 @@ object SparkEntry {
             ceil(col("n_exact").cast("double") * 0.06).cast("long"))
             .as("approx_ok"))),
 
+    // ── FUNNEL analysis: per user, the earliest view → first click
+    // AFTER that view → first purchase AFTER that click (strict
+    // event-order funnel, the product-analytics staple). Three
+    // chained window aggregates over ONE hash exchange on user_id —
+    // each stage's threshold is a per-user constant from the
+    // previous select, so the plan is exchange + 3 WindowExecs, no
+    // self-joins. Timestamps exact epoch micros; depth is the count
+    // of reached stages. ──
+    "q_funnel" -> ((s, dir) => {
+      val u = Window.partitionBy(col("user_id"))
+      val staged = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("us"))).over(u))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" &&
+            col("us") > col("t1"), col("us"))).over(u))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("us") > col("t2"), col("us"))).over(u))
+      staged.groupBy(col("user_id"))
+        .agg(first(col("t1")).as("t1_us"), first(col("t2")).as("t2_us"),
+          first(col("t3")).as("t3_us"))
+        .withColumn("depth",
+          when(col("t3_us").isNotNull, 3)
+            .when(col("t2_us").isNotNull, 2)
+            .when(col("t1_us").isNotNull, 1).otherwise(0))
+    }),
+
+    // ── COHORT retention: users grouped by first-seen week (vs the
+    // corpus start), activity bucketed by week offset from their
+    // cohort — the classic retention triangle. Pure integer epoch
+    // arithmetic (no calendar functions with engine-specific week
+    // conventions); corpus start is a broadcast scalar, first-seen a
+    // per-user window min, the triangle one exact distinct-count
+    // aggregation. ──
+    "q_cohort" -> ((s, dir) => {
+      val wk = 604800000000L // 7 days in micros
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val t0 = ev.agg(min(col("us")).as("t0"))
+      val u = Window.partitionBy(col("user_id"))
+      ev.crossJoin(broadcast(t0))
+        .withColumn("first_us", min(col("us")).over(u))
+        // `div`, not `/`: Spark's `/` on longs is DOUBLE division
+        .withColumn("cohort_week",
+          expr(s"(first_us - t0) div $wk"))
+        .withColumn("week_offset",
+          expr(s"(us - t0) div $wk") - col("cohort_week"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // ── S1's JSON path certified IN the oracle harness (it was
     // spec-only: the parquet-driven verify never touched it): a
     // bounded slice stages as ONE JSON ARRAY document — the
@@ -1191,6 +1245,42 @@ object SparkEntry {
       Assemble.vocabulary(
         s.read.parquet(t(dir, "documents")), "doc_id", "text",
         minCount = 5L)),
+
+    // bigram PMI (collocation mining — the phrase-detection pass of
+    // tokenizer/corpus prep): ln((c_ab·N)/(c_a·c_b)) over exact
+    // integer counts, truncated once to micro-nats; top collocations
+    // by a total order. One explode for bigrams via an in-array zip
+    // (no second token shuffle), unigram table joined twice (AQE
+    // broadcasts the vocab-sized sides)
+    "q_pmi" -> ((s, dir) => {
+      val toks = graft.util.Tables.spread(
+        s.read.parquet(t(dir, "documents")))
+        .select(graft.ext.TextAnalysis.normTokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val bi = toks.select(explode(
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat_ws(" ", element_at(col("ts"), i),
+              element_at(col("ts"), i + 1)))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uni = graft.util.Tables.spread(
+        s.read.parquet(t(dir, "documents")))
+        .select(explode(
+          graft.ext.TextAnalysis.normTokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val nRow = uni.agg(sum(col("c"))).head()
+      val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0) // empty corpus
+      bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), Seq("w1"))
+        .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), Seq("w2"))
+        .withColumn("pmi_micro",
+          floor(log((col("c_ab") * n).cast("double") /
+            (col("c_a") * col("c_b"))) * 1000000L).cast("long"))
+        .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+          col("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("bigram")).limit(50)
+    }),
 
     // TF-IDF top-3 salient terms per document (keyword extraction /
     // topic tagging / per-domain vocabulary-drift monitoring):
@@ -2154,6 +2244,41 @@ object SparkEntry {
         |       TRUE AS approx_ok
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // three chained conditional mins replay the strict-order funnel
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND us > t1
+        |      THEN us END) OVER (PARTITION BY user_id) AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2
+        |      THEN us END) OVER (PARTITION BY user_id) AS t3
+        |  FROM s2)
+        |SELECT user_id, min(t1) AS t1_us, min(t2) AS t2_us,
+        |       min(t3) AS t3_us,
+        |       CASE WHEN min(t3) IS NOT NULL THEN 3
+        |            WHEN min(t2) IS NOT NULL THEN 2
+        |            WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |FROM s3 GROUP BY user_id""".stripMargin,
+
+    // integer-week retention triangle from epoch micros
+    "q_cohort" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |t0 AS (SELECT min(us) AS t0 FROM ev),
+        |f AS (SELECT user_id, us,
+        |        min(us) OVER (PARTITION BY user_id) AS first_us
+        |      FROM ev)
+        |SELECT (first_us - t0.t0) // 604800000000 AS cohort_week,
+        |       (us - t0.t0) // 604800000000
+        |         - (first_us - t0.t0) // 604800000000 AS week_offset,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM f, t0 GROUP BY 1, 2""".stripMargin,
+
     // the staged-JSON round trip must agree with the parquet table
     "q_source_json" ->
       """SELECT event_type, count(*) AS n,
@@ -2443,6 +2568,33 @@ object SparkEntry {
         |SELECT tok, count(*) AS n_total,
         |       count(DISTINCT doc_id) AS n_docs
         |FROM flat GROUP BY tok HAVING count(*) >= 5""".stripMargin,
+
+    // bigrams from 1-based array adjacency; exact integer counts into
+    // one ln, truncated to micro-nats; total-order top-50
+    "q_pmi" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM uni),
+        |bi AS (
+        |  SELECT t[i] || ' ' || t[i + 1] AS bigram
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks)),
+        |bc AS (SELECT bigram, count(*) AS c_ab FROM bi
+        |       GROUP BY bigram HAVING count(*) >= 5),
+        |j AS (
+        |  SELECT bc.bigram, bc.c_ab, a.c AS c_a, b.c AS c_b,
+        |         CAST(floor(ln(CAST(bc.c_ab * n.n AS DOUBLE)
+        |             / (a.c * b.c)) * 1000000) AS BIGINT) AS pmi_micro
+        |  FROM bc, n,
+        |       uc a, uc b
+        |  WHERE a.tok = split_part(bc.bigram, ' ', 1)
+        |    AND b.tok = split_part(bc.bigram, ' ', 2))
+        |SELECT bigram, c_ab, c_a, c_b, pmi_micro
+        |FROM j ORDER BY pmi_micro DESC, bigram LIMIT 50""".stripMargin,
 
     // ln on an exact integer ratio, truncated once to micro-nats —
     // the same double-discipline as q_unigram_ppl; everything after
