@@ -1023,6 +1023,22 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // ── Approx TOP-K (heavy hitters) CONTRACT row, completing the
+    // sketch family (Bloom, HLL, GK percentile already certified):
+    // per event type, the rank-k user-frequency counts from
+    // approx_top_k must equal the exact ones — maxItemsTracked is
+    // sized above the key cardinality, where the sketch is provably
+    // exact, so the gate pins the sketch plumbing (the same
+    // total-coverage pattern as q_ann_ivf). Only (rank, count) is
+    // compared — counts are tie-proof where the item pick is not. ──
+    "q_approx_topk" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("approx_top_k(user_id, 5, 10000)").as("tk"))
+        .select(col("event_type"), posexplode(col("tk")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.count").cast("long").as("n"))),
+
     // ── S1's JSON path certified IN the oracle harness (it was
     // spec-only: the parquet-driven verify never touched it): a
     // bounded slice stages as ONE JSON ARRAY document — the
@@ -2243,6 +2259,19 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |       TRUE AS approx_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // exact rank-k frequencies — what the sized-above-cardinality
+    // sketch must reproduce
+    "q_approx_topk" ->
+      """WITH uc AS (
+        |  SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (SELECT event_type, c,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY c DESC) AS rank
+        |      FROM uc)
+        |SELECT event_type, CAST(rank AS INTEGER) AS rank, c AS n
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // three chained conditional mins replay the strict-order funnel
     "q_funnel" ->
