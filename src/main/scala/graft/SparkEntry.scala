@@ -1023,6 +1023,34 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // ── Salted two-phase AGGREGATION (the agg half of the skew
+    // toolkit; q_salted_join covers joins): count+sum per user split
+    // across 16 deterministic salts in phase 1, combined per key in
+    // phase 2 — result equals the plain groupBy exactly, which is
+    // the associativity property the oracle certifies. At 100 TB
+    // this is the manual fix for a hot grouping key AQE cannot
+    // re-plan (aggregations have no skew-split). ──
+    "q_salted_agg" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      graft.core.Skew.saltedCountSum(e, "user_id", "cents",
+        salt = pmod(col("event_id"), lit(16L)))
+    }),
+
+    // ── Distributed GLOBAL RANK (core.Ranking): range-repartition +
+    // local rank + broadcast prefix-sum offsets — the total-order
+    // rank WITHOUT the single-task empty-PARTITION-BY window. Every
+    // 97th rank is emitted to bound the row's output; the oracle is
+    // the plain total-order row_number, so a green row proves the
+    // distributed recipe equals the naive global window. ──
+    "q_global_rank" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      graft.core.Ranking.globalRank(e, Seq(col("us"), col("event_id")))
+        .filter(pmod(col("rank"), lit(97L)) === 0)
+        .select(col("event_id"), col("us"), col("rank"))
+    }),
+
     // ── Approx TOP-K (heavy hitters) CONTRACT row, completing the
     // sketch family (Bloom, HLL, GK percentile already certified):
     // per event type, the rank-k user-frequency counts from
@@ -2259,6 +2287,22 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |       TRUE AS approx_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the plain aggregate the salted two-phase split must equal
+    "q_salted_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |       sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // the naive total-order rank the distributed recipe must equal
+    "q_global_rank" ->
+      """WITH r AS (
+        |  SELECT event_id, epoch_us(ts) AS us,
+        |         row_number() OVER (ORDER BY epoch_us(ts), event_id)
+        |           AS rank
+        |  FROM events)
+        |SELECT event_id, us, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank % 97 = 0""".stripMargin,
 
     // exact rank-k frequencies — what the sized-above-cardinality
     // sketch must reproduce

@@ -43,4 +43,22 @@ object Skew {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("cnt"))
+
+  /**
+   * Two-phase count+sum with a DETERMINISTIC salt column (caller
+   * supplies it — e.g. `pmod(row_id, 16)`): each hot key's rows
+   * split across `__salt` reducers in phase 1, the per-key combine
+   * in phase 2 touches `saltFactor` partial rows per key. Result
+   * equals the plain `groupBy(key).agg(count, sum)` exactly — both
+   * aggregates are associative, which is precisely what makes the
+   * split legal (and what the oracle row certifies).
+   */
+  def saltedCountSum(
+      df: DataFrame, key: String, valueCol: String,
+      salt: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("__salt", salt)
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__pc"), sum(col(valueCol)).as("__ps"))
+      .groupBy(col(key))
+      .agg(sum(col("__pc")).as("n"), sum(col("__ps")).as(valueCol))
 }

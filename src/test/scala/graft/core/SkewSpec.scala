@@ -29,4 +29,33 @@ class SkewSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(salted === plain)
   }
+
+  test("saltedCountSum equals the plain count+sum under any salt") {
+    val withV = skewed.withColumn("v2", col("k") * 10 + length(col("v")))
+    val plain = withV.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v2")).as("v2"))
+      .as[(Long, Long, Long)].collect().toSet
+    for (salt <- Seq(pmod(col("v2"), lit(4L)), lit(0L))) {
+      val salted = Skew.saltedCountSum(withV, "k", "v2", salt)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(salted === plain)
+    }
+  }
+
+  test("globalRank: distributed rank equals the naive global window " +
+      "at every partition count (boundary-independent)") {
+    import graft.core.Ranking
+    val df = spark.range(0, 500).select(
+      (col("id") * 7919 % 501).as("a"), col("id").as("b"))
+    val naive = df.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("a"), col("b"))).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    for (p <- Seq(1, 3, 16)) {
+      val got = Ranking.globalRank(df, Seq(col("a"), col("b")), p)
+        .select(col("a"), col("b"), col("rank"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === naive, s"partitions=$p")
+    }
+  }
 }
