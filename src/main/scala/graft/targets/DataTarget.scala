@@ -396,9 +396,6 @@ final case class FileTarget(
     }: _*)
     val next = survivors.unionByName(addedM).unionByName(updatedM)
 
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
     val staging = path + ".staging"
     if (partitions > 0) {
       // Partitioned copy-on-write: only the buckets containing a
@@ -434,12 +431,15 @@ final case class FileTarget(
       // consumes the bucketing with zero state-side exchange.
       writeState(spark, next)
     } else {
-      // Overwrite must not read-while-write the same path: stage then
-      // swap.
+      // Overwrite must not read-while-write the same path: stage,
+      // then the SAME manifest-logged whole-dir swap as the bucketed
+      // mode — a bare rm+rename would lose the entire state to a
+      // crash between the two (the r7 bucketed-path lesson; the
+      // recovery machinery is shared, so the single-snapshot mode
+      // gets it for two lines).
       next.write.mode("overwrite").parquet(staging)
-      val dir = new java.io.File(path)
-      if (dir.exists()) rm(dir)
-      new java.io.File(staging).renameTo(dir)
+      writeManifest(staging, Seq("*:swap"))
+      completeSwap(manifestFile)
     }
     // Dispatch BEFORE releasing the checkpointed diff: the phase
     // payload frames (addedM/updatedM) are plans over the snapshot —

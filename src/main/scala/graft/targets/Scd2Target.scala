@@ -48,6 +48,43 @@ final case class Scd2Target(
 
   private def dataDir = new java.io.File(path, "data")
   private def ledgerDir = new java.io.File(path, "_applies")
+  private def manifestFile = new java.io.File(path, "data.swap-manifest")
+
+  /** Manifest-logged whole-dir swap (the FileTarget two-phase-commit
+    * pattern): stage fully, atomically record the staging dir, replay
+    * the idempotent rm+rename, delete the manifest. A crash anywhere
+    * between manifest write and delete is completed by the next
+    * reader/writer — the staged next-state is never lost mid-swap. */
+  private def commitSwap(staging: java.io.File): Unit = {
+    val tmp = java.nio.file.Paths.get(path, "data.swap-manifest.tmp")
+    java.nio.file.Files.createDirectories(tmp.getParent)
+    java.nio.file.Files.write(tmp, staging.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, manifestFile.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    completeSwap()
+  }
+
+  /** Idempotent replay of a recorded swap: a staged dir that still
+    * exists gets rm(live)+rename; one already renamed is skipped. */
+  private def completeSwap(): Unit = {
+    val staging = new java.io.File(new String(
+      java.nio.file.Files.readAllBytes(manifestFile.toPath),
+      java.nio.charset.StandardCharsets.UTF_8))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (staging.exists()) {
+      if (dataDir.exists()) rm(dataDir)
+      staging.renameTo(dataDir)
+    } // else: the rename completed before the crash
+    manifestFile.delete()
+  }
+
+  /** Finish a swap a crashed writer left pending — before any read. */
+  private def recoverPendingSwap(): Unit =
+    if (manifestFile.exists()) completeSwap()
 
   private def exists: Boolean = {
     val f = dataDir
@@ -58,7 +95,8 @@ final case class Scd2Target(
   /** Full history table (empty two-column frame before first write —
     * callers project their expected schema stably, the
     * q_sync_incremental convention). */
-  def history(spark: SparkSession): DataFrame =
+  def history(spark: SparkSession): DataFrame = {
+    recoverPendingSwap()
     if (!exists)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -68,6 +106,7 @@ final case class Scd2Target(
           org.apache.spark.sql.types.StructField("version",
             org.apache.spark.sql.types.LongType))))
     else spark.read.parquet(dataDir.toString)
+  }
 
   /** Next sync ordinal = number of prior applies (see the ledger
     * note in the class doc); records the new marker. */
@@ -140,14 +179,11 @@ final case class Scd2Target(
       .withColumn("sync_out", lit(null).cast("long"))
     val next = closedOrKept.unionByName(opens)
 
-    // stage-then-swap: never read-while-write the live snapshot
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
+    // stage-then-swap (manifest-logged): never read-while-write the
+    // live snapshot, never lose it to a crash mid-swap
     val staging = new java.io.File(path, "data.staging")
     next.write.mode("overwrite").parquet(staging.toString)
-    if (dataDir.exists()) rm(dataDir)
-    staging.renameTo(dataDir)
+    commitSwap(staging)
 
     DataTarget.dispatchSnapshotPhases(dispatch,
       addedM, nAdd, updatedM, nUpd, csp.removedIds, nRem,
@@ -167,13 +203,9 @@ final case class Scd2Target(
       val k = nextOrdinal()
       val next = h.withColumn("sync_out",
         coalesce(col("sync_out"), lit(k)))
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
       val staging = new java.io.File(path, "data.staging")
       next.write.mode("overwrite").parquet(staging.toString)
-      if (dataDir.exists()) rm(dataDir)
-      staging.renameTo(dataDir)
+      commitSwap(staging)
     }
     n
   }

@@ -61,6 +61,29 @@ class Scd2TargetSpec extends SparkSpec {
       ("a", 7L, 2L, None)))
   }
 
+  test("crash recovery: a pending swap manifest is completed before " +
+      "any read — the staged next-state is never lost mid-swap") {
+    val dir = tmpDir("scd2-crash")
+    new ImportService(preset(dir, Seq(("a", 1L, "a0")))).importData(spark)
+    val t = Scd2Target(s"$dir/hist")
+    // simulate a writer that fully staged its next-state, recorded
+    // the manifest, removed the live dir, and DIED before the rename
+    val staging = new java.io.File(s"$dir/hist/data.staging")
+    t.history(spark).withColumn("attr", lit("staged"))
+      .write.mode("overwrite").parquet(staging.toString)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/hist/data.swap-manifest"),
+      staging.toString)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(s"$dir/hist/data"))
+    val h = t.history(spark).select($"attr").as[String].collect().toSet
+    assert(h === Set("staged"))
+    assert(!new java.io.File(s"$dir/hist/data.swap-manifest").exists())
+    assert(!staging.exists())
+  }
+
   test("removeAll soft-closes every current row; history survives; " +
       "point-in-time predicate reconstructs any sync's state") {
     val dir = tmpDir("scd2-prune")
