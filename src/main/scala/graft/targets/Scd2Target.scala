@@ -166,9 +166,12 @@ final case class Scd2Target(
     }: _*)
     // close touched current rows at this ordinal; everything else —
     // already-closed rows and untouched current rows — is carried
-    // through byte-identical
+    // through byte-identical. No broadcast hint: a typical sync's
+    // touched set is tiny (AQE broadcasts it at runtime), but an
+    // update-heavy backfill can touch most of the table — forcing a
+    // broadcast there would OOM the driver for no reason.
     val closedOrKept = hist
-      .join(broadcast(touched),
+      .join(touched,
         col(idColumn).cast("string") === col("__tid"), "left")
       .withColumn("sync_out",
         when(col("sync_out").isNull && col("__tid").isNotNull, lit(k))
