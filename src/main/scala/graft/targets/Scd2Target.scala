@@ -33,8 +33,9 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: one snapshot merge per sync, same copy-on-write
  * pattern as [[FileTarget]] — the close/open delta is the sync's
- * changed-id set (small vs the table), joined against history as a
- * broadcast of the touched-id list; at 100 TB the history partitions
+ * changed-id set (small vs the table), joined against history with
+ * the strategy left to AQE (broadcast for the typical tiny delta,
+ * shuffle for an update-heavy backfill); at 100 TB the history partitions
  * by id hash exactly like FileTarget's `partitions` mode and only
  * touched partitions rewrite (the same O(touched) argument —
  * deliberately not duplicated here; this target certifies the
