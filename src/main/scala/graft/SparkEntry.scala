@@ -1255,6 +1255,15 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // interpolated trigram surprisal (Jelinek-Mercer; the LM-ladder
+    // rung the CCNet 5-gram scorer generalizes): fixed-order
+    // interpolation over exact integer counts, one micro-nat
+    // truncation, exact integer per-doc totals
+    "q_trigram_ppl" -> ((s, dir) =>
+      Assemble.trigramSurprisal(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // deterministic domain-mixture sampling over events: hit target
     // event_type proportions 1:3:6 by downsampling only; exact
     // integer thresholds end to end (signup/error carry no weight —
@@ -2271,6 +2280,48 @@ object SparkEntry {
         |SELECT e.user_id, u.user_events, count(*) AS n
         |FROM events e JOIN users u ON e.user_id = u.user_id
         |GROUP BY e.user_id, u.user_events""".stripMargin,
+
+    // the fixed-order Jelinek-Mercer interpolation over exact counts
+    "q_trigram_ppl" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+        |                unnest(t) AS tok FROM base),
+        |wp AS (SELECT doc_id, pos, tok,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+        |         lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+        |       FROM toks),
+        |uni AS (SELECT tok AS uk, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |bi AS (SELECT p1 AS ba, tok AS bb, count(*) AS c
+        |       FROM wp WHERE p1 IS NOT NULL GROUP BY 1, 2),
+        |tri AS (SELECT p2 AS ta, p1 AS tb, tok AS tc, count(*) AS c
+        |        FROM wp WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(-ln(
+        |          CASE WHEN p1 IS NULL THEN CAST(u3.c AS DOUBLE) / tot.n
+        |               WHEN p2 IS NULL THEN
+        |                 0.7 * (CAST(b23.c AS DOUBLE) / u2.c)
+        |                 + 0.3 * (CAST(u3.c AS DOUBLE) / tot.n)
+        |               ELSE
+        |                 0.6 * (CAST(tr.c AS DOUBLE) / b12.c)
+        |                 + 0.3 * (CAST(b23.c AS DOUBLE) / u2.c)
+        |                 + 0.1 * (CAST(u3.c AS DOUBLE) / tot.n) END
+        |          ) * 1000000) AS BIGINT) AS u
+        |      FROM wp
+        |      JOIN uni u3 ON wp.tok = u3.uk
+        |      LEFT JOIN uni u2 ON wp.p1 = u2.uk
+        |      LEFT JOIN bi b23 ON wp.p1 = b23.ba AND wp.tok = b23.bb
+        |      LEFT JOIN bi b12 ON wp.p2 = b12.ba AND wp.p1 = b12.bb
+        |      LEFT JOIN tri tr ON wp.p2 = tr.ta AND wp.p1 = tr.tb
+        |        AND wp.tok = tr.tc
+        |      CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(u) AS BIGINT) AS surprisal_unats,
+        |  CAST(sum(u) // count(*) AS BIGINT) AS mean_unats
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     // the plain join — certifying the bloom-prefiltered path is exact
     "q_bloom_join" ->

@@ -151,6 +151,90 @@ object Assemble {
   }
 
   /**
+   * Interpolated TRIGRAM surprisal — the next rung of the LM ladder
+   * (unigram → add-one bigram → Jelinek-Mercer trigram; the CCNet
+   * scorer is a 5-gram of exactly this family). Per token at
+   * position p:
+   *
+   *   p = 0:  p(w) = c(w)/N
+   *   p = 1:  0.7·c(w₁w₂)/c(w₁) + 0.3·c(w₂)/N
+   *   p ≥ 2:  0.6·c(w₁w₂w₃)/c(w₁w₂) + 0.3·c(w₂w₃)/c(w₂) + 0.1·c(w₃)/N
+   *
+   * The model is trained on the scored corpus itself, so every
+   * n-gram in the stream has count ≥ 1 and every interpolated p is
+   * strictly positive — no smoothing epsilon needed. Determinism:
+   * each term is a double division of EXACT integer counts, the
+   * interpolation is a fixed left-associative sum of literal-weighted
+   * terms (identical IEEE ops in any engine), and ln truncates ONCE
+   * to integer micro-nats; the per-doc totals are integer sums.
+   *
+   * Scale shape: one posexplode; the n-gram count tables are three
+   * groupBys with map-side combine; scoring joins the token stream
+   * against them on their own keys (AQE broadcasts while vocabularies
+   * fit, shuffles otherwise — both correct). The lag window
+   * partitions on the doc id.
+   */
+  def trigramSurprisal(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.normTokens(col(textCol))))
+      .toDF("id", "pos", "tok")
+      .persist()
+    try {
+      val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      val ctx = toks
+        .withColumn("p1", lag(col("tok"), 1).over(w))
+        .withColumn("p2", lag(col("tok"), 2).over(w))
+        .persist()
+      try {
+        val uni = ctx.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val bi = ctx.filter(col("p1").isNotNull)
+          .groupBy(col("p1").as("ba"), col("tok").as("bb"))
+          .agg(count(lit(1)).as("c"))
+        val tri = ctx.filter(col("p2").isNotNull)
+          .groupBy(col("p2").as("ta"), col("p1").as("tb"),
+            col("tok").as("tc"))
+          .agg(count(lit(1)).as("c"))
+        val total = uni.agg(sum(col("c")).as("n"))
+        val scored = ctx
+          .join(uni.select(col("tok").as("u3k"), col("c").as("cu3")),
+            col("tok") === col("u3k"))
+          .join(uni.select(col("tok").as("u2k"), col("c").as("cu2")),
+            col("p1") === col("u2k"), "left")
+          .join(bi.select(col("ba").as("b23a"), col("bb").as("b23b"),
+              col("c").as("cb23")),
+            col("p1") === col("b23a") && col("tok") === col("b23b"), "left")
+          .join(bi.select(col("ba").as("b12a"), col("bb").as("b12b"),
+              col("c").as("cb12")),
+            col("p2") === col("b12a") && col("p1") === col("b12b"), "left")
+          .join(tri,
+            col("p2") === col("ta") && col("p1") === col("tb") &&
+              col("tok") === col("tc"), "left")
+          .crossJoin(broadcast(total))
+          .select(col("id"),
+            floor(-log(
+              when(col("p1").isNull,
+                col("cu3").cast("double") / col("n"))
+              .when(col("p2").isNull,
+                lit(0.7) * (col("cb23").cast("double") / col("cu2")) +
+                lit(0.3) * (col("cu3").cast("double") / col("n")))
+              .otherwise(
+                lit(0.6) * (col("c").cast("double") / col("cb12")) +
+                lit(0.3) * (col("cb23").cast("double") / col("cu2")) +
+                lit(0.1) * (col("cu3").cast("double") / col("n"))))
+              * 1000000L).cast("long").as("u"))
+        scored.groupBy(col("id")).agg(
+            count(lit(1)).as("n_tokens"),
+            sum(col("u")).as("surprisal_unats"))
+          .select(col("id"), col("n_tokens"), col("surprisal_unats"),
+            expr("surprisal_unats div n_tokens").as("mean_unats"))
+          .localCheckpoint()
+      } finally ctx.unpersist()
+    } finally toks.unpersist()
+  }
+
+  /**
    * CCNet-style perplexity bucketing: score every document with the
    * corpus-trained unigram LM ([[unigramSurprisal]]), then split each
    * language into equal-count head / middle / tail thirds by mean
