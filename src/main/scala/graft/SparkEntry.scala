@@ -1255,6 +1255,25 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // exact-k-per-stratum sample (fixed-budget eval sets: "exactly
+    // 20 per event type"): portable-hash rank within stratum, the
+    // same any-engine/any-partitioning reproducibility contract as
+    // the rate-based sampler; WindowGroupLimit keeps the shuffle at
+    // O(k·strata·tasks)
+    "q_sample_exact_k" -> ((s, dir) =>
+      graft.ext.Sampling.exactKPerStratum(
+        tbl(s, dir, "events"), "event_id", "event_type", k = 20)
+        .select(col("event_id"), col("event_type"), col("user_id"))),
+
+    // deterministic train/val/test split (90/5/5 hash cells):
+    // disjoint by construction, stable under reprocessing
+    "q_split" -> ((s, dir) =>
+      graft.ext.Sampling.split(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+
     // interpolated trigram surprisal (Jelinek-Mercer; the LM-ladder
     // rung the CCNet 5-gram scorer generalizes): fixed-order
     // interpolation over exact integer counts, one micro-nat
@@ -2498,6 +2517,31 @@ object SparkEntry {
          |  < CASE event_type WHEN 'view' THEN 100000
          |                    WHEN 'click' THEN 500000
          |                    ELSE 1000000 END""".stripMargin,
+
+    // portable-hash rank within stratum, first k — replayed exactly
+    "q_sample_exact_k" ->
+      s"""WITH r AS (
+         |  SELECT event_id, event_type, user_id,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY ${duckHash60("CAST(event_id AS VARCHAR)")},
+         |             event_id) AS rk
+         |  FROM events)
+         |SELECT event_id, event_type, user_id FROM r
+         |WHERE rk <= 20""".stripMargin,
+
+    // the 90/5/5 hash-cell assignment, aggregated per split
+    "q_split" ->
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |           THEN 'train'
+         |         WHEN ${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 < 95
+         |           THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, count(*) AS n, min(doc_id) AS min_id,
+         |       max(doc_id) AS max_id
+         |FROM a GROUP BY split""".stripMargin,
 
     "q_text_analysis" -> duckTextAnalysis,
 

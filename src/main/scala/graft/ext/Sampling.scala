@@ -33,6 +33,49 @@ object Sampling {
   }
 
   /**
+   * EXACT-k-per-stratum sample: the fixed-budget variant (eval-set
+   * construction wants "exactly 20 per class", not "about 2%") —
+   * rank each stratum's rows by the portable hash (ties by id, a
+   * total order) and keep the first `k`. Same reproducibility
+   * contract as [[byHash]]: any run, any engine, any partitioning
+   * selects the SAME rows, and an oracle replays the selection.
+   *
+   * Scale shape: the row_number + `<= k` filter triggers Spark's
+   * WindowGroupLimit — each task keeps its own top-k per stratum
+   * BEFORE the exchange, so the shuffle moves O(k · strata · tasks)
+   * rows, never the corpus, even though strata are corpus-scale
+   * partitions.
+   */
+  def exactKPerStratum(
+      df: DataFrame, idCol: String, stratumCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = TextAnalysis.portableHash60(col(idCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(h, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /**
+   * Deterministic train/val/test assignment: hash-bucket the id into
+   * 100 cells, split by integer thresholds (90/5/5 shipped as
+   * percents). The assignment is a pure narrow projection — stable
+   * under reprocessing, disjoint by construction, engine-replayable.
+   */
+  def split(
+      df: DataFrame, idCol: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      "train/val percents must leave room for test")
+    val cell = pmod(
+      TextAnalysis.portableHash60(col(idCol).cast("string")), lit(100L))
+    df.withColumn("split",
+      when(cell < trainPct, "train")
+        .when(cell < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /**
    * Stratified variant: per-stratum rates (e.g. downsample `view`
    * events to 10% but keep every `purchase`). Strata missing from
    * `rates` fall back to `defaultRate`.
