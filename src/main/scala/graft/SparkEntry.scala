@@ -1865,7 +1865,9 @@ object SparkEntry {
         |r AS (SELECT *,
         |  round(CAST(sw AS DOUBLE) / greatest(n_tokens_ws, 1), 6) AS stopword_ratio
         |  FROM base)
-        |SELECT doc_id, length(text) AS n_chars, n_tokens_ws, n_tokens_bpe,
+        |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(n_tokens_ws AS INTEGER) AS n_tokens_ws,
+        |  CAST(n_tokens_bpe AS INTEGER) AS n_tokens_bpe,
         |  punct_ratio, stopword_ratio,
         |  round((least(length(text) / 500.0, 1.0)
         |    + (1.0 - least(punct_ratio * 5, 1.0))
@@ -2116,7 +2118,8 @@ object SparkEntry {
 
     "q_window" ->
       """SELECT event_id, user_id,
-        |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |       CAST(row_number() OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn,
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER
         |         (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
@@ -2156,16 +2159,16 @@ object SparkEntry {
     // engines
     "q_pivot" ->
       """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click'
-        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS click,
-        |  sum(CASE WHEN event_type = 'error'
-        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS error,
-        |  sum(CASE WHEN event_type = 'purchase'
-        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS purchase,
-        |  sum(CASE WHEN event_type = 'signup'
-        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS signup,
-        |  sum(CASE WHEN event_type = 'view'
-        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS view
+        |  CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error'
+        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup'
+        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS view
         |FROM events GROUP BY user_id""".stripMargin,
 
     // UNION ALL replays the melt portably (no engine UNPIVOT syntax
@@ -2345,8 +2348,8 @@ object SparkEntry {
     // the plain join — certifying the bloom-prefiltered path is exact
     "q_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n,
-        |       sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
-        |         AS revenue_cents
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS revenue_cents
         |FROM lineitem l
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 490000)
@@ -2361,7 +2364,8 @@ object SparkEntry {
     // the plain aggregate the salted two-phase split must equal
     "q_salted_agg" ->
       """SELECT user_id, count(*) AS n,
-        |       sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
         |FROM events GROUP BY user_id""".stripMargin,
 
     // the naive total-order rank the distributed recipe must equal
@@ -2425,7 +2429,8 @@ object SparkEntry {
     // the staged-JSON round trip must agree with the parquet table
     "q_source_json" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(floor(value * 100) AS BIGINT)) AS cents,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
         |       min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events WHERE event_id % 7 = 0
         |GROUP BY event_type""".stripMargin,
@@ -2433,7 +2438,8 @@ object SparkEntry {
     // the staged-CSV round trip must agree with the parquet table
     "q_source_csv" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(floor(value * 100) AS BIGINT)) AS cents,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
         |       min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events WHERE event_id % 5 = 0
         |GROUP BY event_type""".stripMargin,
@@ -2857,7 +2863,7 @@ object SparkEntry {
         |    CASE WHEN doc_id % 7 = 0 THEN '�' ELSE '' END ||
         |    CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END AS text
         |  FROM documents)
-        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
         |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
         |    AS n_replacement,
         |  CAST(len(regexp_extract_all(text,
@@ -3234,7 +3240,8 @@ object SparkEntry {
         |cd AS (SELECT cluster_id, CAST(i - 1 AS INT) AS d,
         |              sum(CAST(floor(v[i] * 1000000) AS BIGINT)) AS s,
         |              count(*) AS cnt
-        |       FROM mem, range(1, 65) t(i) GROUP BY 1, 2),
+        |       FROM mem, LATERAL unnest(range(1, len(v) + 1)) t(i)
+        |       GROUP BY 1, 2),
         |ca AS (SELECT cluster_id,
         |              list(CAST(s AS DOUBLE) / (cnt * 1000000.0)
         |                ORDER BY d) AS cent

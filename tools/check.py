@@ -30,6 +30,18 @@ for name, sql in sorted(oracle.items()):
         gcols = sorted(got.columns); wcols = sorted(want.columns)
         if gcols != wcols:
             print(f"FAIL {name}: columns {gcols} vs {wcols}"); fail += 1; continue
+        # Type strictness: the driver's hasher is type-sensitive (DuckDB
+        # sum(BIGINT) -> HUGEINT burned round 8), so a string-level value
+        # compare is NOT enough. Fail on any column-type mismatch between
+        # the Spark result and the oracle before hashing values.
+        gtypes = dict(zip(got.columns, (str(t) for t in got.types)))
+        wtypes = dict(zip(want.columns, (str(t) for t in want.types)))
+        mismatch = [(c, gtypes[c], wtypes[c]) for c in gcols
+                    if gtypes[c] != wtypes[c]]
+        if mismatch:
+            det = "; ".join(f"{c}: spark={g} oracle={w}" for c, g, w in mismatch)
+            print(f"FAIL {name}: column type mismatch — {det}")
+            fail += 1; continue
         collist = ", ".join(f'"{c}"' for c in gcols)
         gh = con.sql(f"SELECT count(*), md5(string_agg(r,'|' ORDER BY r)) FROM (SELECT concat_ws(',',{collist}) r FROM got)").fetchone()
         wh = con.sql(f"SELECT count(*), md5(string_agg(r,'|' ORDER BY r)) FROM (SELECT concat_ws(',',{collist}) r FROM want)").fetchone()
