@@ -451,9 +451,16 @@ object Assemble {
       .groupBy(col("id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     // TF rows are unique per (id, tok), so document frequency is a
-    // plain count(*) per token over the TF frame — no countDistinct
+    // plain count per token over the TF frame — no countDistinct.
+    // count(nullif(tf, -1)) equals count(*) (tf >= 1, the nullif never
+    // fires) but its nullability stops the optimizer from rewriting it
+    // to count(1) and pruning the tf column — which would specialize
+    // this branch's aggregate, de-canonicalize it from the join's left
+    // side, and run the whole scan + regex explode + (id, tok) shuffle
+    // TWICE. With tf kept alive the shared shuffle stage is reused and
+    // the corpus is tokenized exactly once — the dominant cost at scale.
     val dfreq = tf.groupBy(col("tok"))
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(count(nullif(col("tf"), lit(-1L))).as("n_docs"))
       .withColumn("idf_micro",
         floor(log(lit(nDocs.toDouble) / col("n_docs")) * 1000000L)
           .cast("long"))
