@@ -104,6 +104,12 @@ object IncrementalSync {
     val stream = stagedStream(spark, table,
       tsRangeBatch(table, tsCol, nBatches), nBatches,
       s"$workDir/in", batchFiles)
+    // NOTE: unlike runToMemorySink, the shuffle-partition count is NOT
+    // narrowed here — the foreachBatch diff/apply cycles carry real
+    // data volume (the staged table itself, not state-store metadata),
+    // and narrowing was measured to HURT (q_sync_incremental 5.6 s →
+    // 10.0 s at sf0.1 with 8 partitions: lost parallelism on the
+    // per-batch keying window + full-outer diff).
     val q = start(spark, stream, preset, s"$workDir/chk",
       trigger = Trigger.AvailableNow())
     if (!q.awaitTermination(600000L)) {
@@ -154,19 +160,48 @@ object IncrementalSync {
       spark: SparkSession, table: DataFrame, batchCol: Column,
       nBatches: Int, inDir: String, batchFiles: Int = 1): DataFrame = {
     val batched = table.withColumn("__batch", batchCol)
-    val stamped = scala.collection.mutable.Set.empty[String]
     val mtimeBase = 1000000000000L // fixed: replay order, not wall time
-    (0 until nBatches).foreach { k =>
-      batched.filter(col("__batch") === k).drop("__batch")
-        .repartition(batchFiles)
-        .write.mode("append").parquet(inDir)
-      Option(new java.io.File(inDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".parquet") &&
-          !stamped.contains(f.getName))
-        .foreach { f =>
-          f.setLastModified(mtimeBase + k * 60000L)
-          stamped += f.getName
-        }
+    if (batchFiles == 1) {
+      // single staging job: hash-partitioning on __batch puts all of a
+      // batch's rows in one task, and the dynamic-partition writer
+      // splits per __batch=k/ dir — exactly one file per batch in ONE
+      // Spark job instead of nBatches sequential filter+write jobs
+      // (each a full pass over the table). The driver then flattens
+      // the k subdirs into inDir with the per-batch mtime the file
+      // source orders on — bounded metadata work (nBatches renames).
+      val staging = s"$inDir/__staging"
+      batched.repartition(nBatches, col("__batch"))
+        .write.partitionBy("__batch").mode("overwrite").parquet(staging)
+      (0 until nBatches).foreach { k =>
+        Option(new java.io.File(s"$staging/__batch=$k").listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { f =>
+            // prefix with the batch index: a task that writes several
+            // __batch=k/ dirs reuses ONE part-file name across them,
+            // so flattening without the prefix silently overwrites
+            val dst = new java.io.File(inDir, s"b$k-${f.getName}")
+            if (!f.renameTo(dst))
+              sys.error(s"stagedStream: rename failed for ${f.getPath}")
+            dst.setLastModified(mtimeBase + k * 60000L)
+          }
+      }
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(staging))
+    } else {
+      val stamped = scala.collection.mutable.Set.empty[String]
+      (0 until nBatches).foreach { k =>
+        batched.filter(col("__batch") === k).drop("__batch")
+          .repartition(batchFiles)
+          .write.mode("append").parquet(inDir)
+        Option(new java.io.File(inDir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !stamped.contains(f.getName))
+          .foreach { f =>
+            f.setLastModified(mtimeBase + k * 60000L)
+            stamped += f.getName
+          }
+      }
     }
     spark.readStream.schema(batched.drop("__batch").schema)
       .option("maxFilesPerTrigger", batchFiles.toString).parquet(inDir)
@@ -221,17 +256,33 @@ object IncrementalSync {
   private def runToMemorySink(
       spark: SparkSession, out: DataFrame, workDir: String): DataFrame = {
     val name = s"graft_replay_${replayNames.incrementAndGet()}"
-    val q = out.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", s"$workDir/chk")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(600000L)) {
-      q.stop() // don't leave an orphaned stream contending for cores
-      sys.error("replayTransform: streaming query did not terminate")
-    }
+    // Replay-harness scope only: each stateful operator opens one state
+    // store per shuffle partition per micro-batch (a stream-stream join
+    // opens FOUR), so 32 partitions x 4 batches is hundreds of store
+    // open/commit cycles for certification-scale data. 8 partitions
+    // keeps the distributed shape (results are partitioning-invariant)
+    // and cuts the fixed replay cost ~proportionally. The partition
+    // count is pinned into the checkpoint at the first batch, so it
+    // must be set BEFORE start(); production callers run start()
+    // themselves and are untouched.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", s"$workDir/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(600000L)) {
+        q.stop() // don't leave an orphaned stream contending for cores
+        sys.error("replayTransform: streaming query did not terminate")
+      }
+      // restored only after termination: the stream clones the session
+      // conf when its query thread initializes, which can be AFTER
+      // start() returns — restoring earlier would race the clone
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // the memory sink pins the whole result on the driver for the
     // JVM's lifetime (clearCache does not release it) — snapshot to
     // executor-side blocks and drop the sink table so repeated
