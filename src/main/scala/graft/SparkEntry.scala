@@ -1816,6 +1816,21 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
       Multimodal.resizePlan(
         Multimodal.decodeStub(media).toDF(), maxSide = 512)
+    }),
+
+    // ── REAL codec tier: one valid binary P6 PPM per document
+    // (dimensions + pixel bytes are pure integer arithmetic in the
+    // doc_id), decoded by an actual header parser + payload
+    // aggregation in the mapPartitions batch shape. The oracle
+    // replays every feature — width, height, per-channel sums and
+    // floor-milli means — from the id formula without touching the
+    // binary, which certifies the decoder read the bytes it was
+    // handed. (decodeStub remains the audio/video swap point; this
+    // row retires the "codec is only a stub" gap for images.) ──
+    "q_multimodal_ppm" -> ((s, dir) => {
+      val media = Multimodal.synthesizePpm(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      Multimodal.decodePpm(media).toDF()
     })
   )
 
@@ -3752,6 +3767,35 @@ object SparkEntry {
          |  CAST(CASE WHEN mx <= 512 THEN height
          |       ELSE greatest((height * 512) // mx, 1) END AS INT)
          |    AS out_height
-         |FROM x""".stripMargin
+         |FROM x""".stripMargin,
+
+    // replays the synthetic-PPM pixel rule (byte of pixel p, channel c
+    // = (id·31 + p·7 + c·13) mod 256) from the id alone — certifying
+    // the engine's decoder parsed the real header and summed the real
+    // payload bytes it was handed
+    "q_multimodal_ppm" ->
+      """WITH dim AS (
+        |  SELECT doc_id,
+        |         CAST(8 + doc_id % 16 AS INT) AS width,
+        |         CAST(6 + doc_id % 9 AS INT) AS height
+        |  FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |         unnest(range(0, CAST(width AS BIGINT) * height)) AS p
+        |       FROM dim),
+        |ch AS (SELECT doc_id, width, height, p, c,
+        |         (doc_id * 31 + p * 7 + c * 13) % 256 AS v
+        |       FROM px, unnest([0, 1, 2]) t(c)),
+        |s AS (SELECT doc_id, width, height,
+        |        CAST(width AS BIGINT) * height AS n_pix,
+        |        CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+        |        CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+        |        CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum
+        |      FROM ch GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(doc_id AS VARCHAR) AS media_id, width, height,
+        |       CAST(255 AS INT) AS maxval, n_pix, r_sum, g_sum, b_sum,
+        |       CAST(r_sum * 1000 // n_pix AS BIGINT) AS r_mean_milli,
+        |       CAST(g_sum * 1000 // n_pix AS BIGINT) AS g_mean_milli,
+        |       CAST(b_sum * 1000 // n_pix AS BIGINT) AS b_mean_milli
+        |FROM s""".stripMargin
   )
 }

@@ -94,6 +94,112 @@ object Multimodal {
       }
   }
 
+  /** Binary PPM (P6) encode: `P6\n<comment>\n<w> <h>\n<maxval>\n` +
+    * raw RGB triples, row-major. Public, deterministic format
+    * (netpbm); used by [[synthesizePpm]] to build real image bytes
+    * and by tests to round-trip the decoder. */
+  def ppmEncode(width: Int, height: Int, rgb: Array[Byte],
+      comment: String = "graft synthetic"): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"payload ${rgb.length} != $width x $height x 3")
+    val header = s"P6\n# $comment\n$width $height\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    header ++ rgb
+  }
+
+  /**
+   * Synthesize a REAL image table: one valid P6 PPM per input row,
+   * dimensions and pixel bytes pure integer arithmetic in the row id —
+   * `width = 8 + id mod 16`, `height = 6 + id mod 9`, and byte of
+   * pixel p channel c = `(id·31 + p·7 + c·13) mod 256` — so an
+   * independent engine can replay every decoded feature from the id
+   * alone, without parsing the binary. (This container has no image
+   * corpus; the FORMAT is real even though the pixels are synthetic.)
+   */
+  def synthesizePpm(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { d =>
+      val w = 8 + (math.floorMod(d, 16L)).toInt
+      val h = 6 + (math.floorMod(d, 9L)).toInt
+      val rgb = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        var c = 0
+        while (c < 3) {
+          rgb(p * 3 + c) =
+            math.floorMod(d * 31L + p.toLong * 7L + c * 13L, 256L).toByte
+          c += 1
+        }
+        p += 1
+      }
+      (d.toString, "image", ppmEncode(w, h, rgb))
+    }.toDF("media_id", "media_type", "content")
+  }
+
+  /** Per-image features decoded from REAL pixel bytes. Sums and
+    * floor-milli means are exact integers — engine-replayable. */
+  final case class PpmFeatures(
+      media_id: String, width: Int, height: Int, maxval: Int,
+      n_pix: Long, r_sum: Long, g_sum: Long, b_sum: Long,
+      r_mean_milli: Long, g_mean_milli: Long, b_mean_milli: Long)
+
+  /**
+   * REAL codec step for one deterministic public format: parse the P6
+   * header (magic, `#` comments, arbitrary whitespace, width, height,
+   * maxval) and aggregate the raw RGB payload into per-channel sums
+   * and floor-milli means. Runs in the same `mapPartitions` batch
+   * shape as [[decodeStub]] — this is the swap point exercised with
+   * actual bytes instead of a fake: schema, partitioning, and batch
+   * iteration are identical to what a JNI/FFI jpeg/png decoder needs.
+   * Media bytes never cross a shuffle; each task holds one batch.
+   */
+  def decodePpm(media: DataFrame): Dataset[PpmFeatures] = {
+    implicit val enc = Encoders.product[PpmFeatures]
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getString(0)
+        val b = r.getAs[Array[Byte]](1)
+        require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+          s"not a P6 PPM: media_id=$id")
+        var pos = 2
+        def skipWsAndComments(): Unit = {
+          var done = false
+          while (!done && pos < b.length) {
+            val ch = b(pos)
+            if (ch == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+            else if (ch == ' ' || ch == '\n' || ch == '\r' || ch == '\t') pos += 1
+            else done = true
+          }
+        }
+        def readInt(): Int = {
+          skipWsAndComments()
+          require(pos < b.length && b(pos) >= '0' && b(pos) <= '9',
+            s"malformed PPM header: media_id=$id at byte $pos")
+          var v = 0
+          while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+            v = v * 10 + (b(pos) - '0'); pos += 1
+          }
+          v
+        }
+        val w = readInt(); val h = readInt(); val mx = readInt()
+        pos += 1 // exactly ONE whitespace byte separates maxval and payload
+        val n = w.toLong * h
+        require(b.length - pos >= n * 3,
+          s"truncated PPM payload: media_id=$id")
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var p = 0L
+        while (p < n) {
+          val o = pos + (p * 3).toInt
+          rs += b(o) & 0xff; gs += b(o + 1) & 0xff; bs += b(o + 2) & 0xff
+          p += 1
+        }
+        PpmFeatures(id, w, h, mx, n, rs, gs, bs,
+          rs * 1000L / n, gs * 1000L / n, bs * 1000L / n)
+      }
+    }
+  }
+
   /**
    * Frame-sample plan for video: explode per-frame timestamps (every
    * `everyMs`) WITHOUT materializing frame bytes — downstream decode

@@ -384,6 +384,49 @@ class ExtSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("multimodal PPM: encode/decode round-trip on a hand-computed " +
+      "image; comments and whitespace in the header are parsed") {
+    // 2x1 image: pixels (10,20,30) and (40,50,60)
+    val rgb = Array[Byte](10, 20, 30, 40, 50, 60)
+    val bytes = Multimodal.ppmEncode(2, 1, rgb, comment = "hand made")
+    val media = Seq(("x", "image", bytes))
+      .toDF("media_id", "media_type", "content")
+    val f = Multimodal.decodePpm(media).collect().head
+    assert(f.width === 2 && f.height === 1 && f.maxval === 255)
+    assert(f.n_pix === 2L)
+    assert((f.r_sum, f.g_sum, f.b_sum) === ((50L, 70L, 90L)))
+    // floor-milli means: 50*1000/2 = 25000 etc.
+    assert((f.r_mean_milli, f.g_mean_milli, f.b_mean_milli) ===
+      ((25000L, 35000L, 45000L)))
+    // high-bit bytes must read unsigned (200 > Byte.MaxValue)
+    val hi = Multimodal.ppmEncode(1, 1, Array[Byte](200.toByte, 0, 0))
+    val fh = Multimodal.decodePpm(Seq(("y", "image", hi))
+      .toDF("media_id", "media_type", "content")).collect().head
+    assert(fh.r_sum === 200L)
+    // a header with extra whitespace and multiple comments still parses
+    val wild = ("P6\n# one\n#two\n  2\t1 \n255\n"
+      .getBytes("US-ASCII")) ++ rgb
+    val fw = Multimodal.decodePpm(Seq(("z", "image", wild))
+      .toDF("media_id", "media_type", "content")).collect().head
+    assert(fw.width === 2 && fw.height === 1 && fw.b_sum === 90L)
+  }
+
+  test("multimodal PPM: synthesized corpus decodes to the id-formula " +
+      "features (the oracle's contract)") {
+    val ids = Seq(0L, 1L, 7L, 15L, 16L, 144L).toDF("doc_id")
+    val out = Multimodal.decodePpm(Multimodal.synthesizePpm(ids, "doc_id"))
+      .collect().map(f => f.media_id -> f).toMap
+    ids.as[Long].collect().foreach { d =>
+      val f = out(d.toString)
+      val w = 8 + (d % 16).toInt; val h = 6 + (d % 9).toInt
+      assert(f.width === w && f.height === h)
+      val want = (0 until 3).map { c =>
+        (0L until w.toLong * h).map(p => (d * 31 + p * 7 + c * 13) % 256).sum
+      }
+      assert((f.r_sum, f.g_sum, f.b_sum) === ((want(0), want(1), want(2))))
+    }
+  }
+
   test("pii scrub: emails, IPv4s, phones redacted with typed " +
       "placeholders in class order; clean text passes untouched") {
     val docs = Seq(
