@@ -525,7 +525,12 @@ object SparkEntry {
     // (close+open), the rest are version-skips (history untouched) —
     // both SCD2 paths certified. The oracle folds the per-(id, batch)
     // winners through the same open/close state machine recursively
-    // and derives validity ranges with lead(). ──
+    // and derives validity ranges with lead(). The oracle equates the
+    // ledger ordinal with the ts-range batch index bt, which holds
+    // because every replay batch is non-empty (equal ts-range splits
+    // of the events table) and each micro-batch applies exactly once;
+    // the target itself now records its marker only after the staged
+    // write, so a failed-and-retried stage cannot desync the two. ──
     "q_sync_scd2" -> ((s, dir) => {
       val work = tempStateDir()
       val preset = Preset(

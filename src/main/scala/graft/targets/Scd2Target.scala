@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
  * EVERY sync — including one whose diff opens nothing — or two
  * different syncs would share an ordinal and the history could not
  * distinguish them. `max(sync_in)+1` cannot provide that (it stalls
- * on a no-change sync); a driver-side marker is exact. A crash
- * between marker and snapshot write leaves a gap in the ordinal
+ * on a no-change sync); a driver-side marker is exact. The marker is
+ * recorded after the staged snapshot write and before the swap
+ * commit, so a failed/retried stage reuses its ordinal instead of
+ * burning it; a crash between marker and commit leaves a gap in the
  * sequence — harmless, ordinals are opaque and increasing.
  *
  * Scale shape: one snapshot merge per sync, same copy-on-write
@@ -99,24 +101,36 @@ final case class Scd2Target(
   def history(spark: SparkSession): DataFrame = {
     recoverPendingSwap()
     if (!exists)
+      // the empty frame's columns come from the CONFIGURED id/version
+      // names — hardcoding ("id", "version") made currentState's
+      // col(idColumn) unresolvable on the first sync of a target with
+      // a non-default idColumn
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("version",
-            org.apache.spark.sql.types.LongType))))
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField(idColumn,
+            org.apache.spark.sql.types.StringType) +:
+          versionColumn.map(vc =>
+            org.apache.spark.sql.types.StructField(vc,
+              org.apache.spark.sql.types.LongType)).toSeq))
     else spark.read.parquet(dataDir.toString)
   }
 
-  /** Next sync ordinal = number of prior applies (see the ledger
-    * note in the class doc); records the new marker. */
-  private def nextOrdinal(): Long = {
+  /** This apply's sync ordinal = number of recorded prior applies
+    * (see the ledger note in the class doc). Record the marker with
+    * [[recordOrdinal]] AFTER the staged snapshot write succeeds and
+    * BEFORE the swap commits: a failed/retried stage never burns an
+    * ordinal (re-stage reuses it), and a marker always precedes the
+    * commit that makes its ordinal visible, so two applies can never
+    * share one — gaps remain possible (crash between marker and
+    * commit) and remain harmless. */
+  private def ledgerCount(): Long =
+    Option(ledgerDir.listFiles()).map(_.length.toLong).getOrElse(0L)
+
+  private def recordOrdinal(n: Long): Unit = {
     ledgerDir.mkdirs()
-    val n = Option(ledgerDir.listFiles()).map(_.length.toLong).getOrElse(0L)
     java.nio.file.Files.createFile(
       new java.io.File(ledgerDir, f"k_$n%012d").toPath)
-    n
   }
 
   /** The diff runs against CURRENT rows only (`sync_out IS NULL`) —
@@ -145,7 +159,7 @@ final case class Scd2Target(
     val addedM = mapped(csp.added)
     val updatedM = mapped(csp.updated)
     val (nAdd, nUpd, nRem) = csp.counts
-    val k = nextOrdinal()
+    val k = ledgerCount()
 
     // ids whose current row closes this sync: superseded (update) or
     // removed — the touched set is the sync's delta, broadcast-sized
@@ -187,6 +201,7 @@ final case class Scd2Target(
     // live snapshot, never lose it to a crash mid-swap
     val staging = new java.io.File(path, "data.staging")
     next.write.mode("overwrite").parquet(staging.toString)
+    recordOrdinal(k) // after staging, before commit — see ledgerCount
     commitSwap(staging)
 
     DataTarget.dispatchSnapshotPhases(dispatch,
@@ -204,11 +219,12 @@ final case class Scd2Target(
     if (!h.columns.contains("sync_out")) return 0L
     val n = h.filter(col("sync_out").isNull).count()
     if (n > 0) {
-      val k = nextOrdinal()
+      val k = ledgerCount()
       val next = h.withColumn("sync_out",
         coalesce(col("sync_out"), lit(k)))
       val staging = new java.io.File(path, "data.staging")
       next.write.mode("overwrite").parquet(staging.toString)
+      recordOrdinal(k) // after staging, before commit — see ledgerCount
       commitSwap(staging)
     }
     n

@@ -123,6 +123,24 @@ class StreamingSpec extends SparkSpec {
     assert(kept.intersect(Set(1L, 2L)).size === 1)
   }
 
+  test("eviction-lag pin is version-guarded: the q_stream_dedup oracle " +
+      "replays empirically probed Spark 4.1 watermark propagation") {
+    // IncrementalSync.streamingDedup's doc (and the q_stream_dedup
+    // oracle) pin an EMPIRICALLY FITTED state machine: under an
+    // AvailableNow replay, eviction during batch N uses the watermark
+    // from batches <= N-2. That lag is an implementation detail of
+    // Spark's watermark propagation, not a documented contract — a
+    // Spark upgrade that tightens it would flip the oracle row with no
+    // code change in this repo. Fail HERE, loudly, instead: bumping
+    // Spark requires re-probing the lag (tools in StreamingSpec +
+    // the q_stream_dedup oracle's recursive fold) before trusting it.
+    assert(org.apache.spark.SPARK_VERSION.startsWith("4.1."),
+      s"Spark ${org.apache.spark.SPARK_VERSION}: re-probe the " +
+        "dropDuplicatesWithinWatermark eviction lag (batches <= N-2) " +
+        "and update the q_stream_dedup oracle before accepting this " +
+        "version — see IncrementalSync.streamingDedup's scaladoc")
+  }
+
   test("stream-stream interval join: clicks attribute to views of the " +
       "same user within the horizon; outside-horizon clicks drop") {
     implicit val sqlCtx = spark.sqlContext

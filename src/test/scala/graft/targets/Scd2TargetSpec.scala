@@ -44,6 +44,52 @@ class Scd2TargetSpec extends SparkSpec {
     assert(cur === Set(("a", 9L), ("b", 5L), ("c", 1L)))
   }
 
+  test("first sync with a NON-DEFAULT idColumn resolves (empty-history " +
+      "schema derives from the configured id/version names)") {
+    val dir = tmpDir("scd2-idcol")
+    val target = Scd2Target(s"$dir/hist", idColumn = "order_key",
+      versionColumn = Some("rev"))
+    // currentState on a never-written target must not throw on
+    // col(idColumn) — this crashed when the empty frame hardcoded
+    // (id, version)
+    assert(target.currentState(spark).count() === 0L)
+    new ImportService(Preset(
+      InlineSource(s => { import s.implicits._
+        Seq(("k1", 4L, "x0")).toDF("id", "version", "attr") }),
+      target,
+      Mapper(Seq("attr" -> "attr")),
+      idAttribute = "id", versionAttribute = Some("version"),
+      skipRemovedRecords = true)).importData(spark)
+    val h = target.history(spark)
+      .select(col("order_key"), col("sync_in").cast("long"))
+      .as[(String, Long)].collect().toSet
+    assert(h === Set(("k1", 0L)))
+  }
+
+  test("a failed staged write does not burn a sync ordinal (marker is " +
+      "recorded between staging and commit)") {
+    val dir = tmpDir("scd2-retry")
+    new ImportService(preset(dir, Seq(("a", 1L, "a0")))).importData(spark)
+    // simulate a stage-time failure: a sync whose source explodes
+    // BEFORE the staged write — the ledger must not advance
+    intercept[Exception] {
+      new ImportService(Preset(
+        InlineSource(_ => sys.error("source down")),
+        Scd2Target(s"$dir/hist"),
+        Mapper(Seq("attr" -> "attr")),
+        idAttribute = "id", versionAttribute = Some("version"),
+        skipRemovedRecords = true)).importData(spark)
+    }
+    // the retry lands with ordinal 1, not 2
+    new ImportService(preset(dir, Seq(("a", 9L, "a1")))).importData(spark)
+    val h = Scd2Target(s"$dir/hist").history(spark)
+      .select($"id", $"sync_in".cast("long"), $"sync_out".cast("long"))
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(h === Set(
+      ("a", 0L, Some(1L)),
+      ("a", 1L, None)))
+  }
+
   test("sync ordinals advance on NO-CHANGE syncs too (apply ledger, " +
       "not max(sync_in)+1), so distinct syncs never share an ordinal") {
     val dir = tmpDir("scd2-ordinal")
