@@ -99,6 +99,57 @@ class JdbcTargetSpec extends SparkSpec {
     assert(rows(url).map(_._1) === Set("a", "c"))
   }
 
+  test("mid-batch CHECK-constraint violations in BOTH phases: exact " +
+      "error count, survivors land, remove phase still runs, import " +
+      "completes (ImportService.php:144-149 continuation semantics)") {
+    // integrity constraint enforced by the DATABASE, not a bind-time
+    // data error: version must stay under 100
+    val name = "sync_ck"
+    val url = s"jdbc:derby:memory:$name;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE persons (id VARCHAR(32) PRIMARY KEY, " +
+        "name VARCHAR(10), version BIGINT, CHECK (version < 100))")
+    conn.close()
+    val target = JdbcTarget(s"jdbc:derby:memory:$name", "persons")
+    def preset(data: Seq[(String, Long, String)]) = Preset(
+      InlineSource(s => { import s.implicits._
+        data.toDF("id", "version", "name") }),
+      target, mapper, idAttribute = "id", versionAttribute = Some("version"))
+
+    // sync 1: clean baseline
+    val r1 = new ImportService(preset(Seq(
+      ("a", 1L, "Ada"), ("b", 2L, "Bob"), ("c", 3L, "Cyd"))))
+      .importData(spark)
+    assert((r1.added, r1.errors) === ((3L, 0L)))
+
+    // sync 2 in one batch per phase:
+    //   UPDATE phase: a@150 violates CHECK mid-batch, b@5 succeeds
+    //   INSERT phase: d@200 violates CHECK mid-batch, e@4 succeeds
+    //   REMOVE phase: c absent from source -> must still delete
+    val errEvents = scala.collection.mutable.ArrayBuffer[String]()
+    val r2 = new ImportService(preset(Seq(
+      ("a", 150L, "AdaX"), ("b", 5L, "Bob2"),
+      ("d", 200L, "Dug"), ("e", 4L, "Eve"))))
+      .on((e, p) => if (e == graft.pipeline.ImportEvent.Error)
+        errEvents += p.toString)
+      .importData(spark)
+    // the import COMPLETED (no throw) with exactly the two bad rows
+    // counted — the reference's per-record \Error continuation, not
+    // the abort-the-import \Exception path
+    assert(r2.errors === 2L)
+    assert(r2.removed === 1L)
+    assert(r2.errorSamples.map(_._1).toSet === Set("a", "d"))
+    assert(errEvents.exists(_.contains("\"a\"")) &&
+      errEvents.exists(_.contains("\"d\"")))
+    // survivors of each phase landed; the failed update left a's old
+    // row intact; the failed insert left no d row; c's delete ran
+    assert(rows(s"jdbc:derby:memory:$name") === Set(
+      ("a", "Ada", 1L),   // update rejected by CHECK -> row unchanged
+      ("b", "Bob2", 5L),  // same-batch survivor applied
+      ("e", "Eve", 4L)))  // insert-phase survivor applied, c removed
+  }
+
   test("connection-class failure aborts the run instead of counting " +
       "errors (ImportService.php:147-149 Exception semantics)") {
     val good = freshDb("sync6")
