@@ -1836,6 +1836,21 @@ object SparkEntry {
       val media = Multimodal.synthesizePpm(
         s.read.parquet(t(dir, "documents")), "doc_id")
       Multimodal.decodePpm(media).toDF()
+    }),
+
+    // ── REAL codec tier #2, audio: one valid RIFF/WAVE PCM file per
+    // document (rate/channels/samples pure integer arithmetic in the
+    // doc_id, plus a LIST junk chunk the parser must word-align
+    // past), decoded by an actual chunk walker + payload aggregation
+    // in the same mapPartitions batch shape. The oracle replays every
+    // feature — rate, channels, frame count, floor-ms duration,
+    // per-channel sums, absolute energy, peak — from the id formula
+    // without touching the binary, certifying the decoder read the
+    // bytes it was handed. ──
+    "q_multimodal_wav" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWav(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      Multimodal.decodeWav(media).toDF()
     })
   )
 
@@ -2975,7 +2990,7 @@ object SparkEntry {
         |  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
         |      AS xm
-        |  FROM embeddings, range(1, 65) t(i)),
+        |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)),
         |a AS (SELECT label, dim, count(*) AS n_vecs,
         |        CAST(sum(xm) AS BIGINT) AS sum_micro
         |      FROM x GROUP BY label, dim)
@@ -3801,6 +3816,34 @@ object SparkEntry {
         |       CAST(r_sum * 1000 // n_pix AS BIGINT) AS r_mean_milli,
         |       CAST(g_sum * 1000 // n_pix AS BIGINT) AS g_mean_milli,
         |       CAST(b_sum * 1000 // n_pix AS BIGINT) AS b_mean_milli
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // replays graft.ext.Multimodal.synthesizeWav's id formulas —
+    // sample of frame f channel c = ((id·37 + f·11 + c·5) mod 4001)
+    // − 2000 over nf = 50 + id mod 101 frames — entirely from doc_id
+    "q_multimodal_wav" ->
+      """WITH p AS (
+        |  SELECT doc_id AS d,
+        |         8000 + 4000 * (doc_id % 4) AS sr,
+        |         1 + doc_id % 2 AS ch,
+        |         50 + doc_id % 101 AS nf
+        |  FROM documents),
+        |s AS (SELECT d, sr, ch, nf, c,
+        |        ((d * 37 + f * 11 + c * 5) % 4001) - 2000 AS v
+        |      FROM p,
+        |           LATERAL unnest(range(0, nf)) t(f),
+        |           LATERAL unnest(range(0, ch)) u(c)),
+        |a AS (SELECT d, sr, ch, nf,
+        |        CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS c0_sum,
+        |        CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS c1_sum,
+        |        CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+        |        CAST(max(abs(v)) AS BIGINT) AS peak
+        |      FROM s GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(d AS VARCHAR) AS media_id,
+        |       CAST(sr AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+        |       CAST(16 AS INT) AS bits, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(nf * 1000 // sr AS BIGINT) AS duration_ms,
+        |       c0_sum, c1_sum, abs_sum, peak
+        |FROM a""".stripMargin
   )
 }

@@ -200,6 +200,155 @@ object Multimodal {
     }
   }
 
+  /** Little-endian helpers for RIFF containers. */
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** Binary RIFF/WAVE encode: canonical PCM container — `RIFF` size
+    * `WAVE`, a 16-byte `fmt ` chunk (format 1 = integer PCM), an
+    * arbitrary extra chunk (e.g. `LIST`) the decoder must skip, then
+    * the `data` chunk with 16-bit little-endian interleaved samples.
+    * Odd-sized chunks carry the RIFF word-alignment pad byte. Public,
+    * deterministic format; used by [[synthesizeWav]] to build real
+    * audio bytes and by tests to round-trip the decoder. */
+  def wavEncode(sampleRate: Int, channels: Int, samples: Array[Short],
+      junk: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of channels=$channels")
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val dataLen = samples.length * 2
+    def padded(n: Int) = n + (n & 1)
+    val junkPart =
+      if (junk.isEmpty) Array.emptyByteArray
+      else "LIST".getBytes("US-ASCII") ++ le32(junk.length) ++ junk ++
+        (if ((junk.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray)
+    val riffLen = 4 + (8 + 16) + junkPart.length + 8 + padded(dataLen)
+    val out = new java.io.ByteArrayOutputStream(8 + riffLen)
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(riffLen))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+    out.write(le16(1)) // PCM
+    out.write(le16(channels)); out.write(le32(sampleRate))
+    out.write(le32(sampleRate * blockAlign)) // byte rate
+    out.write(le16(blockAlign)); out.write(le16(bits))
+    out.write(junkPart)
+    out.write("data".getBytes("US-ASCII")); out.write(le32(dataLen))
+    samples.foreach(s => out.write(le16(s & 0xffff)))
+    if ((dataLen & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /**
+   * Synthesize a REAL audio table: one valid RIFF/WAVE PCM file per
+   * input row, every parameter pure integer arithmetic in the row id —
+   * `sample_rate = 8000 + 4000·(id mod 4)`, `channels = 1 + id mod 2`,
+   * `n_frames = 50 + id mod 101`, and the 16-bit sample of frame f
+   * channel c is `((id·37 + f·11 + c·5) mod 4001) − 2000` — so an
+   * independent engine can replay every decoded feature from the id
+   * alone, without parsing the binary. Each file also carries a
+   * `LIST` chunk of `7 + id mod 4` junk bytes (odd sizes exercise the
+   * decoder's word-alignment skip). (This container has no audio
+   * corpus; the FORMAT is real even though the waveform is synthetic.)
+   */
+  def synthesizeWav(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { d =>
+      val sr = 8000 + 4000 * math.floorMod(d, 4L).toInt
+      val ch = 1 + math.floorMod(d, 2L).toInt
+      val nf = 50 + math.floorMod(d, 101L).toInt
+      val samples = new Array[Short](nf * ch)
+      var f = 0
+      while (f < nf) {
+        var c = 0
+        while (c < ch) {
+          samples(f * ch + c) =
+            (math.floorMod(d * 37L + f.toLong * 11L + c * 5L, 4001L) - 2000L).toShort
+          c += 1
+        }
+        f += 1
+      }
+      val junk = Array.tabulate(7 + math.floorMod(d, 4L).toInt)(i =>
+        math.floorMod(d + i, 251L).toByte)
+      (d.toString, "audio", wavEncode(sr, ch, samples, junk))
+    }.toDF("media_id", "media_type", "content")
+  }
+
+  /** Per-file features decoded from REAL PCM bytes. All exact
+    * integers — engine-replayable. `c1_sum` is 0 for mono. */
+  final case class WavFeatures(
+      media_id: String, sample_rate: Int, channels: Int, bits: Int,
+      n_frames: Long, duration_ms: Long,
+      c0_sum: Long, c1_sum: Long, abs_sum: Long, peak: Long)
+
+  /**
+   * REAL codec step for a second deterministic public format: walk
+   * the RIFF chunk list (magic checks, little-endian sizes, word
+   * alignment, unknown-chunk skip), parse the PCM `fmt ` chunk, and
+   * aggregate the `data` payload into per-channel sums, total
+   * absolute energy, and peak amplitude. Same `mapPartitions` batch
+   * shape as [[decodePpm]]: media bytes never cross a shuffle; each
+   * task holds one batch of blobs.
+   */
+  def decodeWav(media: DataFrame): Dataset[WavFeatures] = {
+    implicit val enc = Encoders.product[WavFeatures]
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getString(0)
+        val b = r.getAs[Array[Byte]](1)
+        def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+        def u32(off: Int): Long =
+          (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+            ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+        def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+        require(b.length >= 12 && ascii(0, 4) == "RIFF" &&
+          ascii(8, 4) == "WAVE", s"not a RIFF/WAVE file: media_id=$id")
+        var pos = 12
+        var sr = -1; var ch = -1; var bits = -1
+        var dataOff = -1; var dataLen = -1L
+        while (pos + 8 <= b.length && (sr < 0 || dataOff < 0)) {
+          val cid = ascii(pos, 4); val clen = u32(pos + 4)
+          val body = pos + 8
+          cid match {
+            case "fmt " =>
+              require(clen >= 16, s"short fmt chunk: media_id=$id")
+              require(u16(body) == 1, s"non-PCM WAVE: media_id=$id")
+              ch = u16(body + 2); sr = u32(body + 4).toInt
+              bits = u16(body + 14)
+            case "data" => dataOff = body; dataLen = clen
+            case _ => // unknown chunk (LIST etc): skip
+          }
+          pos = body + clen.toInt + (clen.toInt & 1) // word-aligned
+        }
+        require(sr > 0 && ch > 0 && dataOff >= 0,
+          s"missing fmt/data chunk: media_id=$id")
+        require(bits == 16, s"unsupported bit depth $bits: media_id=$id")
+        require(dataOff + dataLen <= b.length,
+          s"truncated data chunk: media_id=$id")
+        val nFrames = dataLen / (ch * 2)
+        var c0 = 0L; var c1 = 0L; var abs = 0L; var peak = 0L
+        var f = 0L
+        while (f < nFrames) {
+          var c = 0
+          while (c < ch) {
+            val v = u16(dataOff + ((f * ch + c) * 2).toInt).toShort.toLong
+            if (c == 0) c0 += v else c1 += v
+            val a = math.abs(v)
+            abs += a; if (a > peak) peak = a
+            c += 1
+          }
+          f += 1
+        }
+        WavFeatures(id, sr, ch, bits, nFrames,
+          nFrames * 1000L / sr, c0, c1, abs, peak)
+      }
+    }
+  }
+
   /**
    * Frame-sample plan for video: explode per-frame timestamps (every
    * `everyMs`) WITHOUT materializing frame bytes — downstream decode

@@ -427,6 +427,58 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("multimodal WAV: encode/decode round-trip on a hand-computed " +
+      "stereo clip; LIST junk chunks (odd AND even sized) are skipped") {
+    // 3 frames stereo: L = 100, -200, 32767; R = -1, 0, -32768
+    val samples = Array[Short](100, -1, -200, 0, 32767, -32768)
+    val odd = Multimodal.wavEncode(16000, 2, samples,
+      junk = Array[Byte](1, 2, 3)) // 3-byte LIST body => pad byte
+    val f = Multimodal.decodeWav(Seq(("x", "audio", odd))
+      .toDF("media_id", "media_type", "content")).collect().head
+    assert(f.sample_rate === 16000 && f.channels === 2 && f.bits === 16)
+    assert(f.n_frames === 3L)
+    assert(f.duration_ms === 3L * 1000 / 16000) // floor => 0
+    assert(f.c0_sum === (100L - 200 + 32767))
+    assert(f.c1_sum === (-1L + 0 - 32768))
+    assert(f.abs_sum === (100L + 200 + 32767 + 1 + 0 + 32768))
+    assert(f.peak === 32768L)
+    val even = Multimodal.wavEncode(8000, 1, Array[Short](-5, 5),
+      junk = Array[Byte](9, 9, 9, 9))
+    val fe = Multimodal.decodeWav(Seq(("y", "audio", even))
+      .toDF("media_id", "media_type", "content")).collect().head
+    assert(fe.channels === 1 && fe.n_frames === 2L &&
+      fe.c0_sum === 0L && fe.c1_sum === 0L && fe.abs_sum === 10L)
+    // no junk chunk at all still parses
+    val bare = Multimodal.wavEncode(20000, 1, Array[Short](7))
+    val fb = Multimodal.decodeWav(Seq(("z", "audio", bare))
+      .toDF("media_id", "media_type", "content")).collect().head
+    assert(fb.sample_rate === 20000 && fb.c0_sum === 7L && fb.peak === 7L)
+  }
+
+  test("multimodal WAV: synthesized corpus decodes to the id-formula " +
+      "features (the oracle's contract)") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 100L, 101L, 4041L).toDF("doc_id")
+    val out = Multimodal.decodeWav(Multimodal.synthesizeWav(ids, "doc_id"))
+      .collect().map(f => f.media_id -> f).toMap
+    ids.as[Long].collect().foreach { d =>
+      val f = out(d.toString)
+      val sr = 8000 + 4000 * (d % 4).toInt
+      val ch = 1 + (d % 2).toInt
+      val nf = 50 + (d % 101).toInt
+      assert(f.sample_rate === sr && f.channels === ch && f.n_frames === nf.toLong)
+      assert(f.duration_ms === nf.toLong * 1000 / sr)
+      val vs = for (fr <- 0 until nf; c <- 0 until ch)
+        yield ((d * 37 + fr * 11 + c * 5) % 4001) - 2000
+      assert(f.c0_sum ===
+        (0 until nf).map(fr => ((d * 37 + fr * 11) % 4001) - 2000).sum)
+      assert(f.c1_sum === (if (ch == 2)
+        (0 until nf).map(fr => ((d * 37 + fr * 11 + 5) % 4001) - 2000).sum
+        else 0L))
+      assert(f.abs_sum === vs.map(math.abs).sum)
+      assert(f.peak === vs.map(math.abs).max)
+    }
+  }
+
   test("pii scrub: emails, IPv4s, phones redacted with typed " +
       "placeholders in class order; clean text passes untouched") {
     val docs = Seq(
