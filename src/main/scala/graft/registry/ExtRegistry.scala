@@ -1,0 +1,1927 @@
+package graft.registry
+
+import graft.core.{Diff, DiffOptions, Records}
+import graft.ext.{Assemble, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.mapper.Mapper
+import graft.pipeline.{ImportService, Preset}
+import graft.sources.InlineSource
+import graft.targets.{FileTarget, JdbcTarget}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Shared._
+
+  /** LLM-training-data pipeline operators (BASELINE.json north star). */
+private[graft] object ExtRegistry {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup on a 5-token-prefix fingerprint (creates real
+    // collisions in the synthetic corpus; keeps min doc_id per group)
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val fp = md5(concat_ws(" ",
+        slice(split(lower(trim(col("text"))), "\\s+"), 1, 5)).cast("binary"))
+      val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+      d.withColumn("fingerprint", fp)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("fingerprint"))
+    }),
+
+    // passage-level dedup: chunk fingerprints shared by >1 document
+    // (aligned duplication — boilerplate, common prefixes, copies)
+    "q_chunk_dedup" -> ((s, dir) =>
+      graft.util.Tables.spread(s.read.parquet(t(dir, "documents")))
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunkHashes(col("text"), 32))
+            .as("chunk_hash"))
+        .groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .filter(col("n_docs") > 1)),
+
+    // content-defined chunking: shared passages found regardless of
+    // their offset in the document (the fixed-position variant above
+    // only catches aligned duplication)
+    "q_cdc_chunks" -> ((s, dir) =>
+      TextAnalysis.cdcChunks(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", 64)
+        .filter(col("n_tokens") >= 8)
+        .groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") > 1)),
+
+    // deterministic stratified hash sampling — same rows every run,
+    // every engine, any partitioning (oracle replays the selection)
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.ext.Sampling.stratified(
+        tbl(s, dir, "events"), "event_id", "event_type",
+        rates = Map("view" -> 0.1, "click" -> 0.5), defaultRate = 1.0)
+        .select(col("event_id"), col("event_type"), col("user_id"))),
+
+    // text analysis: tokens, ratios, quality, lang-id, fingerprint
+    "q_text_analysis" -> ((s, dir) =>
+      TextAnalysis.analyze(s.read.parquet(t(dir, "documents")))),
+
+    // PII scrub: redact emails → IPv4s → phones with typed
+    // placeholders, counting each class. The corpus carries no PII,
+    // so a deterministic contact line derived from doc_id is appended
+    // on BOTH engines (the synthetic-input convention the sync
+    // queries use) — the scrub does real work and the oracle verifies
+    // real redactions.
+    "q_pii_scrub" -> ((s, dir) => {
+      val withPii = s.read.parquet(t(dir, "documents")).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 (555) 010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" at 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.1")).as("text"))
+      TextAnalysis.piiScrub(withPii, "doc_id", "text")
+    }),
+
+    // HTML→text extraction on synthetic markup (the PII convention:
+    // the corpus has no HTML, so a deterministic wrapper derived
+    // from doc_id is added on BOTH engines — scripts/styles/
+    // comments/tags/entities all exercised, cleaned text replayed
+    // byte-for-byte)
+    "q_html_strip" -> ((s, dir) => {
+      val wrapped = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><script type=\"text/javascript\">var n=2;\ntrack();</script><style>.c{margin:0}</style></head><body><!-- hdr -->"),
+          lit("<p class=\"b\">"), coalesce(col("text"), lit("")),
+          lit("</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot;&#39;s&nbsp;end</div></body></html>"))
+          .as("text"))
+      TextAnalysis.stripHtml(wrapped, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // corpus-wide duplicate-line removal (C4 repeated-line rule /
+    // Dolma paragraph dedup): each non-blank line keeps only its
+    // first (doc_id, position) occurrence across the corpus
+    "q_line_dedup" -> ((s, dir) => {
+      TextAnalysis.c4LineDedup(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Gopher-style repetition quality signals: top token / top 2-gram
+    // frequency, longest same-token run, duplicate-token fraction
+    "q_quality_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // unigram-LM surprisal scoring (the CCNet/KenLM quality-filter
+    // shape: corpus-trained token frequencies → per-doc total/mean
+    // surprisal; integer micro-nats before the sum, so the aggregate
+    // is exact and order-free)
+    "q_unigram_ppl" -> ((s, dir) =>
+      Assemble.unigramSurprisal(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // bigram-LM surprisal with add-one smoothing (one rung up the LM
+    // ladder toward the CCNet 5-gram scorer): integer micro-nats
+    // before the sum, exact integer mean — order-free and replayable
+    "q_bigram_ppl" -> ((s, dir) =>
+      Assemble.bigramSurprisal(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // exact-k-per-stratum sample (fixed-budget eval sets: "exactly
+    // 20 per event type"): portable-hash rank within stratum, the
+    // same any-engine/any-partitioning reproducibility contract as
+    // the rate-based sampler; WindowGroupLimit keeps the shuffle at
+    // O(k·strata·tasks)
+    "q_sample_exact_k" -> ((s, dir) =>
+      graft.ext.Sampling.exactKPerStratum(
+        tbl(s, dir, "events"), "event_id", "event_type", k = 20)
+        .select(col("event_id"), col("event_type"), col("user_id"))),
+
+    // deterministic train/val/test split (90/5/5 hash cells):
+    // disjoint by construction, stable under reprocessing
+    "q_split" -> ((s, dir) =>
+      graft.ext.Sampling.split(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+
+    // interpolated trigram surprisal (Jelinek-Mercer; the LM-ladder
+    // rung the CCNet 5-gram scorer generalizes): fixed-order
+    // interpolation over exact integer counts, one micro-nat
+    // truncation, exact integer per-doc totals
+    "q_trigram_ppl" -> ((s, dir) =>
+      Assemble.trigramSurprisal(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // deterministic domain-mixture sampling over events: hit target
+    // event_type proportions 1:3:6 by downsampling only; exact
+    // integer thresholds end to end (signup/error carry no weight —
+    // dropped)
+    "q_mix_domains" -> ((s, dir) =>
+      Assemble.mixture(tbl(s, dir, "events"), "event_id", "event_type",
+        Map("view" -> 1L, "click" -> 3L, "purchase" -> 6L))
+        .select(col("event_id"), col("event_type"), col("user_id"))),
+
+    // temperature-flattened mixture (T=2 over 1:3:6): integer
+    // milli-weights computed once on the driver, identical literals
+    // embedded in the oracle — the exact-integer selection unchanged
+    "q_mix_temperature" -> ((s, dir) =>
+      Assemble.mixtureTemperature(tbl(s, dir, "events"),
+        "event_id", "event_type",
+        Map("view" -> 1L, "click" -> 3L, "purchase" -> 6L),
+        temperature = 2.0, scale = 50L)
+        .select(col("event_id"), col("event_type"), col("user_id"))),
+
+    // sequence packing: documents → fixed-512-token training
+    // sequences in 8 hash shards (greedy concat-and-chop in id order
+    // per shard)
+    "q_seq_pack" -> ((s, dir) =>
+      Assemble.packSequences(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        seqLen = 512, shards = 8)
+        .withColumnRenamed("id", "doc_id")),
+
+    // corpus vocabulary with document frequencies (tokenizer/BPE
+    // corpus prep): token -> total count + containing-doc count
+    "q_vocab" -> ((s, dir) =>
+      Assemble.vocabulary(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        minCount = 5L)),
+
+    // bigram PMI (collocation mining — the phrase-detection pass of
+    // tokenizer/corpus prep): ln((c_ab·N)/(c_a·c_b)) over exact
+    // integer counts, truncated once to micro-nats; top collocations
+    // by a total order. One explode for bigrams via an in-array zip
+    // (no second token shuffle), unigram table joined twice (AQE
+    // broadcasts the vocab-sized sides)
+    "q_pmi" -> ((s, dir) => {
+      val toks = graft.util.Tables.spread(
+        s.read.parquet(t(dir, "documents")))
+        .select(graft.ext.TextAnalysis.normTokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val bi = toks.select(explode(
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat_ws(" ", element_at(col("ts"), i),
+              element_at(col("ts"), i + 1)))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uni = graft.util.Tables.spread(
+        s.read.parquet(t(dir, "documents")))
+        .select(explode(
+          graft.ext.TextAnalysis.normTokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val nRow = uni.agg(sum(col("c"))).head()
+      val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0) // empty corpus
+      bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), Seq("w1"))
+        .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), Seq("w2"))
+        .withColumn("pmi_micro",
+          floor(log((col("c_ab") * n).cast("double") /
+            (col("c_a") * col("c_b"))) * 1000000L).cast("long"))
+        .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+          col("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("bigram")).limit(50)
+    }),
+
+    // TF-IDF top-3 salient terms per document (keyword extraction /
+    // topic tagging / per-domain vocabulary-drift monitoring):
+    // exact-integer scoring — ln(N/df) truncated ONCE to micro-nats,
+    // then tf·idf is pure LONG arithmetic and the per-doc top-k is a
+    // total order (score desc, token asc)
+    "q_tfidf" -> ((s, dir) =>
+      Assemble.tfidfTopTerms(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", topK = 3)
+        .withColumnRenamed("id", "doc_id")),
+
+    // int8 embedding quantization (the 4-bytes/dim -> 1 storage
+    // path): absmax scale + floor quantizer; the oracle checks the
+    // scale (floor-micro integer — no round-half convention; absmax
+    // of a float column is the same exact double in both engines)
+    // and an exact integer checksum of the quantized vector
+    "q_embed_quantize" -> ((s, dir) =>
+      Assemble.quantizeInt8(
+        s.read.parquet(t(dir, "embeddings")), "vec_id")
+        .select(col("vec_id"),
+          floor(col("scale") * 1000000L).cast("long").as("scale_micro"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          size(col("q")).cast("long").as("n_dims"))),
+
+    // train/test contamination: 13-gram overlap of each "test" doc
+    // (odd ids) against the "train" corpus (even ids) — the
+    // decontamination pass run before training. Hash-keyed semi-join;
+    // the oracle joins the gram STRINGS, so a green row also
+    // certifies the 60-bit hash join is collision-free here.
+    "q_contamination" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      Dedup.contamination(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 13)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Bloom-prefiltered contamination — IDENTICAL output to
+    // q_contamination (same oracle SQL): the test-gram bloom filters
+    // the training grams map-side BEFORE their distinct shuffle, and
+    // the exact semi-join after it absorbs the bloom's false
+    // positives. The green row certifies the composed path is exact.
+    "q_contamination_bloom" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      Dedup.contaminationBloom(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 13)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // near-dup CLUSTERS: minhash pairs collapsed by connected
+    // components (large-star/small-star) — transitive closure, so
+    // A~B, B~C lands A,B,C in ONE cluster even when A~C was never a
+    // pair. Oracle: DuckDB replays the pairs, then a recursive CTE
+    // computes reachability and takes the component min.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashDedup(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", threshold = 0.5,
+        baseHash = TextAnalysis.portableHash60)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // the capstone composition: fuzzy dedup (minhash pairs → CC →
+    // one survivor per cluster) then the deterministic training
+    // permutation over the survivors — "prepare this corpus for
+    // training" as ONE oracle-certified query
+    "q_dedup_shuffle" -> ((s, dir) => {
+      val survivors = Dedup.fuzzyDedup(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        threshold = 0.5, baseHash = TextAnalysis.portableHash60)
+      Assemble.shuffleShards(survivors, "doc_id", shards = 16)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // quality-aware fuzzy dedup (the Dolma/FineWeb survivor rule):
+    // within each near-dup cluster keep the LONGEST doc (token
+    // count), ties by lowest id — instead of min-id
+    "q_dedup_best" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      Dedup.fuzzyDedupBest(d, "doc_id", "text",
+        metric = TextAnalysis.wsTokenCount(col("text")).cast("long"),
+        threshold = 0.5, baseHash = TextAnalysis.portableHash60)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // deterministic corpus shuffle-and-shard: reproducible training
+    // permutation with no global sort — hash-mod shard, row_number
+    // within shard on (hash, id)
+    "q_shuffle_shards" -> ((s, dir) =>
+      Assemble.shuffleShards(
+        s.read.parquet(t(dir, "documents")), "doc_id", shards = 64)
+        .withColumnRenamed("id", "doc_id")),
+
+    // LSH bucket-skew pre-flight: per band, bucket counts and the
+    // EXACT candidate-pair volume the banded self-join would generate
+    // — the number that predicts (and would flag) a degenerate-bucket
+    // blowup before a 100 TB dedup run
+    "q_lsh_skew" -> ((s, dir) =>
+      Dedup.lshBucketStats(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", baseHash = TextAnalysis.portableHash60)),
+
+    // duplicate-passage annotation per document (Dolma-style quality
+    // signal): fraction of each doc's 32-token chunks that appear in
+    // at least one OTHER document
+    "q_dup_chunks" -> ((s, dir) =>
+      TextAnalysis.dupChunkStats(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // winnowing (MOSS) shared-substring report: fingerprints present
+    // in >1 doc — guaranteed to fire for any shared token run of
+    // length >= k + window - 1 = 11, at any offsets
+    "q_winnow_dup" -> ((s, dir) => {
+      val fps = TextAnalysis.winnowFingerprints(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      fps.groupBy(col("fp")).agg(
+          count(lit(1)).as("n_docs"),
+          min(col("id")).as("min_doc"), max(col("id")).as("max_doc"))
+        .filter(col("n_docs") > 1)
+    }),
+
+    // shift-robust duplicate-passage annotation: token-weighted dup
+    // fraction over content-defined chunks (catches offset-shifted
+    // shared passages that fixed-position chunks miss)
+    "q_dup_chunks_cdc" -> ((s, dir) =>
+      TextAnalysis.dupCdcStats(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // exact duplicated-span annotation (Lee et al. 2022 / Dolma
+    // exact-substring signal): maximal cross-doc repeated runs of
+    // >= 13 tokens, with exact per-doc token coverage in integer ppm
+    "q_span_dedup" -> ((s, dir) =>
+      TextAnalysis.dupSpanStats(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // the full Gopher rule battery (Rae et al. 2021, Table A1):
+    // per-doc quality signals + the composite pass flag, every
+    // fraction rounded before comparison so the flag replays exactly
+    "q_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        minWords = 20L)
+        .withColumnRenamed("id", "doc_id")),
+
+    // the full Gopher REPETITION battery (Rae et al. 2021, Table A1
+    // bottom half): duplicate-line / duplicate-line-char fractions,
+    // top-{2,3,4}-gram char fractions, duplicate-{5..10}-gram char
+    // fractions with exact overlap-free island coverage — every
+    // fraction a truncating integer ppm, so the rows replay exactly
+    "q_gopher_repetition" -> ((s, dir) =>
+      TextAnalysis.gopherRepetition(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // hashed-bag-of-words linear classifier scoring (the fastText
+    // quality-gate shape): token → hash bucket → deterministic
+    // weight; exact-integer keep decision, engine-replayable
+    "q_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.hashedClassifierScore(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // CCNet-style perplexity bucketing: per-language head/middle/tail
+    // thirds by exact-integer mean unigram surprisal, split with
+    // ntile over a total order — no FP in the bucket decision
+    "q_ppl_buckets" -> ((s, dir) =>
+      Assemble.pplBuckets(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", "lang")
+        .withColumnRenamed("id", "doc_id")),
+
+    // the 100 TB shape of q_ppl_buckets, oracle-certified: split on
+    // approx_percentile cutoffs over the salted unique key instead of
+    // the per-language ntile funnel. Below the sketch's compression
+    // threshold (2·n/accuracy < 1 — gate languages hold ≤ 218 docs at
+    // accuracy 10000) the cutoff is provably the element at rank
+    // ceil(p·n), which DuckDB replays as an exact rank selection —
+    // same contract as q_percentile_approx.
+    "q_ppl_buckets_approx" -> ((s, dir) =>
+      Assemble.pplBucketsApprox(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", "lang")
+        .withColumnRenamed("id", "doc_id")),
+
+    // encoding-damage signals: U+FFFD replacement chars + C0 control
+    // chars (minus tab/LF/CR). The corpus is clean, so deterministic
+    // damage is injected by doc_id (the synthetic-input convention
+    // the PII query uses) — the gate verifies real detections.
+    "q_encoding" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("�"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0, expr("chr(7)"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.encodingSignals(d, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // per-document character-distribution entropy in exact integer
+    // micro-nats (gibberish / degenerate-text signal)
+    "q_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // C4 line-level cleaning: keep lines ending in terminal
+    // punctuation with >= minWords words and no boilerplate markers;
+    // doc survives with >= minKeptLines lines. The oracle replays the
+    // cleaned TEXT byte-for-byte. Documents are single-line prose, so
+    // minWords=5/minKeptLines=1 exercises both keep and drop paths.
+    "q_c4_lines" -> ((s, dir) =>
+      TextAnalysis.c4LineFilter(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        minWords = 5, minKeptLines = 1)
+        .withColumnRenamed("id", "doc_id")),
+
+    // BPE training, round-1 scoring: weighted adjacent-char-pair
+    // counts over the word-type table (the corpus-scale part of
+    // tokenizer training; the iterative merge loop is bpeTrain,
+    // spec-verified against a hand-computed Sennrich example)
+    "q_bpe_pairs" -> ((s, dir) =>
+      Assemble.bpePairCounts(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        minCount = 5L)),
+
+    // per-document OOV rate against the corpus's own top-100 vocab
+    // (tokenizer-coverage signal); vocab selection is a total order —
+    // count desc, token asc — so every engine picks the same vocab
+    "q_oov_rate" -> ((s, dir) =>
+      Assemble.oovRate(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", topN = 100)
+        .withColumnRenamed("id", "doc_id")),
+
+    // element-wise mean pooling of embeddings per label (chunk→doc /
+    // class-prototype reduction): exact integer micro-units before
+    // the sum, one flat row per (label, dim)
+    "q_embed_meanpool" -> ((s, dir) =>
+      Similarity.meanPoolDims(
+        s.read.parquet(t(dir, "embeddings")), "label")
+        .withColumnRenamed("g", "label")),
+
+    // the C4-style corpus cleanup, composed end to end: language
+    // filter → quality gate → exact dedup (keep min id per
+    // fingerprint) — the flagship training-data pipeline shape,
+    // oracle-checked as one query
+    "q_corpus_clean" -> ((s, dir) => {
+      val scored = TextAnalysis.analyze(s.read.parquet(t(dir, "documents")))
+      val kept = scored.filter(
+        col("lang_guess") === "en" && col("quality") >= 0.5)
+      val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+      kept.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("lang_guess"), col("quality"),
+          col("n_tokens_ws"))
+    }),
+
+    // order-aware rolling content hash over portable token hashes —
+    // oracle-checked: DuckDB replays the exact polynomial fold
+    "q_text_rolling" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          TextAnalysis.rollingHash(col("text")).as("rolling_hash"))),
+
+    // brute-force cosine similarity pairs over embeddings
+    "q_embed_cosine" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      Similarity.bruteForcePairs(
+        e, e.filter(col("vec_id") % 100 === 0), 0.3)
+    }),
+
+    // embedding-cosine near-dup dedup: drop the higher id of every
+    // pair above threshold (greedy, deterministic; oracle-checked).
+    // Pair generation is the bucketed multi-probe IVF join — no
+    // corpus broadcast, no all-pairs nested loop; nProbe=6/16 is
+    // pinned to exact recall on this corpus by SimilaritySpec + the
+    // DuckDB oracle (which recomputes the pairs exhaustively).
+    "q_embed_dedup" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      // exact-dup pre-collapse: the cell self-join runs on unique
+      // vectors only — duplicate CLIQUES (the dominant shape in a
+      // re-crawled corpus) contribute linear rep edges instead of
+      // quadratic pairs; the survivor set is provably identical
+      val pairs = Similarity.pairGraphCollapsed(
+        e, 0.4, nCells = 16, nProbe = 6)
+      e.join(pairs.select(col("n_id").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup where each
+    // near-dup component keeps the member FARTHEST from its centroid
+    // (lowest cosine — the paper's diversity-preserving survivor
+    // rule) — centroid from exact integer micro-sums, similarities
+    // as fixed-order folds, so the keeper rank replays exactly
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(
+        s.read.parquet(t(dir, "embeddings")), 0.4,
+        nCells = 16, nProbe = 6)),
+
+    // semantic near-dup CLUSTERS: connected components over the
+    // collapsed embedding pair graph (same IVF settings as
+    // q_embed_dedup, whose exact recall is spec-pinned; exact-dup
+    // members enter through rep edges — components unchanged);
+    // oracle recomputes pairs exhaustively and closes them
+    // recursively
+    "q_embed_clusters" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val pairs = Similarity.pairGraphCollapsed(
+        e, 0.4, nCells = 16, nProbe = 6)
+      Dedup.connectedComponents(pairs, "q_id", "n_id")
+        .withColumnRenamed("id", "vec_id")
+    }),
+
+    // MinHash LSH near-dedup over md5-derived (portable) seeded
+    // hashes — oracle-checked: DuckDB recomputes the signatures,
+    // band candidates, and true-Jaccard verification end to end
+    "q_minhash_dedup" -> ((s, dir) =>
+      Dedup.minhashDedup(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", threshold = 0.5,
+        baseHash = TextAnalysis.portableHash60)),
+
+    // incremental dedup: today's batch (odd ids) LSH-paired against
+    // the accumulated corpus (even ids) — candidate volume scales
+    // with the batch, the corpus never self-compares
+    "q_minhash_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      Dedup.minhashPairsAgainst(
+        d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", threshold = 0.5,
+        baseHash = TextAnalysis.portableHash60)
+    }),
+
+    // SimHash near-dup pairs at hamming ≤ 8 over a 60-bit portable
+    // signature; 9-segment pigeonhole blocking is exact at radius 8.
+    // Oracle-checked: DuckDB replays the signature bit votes and
+    // verifies all pairs via bit_count(xor(...))
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", maxHamming = 8, bits = 60,
+        hashFn = TextAnalysis.portableHash60)),
+
+    // n-gram Jaccard near-dup pairs blocked by length bucket
+    // (near-dups have near-equal length; oracle-checked)
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        blockCol = floor(length(col("text")) / 50), threshold = 0.5, n = 3)
+    }),
+
+    // LSH-bucketed ANN top-k — oracle-checked: probeRadius=3 is
+    // pinned to EXACT agreement with the exhaustive top-5 on this
+    // corpus (RecallProbe), so the DuckDB oracle recomputes the
+    // brute-force answer; sub-exhaustive production probing
+    // (radius 1-2) is recall-pinned by ExtSpec
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
+        k = 5, nPlanes = 4, probeRadius = 3)
+    }),
+
+    // Trained-centroid IVF ANN: k-means centroids from a
+    // deterministic sample, corpus in its nearest cell — oracle-
+    // checked: nProbe=7 of 8 cells is pinned to EXACT agreement with
+    // the exhaustive top-5 on this corpus (RecallProbe); production
+    // probe fractions are recall-pinned by ExtSpec
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val cents = Similarity.trainCentroids(e, nCells = 8)
+      Similarity.ivfTopKTrained(e, e.filter(col("vec_id") % 100 === 0),
+        k = 5, cents, nProbe = 7)
+    }),
+
+    // PQ/ADC ANN with exact refine: corpus compressed to m one-byte
+    // codes per vector (deterministic per-subspace k-means
+    // codebooks); the full ADC scan runs over the COMPRESSED corpus,
+    // then only |queries|·shortlist full vectors are re-ranked
+    // exactly. Oracle-checked: shortlist=50 (of a ~640-vector
+    // corpus — genuinely sub-exhaustive) re-ranks to EXACT agreement
+    // with the exhaustive top-5 (RecallProbe), so the DuckDB oracle
+    // recomputes the brute-force answer
+    "q_ann_pq" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val cbs = Similarity.trainPqCodebooks(e, m = 16, k = 32)
+      val codes = Similarity.pqEncode(e, cbs)
+      Similarity.pqTopKRefined(codes, e,
+        e.filter(col("vec_id") % 100 === 0), cbs, k = 5, shortlist = 50)
+    }),
+
+    // IVF-style ANN: corpus in its nearest seed cell, queries probe
+    // cells in projection order. Oracle-checked at TOTAL coverage
+    // (nProbe = nCells): the data-blind seed cells never reach exact
+    // recall sub-exhaustively (RecallProbe: 3 misses even at 7/8),
+    // so the gate instead pins the PLUMBING — cell assignment, probe
+    // expansion, cell join, rank — which at total coverage must
+    // reproduce the exhaustive top-5 at any scale; production
+    // sub-exhaustive probing (nProbe=3) is recall-pinned by ExtSpec
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val celled = e.withColumn("cell",
+        Similarity.ivfAssign(col("embedding"), nCells = 8))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          explode(Similarity.ivfProbe(col("embedding"), 8, 8)).as("cell"))
+      val c = celled.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_vec"), col("cell"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("n_id"))
+      c.join(q, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", graft.functions.GraftFunctions
+          .cosine_sim(col("q_vec"), col("n_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"),
+          col("rank"))
+    }),
+
+    // multimodal: binary columns + typed metadata (oracle-checked)
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.synthesize(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      Multimodal.withMeta(media)
+        .select(col("media_id"), col("media_type"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.sha256").as("sha256"))
+    }),
+
+    // multimodal decode plumbing: stubbed codec via mapPartitions
+    // (rows-only: the fake feature values are JVM-hash derived)
+    // decode stub over mapPartitions batches — oracle-checked: the
+    // deterministic fake dimensions derive from the portable 60-bit
+    // md5 hash, which DuckDB replays (the real-codec swap point keeps
+    // the same schema/batch contract)
+    "q_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.synthesize(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      Multimodal.decodeStub(media).toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("duration_ms"))
+    }),
+
+    // frame-sample plan: per-video sampled timestamps exploded from
+    // METADATA only (frame bytes never materialize); durations come
+    // from the portable-hash decode stub, so the oracle replays the
+    // exact sampled grid
+    "q_multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.synthesize(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      Multimodal.frameSamplePlan(
+        Multimodal.decodeStub(media).toDF(), everyMs = 60000L)
+    }),
+
+    // aspect-preserving resize plan in exact integer arithmetic
+    // (no round-half convention in the contract)
+    "q_multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.synthesize(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      Multimodal.resizePlan(
+        Multimodal.decodeStub(media).toDF(), maxSide = 512)
+    }),
+
+    // ── REAL codec tier: one valid binary P6 PPM per document
+    // (dimensions + pixel bytes are pure integer arithmetic in the
+    // doc_id), decoded by an actual header parser + payload
+    // aggregation in the mapPartitions batch shape. The oracle
+    // replays every feature — width, height, per-channel sums and
+    // floor-milli means — from the id formula without touching the
+    // binary, which certifies the decoder read the bytes it was
+    // handed. (decodeStub remains the audio/video swap point; this
+    // row retires the "codec is only a stub" gap for images.) ──
+    "q_multimodal_ppm" -> ((s, dir) => {
+      val media = Multimodal.synthesizePpm(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      Multimodal.decodePpm(media).toDF()
+    }),
+
+    // ── REAL codec tier #2, audio: one valid RIFF/WAVE PCM file per
+    // document (rate/channels/samples pure integer arithmetic in the
+    // doc_id, plus a LIST junk chunk the parser must word-align
+    // past), decoded by an actual chunk walker + payload aggregation
+    // in the same mapPartitions batch shape. The oracle replays every
+    // feature — rate, channels, frame count, floor-ms duration,
+    // per-channel sums, absolute energy, peak — from the id formula
+    // without touching the binary, certifying the decoder read the
+    // bytes it was handed. ──
+    "q_multimodal_wav" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWav(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      Multimodal.decodeWav(media).toDF()
+    })
+  )
+
+  /** DuckDB oracles for this tier's queries. */
+  val oracles: Map[String, String] = Map(
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, fingerprint FROM (
+        |  SELECT doc_id, fingerprint,
+        |         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        |  FROM (SELECT doc_id,
+        |          md5(array_to_string(
+        |            regexp_split_to_array(lower(trim(text)), '\s+')[1:5], ' '))
+        |            AS fingerprint
+        |        FROM documents)) WHERE rn = 1""".stripMargin,
+
+    "q_chunk_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      range(0, CAST(ceil(len(t) / 32.0) AS INT)),
+         |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(t[i*32+1 : (i+1)*32],
+         |               s -> ${duckHash60("s")} % 1000003)),
+         |           (a, b) -> (a * 31 + b) % 2147483647))) AS chunk_hash
+         |  FROM toks)
+         |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "q_cdc_chunks" ->
+      s"""WITH $cdcFpCtes
+         |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+         |       count(*) AS n_occurrences
+         |FROM fp WHERE n_tokens >= 8
+         |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT event_id, event_type, user_id FROM events
+         |WHERE ${duckHash60("CAST(event_id AS VARCHAR)")} % 1000000
+         |  < CASE event_type WHEN 'view' THEN 100000
+         |                    WHEN 'click' THEN 500000
+         |                    ELSE 1000000 END""".stripMargin,
+
+    "q_text_analysis" -> duckTextAnalysis,
+
+    "q_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |           || '@example.com or +1 (555) 010-'
+         |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |           || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+         |           AS text
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+         |           AS BIGINT) AS n_emails,
+         |         regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g')
+         |           AS t1
+         |       FROM p),
+         |s2 AS (SELECT doc_id, n_emails,
+         |         CAST(len(regexp_extract_all(t1, '${TextAnalysis.Ipv4Re}'))
+         |           AS BIGINT) AS n_ips,
+         |         regexp_replace(t1, '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS t2
+         |       FROM s1)
+         |SELECT doc_id,
+         |       regexp_replace(t2, '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')
+         |         AS scrubbed,
+         |       n_emails, n_ips,
+         |       CAST(len(regexp_extract_all(t2, '${TextAnalysis.PhoneRe}'))
+         |         AS BIGINT) AS n_phones
+         |FROM s2""".stripMargin,
+
+    // same wrapper, same regex chain, same order (script/style →
+    // comments → tags → entities with &amp; last → collapse) —
+    // cleaned text replayed byte-for-byte
+    "q_html_strip" ->
+      """WITH w AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><script type="text/javascript">var n=2;' || chr(10) ||
+        |  'track();</script><style>.c{margin:0}</style></head><body><!-- hdr -->' ||
+        |  '<p class="b">' || coalesce(text, '') ||
+        |  '</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot;&#39;s&nbsp;end</div></body></html>'
+        |    AS raw
+        |  FROM documents),
+        |s AS (SELECT doc_id, raw, regexp_replace(regexp_replace(raw,
+        |         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |         '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t1
+        |      FROM w),
+        |t AS (SELECT doc_id, raw, regexp_replace(regexp_replace(t1,
+        |         '(?s)<!--.*?-->', ' ', 'g'), '(?s)<[^>]+>', ' ', 'g') AS t2
+        |      FROM s),
+        |d AS (SELECT doc_id, raw,
+        |        replace(replace(replace(replace(replace(replace(t2,
+        |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |          '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t3
+        |      FROM t)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t3, '[ \t]+', ' ', 'g')) AS clean_text,
+        |  CAST(len(regexp_extract_all(raw, '(?s)<[^>]+>')) AS BIGINT)
+        |    AS n_tags,
+        |  CAST(len(regexp_extract_all(raw, '&(amp|lt|gt|quot|nbsp|#39);'))
+        |    AS BIGINT) AS n_entities
+        |FROM d""".stripMargin,
+
+    // the same first-(doc,position)-occurrence rule: grouped min of
+    // the packed occurrence key per non-blank line, blank lines pass
+    // through; 1-based list indexes vs Spark's 0-based positions are
+    // a uniform shift, so the min picks the same occurrence
+    "q_line_dedup" ->
+      """WITH e AS (SELECT doc_id,
+        |        unnest(list_transform(
+        |          string_split(coalesce(text, ''), chr(10)),
+        |          (x, i) -> {'ln': i, 'line': x})) AS s
+        |      FROM documents),
+        |l AS (SELECT doc_id, s.ln AS ln, s.line AS line FROM e),
+        |f AS (SELECT line, min(doc_id * 1000000 + ln) AS first_key
+        |      FROM l WHERE length(trim(line)) > 0 GROUP BY line),
+        |k AS (SELECT l.doc_id, l.ln, l.line,
+        |             (length(trim(l.line)) = 0
+        |              OR l.doc_id * 1000000 + l.ln = f.first_key) AS keep
+        |      FROM l LEFT JOIN f ON l.line = f.line)
+        |SELECT doc_id,
+        |       count(*) AS n_lines,
+        |       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+        |         AS n_removed,
+        |       coalesce(string_agg(line, chr(10) ORDER BY ln)
+        |         FILTER (WHERE keep), '') AS cleaned
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    "q_quality_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |flat AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+        |                unnest(t) AS tok FROM toks),
+        |tokc AS (SELECT doc_id, tok, count(*) AS c FROM flat
+        |         GROUP BY doc_id, tok),
+        |tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              count(*) AS n_distinct, max(c) AS top_tok_n
+        |       FROM tokc GROUP BY doc_id),
+        |gr AS (SELECT doc_id, tok || ' ' ||
+        |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |       FROM flat),
+        |gc AS (SELECT doc_id, max(c) AS top_2gram_n FROM
+        |        (SELECT doc_id, g, count(*) AS c FROM gr
+        |         WHERE g IS NOT NULL GROUP BY doc_id, g)
+        |       GROUP BY doc_id),
+        |rn AS (SELECT doc_id, pos, tok,
+        |         CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                IS NULL
+        |              OR lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                <> tok
+        |              THEN 1 ELSE 0 END AS chg
+        |       FROM flat),
+        |sg AS (SELECT doc_id, sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS seg FROM rn),
+        |rs AS (SELECT doc_id, max(c) AS max_run FROM
+        |        (SELECT doc_id, seg, count(*) AS c FROM sg
+        |         GROUP BY doc_id, seg)
+        |       GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tokens, t.n_distinct, t.top_tok_n,
+        |       COALESCE(g.top_2gram_n, 0) AS top_2gram_n, r.max_run,
+        |       round(1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6)
+        |         AS dup_tok_frac
+        |FROM tt t LEFT JOIN gc g USING (doc_id)
+        |LEFT JOIN rs r USING (doc_id)""".stripMargin,
+
+    "q_unigram_ppl" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |freq AS (SELECT tok, count(*) AS c FROM flat GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(-ln(CAST(c AS DOUBLE) / total) * 1000000)
+        |          AS BIGINT) AS u
+        |      FROM flat JOIN freq USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(u) AS BIGINT) AS surprisal_unats,
+        |       CAST(sum(u) // count(*) AS BIGINT) AS mean_unats
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    "q_bigram_ppl" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+        |                unnest(t) AS tok FROM base),
+        |wp AS (SELECT doc_id, pos, tok,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |       FROM toks),
+        |uni AS (SELECT tok AS u_tok, count(*) AS cu FROM toks GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vn FROM uni),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS total FROM uni),
+        |bi AS (SELECT prev AS b_prev, tok AS b_tok, count(*) AS cb
+        |       FROM wp WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT doc_id,
+        |        CAST(CASE WHEN prev IS NULL THEN
+        |          floor(-ln(CAST(cu AS DOUBLE) / total) * 1000000)
+        |        ELSE
+        |          floor(-ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE)
+        |            / (cu + vn)) * 1000000) END AS BIGINT) AS u
+        |      FROM wp
+        |      JOIN uni ON coalesce(prev, wp.tok) = u_tok
+        |      LEFT JOIN bi ON prev = b_prev AND wp.tok = b_tok
+        |      CROSS JOIN tot CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(u) AS BIGINT) AS surprisal_unats,
+        |  CAST(sum(u) // count(*) AS BIGINT) AS mean_unats
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    // portable-hash rank within stratum, first k — replayed exactly
+    "q_sample_exact_k" ->
+      s"""WITH r AS (
+         |  SELECT event_id, event_type, user_id,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY ${duckHash60("CAST(event_id AS VARCHAR)")},
+         |             event_id) AS rk
+         |  FROM events)
+         |SELECT event_id, event_type, user_id FROM r
+         |WHERE rk <= 20""".stripMargin,
+
+    // the 90/5/5 hash-cell assignment, aggregated per split
+    "q_split" ->
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |           THEN 'train'
+         |         WHEN ${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 < 95
+         |           THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, count(*) AS n, min(doc_id) AS min_id,
+         |       max(doc_id) AS max_id
+         |FROM a GROUP BY split""".stripMargin,
+
+    // the fixed-order Jelinek-Mercer interpolation over exact counts
+    "q_trigram_ppl" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+        |                unnest(t) AS tok FROM base),
+        |wp AS (SELECT doc_id, pos, tok,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+        |         lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+        |       FROM toks),
+        |uni AS (SELECT tok AS uk, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |bi AS (SELECT p1 AS ba, tok AS bb, count(*) AS c
+        |       FROM wp WHERE p1 IS NOT NULL GROUP BY 1, 2),
+        |tri AS (SELECT p2 AS ta, p1 AS tb, tok AS tc, count(*) AS c
+        |        FROM wp WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(-ln(
+        |          CASE WHEN p1 IS NULL THEN CAST(u3.c AS DOUBLE) / tot.n
+        |               WHEN p2 IS NULL THEN
+        |                 0.7 * (CAST(b23.c AS DOUBLE) / u2.c)
+        |                 + 0.3 * (CAST(u3.c AS DOUBLE) / tot.n)
+        |               ELSE
+        |                 0.6 * (CAST(tr.c AS DOUBLE) / b12.c)
+        |                 + 0.3 * (CAST(b23.c AS DOUBLE) / u2.c)
+        |                 + 0.1 * (CAST(u3.c AS DOUBLE) / tot.n) END
+        |          ) * 1000000) AS BIGINT) AS u
+        |      FROM wp
+        |      JOIN uni u3 ON wp.tok = u3.uk
+        |      LEFT JOIN uni u2 ON wp.p1 = u2.uk
+        |      LEFT JOIN bi b23 ON wp.p1 = b23.ba AND wp.tok = b23.bb
+        |      LEFT JOIN bi b12 ON wp.p2 = b12.ba AND wp.p1 = b12.bb
+        |      LEFT JOIN tri tr ON wp.p2 = tr.ta AND wp.p1 = tr.tb
+        |        AND wp.tok = tr.tc
+        |      CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(u) AS BIGINT) AS surprisal_unats,
+        |  CAST(sum(u) // count(*) AS BIGINT) AS mean_unats
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    "q_mix_domains" -> {
+      val hash = duckHash60("CAST(event_id AS VARCHAR)")
+      s"""WITH c AS (SELECT event_type AS d, count(*) AS cd FROM events
+         |           GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES ('view', 1), ('click', 3),
+         |                            ('purchase', 6)) AS t(d, wt)),
+         |b AS (SELECT min(cd // wt) AS bu FROM c JOIN w USING (d)),
+         |th AS (SELECT d, (wt * bu * 1000000) // cd AS thr
+         |       FROM c JOIN w USING (d) CROSS JOIN b)
+         |SELECT event_id, event_type, user_id
+         |FROM events JOIN th ON event_type = th.d
+         |WHERE $hash % 1000000 < thr""".stripMargin
+    },
+
+    "q_mix_temperature" -> {
+      val hash = duckHash60("CAST(event_id AS VARCHAR)")
+      val milli = graft.ext.Assemble.temperatureMilliWeights(
+        Map("view" -> 1L, "click" -> 3L, "purchase" -> 6L), 2.0, 50L)
+      val values = Seq("view", "click", "purchase")
+        .map(d => s"('$d', ${milli(d)})").mkString(", ")
+      s"""WITH c AS (SELECT event_type AS d, count(*) AS cd FROM events
+         |           GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES $values) AS t(d, wt)),
+         |b AS (SELECT min(cd // wt) AS bu FROM c JOIN w USING (d)),
+         |th AS (SELECT d, (wt * bu * 1000000) // cd AS thr
+         |       FROM c JOIN w USING (d) CROSS JOIN b)
+         |SELECT event_id, event_type, user_id
+         |FROM events JOIN th ON event_type = th.d
+         |WHERE $hash % 1000000 < thr""".stripMargin
+    },
+
+    "q_seq_pack" -> {
+      val hash = duckHash60("CAST(doc_id AS VARCHAR)")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS BIGINT) AS n_tokens,
+         |    $hash % 8 AS shard
+         |  FROM documents),
+         |o AS (SELECT doc_id, shard, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+         |      FROM base)
+         |SELECT doc_id, shard, n_tokens,
+         |       CAST(tok_offset AS BIGINT) AS tok_offset,
+         |       CAST(tok_offset // 512 AS BIGINT) AS seq_id
+         |FROM o""".stripMargin
+    },
+
+    "q_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |flat AS (SELECT doc_id, unnest(t) AS tok FROM toks)
+        |SELECT tok, count(*) AS n_total,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM flat GROUP BY tok HAVING count(*) >= 5""".stripMargin,
+
+    // bigrams from 1-based array adjacency; exact integer counts into
+    // one ln, truncated to micro-nats; total-order top-50
+    "q_pmi" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM uni),
+        |bi AS (
+        |  SELECT t[i] || ' ' || t[i + 1] AS bigram
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks)),
+        |bc AS (SELECT bigram, count(*) AS c_ab FROM bi
+        |       GROUP BY bigram HAVING count(*) >= 5),
+        |j AS (
+        |  SELECT bc.bigram, bc.c_ab, a.c AS c_a, b.c AS c_b,
+        |         CAST(floor(ln(CAST(bc.c_ab * n.n AS DOUBLE)
+        |             / (a.c * b.c)) * 1000000) AS BIGINT) AS pmi_micro
+        |  FROM bc, n,
+        |       uc a, uc b
+        |  WHERE a.tok = split_part(bc.bigram, ' ', 1)
+        |    AND b.tok = split_part(bc.bigram, ' ', 2))
+        |SELECT bigram, c_ab, c_a, c_b, pmi_micro
+        |FROM j ORDER BY pmi_micro DESC, bigram LIMIT 50""".stripMargin,
+
+    // ln on an exact integer ratio, truncated once to micro-nats —
+    // the same double-discipline as q_unigram_ppl; everything after
+    // is LONG arithmetic and a total-order rank
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok <> '' GROUP BY doc_id, tok),
+        |dfreq AS (
+        |  SELECT tok, count(*) AS n_docs,
+        |         CAST(floor(ln(CAST((SELECT count(*) FROM documents)
+        |             AS DOUBLE) / count(*)) * 1000000) AS BIGINT)
+        |           AS idf_micro
+        |  FROM tf GROUP BY tok),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, d.idf_micro,
+        |         tf.tf * d.idf_micro AS score_micro,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf * d.idf_micro DESC, tf.tok) AS rnk
+        |  FROM tf JOIN dfreq d ON tf.tok = d.tok)
+        |SELECT doc_id, tok, tf, idf_micro, score_micro,
+        |       CAST(rnk AS INTEGER) AS rank
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+        |          AS scale
+        |      FROM e)
+        |SELECT vec_id, CAST(floor(scale * 1000000) AS BIGINT) AS scale_micro,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(v, x -> CAST(greatest(least(
+        |           floor(x * 127 / scale), 127), -127)
+        |           AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS q_sum,
+        |       CAST(len(v) AS BIGINT) AS n_dims
+        |FROM s""".stripMargin,
+
+    "q_contamination" -> contaminationSql,
+
+    // bloom prefilter is exact by construction — the oracle IS the
+    // plain contamination query; a green row certifies that
+    "q_contamination_bloom" -> contaminationSql,
+
+    // transitive closure of the verified pair graph via a recursive
+    // CTE (reachability), component label = min reachable id
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS n, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a
+         |)
+         |SELECT n AS doc_id, least(n, min(r)) AS cluster_id
+         |FROM reach GROUP BY n""".stripMargin,
+
+    // pairs → recursive closure → drop non-representatives → permute
+    // the survivors: every stage of the pipeline replayed in one query
+    "q_dedup_shuffle" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS n, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.n, g.b FROM reach JOIN edges g ON reach.r = g.a
+         |),
+         |dropped AS (SELECT n FROM reach GROUP BY n
+         |            HAVING n <> least(n, min(r))),
+         |keep AS (SELECT doc_id FROM documents
+         |         WHERE doc_id NOT IN (SELECT n FROM dropped)),
+         |h AS (
+         |  SELECT doc_id,
+         |    ${duckHash60("concat(CAST(doc_id AS VARCHAR), ':0')")} AS h
+         |  FROM keep)
+         |SELECT doc_id, h % 16 AS shard,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS BIGINT)
+         |         AS pos
+         |FROM h""".stripMargin,
+
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS n, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.n, g.b FROM reach JOIN edges g ON reach.r = g.a
+         |),
+         |mc AS (SELECT n, least(n, min(r)) AS cl FROM reach GROUP BY n),
+         |m AS (SELECT mc.n, mc.cl,
+         |        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |          AS BIGINT) AS nt
+         |      FROM mc JOIN documents ON mc.n = doc_id),
+         |dropped AS (SELECT n FROM (
+         |    SELECT n, row_number() OVER (
+         |      PARTITION BY cl ORDER BY nt DESC, n) AS rn FROM m)
+         |  WHERE rn > 1)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT n FROM dropped)""".stripMargin,
+
+    "q_shuffle_shards" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${duckHash60("concat(CAST(doc_id AS VARCHAR), ':0')")} AS h
+         |  FROM documents)
+         |SELECT doc_id, h % 64 AS shard,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY h % 64 ORDER BY h, doc_id) - 1 AS BIGINT)
+         |         AS pos
+         |FROM h""".stripMargin,
+
+    // bucket identity: Spark groups by xxhash64(minhash tuple), the
+    // oracle by the tuple itself — same partition of docs into
+    // buckets (a collision would merge two buckets; none at oracle
+    // scale, and the green row certifies that)
+    "q_lsh_skew" -> {
+      val perBand = (0 until 8).map { b =>
+        val cols = (b * 4 until (b + 1) * 4).map(i => s"m$i").mkString(", ")
+        s"SELECT $b AS band, count(*) AS c FROM sigs GROUP BY $cols"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $minhashSigCtes,
+         |per AS (
+         |  $perBand)
+         |SELECT band, count(*) AS n_buckets, max(c) AS max_bucket,
+         |       CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS n_cand_pairs
+         |FROM per GROUP BY band""".stripMargin
+    },
+
+    "q_dup_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      range(0, CAST(ceil(len(t) / 32.0) AS INT)),
+         |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(t[i*32+1 : (i+1)*32],
+         |               s -> ${duckHash60("s")} % 1000003)),
+         |           (a, b) -> (a * 31 + b) % 2147483647))) AS ch
+         |  FROM toks),
+         |freq AS (SELECT ch AS fch, count(DISTINCT doc_id) AS n_docs
+         |         FROM ch GROUP BY ch)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_dup_chunks,
+         |       round(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / count(*), 6) AS dup_chunk_frac
+         |FROM ch JOIN freq ON ch.ch = freq.fch
+         |GROUP BY doc_id""".stripMargin,
+
+    "q_winnow_dup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, greatest(len(t) - 8 + 1, 0) + 1)) AS pos,
+         |    unnest(CASE WHEN len(t) >= 8 THEN
+         |      [${duckHash60("array_to_string(t[i:i+7], ' ')")} % 1000003
+         |       FOR i IN range(1, len(t) - 6)]
+         |      ELSE [] END) AS h
+         |  FROM toks),
+         |wins AS (
+         |  SELECT doc_id,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         |    pos
+         |  FROM grams),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos >= 4)
+         |SELECT fp, count(*) AS n_docs,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM fps GROUP BY fp HAVING count(*) > 1""".stripMargin,
+
+    "q_dup_chunks_cdc" ->
+      s"""WITH $cdcFpCtes,
+         |f AS (SELECT * FROM fp WHERE n_tokens >= 8),
+         |freq AS (SELECT chunk_hash AS fch, count(DISTINCT doc_id) AS n_docs
+         |         FROM f GROUP BY chunk_hash)
+         |SELECT doc_id,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_considered,
+         |       CAST(sum(CASE WHEN n_docs >= 2 THEN n_tokens ELSE 0 END)
+         |         AS BIGINT) AS n_dup_tokens,
+         |       round(CAST(sum(CASE WHEN n_docs >= 2 THEN n_tokens ELSE 0 END)
+         |         AS DOUBLE) / sum(n_tokens), 6) AS dup_token_frac
+         |FROM f JOIN freq ON f.chunk_hash = freq.fch
+         |GROUP BY doc_id""".stripMargin,
+
+    // exact duplicated-span annotation: the oracle joins gram STRINGS
+    // (the contamination convention — certifies the engine's 60-bit
+    // gram hashes collision-free), then replays the gaps-and-islands
+    // span merge and the exact integer coverage arithmetic
+    "q_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 13 + 2)) AS p
+        |  FROM toks WHERE len(t) >= 13),
+        |grams AS (
+        |  SELECT doc_id, p, array_to_string(t[p : p + 12], ' ') AS g
+        |  FROM pos),
+        |freq AS (
+        |  SELECT g AS fg FROM (SELECT DISTINCT doc_id, g FROM grams)
+        |  GROUP BY g HAVING count(*) >= 2),
+        |dup AS (SELECT doc_id, p FROM grams
+        |        WHERE g IN (SELECT fg FROM freq)),
+        |brk AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+        |           > 13 THEN 1 ELSE 0 END AS b
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM brk),
+        |per_island AS (
+        |  SELECT doc_id, island, max(p) - min(p) + 13 AS covered
+        |  FROM isl GROUP BY doc_id, island),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |         CAST(sum(covered) AS BIGINT) AS dup_tokens
+        |  FROM per_island GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(d.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |       CAST(coalesce(d.dup_tokens, 0) * 1000000 // len(t.t)
+        |         AS BIGINT) AS dup_ppm
+        |FROM toks t LEFT JOIN per_doc d USING (doc_id)""".stripMargin,
+
+    "q_gopher_rules" -> {
+      val stopSum = graft.ext.TextAnalysis.GopherStops.map(w =>
+        s"CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(
+         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t,
+         |    string_split(text, chr(10)) AS ls
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS BIGINT) AS n_words,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(t, x -> CAST(length(x) AS BIGINT))),
+         |      (a, b) -> a + b) AS BIGINT) AS sum_len,
+         |    CAST(len(regexp_extract_all(text, '#'))
+         |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls,
+         |      l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT)
+         |      AS n_bullet,
+         |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')))
+         |      AS BIGINT) AS n_ell,
+         |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST($stopSum AS BIGINT) AS n_stop_kinds
+         |  FROM base),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    round(CAST(sum_len AS DOUBLE) / greatest(n_words, 1), 6)
+         |      AS mean_word_len,
+         |    round(CAST(n_sym AS DOUBLE) / greatest(n_words, 1), 6)
+         |      AS symbol_ratio,
+         |    round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_line_frac,
+         |    round(CAST(n_ell AS DOUBLE) / n_lines, 6) AS ellipsis_line_frac,
+         |    round(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1), 6)
+         |      AS alpha_word_frac,
+         |    n_stop_kinds
+         |  FROM s)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+         |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+         |  n_stop_kinds,
+         |  CAST(CASE WHEN n_words >= 20 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+         |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+         |    AND n_stop_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS gopher_pass
+         |FROM r""".stripMargin
+    },
+
+    // the Gopher repetition battery: the per-n gram CTEs are generated
+    // programmatically; duplicate coverage replays the engine's
+    // gaps-and-islands merge on gram STRINGS (the q_span_dedup
+    // convention) and the top-gram tie-break (count desc, gram asc)
+    "q_gopher_repetition" -> {
+      val topNs = 2 to 4
+      val dupNs = 5 to 10
+      val gramCtes = (topNs ++ dupNs).map { n =>
+        s"""g$n AS (
+           |  SELECT doc_id, p, array_to_string(t[p : p + ${n - 1}], ' ') AS g
+           |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - $n + 2)) AS p
+           |        FROM toks WHERE len(t) >= $n))""".stripMargin
+      }
+      val topCtes = topNs.map { n =>
+        s"""top$n AS (
+           |  SELECT doc_id, CAST(c * length(g) AS BIGINT) AS top${n}_chars
+           |  FROM (SELECT doc_id, g, count(*) AS c,
+           |          row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY count(*) DESC, g) AS rn
+           |        FROM g$n GROUP BY doc_id, g)
+           |  WHERE rn = 1)""".stripMargin
+      }
+      val dupCtes = dupNs.map { n =>
+        s"""cov$n AS (
+           |  SELECT i.doc_id, CAST(sum(length(array_to_string(
+           |           tk.t[i.a : i.b], ' '))) AS BIGINT) AS dup${n}_chars
+           |  FROM (SELECT doc_id, island, min(p) AS a, max(p) + ${n - 1} AS b
+           |        FROM (SELECT doc_id, p, sum(brk) OVER
+           |                (PARTITION BY doc_id ORDER BY p) AS island
+           |              FROM (SELECT doc_id, p,
+           |                      CASE WHEN p - lag(p) OVER
+           |                          (PARTITION BY doc_id ORDER BY p)
+           |                        > ${n - 1} THEN 1 ELSE 0 END AS brk
+           |                    FROM (SELECT doc_id, p FROM
+           |                      (SELECT doc_id, p, count(*) OVER
+           |                         (PARTITION BY doc_id, g) AS c FROM g$n)
+           |                      WHERE c >= 2)))
+           |        GROUP BY doc_id, island) i
+           |  JOIN toks tk ON tk.doc_id = i.doc_id
+           |  GROUP BY i.doc_id)""".stripMargin
+      }
+      val topSel = topNs.map(n =>
+        s"CAST((coalesce(top${n}_chars, 0) * 1000000) // " +
+          s"greatest(coalesce(total_chars, 0), 1) AS BIGINT) " +
+          s"AS top${n}_char_ppm")
+      val dupSel = dupNs.map(n =>
+        s"CAST((coalesce(dup${n}_chars, 0) * 1000000) // " +
+          s"greatest(coalesce(total_chars, 0), 1) AS BIGINT) " +
+          s"AS dup${n}_char_ppm")
+      val joins = (topNs.map(n => s"LEFT JOIN top$n USING (doc_id)") ++
+        dupNs.map(n => s"LEFT JOIN cov$n USING (doc_id)"))
+        .mkString("\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |    CAST(length(array_to_string(t, ' ')) AS BIGINT) AS total_chars
+         |  FROM toks),
+         |${(gramCtes ++ topCtes ++ dupCtes).mkString(",\n")},
+         |lin AS (
+         |  SELECT doc_id, line FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(coalesce(text, ''), chr(10))) AS line
+         |    FROM documents)
+         |  WHERE length(trim(line)) > 0),
+         |lstat AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |    CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS dup_lines,
+         |    CAST(sum(length(line)) AS BIGINT) AS line_chars,
+         |    CAST(sum(CASE WHEN c >= 2 THEN length(line) ELSE 0 END)
+         |      AS BIGINT) AS dup_line_chars
+         |  FROM (SELECT doc_id, line, count(*) OVER
+         |          (PARTITION BY doc_id, line) AS c FROM lin)
+         |  GROUP BY doc_id)
+         |SELECT base.doc_id, total_chars,
+         |  ${(topSel ++ dupSel).mkString(",\n  ")},
+         |  CAST((coalesce(dup_lines, 0) * 1000000) //
+         |    greatest(coalesce(n_lines, 0), 1) AS BIGINT) AS dup_line_ppm,
+         |  CAST((coalesce(dup_line_chars, 0) * 1000000) //
+         |    greatest(coalesce(line_chars, 0), 1) AS BIGINT)
+         |    AS dup_line_char_ppm
+         |FROM base
+         |$joins
+         |LEFT JOIN lstat USING (doc_id)""".stripMargin
+    },
+
+    "q_quality_classifier" -> {
+      val bucket = s"${duckHash60("tok")} % 4096"
+      val weight =
+        s"${duckHash60(s"concat('clf:', CAST($bucket AS VARCHAR))")} % 2001 - 1000"
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+         |  FROM documents),
+         |w AS (SELECT doc_id, CAST($weight AS BIGINT) AS w_milli FROM toks)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(w_milli) AS BIGINT) AS w_sum_milli,
+         |  round(1.0 / (1.0 + exp(-CAST(sum(w_milli) AS DOUBLE)
+         |    / (count(*) * 1000.0))), 6) AS score,
+         |  CAST(CASE WHEN sum(w_milli) >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS clf_keep
+         |FROM w GROUP BY doc_id""".stripMargin
+    },
+
+    "q_ppl_buckets" ->
+      s"""WITH $duckPplMetricCtes
+         |SELECT doc_id, lang, n_tokens, mu_unats,
+         |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY mu_unats, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         |    AS ppl_bucket
+         |FROM j""".stripMargin,
+
+    // replay of the approx-cutoff contract (Assemble.pplBucketsApprox):
+    // below the GK sketch's compression threshold the cutoff IS the
+    // element at rank ceil(p·n) of the salted unique key — selected
+    // here exactly. `1.0/3` stays a double product on both sides so
+    // the ceil sees the identical IEEE value Spark's sketch computed.
+    "q_ppl_buckets_approx" ->
+      s"""WITH $duckPplMetricCtes,
+         |u AS (SELECT doc_id, lang, n_tokens, mu_unats,
+         |        mu_unats * 1048576 + (doc_id % 1048576) AS ukey FROM j),
+         |r AS (SELECT lang, ukey,
+         |        row_number() OVER (PARTITION BY lang ORDER BY ukey) AS rnk,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM u),
+         |cuts AS (SELECT lang,
+         |    max(CASE WHEN rnk = CAST(ceil((1.0/3) * n) AS BIGINT)
+         |        THEN ukey END) AS c33,
+         |    max(CASE WHEN rnk = CAST(ceil((2.0/3) * n) AS BIGINT)
+         |        THEN ukey END) AS c67
+         |  FROM r GROUP BY lang)
+         |SELECT doc_id, lang, n_tokens, mu_unats,
+         |  CASE WHEN ukey <= c33 THEN 'head'
+         |       WHEN ukey <= c67 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |FROM u JOIN cuts USING (lang)""".stripMargin,
+
+    "q_encoding" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '�' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+        |    AS n_replacement,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control,
+        |  CAST(CASE WHEN len(regexp_extract_all(text, '�')) = 0
+        |    AND len(regexp_extract_all(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) * 100 <= length(text)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS enc_clean
+        |FROM d""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents)),
+        |counts AS (SELECT doc_id, c, count(*) AS n_c FROM chars
+        |           GROUP BY doc_id, c),
+        |pd AS (SELECT doc_id, CAST(sum(n_c) AS BIGINT) AS n_chars,
+        |              count(*) AS n_distinct
+        |       FROM counts GROUP BY doc_id),
+        |h AS (SELECT doc_id, n_chars, n_distinct,
+        |        CAST(sum(n_c * CAST(floor(
+        |          -ln(CAST(n_c AS DOUBLE) / n_chars) * 1000000)
+        |          AS BIGINT)) AS BIGINT) AS h_sum
+        |      FROM counts JOIN pd USING (doc_id)
+        |      GROUP BY doc_id, n_chars, n_distinct)
+        |SELECT doc_id, n_chars, n_distinct,
+        |  CAST(h_sum // n_chars AS BIGINT) AS entropy_unats
+        |FROM h""".stripMargin,
+
+    "q_c4_lines" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |k AS (
+        |  SELECT doc_id, ls,
+        |    list_filter(ls, l ->
+        |      substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"')
+        |      AND CASE WHEN length(trim(l)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(l), '\s+')) END >= 5
+        |      AND NOT contains(lower(l), 'javascript')
+        |      AND NOT contains(l, '{')
+        |      AND NOT contains(lower(l), 'lorem ipsum')) AS kept
+        |  FROM base)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(CASE WHEN len(kept) >= 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS c4_keep
+        |FROM k""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |types AS (SELECT w, count(*) AS freq FROM toks
+        |          WHERE length(w) > 0 GROUP BY w),
+        |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+        |      FROM (SELECT w, freq, unnest(range(1, length(w))) AS i
+        |            FROM types WHERE length(w) >= 2))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM p GROUP BY pair HAVING sum(freq) >= 5""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |v AS (SELECT tok FROM (
+        |        SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rn
+        |        FROM freq)
+        |      WHERE rn <= 100)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST((sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS oov_ppm
+        |FROM toks LEFT JOIN v ON toks.tok = v.tok
+        |GROUP BY doc_id""".stripMargin,
+
+    // mean is an exact TRUNCATING integer division — Spark `div`
+    // truncates toward zero; replicated sign-explicitly over
+    // DuckDB's nonnegative `//`
+    "q_embed_meanpool" ->
+      """WITH x AS (
+        |  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS xm
+        |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)),
+        |a AS (SELECT label, dim, count(*) AS n_vecs,
+        |        CAST(sum(xm) AS BIGINT) AS sum_micro
+        |      FROM x GROUP BY label, dim)
+        |SELECT label, dim, n_vecs, sum_micro,
+        |  CAST(CASE WHEN sum_micro >= 0 THEN sum_micro // n_vecs
+        |       ELSE -((-sum_micro) // n_vecs) END AS BIGINT) AS mean_micro
+        |FROM a""".stripMargin,
+
+    "q_corpus_clean" ->
+      s"""WITH ta AS ($duckTextAnalysis)
+         |SELECT doc_id, lang_guess, quality, n_tokens_ws
+         |FROM (SELECT *, row_number() OVER
+         |        (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+         |      FROM ta
+         |      WHERE lang_guess = 'en' AND quality >= 0.5)
+         |WHERE rn = 1""".stripMargin,
+
+    "q_text_rolling" ->
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(
+         |      regexp_split_to_array(
+         |        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+         |      t -> ${duckHash60("t")} % 1000003)),
+         |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
+         |FROM documents""".stripMargin,
+
+    "q_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |         list_dot_product(q.v, e.v)
+        |           / (sqrt(list_dot_product(q.v, q.v))
+        |              * sqrt(list_dot_product(e.v, e.v))) AS s
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id)
+        |SELECT q_id, n_id, round(s, 6) AS sim FROM scored WHERE s >= 0.3""".stripMargin,
+
+    "q_embed_dedup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) >= 0.4)
+        |SELECT vec_id, label FROM e
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dups)""".stripMargin,
+
+    // exhaustive pair graph -> recursive CC -> integer-micro centroid
+    // -> fixed-order cosine -> (sim asc, id asc) keeper — the same
+    // state the engine computes via the bucketed paths
+    "q_semdedup" ->
+      """WITH RECURSIVE emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        |edges AS (SELECT ia AS a, ib AS b FROM p
+        |          UNION SELECT ib, ia FROM p),
+        |reach AS (
+        |  SELECT a AS n, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.n, g.b FROM reach JOIN edges g ON reach.r = g.a),
+        |lab AS (SELECT n AS vec_id, least(n, min(r)) AS cluster_id
+        |        FROM reach GROUP BY n),
+        |mem AS (SELECT l.vec_id, l.cluster_id, e.v
+        |        FROM lab l JOIN emb e USING (vec_id)),
+        |cd AS (SELECT cluster_id, CAST(i - 1 AS INT) AS d,
+        |              sum(CAST(floor(v[i] * 1000000) AS BIGINT)) AS s,
+        |              count(*) AS cnt
+        |       FROM mem, LATERAL unnest(range(1, len(v) + 1)) t(i)
+        |       GROUP BY 1, 2),
+        |ca AS (SELECT cluster_id,
+        |              list(CAST(s AS DOUBLE) / (cnt * 1000000.0)
+        |                ORDER BY d) AS cent
+        |       FROM cd GROUP BY cluster_id),
+        |scored AS (SELECT m.vec_id, m.cluster_id,
+        |                  list_dot_product(m.v, c.cent)
+        |                    / (sqrt(list_dot_product(m.v, m.v))
+        |                       * sqrt(list_dot_product(c.cent, c.cent)))
+        |                    AS sim
+        |           FROM mem m JOIN ca c USING (cluster_id)),
+        |verdict AS (SELECT vec_id, cluster_id,
+        |                   row_number() OVER (PARTITION BY cluster_id
+        |                     ORDER BY sim, vec_id) = 1 AS kept
+        |            FROM scored)
+        |SELECT e.vec_id, v.cluster_id, coalesce(v.kept, TRUE) AS kept
+        |FROM embeddings e LEFT JOIN verdict v USING (vec_id)""".stripMargin,
+
+    "q_embed_clusters" ->
+      """WITH RECURSIVE emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        |edges AS (SELECT ia AS a, ib AS b FROM p
+        |          UNION SELECT ib, ia FROM p),
+        |reach AS (
+        |  SELECT a AS n, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.n, g.b FROM reach JOIN edges g ON reach.r = g.a
+        |)
+        |SELECT n AS vec_id, least(n, min(r)) AS cluster_id
+        |FROM reach GROUP BY n""".stripMargin,
+
+    "q_minhash_dedup" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    // signatures depend only on the doc, so one sigs CTE serves both
+    // sides; the batch/corpus split happens in the candidate join
+    "q_minhash_incremental" ->
+      s"""WITH $minhashSigCtes,
+         |cands AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r
+         |  FROM sigs a JOIN sigs b
+         |    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  WHERE $minhashBandConds)
+         |SELECT c.id_l, c.id_r,
+         |  round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+         |    / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1), 6)
+         |    AS jaccard
+         |FROM cands c
+         |JOIN docs da ON c.id_l = da.doc_id
+         |JOIN docs db ON c.id_r = db.doc_id
+         |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+         |  / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1) >= 0.5""".stripMargin,
+
+    "q_simhash_pairs" -> {
+      val sigTerms = (0 until 60).map(j =>
+        s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString("\n      + ")
+      s"""WITH docs AS (
+         |  $duckShingles),
+         |hs AS (SELECT doc_id, ${duckHash60("s")} AS h
+         |       FROM (SELECT doc_id, unnest(sh) AS s FROM docs)),
+         |sigs AS (SELECT doc_id, $sigTerms AS sig
+         |         FROM hs GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 8""".stripMargin
+    },
+
+    "q_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, block,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN range(1, len(toks) - 1)] END) AS sh
+        |  FROM (SELECT doc_id, floor(length(text) / 50) AS block,
+        |          regexp_split_to_array(
+        |            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6)
+        |         AS jaccard
+        |FROM docs a JOIN docs b
+        |  ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |  / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5""".stripMargin,
+
+    // all four ANN variants share the exhaustive oracle — settings in
+    // `queries` are pinned to exact recall on the gate corpus
+    "q_ann_lsh" -> duckAnnBruteTop5,
+    "q_ann_ivf_trained" -> duckAnnBruteTop5,
+    "q_ann_pq" -> duckAnnBruteTop5,
+    "q_ann_ivf" -> duckAnnBruteTop5,
+
+    "q_multimodal_meta" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS media_id,
+        |       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       sha256(text) AS sha256
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_decode" ->
+      s"""WITH m AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         |         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+         |           AS media_type,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |         ${duckHash60("text")} AS h
+         |  FROM documents)
+         |SELECT media_id, media_type, n_bytes,
+         |       CAST(h % 1920 + 1 AS INT) AS width,
+         |       CAST(h % 1080 + 1 AS INT) AS height,
+         |       CASE WHEN media_type = 'image' THEN CAST(0 AS BIGINT)
+         |            ELSE h % 600000 END AS duration_ms
+         |FROM m""".stripMargin,
+
+    "q_multimodal_frames" ->
+      s"""WITH m AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         |         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+         |           AS media_type,
+         |         ${duckHash60("text")} AS h
+         |  FROM documents),
+         |v AS (SELECT media_id, h % 600000 AS duration_ms FROM m
+         |      WHERE media_type = 'video')
+         |SELECT media_id,
+         |  CAST(unnest(range(0, duration_ms + 1, 60000)) AS BIGINT)
+         |    AS frame_ts_ms
+         |FROM v""".stripMargin,
+
+    "q_multimodal_resize" ->
+      s"""WITH m AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         |         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+         |           AS media_type,
+         |         ${duckHash60("text")} AS h
+         |  FROM documents),
+         |i AS (SELECT media_id,
+         |        CAST(h % 1920 + 1 AS INT) AS width,
+         |        CAST(h % 1080 + 1 AS INT) AS height
+         |      FROM m WHERE media_type = 'image'),
+         |x AS (SELECT *, greatest(width, height) AS mx FROM i)
+         |SELECT media_id, width, height,
+         |  CAST(CASE WHEN mx <= 512 THEN width
+         |       ELSE greatest((width * 512) // mx, 1) END AS INT)
+         |    AS out_width,
+         |  CAST(CASE WHEN mx <= 512 THEN height
+         |       ELSE greatest((height * 512) // mx, 1) END AS INT)
+         |    AS out_height
+         |FROM x""".stripMargin,
+
+    // replays the synthetic-PPM pixel rule (byte of pixel p, channel c
+    // = (id·31 + p·7 + c·13) mod 256) from the id alone — certifying
+    // the engine's decoder parsed the real header and summed the real
+    // payload bytes it was handed
+    "q_multimodal_ppm" ->
+      """WITH dim AS (
+        |  SELECT doc_id,
+        |         CAST(8 + doc_id % 16 AS INT) AS width,
+        |         CAST(6 + doc_id % 9 AS INT) AS height
+        |  FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |         unnest(range(0, CAST(width AS BIGINT) * height)) AS p
+        |       FROM dim),
+        |ch AS (SELECT doc_id, width, height, p, c,
+        |         (doc_id * 31 + p * 7 + c * 13) % 256 AS v
+        |       FROM px, unnest([0, 1, 2]) t(c)),
+        |s AS (SELECT doc_id, width, height,
+        |        CAST(width AS BIGINT) * height AS n_pix,
+        |        CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+        |        CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+        |        CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum
+        |      FROM ch GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(doc_id AS VARCHAR) AS media_id, width, height,
+        |       CAST(255 AS INT) AS maxval, n_pix, r_sum, g_sum, b_sum,
+        |       CAST(r_sum * 1000 // n_pix AS BIGINT) AS r_mean_milli,
+        |       CAST(g_sum * 1000 // n_pix AS BIGINT) AS g_mean_milli,
+        |       CAST(b_sum * 1000 // n_pix AS BIGINT) AS b_mean_milli
+        |FROM s""".stripMargin,
+
+    // replays graft.ext.Multimodal.synthesizeWav's id formulas —
+    // sample of frame f channel c = ((id·37 + f·11 + c·5) mod 4001)
+    // − 2000 over nf = 50 + id mod 101 frames — entirely from doc_id
+    "q_multimodal_wav" ->
+      """WITH p AS (
+        |  SELECT doc_id AS d,
+        |         8000 + 4000 * (doc_id % 4) AS sr,
+        |         1 + doc_id % 2 AS ch,
+        |         50 + doc_id % 101 AS nf
+        |  FROM documents),
+        |s AS (SELECT d, sr, ch, nf, c,
+        |        ((d * 37 + f * 11 + c * 5) % 4001) - 2000 AS v
+        |      FROM p,
+        |           LATERAL unnest(range(0, nf)) t(f),
+        |           LATERAL unnest(range(0, ch)) u(c)),
+        |a AS (SELECT d, sr, ch, nf,
+        |        CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS c0_sum,
+        |        CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS c1_sum,
+        |        CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+        |        CAST(max(abs(v)) AS BIGINT) AS peak
+        |      FROM s GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(d AS VARCHAR) AS media_id,
+        |       CAST(sr AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+        |       CAST(16 AS INT) AS bits, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(nf * 1000 // sr AS BIGINT) AS duration_ms,
+        |       c0_sum, c1_sum, abs_sum, peak
+        |FROM a""".stripMargin,
+  )
+}

@@ -1,0 +1,317 @@
+package graft.registry
+
+import graft.core.{Diff, DiffOptions, Records}
+import graft.ext.{Assemble, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.mapper.Mapper
+import graft.pipeline.{ImportService, Preset}
+import graft.sources.InlineSource
+import graft.targets.{FileTarget, JdbcTarget}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Helpers shared by the per-tier query/oracle registries — the
+  * synthetic sync inputs, temp-dir lifecycle, and the DuckDB oracle
+  * CTE fragments. Moved verbatim out of SparkEntry (registry split;
+  * zero behavior change). */
+private[graft] object Shared {
+
+  def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Temp dirs backing lazily-read result frames can only be freed at
+    * JVM exit — one shutdown hook recursively deletes all of them
+    * (plain deleteOnExit skips non-empty directories). */
+  val tempDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path])
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach { root =>
+        try {
+          import java.nio.file._
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      }))
+  }
+  def tempStateDir(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_sync_")
+    tempDirs.add(p)
+    p.toString
+  }
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.util.Tables.read(s, dir, name)
+  /** Drop an in-memory Derby database (frees its driver heap).
+    * Derby signals a successful drop with SQLState 08006. */
+  def dropDerby(db: String): Unit =
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+    catch { case _: java.sql.SQLException => () }
+
+  /**
+   * Deterministic synthetic sync inputs derived from `orders`:
+   * source = keys with k%10!=0, version = epoch(orderdate);
+   * local  = keys with k%7!=0, version older by a day when k%3=0.
+   * ⇒ added = {k%10!=0 ∧ k%7=0}, removed = {k%7!=0 ∧ k%10=0},
+   *   updated = {both ∧ k%3=0} (strictly-newer version rule).
+   */
+  def syncSource(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "orders"))
+      .filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("id"),
+        unix_timestamp(col("o_orderdate")).as("version"),
+        col("o_totalprice"), col("o_orderstatus"))
+
+  def syncLocal(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "orders"))
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").cast("string").as("id"),
+        (unix_timestamp(col("o_orderdate")) +
+          when(col("o_orderkey") % 3 === 0, -86400L).otherwise(0L))
+          .as("version"))
+
+  val syncSourceSql =
+    """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+      |       CAST(epoch(o_orderdate) AS BIGINT) AS version
+      |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin
+  val syncLocalSql =
+    """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+      |       CAST(epoch(o_orderdate) AS BIGINT)
+      |         + CASE WHEN o_orderkey % 3 = 0 THEN -86400 ELSE 0 END AS version
+      |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin
+
+  /** Expected post-sync merged state — shared by the FileTarget
+    * (`q_sync_apply`, full volume) and JdbcTarget
+    * (`q_sync_apply_jdbc`, the k%4=1 slice) e2e runs: the sink
+    * changes, the semantics must not. */
+  /** Shared oracle CTE chain: per-document exact-integer mean unigram
+    * surprisal with language — `j(doc_id, lang, n_tokens, mu_unats)`.
+    * Consumed by both ppl-bucket oracles (exact ntile and
+    * approx-cutoff replay). */
+  val duckPplMetricCtes: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      |freq AS (SELECT tok, count(*) AS c FROM flat GROUP BY tok),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq),
+      |s AS (SELECT doc_id,
+      |        CAST(floor(-ln(CAST(c AS DOUBLE) / total) * 1000000)
+      |          AS BIGINT) AS u
+      |      FROM flat JOIN freq USING (tok) CROSS JOIN tot),
+      |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |               CAST(sum(u) AS BIGINT) AS su
+      |        FROM s GROUP BY doc_id),
+      |j AS (SELECT d.doc_id, lang, n_tokens,
+      |        CAST(su // n_tokens AS BIGINT) AS mu_unats
+      |      FROM doc d JOIN documents USING (doc_id))""".stripMargin
+
+  def syncApplyOracleSql(extraPred: String = ""): String =
+    s"""WITH source AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+      |         CAST(epoch(o_orderdate) AS BIGINT) AS version,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+      |         o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 10 <> 0$extraPred),
+      |local AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+      |         CAST(epoch(o_orderdate) AS BIGINT)
+      |           + CASE WHEN o_orderkey % 3 = 0 THEN -86400 ELSE 0 END AS version,
+      |         CAST(-1 AS BIGINT) AS total_cents, 'OLD' AS status
+      |  FROM orders WHERE o_orderkey % 7 <> 0$extraPred)
+      |SELECT s.id AS id,
+      |  CASE WHEN l.id IS NULL OR s.version > l.version
+      |       THEN s.version ELSE l.version END AS version,
+      |  CASE WHEN l.id IS NULL OR s.version > l.version
+      |       THEN s.total_cents ELSE l.total_cents END AS total_cents,
+      |  CASE WHEN l.id IS NULL OR s.version > l.version
+      |       THEN s.status ELSE l.status END AS status
+      |FROM source s LEFT JOIN local l ON s.id = l.id""".stripMargin
+
+  /** Shared empty-result schema for the staged-source rows (an empty
+    * staged file has no inferable schema to aggregate over). */
+  def emptySourceAgg(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("min_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("max_id",
+          org.apache.spark.sql.types.LongType))))
+
+  /** DuckDB replication of the full TextAnalysis projection —
+    * shared by q_text_analysis and the corpus-cleanup composition. */
+  /** Exhaustive cosine top-5 per query point — the shared oracle for
+    * ALL FOUR ANN variants: each query's settings are pinned (by
+    * RecallProbe + ExtSpec) to exact agreement with the brute-force
+    * answer on the gate corpus, so DuckDB certifies the ANN output by
+    * recomputing the search exhaustively. Rank ordering replays the
+    * engine's total order (sim desc, n_id asc) on the UNROUNDED sim;
+    * `list_dot_product` is bit-identical to the native cosine kernel
+    * (both are plain sequential folds — proven by q_embed_cosine). */
+  lazy val duckAnnBruteTop5: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+      |         list_dot_product(q.v, e.v)
+      |           / (sqrt(list_dot_product(q.v, q.v))
+      |              * sqrt(list_dot_product(e.v, e.v))) AS s
+      |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, s,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rn
+      |  FROM scored)
+      |SELECT q_id, n_id, round(s, 6) AS sim, CAST(rn AS INTEGER) AS rank
+      |FROM ranked WHERE rn <= 5""".stripMargin
+
+  lazy val duckTextAnalysis: String =
+      ("""WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+        |    len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_bpe,
+        |    round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+        |      / greatest(length(text), 1), 6) AS punct_ratio,
+        |    (""" + TextAnalysis.Stopwords.map(w =>
+          s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ") +
+        """) AS sw,
+        |""" + TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          "    (" + ms.map(m =>
+            s"len(regexp_extract_all(lower(text), '\\b$m\\b'))").mkString(" + ") +
+            s") AS s_$lang"
+        }.mkString(",\n") + """
+        |  FROM documents),
+        |r AS (SELECT *,
+        |  round(CAST(sw AS DOUBLE) / greatest(n_tokens_ws, 1), 6) AS stopword_ratio
+        |  FROM base)
+        |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(n_tokens_ws AS INTEGER) AS n_tokens_ws,
+        |  CAST(n_tokens_bpe AS INTEGER) AS n_tokens_bpe,
+        |  punct_ratio, stopword_ratio,
+        |  round((least(length(text) / 500.0, 1.0)
+        |    + (1.0 - least(punct_ratio * 5, 1.0))
+        |    + least(stopword_ratio * 4, 1.0)) / 3, 6) AS quality,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |       WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_guess,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM r""").stripMargin
+
+  /** DuckDB replay of [[graft.ext.TextAnalysis.portableHash60]]. */
+  def duckHash60(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Shared DuckDB shingle CTE body (3-gram, normalized, distinct) —
+    * identical to the q_ngram_jaccard oracle's, minus the block. */
+  val duckShingles =
+    """SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE [array_to_string(toks[i:i+2], ' ')
+      |            FOR i IN range(1, len(toks) - 1)] END) AS sh
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(
+      |            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |        FROM documents)""".stripMargin
+
+  /** DuckDB replay of the 32-hash minhash signature table (ends with
+    * a `sigs` CTE, columns m0..m31), shared by the dedup, cluster,
+    * incremental, and skew oracles. */
+  lazy val minhashSigCtes: String = {
+    val p = graft.ext.Dedup.MinhashP
+    val minCols = graft.ext.Dedup.minhashParams(32).zipWithIndex.map {
+      case ((a, b), i) => s"min((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n   ")
+    s"""docs AS (
+       |  $duckShingles),
+       |ex AS (SELECT doc_id, ${duckHash60("s")} % $p AS h
+       |       FROM (SELECT doc_id, unnest(sh) AS s FROM docs)),
+       |sigs AS (SELECT doc_id,
+       |   $minCols
+       | FROM ex GROUP BY doc_id)""".stripMargin
+  }
+
+  /** "some band fully matches" predicate between sig aliases a/b. */
+  lazy val minhashBandConds: String =
+    (0 until 8).map { b =>
+      (b * 4 until (b + 1) * 4).map(i => s"a.m$i = b.m$i").mkString("(", " AND ", ")")
+    }.mkString("\n     OR ")
+
+  /** [[minhashSigCtes]] extended to band candidates → Jaccard-verified
+    * pairs (threshold 0.5) — the q_minhash_dedup oracle body, reused
+    * by the connected-components oracle. Ends with a
+    * `pairs(id_a, id_b, jaccard)` CTE; callers append the final
+    * SELECT. */
+  lazy val minhashPairsCtes: String = {
+    val bandConds = minhashBandConds
+    s"""$minhashSigCtes,
+       |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |  WHERE $bandConds),
+       |pairs AS (SELECT c.id_a, c.id_b,
+       |  round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+       |    / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1), 6)
+       |    AS jaccard
+       |FROM cands c
+       |JOIN docs da ON c.id_a = da.doc_id
+       |JOIN docs db ON c.id_b = db.doc_id
+       |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+       |  / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1) >= 0.5)""".stripMargin
+  }
+
+  val contaminationSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |docs AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+      |    ELSE [array_to_string(toks[i:i+12], ' ')
+      |          FOR i IN range(1, len(toks) - 11)] END) AS sh
+      |  FROM toks),
+      |traing AS (SELECT DISTINCT unnest(sh) AS g FROM docs
+      |           WHERE doc_id % 2 = 0),
+      |testg AS (SELECT doc_id, unnest(sh) AS g FROM docs
+      |          WHERE doc_id % 2 = 1),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM testg
+      |        GROUP BY doc_id),
+      |hit AS (SELECT doc_id, count(*) AS n_hit FROM testg
+      |        WHERE g IN (SELECT g FROM traing) GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+      |       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams, 6)
+      |         AS contaminated_frac
+      |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin
+
+  /** DuckDB replay of content-defined chunking — token hashes, h%64
+    * boundaries, per-chunk polynomial fingerprints; ends with an
+    * `fp(doc_id, chunk_hash, n_tokens)` CTE. ONE definition shared by
+    * the q_cdc_chunks and q_dup_chunks_cdc oracles, mirroring the one
+    * `TextAnalysis.cdcChunks` both queries call. */
+  lazy val cdcFpCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |flat AS (SELECT doc_id,
+       |    unnest(range(1, len(t) + 1)) AS pos,
+       |    unnest(list_transform(t, s -> ${duckHash60("s")} % 1000003)) AS h
+       |  FROM toks),
+       |chunked AS (SELECT doc_id, pos, h,
+       |    COALESCE(sum(CASE WHEN h % 64 = 0 THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM flat),
+       |fp AS (SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list(h ORDER BY pos)),
+       |      (a, b) -> (a * 31 + b) % 2147483647) AS chunk_hash,
+       |    count(*) AS n_tokens
+       |  FROM chunked GROUP BY doc_id, chunk)""".stripMargin
+}
