@@ -469,6 +469,29 @@ private[graft] object AnalyticsRegistry {
             min(col("event_id").cast("long")).as("min_id"),
             max(col("event_id").cast("long")).as("max_id"))
       }
+    }),
+
+    // S1 file-scan, ORC round-trip — completes the columnar format
+    // matrix (parquet/JSON/CSV/ORC): stage a slice as ORC through
+    // FileSource, re-read it, aggregate. ORC is typed like parquet,
+    // so no cast-on-read step; the k%5=2 slice keeps the three
+    // staged-source rows disjoint.
+    "q_source_orc" -> ((s, dir) => {
+      val slice = tbl(s, dir, "events")
+        .filter(pmod(col("event_id"), lit(5)) === 2)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("value_cents"))
+      if (slice.isEmpty) emptySourceAgg(s)
+      else {
+        val work = tempStateDir()
+        slice.coalesce(4).write.mode("overwrite").orc(s"$work/ev_orc")
+        graft.sources.FileSource(s"$work/ev_orc", Some("orc")).load(s)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value_cents")).as("cents"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+      }
     })
   )
 
@@ -770,6 +793,14 @@ private[graft] object AnalyticsRegistry {
         |         AS cents,
         |       min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events WHERE event_id % 5 = 0
+        |GROUP BY event_type""".stripMargin,
+
+    "q_source_orc" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
+        |       min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_id % 5 = 2
         |GROUP BY event_type""".stripMargin,
   )
 }

@@ -51,6 +51,7 @@ final case class FileSource(path: String, format: Option[String] = None)
     path.replaceAll("^.*\\.", "").toLowerCase match {
       case "json" => "json"
       case "csv" => "csv"
+      case "orc" => "orc"
       case _ => "parquet"
     }
   }
@@ -59,6 +60,7 @@ final case class FileSource(path: String, format: Option[String] = None)
     case "json" => spark.read.option("multiLine", "true").json(path)
     case "csv" => spark.read.option("header", "true")
       .option("inferSchema", "true").csv(path)
+    case "orc" => spark.read.orc(path)
     case _ => spark.read.parquet(path)
   }
 

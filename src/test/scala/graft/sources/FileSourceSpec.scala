@@ -24,6 +24,18 @@ class FileSourceSpec extends SparkSpec {
     assert(df.count() === 1)
   }
 
+  test("orc round trip preserves types; extension sniffing picks orc") {
+    val dir = tmpDir("fs-orc")
+    Seq(("a", 1L, 2.5), ("b", 2L, -0.5)).toDF("id", "version", "score")
+      .write.orc(s"$dir/data.orc")
+    val df = FileSource(s"$dir/data.orc").load(spark)
+    assert(df.count() === 2)
+    assert(df.schema("version").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(df.schema("score").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+  }
+
   test("explicit format overrides extension sniffing") {
     val dir = tmpDir("fs-fmt")
     java.nio.file.Files.writeString(
