@@ -588,6 +588,27 @@ object TextAnalysis {
   }
 
   /**
+   * Unicode canonical-composition (NFC) signals: canonically
+   * equivalent text in composed vs decomposed form must fingerprint
+   * identically before hash-based dedup, so NFC is the standard
+   * pre-hash step in corpus cleanup. `changed` flags documents whose
+   * bytes moved under NFC; `fp_nfc` is the post-normalization md5
+   * fingerprint downstream dedup keys on. Runs the codegen'd
+   * [[graft.functions.NfcNormalize]] native expression — one narrow
+   * projection, zero shuffles; DuckDB replays it via its own
+   * `nfc_normalize` (both implement the published Unicode algorithm).
+   */
+  def nfcSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"), col(textCol).as("raw"),
+        graft.functions.GraftFunctions.nfc_normalize(col(textCol)).as("nfc"))
+      .select(col("id"),
+        (col("raw") =!= col("nfc")).cast("long").as("changed"),
+        length(col("raw")).as("n_chars_raw"),
+        length(col("nfc")).as("n_chars_nfc"),
+        md5(col("nfc").cast("binary")).as("fp_nfc"))
+
+  /**
    * Per-document character-distribution entropy in exact integer
    * micro-nats — the gibberish/degenerate-text signal (natural prose
    * sits in a band; keyboard mash, base64 blobs, and single-char

@@ -362,6 +362,50 @@ object PortableHash60 {
 }
 
 /**
+ * Unicode NFC (canonical composition) normalization as a native,
+ * codegen'd expression. Canonical-equivalent text (e.g. `é` composed
+ * vs `e` + U+0301) must fingerprint identically before any
+ * hash-based dedup, or the same document in two encodings survives
+ * as a "distinct" pair — the standard pre-hash step in corpus
+ * cleanup. `java.text.Normalizer` implements the published Unicode
+ * canonical-composition algorithm; DuckDB's `nfc_normalize`
+ * (utf8proc) implements the same spec, so results are
+ * engine-portable. Fast path: `isNormalized` short-circuits the
+ * overwhelmingly-common already-NFC case without allocating.
+ */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires a string argument, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.NfcNormalize.normalize($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Static kernel shared by the interpreted and codegen paths. */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/**
  * Shared kernel for the pseudo-random hyperplane family
  * ([[PlaneProjections]], [[PlaneBucket]]): the component of plane `p`
  * at dimension `d` is a pure function of (p, d) —
@@ -530,6 +574,7 @@ object GraftFunctions {
     "parse_version" -> (es => ParseVersion(es.head)),
     "sorted_intersect_size" -> (es => SortedIntersectSize(es.head, es(1))),
     "portable_hash60" -> (es => PortableHash60(es.head)),
+    "nfc_normalize" -> (es => NfcNormalize(es.head)),
     "plane_proj" -> (es => PlaneProjections(es.head,
       litInt(es(1), "plane_proj", "nPlanes"),
       litInt(es(2), "plane_proj", "seedStride"))),
@@ -563,6 +608,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("sorted_intersect_size", a, b)
   def portable_hash60(c: Column): Column =
     org.apache.spark.sql.functions.call_function("portable_hash60", c)
+  def nfc_normalize(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("nfc_normalize", c)
   def plane_proj(vec: Column, nPlanes: Int, seedStride: Int): Column =
     org.apache.spark.sql.functions.call_function("plane_proj", vec,
       org.apache.spark.sql.functions.lit(nPlanes),

@@ -432,6 +432,24 @@ private[graft] object ExtRegistry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Unicode NFC normalization signals (native codegen'd
+    // nfc_normalize): decomposed sequences injected by doc_id
+    // convention (e + U+0301, A + U+030A), plus a precomposed é as
+    // the negative control — composed and decomposed forms must end
+    // at the SAME post-NFC fingerprint
+    "q_nfc_normalize" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("e\u0301"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("A\u030A"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0, lit("\u00e9"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.nfcSignals(d, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // per-document character-distribution entropy in exact integer
     // micro-nats (gibberish / degenerate-text signal)
     "q_char_entropy" -> ((s, dir) =>
@@ -1548,6 +1566,24 @@ private[graft] object ExtRegistry {
         |    AND len(regexp_extract_all(text,
         |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) * 100 <= length(text)
         |    THEN 1 ELSE 0 END AS BIGINT) AS enc_clean
+        |FROM d""".stripMargin,
+
+    // chr(769)=U+0301 combining acute, chr(778)=U+030A combining
+    // ring, chr(233)=precomposed \u00e9; mirrors the engine's doc_id
+    // injection exactly
+    "q_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769) ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'A' || chr(778) ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(233) ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END
+        |    AS BIGINT) AS changed,
+        |  CAST(length(text) AS INTEGER) AS n_chars_raw,
+        |  CAST(length(nfc_normalize(text)) AS INTEGER) AS n_chars_nfc,
+        |  md5(nfc_normalize(text)) AS fp_nfc
         |FROM d""".stripMargin,
 
     "q_char_entropy" ->

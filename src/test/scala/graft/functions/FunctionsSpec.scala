@@ -141,6 +141,39 @@ class FunctionsSpec extends SparkSpec {
     assert(edge.getLong(4) === edge.getLong(5))
   }
 
+  test("nfc_normalize composes decomposed sequences, is idempotent, " +
+      "and agrees between SQL (codegen) and Column paths") {
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    val rows = Seq(
+      ("a", composed),           // already NFC - unchanged
+      ("b", decomposed),         // e + combining acute -> composed
+      ("c", "A\u030A"),          // A + combining ring -> Aring
+      ("d", ""),                 // empty
+      ("e", "plain ascii")).toDF("id", "s")
+    val out = rows.select($"id",
+      GraftFunctions.nfc_normalize($"s").as("n")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("a") === composed)
+    assert(out("b") === composed)
+    assert(out("c") === "\u00c5")
+    assert(out("d") === "")
+    assert(out("e") === "plain ascii")
+    // composed and decomposed forms fingerprint identically post-NFC
+    val fp = rows.filter($"id".isin("a", "b")).select(md5(
+      GraftFunctions.nfc_normalize($"s").cast("binary")).as("f"))
+      .collect().map(_.getString(0))
+    assert(fp(0) === fp(1))
+    // idempotent; SQL surface (codegen path) agrees; null passes through
+    val sqlRow = spark.sql(
+      s"""SELECT nfc_normalize(nfc_normalize('$decomposed')) AS a,
+        |  nfc_normalize('$decomposed') AS b,
+        |  nfc_normalize(CAST(NULL AS STRING)) AS c""".stripMargin).head()
+    assert(sqlRow.getString(0) === composed)
+    assert(sqlRow.getString(1) === composed)
+    assert(sqlRow.isNullAt(2))
+  }
+
   test("expressions survive whole-stage codegen on real data") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = e.limit(50).select(
