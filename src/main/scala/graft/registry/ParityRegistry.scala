@@ -298,6 +298,29 @@ private[graft] object ParityRegistry {
           col("event_type"), col("n"), col("value_cents"))
     }),
 
+    // ── Stream-STATIC enrichment join: the canonical "enrich the
+    // event stream with a dimension table" operator. The static side
+    // carries no watermark and no state — Spark re-resolves it per
+    // micro-batch and (broadcast-hinted) ships it to every task, so
+    // the operator is stateless and the append output equals the
+    // batch join EXACTLY regardless of how rows are batched; DuckDB
+    // computes the batch join directly. At 100 TB the stream side
+    // never shuffles: the dimension broadcasts, events flow through
+    // map-side. ──
+    "q_stream_enrich" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val dim = s.read.parquet(t(dir, "customer"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val sync = graft.streaming.IncrementalSync
+      sync.replayTransform(s, ev, sync.tsRangeBatch(ev, "ts", 3),
+        tempStateDir(), nBatches = 3)(st =>
+        st.join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            floor(col("value") * 100).cast("long").as("value_cents"),
+            col("c_mktsegment").as("segment"),
+            col("c_nationkey").cast("long").as("nation_key")))
+    }),
+
     // ── Stream-STREAM interval join, oracle-certified: even
     // event_ids are the left stream ("impressions"), odd the right
     // ("clicks"); a click joins impressions of the same user at most
@@ -707,6 +730,14 @@ private[graft] object ParityRegistry {
         |  ON l.user_id = r.user_id
         | AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    // stateless stream-static join == the batch join, by construction
+    "q_stream_enrich" ->
+      """SELECT event_id, user_id, event_type,
+        |       CAST(floor(value * 100) AS BIGINT) AS value_cents,
+        |       c_mktsegment AS segment,
+        |       CAST(c_nationkey AS BIGINT) AS nation_key
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
 
     // gaps-and-islands replay of session_window: the merge rule is
     // INCLUSIVE (spec-pinned on the exact-gap boundary), so a

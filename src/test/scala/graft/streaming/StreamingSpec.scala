@@ -170,6 +170,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set(("v1", "c-in")))
   }
 
+  test("stream-static enrichment join is batch-boundary-insensitive: " +
+      "2-batch and 4-batch replays both equal the batch join") {
+    val ev = graft.util.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .limit(400).cache()
+    val dim = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def enrich(st: org.apache.spark.sql.DataFrame) =
+      st.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("c_mktsegment"))
+    val want = enrich(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(want.nonEmpty)
+    Seq(2, 4).foreach { n =>
+      val got = IncrementalSync.replayTransform(
+        spark, ev, IncrementalSync.tsRangeBatch(ev, "ts", n),
+        tmpDir(s"stream-enrich-$n"), nBatches = n)(enrich)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === want, s"nBatches=$n diverged from the batch join")
+    }
+  }
+
   test("session windows: cross-batch merge, half-open exact-gap split, " +
       "open sessions withheld in append mode") {
     implicit val sqlCtx = spark.sqlContext
