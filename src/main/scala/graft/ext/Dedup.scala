@@ -504,6 +504,45 @@ object Dedup {
         explode(shingles(col(textCol), n)).as("g"))
       .select(col("id"), TextAnalysis.portableHash60(col("g")).as("gh"))
 
+  /**
+   * Cross-source n-gram leakage matrix: for every pair of corpus
+   * sources, the number of distinct shared n-grams and their Jaccard
+   * overlap in truncating integer ppm — the corpus-level view of
+   * contamination (which benchmark leaks into which crawl slice,
+   * which two vendors resell the same scrape). Shape: distinct
+   * (source, gram-hash) — ONE shuffle keyed on the gram — then a
+   * self-join on the gram whose per-gram fan-out is bounded by the
+   * number of sources carrying it (≤ S·(S−1)/2, and S is a small
+   * enumerable set at any corpus size), aggregated straight down to
+   * the ≤ S²/2-row matrix with map-side combine. Per-source totals
+   * join back onto that driver-sized matrix broadcast-side.
+   */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = graft.util.Tables.spread(df)
+      .select(col(groupCol).as("src"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .select(col("src"), TextAnalysis.portableHash60(col("g")).as("gh"))
+      .distinct()
+      .persist()
+    try {
+      val totals = grams.groupBy(col("src")).agg(count(lit(1)).as("total"))
+      val shared = grams.as("a").join(grams.as("b"), Seq("gh"))
+        .filter(col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+      shared
+        .join(broadcast(totals.select(
+          col("src").as("src_a"), col("total").as("ta"))), Seq("src_a"))
+        .join(broadcast(totals.select(
+          col("src").as("src_b"), col("total").as("tb"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("shared_grams"),
+          expr("shared_grams * 1000000L div (ta + tb - shared_grams)")
+            .as("jaccard_ppm"))
+        .localCheckpoint()
+    } finally grams.unpersist()
+  }
+
   def contamination(
       train: DataFrame, test: DataFrame, idCol: String, textCol: String,
       n: Int = 13): DataFrame = {

@@ -268,6 +268,13 @@ private[graft] object ExtRegistry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // cross-source n-gram leakage matrix: distinct shared grams +
+    // Jaccard ppm per source pair (which benchmark leaks into which
+    // crawl slice); one gram-keyed shuffle, S²-bounded output
+    "q_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(
+        s.read.parquet(t(dir, "documents")), "source", "text", n = 3)),
+
     // Bloom-prefiltered contamination — IDENTICAL output to
     // q_contamination (same oracle SQL): the test-gram bloom filters
     // the training grams map-side BEFORE their distinct shuffle, and
@@ -1159,6 +1166,28 @@ private[graft] object ExtRegistry {
         |FROM s""".stripMargin,
 
     "q_contamination" -> contaminationSql,
+
+    // gram STRINGS on the oracle side vs 60-bit hashes in the engine:
+    // a green row certifies the hash collision-free on the gate
+    // corpus (the q_span_dedup convention)
+    "q_source_overlap" ->
+      s"""WITH docs AS (
+         |  $duckShingles),
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+         |sg AS (SELECT DISTINCT d.source AS src, e.g AS g
+         |       FROM ex e JOIN documents d USING (doc_id)),
+         |tot AS (SELECT src, count(*) AS total FROM sg GROUP BY src),
+         |sh AS (SELECT a.src AS src_a, b.src AS src_b,
+         |              CAST(count(*) AS BIGINT) AS shared_grams
+         |       FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src
+         |       GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared_grams,
+         |  CAST(shared_grams * 1000000
+         |    // (ta.total + tb.total - shared_grams) AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM sh
+         |JOIN tot ta ON sh.src_a = ta.src
+         |JOIN tot tb ON sh.src_b = tb.src""".stripMargin,
 
     // bloom prefilter is exact by construction — the oracle IS the
     // plain contamination query; a green row certifies that

@@ -427,6 +427,21 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("source overlap: hand-computed pair matrix — shared distinct " +
+      "grams and truncating jaccard ppm; non-overlapping pairs absent") {
+    val docs = Seq(
+      ("A", "a b c d"),  // grams {a b c, b c d}
+      ("A", "x y z"),    // gram  {x y z}            => A total 3
+      ("B", "a b c q"),  // grams {a b c, b c q}     => B total 2
+      ("C", "p q r")     // gram  {p q r}            => C total 1
+    ).toDF("source", "text")
+    val out = graft.ext.Dedup.sourceOverlap(docs, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // only A-B overlaps: 1 shared gram, jaccard 1/(3+2-1) -> 250000 ppm
+    assert(out === Map(("A", "B") -> ((1L, 250000L))))
+  }
+
   test("multimodal WAV: encode/decode round-trip on a hand-computed " +
       "stereo clip; LIST junk chunks (odd AND even sized) are skipped") {
     // 3 frames stereo: L = 100, -200, 32767; R = -1, 0, -32768
