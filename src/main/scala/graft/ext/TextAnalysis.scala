@@ -588,6 +588,39 @@ object TextAnalysis {
   }
 
   /**
+   * URL/domain filter signals — the CCNet/Dolma-family "filter by
+   * where it came from" gate, run before any text is read: host and
+   * path via Spark's native `parse_url`, registered domain as the
+   * last two host labels (documented simplification of the public
+   *-suffix list; swap in an eTLD table join for production), path
+   * depth, query-string presence, IP-literal hosts, and a
+   * blocklist-driven keep decision. One narrow projection, zero
+   * shuffles — the blocklist is a plan literal (`isin`), the right
+   * shape for a list that fits a broadcast at any corpus size.
+   * IP-literal hosts have no registered domain (NULL) and are
+   * rejected outright, the standard crawl-pipeline rule.
+   */
+  def urlSignals(df: DataFrame, idCol: String, urlCol: String,
+      blockedDomains: Seq[String]): DataFrame = {
+    val host = parse_url(col(urlCol), lit("HOST"))
+    val path = parse_url(col(urlCol), lit("PATH"))
+    val ipHost = host.rlike("^[0-9.]+$")
+    val regDomain = when(ipHost, lit(null).cast("string"))
+      .otherwise(concat_ws(".", slice(split(host, "\\."), -2, 2)))
+    val blocked = ipHost || regDomain.isin(blockedDomains: _*)
+    graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        host.as("host"), regDomain.as("reg_domain"),
+        size(filter(split(path, "/"), s => length(s) > 0))
+          .as("path_depth"),
+        parse_url(col(urlCol), lit("QUERY")).isNotNull.cast("long")
+          .as("has_query"),
+        ipHost.cast("long").as("ip_host"),
+        blocked.cast("long").as("blocked"),
+        (!blocked).cast("long").as("url_ok"))
+  }
+
+  /**
    * Unicode canonical-composition (NFC) signals: canonically
    * equivalent text in composed vs decomposed form must fingerprint
    * identically before hash-based dedup, so NFC is the standard

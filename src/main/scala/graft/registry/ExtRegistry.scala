@@ -439,6 +439,30 @@ private[graft] object ExtRegistry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // URL/domain gate over synthetic-but-well-formed URLs derived
+    // from the doc_id (host rotation incl. blocked domains and
+    // IP-literal hosts, id-dependent path depth, periodic query
+    // strings) — parse_url on the engine side, regexp replay in the
+    // oracle, agreement certified by the hash gate
+    "q_url_filter" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select(col("doc_id"),
+        concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(11)) === 3,
+            concat(lit("10.0.0."), pmod(col("doc_id"), lit(256))))
+            .otherwise(element_at(array(
+              lit("example.com"), lit("blog.example.com"),
+              lit("spam.bad"), lit("news.site"), lit("files.host")),
+              (pmod(col("doc_id"), lit(5)) + 1).cast("int"))),
+          lit("/d"), col("doc_id"),
+          repeat(lit("/s"), pmod(col("doc_id"), lit(3)).cast("int")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("?q="), pmod(col("doc_id"), lit(13))))
+            .otherwise(lit(""))).as("url"))
+      TextAnalysis.urlSignals(d, "doc_id", "url",
+        Seq("spam.bad", "files.host"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Unicode NFC normalization signals (native codegen'd
     // nfc_normalize): decomposed sequences injected by doc_id
     // convention (e + U+0301, A + U+030A), plus a precomposed é as
@@ -1596,6 +1620,43 @@ private[graft] object ExtRegistry {
         |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) * 100 <= length(text)
         |    THEN 1 ELSE 0 END AS BIGINT) AS enc_clean
         |FROM d""".stripMargin,
+
+    "q_url_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'https://' ||
+        |    CASE WHEN doc_id % 11 = 3 THEN '10.0.0.' || (doc_id % 256)
+        |         ELSE ['example.com', 'blog.example.com', 'spam.bad',
+        |               'news.site', 'files.host'][(doc_id % 5) + 1]
+        |    END || '/d' || doc_id || repeat('/s', doc_id % 3) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '?q=' || (doc_id % 13)
+        |         ELSE '' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+        |    regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path,
+        |    CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END AS has_query
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, host, path, has_query,
+        |    CASE WHEN regexp_matches(host, '^[0-9.]+$') THEN 1 ELSE 0
+        |      END AS ip_host,
+        |    CASE WHEN regexp_matches(host, '^[0-9.]+$') THEN NULL
+        |         ELSE string_split(host, '.')[-2] || '.' ||
+        |              string_split(host, '.')[-1] END AS reg_domain
+        |  FROM p)
+        |SELECT doc_id, host, reg_domain,
+        |  CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+        |    AS INTEGER) AS path_depth,
+        |  CAST(has_query AS BIGINT) AS has_query,
+        |  CAST(ip_host AS BIGINT) AS ip_host,
+        |  CAST(CASE WHEN ip_host = 1
+        |         OR reg_domain IN ('spam.bad', 'files.host')
+        |       THEN 1 ELSE 0 END AS BIGINT) AS blocked,
+        |  CAST(CASE WHEN ip_host = 1
+        |         OR reg_domain IN ('spam.bad', 'files.host')
+        |       THEN 0 ELSE 1 END AS BIGINT) AS url_ok
+        |FROM r""".stripMargin,
 
     // chr(769)=U+0301 combining acute, chr(778)=U+030A combining
     // ring, chr(233)=precomposed \u00e9; mirrors the engine's doc_id

@@ -427,6 +427,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("url signals: host/domain extraction, depth, IP and blocklist " +
+      "rejection on hand-built URLs") {
+    val rows = Seq(
+      (1L, "https://blog.example.com/a/b/c?q=1"),
+      (2L, "https://spam.bad/x"),
+      (3L, "https://10.0.0.7/d3"),
+      (4L, "https://news.site/")
+    ).toDF("doc_id", "url")
+    val out = TextAnalysis.urlSignals(rows, "doc_id", "url",
+      Seq("spam.bad"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "blog.example.com")
+    assert(out(1L).getString(2) === "example.com") // last-two-label reg domain
+    assert(out(1L).getInt(3) === 3 && out(1L).getLong(4) === 1L)
+    assert(out(1L).getLong(7) === 1L)              // kept
+    assert(out(2L).getLong(6) === 1L && out(2L).getLong(7) === 0L) // blocked
+    assert(out(3L).getLong(5) === 1L && out(3L).getLong(7) === 0L) // IP host
+    assert(out(3L).isNullAt(2))                    // IPs have no reg domain
+    assert(out(4L).getInt(3) === 0 && out(4L).getLong(4) === 0L)
+    assert(out(4L).getLong(7) === 1L)
+  }
+
   test("source overlap: hand-computed pair matrix — shared distinct " +
       "grams and truncating jaccard ppm; non-overlapping pairs absent") {
     val docs = Seq(
