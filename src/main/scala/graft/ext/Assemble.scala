@@ -693,6 +693,26 @@ object Assemble {
    * counter is a windowed count, LongType — it cannot overflow the
    * way a 32-bit `row_number` would past 2³¹ rows/shard).
    */
+  /**
+   * Sharded JSONL export — the training-data delivery format (one
+   * JSON object per line, one directory per shard). Each row becomes
+   * `to_json(struct(cols))` and lands under `shard=<k>/` via a
+   * partitioned text write: the write is fully distributed (tasks
+   * write their own shard files, no exchange beyond the caller's
+   * shard assignment) and any JSON reader — including another
+   * engine — re-ingests it. JSON string escaping is the contract
+   * surface (newlines, quotes, unicode must round-trip byte-exactly);
+   * `q_export_jsonl` certifies it by hashing the text AFTER a full
+   * write→read cycle against the oracle's hash of the parquet
+   * original.
+   */
+  def exportJsonl(df: DataFrame, outDir: String,
+      shardCol: String = "shard"): Unit =
+    df.select(col(shardCol),
+        to_json(struct(df.columns.filter(_ != shardCol).map(col): _*))
+          .as("value"))
+      .write.mode("overwrite").partitionBy(shardCol).text(outDir)
+
   def shuffleShards(
       df: DataFrame, idCol: String,
       shards: Int = 64, seed: Long = 0L): DataFrame = {

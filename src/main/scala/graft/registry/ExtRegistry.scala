@@ -439,6 +439,26 @@ private[graft] object ExtRegistry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // sharded JSONL export → re-ingest round trip: per-shard counts +
+    // content hashes computed from the RE-READ lines must equal the
+    // oracle's over the parquet original — JSON escaping (newlines,
+    // quotes, unicode) must round-trip byte-exactly for the hashes
+    // to meet
+    "q_export_jsonl" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"), col("lang"),
+          pmod(col("doc_id"), lit(8L)).as("shard"))
+      val work = tempStateDir()
+      Assemble.exportJsonl(docs, s"$work/jsonl")
+      s.read.json(s"$work/jsonl")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(TextAnalysis.portableHash60(col("text")),
+            lit(1000003L))).as("h_sum"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    }),
+
     // URL/domain gate over synthetic-but-well-formed URLs derived
     // from the doc_id (host rotation incl. blocked domains and
     // IP-literal hosts, id-dependent path depth, periodic query
@@ -1620,6 +1640,12 @@ private[graft] object ExtRegistry {
         |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) * 100 <= length(text)
         |    THEN 1 ELSE 0 END AS BIGINT) AS enc_clean
         |FROM d""".stripMargin,
+
+    "q_export_jsonl" ->
+      s"""SELECT doc_id % 8 AS shard, count(*) AS n,
+         |  CAST(sum(${duckHash60("text")} % 1000003) AS BIGINT) AS h_sum,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_url_filter" ->
       """WITH d AS (

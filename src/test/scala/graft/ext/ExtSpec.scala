@@ -427,6 +427,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("jsonl export round-trips hostile text byte-exactly: newlines, " +
+      "quotes, backslashes, tabs, unicode") {
+    val hostile = Seq(
+      (0L, "line one\nline two", 0L),
+      (1L, "quote \" backslash \\ slash /", 0L),
+      (2L, "tab\there \r carriage", 1L),
+      (3L, "unicode e\u0301 \u26a1 and ctrl \u0007", 1L),
+      (4L, "", 0L)
+    ).toDF("doc_id", "text", "shard")
+    val dir = tmpDir("jsonl-rt")
+    graft.ext.Assemble.exportJsonl(hostile, s"$dir/out")
+    val back = spark.read.json(s"$dir/out")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    hostile.select($"doc_id", $"text").as[(Long, String)].collect()
+      .foreach { case (id, txt) =>
+        assert(back(id) === txt, s"doc $id did not round-trip")
+      }
+    // shard dirs materialized as written
+    assert(new java.io.File(s"$dir/out/shard=0").exists())
+    assert(new java.io.File(s"$dir/out/shard=1").exists())
+  }
+
   test("url signals: host/domain extraction, depth, IP and blocklist " +
       "rejection on hand-built URLs") {
     val rows = Seq(
