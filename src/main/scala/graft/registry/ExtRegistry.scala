@@ -439,6 +439,27 @@ private[graft] object ExtRegistry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // binary-level exact media dedup: group blobs by sha256 from the
+    // metadata projection (bytes never shuffle — only the 64-char
+    // digest does), count copies, keep min media_id; the standard
+    // first pass over any image/audio corpus
+    "q_media_dedup" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      // every doc_id ≡ 7 (mod 10) carries the BYTES of doc_id − 7 —
+      // deterministic exact-duplicate blobs for the dedup to find
+      val dup = d.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 7, col("doc_id") - 7)
+          .otherwise(col("doc_id")).as("src_id"))
+        .join(d.select(col("doc_id").as("b_id"), col("text").as("b_text")),
+          col("src_id") === col("b_id"))
+        .select(col("doc_id"), col("b_text").as("text"))
+      val media = Multimodal.synthesize(dup, "doc_id", "text")
+      Multimodal.withMeta(media)
+        .groupBy(col("meta.sha256").as("sha"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("media_id")).as("keeper_id"))
+    }),
+
     // sharded JSONL export → re-ingest round trip: per-shard counts +
     // content hashes computed from the RE-READ lines must equal the
     // oracle's over the parquet original — JSON escaping (newlines,
@@ -1640,6 +1661,22 @@ private[graft] object ExtRegistry {
         |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) * 100 <= length(text)
         |    THEN 1 ELSE 0 END AS BIGINT) AS enc_clean
         |FROM d""".stripMargin,
+
+    // blob bytes are the utf-8 text (Multimodal.synthesize), so
+    // DuckDB's sha256(VARCHAR) hashes the same byte stream Spark's
+    // sha2(binary) does; media_id is the STRING doc_id, so the
+    // keeper min is lexicographic on both sides
+    "q_media_dedup" ->
+      """WITH d AS (
+        |  SELECT a.doc_id, b.text
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+        |               ELSE doc_id END AS src_id
+        |        FROM documents) a
+        |  JOIN documents b ON a.src_id = b.doc_id)
+        |SELECT sha256(text) AS sha, count(*) AS n_copies,
+        |       min(CAST(doc_id AS VARCHAR)) AS keeper_id
+        |FROM d GROUP BY 1""".stripMargin,
 
     "q_export_jsonl" ->
       s"""SELECT doc_id % 8 AS shard, count(*) AS n,
