@@ -471,7 +471,10 @@ private[graft] object ExtRegistry {
           pmod(col("doc_id"), lit(8L)).as("shard"))
       val work = tempStateDir()
       Assemble.exportJsonl(docs, s"$work/jsonl")
-      s.read.json(s"$work/jsonl")
+      // explicit schema: an all-empty export has no lines to infer
+      // from (and names the shard partition column's type)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, shard LONG")
+        .json(s"$work/jsonl")
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n"),
           sum(pmod(TextAnalysis.portableHash60(col("text")),

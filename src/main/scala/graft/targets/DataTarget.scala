@@ -233,6 +233,52 @@ final case class FileTarget(
     f.exists() && (f.listFiles() != null && f.listFiles().nonEmpty)
   }
 
+  /**
+   * Small-files compaction — the lakehouse maintenance op a
+   * copy-on-write table needs after many incremental syncs: rewrite
+   * the current state into `ceil(totalBytes / targetFileBytes)` files
+   * (flat layout) or one file per `pt=` partition (partitioned
+   * layout), committed through the SAME manifest-logged whole-dir
+   * swap as a sync, so a crash at any point is completed idempotently
+   * by the next reader/writer and the content is never mid-rewrite.
+   * Bucketed states are a no-op: [[writeState]] already writes
+   * exactly one file per bucket. Returns the post-compaction data
+   * file count, or −1 if the state was already compact enough (no
+   * rewrite performed). At 100 TB this runs per partition directory
+   * on whatever cadence write amplification allows.
+   */
+  def compact(spark: SparkSession,
+      targetFileBytes: Long = 128L << 20): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    if (buckets > 0 || !exists) return -1L
+    def dataFiles(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap {
+        case d if d.isDirectory => dataFiles(d)
+        case p if p.getName.endsWith(".parquet") => Seq(p)
+        case _ => Nil
+      }
+    val files = dataFiles(new java.io.File(path))
+    val want = math.max(1L,
+      (files.map(_.length).sum + targetFileBytes - 1) / targetFileBytes)
+    val partDirs = if (partitions > 0)
+      Option(new java.io.File(path).listFiles())
+        .map(_.count(f => f.isDirectory && f.getName.startsWith("pt=")))
+        .getOrElse(0)
+    else 1
+    // partitioned target shape = one file per pt dir; flat = `want`
+    if (files.size <= math.max(want, partDirs.toLong)) return -1L
+    val staging = path + ".compact-staging"
+    val df = spark.read.parquet(path)
+    if (partitions > 0)
+      df.repartition(col("pt")).write.mode("overwrite")
+        .partitionBy("pt").parquet(staging)
+    else
+      df.coalesce(want.toInt).write.mode("overwrite").parquet(staging)
+    writeManifest(staging, Seq("*:swap"))
+    completeSwap(manifestFile) // deletes the manifest on completion
+    dataFiles(new java.io.File(path)).size.toLong
+  }
+
   /** Swap-manifest path: present ⇔ a bucket swap is in flight. */
   private def manifestFile = new java.io.File(path + ".swap-manifest")
 

@@ -234,6 +234,62 @@ class PipelineSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("compaction: flat state rewritten to the byte-target file " +
+      "count, content byte-identical, idempotent; bucketed is a no-op") {
+    val dir = tmpDir("pipeline-compact")
+    val target = FileTarget(s"$dir/state")
+    val rows = (1 to 500).map(i => (s"id$i", i.toLong, s"payload-$i"))
+    // seed deliberately fragmented: 32 tiny files
+    rows.toDF("id", "version", "name").repartition(32)
+      .write.parquet(s"$dir/state")
+    def files() = new java.io.File(s"$dir/state").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() === 32)
+    val before = spark.read.parquet(s"$dir/state")
+      .as[(String, Long, String)].collect().toSet
+    // huge target => everything fits one file
+    val n = target.compact(spark, targetFileBytes = 1L << 30)
+    assert(n === 1L && files() === 1)
+    val after = spark.read.parquet(s"$dir/state")
+      .as[(String, Long, String)].collect().toSet
+    assert(after === before)
+    assert(!new java.io.File(s"$dir/state.swap-manifest").exists())
+    assert(!new java.io.File(s"$dir/state.compact-staging").exists())
+    // second run: already compact -> no rewrite
+    assert(target.compact(spark, targetFileBytes = 1L << 30) === -1L)
+    // bucketed layout: always a no-op (one file per bucket by write)
+    val bt = FileTarget(s"$dir/bstate", buckets = 4)
+    bt.writeState(spark, rows.toDF("id", "version", "name"))
+    assert(bt.compact(spark) === -1L)
+  }
+
+  test("compaction: partitioned state collapses to one file per pt " +
+      "dir and every row survives") {
+    val dir = tmpDir("pipeline-compact-pt")
+    val target = FileTarget(s"$dir/state", partitions = 4)
+    val rows = (1 to 300).map(i => (s"id$i", i.toLong, s"v$i"))
+    // fragment each pt dir: three separate appends of the SAME layout
+    rows.grouped(100).foreach { chunk =>
+      chunk.toDF("id", "version", "name")
+        .withColumn("pt", pmod(xxhash64($"id".cast("string")), lit(4L)))
+        .repartition($"pt")
+        .write.mode("append").partitionBy("pt").parquet(s"$dir/state")
+    }
+    def ptFiles() = new java.io.File(s"$dir/state").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pt="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(ptFiles().exists(_ > 1)) // fragmented before
+    val before = spark.read.parquet(s"$dir/state")
+      .select($"id", $"version", $"name")
+      .as[(String, Long, String)].collect().toSet
+    val n = target.compact(spark, targetFileBytes = 1L << 30)
+    assert(n === 4L && ptFiles().forall(_ === 1))
+    val after = spark.read.parquet(s"$dir/state")
+      .select($"id", $"version", $"name")
+      .as[(String, Long, String)].collect().toSet
+    assert(after === before)
+  }
+
   test("bucketed state: the diff join consumes the bucketing — no " +
       "state-side exchange; merged state matches the plain target") {
     val dir = tmpDir("pipeline-bucketed")
