@@ -475,6 +475,77 @@ object Assemble {
   }
 
   /**
+   * Okapi BM25 ranking of documents against a FIXED query-term set —
+   * the retrieval scorer quality-filter pipelines use to mine
+   * topic-relevant subsets out of a web corpus.
+   *
+   * Scale shape: unlike TF-IDF (which must shuffle every (doc, token)
+   * pair because every token can matter), BM25 against k query terms
+   * needs NO token shuffle at all — per-term tf and the document
+   * length are narrow array expressions over each row, the only
+   * aggregations are one scalar pass for (N, Σdl, per-term df), whose
+   * result is a single driver row folded back in as literals, and the
+   * final global top-k plans as TakeOrderedAndProject (per-partition
+   * heaps, never a full sort). The corpus is scanned exactly twice
+   * and nothing wider than k columns ever moves.
+   *
+   * Determinism: idf is quantized to micro units BEFORE scoring, the
+   * per-term contribution is floored to micro units BEFORE the
+   * cross-term sum (an integer sum is order-independent; a double sum
+   * is not), and the oracle mirrors the exact expression tree —
+   * including computing `1 + k1` rather than a pre-added literal, so
+   * both engines round the same decimal parses the same way.
+   *
+   * @return top-k (id, score_micro, rank) among docs matching ≥1 term.
+   */
+  def bm25TopDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    require(topK > 0, "topK must be positive")
+    val toks = TextAnalysis.normTokens(col(textCol))
+    val tfCols = queryTerms.indices.map { i =>
+      size(filter(toks, x => x === lit(queryTerms(i)))).cast("long")
+        .as(s"tf$i")
+    }
+    val base = graft.util.Tables.spread(df).select(
+      col(idCol).as("id") +:
+        size(filter(toks, x => length(x) > 0)).cast("long").as("dl") +:
+        tfCols: _*)
+    // one scalar aggregate: N, Σdl, df per term — bounded driver row
+    val statCols =
+      count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val statsRow = base.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val idfMicro = queryTerms.indices.map { i =>
+      val dfi = statsRow.getLong(2 + i).toDouble
+      math.floor(math.log((nDocs - dfi + 0.5) / (dfi + 0.5) + 1.0)
+        * 1000000L).toLong
+    }
+    val contribs = queryTerms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val denom = tf +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
+      floor(lit(idfMicro(i)) * tf * (lit(1.0) + lit(k1)) / denom)
+        .cast("long")
+    }
+    val scored = base
+      .withColumn("score_micro", contribs.reduce(_ + _))
+      .filter(col("score_micro") > 0)
+      .select(col("id"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("id"))
+      .limit(topK)
+    // rank over the already-reduced k rows (single tiny partition)
+    val w = Window.orderBy(col("score_micro").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+  }
+
+  /**
    * Corpus word-type table — (word, freq) — the input representation
    * BPE training actually consumes (Sennrich et al., ACL 2016): the
    * corpus collapses through ONE groupBy(word) shuffle with map-side

@@ -98,4 +98,38 @@ object Sampling {
       pmod(TextAnalysis.portableHash60(col(idCol).cast("string")),
         lit(Buckets)) < thresholdCol)
   }
+
+  /**
+   * Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+   * each row draws a deterministic uniform u from its id's portable
+   * hash and is keyed by `-ln(u) / w`; the k SMALLEST keys are the
+   * sample. Heavier rows draw smaller keys in expectation, giving
+   * exact probability-proportional-to-size semantics — the curation
+   * primitive behind "sample 1M docs weighted by quality score".
+   *
+   * Determinism: u = (hash mod 1e6 + 0.5) / 1e6 (never 0, so ln is
+   * finite), the key is floored to nano units, and ordering ties
+   * break on the id — the same k rows on every run, every engine,
+   * any partitioning, replayable by an oracle.
+   *
+   * Scale shape: the key is a narrow projection; `orderBy().limit(k)`
+   * plans as TakeOrderedAndProject — per-partition k-heaps, one
+   * O(k · partitions) gather, never a full sort. The rank window runs
+   * AFTER the limit, over k rows only.
+   */
+  def weightedTopK(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (pmod(TextAnalysis.portableHash60(col(idCol).cast("string")),
+      lit(Buckets)).cast("double") + lit(0.5)) / lit(Buckets.toDouble)
+    val key = -log(u) / col(weightCol).cast("double")
+    val top = df
+      .filter(col(weightCol) > 0)
+      .withColumn("key_nano", floor(key * lit(1000000000L)).cast("long"))
+      .orderBy(col("key_nano"), col(idCol))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key_nano"), col(idCol))
+    top.withColumn("rank", row_number().over(w))
+  }
 }

@@ -816,7 +816,45 @@ private[graft] object ExtRegistry {
       val media = Multimodal.synthesizeWav(
         s.read.parquet(t(dir, "documents")), "doc_id")
       Multimodal.decodeWav(media).toDF()
-    })
+    }),
+
+    // fixed-point PageRank over the customer↔supplier order graph
+    // (both directions, namespaced node ids) — integer arithmetic
+    // end-to-end, so the distributed power iteration is exactly
+    // oracle-replayable (double sums are order-dependent; longs
+    // aren't)
+    "q_pagerank" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.union(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      graft.ext.Graph.pageRank(edges, "a", "b", iterations = 3)
+    }),
+
+    // BM25 retrieval scoring against a fixed query-term set — zero
+    // token shuffle (per-term tf and dl are narrow array expressions;
+    // corpus stats fold back as literals; top-k is a per-partition
+    // heap)
+    "q_bm25" -> ((s, dir) =>
+      Assemble.bm25TopDocs(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        Seq("spark", "join", "window"), topK = 20)
+        .withColumnRenamed("id", "doc_id")),
+
+    // weighted sampling without replacement (Efraimidis–Spirakis
+    // A-Res) — probability proportional to n_chars, deterministic
+    // hash uniforms, k smallest -ln(u)/w keys
+    "q_sample_weighted" -> ((s, dir) =>
+      graft.ext.Sampling.weightedTopK(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 25))
   )
 
   /** DuckDB oracles for this tier's queries. */
@@ -2115,5 +2153,96 @@ private[graft] object ExtRegistry {
         |       CAST(nf * 1000 // sr AS BIGINT) AS duration_ms,
         |       c0_sum, c1_sum, abs_sum, peak
         |FROM a""".stripMargin,
+
+    // fixed-point power iteration unrolled — integer `//` division
+    // and integer sums make every iteration exact, so the oracle
+    // replays the distributed rank bit-for-bit
+    "q_pagerank" -> {
+      val iters = (1 to 3).map { k =>
+        s"""i$k AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s
+           |  FROM e JOIN deg d ON e.src = d.src
+           |  JOIN r${k - 1} r ON r.node = e.src
+           |  GROUP BY e.dst),
+           |r$k AS (SELECT n.node,
+           |  CAST(150000 + (coalesce(i.s, 0) * 850) // 1000 AS BIGINT)
+           |    AS rank
+           |  FROM nodes n LEFT JOIN i$k i ON n.node = i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b, a FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         |$iters
+         |SELECT node, rank AS rank_micro FROM r3""".stripMargin
+    },
+
+    // BM25: idf quantized to micro units before scoring, per-term
+    // contribution floored before the cross-term sum, and every
+    // double expression mirrors the engine's association order
+    // (including computing 1 + 1.2 rather than a 2.2 literal)
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(t, x -> x <> '')) AS dl,
+        |    len(list_filter(t, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(t, x -> x = 'join')) AS tf1,
+        |    len(list_filter(t, x -> x = 'window')) AS tf2
+        |  FROM toks),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS BIGINT) AS sdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM base),
+        |c AS (
+        |  SELECT CAST(sdl AS DOUBLE) / n AS avgdl,
+        |    CAST(floor(ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * 1000000)
+        |      AS BIGINT) AS idf0,
+        |    CAST(floor(ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * 1000000)
+        |      AS BIGINT) AS idf1,
+        |    CAST(floor(ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * 1000000)
+        |      AS BIGINT) AS idf2
+        |  FROM stats),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    CAST(floor(idf0 * tf0 * (1 + 1.2)
+        |      / (tf0 + 1.2 * (1 - 0.75 + 0.75 * b.dl / c.avgdl)))
+        |      AS BIGINT)
+        |    + CAST(floor(idf1 * tf1 * (1 + 1.2)
+        |      / (tf1 + 1.2 * (1 - 0.75 + 0.75 * b.dl / c.avgdl)))
+        |      AS BIGINT)
+        |    + CAST(floor(idf2 * tf2 * (1 + 1.2)
+        |      / (tf2 + 1.2 * (1 - 0.75 + 0.75 * b.dl / c.avgdl)))
+        |      AS BIGINT) AS score_micro
+        |  FROM base b, c)
+        |SELECT doc_id, score_micro,
+        |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+        |    AS INTEGER) AS rank
+        |FROM scored WHERE score_micro > 0
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Efraimidis–Spirakis replay: deterministic uniform from the
+    // portable hash, -ln(u)/w floored to nano units, k smallest
+    "q_sample_weighted" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(floor(-ln((${duckHash60("CAST(doc_id AS VARCHAR)")}
+         |        % 1000000 + 0.5) / 1000000.0)
+         |      / CAST(n_chars AS DOUBLE) * 1000000000) AS BIGINT)
+         |      AS key_nano
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, n_chars, key_nano,
+         |  CAST(row_number() OVER (ORDER BY key_nano, doc_id) AS INTEGER)
+         |    AS rank
+         |FROM k ORDER BY key_nano, doc_id LIMIT 25""".stripMargin,
   )
 }

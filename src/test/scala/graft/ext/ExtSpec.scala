@@ -1541,4 +1541,70 @@ class ExtSpec extends SparkSpec {
         r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toSet
     assert(re === want)
   }
+
+  test("pagerank: 2-cycle is a fixed point; star graph matches the " +
+    "hand-computed fixed-point iteration exactly") {
+    // a<->b, outdeg 1 each: contrib = rank, rank' = 150k + 850k = 1e6
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val rc = Graph.pageRank(cyc, "src", "dst", iterations = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rc === Map("a" -> 1000000L, "b" -> 1000000L))
+    // undirected star: center c with leaves l1, l2 (hand-iterated:
+    // i1 c=1850000 leaf=575000; i2 c=1127500 leaf=936250;
+    // i3 c=1741625 leaf=629187 — exact integers, floor division)
+    val star = Seq(("c", "l1"), ("c", "l2"), ("l1", "c"), ("l2", "c"))
+      .toDF("src", "dst")
+    val rs = Graph.pageRank(star, "src", "dst", iterations = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rs === Map(
+      "c" -> 1741625L, "l1" -> 629187L, "l2" -> 629187L))
+    // partitioning-invariant: integer arithmetic, any layout
+    val rs7 = Graph.pageRank(star.repartition(7), "src", "dst", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rs7 === rs)
+  }
+
+  test("bm25: term-frequency monotone, non-matching docs excluded, " +
+    "ranks sequential, partitioning-invariant") {
+    val corpus = Seq(
+      (1L, "spark spark spark engine"),
+      (2L, "spark engine"),
+      (3L, "engine only no match here"),
+      (4L, "totally unrelated words"),
+      (5L, "spark")
+    ).toDF("doc_id", "text")
+    val out = Assemble.bm25TopDocs(corpus, "doc_id", "text",
+      Seq("spark"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // only docs containing "spark"
+    assert(out.map(_._1).toSet === Set(1L, 2L, 5L))
+    // ranks are 1..n in score-desc order
+    assert(out.sortBy(_._3).map(_._3).toSeq === Seq(1, 2, 3))
+    val byDoc = out.map(t => t._1 -> t._2).toMap
+    // tf=3 in a longer doc still beats tf=1; among tf=1 the shorter
+    // doc (5) beats the longer (2) — the length normalization
+    assert(byDoc(1L) > byDoc(5L) && byDoc(5L) > byDoc(2L))
+    val re = Assemble.bm25TopDocs(corpus.repartition(7), "doc_id",
+      "text", Seq("spark"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(re.toSet === out.toSet)
+  }
+
+  test("weighted sampling: exactly k rows, keys ascending with ranks " +
+    "1..k, zero-weight rows excluded, partitioning-invariant") {
+    val rows = (1L to 50L).map(i => (i, i % 7 + (if (i == 9) -8 else 0)))
+      .toDF("id", "w") // ids with w <= 0 must be excluded
+    val out = Sampling.weightedTopK(rows, "id", "w", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(out.length === 10)
+    assert(out.sortBy(_._3).map(_._2).toSeq ===
+      out.map(_._2).sorted.toSeq) // rank order == key order
+    assert(out.map(_._3).sorted.toSeq === (1 to 10))
+    // w = i%7 == 0 strata (ids 7,14,...) and the negative row can
+    // never be sampled
+    assert(out.forall(t => t._1 % 7 != 0 && t._1 != 9L))
+    val re = Sampling.weightedTopK(rows.repartition(7), "id", "w", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(re.toSet === out.toSet)
+  }
 }
