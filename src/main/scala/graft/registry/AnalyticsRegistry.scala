@@ -167,6 +167,21 @@ private[graft] object AnalyticsRegistry {
           date_format(col("ts"), "yyyy-MM").as("month"))
         .agg(count(lit(1)).as("cnt"))),
 
+    // explicit GROUPING SETS — the general form cube/rollup
+    // specialize: two independent single-column breakdowns plus the
+    // grand total in ONE pass (one Expand + one aggregate exchange,
+    // not three scans), with grouping_id disambiguating which set
+    // each output row belongs to
+    "q_grouping_sets" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .withColumn("user_mod", pmod(col("user_id"), lit(10L)))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("user_mod")), Seq()),
+          col("event_type"), col("user_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"),
+          grouping_id().as("gid"))),
+
     // multi-join aggregation (TPC-H Q5 shape): revenue by nation
     "q5_join" -> ((s, dir) => {
       val r = s.read.parquet(t(dir, "region")).filter(col("r_name") === "ASIA")
@@ -492,6 +507,35 @@ private[graft] object AnalyticsRegistry {
             min(col("event_id")).as("min_id"),
             max(col("event_id")).as("max_id"))
       }
+    }),
+
+    // ── S1 schema evolution: two staged parquet generations (the
+    // second adds a column) read through ONE mergeSchema scan —
+    // rows from the legacy generation surface the new column as
+    // NULL, the declarative-mapping contract (M1) applied at the
+    // source layer. The aggregate certifies both the union (row
+    // counts per type) and the NULL semantics (legacy rows counted,
+    // excluded from the sum). ──
+    "q_source_evolve" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val gen1 = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+        .select(col("event_id"), col("event_type"))
+      val gen2 = ev.filter(pmod(col("event_id"), lit(3)) === 1)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("value_cents"))
+      if (gen1.isEmpty && gen2.isEmpty) emptySourceAgg(s)
+      else {
+        val work = tempStateDir()
+        gen1.coalesce(2).write.mode("overwrite").parquet(s"$work/gen1")
+        gen2.coalesce(2).write.mode("overwrite").parquet(s"$work/gen2")
+        graft.sources.FileSource(s"$work/gen*", Some("parquet"),
+          Map("mergeSchema" -> "true")).load(s)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value_cents").isNull, 1L).otherwise(0L))
+              .as("n_legacy"),
+            sum(coalesce(col("value_cents"), lit(0L))).as("cents"))
+      }
     })
   )
 
@@ -802,5 +846,28 @@ private[graft] object AnalyticsRegistry {
         |       min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events WHERE event_id % 5 = 2
         |GROUP BY event_type""".stripMargin,
+
+    // the staged two-generation mergeSchema read must equal this
+    // direct replay: legacy rows (id % 3 = 0) carry NULL value_cents
+    // — counted in n and n_legacy, excluded from the sum
+    "q_source_evolve" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_legacy,
+        |       CAST(sum(CASE WHEN event_id % 3 = 1
+        |         THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+        |         AS BIGINT) AS cents
+        |FROM events WHERE event_id % 3 IN (0, 1)
+        |GROUP BY event_type""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT event_type, user_mod, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
+        |       CAST(grouping(event_type) * 2 + grouping(user_mod)
+        |         AS BIGINT) AS gid
+        |FROM (SELECT event_type, value, user_id % 10 AS user_mod
+        |      FROM events)
+        |GROUP BY GROUPING SETS ((event_type), (user_mod), ())""".stripMargin,
   )
 }

@@ -44,7 +44,8 @@ trait DataSource {
  * and CSV at scale are multi-partition; callers needing a total order
  * pass an explicit version/order attribute instead.
  */
-final case class FileSource(path: String, format: Option[String] = None)
+final case class FileSource(path: String, format: Option[String] = None,
+    options: Map[String, String] = Map.empty)
     extends DataSource {
 
   private def fmt: String = format.getOrElse {
@@ -56,12 +57,18 @@ final case class FileSource(path: String, format: Option[String] = None)
     }
   }
 
-  override def load(spark: SparkSession): DataFrame = fmt match {
-    case "json" => spark.read.option("multiLine", "true").json(path)
-    case "csv" => spark.read.option("header", "true")
-      .option("inferSchema", "true").csv(path)
-    case "orc" => spark.read.orc(path)
-    case _ => spark.read.parquet(path)
+  override def load(spark: SparkSession): DataFrame = {
+    // caller-supplied reader options (e.g. mergeSchema for
+    // multi-generation parquet dirs) compose under the per-format
+    // defaults
+    val r = spark.read.options(options)
+    fmt match {
+      case "json" => r.option("multiLine", "true").json(path)
+      case "csv" => r.option("header", "true")
+        .option("inferSchema", "true").csv(path)
+      case "orc" => r.orc(path)
+      case _ => r.parquet(path)
+    }
   }
 
   override def setup(spark: SparkSession): ValidationResult = {

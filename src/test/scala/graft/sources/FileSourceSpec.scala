@@ -45,6 +45,21 @@ class FileSourceSpec extends SparkSpec {
     assert(df.count() === 1)
   }
 
+  test("mergeSchema option: two parquet generations read as one " +
+    "frame, legacy rows surface the added column as NULL") {
+    val dir = tmpDir("fs-evolve")
+    Seq(("a", 1L)).toDF("id", "version")
+      .write.parquet(s"$dir/gen1")
+    Seq(("b", 2L, 42L)).toDF("id", "version", "score")
+      .write.parquet(s"$dir/gen2")
+    val df = FileSource(s"$dir/gen*", Some("parquet"),
+      Map("mergeSchema" -> "true")).load(spark)
+    assert(df.columns.toSet === Set("id", "version", "score"))
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.isNullAt(df.columns.indexOf("score")))).toSet
+    assert(rows === Set(("a", true), ("b", false)))
+  }
+
   test("setup flags missing and unreadable paths") {
     assert(!FileSource("/does/not/exist.json").setup(spark).ok)
     val dir = tmpDir("fs-ok")
