@@ -133,6 +133,23 @@ final case class Scd2Target(
       new java.io.File(ledgerDir, f"k_$n%012d").toPath)
   }
 
+  /** TIME-TRAVEL read: the state as of sync ordinal `k` — the rows
+    * whose validity range covers k (`sync_in <= k < sync_out`, open
+    * rows have NULL sync_out). A narrow filter over the history, no
+    * join; at 100 TB the predicate prunes on parquet row-group stats
+    * for `sync_in`, and recent-ordinal reads touch only the files
+    * recent syncs wrote. Ordinals are the apply-ledger sequence —
+    * `stateAt(ordinals() - 1)` equals [[currentState]]'s row set. */
+  def stateAt(spark: SparkSession, k: Long): DataFrame = {
+    val h = history(spark)
+    if (!h.columns.contains("sync_in")) h.limit(0)
+    else h.filter(col("sync_in") <= k &&
+      (col("sync_out").isNull || col("sync_out") > k))
+  }
+
+  /** Number of recorded applies (the next sync's ordinal). */
+  def ordinals(): Long = ledgerCount()
+
   /** The diff runs against CURRENT rows only (`sync_out IS NULL`) —
     * closed history never re-enters the comparison. */
   override def currentState(spark: SparkSession): DataFrame = {

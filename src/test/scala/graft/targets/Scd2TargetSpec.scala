@@ -44,6 +44,35 @@ class Scd2TargetSpec extends SparkSpec {
     assert(cur === Set(("a", 9L), ("b", 5L), ("c", 1L)))
   }
 
+  test("time travel: stateAt(k) reconstructs every past sync's state; " +
+      "stateAt(ordinals - 1) equals currentState; pre-history is empty") {
+    val dir = tmpDir("scd2-tt")
+    val tgt = Scd2Target(s"$dir/hist")
+    // sync 0: a@1, b@1 — sync 1: a@2 (update), b removed (close)
+    new ImportService(preset(dir, Seq(
+      ("a", 1L, "a0"), ("b", 1L, "b0")))).importData(spark)
+    new ImportService(Preset(
+      InlineSource(s => { import s.implicits._
+        Seq(("a", 2L, "a1")).toDF("id", "version", "attr") }),
+      tgt, Mapper(Seq("attr" -> "attr")),
+      idAttribute = "id", versionAttribute = Some("version"),
+      skipRemovedRecords = false)).importData(spark)
+    def at(k: Long) = tgt.stateAt(spark, k)
+      .select($"id", $"version".cast("long"), $"attr")
+      .as[(String, Long, String)].collect().toSet
+    assert(at(0) === Set(("a", 1L, "a0"), ("b", 1L, "b0")))
+    assert(at(1) === Set(("a", 2L, "a1"))) // b closed at ordinal 1
+    assert(tgt.ordinals() === 2L)
+    val cur = tgt.currentState(spark)
+      .select($"id", $"version").as[(String, Long)].collect().toSet
+    val last = tgt.stateAt(spark, tgt.ordinals() - 1)
+      .select($"id", $"version".cast("long"))
+      .as[(String, Long)].collect().toSet
+    assert(last === cur)
+    // an ordinal before any history: empty, schema intact
+    assert(tgt.stateAt(spark, -1L).count() === 0L)
+  }
+
   test("first sync with a NON-DEFAULT idColumn resolves (empty-history " +
       "schema derives from the configured id/version names)") {
     val dir = tmpDir("scd2-idcol")
