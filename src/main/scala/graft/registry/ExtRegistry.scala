@@ -854,7 +854,16 @@ private[graft] object ExtRegistry {
       graft.ext.Sampling.weightedTopK(
         s.read.parquet(t(dir, "documents"))
           .select(col("doc_id"), col("n_chars")),
-        "doc_id", "n_chars", k = 25))
+        "doc_id", "n_chars", k = 25)),
+
+    // one-pass multi-column profile: per-column n / nulls / exact
+    // distinct / min / max through a single Expand-planned aggregate
+    "q_profile" -> ((s, dir) =>
+      graft.ext.Profiling.profile(
+        tbl(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("event_type"),
+          floor(col("value") * 100).cast("long").as("value_cents")),
+        Seq("event_id", "user_id", "event_type", "value_cents")))
   )
 
   /** DuckDB oracles for this tier's queries. */
@@ -2244,5 +2253,24 @@ private[graft] object ExtRegistry {
          |  CAST(row_number() OVER (ORDER BY key_nano, doc_id) AS INTEGER)
          |    AS rank
          |FROM k ORDER BY key_nano, doc_id LIMIT 25""".stripMargin,
+
+    // per-column stats replayed column-by-column; counts only, no
+    // sums, so every aggregate is already BIGINT on both engines
+    "q_profile" -> {
+      val per = Seq("event_id", "user_id", "event_type", "value_cents")
+        .map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n,
+             |  count(*) - count($c) AS n_null,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_s,
+             |  CAST(max($c) AS VARCHAR) AS max_s
+             |FROM ev""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, event_type,
+         |         CAST(floor(value * 100) AS BIGINT) AS value_cents
+         |  FROM events)
+         |$per""".stripMargin
+    },
   )
 }

@@ -1590,6 +1590,22 @@ class ExtSpec extends SparkSpec {
     assert(re.toSet === out.toSet)
   }
 
+  test("profile: per-column n/nulls/distinct/min/max in long format, " +
+    "one row per column") {
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a"))
+    ).toDF("k", "v")
+    val p = Profiling.profile(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toMap
+    assert(p("k") === ((4L, 0L, 4L, "1", "4")))
+    assert(p("v") === ((4L, 1L, 2L, "a", "b")))
+    intercept[IllegalArgumentException] {
+      Profiling.profile(df, Seq("nope"))
+    }
+  }
+
   test("weighted sampling: exactly k rows, keys ascending with ranks " +
     "1..k, zero-weight rows excluded, partitioning-invariant") {
     val rows = (1L to 50L).map(i => (i, i % 7 + (if (i == 9) -8 else 0)))
