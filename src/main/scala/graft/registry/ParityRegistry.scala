@@ -346,6 +346,30 @@ private[graft] object ParityRegistry {
           col("l_event_id"), col("r_event_id"))
     }),
 
+    // ── Stream-stream LEFT OUTER interval join: same lockstep
+    // replay, but an unmatched left row ("impression with no click")
+    // null-emits when the watermark evicts it from state. The
+    // emitted null set is an exact function of the data (probed on
+    // 4.1.2, see streamIntervalJoin): no-match left rows with
+    // ts + horizon strictly before the final watermark
+    // min(max left ts, max right ts); later unmatched rows are still
+    // in state when the stream drains and never emit — which the
+    // oracle replays with the same predicate. ──
+    "q_stream_join_outer" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sync = graft.streaming.IncrementalSync
+      val batchCol = sync.tsRangeBatch(ev, "ts", 4)
+      sync.replayTransform2(s,
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        batchCol, tempStateDir(), nBatches = 4)((l, r) =>
+        sync.streamIntervalJoin(l, r, key = "user_id",
+          watermark = "0 seconds", horizon = "30 minutes",
+          joinType = "left_outer"))
+        .select(col("user_id"),
+          col("l_event_id"), col("r_event_id"))
+    }),
+
     // ── Streaming SESSION windows, oracle-certified: per-user
     // sessions closing after 30 min of inactivity, replayed as 4
     // ts-ordered batches — sessions that straddle batch boundaries
@@ -730,6 +754,27 @@ private[graft] object ParityRegistry {
         |  ON l.user_id = r.user_id
         | AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    // outer variant: matched pairs equal the batch join; a no-match
+    // left row null-emits iff its ts + horizon falls strictly before
+    // the final watermark min(max left ts, max right ts) FLOORED TO
+    // MILLISECONDS (Spark's EventTimeStats tracks watermarks in ms —
+    // the q_stream_session convention); later unmatched rows drain
+    // with the stream and never emit
+    "q_stream_join_outer" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_id % 2 = 0),
+        |r AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |      FROM events WHERE event_id % 2 = 1),
+        |wm AS (SELECT least((SELECT max(us) FROM l),
+        |                    (SELECT max(us) FROM r))
+        |         // 1000 * 1000 AS w),
+        |j AS (SELECT l.user_id, l.event_id AS l_event_id,
+        |             r.event_id AS r_event_id, l.us AS lus
+        |      FROM l LEFT JOIN r ON l.user_id = r.user_id
+        |        AND r.us >= l.us AND r.us <= l.us + 1800000000)
+        |SELECT user_id, l_event_id, r_event_id FROM j, wm
+        |WHERE r_event_id IS NOT NULL OR lus + 1800000000 < w""".stripMargin,
 
     // stateless stream-static join == the batch join, by construction
     "q_stream_enrich" ->

@@ -373,16 +373,27 @@ object IncrementalSync {
    * usable without side aliases. The join condition is built with the
    * Column API, so key/timestamp names needing quoting just work.
    */
+  /** Stream-stream interval join. `joinType` "inner" (default) or
+    * "left_outer": the outer variant emits a null-extended row when
+    * the watermark evicts an unmatched left row from state — under
+    * the ts-range replay the emitted null set is exactly the left
+    * rows with no match whose `ts + horizon` falls strictly before
+    * the FINAL global watermark `min(max left ts, max right ts)`
+    * (probed on Spark 4.1.2; left rows closer to stream end stay in
+    * state when the stream drains and never null-emit — the
+    * streaming-vs-batch outer-join divergence by design). */
   def streamIntervalJoin(
       left: DataFrame, right: DataFrame, key: String,
       tsCol: String = "ts", watermark: String = "10 minutes",
-      horizon: String = "30 minutes"): DataFrame = {
+      horizon: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark)
     val r = right.withWatermark(tsCol, watermark)
     val joined = l.join(r,
       l.col(key) === r.col(key) &&
         r.col(tsCol) >= l.col(tsCol) &&
-        r.col(tsCol) <= l.col(tsCol) + expr(s"interval $horizon"))
+        r.col(tsCol) <= l.col(tsCol) + expr(s"interval $horizon"),
+      joinType)
     val out =
       l.col(key).as(key) +:
         (left.columns.filter(_ != key).map(c => l.col(c).as(s"l_$c")) ++
