@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -543,6 +543,29 @@ object Assemble {
     // rank over the already-reduced k rows (single tiny partition)
     val w = Window.orderBy(col("score_micro").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
+  }
+
+  /**
+   * Curriculum phase assignment: globally order the corpus by a
+   * difficulty score and split the order into `phases` contiguous
+   * equal-width buckets — "train on easy documents first". Built on
+   * [[graft.core.Ranking.globalRank]] (range exchange + local rank +
+   * broadcast offsets), so no single-task global window at any
+   * scale; the bucket is then exact integer arithmetic on the rank:
+   * `(rank − 1) · phases div n + 1`. (Equal-WIDTH buckets — the
+   * remainder spreads across bucket boundaries rather than SQL
+   * NTILE's first-buckets-get-one-extra rule; the formula is the
+   * contract, and the oracle replays it.)
+   */
+  def curriculumPhases(
+      df: DataFrame, idCol: String, orderCols: Seq[Column],
+      phases: Int): DataFrame = {
+    require(phases > 0, "phases must be positive")
+    val total = df.count()
+    val ranked = graft.core.Ranking.globalRank(
+      df, orderCols :+ col(idCol))
+    ranked.withColumn("phase",
+      expr(s"cast(((rank - 1) * $phases) div $total + 1 as int)"))
   }
 
   /**

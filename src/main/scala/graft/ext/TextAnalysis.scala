@@ -141,6 +141,41 @@ object TextAnalysis {
   }
 
   /**
+   * Overlapping fixed-token chunking that MATERIALIZES chunk text —
+   * the retrieval/embedding-pipeline splitter ("512-token windows
+   * with 64-token overlap") as opposed to [[chunkHashes]], which only
+   * fingerprints. One output row per chunk: (id, chunk_idx,
+   * start_tok, n_toks, chunk_text), chunk k starting at token
+   * 1 + k·(chunkTokens − overlap); a trailing partial chunk emits.
+   *
+   * Scale shape: a pure narrow explode — tokens never leave their
+   * row before the chunk rows are formed, no shuffle; output volume
+   * is corpus size × (1 + overlap/(chunkTokens − overlap)).
+   */
+  def chunkText(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = filter(normTokens(col(textCol)), t => length(t) > 0)
+    df.select(col(idCol).as("id"), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")), lit(stride)))
+          .as("start_tok"))
+      .select(col("id"),
+        (((col("start_tok") - 1) / stride).cast("int")).as("chunk_idx"),
+        col("start_tok").cast("int").as("start_tok"),
+        slice(col("__toks"), col("start_tok"), lit(chunkTokens))
+          .as("__chunk"))
+      .withColumn("n_toks", size(col("__chunk")))
+      .withColumn("chunk_text", array_join(col("__chunk"), " "))
+      .drop("__chunk")
+  }
+
+  /**
    * Per-document duplicate-passage annotation (the Dolma/RefinedWeb
    * "fraction of duplicated paragraphs" quality signal): for each doc,
    * how many of its fixed-position chunks ([[chunkHashes]]) also

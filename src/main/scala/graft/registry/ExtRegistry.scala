@@ -863,7 +863,25 @@ private[graft] object ExtRegistry {
         tbl(s, dir, "events").select(col("event_id"), col("user_id"),
           col("event_type"),
           floor(col("value") * 100).cast("long").as("value_cents")),
-        Seq("event_id", "user_id", "event_type", "value_cents")))
+        Seq("event_id", "user_id", "event_type", "value_cents"))),
+
+    // overlapping fixed-token chunking with materialized chunk text
+    // (the RAG/embedding splitter) — pure narrow explode, no shuffle
+    "q_chunk_text" -> ((s, dir) =>
+      TextAnalysis.chunkText(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        chunkTokens = 8, overlap = 4)
+        .withColumnRenamed("id", "doc_id")),
+
+    // curriculum phases: distributed global rank by difficulty proxy
+    // (n_chars) + exact integer bucket math — no single-task window
+    "q_curriculum" -> ((s, dir) =>
+      Assemble.curriculumPhases(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"), col("n_chars")),
+        "doc_id", Seq(col("n_chars")), phases = 4)
+        .select(col("doc_id"), col("n_chars"), col("rank"),
+          col("phase")))
   )
 
   /** DuckDB oracles for this tier's queries. */
@@ -2272,5 +2290,34 @@ private[graft] object ExtRegistry {
          |  FROM events)
          |$per""".stripMargin
     },
+
+    // chunk k covers tokens [1 + 4k, 1 + 4k + 7]; the list slice
+    // clamps the trailing partial chunk on both engines
+    "q_chunk_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS tk
+        |  FROM documents),
+        |e AS (SELECT doc_id, tk,
+        |        unnest(range(1, len(tk) + 1, 4)) AS start
+        |      FROM d WHERE len(tk) > 0)
+        |SELECT doc_id, CAST((start - 1) // 4 AS INTEGER) AS chunk_idx,
+        |       CAST(start AS INTEGER) AS start_tok,
+        |       CAST(len(tk[start:start+7]) AS INTEGER) AS n_toks,
+        |       array_to_string(tk[start:start+7], ' ') AS chunk_text
+        |FROM e""".stripMargin,
+
+    // the naive single-window rank the distributed recipe must equal,
+    // plus the explicit equal-width bucket formula (the contract —
+    // deliberately NOT SQL NTILE's remainder rule)
+    "q_curriculum" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+        |    (SELECT count(*) FROM documents) AS n
+        |  FROM documents)
+        |SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank,
+        |       CAST((rank - 1) * 4 // n + 1 AS INTEGER) AS phase
+        |FROM r""".stripMargin,
   )
 }

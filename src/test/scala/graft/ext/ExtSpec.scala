@@ -1590,6 +1590,49 @@ class ExtSpec extends SparkSpec {
     assert(re.toSet === out.toSet)
   }
 
+  test("chunkText: overlapping chunks cover every token, trailing " +
+    "partial emits, empty docs drop") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "a b"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkText(df, "doc_id", "text",
+      chunkTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4))).toSet
+    // doc 1: starts 1,3,5,7,9 (stride 2); last chunk partial (2 toks)
+    assert(out === Set(
+      (1L, 0, 1, 4, "t1 t2 t3 t4"),
+      (1L, 1, 3, 4, "t3 t4 t5 t6"),
+      (1L, 2, 5, 4, "t5 t6 t7 t8"),
+      (1L, 3, 7, 4, "t7 t8 t9 t10"),
+      (1L, 4, 9, 2, "t9 t10"),
+      (2L, 0, 1, 2, "a b")))
+  }
+
+  test("curriculum phases: equal-width buckets over the global order, " +
+    "partitioning-invariant") {
+    val df = (1L to 10L).map(i => (i, 100L - i)).toDF("id", "score")
+    val out = Assemble.curriculumPhases(df, "id", Seq($"score"), 4)
+      .select($"id", $"rank", $"phase")
+      .as[(Long, Long, Int)].collect().toSet
+    // score descending in id ⇒ rank 1 is id 10; phase = (r-1)*4/10+1
+    val want = (1L to 10L).map { id =>
+      val r = 11L - id
+      (id, r, ((r - 1) * 4 / 10 + 1).toInt)
+    }.toSet
+    assert(out === want)
+    // phases split 3/2/3/2 under the equal-width rule
+    assert(out.groupBy(_._3).view.mapValues(_.size).toMap ===
+      Map(1 -> 3, 2 -> 2, 3 -> 3, 4 -> 2))
+    val re = Assemble.curriculumPhases(df.repartition(5), "id",
+      Seq($"score"), 4)
+      .select($"id", $"rank", $"phase")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(re === want)
+  }
+
   test("profile: per-column n/nulls/distinct/min/max in long format, " +
     "one row per column") {
     val df = Seq(
