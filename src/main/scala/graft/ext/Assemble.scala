@@ -521,6 +521,11 @@ object Assemble {
           sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val statsRow = base.agg(statCols.head, statCols.tail: _*).collect()(0)
     val nDocs = statsRow.getLong(0)
+    // empty corpus: no stats to fold back — return the empty result
+    // with the full output schema (Σdl is NULL here, don't touch it)
+    if (nDocs == 0L)
+      return base.select(col("id"), lit(0L).as("score_micro"),
+        lit(0).as("rank")).limit(0)
     val avgdl = statsRow.getLong(1).toDouble / nDocs
     val idfMicro = queryTerms.indices.map { i =>
       val dfi = statsRow.getLong(2 + i).toDouble

@@ -49,5 +49,8 @@ object Profiling {
         col(s"__max_$c").as("max_s"))
     }
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+      // empty input profiles to an empty result (the engine-wide
+      // empty-in/empty-out contract), not to all-zero rows
+      .filter(col("n") > 0)
   }
 }

@@ -2282,7 +2282,7 @@ private[graft] object ExtRegistry {
              |  count(DISTINCT $c) AS n_distinct,
              |  CAST(min($c) AS VARCHAR) AS min_s,
              |  CAST(max($c) AS VARCHAR) AS max_s
-             |FROM ev""".stripMargin
+             |FROM ev HAVING count(*) > 0""".stripMargin
         }.mkString("\nUNION ALL\n")
       s"""WITH ev AS (
          |  SELECT event_id, user_id, event_type,
