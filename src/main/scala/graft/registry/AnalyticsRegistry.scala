@@ -78,6 +78,19 @@ private[graft] object AnalyticsRegistry {
         count(lit(1)).over(w).as("n_7d"))
     }),
 
+    // SLIDING event-time windows (1 h length, 30 min step): every
+    // event lands in exactly two windows; `window()` plans the
+    // assignment as a narrow explode-and-project before ONE grouped
+    // exchange — no self-join, no per-window scan
+    "q_window_sliding" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("cents"))),
+
     // pivot (long → wide): per-user value_cents by event type. The
     // value list is EXPLICIT — deterministic column set, no
     // distinct-values pre-scan job on the driver
@@ -590,6 +603,21 @@ private[graft] object AnalyticsRegistry {
         |          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
         |         AS n_7d
         |FROM events""".stripMargin,
+
+    // sliding windows replayed by direct assignment: an event at
+    // micros t belongs to the two 1 h windows starting at
+    // (t // 1800e6)·1800 s and 1800 s earlier (epoch-aligned, the
+    // Spark window() convention)
+    "q_window_sliding" ->
+      """WITH e AS (SELECT event_type, value,
+        |             (epoch_us(ts) // 1800000000) * 1800 AS s0
+        |           FROM events),
+        |x AS (SELECT event_type, value, s0 - k * 1800 AS w_start
+        |      FROM e, (VALUES (0), (1)) AS g(k))
+        |SELECT w_start, event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // conditional aggregation replays the explicit-value pivot; a
     // type with no rows for a user is NULL (sum over empty) on both
