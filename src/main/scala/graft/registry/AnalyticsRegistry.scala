@@ -91,6 +91,47 @@ private[graft] object AnalyticsRegistry {
         .select(unix_timestamp(col("window.start")).as("w_start"),
           col("event_type"), col("n"), col("cents"))),
 
+    // Markov transition counts: per-user event sequences (total
+    // order ts, event_id) → (from, to) pair counts + truncating
+    // integer ppm of the row-conditional probability. One window
+    // pass partitioned by user + one grouped exchange.
+    "q_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTotals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("row_total"))
+      pairs.join(fromTotals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 1000000 div row_total").as("p_ppm"))
+    }),
+
+    // recency-decay engagement score: Σ cents·exp(−age_days) per
+    // user, each event's contribution floored to micro units BEFORE
+    // the sum (integer sum ⇒ order-free exact aggregate; the only FP
+    // is the per-event exp, identical input ⇒ identical double on
+    // both engines)
+    "q_decay_score" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      // empty table ⇒ max is NULL ⇒ no rows downstream; 0 keeps the
+      // fold-back literal total and the empty-in/empty-out contract
+      val tMaxRow = ev.agg(max(unix_micros(col("ts")))).collect()(0)
+      val tMax = if (tMaxRow.isNullAt(0)) 0L else tMaxRow.getLong(0)
+      ev.select(col("user_id"),
+        floor(floor(col("value") * 100) *
+          exp(-(lit(tMax) - unix_micros(col("ts"))).cast("double")
+            / lit(86400000000.0)))
+          .cast("long").as("contrib_micro"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("contrib_micro")).as("score_micro"))
+    }),
+
     // pivot (long → wide): per-user value_cents by event type. The
     // value list is EXPLICIT — deterministic column set, no
     // distinct-values pre-scan job on the driver
@@ -603,6 +644,33 @@ private[graft] object AnalyticsRegistry {
         |          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
         |         AS n_7d
         |FROM events""".stripMargin,
+
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       c.n * 1000000 // t.row_total AS p_ppm
+        |FROM c JOIN t USING (from_type)""".stripMargin,
+
+    // per-event contribution floored to an integer BEFORE the sum —
+    // the only FP is exp over identical doubles on both engines
+    "q_decay_score" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+        |e AS (SELECT user_id,
+        |        CAST(floor(CAST(floor(value * 100) AS BIGINT)
+        |          * exp(-CAST(tmax - epoch_us(ts) AS DOUBLE)
+        |                / 86400000000.0)) AS BIGINT) AS contrib
+        |      FROM events, m)
+        |SELECT user_id, count(*) AS n,
+        |       CAST(sum(contrib) AS BIGINT) AS score_micro
+        |FROM e GROUP BY user_id""".stripMargin,
 
     // sliding windows replayed by direct assignment: an event at
     // micros t belongs to the two 1 h windows starting at
