@@ -551,6 +551,41 @@ object Assemble {
   }
 
   /**
+   * Inverted index with CAPPED posting lists: (token, df, rank, id,
+   * tf) rows for the top-`maxPostings` documents per token (tf desc,
+   * id asc — a total order), plus the token's full document
+   * frequency. The retrieval-side companion to [[bm25TopDocs]]: at
+   * serving time a query term looks up its top postings instead of
+   * scanning the corpus.
+   *
+   * Scale shape: ONE (token, doc) shuffle builds term frequencies
+   * with map-side combine; rank and df come from two window
+   * functions over the SAME token partitioning (one exchange, one
+   * WindowExec). The df column deliberately rides the window rather
+   * than a second aggregate + join — token partitions are bounded by
+   * document frequency, and hot stopword tokens are exactly the rows
+   * the cap discards. Long format (no collect_list) keeps every row
+   * bounded and the oracle trivially replayable.
+   */
+  def invertedIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int): DataFrame = {
+    require(maxPostings > 0, "maxPostings must be positive")
+    val tf = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.normTokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+    val byTok = Window.partitionBy(col("tok"))
+    val ranked = byTok.orderBy(col("tf").desc, col("id"))
+    tf.withColumn("rank", row_number().over(ranked))
+      .withColumn("df", count(lit(1)).over(byTok))
+      .filter(col("rank") <= maxPostings)
+      .select(col("tok"), col("df"), col("rank"), col("id"), col("tf"))
+  }
+
+  /**
    * Curriculum phase assignment: globally order the corpus by a
    * difficulty score and split the order into `phases` contiguous
    * equal-width buckets — "train on easy documents first". Built on

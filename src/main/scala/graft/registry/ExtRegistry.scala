@@ -873,6 +873,15 @@ private[graft] object ExtRegistry {
         chunkTokens = 8, overlap = 4)
         .withColumnRenamed("id", "doc_id")),
 
+    // inverted index with capped postings — the BM25 serving-side
+    // companion; one (token, doc) shuffle, rank + df off one window
+    // exchange
+    "q_inverted_index" -> ((s, dir) =>
+      Assemble.invertedIndex(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        maxPostings = 5)
+        .withColumnRenamed("id", "doc_id")),
+
     // curriculum phases: distributed global rank by difficulty proxy
     // (n_chars) + exact integer bucket math — no single-task window
     "q_curriculum" -> ((s, dir) =>
@@ -2307,6 +2316,23 @@ private[graft] object ExtRegistry {
         |       CAST(len(tk[start:start+7]) AS INTEGER) AS n_toks,
         |       array_to_string(tk[start:start+7], ' ') AS chunk_text
         |FROM e""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |    AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, doc_id, count(*) AS tf FROM toks
+        |       WHERE tok <> '' GROUP BY 1, 2),
+        |r AS (SELECT tok, doc_id, tf,
+        |        row_number() OVER
+        |          (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rank,
+        |        count(*) OVER (PARTITION BY tok) AS df
+        |      FROM tf)
+        |SELECT tok, CAST(df AS BIGINT) AS df, CAST(rank AS INTEGER)
+        |         AS rank, doc_id, tf
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // the naive single-window rank the distributed recipe must equal,
     // plus the explicit equal-width bucket formula (the contract —

@@ -1590,6 +1590,27 @@ class ExtSpec extends SparkSpec {
     assert(re.toSet === out.toSet)
   }
 
+  test("inverted index: capped postings ranked tf desc then id, df " +
+    "counts ALL postings, partitioning-invariant") {
+    val corpus = Seq(
+      (1L, "x x x y"),
+      (2L, "x x z"),
+      (3L, "x y z"),
+      (4L, "x")
+    ).toDF("doc_id", "text")
+    val out = Assemble.invertedIndex(corpus, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out === Set(
+      ("x", 4L, 1, 1L, 3L), ("x", 4L, 2, 2L, 2L), // df=4, top-2 kept
+      ("y", 2L, 1, 1L, 1L), ("y", 2L, 2, 3L, 1L),
+      ("z", 2L, 1, 2L, 1L), ("z", 2L, 2, 3L, 1L)))
+    val re = Assemble.invertedIndex(corpus.repartition(7), "doc_id",
+      "text", 2).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    assert(re === out)
+  }
+
   test("chunkText: overlapping chunks cover every token, trailing " +
     "partial emits, empty docs drop") {
     val df = Seq(
