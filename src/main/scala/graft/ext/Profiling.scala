@@ -53,4 +53,39 @@ object Profiling {
       // empty-in/empty-out contract), not to all-zero rows
       .filter(col("n") > 0)
   }
+
+  /**
+   * The 100 TB profiling path: `approx_count_distinct` (HLL++) per
+   * column instead of exact distinct — NO Expand, so a k-column
+   * profile is one plain aggregate over unreplicated rows. Emitted
+   * as a CONTRACT row (the q_approx_distinct convention): the exact
+   * distinct count plus an `approx_ok` bit asserting the sketch
+   * landed within `relError` of it — the oracle replays the exact
+   * values and TRUE, so a drifting sketch turns the row red.
+   */
+  def profileApprox(
+      df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05, relError: Double = 0.10): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__total") +: cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"__nn_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"),
+          approx_count_distinct(col(c), rsd).as(s"__nda_$c"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__total").as("n"),
+        (col("__total") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        (abs(col(s"__nda_$c") - col(s"__nd_$c")).cast("double") <=
+          lit(relError) * col(s"__nd_$c").cast("double"))
+          .as("approx_ok"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+      .filter(col("n") > 0)
+  }
 }

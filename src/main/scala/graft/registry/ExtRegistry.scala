@@ -873,6 +873,15 @@ private[graft] object ExtRegistry {
         chunkTokens = 8, overlap = 4)
         .withColumnRenamed("id", "doc_id")),
 
+    // the 100 TB profile path (HLL++, no Expand) as a contract row:
+    // exact distinct + an approx_ok bit the oracle pins to TRUE
+    "q_profile_approx" -> ((s, dir) =>
+      graft.ext.Profiling.profileApprox(
+        tbl(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("event_type"),
+          floor(col("value") * 100).cast("long").as("value_cents")),
+        Seq("event_id", "user_id", "event_type", "value_cents"))),
+
     // inverted index with capped postings — the BM25 serving-side
     // companion; one (token, doc) shuffle, rank + df off one window
     // exchange
@@ -2316,6 +2325,23 @@ private[graft] object ExtRegistry {
         |       CAST(len(tk[start:start+7]) AS INTEGER) AS n_toks,
         |       array_to_string(tk[start:start+7], ' ') AS chunk_text
         |FROM e""".stripMargin,
+
+    // exact values + the contract bit the sketch must honor
+    "q_profile_approx" -> {
+      val per = Seq("event_id", "user_id", "event_type", "value_cents")
+        .map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n,
+             |  count(*) - count($c) AS n_null,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  TRUE AS approx_ok
+             |FROM ev HAVING count(*) > 0""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, event_type,
+         |         CAST(floor(value * 100) AS BIGINT) AS value_cents
+         |  FROM events)
+         |$per""".stripMargin
+    },
 
     "q_inverted_index" ->
       """WITH toks AS (
