@@ -349,6 +349,209 @@ object Multimodal {
     }
   }
 
+  // ── PNG (real compression tier): unlike PPM/WAV, the payload is
+  // zlib-DEFLATED and scanline-FILTERED, so a correct decode requires
+  // real inflate + real filter reconstruction — the encoder applies a
+  // different filter per row (cycling all five types) precisely so a
+  // broken Paeth/Average path cannot hash-match the oracle. ──
+
+  private def be32(v: Int): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Real PNG encode (truecolor 8-bit, no interlace): per-row filter
+    * type = row mod 5 (None/Sub/Up/Average/Paeth), zlib deflate, the
+    * compressed stream SPLIT across two IDAT chunks, an ancillary
+    * tEXt chunk the decoder must skip, CRC32 on every chunk. */
+  def pngEncode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"payload ${rgb.length} != $width x $height x 3")
+    val bpp = 3
+    val stride = width * bpp
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      raw(y * (1 + stride)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgb(y * stride + x) & 0xff
+        val left = if (x >= bpp) rgb(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp)
+          rgb((y - 1) * stride + x - bpp) & 0xff else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(y * (1 + stride) + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    var zLen = 0
+    while (!deflater.finished())
+      zLen += deflater.deflate(buf, zLen, buf.length - zLen)
+    deflater.end()
+    val z = java.util.Arrays.copyOf(buf, zLen)
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, no interlace
+    val split = math.max(1, zLen / 2)
+    val sig = Array[Byte](137.toByte, 'P', 'N', 'G', 13, 10, 26, 10)
+    sig ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("tEXt", "Comment graft synthetic"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)) ++
+      pngChunk("IDAT", java.util.Arrays.copyOfRange(z, 0, split)) ++
+      pngChunk("IDAT", java.util.Arrays.copyOfRange(z, split, zLen)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** One valid PNG per row; dims and pixels are integer formulas in
+    * the id (width = 9 + id mod 12, height = 5 + id mod 7, byte of
+    * pixel p channel c = (id·37 + p·11 + c·17) mod 256), so an oracle
+    * replays every decoded feature without touching the binary. */
+  def synthesizePng(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { d =>
+      val w = 9 + math.floorMod(d, 12L).toInt
+      val h = 5 + math.floorMod(d, 7L).toInt
+      val rgb = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        var c = 0
+        while (c < 3) {
+          rgb(p * 3 + c) =
+            math.floorMod(d * 37L + p.toLong * 11L + c * 17L, 256L).toByte
+          c += 1
+        }
+        p += 1
+      }
+      (d.toString, "image", pngEncode(w, h, rgb))
+    }.toDF("media_id", "media_type", "content")
+  }
+
+  final case class PngFeatures(
+      media_id: String, width: Int, height: Int, bit_depth: Int,
+      color_type: Int, n_idat: Int, n_pix: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long,
+      r_mean_milli: Long, g_mean_milli: Long, b_mean_milli: Long)
+
+  /** REAL PNG decode in the mapPartitions batch shape: CRC-verified
+    * chunk walk (ancillary chunks skipped), multi-IDAT concatenation,
+    * zlib inflate, and per-row filter reconstruction (None/Sub/Up/
+    * Average/Paeth) before the channel aggregation — the inverse of
+    * [[pngEncode]], correct only if every stage is. */
+  def decodePng(media: DataFrame): Dataset[PngFeatures] = {
+    implicit val enc = Encoders.product[PngFeatures]
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getString(0)
+        val b = r.getAs[Array[Byte]](1)
+        require(b.length > 8 && (b(0) & 0xff) == 137 && b(1) == 'P' &&
+          b(2) == 'N' && b(3) == 'G', s"not a PNG: media_id=$id")
+        def u32(off: Int): Long =
+          ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+            ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+        var pos = 8
+        var w = 0; var h = 0; var depth = 0; var colorType = 0
+        var nIdat = 0
+        val idat = new java.io.ByteArrayOutputStream()
+        var done = false
+        while (!done && pos + 8 <= b.length) {
+          val len = u32(pos).toInt
+          val typ = new String(b, pos + 4, 4, "US-ASCII")
+          val dataOff = pos + 8
+          val crc = new java.util.zip.CRC32()
+          crc.update(b, pos + 4, 4 + len)
+          require((crc.getValue & 0xffffffffL) == u32(dataOff + len),
+            s"CRC mismatch in $typ: media_id=$id")
+          typ match {
+            case "IHDR" =>
+              w = u32(dataOff).toInt; h = u32(dataOff + 4).toInt
+              depth = b(dataOff + 8) & 0xff
+              colorType = b(dataOff + 9) & 0xff
+              require(depth == 8 && colorType == 2 &&
+                b(dataOff + 12) == 0,
+                s"unsupported PNG variant: media_id=$id")
+            case "IDAT" =>
+              nIdat += 1; idat.write(b, dataOff, len)
+            case "IEND" => done = true
+            case _ => () // ancillary (tEXt etc.) — skip
+          }
+          pos = dataOff + len + 4
+        }
+        require(done && w > 0 && h > 0, s"truncated PNG: media_id=$id")
+        val inflater = new java.util.zip.Inflater()
+        inflater.setInput(idat.toByteArray)
+        val bpp = 3
+        val stride = w * bpp
+        val raw = new Array[Byte](h * (1 + stride))
+        var got = 0
+        while (got < raw.length && !inflater.finished())
+          got += inflater.inflate(raw, got, raw.length - got)
+        inflater.end()
+        require(got == raw.length, s"short inflate: media_id=$id")
+        // filter reconstruction in place, row by row
+        val img = new Array[Int](h * stride)
+        var y = 0
+        while (y < h) {
+          val f = raw(y * (1 + stride)) & 0xff
+          var x = 0
+          while (x < stride) {
+            val v = raw(y * (1 + stride) + 1 + x) & 0xff
+            val left = if (x >= bpp) img(y * stride + x - bpp) else 0
+            val up = if (y > 0) img((y - 1) * stride + x) else 0
+            val ul = if (y > 0 && x >= bpp)
+              img((y - 1) * stride + x - bpp) else 0
+            val rec = f match {
+              case 0 => v
+              case 1 => v + left
+              case 2 => v + up
+              case 3 => v + (left + up) / 2
+              case 4 => v + paeth(left, up, ul)
+              case other =>
+                throw new IllegalArgumentException(
+                  s"bad filter $other: media_id=$id")
+            }
+            img(y * stride + x) = rec & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var p = 0
+        while (p < n) {
+          rs += img(p * 3); gs += img(p * 3 + 1); bs += img(p * 3 + 2)
+          p += 1
+        }
+        PngFeatures(id, w, h, depth, colorType, nIdat, n, rs, gs, bs,
+          rs * 1000L / n, gs * 1000L / n, bs * 1000L / n)
+      }
+    }
+  }
+
   /**
    * Frame-sample plan for video: explode per-frame timestamps (every
    * `everyMs`) WITHOUT materializing frame bytes — downstream decode

@@ -803,6 +803,19 @@ private[graft] object ExtRegistry {
       Multimodal.decodePpm(media).toDF()
     }),
 
+    // ── REAL codec tier #3, compressed images: one valid PNG per
+    // document (zlib-deflated, per-row filters cycling all five
+    // types, two IDAT chunks, ancillary tEXt, CRC32 everywhere);
+    // decode = CRC-verified chunk walk + inflate + filter
+    // reconstruction. The oracle replays every feature from the
+    // id formula, so a broken Paeth/Average/inflate path cannot
+    // hash-match. ──
+    "q_multimodal_png" -> ((s, dir) => {
+      val media = Multimodal.synthesizePng(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      Multimodal.decodePng(media).toDF()
+    }),
+
     // ── REAL codec tier #2, audio: one valid RIFF/WAVE PCM file per
     // document (rate/channels/samples pure integer arithmetic in the
     // doc_id, plus a LIST junk chunk the parser must word-align
@@ -2146,6 +2159,36 @@ private[graft] object ExtRegistry {
     // = (id·31 + p·7 + c·13) mod 256) from the id alone — certifying
     // the engine's decoder parsed the real header and summed the real
     // payload bytes it was handed
+    // replays graft.ext.Multimodal.synthesizePng's id formulas —
+    // byte of pixel p channel c = (id·37 + p·11 + c·17) mod 256 over
+    // width = 9 + id mod 12, height = 5 + id mod 7; n_idat pinned to
+    // the encoder's two-chunk split
+    "q_multimodal_png" ->
+      """WITH dim AS (
+        |  SELECT doc_id,
+        |         CAST(9 + doc_id % 12 AS INT) AS width,
+        |         CAST(5 + doc_id % 7 AS INT) AS height
+        |  FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |         unnest(range(0, CAST(width AS BIGINT) * height)) AS p
+        |       FROM dim),
+        |ch AS (SELECT doc_id, width, height, p, c,
+        |         (doc_id * 37 + p * 11 + c * 17) % 256 AS v
+        |       FROM px, unnest([0, 1, 2]) t(c)),
+        |s AS (SELECT doc_id, width, height,
+        |        CAST(width AS BIGINT) * height AS n_pix,
+        |        CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+        |        CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+        |        CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum
+        |      FROM ch GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(doc_id AS VARCHAR) AS media_id, width, height,
+        |       CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
+        |       CAST(2 AS INT) AS n_idat, n_pix, r_sum, g_sum, b_sum,
+        |       CAST(r_sum * 1000 // n_pix AS BIGINT) AS r_mean_milli,
+        |       CAST(g_sum * 1000 // n_pix AS BIGINT) AS g_mean_milli,
+        |       CAST(b_sum * 1000 // n_pix AS BIGINT) AS b_mean_milli
+        |FROM s""".stripMargin,
+
     "q_multimodal_ppm" ->
       """WITH dim AS (
         |  SELECT doc_id,
