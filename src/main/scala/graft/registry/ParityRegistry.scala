@@ -346,6 +346,27 @@ private[graft] object ParityRegistry {
           col("l_event_id"), col("r_event_id"))
     }),
 
+    // ── UPDATE-mode running aggregate: each micro-batch emits the
+    // NEW cumulative (n, cents) for every key it touched — the
+    // "live dashboard" output semantics, complementing the append
+    // rows. Under the ts-range replay the emitted set is an exact
+    // function of the data: one row per (user, active batch) with
+    // the running totals through that batch, which the oracle
+    // replays as a per-user cumulative window over per-batch
+    // deltas. (No watermark: a running total never closes;
+    // production bounds state by keyspace, not horizon.) ──
+    "q_stream_update" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sync = graft.streaming.IncrementalSync
+      sync.replayTransform(s, ev, sync.tsRangeBatch(ev, "ts", 4),
+        tempStateDir(), nBatches = 4,
+        outputMode =
+          org.apache.spark.sql.streaming.OutputMode.Update())(st =>
+        st.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100).cast("long")).as("cents")))
+    }),
+
     // ── Stream-stream LEFT OUTER interval join: same lockstep
     // replay, but an unmatched left row ("impression with no click")
     // null-emits when the watermark evicts it from state. The
@@ -754,6 +775,23 @@ private[graft] object ParityRegistry {
         |  ON l.user_id = r.user_id
         | AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    // one row per (user, active batch): the running totals through
+    // that batch — the update-mode emission set under the ts-range
+    // replay
+    "q_stream_update" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+        |              CAST(floor(value * 100) AS BIGINT) AS cents
+        |            FROM events),
+        |bnd AS (SELECT min(us) AS t0, max(us) AS t1 FROM ev),
+        |b AS (SELECT user_id, cents, CAST(floor((us - t0) * 4.0
+        |        / (t1 - t0 + 1)) AS INT) AS bt FROM ev, bnd),
+        |per AS (SELECT user_id, bt, count(*) AS dn, sum(cents) AS dc
+        |        FROM b GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(sum(dn) OVER w AS BIGINT) AS n,
+        |  CAST(sum(dc) OVER w AS BIGINT) AS cents
+        |FROM per WINDOW w AS (PARTITION BY user_id ORDER BY bt)""".stripMargin,
 
     // outer variant: matched pairs equal the batch join; a no-match
     // left row null-emits iff its ts + horizon falls strictly before

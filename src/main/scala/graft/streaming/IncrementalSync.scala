@@ -226,11 +226,12 @@ object IncrementalSync {
    */
   def replayTransform(
       spark: SparkSession, table: DataFrame, batchCol: Column,
-      workDir: String, nBatches: Int = 4, batchFiles: Int = 1)(
+      workDir: String, nBatches: Int = 4, batchFiles: Int = 1,
+      outputMode: OutputMode = OutputMode.Append)(
       transform: DataFrame => DataFrame): DataFrame = {
     val stream = stagedStream(spark, table, batchCol, nBatches,
       s"$workDir/in", batchFiles)
-    runToMemorySink(spark, transform(stream), workDir)
+    runToMemorySink(spark, transform(stream), workDir, outputMode)
   }
 
   /**
@@ -254,7 +255,8 @@ object IncrementalSync {
   }
 
   private def runToMemorySink(
-      spark: SparkSession, out: DataFrame, workDir: String): DataFrame = {
+      spark: SparkSession, out: DataFrame, workDir: String,
+      outputMode: OutputMode = OutputMode.Append): DataFrame = {
     val name = s"graft_replay_${replayNames.incrementAndGet()}"
     // Replay-harness scope only: each stateful operator opens one state
     // store per shuffle partition per micro-batch (a stream-stream join
@@ -269,7 +271,7 @@ object IncrementalSync {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = out.writeStream
-        .outputMode(OutputMode.Append)
+        .outputMode(outputMode)
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", s"$workDir/chk")
