@@ -1,0 +1,95 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based contracts (scalacheck driving the real Spark
+  * operators on small random inputs): invariants that hand-picked
+  * examples can miss — coverage totality, boundary buckets, fixed
+  * points under random parameters. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 15): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("chunkText: for ANY (nTokens, chunkTokens, overlap) the chunk " +
+      "rows tile the token range — first starts at 1, strides are " +
+      "uniform, lengths are exact, the last chunk reaches token n") {
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      c <- Gen.choose(1, 8)
+      o <- Gen.choose(0, c - 1)
+    } yield (n, c, o)
+    check(Prop.forAll(gen) { case (n, c, o) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val rows = TextAnalysis.chunkText(df, "doc_id", "text", c, o)
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+        .sortBy(_._1)
+      val stride = c - o
+      if (n == 0) rows.isEmpty
+      else {
+        val starts = rows.map(_._2)
+        val expectStarts = (1 to n by stride).toArray
+        starts.sameElements(expectStarts) &&
+        rows.forall { case (idx, st, len) =>
+          idx == (st - 1) / stride && len == math.min(c, n - st + 1)
+        } &&
+        rows.last._2 + rows.last._3 - 1 == n // tiles through the end
+      }
+    }, n = 20)
+  }
+
+  test("weightedTopK: for ANY weights, exactly min(k, positives) " +
+      "rows, never a non-positive weight, ranks contiguous") {
+    val gen = for {
+      ws <- Gen.listOfN(12, Gen.choose(-2L, 9L))
+      k <- Gen.choose(1, 8)
+    } yield (ws, k)
+    check(Prop.forAll(gen) { case (ws, k) =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "w")
+      val out = Sampling.weightedTopK(df, "id", "w", k)
+        .collect().map(r => (r.getLong(0), r.getInt(3)))
+      val positives = ws.count(_ > 0)
+      out.length == math.min(k, positives) &&
+      out.map(_._2).sorted.sameElements(1 to out.length) &&
+      out.forall { case (id, _) => ws(id.toInt) > 0 }
+    })
+  }
+
+  test("curriculumPhases: for ANY corpus size and phase count the " +
+      "assignment is exactly the equal-width formula and phases are " +
+      "monotone in rank") {
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      p <- Gen.choose(1, 6)
+    } yield (n, p)
+    check(Prop.forAll(gen) { case (n, p) =>
+      val df = (1 to n).map(i => (i.toLong, (i * 17 % 7).toLong))
+        .toDF("id", "score")
+      val out = Assemble.curriculumPhases(df, "id", Seq($"score"), p)
+        .select($"rank", $"phase")
+        .as[(Long, Int)].collect().sortBy(_._1)
+      out.zipWithIndex.forall { case ((r, ph), i) =>
+        r == i + 1 && ph == ((r - 1) * p / n + 1).toInt
+      }
+    })
+  }
+
+  test("pageRank: a symmetric 2-cycle is a fixed point at the initial " +
+      "mass for ANY damping (scale divisible by 1000 keeps the " +
+      "arithmetic exact)") {
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    check(Prop.forAll(Gen.choose(0L, 1000L)) { damp =>
+      val r = Graph.pageRank(cyc, "src", "dst", iterations = 2,
+        dampMilli = damp)
+        .collect().map(x => x.getLong(1))
+      r.forall(_ == 1000000L)
+    }, n = 8)
+  }
+}
