@@ -346,6 +346,28 @@ private[graft] object ParityRegistry {
           col("l_event_id"), col("r_event_id"))
     }),
 
+    // ── FULL OUTER completes the stream-stream join-type matrix:
+    // left nulls evict under ts + horizon < wm (the left_outer
+    // predicate); right nulls under ts < wm — the condition solved
+    // for the right side has no horizon term (a right row can match
+    // any left up to its own timestamp), probed and pinned like the
+    // left variant. The one unmatched right row at the stream max
+    // drains unemitted, which the oracle replays. ──
+    "q_stream_join_full" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sync = graft.streaming.IncrementalSync
+      val batchCol = sync.tsRangeBatch(ev, "ts", 4)
+      sync.replayTransform2(s,
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        batchCol, tempStateDir(), nBatches = 4)((l, r) =>
+        sync.streamIntervalJoin(l, r, key = "user_id",
+          watermark = "0 seconds", horizon = "30 minutes",
+          joinType = "full_outer"))
+        .select(col("user_id"),
+          col("l_event_id"), col("r_event_id"))
+    }),
+
     // ── UPDATE-mode running aggregate: each micro-batch emits the
     // NEW cumulative (n, cents) for every key it touched — the
     // "live dashboard" output semantics, complementing the append
@@ -775,6 +797,28 @@ private[graft] object ParityRegistry {
         |  ON l.user_id = r.user_id
         | AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    // matched = batch join; left nulls iff ts + horizon < wm; right
+    // nulls iff ts < wm; wm = min(max left ts, max right ts) floored
+    // to ms
+    "q_stream_join_full" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_id % 2 = 0),
+        |r AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |      FROM events WHERE event_id % 2 = 1),
+        |wm AS (SELECT least((SELECT max(us) FROM l),
+        |                    (SELECT max(us) FROM r))
+        |         // 1000 * 1000 AS w),
+        |j AS (SELECT coalesce(l.user_id, r.user_id) AS user_id,
+        |             l.event_id AS l_event_id,
+        |             r.event_id AS r_event_id,
+        |             l.us AS lus, r.us AS rus
+        |      FROM l FULL JOIN r ON l.user_id = r.user_id
+        |        AND r.us >= l.us AND r.us <= l.us + 1800000000)
+        |SELECT user_id, l_event_id, r_event_id FROM j, wm
+        |WHERE (l_event_id IS NOT NULL AND r_event_id IS NOT NULL)
+        |   OR (r_event_id IS NULL AND lus + 1800000000 < w)
+        |   OR (l_event_id IS NULL AND rus < w)""".stripMargin,
 
     // one row per (user, active batch): the running totals through
     // that batch — the update-mode emission set under the ts-range

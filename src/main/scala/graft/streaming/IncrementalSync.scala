@@ -396,8 +396,10 @@ object IncrementalSync {
         r.col(tsCol) >= l.col(tsCol) &&
         r.col(tsCol) <= l.col(tsCol) + expr(s"interval $horizon"),
       joinType)
+    // coalesce: a right-null-extended row (full/right outer) has no
+    // left side — taking l.key verbatim would blank the join key
     val out =
-      l.col(key).as(key) +:
+      coalesce(l.col(key), r.col(key)).as(key) +:
         (left.columns.filter(_ != key).map(c => l.col(c).as(s"l_$c")) ++
           right.columns.filter(_ != key).map(c => r.col(c).as(s"r_$c")))
     joined.select(out.toIndexedSeq: _*)
