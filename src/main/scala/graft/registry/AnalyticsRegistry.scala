@@ -563,6 +563,51 @@ private[graft] object AnalyticsRegistry {
       }
     }),
 
+    // ── S1 corrupt-record channel: stage JSONL where every id ≡ 3
+    // (mod 10) line is truncated mid-object, read back PERMISSIVE
+    // with a corrupt-record column — bad lines land in the channel
+    // (all data columns NULL), good lines parse fully, and the scan
+    // keeps going (per-record error isolation at the source layer,
+    // the file-side analogue of the JDBC sink's error channel). ──
+    "q_source_corrupt" -> ((s, dir) => {
+      val slice = tbl(s, dir, "events")
+        .filter(pmod(col("event_id"), lit(3)) === 2)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("value_cents"))
+      if (slice.isEmpty) emptySourceAgg(s)
+      else {
+        val work = tempStateDir()
+        val line = concat(lit("{\"event_id\":"), col("event_id"),
+          lit(",\"event_type\":\""), col("event_type"),
+          lit("\",\"value_cents\":"), col("value_cents"), lit("}"))
+        slice.select(
+          when(pmod(col("event_id"), lit(10)) === 3,
+            substring(line, 1, 20)).otherwise(line).as("value"))
+          .coalesce(4).write.mode("overwrite").text(s"$work/jsonl")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value_cents",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_bad",
+            org.apache.spark.sql.types.StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .json(s"$work/jsonl")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("_bad").isNotNull, 1L).otherwise(0L))
+              .as("n_corrupt"),
+            sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("_bad").isNull, col("value_cents"))
+              .otherwise(0L)).as("good_cents"),
+            min(when(col("_bad").isNull, col("event_id")))
+              .as("min_good_id"))
+      }
+    }),
+
     // ── S1 schema evolution: two staged parquet generations (the
     // second adds a column) read through ONE mergeSchema scan —
     // rows from the legacy generation surface the new column as
@@ -942,6 +987,23 @@ private[graft] object AnalyticsRegistry {
         |       min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events WHERE event_id % 5 = 2
         |GROUP BY event_type""".stripMargin,
+
+    // replays which staged lines were truncated (id ≡ 3 mod 10 within
+    // the id ≡ 2 mod 3 slice) — corrupt lines count into the channel,
+    // good lines carry the data
+    "q_source_corrupt" ->
+      """WITH sl AS (SELECT event_id, event_type,
+        |              CAST(floor(value * 100) AS BIGINT) AS cents
+        |            FROM events WHERE event_id % 3 = 2),
+        |m AS (SELECT CASE WHEN event_id % 10 = 3 THEN 1 ELSE 0 END
+        |        AS bad, event_id, cents FROM sl)
+        |SELECT count(*) AS n_lines,
+        |  CAST(sum(bad) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(1 - bad) AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN bad = 0 THEN cents ELSE 0 END) AS BIGINT)
+        |    AS good_cents,
+        |  min(CASE WHEN bad = 0 THEN event_id END) AS min_good_id
+        |FROM m""".stripMargin,
 
     // the staged two-generation mergeSchema read must equal this
     // direct replay: legacy rows (id % 3 = 0) carry NULL value_cents
