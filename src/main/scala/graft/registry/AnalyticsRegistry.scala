@@ -95,6 +95,33 @@ private[graft] object AnalyticsRegistry {
     // order ts, event_id) → (from, to) pair counts + truncating
     // integer ppm of the row-conditional probability. One window
     // pass partitioned by user + one grouped exchange.
+    // fixed-width histogram of value_cents (500-cent buckets): the
+    // classic distribution profile — one map-side-combined exchange
+    "q_histogram" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select((floor(floor(col("value") * 100) / 500) * 500)
+          .cast("long").as("bucket_lo"))
+        .groupBy(col("bucket_lo"))
+        .agg(count(lit(1)).as("n"))),
+
+    // bounded ordered list aggregation: per event type, the 5
+    // smallest event ids joined as a string. The top-5 filter runs
+    // BEFORE the collect (WindowGroupLimit keeps per-task heaps), so
+    // no unbounded per-group list ever materializes — collect_list
+    // only sees ≤ 5 rows per group
+    "q_string_agg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("event_id"))
+      tbl(s, dir, "events")
+        .select(col("event_type"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("event_type"))
+        .agg(concat_ws(",",
+          sort_array(collect_list(col("event_id")))).as("first_ids"),
+          count(lit(1)).as("n_listed"))
+    }),
+
     "q_transitions" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -689,6 +716,23 @@ private[graft] object AnalyticsRegistry {
         |          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
         |         AS n_7d
         |FROM events""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(CAST(floor(value * 100) AS BIGINT) / 500)
+        |         * 500 AS BIGINT) AS bucket_lo,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT event_type,
+        |       string_agg(CAST(event_id AS VARCHAR), ','
+        |         ORDER BY event_id) AS first_ids,
+        |       count(*) AS n_listed
+        |FROM (SELECT event_type, event_id,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 5 GROUP BY event_type""".stripMargin,
 
     "q_transitions" ->
       """WITH p AS (
