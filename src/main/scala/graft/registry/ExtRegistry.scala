@@ -904,6 +904,21 @@ private[graft] object ExtRegistry {
         maxPostings = 5)
         .withColumnRenamed("id", "doc_id")),
 
+    // retrieval capstone: chunk the corpus (8-token windows, overlap
+    // 4), then build the capped inverted index over CHUNKS — the
+    // "prepare corpus for RAG serving" pipeline as one query; both
+    // stages are the certified operators composed
+    "q_rag_index" -> ((s, dir) => {
+      val chunks = TextAnalysis.chunkText(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        chunkTokens = 8, overlap = 4)
+        .select(concat(col("id"), lit("#"), col("chunk_idx"))
+          .as("chunk_id"), col("chunk_text"))
+      Assemble.invertedIndex(chunks, "chunk_id", "chunk_text",
+        maxPostings = 3)
+        .withColumnRenamed("id", "chunk_id")
+    }),
+
     // curriculum phases: distributed global rank by difficulty proxy
     // (n_chars) + exact integer bucket math — no single-task window
     "q_curriculum" -> ((s, dir) =>
@@ -2385,6 +2400,34 @@ private[graft] object ExtRegistry {
          |  FROM events)
          |$per""".stripMargin
     },
+
+    // chunk CTE (the q_chunk_text replay) feeding the inverted-index
+    // CTE (the q_inverted_index replay) over chunk ids
+    "q_rag_index" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS tk
+        |  FROM documents),
+        |e AS (SELECT doc_id, tk,
+        |        unnest(range(1, len(tk) + 1, 4)) AS start
+        |      FROM d WHERE len(tk) > 0),
+        |chunks AS (
+        |  SELECT doc_id || '#' || CAST((start - 1) // 4 AS INTEGER)
+        |           AS chunk_id,
+        |         tk[start:start+7] AS ct
+        |  FROM e),
+        |tf AS (SELECT tok, chunk_id, count(*) AS tf
+        |       FROM (SELECT chunk_id, unnest(ct) AS tok FROM chunks)
+        |       WHERE tok <> '' GROUP BY 1, 2),
+        |r AS (SELECT tok, chunk_id, tf,
+        |        row_number() OVER
+        |          (PARTITION BY tok ORDER BY tf DESC, chunk_id) AS rank,
+        |        count(*) OVER (PARTITION BY tok) AS df
+        |      FROM tf)
+        |SELECT tok, CAST(df AS BIGINT) AS df, CAST(rank AS INTEGER)
+        |         AS rank, chunk_id, tf
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "q_inverted_index" ->
       """WITH toks AS (
