@@ -81,6 +81,45 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("profile: for ANY column contents the invariants hold — " +
+      "n_null + non-null = n, distinct <= non-null, min <= max") {
+    val gen = Gen.listOfN(10, Gen.option(Gen.choose(0L, 5L)))
+    check(Prop.forAll(gen) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val p = Profiling.profile(df, Seq("v")).collect().head
+      val (n, nNull, nd) = (p.getLong(1), p.getLong(2), p.getLong(3))
+      val nonNull = n - nNull
+      n == 10L && nNull == vs.count(_.isEmpty) && nd <= nonNull &&
+      (nonNull == 0L ||
+        (p.getString(4).toLong <= p.getString(5).toLong &&
+          nd == vs.flatten.distinct.size))
+    })
+  }
+
+  test("invertedIndex: for ANY corpus, ranks are 1..min(df, cap), df " +
+      "equals the token's true document frequency, tf sums match") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.listOfN(6, word).map(_.mkString(" "))
+    val gen = Gen.listOfN(5, doc)
+    check(Prop.forAll(gen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Assemble.invertedIndex(df, "doc_id", "text", 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getLong(4)))
+      val trueDf = docs.flatMap(_.split(" ").distinct).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      out.groupBy(_._1).forall { case (tok, rows) =>
+        rows.forall(_._2 == trueDf(tok)) &&
+        rows.map(_._3).sorted.sameElements(
+          1 to math.min(2, trueDf(tok).toInt)) &&
+        rows.forall { case (_, _, _, id, tf) =>
+          docs(id.toInt).split(" ").count(_ == tok).toLong == tf }
+      }
+    }, n = 12)
+  }
+
   test("pageRank: a symmetric 2-cycle is a fixed point at the initial " +
       "mass for ANY damping (scale divisible by 1000 keeps the " +
       "arithmetic exact)") {
