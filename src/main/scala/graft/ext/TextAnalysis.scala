@@ -1017,6 +1017,51 @@ object TextAnalysis {
         (col("w_sum_milli") >= 0L).cast("long").as("clf_keep"))
   }
 
+  /**
+   * Per-group statistical outlier detection: flag documents whose
+   * integer measure (default `n_chars`) sits more than `nSigma`
+   * sample standard deviations from its group's mean — the
+   * length-outlier cut a corpus-cleaning pass runs per language
+   * before the content-level quality gates.
+   *
+   * Two passes over one scan: a tiny per-group sufficient-statistics
+   * aggregate (n, Σx, Σx²: three BIGINTs per group — map-side
+   * partials absorb the row volume, the grouped exchange carries one
+   * row per group) broadcast-joined back over the measure projection.
+   * At 100 TB the stats frame is bytes per language — always a
+   * broadcast; the second pass is a narrow codegen'd projection.
+   *
+   * The outlier decision is exact-replayable: with σ² the SAMPLE
+   * variance, |x−μ| > nσ·σ  ⇔  (n−1)·(n·x−S1)² > nSigma²·n·(n·S2−S1²),
+   * evaluated in DOUBLE from the exact integer sums with an identical
+   * operation order on any IEEE-754 engine — no engine-ordered FP
+   * summation anywhere (the only sums are integer S1/S2). Groups with
+   * n = 1 (variance undefined) flag nothing: lhs = 0·0 = rhs.
+   */
+  def lengthOutliers(
+      df: DataFrame, groupCol: String, measureCol: String,
+      nSigma: Int = 2): DataFrame = {
+    val rows = graft.util.Tables.spread(df)
+      .select(col(groupCol).as("grp"), col(measureCol).cast("long").as("x"))
+    val stats = rows.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s1"),
+      sum(col("x") * col("x")).as("s2"))
+    val nD = col("n").cast("double")
+    val dev = nD * col("x").cast("double") - col("s1").cast("double")
+    val lhs = (nD - 1.0) * dev * dev
+    val rhs = lit((nSigma * nSigma).toDouble) * nD *
+      (nD * col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double"))
+    rows.join(broadcast(stats), Seq("grp"))
+      .withColumn("is_out", (lhs > rhs).cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("is_out")).as("n_outliers"),
+        sum(when(col("is_out") === 1L, col("x")).otherwise(lit(0L)))
+          .as("outlier_sum"))
+  }
+
   /** Full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

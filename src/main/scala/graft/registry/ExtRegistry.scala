@@ -404,6 +404,16 @@ private[graft] object ExtRegistry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // per-language length-outlier cut (z-score > 2): tiny sufficient-
+    // statistics aggregate broadcast back over one more narrow pass;
+    // the flag decision is exact integer-derived DOUBLE arithmetic,
+    // so the oracle replays it bit-for-bit (no FP mean/stddev)
+    "q_zscore_outliers" -> ((s, dir) =>
+      TextAnalysis.lengthOutliers(
+        s.read.parquet(t(dir, "documents")), "lang", "n_chars",
+        nSigma = 2)
+        .withColumnRenamed("grp", "lang")),
+
     // CCNet-style perplexity bucketing: per-language head/middle/tail
     // thirds by exact-integer mean unigram surprisal, split with
     // ntile over a total order — no FP in the bucket decision
@@ -686,6 +696,20 @@ private[graft] object ExtRegistry {
       val e = s.read.parquet(t(dir, "embeddings"))
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
         k = 5, nPlanes = 4, probeRadius = 3)
+    }),
+
+    // metadata-FILTERED vector search: neighbors must satisfy a
+    // metadata predicate (label < 5) — the pre-filter strategy, where
+    // the predicate prunes the corpus BEFORE any scoring (at scale it
+    // pushes to the parquet scan; the post-filter alternative scores
+    // everything then discards, losing k-coverage under selective
+    // predicates). Exact top-5 within the filtered corpus, so the
+    // DuckDB oracle replays it with the same predicate
+    "q_ann_filtered" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      Similarity.bruteForceTopK(
+        e.filter(col("label") < 5),
+        e.filter(col("vec_id") % 100 === 0), k = 5)
     }),
 
     // Trained-centroid IVF ANN: k-means centroids from a
@@ -1727,6 +1751,34 @@ private[graft] object ExtRegistry {
          |FROM w GROUP BY doc_id""".stripMargin
     },
 
+    // outlier test replayed from the same exact integer sufficient
+    // statistics: (n−1)·(n·x−S1)² > 4·n·(n·S2−S1²) with every operand
+    // CAST to DOUBLE first and the identical left-assoc operation
+    // order as the engine — bit-for-bit on any IEEE-754 evaluator
+    "q_zscore_outliers" ->
+      """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS x
+        |           FROM documents),
+        |st AS (SELECT lang, count(*) AS n,
+        |              CAST(sum(x) AS BIGINT) AS s1,
+        |              CAST(sum(x * x) AS BIGINT) AS s2
+        |       FROM d GROUP BY lang),
+        |f AS (SELECT d.lang, d.x,
+        |        CASE WHEN (CAST(n AS DOUBLE) - 1.0)
+        |               * (CAST(n AS DOUBLE) * CAST(x AS DOUBLE)
+        |                  - CAST(s1 AS DOUBLE))
+        |               * (CAST(n AS DOUBLE) * CAST(x AS DOUBLE)
+        |                  - CAST(s1 AS DOUBLE))
+        |             > 4.0 * CAST(n AS DOUBLE)
+        |               * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |        THEN 1 ELSE 0 END AS is_out
+        |      FROM d JOIN st USING (lang))
+        |SELECT lang, count(*) AS n_rows,
+        |       CAST(sum(is_out) AS BIGINT) AS n_outliers,
+        |       CAST(sum(CASE WHEN is_out = 1 THEN x ELSE 0 END)
+        |         AS BIGINT) AS outlier_sum
+        |FROM f GROUP BY lang""".stripMargin,
+
     "q_ppl_buckets" ->
       s"""WITH $duckPplMetricCtes
          |SELECT doc_id, lang, n_tokens, mu_unats,
@@ -2109,6 +2161,28 @@ private[graft] object ExtRegistry {
     // all four ANN variants share the exhaustive oracle — settings in
     // `queries` are pinned to exact recall on the gate corpus
     "q_ann_lsh" -> duckAnnBruteTop5,
+
+    // same exhaustive replay restricted to the metadata-filtered
+    // corpus — the predicate applies to NEIGHBORS only, queries keep
+    // their unfiltered identity (the engine's pre-filter semantics)
+    "q_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT * FROM e WHERE label < 5),
+        |q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |         list_dot_product(q.v, c.v)
+        |           / (sqrt(list_dot_product(q.v, q.v))
+        |              * sqrt(list_dot_product(c.v, c.v))) AS s
+        |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, s,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY s DESC, n_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, n_id, round(s, 6) AS sim, CAST(rn AS INTEGER) AS rank
+        |FROM ranked WHERE rn <= 5""".stripMargin,
     "q_ann_ivf_trained" -> duckAnnBruteTop5,
     "q_ann_pq" -> duckAnnBruteTop5,
     "q_ann_ivf" -> duckAnnBruteTop5,

@@ -1737,4 +1737,40 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
     assert(re.toSet === out.toSet)
   }
+
+  test("length outliers: hand-computed z-score flags — one 2-sigma " +
+    "outlier, constant group flags none, singleton group flags none") {
+    // group a: nine 10s + one 100 — n=10, mean=19, sample sd≈28.46,
+    // 2sd≈56.9 < |100−19| ⇒ exactly the 100 is flagged. (With fewer
+    // points a single extreme drags the sd past its own deviation —
+    // the classic masking effect — so the fixture uses ten rows.)
+    val rows = ((1 to 9).map(i => ("a", i.toLong * 0 + 10L)) :+
+      ("a", 100L)) ++ Seq(("b", 5L), ("b", 5L), ("b", 5L), ("c", 7L))
+    val out = TextAnalysis.lengthOutliers(
+        rows.toDF("grp", "len"), "grp", "len", nSigma = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") === ((10L, 1L, 100L)))
+    assert(out("b") === ((3L, 0L, 0L)))  // zero variance — nothing flags
+    assert(out("c") === ((1L, 0L, 0L)))  // n=1: variance undefined, 0>0 false
+  }
+
+  test("filtered ANN: predicate prunes neighbors, not queries — a " +
+    "filtered-out nearest vector never surfaces; ranks stay dense") {
+    // q (id 0) is filtered OUT of the corpus (label 9) but still
+    // queries; its true nearest (id 1, same direction) is also
+    // filtered out, so the top hit must be id 2 (next-closest kept).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 9L),
+      (1L, Array(0.99f, 0.14f, 0.0f), 9L),  // nearest, but label >= 5
+      (2L, Array(0.9f, 0.44f, 0.0f), 1L),
+      (3L, Array(0.0f, 1.0f, 0.0f), 2L),
+      (4L, Array(0.0f, 0.0f, 1.0f), 3L)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.bruteForceTopK(
+        vecs.filter($"label" < 5), vecs.filter($"vec_id" === 0), k = 2)
+      .orderBy($"rank")
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq === Seq((2L, 1), (3L, 2)))
+  }
 }
