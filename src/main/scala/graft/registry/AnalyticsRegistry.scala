@@ -419,6 +419,32 @@ private[graft] object AnalyticsRegistry {
             ceil(col("n_exact").cast("double") * 0.06).cast("long"))
             .as("approx_ok"))),
 
+    // ── mergeable SKETCH-AS-COLUMN contract row: per-(type, shard)
+    // Datasketches HLL binaries built in one pass, then UNIONED per
+    // type — the incremental-profiling shape where shard sketches
+    // persist to a stats catalog and later merges never rescan raw
+    // data (a day's new shards fold into a year's cardinality in
+    // milliseconds). The contract bit asserts the merged estimate
+    // lands within 3·rse of the exact cardinality; the oracle
+    // recomputes the exact count and expects union_ok = TRUE. ──
+    "q_sketch_union" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val shardSketches = e
+        .withColumn("shard", pmod(col("event_id"), lit(8L)))
+        .groupBy(col("event_type"), col("shard"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val merged = shardSketches.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("__merged"))
+      e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(merged, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__merged") - col("n_exact")) <=
+            ceil(col("n_exact").cast("double") * 0.06).cast("long"))
+            .as("union_ok"))
+    }),
+
     // ── FUNNEL analysis: per user, the earliest view → first click
     // AFTER that view → first purchase AFTER that click (strict
     // event-order funnel, the product-analytics staple). Three
@@ -939,6 +965,13 @@ private[graft] object AnalyticsRegistry {
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |       TRUE AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // exact cardinality + the contract bit the merged shard
+    // sketches must honor
+    "q_sketch_union" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |       TRUE AS union_ok
         |FROM events GROUP BY event_type""".stripMargin,
 
     // three chained conditional mins replay the strict-order funnel

@@ -1738,6 +1738,22 @@ class ExtSpec extends SparkSpec {
     assert(re.toSet === out.toSet)
   }
 
+  test("hll sketch union: merging per-shard sketches equals the " +
+    "single-pass whole-corpus sketch, and the estimate is exact for " +
+    "a small key set") {
+    val rows = (1L to 400L).map(i => (i % 8, i % 57)).toDF("shard", "k")
+    val perShard = rows.groupBy($"shard")
+      .agg(hll_sketch_agg($"k", lit(12)).as("sk"))
+    val merged = perShard.agg(
+      hll_sketch_estimate(hll_union_agg($"sk")).as("est")).as[Long].head()
+    val whole = rows.agg(
+      hll_sketch_estimate(hll_sketch_agg($"k", lit(12))).as("est"))
+      .as[Long].head()
+    // the mergeability contract: union-of-parts == whole, bit-exact
+    assert(merged === whole)
+    assert(merged === 57L) // sparse-mode estimate is exact at this n
+  }
+
   test("length outliers: hand-computed z-score flags — one 2-sigma " +
     "outlier, constant group flags none, singleton group flags none") {
     // group a: nine 10s + one 100 — n=10, mean=19, sample sd≈28.46,
