@@ -235,6 +235,96 @@ object Assemble {
   }
 
   /**
+   * STUPID BACKOFF scoring (Brants et al. 2007 — the web-scale
+   * MapReduce LM): score HELD-OUT documents against n-gram count
+   * tables trained on a separate corpus. Unlike the interpolated
+   * ladder ([[trigramSurprisal]], which scores its own training
+   * stream and so never meets an unseen n-gram), this is the
+   * train/score split a production quality-scorer runs — backoff
+   * genuinely fires. Per scored token w₃ with context (w₁, w₂):
+   *
+   *   trigram seen:        c(w₁w₂w₃)/c(w₁w₂)
+   *   else bigram seen:    0.4 · c(w₂w₃)/c(w₂)
+   *   else:                0.16 · S₁(w₃)       (0.4 per backed-off level)
+   *   p = 1 top level:     c(w₁w₂)/c(w₁), else 0.4 · S₁
+   *   p = 0:               S₁
+   *
+   * with S₁(w) = (c(w)+1)/(N+V) add-one smoothed so OOV tokens score
+   * finite (stupid backoff's scores are relative frequencies, not a
+   * normalized distribution — the point is cheap mergeable counts).
+   * Determinism: every term is a double division of EXACT integer
+   * counts with literal weights in fixed order; ln truncates ONCE to
+   * integer micro-nats. N and V ride a one-row frame (no driver
+   * scalar). Scale shape: the count tables are three map-side-combined
+   * groupBys over the TRAIN stream; scoring joins the score stream
+   * against them on their own keys (AQE broadcasts while vocabularies
+   * fit); per-doc lag windows partition on the doc id.
+   */
+  def stupidBackoff(
+      train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def ctx(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      graft.util.Tables.spread(df)
+        .select(col(idCol).as("id"),
+          posexplode(TextAnalysis.normTokens(col(textCol))))
+        .toDF("id", "pos", "tok")
+        .withColumn("p1", lag(col("tok"), 1).over(w))
+        .withColumn("p2", lag(col("tok"), 2).over(w))
+    }
+    val ctxT = ctx(train).persist()
+    try {
+      val uni = ctxT.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val bi = ctxT.filter(col("p1").isNotNull)
+        .groupBy(col("p1").as("ba"), col("tok").as("bb"))
+        .agg(count(lit(1)).as("c"))
+      val tri = ctxT.filter(col("p2").isNotNull)
+        .groupBy(col("p2").as("ta"), col("p1").as("tb"), col("tok").as("tc"))
+        .agg(count(lit(1)).as("ct"))
+      val tot = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+      val s1 = (coalesce(col("cu3"), lit(0L)) + 1L).cast("double") /
+        (col("n") + col("v")).cast("double")
+      val u = when(col("p1").isNull, -log(s1))
+        .when(col("p2").isNull,
+          when(col("cb23").isNotNull,
+            -log(col("cb23").cast("double") / col("cu2")))
+            .otherwise(-log(lit(0.4) * s1)))
+        .otherwise(
+          when(col("ct").isNotNull,
+            -log(col("ct").cast("double") / col("cb12")))
+            .when(col("cb23").isNotNull,
+              -log(lit(0.4) * (col("cb23").cast("double") / col("cu2"))))
+            .otherwise(-log(lit(0.16) * s1)))
+      ctx(score)
+        .join(uni.select(col("tok").as("u3k"), col("c").as("cu3")),
+          col("tok") === col("u3k"), "left")
+        .join(uni.select(col("tok").as("u2k"), col("c").as("cu2")),
+          col("p1") === col("u2k"), "left")
+        .join(bi.select(col("ba").as("b23a"), col("bb").as("b23b"),
+            col("c").as("cb23")),
+          col("p1") === col("b23a") && col("tok") === col("b23b"), "left")
+        .join(bi.select(col("ba").as("b12a"), col("bb").as("b12b"),
+            col("c").as("cb12")),
+          col("p2") === col("b12a") && col("p1") === col("b12b"), "left")
+        .join(tri,
+          col("p2") === col("ta") && col("p1") === col("tb") &&
+            col("tok") === col("tc"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("id"),
+          floor(u * 1000000L).cast("long").as("u"),
+          col("cu3"))
+        .groupBy(col("id")).agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("u")).as("surprisal_unats"),
+          sum(when(col("cu3").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("id"), col("n_tokens"), col("surprisal_unats"),
+          expr("surprisal_unats div n_tokens").as("mean_unats"),
+          col("n_oov"))
+        .localCheckpoint()
+    } finally ctxT.unpersist()
+  }
+
+  /**
    * CCNet-style perplexity bucketing: score every document with the
    * corpus-trained unigram LM ([[unigramSurprisal]]), then split each
    * language into equal-count head / middle / tail thirds by mean

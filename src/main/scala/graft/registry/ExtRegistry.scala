@@ -160,6 +160,19 @@ private[graft] object ExtRegistry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // stupid backoff (Brants 2007) on a genuine train/score split:
+    // even doc_ids train the count tables, odd doc_ids are scored
+    // held-out — trigram → 0.4·bigram → 0.16·smoothed-unigram with
+    // per-doc OOV counts; backoff actually fires, unlike
+    // self-trained scorers
+    "q_backoff_ppl" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      Assemble.stupidBackoff(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // deterministic domain-mixture sampling over events: hit target
     // event_type proportions 1:3:6 by downsampling only; exact
     // integer thresholds end to end (signup/error carry no weight —
@@ -1237,6 +1250,68 @@ private[graft] object ExtRegistry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(u) AS BIGINT) AS surprisal_unats,
         |  CAST(sum(u) // count(*) AS BIGINT) AS mean_unats
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    // stupid-backoff replay: identical CASE ladder over the same
+    // exact integer count tables, identical literal weights and
+    // operation order, one micro-nat truncation
+    "q_backoff_ppl" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |toksT AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+        |                 unnest(t) AS tok FROM base WHERE doc_id % 2 = 0),
+        |wpT AS (SELECT doc_id, pos, tok,
+        |          lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+        |          lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+        |        FROM toksT),
+        |uni AS (SELECT tok AS uk, count(*) AS c FROM toksT GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bi AS (SELECT p1 AS ba, tok AS bb, count(*) AS c
+        |       FROM wpT WHERE p1 IS NOT NULL GROUP BY 1, 2),
+        |tri AS (SELECT p2 AS ta, p1 AS tb, tok AS tc, count(*) AS ct
+        |        FROM wpT WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+        |toksS AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+        |                 unnest(t) AS tok FROM base WHERE doc_id % 2 = 1),
+        |wpS AS (SELECT doc_id, pos, tok,
+        |          lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+        |          lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+        |        FROM toksS),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(-ln(
+        |          CASE WHEN p1 IS NULL THEN
+        |                 CAST(coalesce(u3.c, 0) + 1 AS DOUBLE)
+        |                   / CAST(tot.n + tot.v AS DOUBLE)
+        |               WHEN p2 IS NULL THEN
+        |                 CASE WHEN b23.c IS NOT NULL THEN
+        |                        CAST(b23.c AS DOUBLE) / u2.c
+        |                      ELSE 0.4 * (CAST(coalesce(u3.c, 0) + 1
+        |                          AS DOUBLE)
+        |                        / CAST(tot.n + tot.v AS DOUBLE)) END
+        |               ELSE
+        |                 CASE WHEN tr.ct IS NOT NULL THEN
+        |                        CAST(tr.ct AS DOUBLE) / b12.c
+        |                      WHEN b23.c IS NOT NULL THEN
+        |                        0.4 * (CAST(b23.c AS DOUBLE) / u2.c)
+        |                      ELSE 0.16 * (CAST(coalesce(u3.c, 0) + 1
+        |                          AS DOUBLE)
+        |                        / CAST(tot.n + tot.v AS DOUBLE)) END
+        |          END) * 1000000) AS BIGINT) AS u,
+        |        CASE WHEN u3.c IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM wpS
+        |      LEFT JOIN uni u3 ON wpS.tok = u3.uk
+        |      LEFT JOIN uni u2 ON wpS.p1 = u2.uk
+        |      LEFT JOIN bi b23 ON wpS.p1 = b23.ba AND wpS.tok = b23.bb
+        |      LEFT JOIN bi b12 ON wpS.p2 = b12.ba AND wpS.p1 = b12.bb
+        |      LEFT JOIN tri tr ON wpS.p2 = tr.ta AND wpS.p1 = tr.tb
+        |        AND wpS.tok = tr.tc
+        |      CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(u) AS BIGINT) AS surprisal_unats,
+        |  CAST(sum(u) // count(*) AS BIGINT) AS mean_unats,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov
         |FROM s GROUP BY doc_id""".stripMargin,
 
     "q_mix_domains" -> {

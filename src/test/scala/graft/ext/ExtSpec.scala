@@ -1738,6 +1738,23 @@ class ExtSpec extends SparkSpec {
     assert(re.toSet === out.toSet)
   }
 
+  test("stupid backoff: every ladder rung fires on a hand-computed " +
+    "held-out doc — trigram hit, bigram top-level hit, smoothed-" +
+    "unigram start, and a full back-off to OOV") {
+    // train "a b c a b d": N=6, V=4; c(a)=2, c(ab)=2, c(abc)=1
+    val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    // score "a b c x": a → S1(a)=3/10; b|a → c(ab)/c(a)=1 (top-level
+    // bigram, no 0.4); c|ab → c(abc)/c(ab)=0.5; x|bc → OOV, 0.16·1/10
+    val score = Seq((1L, "a b c x")).toDF("doc_id", "text")
+    val out = Assemble.stupidBackoff(train, score, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    def u(p: Double) = math.floor(-math.log(p) * 1000000L).toLong
+    val expected = u((2.0 + 1) / 10) + u(2.0 / 2) + u(1.0 / 2) +
+      u(0.16 * (1.0 / 10))
+    assert(out === ((1L, 4L, expected, expected / 4, 1L)))
+  }
+
   test("hll sketch union: merging per-shard sketches equals the " +
     "single-pass whole-corpus sketch, and the estimate is exact for " +
     "a small key set") {
