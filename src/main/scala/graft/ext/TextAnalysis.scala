@@ -889,48 +889,71 @@ object TextAnalysis {
       try {
         def gramCol(n: Int): Column =
           concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"l$k")): _*)
-        def occurrences(n: Int): DataFrame =
-          withLeads.filter(col(s"l${n - 1}").isNotNull)
-            .select(col("id"), col("pos"), gramCol(n).as("g"))
 
-        // duplicate n-gram char coverage, one frame per n
-        val dupCovs = dupNs.map { n =>
-          val dupPos = occurrences(n)
-            .withColumn("c", count(lit(1))
-              .over(Window.partitionBy(col("id"), col("g"))))
-            .filter(col("c") >= 2)
-            .select(col("id"), col("pos"))
-          val islands = dupPos
-            .withColumn("brk",
-              when(lag(col("pos"), 1).over(w).isNull ||
-                col("pos") - lag(col("pos"), 1).over(w) > n - 1, 1L)
-                .otherwise(0L))
-            .withColumn("isl", sum(col("brk"))
-              .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-            .groupBy(col("id"), col("isl"))
-            .agg(min(col("pos")).as("a"),
-              (max(col("pos")) + lit(n - 1)).as("b"))
-          islands.join(docs.select(col("id"), col("t")), Seq("id"))
-            .select(col("id"),
-              length(array_join(
-                slice(col("t"), col("a") + 1, col("b") - col("a") + 1),
-                " ")).cast("long").as("ch"))
-            .groupBy(col("id"))
-            .agg(sum(col("ch")).as(s"dup${n}_chars"))
-        }
+        // ONE unioned (id, pos, n, g) occurrence stream for every
+        // arity — the per-n frames each cost their own window/groupBy
+        // exchanges and the final fold joined ~10 frames; the union
+        // pays one count window over (id, n, g), one island pass over
+        // (id, n), one slice join, and a conditional-sum pivot back
+        // to columns (~2.5× fewer exchanges, same rows bit-for-bit)
+        require((dupNs ++ topNs).forall(_ >= 2), "gram arities must be >= 2")
+        // each branch explodes ONLY its own arities — the dup branch
+        // never pays for top-gram rows and vice versa
+        def occ(arities: Seq[Int]): DataFrame =
+          withLeads.select(col("id"), col("pos"),
+              explode(array(arities.map(n =>
+                struct(lit(n).as("n"),
+                  when(col(s"l${n - 1}").isNotNull, gramCol(n)).as("g"))): _*))
+                .as("s"))
+            .select(col("id"), col("pos"),
+              col("s").getField("n").as("n"), col("s").getField("g").as("g"))
+            .filter(col("g").isNotNull)
 
-        // top n-gram chars = count(top) x char length(top), one per n
-        val topCovs = topNs.map { n =>
-          val counts = occurrences(n).groupBy(col("id"), col("g"))
-            .agg(count(lit(1)).as("c"))
-          counts
-            .withColumn("rn", row_number().over(
-              Window.partitionBy("id").orderBy(col("c").desc, col("g"))))
-            .filter(col("rn") === 1)
-            .select(col("id"),
-              (col("c") * length(col("g"))).cast("long")
-                .as(s"top${n}_chars"))
-        }
+        val wIdN = Window.partitionBy(col("id"), col("n")).orderBy(col("pos"))
+        val dupPos = occ(dupNs)
+          .withColumn("c", count(lit(1))
+            .over(Window.partitionBy(col("id"), col("n"), col("g"))))
+          .filter(col("c") >= 2)
+          .select(col("id"), col("n"), col("pos"))
+        val islands = dupPos
+          .withColumn("brk",
+            when(lag(col("pos"), 1).over(wIdN).isNull ||
+              col("pos") - lag(col("pos"), 1).over(wIdN) > col("n") - 1, 1L)
+              .otherwise(0L))
+          .withColumn("isl", sum(col("brk"))
+            .over(wIdN.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("id"), col("n"), col("isl"))
+          .agg(min(col("pos")).as("a"), max(col("pos")).as("bm"))
+          .withColumn("b", col("bm") + col("n") - 1)
+        val dupChars = islands
+          .join(docs.select(col("id"), col("t")), Seq("id"))
+          .select(col("id"), col("n"),
+            length(array_join(
+              slice(col("t"), col("a") + 1, col("b") - col("a") + 1),
+              " ")).cast("long").as("ch"))
+          .groupBy(col("id"))
+          .agg(
+            sum(when(col("n") === dupNs.head, col("ch")))
+              .as(s"dup${dupNs.head}_chars"),
+            dupNs.tail.map(n =>
+              sum(when(col("n") === n, col("ch"))).as(s"dup${n}_chars")): _*)
+
+        val topChars = occ(topNs)
+          .groupBy(col("id"), col("n"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("id"), col("n"))
+              .orderBy(col("c").desc, col("g"))))
+          .filter(col("rn") === 1)
+          .withColumn("tc", (col("c") * length(col("g"))).cast("long"))
+          .groupBy(col("id"))
+          .agg(
+            sum(when(col("n") === topNs.head, col("tc")))
+              .as(s"top${topNs.head}_chars"),
+            topNs.tail.map(n =>
+              sum(when(col("n") === n, col("tc"))).as(s"top${n}_chars")): _*)
+        val dupCovs = Seq(dupChars)
+        val topCovs = Seq(topChars)
 
         // duplicate non-blank lines, by count and by characters
         val lineStats = docs
