@@ -131,4 +131,29 @@ class PropertySpec extends SparkSpec {
       r.forall(_ == 1000000L)
     }, n = 8)
   }
+
+  test("stupidBackoff: for ANY corpus, self-scoring never meets an " +
+      "OOV and every rung yields finite non-negative surprisal; " +
+      "scoring disjoint text is all-OOV") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val gen = for {
+      nDocs <- Gen.choose(1, 4)
+      docs <- Gen.listOfN(nDocs, Gen.listOfN(6, word).map(_.mkString(" ")))
+    } yield docs
+    check(Prop.forAll(gen) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val self = Assemble.stupidBackoff(df, df, "doc_id", "text")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+      // self-scored: every token seen (no OOV), surprisal >= 0 (all
+      // rung probabilities are true frequencies <= 1), token counts
+      // match the 6-token docs
+      val selfOk = self.forall { case (nTok, su, oov) =>
+        nTok == 6L && su >= 0L && oov == 0L }
+      val alien = Seq((99L, "z z z")).toDF("doc_id", "text")
+      val out = Assemble.stupidBackoff(df, alien, "doc_id", "text")
+        .collect().map(r => (r.getLong(1), r.getLong(4))).head
+      selfOk && out == ((3L, 3L)) // every held-out token is OOV
+    }, n = 10)
+  }
 }
