@@ -772,6 +772,85 @@ object Similarity {
    * Returns every corpus row annotated (cluster_id NULL = singleton,
    * `kept` = survives the dedup).
    */
+  /**
+   * MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+   * diversified top-k: greedily select `k` of the `kCand` nearest
+   * candidates, each step maximizing
+   * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the
+   * diversified-retrieval re-rank a RAG stack runs AFTER similarity
+   * search so near-duplicate passages don't crowd the context window.
+   *
+   * Scale shape: the candidate set comes from the certified top-k
+   * machinery (swap [[bruteForceTopK]] for [[lshTopK]]/[[ivfTopKTrained]]
+   * past broadcastable query counts); everything after is bounded by
+   * construction — the pairwise-sim frame is |queries|·kCand² rows
+   * regardless of corpus size, and each greedy step is one join +
+   * one per-query window over ≤ kCand rows. MMR cost is independent
+   * of the corpus.
+   *
+   * Determinism: relevance and pair sims round to 6 BEFORE the score
+   * arithmetic; λ and 1−λ derive from integer milli-weights
+   * (`lambdaMilli/1000.0` — bit-equal to the decimal literals an
+   * oracle writes); ties break (score desc, id asc). Step 1 reuses
+   * the candidate generator's raw-sim rank, not the rounded value.
+   */
+  def mmrTopK(
+      corpus: DataFrame, queries: DataFrame, kCand: Int = 10, k: Int = 3,
+      lambdaMilli: Long = 700,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && kCand >= k, "need kCand >= k >= 1")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000, "lambda in [0,1]")
+    val cands = bruteForceTopK(corpus, queries, kCand, idCol, vecCol)
+      .select(col("q_id"), col("n_id"), col("sim").as("rel"), col("rank"))
+      .persist()
+    try {
+      val vecs = graft.util.Tables.spread(corpus)
+        .select(col(idCol).as("vid"), col(vecCol).as("vv"))
+      val av = cands.select(col("q_id"), col("n_id").as("a"))
+        .join(vecs, col("a") === col("vid"))
+        .select(col("q_id"), col("a"), col("vv").as("va"))
+      val bv = cands.select(col("q_id"), col("n_id").as("b"))
+        .join(vecs, col("b") === col("vid"))
+        .select(col("q_id"), col("b"), col("vv").as("vb"))
+      val ps = av.join(bv, Seq("q_id")).filter(col("a") =!= col("b"))
+        .select(col("q_id"), col("a"), col("b"),
+          round(graft.functions.GraftFunctions.cosine_sim(
+            col("va"), col("vb")), 6).as("s"))
+        .persist()
+      try {
+        val lam = lambdaMilli.toDouble / 1000.0
+        val mu = (1000L - lambdaMilli).toDouble / 1000.0
+        var acc = cands.filter(col("rank") === 1)
+          .select(col("q_id"), col("n_id"), lit(1).as("mmr_rank"))
+        for (step <- 2 to k) {
+          val selPairs = ps
+            .join(acc.select(col("q_id"), col("n_id").as("b")),
+              Seq("q_id", "b"))
+            .select(col("q_id"), col("a").as("n_id"), col("s"))
+          val pen = cands
+            .join(acc.select(col("q_id"), col("n_id")),
+              Seq("q_id", "n_id"), "left_anti")
+            .join(selPairs, Seq("q_id", "n_id"))
+            .groupBy(col("q_id"), col("n_id"), col("rel"))
+            .agg(max(col("s")).as("pen"))
+          val next = pen
+            .withColumn("score",
+              lit(lam) * col("rel") - lit(mu) * col("pen"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("q_id"))
+                .orderBy(col("score").desc, col("n_id"))))
+            .filter(col("rn") === 1)
+            .select(col("q_id"), col("n_id"), lit(step).as("mmr_rank"))
+          acc = acc.union(next)
+        }
+        acc.join(cands.select(col("q_id"), col("n_id"), col("rel")),
+            Seq("q_id", "n_id"))
+          .select(col("q_id"), col("n_id"), col("rel"), col("mmr_rank"))
+          .localCheckpoint()
+      } finally ps.unpersist()
+    } finally cands.unpersist()
+  }
+
   def semDedup(
       corpus: DataFrame, threshold: Double, nCells: Int = 16,
       nProbe: Int = 6, idCol: String = "vec_id",

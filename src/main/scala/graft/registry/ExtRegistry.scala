@@ -725,6 +725,17 @@ private[graft] object ExtRegistry {
         e.filter(col("vec_id") % 100 === 0), k = 5)
     }),
 
+    // MMR diversified top-3 over the 10 nearest candidates (λ=0.7):
+    // the greedy diversity re-rank after similarity search — cost
+    // bounded by |queries|·kCand², independent of corpus size.
+    // Oracle-checked: DuckDB unrolls the same greedy steps over the
+    // same rounded sims
+    "q_mmr_rerank" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      Similarity.mmrTopK(e, e.filter(col("vec_id") % 100 === 0),
+        kCand = 10, k = 3, lambdaMilli = 700)
+    }),
+
     // Trained-centroid IVF ANN: k-means centroids from a
     // deterministic sample, corpus in its nearest cell — oracle-
     // checked: nProbe=7 of 8 cells is pinned to EXACT agreement with
@@ -2258,6 +2269,69 @@ private[graft] object ExtRegistry {
         |  FROM scored)
         |SELECT q_id, n_id, round(s, 6) AS sim, CAST(rn AS INTEGER) AS rank
         |FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // the greedy MMR unrolled: step 1 = raw-sim rank 1; steps 2..3
+    // maximize 0.7·rel − 0.3·max-sim-to-selected over the SAME
+    // 6-rounded sims and tie order (score desc, id asc) the engine
+    // uses. Literal 0.7/0.3 parse to the identical doubles the
+    // engine's 700/1000.0 milli-weights produce
+    "q_mmr_rerank" ->
+      """WITH e AS (SELECT vec_id,
+        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+        |sc AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |         list_dot_product(q.v, e.v)
+        |           / (sqrt(list_dot_product(q.v, q.v))
+        |              * sqrt(list_dot_product(e.v, e.v))) AS s
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |cands AS (
+        |  SELECT q_id, n_id, round(s, 6) AS rel, rn AS rank
+        |  FROM (SELECT q_id, n_id, s,
+        |          row_number() OVER (PARTITION BY q_id
+        |            ORDER BY s DESC, n_id) AS rn
+        |        FROM sc)
+        |  WHERE rn <= 10),
+        |pv AS (SELECT c.q_id, c.n_id, e.v
+        |       FROM cands c JOIN e ON c.n_id = e.vec_id),
+        |ps AS (
+        |  SELECT x.q_id, x.n_id AS a, y.n_id AS b,
+        |         round(list_dot_product(x.v, y.v)
+        |           / (sqrt(list_dot_product(x.v, x.v))
+        |              * sqrt(list_dot_product(y.v, y.v))), 6) AS s
+        |  FROM pv x JOIN pv y ON x.q_id = y.q_id AND x.n_id <> y.n_id),
+        |s1 AS (SELECT q_id, n_id FROM cands WHERE rank = 1),
+        |p2 AS (SELECT c.q_id, c.n_id, c.rel, max(ps.s) AS pen
+        |       FROM cands c
+        |       JOIN ps ON ps.q_id = c.q_id AND ps.a = c.n_id
+        |       JOIN s1 ON s1.q_id = ps.q_id AND s1.n_id = ps.b
+        |       WHERE NOT EXISTS (SELECT 1 FROM s1 z
+        |         WHERE z.q_id = c.q_id AND z.n_id = c.n_id)
+        |       GROUP BY 1, 2, 3),
+        |n2 AS (SELECT q_id, n_id FROM (
+        |         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY 0.7 * rel - 0.3 * pen DESC, n_id) AS rn
+        |         FROM p2) WHERE rn = 1),
+        |sel2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM n2),
+        |p3 AS (SELECT c.q_id, c.n_id, c.rel, max(ps.s) AS pen
+        |       FROM cands c
+        |       JOIN ps ON ps.q_id = c.q_id AND ps.a = c.n_id
+        |       JOIN sel2 ON sel2.q_id = ps.q_id AND sel2.n_id = ps.b
+        |       WHERE NOT EXISTS (SELECT 1 FROM sel2 z
+        |         WHERE z.q_id = c.q_id AND z.n_id = c.n_id)
+        |       GROUP BY 1, 2, 3),
+        |n3 AS (SELECT q_id, n_id FROM (
+        |         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY 0.7 * rel - 0.3 * pen DESC, n_id) AS rn
+        |         FROM p3) WHERE rn = 1),
+        |ranked AS (
+        |  SELECT q_id, n_id, 1 AS mmr_rank FROM s1
+        |  UNION ALL SELECT q_id, n_id, 2 FROM n2
+        |  UNION ALL SELECT q_id, n_id, 3 FROM n3)
+        |SELECT r.q_id, r.n_id, c.rel, CAST(r.mmr_rank AS INTEGER)
+        |         AS mmr_rank
+        |FROM ranked r JOIN cands c
+        |  ON r.q_id = c.q_id AND r.n_id = c.n_id""".stripMargin,
     "q_ann_ivf_trained" -> duckAnnBruteTop5,
     "q_ann_pq" -> duckAnnBruteTop5,
     "q_ann_ivf" -> duckAnnBruteTop5,

@@ -1738,6 +1738,27 @@ class ExtSpec extends SparkSpec {
     assert(re.toSet === out.toSet)
   }
 
+  test("mmr rerank: diversity term demotes the redundant twin — " +
+    "rank 2 goes to the diverse candidate even though the near-" +
+    "duplicate of rank 1 has higher raw relevance") {
+    // query 0 along x; c1 (id 1) nearest; c2 (id 2) is c1's near-twin
+    // with the 2nd-best relevance; c3 (id 3) less relevant but far
+    // from c1. Plain top-3 ranks (1, 2, 3); at λ=0.5 MMR picks 3
+    // ahead of 2 at step 2 — sim(2, 1) ≈ 1 eats the relevance margin
+    // (0.5·(0.975−0.9997) < 0.5·(0.6−0.588)) — then gives 2 rank 3.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.98f, 0.199f, 0.0f)),
+      (2L, Array(0.975f, 0.2222f, 0.0f)),  // twin of 1
+      (3L, Array(0.6f, 0.0f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrTopK(vecs, vecs.filter($"vec_id" === 0),
+        kCand = 3, k = 3, lambdaMilli = 500)
+      .orderBy($"mmr_rank")
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq === Seq((1L, 1), (3L, 2), (2L, 3)))
+  }
+
   test("stupid backoff: every ladder rung fires on a hand-computed " +
     "held-out doc — trigram hit, bigram top-level hit, smoothed-" +
     "unigram start, and a full back-off to OOV") {
