@@ -725,6 +725,28 @@ private[graft] object ExtRegistry {
         e.filter(col("vec_id") % 100 === 0), k = 5)
     }),
 
+    // SEMANTIC decontamination (the embedding-level counterpart of
+    // the n-gram q_contamination rows): every held-out vector (label
+    // >= 8) annotated with how many train vectors sit above cosine
+    // 0.5 and the closest one — the eval-leakage audit run before a
+    // benchmark score is trusted. Train side scans, held-out side
+    // broadcasts; past broadcastable sizes the pair generator swaps
+    // for the bucketed IVF join (q_embed_dedup's path)
+    "q_semantic_leakage" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val test = e.filter(col("label") >= 8)
+      val pairs = Similarity.bruteForcePairs(
+        e.filter(col("label") < 8), test, 0.5)
+      val hits = pairs.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("max_sim"))
+      test.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("max_sim"),
+          col("n_hits").isNotNull.cast("long").as("leaked"))
+    }),
+
     // MMR diversified top-3 over the 10 nearest candidates (λ=0.7):
     // the greedy diversity re-rank after similarity search — cost
     // bounded by |queries|·kCand², independent of corpus size.
@@ -2269,6 +2291,29 @@ private[graft] object ExtRegistry {
         |  FROM scored)
         |SELECT q_id, n_id, round(s, 6) AS sim, CAST(rn AS INTEGER) AS rank
         |FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // exhaustive cross-set replay: raw-sim threshold, rounded max —
+    // exactly the engine's filter-then-round order
+    "q_semantic_leakage" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |tr AS (SELECT * FROM e WHERE label < 8),
+        |te AS (SELECT * FROM e WHERE label >= 8),
+        |sc AS (
+        |  SELECT te.vec_id AS q_id,
+        |         list_dot_product(te.v, tr.v)
+        |           / (sqrt(list_dot_product(te.v, te.v))
+        |              * sqrt(list_dot_product(tr.v, tr.v))) AS s
+        |  FROM te JOIN tr ON te.vec_id <> tr.vec_id),
+        |hit AS (SELECT q_id, count(*) AS n_hits,
+        |               max(round(s, 6)) AS max_sim
+        |        FROM sc WHERE s >= 0.5 GROUP BY q_id)
+        |SELECT te.vec_id AS q_id,
+        |       CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits,
+        |       hit.max_sim,
+        |       CAST(CASE WHEN hit.n_hits IS NOT NULL
+        |         THEN 1 ELSE 0 END AS BIGINT) AS leaked
+        |FROM te LEFT JOIN hit ON te.vec_id = hit.q_id""".stripMargin,
 
     // the greedy MMR unrolled: step 1 = raw-sim rank 1; steps 2..3
     // maximize 0.7·rel − 0.3·max-sim-to-selected over the SAME

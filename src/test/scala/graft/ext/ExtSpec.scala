@@ -1738,6 +1738,24 @@ class ExtSpec extends SparkSpec {
     assert(re.toSet === out.toSet)
   }
 
+  test("semantic leakage: aligned held-out vector flags with its " +
+    "nearest train hit; orthogonal one stays clean with null max_sim") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0L),   // train
+      (2L, Array(0.0f, 1.0f), 1L),   // train
+      (8L, Array(0.999f, 0.0447f), 8L), // test — aligned with 1
+      (9L, Array(-1.0f, 0.0f), 9L)      // test — anti-aligned, no hit
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_leak_").toString
+    e.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q_semantic_leakage")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)), r.getLong(3))).toMap
+    assert(out(8L)._1 === 1L && out(8L)._3 === 1L)
+    assert(out(8L)._2.exists(_.asInstanceOf[Double] > 0.99))
+    assert(out(9L) === ((0L, None, 0L)))
+  }
+
   test("mmr rerank: diversity term demotes the redundant twin — " +
     "rank 2 goes to the diverse candidate even though the near-" +
     "duplicate of rank 1 has higher raw relevance") {
