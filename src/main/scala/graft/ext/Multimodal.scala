@@ -75,9 +75,14 @@ object Multimodal {
         // real impl: initialize codec ONCE per partition here — the
         // MessageDigest stands in for that per-partition init
         val md = java.security.MessageDigest.getInstance("MD5")
-        rows.map { r =>
+        rows.flatMap { r =>
           val id = r.getString(0); val tpe = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
+          if (bytes == null) None  // undecodable blob (null payload):
+          // the corrupt-media drop channel — a codec cannot decode
+          // what never arrived, and one bad blob must not kill the
+          // batch
+          else Some {
           // fake dimensions derive from the ENGINE-PORTABLE 60-bit
           // md5 hash (top 15 hex chars == top 60 bits, the same value
           // as TextAnalysis.portableHash60) so even the stub output
@@ -90,6 +95,7 @@ object Multimodal {
             duration_ms = if (tpe == "image") 0L else h % 600000,
             feature = Array.tabulate(featureDim)(i =>
               ((h % 1000003) * (i + 1) % 1000) / 1000.0f))
+          }
         }
       }
   }

@@ -315,7 +315,11 @@ object Similarity {
       iters: Int = 10, idCol: String = "vec_id",
       vecCol: String = "embedding"): Seq[Seq[Float]] = {
     import org.apache.spark.sql.Row
+    // null embeddings (unresolved upstream joins, failed encoders)
+    // cannot train — they drop here and null-propagate to a null cell
+    // downstream
     val sampleRows = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(vecCol), xxhash64(col(idCol).cast("string")).as("__h"))
       .orderBy(col("__h")).limit(sampleN)
       .select(col(vecCol)).collect()
@@ -543,7 +547,9 @@ object Similarity {
       vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] = {
     import org.apache.spark.sql.Row
     require(m >= 1 && k >= 1, "m and k must be >= 1")
+    // null embeddings cannot train (same drop as trainCentroids)
     val sampleRows = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(vecCol), xxhash64(col(idCol).cast("string")).as("__h"))
       .orderBy(col("__h")).limit(sampleN)
       .select(col(vecCol)).collect()
