@@ -163,47 +163,84 @@ object Multimodal {
   def decodePpm(media: DataFrame): Dataset[PpmFeatures] = {
     implicit val enc = Encoders.product[PpmFeatures]
     media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r => parsePpm(r.getString(0), r.getAs[Array[Byte]](1)) }
+    }
+  }
+
+  /** One corrupt row per failed decode — the per-record error channel
+    * of [[decodePpmChannel]]. */
+  final case class PpmOutcome(
+      media_id: String, ok: Long, width: Option[Int], height: Option[Int],
+      r_mean_milli: Option[Long], g_mean_milli: Option[Long],
+      b_mean_milli: Option[Long])
+
+  /**
+   * TOLERANT decode: per-record isolation around [[decodePpm]]'s
+   * strict parser — a truncated or garbage blob yields an `ok = 0`
+   * row instead of killing the task (at 100 TB one corrupt file per
+   * million is a certainty, and a strict codec would fail the stage
+   * on every retry). Same `mapPartitions` batch shape; the strict
+   * variant remains the right tool when corrupt input must HALT a
+   * backfill.
+   */
+  def decodePpmChannel(media: DataFrame): Dataset[PpmOutcome] = {
+    implicit val enc = Encoders.product[PpmOutcome]
+    media.select("media_id", "content").mapPartitions { rows =>
       rows.map { r =>
         val id = r.getString(0)
-        val b = r.getAs[Array[Byte]](1)
-        require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
-          s"not a P6 PPM: media_id=$id")
-        var pos = 2
-        def skipWsAndComments(): Unit = {
-          var done = false
-          while (!done && pos < b.length) {
-            val ch = b(pos)
-            if (ch == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
-            else if (ch == ' ' || ch == '\n' || ch == '\r' || ch == '\t') pos += 1
-            else done = true
-          }
+        try {
+          val f = parsePpm(id, r.getAs[Array[Byte]](1))
+          PpmOutcome(id, 1L, Some(f.width), Some(f.height),
+            Some(f.r_mean_milli), Some(f.g_mean_milli),
+            Some(f.b_mean_milli))
+        } catch { case scala.util.control.NonFatal(_) =>
+          PpmOutcome(id, 0L, None, None, None, None, None)
         }
-        def readInt(): Int = {
-          skipWsAndComments()
-          require(pos < b.length && b(pos) >= '0' && b(pos) <= '9',
-            s"malformed PPM header: media_id=$id at byte $pos")
-          var v = 0
-          while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
-            v = v * 10 + (b(pos) - '0'); pos += 1
-          }
-          v
-        }
-        val w = readInt(); val h = readInt(); val mx = readInt()
-        pos += 1 // exactly ONE whitespace byte separates maxval and payload
-        val n = w.toLong * h
-        require(b.length - pos >= n * 3,
-          s"truncated PPM payload: media_id=$id")
-        var rs = 0L; var gs = 0L; var bs = 0L
-        var p = 0L
-        while (p < n) {
-          val o = pos + (p * 3).toInt
-          rs += b(o) & 0xff; gs += b(o + 1) & 0xff; bs += b(o + 2) & 0xff
-          p += 1
-        }
-        PpmFeatures(id, w, h, mx, n, rs, gs, bs,
-          rs * 1000L / n, gs * 1000L / n, bs * 1000L / n)
       }
     }
+  }
+
+  /** The strict P6 parser shared by [[decodePpm]] (throwing) and
+    * [[decodePpmChannel]] (per-record isolation). */
+  private def parsePpm(id: String, bIn: Array[Byte]): PpmFeatures = {
+    val b = bIn
+    require(b != null, s"null PPM payload: media_id=$id")
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+      s"not a P6 PPM: media_id=$id")
+    var pos = 2
+    def skipWsAndComments(): Unit = {
+      var done = false
+      while (!done && pos < b.length) {
+        val ch = b(pos)
+        if (ch == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else if (ch == ' ' || ch == '\n' || ch == '\r' || ch == '\t') pos += 1
+        else done = true
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      require(pos < b.length && b(pos) >= '0' && b(pos) <= '9',
+        s"malformed PPM header: media_id=$id at byte $pos")
+      var v = 0
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val mx = readInt()
+    pos += 1 // exactly ONE whitespace byte separates maxval and payload
+    val n = w.toLong * h
+    require(b.length - pos >= n * 3,
+      s"truncated PPM payload: media_id=$id")
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var p = 0L
+    while (p < n) {
+      val o = pos + (p * 3).toInt
+      rs += b(o) & 0xff; gs += b(o + 1) & 0xff; bs += b(o + 2) & 0xff
+      p += 1
+    }
+    PpmFeatures(id, w, h, mx, n, rs, gs, bs,
+      rs * 1000L / n, gs * 1000L / n, bs * 1000L / n)
   }
 
   /** Little-endian helpers for RIFF containers. */

@@ -873,6 +873,20 @@ private[graft] object ExtRegistry {
       Multimodal.decodePpm(media).toDF()
     }),
 
+    // corrupt-media isolation: every id%7==2 blob truncated to its
+    // first 10 bytes — the tolerant channel decodes the rest and
+    // emits ok=0 rows for the casualties instead of failing the
+    // stage (oracle replays both halves from the id formula alone)
+    "q_multimodal_corrupt" -> ((s, dir) => {
+      val media = Multimodal.synthesizePpm(
+          s.read.parquet(t(dir, "documents")), "doc_id")
+        .withColumn("content",
+          when(pmod(col("media_id").cast("long"), lit(7)) === 2,
+            expr("substring(content, 1, 10)"))
+            .otherwise(col("content")))
+      Multimodal.decodePpmChannel(media).toDF()
+    }),
+
     // ── REAL codec tier #3, compressed images: one valid PNG per
     // document (zlib-deflated, per-row filters cycling all five
     // types, two IDAT chunks, ancillary tEXt, CRC32 everywhere);
@@ -2495,6 +2509,43 @@ private[graft] object ExtRegistry {
         |       CAST(r_sum * 1000 // n_pix AS BIGINT) AS r_mean_milli,
         |       CAST(g_sum * 1000 // n_pix AS BIGINT) AS g_mean_milli,
         |       CAST(b_sum * 1000 // n_pix AS BIGINT) AS b_mean_milli
+        |FROM s""".stripMargin,
+
+    // both halves from the id formula: id%7==2 rows are the truncated
+    // casualties (ok=0, all features NULL); everything else replays
+    // the q_multimodal_ppm means
+    "q_multimodal_corrupt" ->
+      """WITH dim AS (
+        |  SELECT doc_id,
+        |         CAST(8 + doc_id % 16 AS INT) AS width,
+        |         CAST(6 + doc_id % 9 AS INT) AS height
+        |  FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |         unnest(range(0, CAST(width AS BIGINT) * height)) AS p
+        |       FROM dim),
+        |ch AS (SELECT doc_id, width, height, p, c,
+        |         (doc_id * 31 + p * 7 + c * 13) % 256 AS v
+        |       FROM px, unnest([0, 1, 2]) t(c)),
+        |s AS (SELECT doc_id, width, height,
+        |        CAST(width AS BIGINT) * height AS n_pix,
+        |        CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+        |        CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+        |        CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum
+        |      FROM ch GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(doc_id AS VARCHAR) AS media_id,
+        |       CAST(CASE WHEN doc_id % 7 = 2 THEN 0 ELSE 1 END AS BIGINT)
+        |         AS ok,
+        |       CASE WHEN doc_id % 7 = 2 THEN NULL ELSE width END AS width,
+        |       CASE WHEN doc_id % 7 = 2 THEN NULL ELSE height END AS height,
+        |       CASE WHEN doc_id % 7 = 2 THEN NULL
+        |            ELSE CAST(r_sum * 1000 // n_pix AS BIGINT) END
+        |         AS r_mean_milli,
+        |       CASE WHEN doc_id % 7 = 2 THEN NULL
+        |            ELSE CAST(g_sum * 1000 // n_pix AS BIGINT) END
+        |         AS g_mean_milli,
+        |       CASE WHEN doc_id % 7 = 2 THEN NULL
+        |            ELSE CAST(b_sum * 1000 // n_pix AS BIGINT) END
+        |         AS b_mean_milli
         |FROM s""".stripMargin,
 
     // replays graft.ext.Multimodal.synthesizeWav's id formulas —

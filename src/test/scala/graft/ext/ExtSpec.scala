@@ -1738,6 +1738,24 @@ class ExtSpec extends SparkSpec {
     assert(re.toSet === out.toSet)
   }
 
+  test("ppm tolerant channel: valid decodes match the strict parser, " +
+    "truncated/garbage/null blobs yield ok=0 rows, batch survives") {
+    val good = Multimodal.ppmEncode(2, 1,
+      Array[Byte](10, 20, 30, 40, 50, 60))
+    val rows = Seq(
+      ("a", "image", good),
+      ("b", "image", good.take(5)),             // truncated header
+      ("c", "image", "not a ppm".getBytes),     // garbage
+      ("d", "image", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "media_type", "content")
+    val out = Multimodal.decodePpmChannel(rows).collect()
+      .map(o => o.media_id -> o).toMap
+    assert(out("a").ok === 1L && out("a").width === Some(2) &&
+      out("a").r_mean_milli === Some((10L + 40L) * 1000 / 2))
+    assert(Seq("b", "c", "d").forall(k =>
+      out(k).ok === 0L && out(k).width.isEmpty))
+  }
+
   test("semantic leakage: aligned held-out vector flags with its " +
     "nearest train hit; orthogonal one stays clean with null max_sim") {
     val e = Seq(
