@@ -12,7 +12,10 @@ object TimeQ {
     val rest = args.drop(1)
     val rIdx = rest.indexOf("-r")
     val reps = if (rIdx >= 0 && rIdx + 1 < rest.length) rest(rIdx + 1).toInt else 1
-    val names = if (rIdx >= 0) rest.take(rIdx) ++ rest.drop(rIdx + 2) else rest
+    val afterR = if (rIdx >= 0) rest.take(rIdx) ++ rest.drop(rIdx + 2) else rest
+    // -e: also print the executed plan's scan lines (pushdown audit)
+    val explain = afterR.contains("-e")
+    val names = afterR.filterNot(_ == "-e")
     val spark = graft.util.Tables.session("timeq", "32")
     // warmup: JIT + codegen + file index on a cheap query
     graft.SparkEntry.queries("q1_agg")(spark, dir).count()
@@ -26,6 +29,13 @@ object TimeQ {
       }
       val best = secs.map(_._1).min
       println(f"[timeq] $name%-24s best=$best%7.2fs rows=${secs.head._2}")
+      if (explain) {
+        val plan = graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        plan.split("\n").filter(l =>
+            l.contains("Scan parquet") || l.contains("PushedFilters"))
+          .foreach(l => println("[plan] " + l.trim.take(400)))
+      }
     }
     spark.stop()
   }
