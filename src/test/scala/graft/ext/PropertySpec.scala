@@ -132,6 +132,45 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("mmrTopK: at lambda = 1 (pure relevance) the greedy selection " +
+      "IS the plain top-k, for ANY corpus") {
+    val gen = Gen.listOfN(8, Gen.listOfN(3, Gen.choose(-5, 5)))
+      .suchThat(_.exists(_.exists(_ != 0)))
+    check(Prop.forAll(gen) { vs =>
+      val rows = vs.zipWithIndex.collect {
+        case (v, i) if v.exists(_ != 0) =>  // zero vectors have no cosine
+          (i.toLong, v.map(_.toFloat).toArray)
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val q = df.filter($"vec_id" === rows.head._1)
+      val k = math.min(3, rows.length - 1)
+      if (k < 1) true
+      else {
+        val mmr = Similarity.mmrTopK(df, q, kCand = rows.length, k = k,
+            lambdaMilli = 1000)
+          .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+        val plain = Similarity.bruteForceTopK(df, q, k)
+          .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+        mmr == plain
+      }
+    }, n = 8)
+  }
+
+  test("lengthOutliers: partitioning-invariant and flag counts are " +
+      "bounded by the rows, for ANY grouped integer data") {
+    val gen = Gen.listOfN(20, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 50L)))
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("grp", "len")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.lengthOutliers(d, "grp", "len", 2)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+      val once = run(df)
+      once == run(df.repartition(7)) &&
+      once.forall { case (_, n, nOut, _) => nOut <= n }
+    }, n = 10)
+  }
+
   test("stupidBackoff: for ANY corpus, self-scoring never meets an " +
       "OOV and every rung yields finite non-negative surprisal; " +
       "scoring disjoint text is all-OOV") {
