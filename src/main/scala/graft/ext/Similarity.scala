@@ -818,10 +818,15 @@ object Similarity {
       val bv = cands.select(col("q_id"), col("n_id").as("b"))
         .join(vecs, col("b") === col("vid"))
         .select(col("q_id"), col("b"), col("vv").as("vb"))
-      val ps = av.join(bv, Seq("q_id")).filter(col("a") =!= col("b"))
+      // cosine is symmetric: score each unordered pair ONCE (a < b)
+      // and mirror the projection — halves the kCand² evaluations
+      val half = av.join(bv, Seq("q_id")).filter(col("a") < col("b"))
         .select(col("q_id"), col("a"), col("b"),
           round(graft.functions.GraftFunctions.cosine_sim(
             col("va"), col("vb")), 6).as("s"))
+      val ps = half.union(
+          half.select(col("q_id"), col("b").as("a"), col("a").as("b"),
+            col("s")))
         .persist()
       try {
         val lam = lambdaMilli.toDouble / 1000.0

@@ -952,8 +952,6 @@ object TextAnalysis {
               .as(s"top${topNs.head}_chars"),
             topNs.tail.map(n =>
               sum(when(col("n") === n, col("tc"))).as(s"top${n}_chars")): _*)
-        val dupCovs = Seq(dupChars)
-        val topCovs = Seq(topChars)
 
         // duplicate non-blank lines, by count and by characters
         val lineStats = docs
@@ -968,10 +966,10 @@ object TextAnalysis {
             sum(when(col("c") >= 2, length(col("line")).cast("long"))
               .otherwise(0L)).as("dup_line_chars"))
 
-        val joined = (dupCovs ++ topCovs :+ lineStats)
-          .foldLeft(docs.select(col("id"), col("total_chars"))) {
-            (acc, d) => acc.join(d, Seq("id"), "left")
-          }
+        val joined = docs.select(col("id"), col("total_chars"))
+          .join(dupChars, Seq("id"), "left")
+          .join(topChars, Seq("id"), "left")
+          .join(lineStats, Seq("id"), "left")
         joined.select(
           col("id") +: col("total_chars") +:
             (topNs.map(n => expr(
@@ -1066,6 +1064,9 @@ object TextAnalysis {
       nSigma: Int = 2): DataFrame = {
     val rows = graft.util.Tables.spread(df)
       .select(col(groupCol).as("grp"), col(measureCol).cast("long").as("x"))
+      // a null measure cannot be scored — and keeping it would desync
+      // n from the S1/S2 sums it divides
+      .filter(col("x").isNotNull)
     val stats = rows.groupBy(col("grp")).agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("s1"),

@@ -425,7 +425,8 @@ private[graft] object AnalyticsRegistry {
     // persist to a stats catalog and later merges never rescan raw
     // data (a day's new shards fold into a year's cardinality in
     // milliseconds). The contract bit asserts the merged estimate
-    // lands within 3·rse of the exact cardinality; the oracle
+    // lands within 6% of the exact cardinality (≳3·rse ≈ 4.9% at
+    // lgK=12, same slack convention as q_approx_distinct); the oracle
     // recomputes the exact count and expects union_ok = TRUE. ──
     "q_sketch_union" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
