@@ -340,9 +340,40 @@ object Multimodal {
   def decodeWav(media: DataFrame): Dataset[WavFeatures] = {
     implicit val enc = Encoders.product[WavFeatures]
     media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r => parseWav(r.getString(0), r.getAs[Array[Byte]](1)) }
+    }
+  }
+
+  /** Per-record outcome row of [[decodeWavChannel]]. */
+  final case class WavOutcome(
+      media_id: String, ok: Long, sample_rate: Option[Int],
+      channels: Option[Int], n_frames: Option[Long], peak: Option[Long])
+
+  /** TOLERANT WAV decode — per-record isolation around the strict
+    * RIFF walker, same contract as [[decodePpmChannel]]: a truncated
+    * or garbage container yields an `ok = 0` row instead of failing
+    * the stage. */
+  def decodeWavChannel(media: DataFrame): Dataset[WavOutcome] = {
+    implicit val enc = Encoders.product[WavOutcome]
+    media.select("media_id", "content").mapPartitions { rows =>
       rows.map { r =>
         val id = r.getString(0)
-        val b = r.getAs[Array[Byte]](1)
+        try {
+          val f = parseWav(id, r.getAs[Array[Byte]](1))
+          WavOutcome(id, 1L, Some(f.sample_rate), Some(f.channels),
+            Some(f.n_frames), Some(f.peak))
+        } catch { case scala.util.control.NonFatal(_) =>
+          WavOutcome(id, 0L, None, None, None, None)
+        }
+      }
+    }
+  }
+
+  /** The strict RIFF/WAVE parser shared by [[decodeWav]] (throwing)
+    * and [[decodeWavChannel]] (per-record isolation). */
+  private def parseWav(id: String, b: Array[Byte]): WavFeatures = {
+    require(b != null, s"null WAVE payload: media_id=$id");
+    {
         def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
         def u32(off: Int): Long =
           (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
@@ -388,7 +419,6 @@ object Multimodal {
         }
         WavFeatures(id, sr, ch, bits, nFrames,
           nFrames * 1000L / sr, c0, c1, abs, peak)
-      }
     }
   }
 

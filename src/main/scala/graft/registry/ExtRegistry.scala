@@ -873,6 +873,19 @@ private[graft] object ExtRegistry {
       Multimodal.decodePpm(media).toDF()
     }),
 
+    // audio counterpart of q_multimodal_corrupt: id%7==3 WAVs
+    // truncated mid-container; the tolerant RIFF walker emits ok=0
+    // casualties and decodes the rest
+    "q_wav_corrupt" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWav(
+          s.read.parquet(t(dir, "documents")), "doc_id")
+        .withColumn("content",
+          when(pmod(col("media_id").cast("long"), lit(7)) === 3,
+            expr("substring(content, 1, 20)"))
+            .otherwise(col("content")))
+      Multimodal.decodeWavChannel(media).toDF()
+    }),
+
     // corrupt-media isolation: every id%7==2 blob truncated to its
     // first 10 bytes — the tolerant channel decodes the rest and
     // emits ok=0 rows for the casualties instead of failing the
@@ -2510,6 +2523,34 @@ private[graft] object ExtRegistry {
         |       CAST(g_sum * 1000 // n_pix AS BIGINT) AS g_mean_milli,
         |       CAST(b_sum * 1000 // n_pix AS BIGINT) AS b_mean_milli
         |FROM s""".stripMargin,
+
+    // audio casualties at id%7==3; survivors replay the
+    // q_multimodal_wav id formulas
+    "q_wav_corrupt" ->
+      """WITH p AS (
+        |  SELECT doc_id AS d,
+        |         8000 + 4000 * (doc_id % 4) AS sr,
+        |         1 + doc_id % 2 AS ch,
+        |         50 + doc_id % 101 AS nf
+        |  FROM documents),
+        |s AS (SELECT d, sr, ch, nf, c,
+        |        ((d * 37 + f * 11 + c * 5) % 4001) - 2000 AS v
+        |      FROM p,
+        |           LATERAL unnest(range(0, nf)) t(f),
+        |           LATERAL unnest(range(0, ch)) u(c)),
+        |a AS (SELECT d, sr, ch, nf,
+        |        CAST(max(abs(v)) AS BIGINT) AS peak
+        |      FROM s GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(d AS VARCHAR) AS media_id,
+        |       CAST(CASE WHEN d % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS ok,
+        |       CASE WHEN d % 7 = 3 THEN NULL
+        |            ELSE CAST(sr AS INT) END AS sample_rate,
+        |       CASE WHEN d % 7 = 3 THEN NULL
+        |            ELSE CAST(ch AS INT) END AS channels,
+        |       CASE WHEN d % 7 = 3 THEN NULL
+        |            ELSE CAST(nf AS BIGINT) END AS n_frames,
+        |       CASE WHEN d % 7 = 3 THEN NULL ELSE peak END AS peak
+        |FROM a""".stripMargin,
 
     // both halves from the id formula: id%7==2 rows are the truncated
     // casualties (ok=0, all features NULL); everything else replays

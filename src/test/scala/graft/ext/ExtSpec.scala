@@ -1756,6 +1756,23 @@ class ExtSpec extends SparkSpec {
       out(k).ok === 0L && out(k).width.isEmpty))
   }
 
+  test("wav tolerant channel: valid container decodes, truncated/" +
+    "garbage/null yield ok=0, batch survives") {
+    val good = Multimodal.wavEncode(8000, 1, Array[Short](100, -200, 300))
+    val rows = Seq(
+      ("a", "audio", good),
+      ("b", "audio", good.take(20)),          // cut inside fmt chunk
+      ("c", "audio", "RIFFxxxxJUNK".getBytes),
+      ("d", "audio", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "media_type", "content")
+    val out = Multimodal.decodeWavChannel(rows).collect()
+      .map(o => o.media_id -> o).toMap
+    assert(out("a").ok === 1L && out("a").sample_rate === Some(8000) &&
+      out("a").n_frames === Some(3L) && out("a").peak === Some(300L))
+    assert(Seq("b", "c", "d").forall(k =>
+      out(k).ok === 0L && out(k).sample_rate.isEmpty))
+  }
+
   test("semantic leakage: aligned held-out vector flags with its " +
     "nearest train hit; orthogonal one stays clean with null max_sim") {
     val e = Seq(
