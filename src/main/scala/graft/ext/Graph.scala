@@ -58,20 +58,27 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val base = (1000L - dampMilli) * scale / 1000L
-    var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iterations) {
-      val contrib = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        // `div` (integer division) keeps the math exact — a double
-        // `/` would lose precision past 2^53 on hub accumulations
-        .select(col("dst"), expr("rank div outdeg").as("c"))
-      val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes
-        .join(inSum.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"(coalesce(s, 0L) * $dampMilli) div 1000"))
-            .as("rank"))
+    try {
+      var ranks = nodes.withColumn("rank", lit(scale))
+      for (_ <- 1 to iterations) {
+        val contrib = eDeg
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          // `div` (integer division) keeps the math exact — a double
+          // `/` would lose precision past 2^53 on hub accumulations
+          .select(col("dst"), expr("rank div outdeg").as("c"))
+        val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        ranks = nodes
+          .join(inSum.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr(s"(coalesce(s, 0L) * $dampMilli) div 1000"))
+              .as("rank"))
+      }
+      // sever lineage from the cached frames so they can be released
+      ranks.select(col("node"), col("rank").as("rank_micro"))
+        .localCheckpoint()
+    } finally {
+      eDeg.unpersist()
+      nodes.unpersist()
     }
-    ranks.select(col("node"), col("rank").as("rank_micro"))
   }
 }

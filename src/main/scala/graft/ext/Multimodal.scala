@@ -481,7 +481,8 @@ object Multimodal {
     }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
+    // worst-case deflate expansion: ~5 bytes per 16383-byte stored block + header
+    val buf = new Array[Byte](raw.length + raw.length / 16383 * 5 + 64)
     var zLen = 0
     while (!deflater.finished())
       zLen += deflater.deflate(buf, zLen, buf.length - zLen)
@@ -581,8 +582,15 @@ object Multimodal {
         val stride = w * bpp
         val raw = new Array[Byte](h * (1 + stride))
         var got = 0
-        while (got < raw.length && !inflater.finished())
-          got += inflater.inflate(raw, got, raw.length - got)
+        while (got < raw.length && !inflater.finished()) {
+          val n = inflater.inflate(raw, got, raw.length - got)
+          if (n == 0 && (inflater.needsInput() || inflater.needsDictionary())) {
+            inflater.end()
+            throw new IllegalArgumentException(
+              s"short/corrupt deflate stream: media_id=$id")
+          }
+          got += n
+        }
         inflater.end()
         require(got == raw.length, s"short inflate: media_id=$id")
         // filter reconstruction in place, row by row

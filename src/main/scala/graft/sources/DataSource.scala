@@ -58,14 +58,19 @@ final case class FileSource(path: String, format: Option[String] = None,
   }
 
   override def load(spark: SparkSession): DataFrame = {
-    // caller-supplied reader options (e.g. mergeSchema for
-    // multi-generation parquet dirs) compose under the per-format
-    // defaults
-    val r = spark.read.options(options)
+    // per-format defaults first, caller-supplied reader options last —
+    // an explicit caller option (e.g. header=false, multiLine=false,
+    // mergeSchema) always wins over the default
+    val withDefaults = fmt match {
+      case "json" => spark.read.option("multiLine", "true")
+      case "csv" => spark.read.option("header", "true")
+        .option("inferSchema", "true")
+      case _ => spark.read
+    }
+    val r = withDefaults.options(options)
     fmt match {
-      case "json" => r.option("multiLine", "true").json(path)
-      case "csv" => r.option("header", "true")
-        .option("inferSchema", "true").csv(path)
+      case "json" => r.json(path)
+      case "csv" => r.csv(path)
       case "orc" => r.orc(path)
       case _ => r.parquet(path)
     }

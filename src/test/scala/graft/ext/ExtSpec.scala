@@ -434,6 +434,35 @@ class ExtSpec extends SparkSpec {
       ex.toString.nonEmpty) // decode failed loudly, not silently
   }
 
+  test("multimodal PNG: a truncated deflate stream (valid CRCs, second " +
+      "IDAT dropped) throws instead of hanging the task") {
+    val w = 5; val h = 8
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 31 + 3) % 256).toByte)
+    val png = Multimodal.pngEncode(w, h, rgb)
+    // walk the chunks, rebuild the file without the second IDAT —
+    // every remaining chunk keeps its original (valid) CRC, but the
+    // concatenated zlib stream is now short
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(png, 0, 8) // signature
+    var pos = 8; var idatSeen = 0
+    while (pos < png.length) {
+      val len = ((png(pos) & 0xff) << 24) | ((png(pos + 1) & 0xff) << 16) |
+        ((png(pos + 2) & 0xff) << 8) | (png(pos + 3) & 0xff)
+      val typ = new String(png, pos + 4, 4, "US-ASCII")
+      val chunkLen = 8 + len + 4
+      if (typ == "IDAT") idatSeen += 1
+      if (!(typ == "IDAT" && idatSeen == 2)) out.write(png, pos, chunkLen)
+      pos += chunkLen
+    }
+    assert(idatSeen === 2)
+    val truncated = out.toByteArray
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePng(Seq(("trunc", "image", truncated))
+        .toDF("media_id", "media_type", "content")).collect()
+    }
+    assert(ex.toString.nonEmpty) // threw promptly — no infinite loop
+  }
+
   test("multimodal PPM: encode/decode round-trip on a hand-computed " +
       "image; comments and whitespace in the header are parsed") {
     // 2x1 image: pixels (10,20,30) and (40,50,60)

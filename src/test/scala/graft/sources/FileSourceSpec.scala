@@ -17,6 +17,19 @@ class FileSourceSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("caller-supplied option overrides the per-format default " +
+    "(header=false wins over the csv header default)") {
+    val dir = tmpDir("fs-csv-nohdr")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data.csv"),
+      "a,1\nb,2\n")
+    val df = FileSource(s"$dir/data.csv",
+      options = Map("header" -> "false")).load(spark)
+    // with header=false the first line is data, not column names
+    assert(df.count() === 2)
+    assert(df.columns.head.startsWith("_c"))
+  }
+
   test("parquet round trip") {
     val dir = tmpDir("fs-parquet")
     Seq(("a", 1L)).toDF("id", "version").write.parquet(s"$dir/data.parquet")
