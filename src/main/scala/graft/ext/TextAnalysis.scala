@@ -753,6 +753,208 @@ object TextAnalysis {
         (col("n_kept") >= minKeptLines.toLong).cast("long"))
   }
 
+  // ── Fused single-pass quality annotator ───────────────────────────
+
+  /** Longest run of equal adjacent elements, as a linear array fold —
+    * over a sorted array this is the max element frequency; over the
+    * original order, the longest same-element run. The `run > 0`
+    * guard (instead of a sentinel `prev`) keeps empty-string elements
+    * correct. */
+  private def maxAdjRun(arr: Column): Column =
+    aggregate(arr,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val cont = st.getField("run") > 0L && st.getField("prev") === x
+        val run = when(cont, st.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+
+  /**
+   * Fused single-pass quality annotator: every per-document gate
+   * signal the individual queries compute — the Gopher rule battery
+   * ([[gopherRules]]), repetition signals ([[repetitionSignals]]),
+   * character-distribution entropy ([[charEntropy]]), encoding damage
+   * ([[encodingSignals]]), C4 line cleaning ([[c4LineFilter]]), and
+   * optionally URL signals ([[urlSignals]]) — in ONE corpus scan,
+   * plus the composite `quality_keep` decision.
+   *
+   * The real 100 TB pipeline cannot afford one scan per signal; this
+   * is the production shape. Beyond fusing the narrow batteries, the
+   * two signals the standalone operators compute with a shuffle
+   * (repetition via explode+window, entropy via explode+groupBy) are
+   * re-expressed as per-row array folds over `array_sort`ed token /
+   * character arrays — max element frequency = longest equal-adjacent
+   * run in the sorted array — so the WHOLE annotator is a narrow
+   * projection: one parquet scan, ZERO shuffles, linear to 100 TB.
+   * Every fraction is rounded (and every entropy term fixed to
+   * integer micro-nats) exactly as in the standalone operators, so
+   * the fused output equals their join column-for-column.
+   *
+   * `encTextCol` lets the caller point the encoding battery at a
+   * different (e.g. damage-injected) column; `urlCol = null` skips
+   * the URL signals (columns omitted and `quality_keep` ignores
+   * them).
+   */
+  def annotateQuality(
+      df: DataFrame, idCol: String, textCol: String,
+      encTextCol: String = null, urlCol: String = null,
+      blockedDomains: Seq[String] = Nil,
+      gopherMinWords: Long = 50L, gopherMaxWords: Long = 100000L,
+      c4MinWords: Int = 5, c4MinKeptLines: Int = 3): DataFrame = {
+    val t = col(textCol)
+
+    // ── Gopher battery (identical expressions to gopherRules) ──
+    val toks = normTokens(t)
+    val nWords = wsTokenCount(t).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, x) => a + length(x))
+    val meanLen = round(sumLen.cast("double") /
+      greatest(nWords, lit(1L)), 6)
+    val symRatio = round(
+      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")))
+        .cast("double") / greatest(nWords, lit(1L)), 6)
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletFrac = round(
+      size(filter(lines, l =>
+        substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+        .cast("double") / nLines, 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => endswith(rtrim(l), lit("..."))))
+        .cast("double") / nLines, 6)
+    val alphaFrac = round(
+      size(filter(toks, x => x.rlike("[a-z]"))).cast("double") /
+        greatest(nWords, lit(1L)), 6)
+    val nStopKinds = GopherStops.map(w =>
+      when(lower(t).rlike(s"\\b${w}\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val gopherPass =
+      (col("n_words") >= gopherMinWords &&
+        col("n_words") <= gopherMaxWords &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_line_frac") <= 0.9 &&
+        col("ellipsis_line_frac") <= 0.3 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("n_stop_kinds") >= 2L).cast("long")
+
+    // ── repetition signals as folds (parity with repetitionSignals:
+    //    same token array, same counts — max frequency computed as
+    //    the longest equal-adjacent run of the SORTED array) ──
+    val nToks = size(toks).cast("long")
+    val topTokN = maxAdjRun(array_sort(toks))
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val top2gramN = when(size(toks) >= 2, maxAdjRun(array_sort(bigrams)))
+      .when(nToks.isNotNull, lit(0L))
+      .otherwise(lit(null).cast("long"))
+    val maxRun = maxAdjRun(toks)
+    val nDistinctToks = size(array_distinct(toks)).cast("long")
+    val dupTokFrac = round(lit(1.0) -
+      nDistinctToks.cast("double") / nToks, 6)
+
+    // ── char entropy as one fold over the sorted char array (parity
+    //    with charEntropy: h_part = n_c · floor(−ln(n_c/N)·1e6) per
+    //    distinct char, summed, div N — all exact integers) ──
+    val chars = filter(split(t, ""), c => length(c) > 0)
+    val entN = size(chars).cast("long")
+    def hPart(run: Column): Column =
+      run * floor(-log(run.cast("double") / entN) * 1000000L)
+        .cast("long")
+    val entFold = aggregate(array_sort(chars),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("acc"), lit(0L).as("nd")),
+      (st, c) => {
+        val cont = st.getField("run") > 0L && st.getField("prev") === c
+        val newRun = when(cont, st.getField("run") + 1L).otherwise(lit(1L))
+        val acc = when(cont, st.getField("acc")).otherwise(
+          st.getField("acc") + when(st.getField("run") > 0L,
+            hPart(st.getField("run"))).otherwise(lit(0L)))
+        val nd = when(cont, st.getField("nd"))
+          .otherwise(st.getField("nd") + 1L)
+        struct(c.as("prev"), newRun.as("run"),
+          acc.as("acc"), nd.as("nd"))
+      },
+      st => struct(
+        (st.getField("acc") + when(st.getField("run") > 0L,
+          hPart(st.getField("run"))).otherwise(lit(0L))).as("h_sum"),
+        st.getField("nd").as("nd")))
+
+    // ── encoding battery (on encTextCol when given) ──
+    val et = col(Option(encTextCol).getOrElse(textCol))
+
+    // ── C4 line battery (identical expressions to c4LineFilter) ──
+    def keepLine(l: Column): Column =
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(trim(l), "\\s+")) >= c4MinWords &&
+        !contains(lower(l), lit("javascript")) &&
+        !contains(l, lit("{")) &&
+        !contains(lower(l), lit("lorem ipsum"))
+    val kept = filter(lines, keepLine(_))
+
+    // ── URL battery (identical expressions to urlSignals) ──
+    val urlCols: Seq[Column] = Option(urlCol).toSeq.flatMap { uc =>
+      val host = parse_url(col(uc), lit("HOST"))
+      val path = parse_url(col(uc), lit("PATH"))
+      val ipHost = host.rlike("^[0-9.]+$")
+      val regDomain = when(ipHost, lit(null).cast("string"))
+        .otherwise(concat_ws(".", slice(split(host, "\\."), -2, 2)))
+      val blocked = ipHost || regDomain.isin(blockedDomains: _*)
+      Seq(host.as("host"), regDomain.as("reg_domain"),
+        size(filter(split(path, "/"), s => length(s) > 0))
+          .as("path_depth"),
+        parse_url(col(uc), lit("QUERY")).isNotNull.cast("long")
+          .as("has_query"),
+        ipHost.cast("long").as("ip_host"),
+        blocked.cast("long").as("blocked"),
+        (!blocked).cast("long").as("url_ok"))
+    }
+
+    val annotated = graft.util.Tables.spread(df)
+      .select(Seq(col(idCol).as("id"),
+        // gopher
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"),
+        alphaFrac.as("alpha_word_frac"), nStopKinds.as("n_stop_kinds"),
+        // repetition
+        nToks.as("n_tokens"), nDistinctToks.as("n_distinct"),
+        topTokN.as("top_tok_n"), top2gramN.as("top_2gram_n"),
+        maxRun.as("max_run"), dupTokFrac.as("dup_tok_frac"),
+        // entropy (absent row ⇔ no chars, matching charEntropy)
+        when(entN > 0L, entN).as("ent_n_chars"),
+        when(entN > 0L, entFold.getField("nd")).as("ent_n_distinct"),
+        entFold.getField("h_sum").as("_h_sum"),
+        // encoding
+        length(et).as("enc_n_chars"),
+        regexp_count(et, lit("�")).cast("long").as("n_replacement"),
+        regexp_count(et, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+          .cast("long").as("n_control"),
+        // c4
+        array_join(kept, "\n").as("cleaned"),
+        nLines.as("n_lines"), size(kept).cast("long").as("n_kept")) ++
+        urlCols: _*)
+      .withColumn("entropy_unats",
+        when(col("ent_n_chars").isNotNull,
+          expr("_h_sum div ent_n_chars")))
+      .drop("_h_sum")
+      .withColumn("gopher_pass", gopherPass)
+      .withColumn("enc_clean",
+        (col("n_replacement") === 0L &&
+          col("n_control") * 100L <= col("enc_n_chars")).cast("long"))
+      .withColumn("c4_keep",
+        (col("n_kept") >= c4MinKeptLines.toLong).cast("long"))
+    val keepParts = Seq(
+      col("gopher_pass") === 1L, col("c4_keep") === 1L,
+      col("enc_clean") === 1L, col("dup_tok_frac") <= 0.5,
+      col("max_run") <= 20L, col("entropy_unats") >= 1000000L) ++
+      (if (urlCol != null) Seq(col("url_ok") === 1L) else Nil)
+    // CASE-style null handling: an undefined signal fails the gate
+    annotated.withColumn("quality_keep",
+      when(keepParts.reduce(_ && _), 1L).otherwise(0L))
+  }
+
   /**
    * HTML→text extraction (the WET-style step upstream of every web
    * curation pipeline): drop script/style blocks and comments, strip

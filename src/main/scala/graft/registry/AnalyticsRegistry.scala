@@ -560,15 +560,55 @@ private[graft] object AnalyticsRegistry {
       if (slice.isEmpty) emptySourceAgg(s)
       else {
         val work = tempStateDir()
-        val json = slice.toJSON.collect().mkString("[", ",", "]")
-        val f = new java.io.File(work, "events.json")
-        java.nio.file.Files.writeString(f.toPath, json)
-        graft.sources.FileSource(f.toString).load(s)
+        val staged = stageJsonArray(slice, work)
+        graft.sources.FileSource(staged, Some("json")).load(s)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value_cents")).as("cents"),
             min(col("event_id")).as("min_id"),
             max(col("event_id")).as("max_id"))
+      }
+    }),
+
+    // ── S2 HTTP source certified IN the oracle harness (the last
+    // spec-only source family): the staged JSON array document is
+    // served from an in-query loopback HttpServer and flows through
+    // HttpSource.load — driver-side fetch (one control-feed document,
+    // HttpSource.php:50-74), distributed parse — into the same
+    // aggregation shape the oracle recomputes from the parquet
+    // table. load() is eager about the fetch, so the server only
+    // needs to live across the call. ──
+    "q_source_http" -> ((s, dir) => {
+      val slice = tbl(s, dir, "events")
+        .filter(pmod(col("event_id"), lit(7)) === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("value_cents"))
+      if (slice.isEmpty) emptySourceAgg(s)
+      else {
+        val work = tempStateDir()
+        val staged = new java.io.File(stageJsonArray(slice, work))
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/events",
+            (exchange: com.sun.net.httpserver.HttpExchange) => {
+              val bytes = java.nio.file.Files.readAllBytes(staged.toPath)
+              exchange.getResponseHeaders
+                .add("Content-Type", "application/json")
+              exchange.sendResponseHeaders(200, bytes.length)
+              val os = exchange.getResponseBody
+              try os.write(bytes) finally os.close()
+            })
+          server.start()
+          val port = server.getAddress.getPort
+          graft.sources.HttpSource(s"http://127.0.0.1:$port/events")
+            .load(s)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value_cents")).as("cents"),
+              min(col("event_id")).as("min_id"),
+              max(col("event_id")).as("max_id"))
+        } finally server.stop(0)
       }
     }),
 
@@ -1047,6 +1087,15 @@ private[graft] object AnalyticsRegistry {
         |         AS cents,
         |       min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events WHERE event_id % 7 = 0
+        |GROUP BY event_type""".stripMargin,
+
+    // the loopback-HTTP round trip must agree with the parquet table
+    "q_source_http" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
+        |       min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_id % 7 = 1
         |GROUP BY event_type""".stripMargin,
 
     // the staged-CSV round trip must agree with the parquet table

@@ -566,6 +566,40 @@ private[graft] object ExtRegistry {
         minWords = 5, minKeptLines = 1)
         .withColumnRenamed("id", "doc_id")),
 
+    // ── the fused single-pass quality annotator: every gate signal
+    // (gopher rules, repetition, entropy, encoding, C4 lines, URL)
+    // + composite keep in ONE corpus scan, ZERO shuffles — the
+    // production 100 TB shape (six scans fused to one; the two
+    // formerly-shuffling signals re-expressed as per-row sorted-array
+    // folds). Same damage/URL injection conventions as the
+    // individual rows; oracle = the join of the six replays. ──
+    "q_quality_fused" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit("�"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0, expr("chr(7)"))
+              .otherwise(lit(""))).as("enc_text"),
+          concat(lit("https://"),
+            when(pmod(col("doc_id"), lit(11)) === 3,
+              concat(lit("10.0.0."), pmod(col("doc_id"), lit(256))))
+              .otherwise(element_at(array(
+                lit("example.com"), lit("blog.example.com"),
+                lit("spam.bad"), lit("news.site"), lit("files.host")),
+                (pmod(col("doc_id"), lit(5)) + 1).cast("int"))),
+            lit("/d"), col("doc_id"),
+            repeat(lit("/s"), pmod(col("doc_id"), lit(3)).cast("int")),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(lit("?q="), pmod(col("doc_id"), lit(13))))
+              .otherwise(lit(""))).as("url"))
+      TextAnalysis.annotateQuality(d, "doc_id", "text",
+        encTextCol = "enc_text", urlCol = "url",
+        blockedDomains = Seq("spam.bad", "files.host"),
+        gopherMinWords = 20L, c4MinWords = 5, c4MinKeptLines = 1)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // BPE training, round-1 scoring: weighted adjacent-char-pair
     // counts over the word-type table (the corpus-scale part of
     // tokenizer training; the iterative merge loop is bpeTrain,
@@ -2060,6 +2094,211 @@ private[graft] object ExtRegistry {
         |SELECT doc_id, n_chars, n_distinct,
         |  CAST(h_sum // n_chars AS BIGINT) AS entropy_unats
         |FROM h""".stripMargin,
+
+    // the fused annotator must equal the JOIN of the six individual
+    // replays — each CTE block below is the corresponding standalone
+    // oracle verbatim (prefixed to avoid CTE collisions), joined on
+    // doc_id, plus the composite keep CASE
+    "q_quality_fused" -> {
+      val stopSum = graft.ext.TextAnalysis.GopherStops.map(w =>
+        s"CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH g_base AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(
+         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t,
+         |    string_split(text, chr(10)) AS ls
+         |  FROM documents),
+         |g_s AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS BIGINT) AS n_words,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(t, x -> CAST(length(x) AS BIGINT))),
+         |      (a, b) -> a + b) AS BIGINT) AS sum_len,
+         |    CAST(len(regexp_extract_all(text, '#'))
+         |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls,
+         |      l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT)
+         |      AS n_bullet,
+         |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')))
+         |      AS BIGINT) AS n_ell,
+         |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST($stopSum AS BIGINT) AS n_stop_kinds
+         |  FROM g_base),
+         |g AS (
+         |  SELECT doc_id, n_words,
+         |    round(CAST(sum_len AS DOUBLE) / greatest(n_words, 1), 6)
+         |      AS mean_word_len,
+         |    round(CAST(n_sym AS DOUBLE) / greatest(n_words, 1), 6)
+         |      AS symbol_ratio,
+         |    round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_line_frac,
+         |    round(CAST(n_ell AS DOUBLE) / n_lines, 6) AS ellipsis_line_frac,
+         |    round(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1), 6)
+         |      AS alpha_word_frac,
+         |    n_stop_kinds
+         |  FROM g_s),
+         |rp_toks AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |rp_flat AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+         |                   unnest(t) AS tok FROM rp_toks),
+         |rp_tokc AS (SELECT doc_id, tok, count(*) AS c FROM rp_flat
+         |            GROUP BY doc_id, tok),
+         |rp_tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |                 count(*) AS n_distinct, max(c) AS top_tok_n
+         |          FROM rp_tokc GROUP BY doc_id),
+         |rp_gr AS (SELECT doc_id, tok || ' ' ||
+         |            lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |          FROM rp_flat),
+         |rp_gc AS (SELECT doc_id, max(c) AS top_2gram_n FROM
+         |           (SELECT doc_id, g, count(*) AS c FROM rp_gr
+         |            WHERE g IS NOT NULL GROUP BY doc_id, g)
+         |          GROUP BY doc_id),
+         |rp_rn AS (SELECT doc_id, pos, tok,
+         |            CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+         |                   IS NULL
+         |                 OR lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+         |                   <> tok
+         |                 THEN 1 ELSE 0 END AS chg
+         |          FROM rp_flat),
+         |rp_sg AS (SELECT doc_id, sum(chg) OVER (PARTITION BY doc_id
+         |            ORDER BY pos ROWS UNBOUNDED PRECEDING) AS seg
+         |          FROM rp_rn),
+         |rp_rs AS (SELECT doc_id, max(c) AS max_run FROM
+         |           (SELECT doc_id, seg, count(*) AS c FROM rp_sg
+         |            GROUP BY doc_id, seg)
+         |          GROUP BY doc_id),
+         |rp AS (
+         |  SELECT t.doc_id, t.n_tokens, t.n_distinct, t.top_tok_n,
+         |         COALESCE(gg.top_2gram_n, 0) AS top_2gram_n, r.max_run,
+         |         round(1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6)
+         |           AS dup_tok_frac
+         |  FROM rp_tt t LEFT JOIN rp_gc gg USING (doc_id)
+         |  LEFT JOIN rp_rs r USING (doc_id)),
+         |en_chars AS (
+         |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, length(text) + 1)) AS i
+         |        FROM documents)),
+         |en_counts AS (SELECT doc_id, c, count(*) AS n_c FROM en_chars
+         |              GROUP BY doc_id, c),
+         |en_pd AS (SELECT doc_id, CAST(sum(n_c) AS BIGINT) AS n_chars,
+         |                 count(*) AS n_distinct
+         |          FROM en_counts GROUP BY doc_id),
+         |en_h AS (SELECT doc_id, n_chars, n_distinct,
+         |           CAST(sum(n_c * CAST(floor(
+         |             -ln(CAST(n_c AS DOUBLE) / n_chars) * 1000000)
+         |             AS BIGINT)) AS BIGINT) AS h_sum
+         |         FROM en_counts JOIN en_pd USING (doc_id)
+         |         GROUP BY doc_id, n_chars, n_distinct),
+         |en AS (SELECT doc_id, n_chars AS ent_n_chars,
+         |              n_distinct AS ent_n_distinct,
+         |              CAST(h_sum // n_chars AS BIGINT) AS entropy_unats
+         |       FROM en_h),
+         |ec_d AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN '�' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END AS text
+         |  FROM documents),
+         |ec AS (
+         |  SELECT doc_id, CAST(length(text) AS INTEGER) AS enc_n_chars,
+         |    CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+         |      AS n_replacement,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) AS n_control,
+         |    CAST(CASE WHEN len(regexp_extract_all(text, '�')) = 0
+         |      AND len(regexp_extract_all(text,
+         |        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) * 100 <= length(text)
+         |      THEN 1 ELSE 0 END AS BIGINT) AS enc_clean
+         |  FROM ec_d),
+         |c4_base AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+         |c4_k AS (
+         |  SELECT doc_id, ls,
+         |    list_filter(ls, l ->
+         |      substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"')
+         |      AND CASE WHEN length(trim(l)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(l), '\\s+')) END >= 5
+         |      AND NOT contains(lower(l), 'javascript')
+         |      AND NOT contains(l, '{')
+         |      AND NOT contains(lower(l), 'lorem ipsum')) AS kept
+         |  FROM c4_base),
+         |c4 AS (
+         |  SELECT doc_id,
+         |    coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(kept) AS BIGINT) AS n_kept
+         |  FROM c4_k),
+         |u_d AS (
+         |  SELECT doc_id, 'https://' ||
+         |    CASE WHEN doc_id % 11 = 3 THEN '10.0.0.' || (doc_id % 256)
+         |         ELSE ['example.com', 'blog.example.com', 'spam.bad',
+         |               'news.site', 'files.host'][(doc_id % 5) + 1]
+         |    END || '/d' || doc_id || repeat('/s', doc_id % 3) ||
+         |    CASE WHEN doc_id % 7 = 0 THEN '?q=' || (doc_id % 13)
+         |         ELSE '' END AS url
+         |  FROM documents),
+         |u_p AS (
+         |  SELECT doc_id,
+         |    regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+         |    regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path,
+         |    CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END AS has_query
+         |  FROM u_d),
+         |u_r AS (
+         |  SELECT doc_id, host, path, has_query,
+         |    CASE WHEN regexp_matches(host, '^[0-9.]+$$') THEN 1 ELSE 0
+         |      END AS ip_host,
+         |    CASE WHEN regexp_matches(host, '^[0-9.]+$$') THEN NULL
+         |         ELSE string_split(host, '.')[-2] || '.' ||
+         |              string_split(host, '.')[-1] END AS reg_domain
+         |  FROM u_p),
+         |u AS (
+         |  SELECT doc_id, host, reg_domain,
+         |    CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+         |      AS INTEGER) AS path_depth,
+         |    CAST(has_query AS BIGINT) AS has_query,
+         |    CAST(ip_host AS BIGINT) AS ip_host,
+         |    CAST(CASE WHEN ip_host = 1
+         |           OR reg_domain IN ('spam.bad', 'files.host')
+         |         THEN 1 ELSE 0 END AS BIGINT) AS blocked,
+         |    CAST(CASE WHEN ip_host = 1
+         |           OR reg_domain IN ('spam.bad', 'files.host')
+         |         THEN 0 ELSE 1 END AS BIGINT) AS url_ok
+         |  FROM u_r),
+         |j AS (
+         |  SELECT g.doc_id, g.n_words, g.mean_word_len, g.symbol_ratio,
+         |    g.bullet_line_frac, g.ellipsis_line_frac, g.alpha_word_frac,
+         |    g.n_stop_kinds,
+         |    CAST(CASE WHEN g.n_words >= 20 AND g.n_words <= 100000
+         |      AND g.mean_word_len >= 3.0 AND g.mean_word_len <= 10.0
+         |      AND g.symbol_ratio <= 0.1 AND g.bullet_line_frac <= 0.9
+         |      AND g.ellipsis_line_frac <= 0.3 AND g.alpha_word_frac >= 0.8
+         |      AND g.n_stop_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS gopher_pass,
+         |    rp.n_tokens, rp.n_distinct, rp.top_tok_n, rp.top_2gram_n,
+         |    rp.max_run, rp.dup_tok_frac,
+         |    en.ent_n_chars, en.ent_n_distinct, en.entropy_unats,
+         |    ec.enc_n_chars, ec.n_replacement, ec.n_control, ec.enc_clean,
+         |    c4.cleaned, c4.n_lines, c4.n_kept,
+         |    CAST(CASE WHEN c4.n_kept >= 1 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS c4_keep,
+         |    u.host, u.reg_domain, u.path_depth, u.has_query, u.ip_host,
+         |    u.blocked, u.url_ok
+         |  FROM g LEFT JOIN rp USING (doc_id) LEFT JOIN en USING (doc_id)
+         |  LEFT JOIN ec USING (doc_id) LEFT JOIN c4 USING (doc_id)
+         |  LEFT JOIN u USING (doc_id))
+         |SELECT j.*,
+         |  CAST(CASE WHEN gopher_pass = 1 AND c4_keep = 1 AND enc_clean = 1
+         |    AND dup_tok_frac <= 0.5 AND max_run <= 20
+         |    AND entropy_unats >= 1000000 AND url_ok = 1
+         |    THEN 1 ELSE 0 END AS BIGINT) AS quality_keep
+         |FROM j""".stripMargin
+    },
 
     "q_c4_lines" ->
       """WITH base AS (

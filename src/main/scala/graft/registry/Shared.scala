@@ -40,6 +40,25 @@ private[graft] object Shared {
   }
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     graft.util.Tables.read(s, dir, name)
+
+  /** Stage a frame as ONE JSON ARRAY document — the reference's
+    * whole-file model (FileSource.php:37-41) — via a distributed
+    * single-partition text write, NOT a driver collect: the emitted
+    * lines "[", "row", ",row", …, "]" concatenate to a valid JSON
+    * array, streamed row-by-row in one task with constant memory.
+    * Returns the staged part-file path. */
+  def stageJsonArray(slice: DataFrame, dir: String): String = {
+    val s = slice.sparkSession
+    import s.implicits._
+    val out = s"$dir/json_array"
+    slice.toJSON.coalesce(1).mapPartitions { it =>
+      val body = it.zipWithIndex.map { case (row, i) =>
+        if (i == 0) row else "," + row }
+      Iterator("[") ++ body ++ Iterator("]")
+    }.write.mode("overwrite").text(out)
+    new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).head.getAbsolutePath
+  }
   /** Drop an in-memory Derby database (frees its driver heap).
     * Derby signals a successful drop with SQLState 08006. */
   def dropDerby(db: String): Unit =
