@@ -675,6 +675,89 @@ object Assemble {
       .select(col("tok"), col("df"), col("rank"), col("id"), col("tf"))
   }
 
+  // ── Incremental RAG-index maintenance ─────────────────────────────
+
+  /**
+   * Chunk-level posting rows with document provenance:
+   * (doc_id, chunk_id, tok, tf) for every chunk of every document —
+   * the UNCAPPED index state that incremental maintenance operates
+   * on. `chunk_id = id#chunk_idx` is doc-local, so one document's
+   * postings can be dropped and rebuilt without touching any other
+   * document — the property that makes the index ChangeSet-
+   * maintainable. One (chunk, tok) shuffle with map-side combine.
+   */
+  def ragPostings(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame =
+    TextAnalysis.chunkText(graft.util.Tables.spread(df),
+      idCol, textCol, chunkTokens, overlap)
+      .select(col("id").as("doc_id"),
+        concat(col("id"), lit("#"), col("chunk_idx")).as("chunk_id"),
+        explode(TextAnalysis.normTokens(col("chunk_text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("chunk_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Publish the capped serving view over posting state: per token,
+    * df and the top-`maxPostings` chunks (tf desc, chunk_id asc — a
+    * total order). Same plan shape as [[invertedIndex]]'s serving
+    * stage: one token exchange, rank + df from the same window. */
+  def publishIndex(postings: DataFrame, maxPostings: Int): DataFrame = {
+    require(maxPostings > 0, "maxPostings must be positive")
+    val byTok = Window.partitionBy(col("tok"))
+    val ranked = byTok.orderBy(col("tf").desc, col("chunk_id"))
+    postings.withColumn("rank", row_number().over(ranked))
+      .withColumn("df", count(lit(1)).over(byTok))
+      .filter(col("rank") <= maxPostings)
+      .select(col("tok"), col("df"), col("rank"), col("chunk_id"),
+        col("tf"))
+  }
+
+  /**
+   * ChangeSet-driven incremental index refresh — the point of the
+   * reference's incremental application (ImportService.php:71-88)
+   * applied to the retrieval tier: instead of rebuilding the index
+   * from the whole corpus each sync, re-chunk/re-tokenize ONLY the
+   * added+updated documents, drop postings for removed+updated ones,
+   * and re-publish ONLY the tokens those postings touched — every
+   * other token's published rows are provably unchanged (their
+   * posting sets did not move) and carry over untouched.
+   *
+   * At 100 TB this is the difference between a daily full corpus
+   * scan and work proportional to the delta: the text pass is
+   * |changed docs|, the re-publish window is |touched tokens|'
+   * postings, and the carried-over rows never leave their storage.
+   *
+   * @param changedDocs   documents to (re-)index: ChangeSet
+   *                      added ∪ updated, with `idCol`/`textCol`
+   * @param droppedDocIds one `id` column: removedIds ∪ updated ids
+   *                      (an update drops old postings first)
+   * @return (new posting state, new published index) — published
+   *         rows are bit-identical to a full rebuild over the
+   *         post-sync corpus
+   */
+  def refreshRagIndex(
+      prevPostings: DataFrame, prevPublished: DataFrame,
+      changedDocs: DataFrame, droppedDocIds: DataFrame,
+      idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int, maxPostings: Int)
+      : (DataFrame, DataFrame) = {
+    val dropIds = droppedDocIds.select(col("id").as("doc_id"))
+    val newPostings = ragPostings(changedDocs, idCol, textCol,
+      chunkTokens, overlap)
+    val dropped = prevPostings.join(dropIds, Seq("doc_id"), "left_semi")
+    val kept = prevPostings.join(dropIds, Seq("doc_id"), "left_anti")
+    val postings = kept.unionByName(newPostings)
+    // a token's published rows can only change if one of its posting
+    // rows was added or dropped
+    val touched = dropped.select(col("tok"))
+      .union(newPostings.select(col("tok"))).distinct()
+    val republished = publishIndex(
+      postings.join(touched, Seq("tok"), "left_semi"), maxPostings)
+    val carried = prevPublished.join(touched, Seq("tok"), "left_anti")
+    (postings, carried.unionByName(republished))
+  }
+
   /**
    * Curriculum phase assignment: globally order the corpus by a
    * difficulty score and split the order into `phases` contiguous

@@ -623,7 +623,7 @@ object Similarity {
   }
 
   /** L2-normalized copy of an array column (zero vector stays zero). */
-  private def l2norm(v: Column): Column = {
+  private[ext] def l2norm(v: Column): Column = {
     val n = norm(transform(v, x => x.cast("double")))
     transform(v, x =>
       when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
@@ -643,6 +643,19 @@ object Similarity {
     if (codebooks.isEmpty)
       return corpus.select(col(idCol).as("id"),
         array().cast("array<int>").as("codes")).limit(0)
+    graft.util.Tables.spread(corpus)
+      .select(col(idCol).as("id"),
+        pqCodesCol(col(vecCol), codebooks).as("codes"))
+  }
+
+  /** The PQ code-assignment expression itself (array<int> of length
+    * m), exposed so callers composing wider projections (e.g. the
+    * persisted [[VectorIndex]], which encodes cell + codes + vector
+    * in one pass) reuse the exact encode semantics of [[pqEncode]]
+    * without a join. */
+  def pqCodesCol(
+      vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column = {
+    require(codebooks.nonEmpty, "codebooks must be non-empty")
     val dSub = codebooks.head.head.length
     // argmin_c ||x̂_j − cw_c||² over the NORMALIZED vector x̂ ≡
     // argmax_c (x_j·cw_c / ||x|| − ||cw_c||²/2) over the RAW vector —
@@ -654,7 +667,7 @@ object Similarity {
     // corpus in under a second. Zero vectors: the norm clamp makes
     // every dot 0 ⇒ argmax picks the min-norm codeword —
     // deterministic, same as the normalized-space argmin.
-    val x = col(vecCol)
+    val x = vec
     val nrm = greatest(
       sqrt(graft.functions.GraftFunctions.dot_product(x, x)), lit(1e-30))
     val codeCols: Seq[Column] = codebooks.zipWithIndex.map { case (cb, j) =>
@@ -671,8 +684,7 @@ object Similarity {
       if (scored.length == 1) lit(0)
       else greatest(scored: _*).getField("c")
     }
-    graft.util.Tables.spread(corpus)
-      .select(col(idCol).as("id"), array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
   }
 
   /**

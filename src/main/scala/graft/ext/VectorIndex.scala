@@ -1,0 +1,248 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted IVF-PQ vector index — the build-once / probe-many split a
+ * production vector store runs on, instead of re-training centroids
+ * and re-encoding the corpus inside every query
+ * (cf. `q_ann_ivf_trained`, which certifies the in-query path).
+ *
+ * Layout under the index root (all parquet):
+ *  - `centroids/`  (cell, centroid)           — nCells rows
+ *  - `codebooks/`  (subspace, code, codeword) — m·k rows
+ *  - `corpus/`     (id, codes, vec, cell=…)   — PARTITIONED BY cell,
+ *    so a probe of p cells prunes to p partition directories at the
+ *    scan (the IVF inverted lists ARE the partition layout)
+ *
+ * Commit discipline: every build/refresh stages the full next state
+ * under `<root>.staging` and swaps it in through a manifest-logged
+ * whole-dir move (the FileTarget two-phase-commit pattern,
+ * `targets/DataTarget.scala`): a crash anywhere between manifest
+ * write and delete is completed idempotently by the next
+ * open/build/refresh — readers never observe a half-written index.
+ *
+ * Refresh is ChangeSet-driven ([[refresh]]): re-encode ONLY the
+ * added+updated vectors, drop the removed+updated ids, keep the
+ * trained model tables untouched (retraining is a deliberate,
+ * separate [[build]] — the FAISS/IVF operational convention). The
+ * model tables are the only driver-side reads (nCells + m·k rows —
+ * bounded index METADATA, same discipline as the ≤2048-vector
+ * training samples); corpus vectors never collect.
+ */
+object VectorIndex {
+
+  private def centroidsPath(root: String) = s"$root/centroids"
+  private def codebooksPath(root: String) = s"$root/codebooks"
+  private def corpusPath(root: String) = s"$root/corpus"
+  private def manifestFile(root: String) =
+    new java.io.File(root + ".swap-manifest")
+
+  private def deleteRec(f: java.io.File): Unit = if (f.exists()) {
+    import java.nio.file._
+    Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+  }
+
+  /** Write the swap manifest atomically (tmp + POSIX rename), then
+    * complete the swap. The manifest is written only after the
+    * staging dir is fully materialized. */
+  private def commitSwap(root: String, staging: String): Unit = {
+    import java.nio.file._
+    val tmp = Paths.get(root + ".swap-manifest.tmp")
+    Files.writeString(tmp, staging)
+    Files.move(tmp, manifestFile(root).toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    completeSwap(root)
+  }
+
+  /** Idempotent swap replay: staging present ⇒ old root deletes and
+    * staging moves in; staging absent ⇒ the move already happened and
+    * only the manifest cleanup remained. Every reader/writer calls
+    * [[recover]] first, so a crash at ANY point between manifest
+    * write and delete is completed by the next operation. */
+  private def completeSwap(root: String): Unit = {
+    import java.nio.file._
+    val m = manifestFile(root)
+    val staging = new String(
+      Files.readAllBytes(m.toPath), "UTF-8").trim
+    val st = new java.io.File(staging)
+    if (st.exists()) {
+      deleteRec(new java.io.File(root))
+      Files.move(st.toPath, Paths.get(root))
+    }
+    m.delete()
+    ()
+  }
+
+  /** Crash recovery: a pending manifest means the last build/refresh
+    * staged fully but died mid-swap — finish it. */
+  def recover(root: String): Unit =
+    if (manifestFile(root).exists()) completeSwap(root)
+
+  private def stageState(
+      spark: SparkSession, staging: String,
+      cents: Seq[Seq[Float]], cbs: Seq[Seq[Seq[Float]]],
+      encoded: DataFrame): Unit = {
+    import spark.implicits._
+    deleteRec(new java.io.File(staging))
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .repartition(1).write.parquet(centroidsPath(staging))
+    cbs.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, c) => (j, c, cw) }
+    }.toDF("subspace", "code", "codeword")
+      .repartition(1).write.parquet(codebooksPath(staging))
+    // Degenerate (zero-row) corpus: a partitionBy write of an empty
+    // frame leaves no footer to infer a schema from — write flat so
+    // the table stays readable; `cell` is then a data column, which
+    // the probe join handles identically (it just loses pruning).
+    if (encoded.isEmpty)
+      encoded.write.parquet(corpusPath(staging))
+    else
+      encoded.repartition(col("cell"))
+        .write.partitionBy("cell").parquet(corpusPath(staging))
+  }
+
+  /** One-pass corpus encode: cell assignment + PQ codes + the raw
+    * vector (kept for the exact re-rank fetch), using the exact
+    * [[Similarity.pqEncode]] / [[Similarity.centroidAssign]]
+    * semantics. */
+  private def encode(
+      corpus: DataFrame, cents: Seq[Seq[Float]],
+      cbs: Seq[Seq[Seq[Float]]], idCol: String,
+      vecCol: String): DataFrame =
+    graft.util.Tables.spread(corpus).select(
+      col(idCol).as("id"),
+      Similarity.pqCodesCol(col(vecCol), cbs).as("codes"),
+      col(vecCol).as("vec"),
+      Similarity.centroidAssign(col(vecCol), cents).as("cell"))
+
+  /**
+   * Train (centroids + codebooks) and encode the whole corpus, then
+   * commit the staged index. The ONLY full-corpus passes are the
+   * deterministic 2048-row training samples and the one encode scan.
+   */
+  def build(
+      spark: SparkSession, corpus: DataFrame, root: String,
+      nCells: Int = 8, m: Int = 16, k: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    recover(root)
+    val cents = Similarity.trainCentroids(corpus, nCells,
+      idCol = idCol, vecCol = vecCol)
+    val cbs = Similarity.trainPqCodebooks(corpus, m = m, k = k,
+      idCol = idCol, vecCol = vecCol)
+    val staging = root + ".staging"
+    val enc =
+      if (cents.isEmpty || cbs.isEmpty)
+        // degenerate training corpus ⇒ empty index, schema preserved
+        corpus.select(col(idCol).as("id"),
+          array().cast("array<int>").as("codes"),
+          col(vecCol).as("vec"), lit(0).as("cell")).limit(0)
+      else encode(corpus, cents, cbs, idCol, vecCol)
+    stageState(spark, staging, cents, cbs, enc)
+    commitSwap(root, staging)
+  }
+
+  private def readCentroids(
+      spark: SparkSession, root: String): Seq[Seq[Float]] =
+    spark.read.parquet(centroidsPath(root)).orderBy(col("cell"))
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq
+
+  private def readCodebooks(
+      spark: SparkSession, root: String): Seq[Seq[Seq[Float]]] =
+    spark.read.parquet(codebooksPath(root))
+      .orderBy(col("subspace"), col("code")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Float](2).toSeq).toSeq)
+
+  /**
+   * ChangeSet-driven incremental refresh: `changedVecs` (added ∪
+   * updated, with idCol/vecCol) re-encode under the EXISTING model;
+   * `droppedIds` (removed ∪ updated, one `id` column) drop. The
+   * next state commits through the same manifest swap. Copy-on-write
+   * at the table level — at 100 TB the rewrite narrows to the cell
+   * partitions the delta touches (`cell` is the partition key).
+   */
+  def refresh(
+      spark: SparkSession, root: String, changedVecs: DataFrame,
+      droppedIds: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    recover(root)
+    val cents = readCentroids(spark, root)
+    val cbs = readCodebooks(spark, root)
+    val prev = spark.read.parquet(corpusPath(root))
+      .select(col("id"), col("codes"), col("vec"), col("cell"))
+    val kept = prev.join(
+      droppedIds.select(col("id")), Seq("id"), "left_anti")
+    val merged =
+      if (cents.isEmpty || cbs.isEmpty) kept
+      else kept.unionByName(
+        encode(changedVecs, cents, cbs, idCol, vecCol))
+    val staging = root + ".staging"
+    // the previous state's files are being replaced by the swap —
+    // materialize the merged frame before the staging write plans
+    // against a directory mid-delete
+    stageState(spark, staging, cents, cbs, merged.localCheckpoint())
+    commitSwap(root, staging)
+  }
+
+  /**
+   * Probe-only search: NO training, NO corpus encode — the plan
+   * reads the persisted model tables (driver-side, bounded) and the
+   * encoded corpus. Two corpus-table touches, both narrow: the ADC
+   * scoring scan reads (id, codes, cell) ONLY — parquet column
+   * pruning keeps the 4·d-byte vectors out of the scored stream —
+   * and the exact re-rank fetches (id, vec) for just the
+   * |queries|·shortlist surviving rows.
+   */
+  def probe(
+      spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, nProbe: Int, shortlist: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    recover(root)
+    val cents = readCentroids(spark, root)
+    val cbs = readCodebooks(spark, root)
+    if (cents.isEmpty || cbs.isEmpty)
+      return queries.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
+        lit(0.0).as("sim"), lit(1).as("rank")).limit(0)
+    val corpus = spark.read.parquet(corpusPath(root))
+
+    // ADC decode: flat codeword lookup per corpus row (same identity
+    // as pqTopK: Σ_j dot(q_j, cw_{j,code_j}) = dot(q, concat_j cw))
+    val flat: Seq[Seq[Float]] = cbs.flatten
+    val kPerSub = cbs.head.length
+    val cbCol = typedLit(flat)
+    val recon = flatten(transform(col("codes"), (code, j) =>
+      element_at(cbCol, (j * kPerSub + code + 1).cast("int"))))
+
+    val q = queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_raw"),
+        Similarity.l2norm(col(vecCol)).as("q_norm"))
+      .withColumn("cell",
+        explode(Similarity.centroidProbe(col("q_raw"), cents, nProbe)))
+    val scored = corpus.select(col("id"), col("codes"), col("cell"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("adc", graft.functions.GraftFunctions.dot_product(
+        col("q_norm"), recon))
+    val bySl = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("id"))
+    val short = scored.withColumn("slrank", row_number().over(bySl))
+      .filter(col("slrank") <= shortlist)
+      .select(col("q_id"), col("id"), col("q_raw"))
+    val refined = short
+      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+      .withColumn("sim", graft.functions.GraftFunctions.cosine_sim(
+        col("q_raw"), col("vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("id"))
+    refined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id").as("n_id"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+  }
+}

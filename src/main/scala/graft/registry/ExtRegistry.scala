@@ -820,6 +820,56 @@ private[graft] object ExtRegistry {
         e.filter(col("vec_id") % 100 === 0), cbs, k = 5, shortlist = 50)
     }),
 
+    // ── Persisted ANN index (build / refresh / probe split): build
+    // trains + encodes a PERTURBED initial corpus into on-disk index
+    // tables (manifest-committed); a ChangeSet then drives an
+    // incremental refresh to the final corpus (re-encode only the
+    // delta, model tables untouched); the returned frame is the
+    // PROBE-ONLY query — no training or corpus-encode stage in its
+    // plan, just index-table scans. nProbe = nCells pins total cell
+    // coverage (the q_ann_ivf convention: the gate certifies the
+    // persistence/refresh/probe plumbing; sub-exhaustive recall is
+    // the recall-pinned in-query rows' business); ADC shortlist =
+    // 100 of the 400-vector final corpus stays genuinely
+    // sub-exhaustive with exact re-rank from stored vectors (the
+    // stale model's worst true-top-5 ADC rank is 59 — RecallProbe-
+    // style margin ~1.7×). Oracle: brute-force top-5 over the final
+    // corpus. ──
+    "q_ann_persisted" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val root = tempStateDir() + "/annidx"
+      // initial corpus: %7!=0 rows plus the to-be-removed %5=4
+      // slice; %3=0 vectors are STALE (reversed) until their update
+      val initial = e.filter(col("vec_id") % 7 =!= 0)
+        .select(col("vec_id"),
+          when(col("vec_id") % 3 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"),
+          lit(1L).as("version"))
+      graft.ext.VectorIndex.build(s, initial, root,
+        nCells = 8, m = 16, k = 32)
+      // sync source = final corpus: %5!=4, true vectors, version
+      // bumped on the stale rows
+      val source = e.filter(col("vec_id") % 5 =!= 4)
+        .select(col("vec_id").cast("string").as("id"),
+          when(col("vec_id") % 3 === 0, lit(2L)).otherwise(lit(1L))
+            .as("version"),
+          col("embedding"))
+      val cs = Diff.computeDataChanges(
+        Records.keyRecords(source, "id", Some("version")),
+        initial.select(col("vec_id").cast("string").as("id"),
+          col("version")))
+      val changed = cs.added.select(col("id"), col("embedding"))
+        .unionByName(cs.updated.select(col("id"), col("embedding")))
+        .select(col("id").cast("long").as("vec_id"), col("embedding"))
+      val dropped = cs.removedIds.unionByName(cs.updated.select(col("id")))
+        .select(col("id").cast("long").as("id"))
+      graft.ext.VectorIndex.refresh(s, root, changed, dropped)
+      val queries = e.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") % 5 =!= 4)
+      graft.ext.VectorIndex.probe(s, root, queries,
+        k = 5, nProbe = 8, shortlist = 100)
+    }),
+
     // IVF-style ANN: corpus in its nearest seed cell, queries probe
     // cells in projection order. Oracle-checked at TOTAL coverage
     // (nProbe = nCells): the data-blind seed cells never reach exact
@@ -1048,6 +1098,48 @@ private[graft] object ExtRegistry {
       Assemble.invertedIndex(chunks, "chunk_id", "chunk_text",
         maxPostings = 3)
         .withColumnRenamed("id", "chunk_id")
+    }),
+
+    // ── ChangeSet-driven incremental index maintenance: sync 1
+    // builds the index over a perturbed initial corpus; sync 2's
+    // ChangeSet (adds %7=0 docs, updates %3=0 docs to their final
+    // text, removes the %5=4 slice) drives refreshRagIndex — only
+    // the delta is re-chunked, only touched tokens re-publish. The
+    // oracle replays a FULL REBUILD over the final corpus; green =
+    // the incremental path is bit-identical to rebuild. ──
+    "q_rag_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+      // initial state (sync 1): %7!=0 docs plus the to-be-removed
+      // %5=4 slice; %3=0 docs carry STALE text (they update later)
+      val initial = docs
+        .filter(pmod(col("id").cast("long"), lit(7)) =!= 0)
+        .select(col("id"),
+          when(pmod(col("id").cast("long"), lit(3)) === 0,
+            concat(lit("stale "), col("text")))
+            .otherwise(col("text")).as("text"),
+          lit(1L).as("version"))
+      // sync-2 source = the final corpus: %5!=4, original text,
+      // version bumped on the %3=0 docs so the diff marks them
+      val source = docs
+        .filter(pmod(col("id").cast("long"), lit(5)) =!= 4)
+        .select(col("id"),
+          when(pmod(col("id").cast("long"), lit(3)) === 0, lit(2L))
+            .otherwise(lit(1L)).as("version"),
+          col("text"))
+      val p1 = Assemble.ragPostings(initial, "id", "text", 8, 4)
+        .localCheckpoint()
+      val pub1 = Assemble.publishIndex(p1, 3).localCheckpoint()
+      val cs = Diff.computeDataChanges(
+        Records.keyRecords(source, "id", Some("version")),
+        initial.select(col("id"), col("version")))
+      val changed = cs.added.select(col("id"), col("text"))
+        .unionByName(cs.updated.select(col("id"), col("text")))
+      val dropped = cs.removedIds
+        .unionByName(cs.updated.select(col("id")))
+      val (_, pub2) = Assemble.refreshRagIndex(p1, pub1,
+        changed, dropped, "id", "text", 8, 4, 3)
+      pub2
     }),
 
     // curriculum phases: distributed global rank by difficulty proxy
@@ -2645,6 +2737,25 @@ private[graft] object ExtRegistry {
         |  ON r.q_id = c.q_id AND r.n_id = c.n_id""".stripMargin,
     "q_ann_ivf_trained" -> duckAnnBruteTop5,
     "q_ann_pq" -> duckAnnBruteTop5,
+
+    // brute-force replay over the FINAL corpus — the persisted index
+    // (built stale, ChangeSet-refreshed, probe-only query) must agree
+    "q_ann_persisted" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 5 <> 4),
+        |q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |         list_dot_product(q.v, e.v)
+        |           / (sqrt(list_dot_product(q.v, q.v))
+        |              * sqrt(list_dot_product(e.v, e.v))) AS s
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, s,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, n_id, round(s, 6) AS sim, CAST(rn AS INTEGER) AS rank
+        |FROM ranked WHERE rn <= 5""".stripMargin,
     "q_ann_ivf" -> duckAnnBruteTop5,
 
     "q_multimodal_meta" ->
@@ -3008,6 +3119,34 @@ private[graft] object ExtRegistry {
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
         |    x -> x <> '') AS tk
         |  FROM documents),
+        |e AS (SELECT doc_id, tk,
+        |        unnest(range(1, len(tk) + 1, 4)) AS start
+        |      FROM d WHERE len(tk) > 0),
+        |chunks AS (
+        |  SELECT doc_id || '#' || CAST((start - 1) // 4 AS INTEGER)
+        |           AS chunk_id,
+        |         tk[start:start+7] AS ct
+        |  FROM e),
+        |tf AS (SELECT tok, chunk_id, count(*) AS tf
+        |       FROM (SELECT chunk_id, unnest(ct) AS tok FROM chunks)
+        |       WHERE tok <> '' GROUP BY 1, 2),
+        |r AS (SELECT tok, chunk_id, tf,
+        |        row_number() OVER
+        |          (PARTITION BY tok ORDER BY tf DESC, chunk_id) AS rank,
+        |        count(*) OVER (PARTITION BY tok) AS df
+        |      FROM tf)
+        |SELECT tok, CAST(df AS BIGINT) AS df, CAST(rank AS INTEGER)
+        |         AS rank, chunk_id, tf
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // full-rebuild replay over the FINAL corpus — the incremental
+    // path must match it bit-exactly after the two syncs
+    "q_rag_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id % 5 <> 4),
         |e AS (SELECT doc_id, tk,
         |        unnest(range(1, len(tk) + 1, 4)) AS start
         |      FROM d WHERE len(tk) > 0),

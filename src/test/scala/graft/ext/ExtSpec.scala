@@ -1690,6 +1690,53 @@ class ExtSpec extends SparkSpec {
     assert(re === out)
   }
 
+  test("incremental rag index: ChangeSet-driven refresh equals full " +
+    "rebuild, and untouched tokens are carried over, not recomputed") {
+    def pub(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getString(3), r.getLong(4))).toSet
+    // initial corpus: doc 2 will update, doc 3 will be removed,
+    // doc 4 added later; token "kept" lives only in untouched doc 1
+    val initial = Seq(
+      ("1", "kept kept alpha"),
+      ("2", "old old beta"),
+      ("3", "gone gamma")
+    ).toDF("id", "text")
+    val p1 = Assemble.ragPostings(initial, "id", "text", 8, 4)
+    val pub1 = Assemble.publishIndex(p1, 2)
+    val changed = Seq(
+      ("2", "new beta beta"),   // updated text
+      ("4", "added alpha")      // added doc
+    ).toDF("id", "text")
+    val dropped = Seq("3", "2").toDF("id") // removed ∪ updated
+    val (p2, pub2) = Assemble.refreshRagIndex(p1, pub1, changed,
+      dropped, "id", "text", 8, 4, 2)
+    // equality with a full rebuild over the post-sync corpus
+    val finalCorpus = Seq(
+      ("1", "kept kept alpha"),
+      ("2", "new beta beta"),
+      ("4", "added alpha")
+    ).toDF("id", "text")
+    val rebuilt = Assemble.publishIndex(
+      Assemble.ragPostings(finalCorpus, "id", "text", 8, 4), 2)
+    assert(pub(pub2) === pub(rebuilt))
+    // state equality too
+    assert(p2.collect().map(_.toString).toSet ===
+      Assemble.ragPostings(finalCorpus, "id", "text", 8, 4)
+        .collect().map(_.toString).toSet)
+    // the carried-over path is real: "kept" appears only in doc 1,
+    // which the delta never touches — its rows must come from pub1
+    val touched = p1.join(dropped.withColumnRenamed("id", "doc_id"),
+      Seq("doc_id"), "left_semi").select("tok")
+      .union(Assemble.ragPostings(changed, "id", "text", 8, 4)
+        .select("tok")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!touched.contains("kept"))
+    assert(pub(pub2).exists(_._1 == "kept"))
+    // removed doc's tokens are gone
+    assert(!pub(pub2).exists(_._1 == "gone"))
+  }
+
   test("chunkText: overlapping chunks cover every token, trailing " +
     "partial emits, empty docs drop") {
     val df = Seq(

@@ -1,0 +1,102 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index: build/probe parity with brute force,
+  * ChangeSet-refresh equals rebuild-encode, manifest crash recovery,
+  * and degenerate inputs. */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic tiny corpus: 40 vectors in 8 dims
+  private def vecs(ids: Seq[Long], salt: Int = 0) = ids.map { i =>
+    (i, (0 until 8).map(d =>
+      (((i * 31 + d * 17 + salt) % 13) - 6).toFloat / 6f))
+  }.toDF("vec_id", "embedding")
+
+  private def top(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getInt(3))).toSet
+
+  test("build + probe at total cell coverage with exhaustive " +
+    "shortlist equals brute force") {
+    val corpus = vecs(1L to 40L)
+    val root = tmpDir("vidx") + "/idx"
+    VectorIndex.build(spark, corpus, root, nCells = 4, m = 4, k = 8)
+    val q = corpus.filter(col("vec_id") % 10 === 0)
+    val got = VectorIndex.probe(spark, root, q,
+      k = 3, nProbe = 4, shortlist = 40)
+    val want = Similarity.bruteForceTopK(corpus, q, 3)
+    assert(top(got) === top(want))
+  }
+
+  test("ChangeSet-style refresh (drop + re-encode delta) probes " +
+    "identically to a fresh encode of the final corpus under the " +
+    "same model") {
+    val initial = vecs(1L to 30L, salt = 0)
+      // rows 10..15 start stale
+      .union(vecs(31L to 36L, salt = 99))
+    val root = tmpDir("vidx") + "/idx"
+    VectorIndex.build(spark, initial, root, nCells = 4, m = 4, k = 8)
+    // final corpus: 31..36 updated to salt 0, 25..30 removed, 41..44 added
+    val changed = vecs(31L to 36L).union(vecs(41L to 44L))
+    val dropped = ((25L to 30L) ++ (31L to 36L)).toDF("id")
+    VectorIndex.refresh(spark, root, changed, dropped)
+    val finalCorpus = vecs((1L to 24L) ++ (31L to 36L) ++ (41L to 44L))
+    // reference: a second index built with the SAME model tables —
+    // emulate by refreshing a copy with the full corpus as delta
+    val root2 = tmpDir("vidx") + "/idx2"
+    VectorIndex.build(spark, initial, root2, nCells = 4, m = 4, k = 8)
+    VectorIndex.refresh(spark, root2, finalCorpus,
+      (1L to 44L).toDF("id"))
+    val q = finalCorpus.filter(col("vec_id") % 10 === 1)
+    val a = VectorIndex.probe(spark, root, q, 3, nProbe = 4,
+      shortlist = 40)
+    val b = VectorIndex.probe(spark, root2, q, 3, nProbe = 4,
+      shortlist = 40)
+    assert(top(a) === top(b))
+    assert(top(a).nonEmpty)
+    // index state matches the final corpus exactly
+    val ids = spark.read.parquet(s"$root/corpus")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === finalCorpus.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("a crash between manifest write and swap completion is " +
+    "recovered idempotently by the next probe") {
+    val corpus = vecs(1L to 20L)
+    val parent = tmpDir("vidx")
+    val root = parent + "/idx"
+    VectorIndex.build(spark, corpus, root, nCells = 2, m = 4, k = 4)
+    val q = corpus.filter(col("vec_id") === 5)
+    val before = top(VectorIndex.probe(spark, root, q, 3, 2, 20))
+    // simulate the crash: stage a refreshed state fully, write the
+    // manifest, but die before the swap — by moving the committed
+    // state back out to staging and re-creating the manifest
+    val staging = root + ".staging"
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(root), java.nio.file.Paths.get(staging))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root + ".swap-manifest"), staging)
+    // next reader completes the swap and serves the staged state
+    val after = top(VectorIndex.probe(spark, root, q, 3, 2, 20))
+    assert(after === before)
+    assert(!new java.io.File(root + ".swap-manifest").exists())
+    assert(!new java.io.File(staging).exists())
+  }
+
+  test("degenerate inputs: empty corpus builds an empty but probeable " +
+    "index; empty query set probes to empty") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val root = tmpDir("vidx") + "/idx"
+    VectorIndex.build(spark, empty, root)
+    val q = vecs(1L to 3L)
+    assert(VectorIndex.probe(spark, root, q, 3, 2, 10).count() === 0L)
+    val corpus = vecs(1L to 10L)
+    val root2 = tmpDir("vidx") + "/idx2"
+    VectorIndex.build(spark, corpus, root2, nCells = 2, m = 4, k = 4)
+    assert(VectorIndex.probe(spark, root2,
+      corpus.limit(0), 3, 2, 10).count() === 0L)
+  }
+}
