@@ -31,6 +31,37 @@ private[graft] object ParityRegistry {
       Diff.idDiff(syncLocal(s, dir), syncSource(s, dir)
         .select(col("id").cast("string")))),
 
+    // ── the core diff under a pathologically HOT id: every %5=0
+    // event collapses onto one id (~20% of source rows), so the
+    // keying stage sees massive per-id multiplicity. The structural
+    // mitigation is dedupLastWins's max_by PARTIAL aggregation — the
+    // hot id reduces to one candidate per map partition BEFORE the
+    // shuffle, so the diff's full-outer join always runs on UNIQUE
+    // ids (no key-multiplicity skew can reach it; residual partition
+    // imbalance is AQE skew-join territory, enabled in the session).
+    // Versions are unique (event_id), so the last-wins winner — and
+    // therefore every add/update/remove decision — replays exactly. ──
+    "q_changeset_skew" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val hot = pmod(col("event_id"), lit(5)) === 0
+      val srcId = when(hot, lit("hot"))
+        .otherwise(col("event_id").cast("string"))
+      val localId = when(hot, lit("hot"))
+        .when(pmod(col("event_id"), lit(7)) === 0,
+          concat(lit("gone"), col("event_id")))
+        .otherwise(col("event_id").cast("string"))
+      val src = e.select(srcId.as("id"),
+        col("event_id").as("version"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      val keyed = Records.keyRecords(src, "id", Some("version"),
+        orderCol = Some(col("version")))
+      val local = e.filter(pmod(col("event_id"), lit(3)) =!= 0)
+        .select(localId.as("id"),
+          (col("event_id") - pmod(col("event_id"), lit(2))).as("v0"))
+        .groupBy(col("id")).agg(max(col("v0")).cast("long").as("version"))
+      Diff.computeDataChanges(keyed, local).unioned
+    }),
+
     // ── K1: keyed last-wins dedup ─────────────────────────────────
     "q_dedup_lastwins" -> ((s, dir) => {
       val li = s.read.parquet(t(dir, "lineitem"))
@@ -634,6 +665,32 @@ private[graft] object ParityRegistry {
          |UNION ALL
          |SELECT l.id, 'remove' FROM local l LEFT JOIN source s USING (id)
          |  WHERE s.id IS NULL""".stripMargin,
+
+    // hot-id diff: the keyed source collapses the %5=0 slice onto one
+    // id via max(version) — versions are unique, so the winner and
+    // every branch decision replay exactly
+    "q_changeset_skew" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN event_id % 5 = 0 THEN 'hot'
+        |              ELSE CAST(event_id AS VARCHAR) END AS id,
+        |         event_id AS version
+        |  FROM events),
+        |keyed AS (SELECT id, CAST(max(version) AS BIGINT) AS version
+        |          FROM src GROUP BY id),
+        |local AS (
+        |  SELECT CASE WHEN event_id % 5 = 0 THEN 'hot'
+        |              WHEN event_id % 7 = 0 THEN 'gone' || event_id
+        |              ELSE CAST(event_id AS VARCHAR) END AS id,
+        |         CAST(max(event_id - (event_id % 2)) AS BIGINT) AS version
+        |  FROM events WHERE event_id % 3 <> 0 GROUP BY 1)
+        |SELECT k.id AS id, 'add' AS change_type
+        |  FROM keyed k LEFT JOIN local l USING (id) WHERE l.id IS NULL
+        |UNION ALL
+        |SELECT k.id, 'update' FROM keyed k JOIN local l USING (id)
+        |  WHERE k.version > l.version
+        |UNION ALL
+        |SELECT l.id, 'remove' FROM local l LEFT JOIN keyed k USING (id)
+        |  WHERE k.id IS NULL""".stripMargin,
 
     "q_changeset_force" ->
       s"""WITH source AS ($syncSourceSql), local AS ($syncLocalSql)
