@@ -364,13 +364,10 @@ private[graft] object ParityRegistry {
     // streaming result therefore equals the batch interval join,
     // which DuckDB computes directly. ──
     "q_stream_join" -> ((s, dir) => {
-      val ev = tbl(s, dir, "events")
       val sync = graft.streaming.IncrementalSync
-      val batchCol = sync.tsRangeBatch(ev, "ts", 4)
-      sync.replayTransform2(s,
-        ev.filter(pmod(col("event_id"), lit(2)) === 0),
-        ev.filter(pmod(col("event_id"), lit(2)) === 1),
-        batchCol, tempStateDir(), nBatches = 4)((l, r) =>
+      val (inL, inR, schema) = streamJoinInputs(s, dir)
+      sync.replayTransform2Staged(s, inL, inR, schema,
+        tempStateDir())((l, r) =>
         sync.streamIntervalJoin(l, r, key = "user_id",
           watermark = "0 seconds", horizon = "30 minutes"))
         .select(col("user_id"),
@@ -385,13 +382,10 @@ private[graft] object ParityRegistry {
     // left variant. The one unmatched right row at the stream max
     // drains unemitted, which the oracle replays. ──
     "q_stream_join_full" -> ((s, dir) => {
-      val ev = tbl(s, dir, "events")
       val sync = graft.streaming.IncrementalSync
-      val batchCol = sync.tsRangeBatch(ev, "ts", 4)
-      sync.replayTransform2(s,
-        ev.filter(pmod(col("event_id"), lit(2)) === 0),
-        ev.filter(pmod(col("event_id"), lit(2)) === 1),
-        batchCol, tempStateDir(), nBatches = 4)((l, r) =>
+      val (inL, inR, schema) = streamJoinInputs(s, dir)
+      sync.replayTransform2Staged(s, inL, inR, schema,
+        tempStateDir())((l, r) =>
         sync.streamIntervalJoin(l, r, key = "user_id",
           watermark = "0 seconds", horizon = "30 minutes",
           joinType = "full_outer"))
@@ -430,13 +424,10 @@ private[graft] object ParityRegistry {
     // in state when the stream drains and never emit — which the
     // oracle replays with the same predicate. ──
     "q_stream_join_outer" -> ((s, dir) => {
-      val ev = tbl(s, dir, "events")
       val sync = graft.streaming.IncrementalSync
-      val batchCol = sync.tsRangeBatch(ev, "ts", 4)
-      sync.replayTransform2(s,
-        ev.filter(pmod(col("event_id"), lit(2)) === 0),
-        ev.filter(pmod(col("event_id"), lit(2)) === 1),
-        batchCol, tempStateDir(), nBatches = 4)((l, r) =>
+      val (inL, inR, schema) = streamJoinInputs(s, dir)
+      sync.replayTransform2Staged(s, inL, inR, schema,
+        tempStateDir())((l, r) =>
         sync.streamIntervalJoin(l, r, key = "user_id",
           watermark = "0 seconds", horizon = "30 minutes",
           joinType = "left_outer"))

@@ -41,6 +41,38 @@ private[graft] object Shared {
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     graft.util.Tables.read(s, dir, name)
 
+  /** Shared staged inputs for the three stream-stream interval-join
+    * variants (inner / left_outer / full_outer): all three replay the
+    * SAME even/odd event split in the same 4 ts-range batches, so the
+    * staging (two table passes + file stamping) runs ONCE per input
+    * dir and each variant pays only its own replay. Keyed by the sf
+    * dir — a fresh dataset (driver round, spec fixture dir) stages
+    * fresh. Harness-scope memo: the engine operator itself
+    * ([[graft.streaming.IncrementalSync.replayTransform2Staged]])
+    * stays stateless. */
+  private val streamJoinStaged =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, String, org.apache.spark.sql.types.StructType)]()
+  def streamJoinInputs(s: SparkSession, dir: String)
+      : (String, String, org.apache.spark.sql.types.StructType) =
+    streamJoinStaged.computeIfAbsent(dir, _ => {
+      val sync = graft.streaming.IncrementalSync
+      // stage only the columns the interval joins read — the staged
+      // bytes, the per-batch scan, and the join state all shrink
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val batchCol = sync.tsRangeBatch(ev, "ts", 4)
+      val root = tempStateDir()
+      val lDir = s"$root/inL"; val rDir = s"$root/inR"
+      val schema = sync.stageBatches(s,
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        batchCol, 4, lDir)
+      sync.stageBatches(s,
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        batchCol, 4, rDir)
+      (lDir, rDir, schema)
+    })
+
   /** Stage a frame as ONE JSON ARRAY document — the reference's
     * whole-file model (FileSource.php:37-41) — via a distributed
     * single-partition text write, NOT a driver collect: the emitted

@@ -159,6 +159,20 @@ object IncrementalSync {
   def stagedStream(
       spark: SparkSession, table: DataFrame, batchCol: Column,
       nBatches: Int, inDir: String, batchFiles: Int = 1): DataFrame = {
+    val schema = stageBatches(spark, table, batchCol, nBatches,
+      inDir, batchFiles)
+    readStaged(spark, inDir, schema, batchFiles)
+  }
+
+  /** The staging half of [[stagedStream]]: write the batch files and
+    * return the row schema — so several replay queries over the SAME
+    * staged inputs (the three interval-join variants certify three
+    * join types of one input pair) stage ONCE and each attach their
+    * own stream via [[readStaged]]. */
+  def stageBatches(
+      spark: SparkSession, table: DataFrame, batchCol: Column,
+      nBatches: Int, inDir: String, batchFiles: Int = 1)
+      : org.apache.spark.sql.types.StructType = {
     val batched = table.withColumn("__batch", batchCol)
     val mtimeBase = 1000000000000L // fixed: replay order, not wall time
     if (batchFiles == 1) {
@@ -203,9 +217,17 @@ object IncrementalSync {
           }
       }
     }
-    spark.readStream.schema(batched.drop("__batch").schema)
-      .option("maxFilesPerTrigger", batchFiles.toString).parquet(inDir)
+    batched.drop("__batch").schema
   }
+
+  /** The read half of [[stagedStream]]: a file-source stream over an
+    * already-staged batch dir (mtime-ordered replay). */
+  def readStaged(
+      spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      batchFiles: Int = 1): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", batchFiles.toString).parquet(inDir)
 
   private val replayNames = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -254,6 +276,19 @@ object IncrementalSync {
     runToMemorySink(spark, transform(ls, rs), workDir)
   }
 
+  /** [[replayTransform2]] over PRE-staged input dirs: the staging is
+    * input-shaped, not query-shaped, so N queries over one input
+    * pair (the three interval-join types) share one [[stageBatches]]
+    * pass and pay only their own replay. `workDir` must still be
+    * query-private (it holds the checkpoint). */
+  def replayTransform2Staged(
+      spark: SparkSession, inL: String, inR: String,
+      schema: org.apache.spark.sql.types.StructType, workDir: String)(
+      transform: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    runToMemorySink(spark,
+      transform(readStaged(spark, inL, schema),
+        readStaged(spark, inR, schema)), workDir)
+
   private def runToMemorySink(
       spark: SparkSession, out: DataFrame, workDir: String,
       outputMode: OutputMode = OutputMode.Append): DataFrame = {
@@ -268,13 +303,24 @@ object IncrementalSync {
     // must be set BEFORE start(); production callers run start()
     // themselves and are untouched.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // Replay checkpoints are never resumed (each replay certifies one
+    // deterministic run, then the dir is garbage) — so their WAL /
+    // offset-log / state-store fsyncs buy nothing. Place them on
+    // tmpfs when available and delete on completion; PRODUCTION
+    // checkpoints are the [[start]] caller's path and stay durable.
+    val shm = new java.io.File("/dev/shm")
+    val chkDir =
+      if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files
+          .createTempDirectory(shm.toPath, "graft_chk_").toString
+      else s"$workDir/chk"
     try {
       val q = out.writeStream
         .outputMode(outputMode)
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", s"$workDir/chk")
+        .option("checkpointLocation", chkDir)
         .trigger(Trigger.AvailableNow())
         .start()
       if (!q.awaitTermination(600000L)) {
@@ -284,7 +330,17 @@ object IncrementalSync {
       // restored only after termination: the stream clones the session
       // conf when its query thread initializes, which can be AFTER
       // start() returns — restoring earlier would race the clone
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (chkDir.startsWith("/dev/shm")) {
+        try {
+          import java.nio.file._
+          Files.walk(Paths.get(chkDir))
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
     // the memory sink pins the whole result on the driver for the
     // JVM's lifetime (clearCache does not release it) — snapshot to
     // executor-side blocks and drop the sink table so repeated
