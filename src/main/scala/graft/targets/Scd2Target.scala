@@ -228,6 +228,42 @@ final case class Scd2Target(
     ApplyResult(nAdd, nUpd, nRem)
   }
 
+  /**
+   * Small-files compaction — the FileTarget maintenance op ported to
+   * the history snapshot: every sync's copy-on-write rewrite emits
+   * one file per write task, so after thousands of syncs the narrow
+   * [[stateAt]] scan pays per-file open cost out of proportion to
+   * the bytes. Rewrite the history into
+   * `ceil(totalBytes / targetFileBytes)` files, sorted by
+   * (`sync_in`, id) so parquet row-group stats on `sync_in` prune
+   * time-travel reads, committed through the SAME manifest-logged
+   * swap as a sync. Content is byte-identical and the apply LEDGER
+   * is untouched (compaction is not a sync — it must not burn an
+   * ordinal), so `stateAt(k)` is preserved for every k — the spec's
+   * contract. Returns the post-compaction file count, or −1 if
+   * already compact.
+   */
+  def compact(spark: SparkSession,
+      targetFileBytes: Long = 128L << 20): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    recoverPendingSwap()
+    if (!exists) return -1L
+    def dataFiles: Seq[java.io.File] =
+      Option(dataDir.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(_.getName.endsWith(".parquet"))
+    val files = dataFiles
+    val want = math.max(1L,
+      (files.map(_.length).sum + targetFileBytes - 1) / targetFileBytes)
+    if (files.size <= want) return -1L
+    val staging = new java.io.File(path, "data.staging")
+    history(spark)
+      .coalesce(want.toInt)
+      .sortWithinPartitions(col("sync_in"), col(idColumn))
+      .write.mode("overwrite").parquet(staging.toString)
+    commitSwap(staging) // no recordOrdinal: content-preserving rewrite
+    dataFiles.size.toLong
+  }
+
   /** Prune = SOFT-close every current row at a fresh ordinal — the
     * history is the point of this target; nothing is deleted. */
   override def removeAll(spark: SparkSession): Long = {

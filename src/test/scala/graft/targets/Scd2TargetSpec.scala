@@ -73,6 +73,46 @@ class Scd2TargetSpec extends SparkSpec {
     assert(tgt.stateAt(spark, -1L).count() === 0L)
   }
 
+  test("compaction: stateAt(k) preserved for EVERY ordinal, file count " +
+      "drops, the ledger is untouched, and the next sync still works") {
+    val dir = tmpDir("scd2-compact")
+    val tgt = Scd2Target(s"$dir/hist")
+    // 4 syncs, each touching a; b/c churn
+    new ImportService(preset(dir, Seq(
+      ("a", 1L, "a0"), ("b", 1L, "b0")))).importData(spark)
+    new ImportService(preset(dir, Seq(
+      ("a", 2L, "a1"), ("c", 1L, "c0")))).importData(spark)
+    new ImportService(preset(dir, Seq(
+      ("a", 3L, "a2"), ("b", 2L, "b1")))).importData(spark)
+    new ImportService(preset(dir, Seq(
+      ("a", 4L, "a3")))).importData(spark)
+    def at(k: Long) = tgt.stateAt(spark, k)
+      .select($"id", $"version".cast("long"), $"attr")
+      .as[(String, Long, String)].collect().toSet
+    val nOrd = tgt.ordinals()
+    assert(nOrd === 4L)
+    val before = (0L until nOrd).map(k => k -> at(k)).toMap
+    def fileCount = Option(new java.io.File(s"$dir/hist/data").listFiles())
+      .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    val filesBefore = fileCount
+    // tiny target size forces the rewrite path; history is a few KB
+    val res = tgt.compact(spark, targetFileBytes = 64L << 20)
+    assert(res === 1L, s"expected 1 compacted file, got $res")
+    assert(fileCount === 1 && filesBefore > 1)
+    // the ledger did not advance — compaction is not a sync
+    assert(tgt.ordinals() === nOrd)
+    // every historical state is preserved bit-for-bit
+    (0L until nOrd).foreach(k => assert(at(k) === before(k), s"k=$k"))
+    // idempotent: a second compact is a no-op
+    assert(tgt.compact(spark, targetFileBytes = 64L << 20) === -1L)
+    // the next sync applies cleanly on the compacted snapshot
+    new ImportService(preset(dir, Seq(
+      ("a", 5L, "a4"), ("d", 1L, "d0")))).importData(spark)
+    assert(at(4L) === Set(("a", 5L, "a4"), ("b", 2L, "b1"),
+      ("c", 1L, "c0"), ("d", 1L, "d0")))
+    (0L until nOrd).foreach(k => assert(at(k) === before(k), s"post k=$k"))
+  }
+
   test("first sync with a NON-DEFAULT idColumn resolves (empty-history " +
       "schema derives from the configured id/version names)") {
     val dir = tmpDir("scd2-idcol")
