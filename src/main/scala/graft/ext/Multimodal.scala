@@ -664,4 +664,454 @@ object Multimodal {
         fit(col("width"), col("mx")).cast("int").as("out_width"),
         fit(col("height"), col("mx")).cast("int").as("out_height"))
   }
+
+  // ── Baseline JPEG (ITU-T T.81) ────────────────────────────────────
+
+  /** JFIF YCbCr forward conversion (floor(x+0.5), clamped) — the
+    * published BT.601 full-range constants; the decoder and the
+    * DuckDB oracle replay the identical literal/order arithmetic. */
+  private def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    def cl(x: Double): Int =
+      math.max(0, math.min(255, math.floor(x).toInt))
+    (cl(0.299 * r + 0.587 * g + 0.114 * b + 0.5),
+      cl(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.5),
+      cl(0.5 * r - 0.418688 * g - 0.081312 * b + 128.5))
+  }
+
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /**
+   * Synthetic baseline-JPEG generator for FLAT-8×8-BLOCK images:
+   * dimensions must be multiples of 8 and every 8×8 tile must be one
+   * RGB color (`require`d). Flat tiles make the lossy pipeline exact:
+   * with all-ones quantization tables the only nonzero coefficient is
+   * DC = 8·(v−128), which dequantizes and inverse-transforms back to
+   * v bit-exactly — so the decode features are a pure function of the
+   * synthesis formula (the PNG/PPM oracle convention, kept through a
+   * genuinely lossy codec). The file is REAL JFIF baseline — SOI,
+   * APP0, DQT, SOF0 (4:4:4), DHT (canonical custom tables: 12
+   * DC categories at length 4; EOB at length 1), SOS, entropy-coded
+   * MCUs with 0xFF byte stuffing, EOI — and the spec proves the JDK's
+   * ImageIO decodes it pixel-exactly.
+   */
+  def jpegEncode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+      s"flat-block JPEG needs 8-aligned dims, got ${w}x$h")
+    require(rgb.length == w * h * 3, "rgb length != w*h*3")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(2 + 1 + 64) // DQT: one 8-bit table, id 0
+    u8(0x00); (0 until 64).foreach(_ => u8(1)) // all-ones = lossless quant
+    marker(0xc0); u16(8 + 3 * 3) // SOF0 baseline
+    u8(8); u16(h); u16(w); u8(3)
+    (1 to 3).foreach { c => u8(c); u8(0x11); u8(0) } // 1x1 sampling, qt 0
+    // DHT: DC table 0 — 12 category symbols, all code length 4
+    marker(0xc4); u16(2 + 1 + 16 + 12)
+    u8(0x00)
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcBits.foreach(u8); (0 to 11).foreach(u8)
+    // DHT: AC table 0 — single EOB symbol at code length 1
+    marker(0xc4); u16(2 + 1 + 16 + 1)
+    u8(0x10)
+    val acBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    acBits.foreach(u8); u8(0x00)
+    marker(0xda); u16(6 + 2 * 3) // SOS
+    u8(3); (1 to 3).foreach { c => u8(c); u8(0x00) }
+    u8(0); u8(63); u8(0)
+    // entropy-coded data
+    var acc = 0; var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    // canonical codes for the tables above: DC cat s ⇒ code s (4 bits);
+    // AC EOB ⇒ code 0 (1 bit)
+    val pred = Array(0, 0, 0)
+    val bw = w / 8; val bh = h / 8
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        // tile color from the top-left pixel; require flatness
+        val px0 = (by * 8 * w + bx * 8) * 3
+        val r0 = rgb(px0) & 0xff; val g0 = rgb(px0 + 1) & 0xff
+        val b0 = rgb(px0 + 2) & 0xff
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            val p = ((by * 8 + yy) * w + bx * 8 + xx) * 3
+            require((rgb(p) & 0xff) == r0 && (rgb(p + 1) & 0xff) == g0 &&
+              (rgb(p + 2) & 0xff) == b0,
+              s"tile ($bx,$by) is not flat — jpegEncode is the " +
+                "flat-block synthetic generator")
+            xx += 1
+          }
+          yy += 1
+        }
+        val (cy, cb, cr) = rgbToYcc(r0, g0, b0)
+        val comps = Array(cy, cb, cr)
+        var c = 0
+        while (c < 3) {
+          val dc = 8 * (comps(c) - 128)
+          val diff = dc - pred(c); pred(c) = dc
+          val mag = math.abs(diff)
+          val s = 32 - Integer.numberOfLeadingZeros(mag) // 0 for diff=0
+          putBits(s, 4) // DC category code == category, 4 bits
+          if (s > 0)
+            putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+          putBits(0, 1) // AC: EOB
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    if (nbits > 0) { // pad with 1s
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xff) out.write(0x00)
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** One flat-tile JPEG per document; dims and tile colors are pure
+    * integer arithmetic in the doc id (the PNG/WAV convention). */
+  def synthesizeJpeg(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { d =>
+      val w = 8 * (1 + math.floorMod(d, 3L).toInt) // 8, 16, 24
+      val h = 8 * (1 + math.floorMod(d, 2L).toInt) // 8, 16
+      val rgb = new Array[Byte](w * h * 3)
+      val bw = w / 8
+      var p = 0
+      while (p < w * h) {
+        val bi = (p / w / 8) * bw + (p % w) / 8
+        rgb(p * 3) = math.floorMod(d * 31L + bi * 59L + 7L, 256L).toByte
+        rgb(p * 3 + 1) = math.floorMod(d * 17L + bi * 83L + 3L, 256L).toByte
+        rgb(p * 3 + 2) = math.floorMod(d * 13L + bi * 29L + 11L, 256L).toByte
+        p += 1
+      }
+      (d.toString, "image", jpegEncode(w, h, rgb))
+    }.toDF("media_id", "media_type", "content")
+  }
+
+  final case class JpegFeatures(
+      media_id: String, width: Int, height: Int, n_components: Int,
+      n_pix: Long, r_sum: Long, g_sum: Long, b_sum: Long,
+      r_mean_milli: Long, g_mean_milli: Long, b_mean_milli: Long)
+
+  /**
+   * REAL baseline-JPEG decode in the mapPartitions batch shape: the
+   * full T.81 path — marker walk, DQT (8/16-bit), DHT canonical
+   * Huffman reconstruction (mincode/maxcode/valptr), SOF0, DRI/RSTn
+   * restart handling, entropy decode with 0xFF00 unstuffing, DC
+   * prediction + AC run-length/ZRL, dequantization, float IDCT
+   * (exact separable cosine form, floor(x+0.5) rounding), and BT.601
+   * color conversion. 4:4:4 only (sampling factors 1×1 — the
+   * documented scope; subsampled files fail loudly). Bytes never
+   * shuffle; any malformed stream throws with the media id.
+   */
+  def decodeJpeg(media: DataFrame): Dataset[JpegFeatures] = {
+    implicit val enc = Encoders.product[JpegFeatures]
+    media.select("media_id", "content").mapPartitions { rows =>
+      // cos((2x+1)uπ/16)·C(u)/2 lookup, shared across the batch
+      val cosT = Array.tabulate(8, 8) { (x, u) =>
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+      }
+      rows.map { r =>
+        val id = r.getString(0)
+        val b = r.getAs[Array[Byte]](1)
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"$msg: media_id=$id")
+        if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+          fail("not a JPEG")
+        def u16(off: Int): Int =
+          ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+        val quant = new Array[Array[Int]](4)
+        // huffman tables [class 0=DC|1=AC][id]: (mincode, maxcode,
+        // valptr per length 1..16, values)
+        val huff = Array.ofDim[(Array[Int], Array[Int], Array[Int],
+          Array[Int])](2, 4)
+        var w = 0; var h = 0; var nComp = 0
+        var compQt: Array[Int] = null
+        var compDc: Array[Int] = null
+        var compAc: Array[Int] = null
+        var restartInterval = 0
+        var pos = 2
+        var scanStart = -1
+        while (scanStart < 0) {
+          if (pos + 4 > b.length) fail("truncated JPEG (no SOS)")
+          if ((b(pos) & 0xff) != 0xff) fail("marker sync lost")
+          val m = b(pos + 1) & 0xff
+          val len = u16(pos + 2)
+          val seg = pos + 4
+          m match {
+            case 0xdb => // DQT — possibly several tables
+              var q = seg
+              while (q < seg + len - 2) {
+                val prec = (b(q) & 0xf0) >> 4; val tid = b(q) & 0x0f
+                val t = new Array[Int](64)
+                var i = 0
+                while (i < 64) {
+                  t(i) = if (prec == 0) b(q + 1 + i) & 0xff
+                  else u16(q + 1 + 2 * i)
+                  i += 1
+                }
+                quant(tid) = t
+                q += 1 + (if (prec == 0) 64 else 128)
+              }
+            case 0xc4 => // DHT — possibly several tables
+              var q = seg
+              while (q < seg + len - 2) {
+                val cls = (b(q) & 0xf0) >> 4; val tid = b(q) & 0x0f
+                val bits = Array.tabulate(17)(i =>
+                  if (i == 0) 0 else b(q + i) & 0xff)
+                val total = bits.sum
+                val vals = Array.tabulate(total)(i => b(q + 17 + i) & 0xff)
+                // canonical code assignment
+                val minC = new Array[Int](17); val maxC = new Array[Int](17)
+                val valP = new Array[Int](17)
+                var code = 0; var k = 0
+                var l = 1
+                while (l <= 16) {
+                  valP(l) = k; minC(l) = code
+                  code += bits(l); k += bits(l)
+                  maxC(l) = code - 1 // -1 ⇒ no codes at this length
+                  if (bits(l) == 0) maxC(l) = -1
+                  code <<= 1
+                  l += 1
+                }
+                huff(cls)(tid) = (minC, maxC, valP, vals)
+                q += 17 + total
+              }
+            case 0xc0 => // SOF0 baseline
+              h = u16(seg + 1); w = u16(seg + 3)
+              nComp = b(seg + 5) & 0xff
+              if (nComp != 3 && nComp != 1) fail(s"unsupported nComp=$nComp")
+              compQt = new Array[Int](nComp)
+              var c = 0
+              while (c < nComp) {
+                val samp = b(seg + 7 + 3 * c) & 0xff
+                if (samp != 0x11)
+                  fail("subsampled JPEG unsupported (4:4:4 only)")
+                compQt(c) = b(seg + 8 + 3 * c) & 0xff
+                c += 1
+              }
+            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+                0xcb | 0xcd | 0xce | 0xcf =>
+              fail(f"unsupported SOF marker 0xFF$m%02X (baseline only)")
+            case 0xdd => restartInterval = u16(seg)
+            case 0xda => // SOS
+              val ns = b(seg) & 0xff
+              if (ns != nComp) fail("scan component mismatch")
+              compDc = new Array[Int](nComp)
+              compAc = new Array[Int](nComp)
+              var c = 0
+              while (c < ns) {
+                compDc(c) = (b(seg + 2 + 2 * c) & 0xf0) >> 4
+                compAc(c) = b(seg + 2 + 2 * c) & 0x0f
+                c += 1
+              }
+              scanStart = seg + 1 + 2 * ns + 3
+            case _ => () // APPn, COM, … — skip
+          }
+          if (scanStart < 0) pos = seg + len - 2
+        }
+        if (w <= 0 || h <= 0) fail("missing SOF0 before SOS")
+
+        // entropy-coded segment bit reader (FF00 unstuffing, RSTn)
+        var bp = scanStart; var bitBuf = 0; var bitCnt = 0
+        def nextByte(): Int = {
+          if (bp >= b.length) fail("truncated entropy stream")
+          val v = b(bp) & 0xff; bp += 1
+          if (v == 0xff) {
+            if (bp >= b.length) fail("truncated entropy stream")
+            val m2 = b(bp) & 0xff
+            if (m2 == 0x00) { bp += 1; 0xff }
+            else fail("unexpected marker inside entropy stream")
+          } else v
+        }
+        def readBit(): Int = {
+          if (bitCnt == 0) { bitBuf = nextByte(); bitCnt = 8 }
+          bitCnt -= 1
+          (bitBuf >> bitCnt) & 1
+        }
+        def decodeHuff(tab: (Array[Int], Array[Int], Array[Int], Array[Int]))
+            : Int = {
+          val (minC, maxC, valP, vals) = tab
+          var code = 0; var l = 0
+          while (l < 16) {
+            code = (code << 1) | readBit(); l += 1
+            if (maxC(l) >= 0 && code <= maxC(l) && code >= minC(l))
+              return vals(valP(l) + code - minC(l))
+          }
+          fail("invalid huffman code")
+        }
+        def receiveExtend(s: Int): Int = {
+          if (s == 0) return 0
+          var v = 0; var i = 0
+          while (i < s) { v = (v << 1) | readBit(); i += 1 }
+          if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+        }
+
+        val bw = w / 8 + (if (w % 8 != 0) 1 else 0)
+        val bh = h / 8 + (if (h % 8 != 0) 1 else 0)
+        val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+        val pred = new Array[Int](nComp)
+        val coef = new Array[Int](64)
+        val blk = new Array[Int](64)
+        var mcu = 0
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            if (restartInterval > 0 && mcu > 0 &&
+                mcu % restartInterval == 0) {
+              // skip to the RSTn marker at a byte boundary
+              bitCnt = 0
+              if (bp + 1 < b.length && (b(bp) & 0xff) == 0xff &&
+                  (b(bp + 1) & 0xf8) == 0xd0) bp += 2
+              java.util.Arrays.fill(pred, 0)
+            }
+            var c = 0
+            while (c < nComp) {
+              java.util.Arrays.fill(coef, 0)
+              val s0 = decodeHuff(huff(0)(compDc(c)))
+              pred(c) += receiveExtend(s0)
+              coef(0) = pred(c)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = decodeHuff(huff(1)(compAc(c)))
+                if (rs == 0x00) eob = true
+                else if (rs == 0xf0) k += 16
+                else {
+                  k += (rs >> 4)
+                  if (k > 63) fail("AC index out of range")
+                  coef(ZigZag(k)) = receiveExtend(rs & 0x0f)
+                  k += 1
+                }
+              }
+              val qt = quant(compQt(c))
+              if (qt == null) fail("missing quant table")
+              // dequant + separable IDCT (rows then columns)
+              val tmp = new Array[Double](64)
+              var y0 = 0
+              while (y0 < 8) {
+                var x0 = 0
+                while (x0 < 8) {
+                  var sum = 0.0
+                  var u = 0
+                  while (u < 8) {
+                    sum += cosT(x0)(u) * coef(y0 * 8 + u) * qt(
+                      {
+                        // quant table is in zigzag order; coef is
+                        // natural — index qt by the zigzag position
+                        // of (y0*8+u)
+                        natToZig(y0 * 8 + u)
+                      })
+                    u += 1
+                  }
+                  tmp(y0 * 8 + x0) = sum
+                  x0 += 1
+                }
+                y0 += 1
+              }
+              var x1 = 0
+              while (x1 < 8) {
+                var y1 = 0
+                while (y1 < 8) {
+                  var sum = 0.0
+                  var v = 0
+                  while (v < 8) {
+                    sum += cosT(y1)(v) * tmp(v * 8 + x1)
+                    v += 1
+                  }
+                  val px = math.max(0, math.min(255,
+                    math.floor(sum + 128.5).toInt))
+                  blk(y1 * 8 + x1) = px
+                  y1 += 1
+                }
+                x1 += 1
+              }
+              val plane = planes(c)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  plane((by * 8 + yy) * (bw * 8) + bx * 8 + xx) =
+                    blk(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              c += 1
+            }
+            mcu += 1
+            bx += 1
+          }
+          by += 1
+        }
+
+        // color conversion + channel sums over the REAL w×h window
+        var rs = 0L; var gs = 0L; var bs = 0L
+        val stride = bw * 8
+        var py = 0
+        while (py < h) {
+          var px = 0
+          while (px < w) {
+            val i = py * stride + px
+            if (nComp == 1) {
+              val yv = planes(0)(i); rs += yv; gs += yv; bs += yv
+            } else {
+              val yv = planes(0)(i).toDouble
+              val cb = planes(1)(i) - 128
+              val cr = planes(2)(i) - 128
+              def cl(x: Double): Int =
+                math.max(0, math.min(255, math.floor(x).toInt))
+              rs += cl(yv + 1.402 * cr + 0.5)
+              gs += cl(yv - 0.344136 * cb - 0.714136 * cr + 0.5)
+              bs += cl(yv + 1.772 * cb + 0.5)
+            }
+            px += 1
+          }
+          py += 1
+        }
+        val nPix = w.toLong * h
+        JpegFeatures(id, w, h, nComp, nPix, rs, gs, bs,
+          rs * 1000 / nPix, gs * 1000 / nPix, bs * 1000 / nPix)
+      }
+    }
+  }
+
+  /** natural (row-major) index → zigzag position. */
+  private lazy val natToZig: Array[Int] = {
+    val inv = new Array[Int](64)
+    var i = 0
+    while (i < 64) { inv(ZigZag(i)) = i; i += 1 }
+    inv
+  }
 }

@@ -997,6 +997,19 @@ private[graft] object ExtRegistry {
       Multimodal.decodePng(media).toDF()
     }),
 
+    // ── REAL codec tier #1b, lossy: one valid baseline JFIF per
+    // document — flat 8×8 tiles make the lossy pipeline exact (all-
+    // ones quant tables ⇒ only DC survives, which round-trips
+    // bit-exactly), so the full T.81 decode path (marker walk, DHT
+    // canonical Huffman, entropy decode, dequant, float IDCT, BT.601
+    // conversion) certifies against a pure id-formula oracle that
+    // replays the YCbCr round-trip arithmetic in SQL. ──
+    "q_multimodal_jpeg" -> ((s, dir) => {
+      val media = Multimodal.synthesizeJpeg(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      Multimodal.decodeJpeg(media).toDF()
+    }),
+
     // ── REAL codec tier #2, audio: one valid RIFF/WAVE PCM file per
     // document (rate/channels/samples pure integer arithmetic in the
     // doc_id, plus a LIST junk chunk the parser must word-align
@@ -2844,6 +2857,59 @@ private[graft] object ExtRegistry {
         |SELECT CAST(doc_id AS VARCHAR) AS media_id, width, height,
         |       CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
         |       CAST(2 AS INT) AS n_idat, n_pix, r_sum, g_sum, b_sum,
+        |       CAST(r_sum * 1000 // n_pix AS BIGINT) AS r_mean_milli,
+        |       CAST(g_sum * 1000 // n_pix AS BIGINT) AS g_mean_milli,
+        |       CAST(b_sum * 1000 // n_pix AS BIGINT) AS b_mean_milli
+        |FROM s""".stripMargin,
+
+    // JPEG: the oracle replays the encoder's RGB→YCbCr floor/clamp
+    // and the decoder's YCbCr→RGB floor/clamp per flat tile (e-
+    // notation literals parse as DOUBLE in DuckDB — identical IEEE
+    // arithmetic to the JVM's), ×64 pixels per tile
+    "q_multimodal_jpeg" ->
+      """WITH dim AS (
+        |  SELECT doc_id,
+        |         CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+        |         CAST(8 * (1 + doc_id % 2) AS INT) AS height
+        |  FROM documents),
+        |blk AS (SELECT doc_id, width, height,
+        |          unnest(range(0, CAST(width // 8 AS BIGINT)
+        |            * (height // 8))) AS bi
+        |        FROM dim),
+        |rgb AS (SELECT doc_id, width, height,
+        |          (doc_id * 31 + bi * 59 + 7) % 256 AS r,
+        |          (doc_id * 17 + bi * 83 + 3) % 256 AS g,
+        |          (doc_id * 13 + bi * 29 + 11) % 256 AS b
+        |        FROM blk),
+        |ycc AS (SELECT doc_id, width, height,
+        |   greatest(0, least(255, CAST(floor(
+        |     2.99e-1 * r + 5.87e-1 * g + 1.14e-1 * b + 5e-1)
+        |     AS INT)))AS y,
+        |   greatest(0, least(255, CAST(floor(
+        |     -1.68736e-1 * r - 3.31264e-1 * g + 5e-1 * b + 1.285e2)
+        |     AS INT))) AS cb,
+        |   greatest(0, least(255, CAST(floor(
+        |     5e-1 * r - 4.18688e-1 * g - 8.1312e-2 * b + 1.285e2)
+        |     AS INT))) AS cr
+        |  FROM rgb),
+        |dec AS (SELECT doc_id, width, height,
+        |   greatest(0, least(255, CAST(floor(
+        |     y + 1.402e0 * (cr - 128) + 5e-1) AS INT))) AS r2,
+        |   greatest(0, least(255, CAST(floor(
+        |     y - 3.44136e-1 * (cb - 128) - 7.14136e-1 * (cr - 128)
+        |     + 5e-1) AS INT))) AS g2,
+        |   greatest(0, least(255, CAST(floor(
+        |     y + 1.772e0 * (cb - 128) + 5e-1) AS INT))) AS b2
+        |  FROM ycc),
+        |s AS (SELECT doc_id, width, height,
+        |        CAST(width AS BIGINT) * height AS n_pix,
+        |        CAST(sum(r2) * 64 AS BIGINT) AS r_sum,
+        |        CAST(sum(g2) * 64 AS BIGINT) AS g_sum,
+        |        CAST(sum(b2) * 64 AS BIGINT) AS b_sum
+        |      FROM dec GROUP BY 1, 2, 3)
+        |SELECT CAST(doc_id AS VARCHAR) AS media_id, width, height,
+        |       CAST(3 AS INT) AS n_components, n_pix,
+        |       r_sum, g_sum, b_sum,
         |       CAST(r_sum * 1000 // n_pix AS BIGINT) AS r_mean_milli,
         |       CAST(g_sum * 1000 // n_pix AS BIGINT) AS g_mean_milli,
         |       CAST(b_sum * 1000 // n_pix AS BIGINT) AS b_mean_milli

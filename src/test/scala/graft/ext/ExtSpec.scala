@@ -463,6 +463,82 @@ class ExtSpec extends SparkSpec {
     assert(ex.toString.nonEmpty) // threw promptly — no infinite loop
   }
 
+  test("multimodal JPEG: flat-tile file decodes exactly; ImageIO " +
+      "independently decodes our encoder's output pixel-exactly; our " +
+      "decoder handles an ImageIO-written general (gradient) stream; " +
+      "truncated entropy data is rejected") {
+    // 16x16, four flat tiles
+    val w = 16; val h = 16
+    val tiles = Array((10, 200, 30), (250, 5, 125), (0, 255, 128),
+      (77, 144, 201))
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = tiles((y / 8) * 2 + x / 8)
+      val p = (y * w + x) * 3
+      rgb(p) = r.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = b.toByte
+    }
+    val jpg = Multimodal.jpegEncode(w, h, rgb)
+    val f = Multimodal.decodeJpeg(Seq(("x", "image", jpg))
+      .toDF("media_id", "media_type", "content")).collect().head
+    assert(f.width === w && f.height === h && f.n_components === 3)
+    // expected sums: the YCbCr round trip in plain Scala
+    def cl(x: Double) = math.max(0, math.min(255, math.floor(x).toInt))
+    val exp = tiles.map { case (r, g, b) =>
+      val y0 = cl(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+      val cb = cl(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.5)
+      val cr = cl(0.5 * r - 0.418688 * g - 0.081312 * b + 128.5)
+      (cl(y0 + 1.402 * (cr - 128) + 0.5),
+        cl(y0 - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5),
+        cl(y0 + 1.772 * (cb - 128) + 0.5))
+    }
+    assert(f.r_sum === exp.map(_._1.toLong * 64).sum)
+    assert(f.g_sum === exp.map(_._2.toLong * 64).sum)
+    assert(f.b_sum === exp.map(_._3.toLong * 64).sum)
+    // independent decoder: the JDK must read our file and agree on
+    // every pixel — proves the stream is REAL baseline JFIF
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (er, eg, eb) = exp((y / 8) * 2 + x / 8)
+      val argb = img.getRGB(x, y)
+      assert(((argb >> 16) & 0xff) === er, s"R at ($x,$y)")
+      assert(((argb >> 8) & 0xff) === eg, s"G at ($x,$y)")
+      assert((argb & 0xff) === eb, s"B at ($x,$y)")
+    }
+    // general-stream direction: ImageIO writes a GRAYSCALE gradient
+    // (single component — never subsampled; standard quant + huffman
+    // tables, real AC coefficients); our decoder must agree with
+    // ImageIO's own re-decode within IDCT rounding (±1/pixel)
+    val gw = 24; val gh = 16
+    val gray = new java.awt.image.BufferedImage(gw, gh,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val v = (x * 11 + y * 7) % 256
+      gray.getRaster.setSample(x, y, 0, v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "jpg", bos)
+    val gjpg = bos.toByteArray
+    val gf = Multimodal.decodeJpeg(Seq(("g", "image", gjpg))
+      .toDF("media_id", "media_type", "content")).collect().head
+    assert(gf.width === gw && gf.height === gh && gf.n_components === 1)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gjpg))
+    var refSum = 0L
+    for (y <- 0 until gh; x <- 0 until gw)
+      refSum += ref.getRaster.getSample(x, y, 0)
+    assert(math.abs(gf.r_sum - refSum) <= gw.toLong * gh,
+      s"our=${gf.r_sum} imageio=$refSum")
+    // integrity: truncating the entropy stream must throw, not hang
+    val trunc = java.util.Arrays.copyOf(jpg, jpg.length - 12)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeJpeg(Seq(("bad", "image", trunc))
+        .toDF("media_id", "media_type", "content")).collect()
+    }
+    assert(ex.toString.nonEmpty)
+  }
+
   test("multimodal PPM: encode/decode round-trip on a hand-computed " +
       "image; comments and whitespace in the header are parsed") {
     // 2x1 image: pixels (10,20,30) and (40,50,60)
