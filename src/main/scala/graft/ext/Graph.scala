@@ -73,9 +73,18 @@ object Graph {
             (lit(base) + expr(s"(coalesce(s, 0L) * $dampMilli) div 1000"))
               .as("rank"))
       }
-      // sever lineage from the cached frames so they can be released
-      ranks.select(col("node"), col("rank").as("rank_micro"))
-        .localCheckpoint()
+      // materialize the result through its own persist() so the input
+      // caches can be released here, then return the persisted frame.
+      // Deliberately NOT localCheckpoint(): checkpoint blocks are
+      // unrecomputable — an executor loss after return would
+      // permanently fail downstream actions — while persisted blocks
+      // recompute from lineage (slower without the input caches, but
+      // correct). The caller owns the returned frame's storage
+      // (`unpersist()` when done — the ChangeSet.persisted contract).
+      val result = ranks.select(col("node"), col("rank").as("rank_micro"))
+        .persist()
+      result.count()
+      result
     } finally {
       eDeg.unpersist()
       nodes.unpersist()

@@ -868,11 +868,15 @@ object Multimodal {
           val m = b(pos + 1) & 0xff
           val len = u16(pos + 2)
           val seg = pos + 4
+          // a declared segment length past the buffer is corruption —
+          // fail with the media id, not a raw bounds exception
+          if (seg + len - 2 > b.length) fail("segment overruns buffer")
           m match {
             case 0xdb => // DQT — possibly several tables
               var q = seg
               while (q < seg + len - 2) {
                 val prec = (b(q) & 0xf0) >> 4; val tid = b(q) & 0x0f
+                if (tid > 3) fail(s"invalid quant table id $tid")
                 val t = new Array[Int](64)
                 var i = 0
                 while (i < 64) {
@@ -887,9 +891,13 @@ object Multimodal {
               var q = seg
               while (q < seg + len - 2) {
                 val cls = (b(q) & 0xf0) >> 4; val tid = b(q) & 0x0f
+                if (cls > 1 || tid > 3)
+                  fail(s"invalid huffman table class/id $cls/$tid")
                 val bits = Array.tabulate(17)(i =>
                   if (i == 0) 0 else b(q + i) & 0xff)
                 val total = bits.sum
+                if (q + 17 + total > b.length)
+                  fail("huffman table overruns buffer")
                 val vals = Array.tabulate(total)(i => b(q + 17 + i) & 0xff)
                 // canonical code assignment
                 val minC = new Array[Int](17); val maxC = new Array[Int](17)
@@ -918,6 +926,8 @@ object Multimodal {
                 if (samp != 0x11)
                   fail("subsampled JPEG unsupported (4:4:4 only)")
                 compQt(c) = b(seg + 8 + 3 * c) & 0xff
+                if (compQt(c) > 3)
+                  fail(s"invalid component quant id ${compQt(c)}")
                 c += 1
               }
             case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
@@ -933,6 +943,8 @@ object Multimodal {
               while (c < ns) {
                 compDc(c) = (b(seg + 2 + 2 * c) & 0xf0) >> 4
                 compAc(c) = b(seg + 2 + 2 * c) & 0x0f
+                if (compDc(c) > 3 || compAc(c) > 3)
+                  fail("invalid scan huffman table id")
                 c += 1
               }
               scanStart = seg + 1 + 2 * ns + 3
@@ -983,6 +995,7 @@ object Multimodal {
         val pred = new Array[Int](nComp)
         val coef = new Array[Int](64)
         val blk = new Array[Int](64)
+        val tmp = new Array[Double](64)
         var mcu = 0
         var by = 0
         while (by < bh) {
@@ -999,6 +1012,8 @@ object Multimodal {
             var c = 0
             while (c < nComp) {
               java.util.Arrays.fill(coef, 0)
+              if (huff(0)(compDc(c)) == null || huff(1)(compAc(c)) == null)
+                fail("scan references an undefined huffman table")
               val s0 = decodeHuff(huff(0)(compDc(c)))
               pred(c) += receiveExtend(s0)
               coef(0) = pred(c)
@@ -1018,7 +1033,6 @@ object Multimodal {
               val qt = quant(compQt(c))
               if (qt == null) fail("missing quant table")
               // dequant + separable IDCT (rows then columns)
-              val tmp = new Array[Double](64)
               var y0 = 0
               while (y0 < 8) {
                 var x0 = 0

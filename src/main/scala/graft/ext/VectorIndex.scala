@@ -40,54 +40,23 @@ object VectorIndex {
   private def manifestFile(root: String) =
     new java.io.File(root + ".swap-manifest")
 
-  private def deleteRec(f: java.io.File): Unit = if (f.exists()) {
-    import java.nio.file._
-    Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => { Files.deleteIfExists(p); () })
-  }
-
-  /** Write the swap manifest atomically (tmp + POSIX rename), then
-    * complete the swap. The manifest is written only after the
-    * staging dir is fully materialized. */
-  private def commitSwap(root: String, staging: String): Unit = {
-    import java.nio.file._
-    val tmp = Paths.get(root + ".swap-manifest.tmp")
-    Files.writeString(tmp, staging)
-    Files.move(tmp, manifestFile(root).toPath,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    completeSwap(root)
-  }
-
-  /** Idempotent swap replay: staging present ⇒ old root deletes and
-    * staging moves in; staging absent ⇒ the move already happened and
-    * only the manifest cleanup remained. Every reader/writer calls
-    * [[recover]] first, so a crash at ANY point between manifest
-    * write and delete is completed by the next operation. */
-  private def completeSwap(root: String): Unit = {
-    import java.nio.file._
-    val m = manifestFile(root)
-    val staging = new String(
-      Files.readAllBytes(m.toPath), "UTF-8").trim
-    val st = new java.io.File(staging)
-    if (st.exists()) {
-      deleteRec(new java.io.File(root))
-      Files.move(st.toPath, Paths.get(root))
-    }
-    m.delete()
-    ()
-  }
+  private def commitSwap(root: String, staging: String): Unit =
+    graft.util.SwapCommit.commit(new java.io.File(root),
+      new java.io.File(staging), manifestFile(root))
 
   /** Crash recovery: a pending manifest means the last build/refresh
-    * staged fully but died mid-swap — finish it. */
+    * staged fully but died mid-swap — finish it. Every reader/writer
+    * calls this first. */
   def recover(root: String): Unit =
-    if (manifestFile(root).exists()) completeSwap(root)
+    graft.util.SwapCommit.recover(new java.io.File(root),
+      manifestFile(root))
 
   private def stageState(
       spark: SparkSession, staging: String,
       cents: Seq[Seq[Float]], cbs: Seq[Seq[Seq[Float]]],
       encoded: DataFrame): Unit = {
     import spark.implicits._
-    deleteRec(new java.io.File(staging))
+    graft.util.SwapCommit.deleteRec(new java.io.File(staging))
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .repartition(1).write.parquet(centroidsPath(staging))
@@ -173,19 +142,27 @@ object VectorIndex {
     recover(root)
     val cents = readCentroids(spark, root)
     val cbs = readCodebooks(spark, root)
+    if (cents.isEmpty || cbs.isEmpty) {
+      // a degenerate (empty-corpus) build stored no model — new
+      // vectors CANNOT encode against it; silently committing an
+      // index without them would report success while dropping data
+      if (!changedVecs.isEmpty)
+        throw new IllegalStateException(
+          s"vector index at $root has no trained model — rebuild " +
+            "before refreshing with new vectors")
+      return
+    }
     val prev = spark.read.parquet(corpusPath(root))
       .select(col("id"), col("codes"), col("vec"), col("cell"))
     val kept = prev.join(
       droppedIds.select(col("id")), Seq("id"), "left_anti")
-    val merged =
-      if (cents.isEmpty || cbs.isEmpty) kept
-      else kept.unionByName(
-        encode(changedVecs, cents, cbs, idCol, vecCol))
+    val merged = kept.unionByName(
+      encode(changedVecs, cents, cbs, idCol, vecCol))
+    // safe to plan lazily over the previous state: the staging write
+    // fully materializes into <root>.staging BEFORE commitSwap
+    // deletes the live dir
     val staging = root + ".staging"
-    // the previous state's files are being replaced by the swap —
-    // materialize the merged frame before the staging write plans
-    // against a directory mid-delete
-    stageState(spark, staging, cents, cbs, merged.localCheckpoint())
+    stageState(spark, staging, cents, cbs, merged)
     commitSwap(root, staging)
   }
 
@@ -220,22 +197,29 @@ object VectorIndex {
       element_at(cbCol, (j * kPerSub + code + 1).cast("int"))))
 
     val q = queries.select(col(idCol).as("q_id"),
-        col(vecCol).as("q_raw"),
-        Similarity.l2norm(col(vecCol)).as("q_norm"))
-      .withColumn("cell",
-        explode(Similarity.centroidProbe(col("q_raw"), cents, nProbe)))
+        Similarity.l2norm(col(vecCol)).as("q_norm"),
+        explode(Similarity.centroidProbe(col(vecCol), cents, nProbe))
+          .as("cell"))
+    // the broadcast scoring join carries q_norm per candidate (it
+    // must — ADC needs it), but the shortlist WINDOW exchange ships
+    // only (q_id, id, adc): the d-dim vectors are projected away
+    // before the shuffle and re-joined for the tiny surviving set
     val scored = corpus.select(col("id"), col("codes"), col("cell"))
       .join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("id"))
-      .withColumn("adc", graft.functions.GraftFunctions.dot_product(
-        col("q_norm"), recon))
+      .select(col("q_id"), col("id"),
+        graft.functions.GraftFunctions.dot_product(col("q_norm"), recon)
+          .as("adc"))
     val bySl = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("id"))
     val short = scored.withColumn("slrank", row_number().over(bySl))
       .filter(col("slrank") <= shortlist)
-      .select(col("q_id"), col("id"), col("q_raw"))
+      .select(col("q_id"), col("id"))
+    val qRaw = queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_raw"))
     val refined = short
       .join(corpus.select(col("id"), col("vec")), Seq("id"))
+      .join(broadcast(qRaw), Seq("q_id"))
       .withColumn("sim", graft.functions.GraftFunctions.cosine_sim(
         col("q_raw"), col("vec")))
     val w = Window.partitionBy(col("q_id"))

@@ -333,12 +333,9 @@ object IncrementalSync {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       if (chkDir.startsWith("/dev/shm")) {
-        try {
-          import java.nio.file._
-          Files.walk(Paths.get(chkDir))
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { Files.deleteIfExists(p); () })
-        } catch { case scala.util.control.NonFatal(_) => () }
+        try org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(chkDir))
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     // the memory sink pins the whole result on the driver for the

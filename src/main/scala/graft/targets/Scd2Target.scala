@@ -53,41 +53,17 @@ final case class Scd2Target(
   private def ledgerDir = new java.io.File(path, "_applies")
   private def manifestFile = new java.io.File(path, "data.swap-manifest")
 
-  /** Manifest-logged whole-dir swap (the FileTarget two-phase-commit
-    * pattern): stage fully, atomically record the staging dir, replay
-    * the idempotent rm+rename, delete the manifest. A crash anywhere
-    * between manifest write and delete is completed by the next
-    * reader/writer — the staged next-state is never lost mid-swap. */
-  private def commitSwap(staging: java.io.File): Unit = {
-    val tmp = java.nio.file.Paths.get(path, "data.swap-manifest.tmp")
-    java.nio.file.Files.createDirectories(tmp.getParent)
-    java.nio.file.Files.write(tmp, staging.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, manifestFile.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    completeSwap()
-  }
-
-  /** Idempotent replay of a recorded swap: a staged dir that still
-    * exists gets rm(live)+rename; one already renamed is skipped. */
-  private def completeSwap(): Unit = {
-    val staging = new java.io.File(new String(
-      java.nio.file.Files.readAllBytes(manifestFile.toPath),
-      java.nio.charset.StandardCharsets.UTF_8))
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    if (staging.exists()) {
-      if (dataDir.exists()) rm(dataDir)
-      staging.renameTo(dataDir)
-    } // else: the rename completed before the crash
-    manifestFile.delete()
-  }
+  /** Manifest-logged whole-dir swap — the shared
+    * [[graft.util.SwapCommit]] two-phase-commit primitive: a crash
+    * anywhere between manifest write and delete is completed by the
+    * next reader/writer, and the staged next-state is never lost
+    * mid-swap. */
+  private def commitSwap(staging: java.io.File): Unit =
+    graft.util.SwapCommit.commit(dataDir, staging, manifestFile)
 
   /** Finish a swap a crashed writer left pending — before any read. */
   private def recoverPendingSwap(): Unit =
-    if (manifestFile.exists()) completeSwap()
+    graft.util.SwapCommit.recover(dataDir, manifestFile)
 
   private def exists: Boolean = {
     val f = dataDir
