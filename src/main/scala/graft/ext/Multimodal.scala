@@ -835,17 +835,56 @@ object Multimodal {
   def decodeJpeg(media: DataFrame): Dataset[JpegFeatures] = {
     implicit val enc = Encoders.product[JpegFeatures]
     media.select("media_id", "content").mapPartitions { rows =>
-      // cos((2x+1)uπ/16)·C(u)/2 lookup, shared across the batch
-      val cosT = Array.tabulate(8, 8) { (x, u) =>
-        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
-        0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
-      }
+      val cosT = jpegCosTable()
+      rows.map(r =>
+        parseJpeg(r.getString(0), r.getAs[Array[Byte]](1), cosT))
+    }
+  }
+
+  final case class JpegOutcome(
+      media_id: String, ok: Long, width: Option[Int],
+      height: Option[Int], r_mean_milli: Option[Long],
+      g_mean_milli: Option[Long], b_mean_milli: Option[Long])
+
+  /** Corrupt-tolerant JPEG channel — per-record isolation over the
+    * strict T.81 parser, same contract as [[decodePpmChannel]] /
+    * [[decodeWavChannel]]: a truncated/garbage/null stream emits an
+    * ok=0 casualty row instead of failing the stage. */
+  def decodeJpegChannel(media: DataFrame): Dataset[JpegOutcome] = {
+    implicit val enc = Encoders.product[JpegOutcome]
+    media.select("media_id", "content").mapPartitions { rows =>
+      val cosT = jpegCosTable()
       rows.map { r =>
         val id = r.getString(0)
-        val b = r.getAs[Array[Byte]](1)
+        try {
+          val f = parseJpeg(id, r.getAs[Array[Byte]](1), cosT)
+          JpegOutcome(id, 1L, Some(f.width), Some(f.height),
+            Some(f.r_mean_milli), Some(f.g_mean_milli),
+            Some(f.b_mean_milli))
+        } catch { case scala.util.control.NonFatal(_) =>
+          JpegOutcome(id, 0L, None, None, None, None, None)
+        }
+      }
+    }
+  }
+
+  /** cos((2x+1)uπ/16)·C(u)/2 lookup, shared across a decode batch. */
+  private def jpegCosTable(): Array[Array[Double]] =
+    Array.tabulate(8, 8) { (x, u) =>
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+
+  /** The strict baseline parser shared by [[decodeJpeg]] (throwing)
+    * and [[decodeJpegChannel]] (per-record isolation). */
+  private def parseJpeg(
+      id: String, b: Array[Byte],
+      cosT: Array[Array[Double]]): JpegFeatures = {
+    {
         def fail(msg: String): Nothing =
           throw new IllegalArgumentException(s"$msg: media_id=$id")
-        if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        if (b == null || b.length < 4 ||
+            (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
           fail("not a JPEG")
         def u16(off: Int): Int =
           ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
@@ -1117,7 +1156,6 @@ object Multimodal {
         val nPix = w.toLong * h
         JpegFeatures(id, w, h, nComp, nPix, rs, gs, bs,
           rs * 1000 / nPix, gs * 1000 / nPix, bs * 1000 / nPix)
-      }
     }
   }
 

@@ -970,6 +970,20 @@ private[graft] object ExtRegistry {
       Multimodal.decodeWavChannel(media).toDF()
     }),
 
+    // lossy-codec counterpart of q_multimodal_corrupt: id%7==5 JFIF
+    // streams truncated to 40 bytes (mid-header — before any SOS);
+    // the tolerant T.81 channel emits ok=0 casualties and decodes
+    // the rest bit-exactly
+    "q_jpeg_corrupt" -> ((s, dir) => {
+      val media = Multimodal.synthesizeJpeg(
+          s.read.parquet(t(dir, "documents")), "doc_id")
+        .withColumn("content",
+          when(pmod(col("media_id").cast("long"), lit(7)) === 5,
+            expr("substring(content, 1, 40)"))
+            .otherwise(col("content")))
+      Multimodal.decodeJpegChannel(media).toDF()
+    }),
+
     // corrupt-media isolation: every id%7==2 blob truncated to its
     // first 10 bytes — the tolerant channel decodes the rest and
     // emits ok=0 rows for the casualties instead of failing the
@@ -2971,6 +2985,64 @@ private[graft] object ExtRegistry {
     // both halves from the id formula: id%7==2 rows are the truncated
     // casualties (ok=0, all features NULL); everything else replays
     // the q_multimodal_ppm means
+    // the q_multimodal_jpeg replay gated by the id%7=5 casualty rule
+    "q_jpeg_corrupt" ->
+      """WITH dim AS (
+        |  SELECT doc_id,
+        |         CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+        |         CAST(8 * (1 + doc_id % 2) AS INT) AS height
+        |  FROM documents),
+        |blk AS (SELECT doc_id, width, height,
+        |          unnest(range(0, CAST(width // 8 AS BIGINT)
+        |            * (height // 8))) AS bi
+        |        FROM dim),
+        |rgb AS (SELECT doc_id, width, height,
+        |          (doc_id * 31 + bi * 59 + 7) % 256 AS r,
+        |          (doc_id * 17 + bi * 83 + 3) % 256 AS g,
+        |          (doc_id * 13 + bi * 29 + 11) % 256 AS b
+        |        FROM blk),
+        |ycc AS (SELECT doc_id, width, height,
+        |   greatest(0, least(255, CAST(floor(
+        |     2.99e-1 * r + 5.87e-1 * g + 1.14e-1 * b + 5e-1)
+        |     AS INT)))AS y,
+        |   greatest(0, least(255, CAST(floor(
+        |     -1.68736e-1 * r - 3.31264e-1 * g + 5e-1 * b + 1.285e2)
+        |     AS INT))) AS cb,
+        |   greatest(0, least(255, CAST(floor(
+        |     5e-1 * r - 4.18688e-1 * g - 8.1312e-2 * b + 1.285e2)
+        |     AS INT))) AS cr
+        |  FROM rgb),
+        |dec AS (SELECT doc_id, width, height,
+        |   greatest(0, least(255, CAST(floor(
+        |     y + 1.402e0 * (cr - 128) + 5e-1) AS INT))) AS r2,
+        |   greatest(0, least(255, CAST(floor(
+        |     y - 3.44136e-1 * (cb - 128) - 7.14136e-1 * (cr - 128)
+        |     + 5e-1) AS INT))) AS g2,
+        |   greatest(0, least(255, CAST(floor(
+        |     y + 1.772e0 * (cb - 128) + 5e-1) AS INT))) AS b2
+        |  FROM ycc),
+        |s AS (SELECT doc_id, width, height,
+        |        CAST(width AS BIGINT) * height AS n_pix,
+        |        CAST(sum(r2) * 64 AS BIGINT) AS r_sum,
+        |        CAST(sum(g2) * 64 AS BIGINT) AS g_sum,
+        |        CAST(sum(b2) * 64 AS BIGINT) AS b_sum
+        |      FROM dec GROUP BY 1, 2, 3)
+        |SELECT CAST(doc_id AS VARCHAR) AS media_id,
+        |       CAST(CASE WHEN doc_id % 7 = 5 THEN 0 ELSE 1 END AS BIGINT)
+        |         AS ok,
+        |       CASE WHEN doc_id % 7 = 5 THEN NULL ELSE width END AS width,
+        |       CASE WHEN doc_id % 7 = 5 THEN NULL ELSE height END AS height,
+        |       CASE WHEN doc_id % 7 = 5 THEN NULL
+        |            ELSE CAST(r_sum * 1000 // n_pix AS BIGINT) END
+        |         AS r_mean_milli,
+        |       CASE WHEN doc_id % 7 = 5 THEN NULL
+        |            ELSE CAST(g_sum * 1000 // n_pix AS BIGINT) END
+        |         AS g_mean_milli,
+        |       CASE WHEN doc_id % 7 = 5 THEN NULL
+        |            ELSE CAST(b_sum * 1000 // n_pix AS BIGINT) END
+        |         AS b_mean_milli
+        |FROM s""".stripMargin,
+
     "q_multimodal_corrupt" ->
       """WITH dim AS (
         |  SELECT doc_id,
