@@ -315,14 +315,23 @@ object IncrementalSync {
         java.nio.file.Files
           .createTempDirectory(shm.toPath, "graft_chk_").toString
       else s"$workDir/chk"
+    // Append-mode replays land in a DISTRIBUTED parquet sink and read
+    // back through the sink's own _spark_metadata log — output never
+    // touches the driver, at any volume (retires the memory-sink
+    // collect the stream-join/enrich rows used to pay). Update mode
+    // has no file-sink support in Spark, so it keeps the memory sink
+    // — its certified rows emit per-touched-key deltas, gate-sized by
+    // construction.
+    val outDir = s"$workDir/replay_out_$name"
+    val append = outputMode == OutputMode.Append
     try {
-      val q = out.writeStream
+      val writer = out.writeStream
         .outputMode(outputMode)
-        .format("memory")
-        .queryName(name)
         .option("checkpointLocation", chkDir)
         .trigger(Trigger.AvailableNow())
-        .start()
+      val q =
+        if (append) writer.format("parquet").option("path", outDir).start()
+        else writer.format("memory").queryName(name).start()
       if (!q.awaitTermination(600000L)) {
         q.stop() // don't leave an orphaned stream contending for cores
         sys.error("replayTransform: streaming query did not terminate")
@@ -338,13 +347,23 @@ object IncrementalSync {
         catch { case scala.util.control.NonFatal(_) => () }
       }
     }
-    // the memory sink pins the whole result on the driver for the
-    // JVM's lifetime (clearCache does not release it) — snapshot to
-    // executor-side blocks and drop the sink table so repeated
-    // replays (bench min-of-3, retries) don't accumulate driver heap
-    val snap = spark.table(name).localCheckpoint()
-    spark.catalog.dropTempView(name)
-    snap
+    if (append) {
+      // an all-empty replay commits no data files — preserve the
+      // transform's schema instead of failing parquet inference
+      val hasData = Option(new java.io.File(outDir).listFiles())
+        .exists(_.exists(_.getName.endsWith(".parquet")))
+      if (hasData) spark.read.parquet(outDir)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), out.schema)
+    } else {
+      // the memory sink pins the result on the driver for the JVM's
+      // lifetime (clearCache does not release it) — snapshot to
+      // executor-side blocks and drop the sink table so repeated
+      // replays (bench min-of-3, retries) don't accumulate driver heap
+      val snap = spark.table(name).localCheckpoint()
+      spark.catalog.dropTempView(name)
+      snap
+    }
   }
 
   /**
