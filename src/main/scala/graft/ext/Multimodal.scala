@@ -698,9 +698,11 @@ object Multimodal {
    * MCUs with 0xFF byte stuffing, EOI — and the spec proves the JDK's
    * ImageIO decodes it pixel-exactly.
    */
-  def jpegEncode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
-    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
-      s"flat-block JPEG needs 8-aligned dims, got ${w}x$h")
+  def jpegEncode(w: Int, h: Int, rgb: Array[Byte],
+      chroma420: Boolean = false): Array[Byte] = {
+    val tile = if (chroma420) 16 else 8
+    require(w > 0 && h > 0 && w % tile == 0 && h % tile == 0,
+      s"flat-block JPEG needs $tile-aligned dims, got ${w}x$h")
     require(rgb.length == w * h * 3, "rgb length != w*h*3")
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -714,7 +716,10 @@ object Multimodal {
     u8(0x00); (0 until 64).foreach(_ => u8(1)) // all-ones = lossless quant
     marker(0xc0); u16(8 + 3 * 3) // SOF0 baseline
     u8(8); u16(h); u16(w); u8(3)
-    (1 to 3).foreach { c => u8(c); u8(0x11); u8(0) } // 1x1 sampling, qt 0
+    // 4:2:0: Y at 2x2, chroma 1x1; else 1x1 everywhere. qt 0 for all
+    u8(1); u8(if (chroma420) 0x22 else 0x11); u8(0)
+    u8(2); u8(0x11); u8(0)
+    u8(3); u8(0x11); u8(0)
     // DHT: DC table 0 — 12 category symbols, all code length 4
     marker(0xc4); u16(2 + 1 + 16 + 12)
     u8(0x00)
@@ -745,20 +750,30 @@ object Multimodal {
     // canonical codes for the tables above: DC cat s ⇒ code s (4 bits);
     // AC EOB ⇒ code 0 (1 bit)
     val pred = Array(0, 0, 0)
-    val bw = w / 8; val bh = h / 8
+    def encodeBlockDc(c: Int, v: Int): Unit = {
+      val dc = 8 * (v - 128)
+      val diff = dc - pred(c); pred(c) = dc
+      val mag = math.abs(diff)
+      val s = 32 - Integer.numberOfLeadingZeros(mag) // 0 for diff=0
+      putBits(s, 4) // DC category code == category, 4 bits
+      if (s > 0)
+        putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      putBits(0, 1) // AC: EOB
+    }
+    val bw = w / tile; val bh = h / tile
     var by = 0
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
         // tile color from the top-left pixel; require flatness
-        val px0 = (by * 8 * w + bx * 8) * 3
+        val px0 = (by * tile * w + bx * tile) * 3
         val r0 = rgb(px0) & 0xff; val g0 = rgb(px0 + 1) & 0xff
         val b0 = rgb(px0 + 2) & 0xff
         var yy = 0
-        while (yy < 8) {
+        while (yy < tile) {
           var xx = 0
-          while (xx < 8) {
-            val p = ((by * 8 + yy) * w + bx * 8 + xx) * 3
+          while (xx < tile) {
+            val p = ((by * tile + yy) * w + bx * tile + xx) * 3
             require((rgb(p) & 0xff) == r0 && (rgb(p + 1) & 0xff) == g0 &&
               (rgb(p + 2) & 0xff) == b0,
               s"tile ($bx,$by) is not flat — jpegEncode is the " +
@@ -768,18 +783,14 @@ object Multimodal {
           yy += 1
         }
         val (cy, cb, cr) = rgbToYcc(r0, g0, b0)
-        val comps = Array(cy, cb, cr)
-        var c = 0
-        while (c < 3) {
-          val dc = 8 * (comps(c) - 128)
-          val diff = dc - pred(c); pred(c) = dc
-          val mag = math.abs(diff)
-          val s = 32 - Integer.numberOfLeadingZeros(mag) // 0 for diff=0
-          putBits(s, 4) // DC category code == category, 4 bits
-          if (s > 0)
-            putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
-          putBits(0, 1) // AC: EOB
-          c += 1
+        if (chroma420) {
+          // one MCU = 4 Y blocks (2×2 raster) + Cb + Cr — the tile is
+          // flat, so the four Y blocks carry the same DC
+          encodeBlockDc(0, cy); encodeBlockDc(0, cy)
+          encodeBlockDc(0, cy); encodeBlockDc(0, cy)
+          encodeBlockDc(1, cb); encodeBlockDc(2, cr)
+        } else {
+          encodeBlockDc(0, cy); encodeBlockDc(1, cb); encodeBlockDc(2, cr)
         }
         bx += 1
       }
@@ -816,6 +827,30 @@ object Multimodal {
     }.toDF("media_id", "media_type", "content")
   }
 
+  /** One flat-16×16-tile 4:2:0 JPEG per document — the web-default
+    * subsampled layout, exact end-to-end because a flat tile's
+    * chroma is flat (the 4:4:4 convention of [[synthesizeJpeg]] at
+    * MCU granularity). */
+  def synthesizeJpeg420(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { d =>
+      val w = 16 * (1 + math.floorMod(d, 2L).toInt) // 16, 32
+      val h = 16 * (1 + math.floorMod(d, 3L).toInt) // 16, 32, 48
+      val rgb = new Array[Byte](w * h * 3)
+      val bw = w / 16
+      var p = 0
+      while (p < w * h) {
+        val bi = (p / w / 16) * bw + (p % w) / 16
+        rgb(p * 3) = math.floorMod(d * 41L + bi * 67L + 5L, 256L).toByte
+        rgb(p * 3 + 1) = math.floorMod(d * 23L + bi * 71L + 9L, 256L).toByte
+        rgb(p * 3 + 2) = math.floorMod(d * 19L + bi * 37L + 13L, 256L).toByte
+        p += 1
+      }
+      (d.toString, "image", jpegEncode(w, h, rgb, chroma420 = true))
+    }.toDF("media_id", "media_type", "content")
+  }
+
   final case class JpegFeatures(
       media_id: String, width: Int, height: Int, n_components: Int,
       n_pix: Long, r_sum: Long, g_sum: Long, b_sum: Long,
@@ -828,8 +863,9 @@ object Multimodal {
    * restart handling, entropy decode with 0xFF00 unstuffing, DC
    * prediction + AC run-length/ZRL, dequantization, float IDCT
    * (exact separable cosine form, floor(x+0.5) rounding), and BT.601
-   * color conversion. 4:4:4 only (sampling factors 1×1 — the
-   * documented scope; subsampled files fail loudly). Bytes never
+   * color conversion. General interleaved sampling up to 2×2 —
+   * 4:4:4, 4:2:0, 4:2:2, 4:4:0 — with replication chroma upsampling
+   * (exact for flat tiles; nearest-neighbor otherwise). Bytes never
    * shuffle; any malformed stream throws with the media id.
    */
   def decodeJpeg(media: DataFrame): Dataset[JpegFeatures] = {
@@ -896,6 +932,8 @@ object Multimodal {
           Array[Int])](2, 4)
         var w = 0; var h = 0; var nComp = 0
         var compQt: Array[Int] = null
+        var compH: Array[Int] = null
+        var compV: Array[Int] = null
         var compDc: Array[Int] = null
         var compAc: Array[Int] = null
         var restartInterval = 0
@@ -959,11 +997,15 @@ object Multimodal {
               nComp = b(seg + 5) & 0xff
               if (nComp != 3 && nComp != 1) fail(s"unsupported nComp=$nComp")
               compQt = new Array[Int](nComp)
+              compH = new Array[Int](nComp)
+              compV = new Array[Int](nComp)
               var c = 0
               while (c < nComp) {
                 val samp = b(seg + 7 + 3 * c) & 0xff
-                if (samp != 0x11)
-                  fail("subsampled JPEG unsupported (4:4:4 only)")
+                compH(c) = (samp >> 4) & 0x0f; compV(c) = samp & 0x0f
+                if (compH(c) < 1 || compH(c) > 2 ||
+                    compV(c) < 1 || compV(c) > 2)
+                  fail(s"unsupported sampling factor ${compH(c)}x${compV(c)}")
                 compQt(c) = b(seg + 8 + 3 * c) & 0xff
                 if (compQt(c) > 3)
                   fail(s"invalid component quant id ${compQt(c)}")
@@ -1028,18 +1070,84 @@ object Multimodal {
           if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
         }
 
-        val bw = w / 8 + (if (w % 8 != 0) 1 else 0)
-        val bh = h / 8 + (if (h % 8 != 0) 1 else 0)
-        val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+        // general interleaved-MCU geometry: each MCU carries
+        // compV(c)×compH(c) blocks per component — covers 4:4:4,
+        // 4:2:0, 4:2:2, 4:4:0; planes store each component at its
+        // NATIVE (possibly subsampled) resolution
+        val hmax = compH.max; val vmax = compV.max
+        val mcuCols = (w + 8 * hmax - 1) / (8 * hmax)
+        val mcuRows = (h + 8 * vmax - 1) / (8 * vmax)
+        val strideC = Array.tabulate(nComp)(c => mcuCols * 8 * compH(c))
+        val planes = Array.tabulate(nComp)(c =>
+          new Array[Int](strideC(c) * mcuRows * 8 * compV(c)))
         val pred = new Array[Int](nComp)
         val coef = new Array[Int](64)
         val blk = new Array[Int](64)
         val tmp = new Array[Double](64)
+        // decode one entropy-coded block of component c into blk
+        def decodeBlock(c: Int): Unit = {
+          java.util.Arrays.fill(coef, 0)
+          if (huff(0)(compDc(c)) == null || huff(1)(compAc(c)) == null)
+            fail("scan references an undefined huffman table")
+          val s0 = decodeHuff(huff(0)(compDc(c)))
+          pred(c) += receiveExtend(s0)
+          coef(0) = pred(c)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = decodeHuff(huff(1)(compAc(c)))
+            if (rs == 0x00) eob = true
+            else if (rs == 0xf0) k += 16
+            else {
+              k += (rs >> 4)
+              if (k > 63) fail("AC index out of range")
+              coef(ZigZag(k)) = receiveExtend(rs & 0x0f)
+              k += 1
+            }
+          }
+          val qt = quant(compQt(c))
+          if (qt == null) fail("missing quant table")
+          // dequant + separable IDCT (rows then columns); the quant
+          // table is in zigzag order, coef is natural — index qt by
+          // the zigzag position
+          var y0 = 0
+          while (y0 < 8) {
+            var x0 = 0
+            while (x0 < 8) {
+              var sum = 0.0
+              var u = 0
+              while (u < 8) {
+                sum += cosT(x0)(u) * coef(y0 * 8 + u) *
+                  qt(natToZig(y0 * 8 + u))
+                u += 1
+              }
+              tmp(y0 * 8 + x0) = sum
+              x0 += 1
+            }
+            y0 += 1
+          }
+          var x1 = 0
+          while (x1 < 8) {
+            var y1 = 0
+            while (y1 < 8) {
+              var sum = 0.0
+              var v = 0
+              while (v < 8) {
+                sum += cosT(y1)(v) * tmp(v * 8 + x1)
+                v += 1
+              }
+              blk(y1 * 8 + x1) = math.max(0, math.min(255,
+                math.floor(sum + 128.5).toInt))
+              y1 += 1
+            }
+            x1 += 1
+          }
+        }
         var mcu = 0
-        var by = 0
-        while (by < bh) {
-          var bx = 0
-          while (bx < bw) {
+        var my = 0
+        while (my < mcuRows) {
+          var mx = 0
+          while (mx < mcuCols) {
             if (restartInterval > 0 && mcu > 0 &&
                 mcu % restartInterval == 0) {
               // skip to the RSTn marker at a byte boundary
@@ -1050,99 +1158,54 @@ object Multimodal {
             }
             var c = 0
             while (c < nComp) {
-              java.util.Arrays.fill(coef, 0)
-              if (huff(0)(compDc(c)) == null || huff(1)(compAc(c)) == null)
-                fail("scan references an undefined huffman table")
-              val s0 = decodeHuff(huff(0)(compDc(c)))
-              pred(c) += receiveExtend(s0)
-              coef(0) = pred(c)
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = decodeHuff(huff(1)(compAc(c)))
-                if (rs == 0x00) eob = true
-                else if (rs == 0xf0) k += 16
-                else {
-                  k += (rs >> 4)
-                  if (k > 63) fail("AC index out of range")
-                  coef(ZigZag(k)) = receiveExtend(rs & 0x0f)
-                  k += 1
-                }
-              }
-              val qt = quant(compQt(c))
-              if (qt == null) fail("missing quant table")
-              // dequant + separable IDCT (rows then columns)
-              var y0 = 0
-              while (y0 < 8) {
-                var x0 = 0
-                while (x0 < 8) {
-                  var sum = 0.0
-                  var u = 0
-                  while (u < 8) {
-                    sum += cosT(x0)(u) * coef(y0 * 8 + u) * qt(
-                      {
-                        // quant table is in zigzag order; coef is
-                        // natural — index qt by the zigzag position
-                        // of (y0*8+u)
-                        natToZig(y0 * 8 + u)
-                      })
-                    u += 1
+              var bv = 0
+              while (bv < compV(c)) {
+                var bu = 0
+                while (bu < compH(c)) {
+                  decodeBlock(c)
+                  val plane = planes(c); val st = strideC(c)
+                  val rowOff = (my * compV(c) + bv) * 8
+                  val colOff = (mx * compH(c) + bu) * 8
+                  var yy = 0
+                  while (yy < 8) {
+                    var xx = 0
+                    while (xx < 8) {
+                      plane((rowOff + yy) * st + colOff + xx) =
+                        blk(yy * 8 + xx)
+                      xx += 1
+                    }
+                    yy += 1
                   }
-                  tmp(y0 * 8 + x0) = sum
-                  x0 += 1
+                  bu += 1
                 }
-                y0 += 1
-              }
-              var x1 = 0
-              while (x1 < 8) {
-                var y1 = 0
-                while (y1 < 8) {
-                  var sum = 0.0
-                  var v = 0
-                  while (v < 8) {
-                    sum += cosT(y1)(v) * tmp(v * 8 + x1)
-                    v += 1
-                  }
-                  val px = math.max(0, math.min(255,
-                    math.floor(sum + 128.5).toInt))
-                  blk(y1 * 8 + x1) = px
-                  y1 += 1
-                }
-                x1 += 1
-              }
-              val plane = planes(c)
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  plane((by * 8 + yy) * (bw * 8) + bx * 8 + xx) =
-                    blk(yy * 8 + xx)
-                  xx += 1
-                }
-                yy += 1
+                bv += 1
               }
               c += 1
             }
             mcu += 1
-            bx += 1
+            mx += 1
           }
-          by += 1
+          my += 1
         }
 
-        // color conversion + channel sums over the REAL w×h window
+        // color conversion + channel sums over the REAL w×h window;
+        // subsampled chroma upsamples by replication (box) — exact
+        // for the flat-tile certification streams, the standard
+        // nearest-neighbor convention otherwise
         var rs = 0L; var gs = 0L; var bs = 0L
-        val stride = bw * 8
         var py = 0
         while (py < h) {
           var px = 0
           while (px < w) {
-            val i = py * stride + px
+            def sample(c: Int): Int =
+              planes(c)((py * compV(c) / vmax) * strideC(c) +
+                px * compH(c) / hmax)
             if (nComp == 1) {
-              val yv = planes(0)(i); rs += yv; gs += yv; bs += yv
+              val yv = sample(0); rs += yv; gs += yv; bs += yv
             } else {
-              val yv = planes(0)(i).toDouble
-              val cb = planes(1)(i) - 128
-              val cr = planes(2)(i) - 128
+              val yv = sample(0).toDouble
+              val cb = sample(1) - 128
+              val cr = sample(2) - 128
               def cl(x: Double): Int =
                 math.max(0, math.min(255, math.floor(x).toInt))
               rs += cl(yv + 1.402 * cr + 0.5)

@@ -1024,6 +1024,17 @@ private[graft] object ExtRegistry {
       Multimodal.decodeJpeg(media).toDF()
     }),
 
+    // the web-default 4:2:0 layout through the same decoder: 16×16
+    // flat tiles keep the subsampled pipeline exact (flat chroma
+    // downsamples and replication-upsamples to itself), so the
+    // general MCU-interleave/upsample path certifies against the
+    // same pure id-formula oracle shape
+    "q_multimodal_jpeg420" -> ((s, dir) => {
+      val media = Multimodal.synthesizeJpeg420(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      Multimodal.decodeJpeg(media).toDF()
+    }),
+
     // ── REAL codec tier #2, audio: one valid RIFF/WAVE PCM file per
     // document (rate/channels/samples pure integer arithmetic in the
     // doc_id, plus a LIST junk chunk the parser must word-align
@@ -2985,6 +2996,57 @@ private[graft] object ExtRegistry {
     // both halves from the id formula: id%7==2 rows are the truncated
     // casualties (ok=0, all features NULL); everything else replays
     // the q_multimodal_ppm means
+    // 4:2:0 replay: same YCbCr round-trip arithmetic over 16×16
+    // tiles (×256 pixels per tile), dims 16·(1+d%2) × 16·(1+d%3)
+    "q_multimodal_jpeg420" ->
+      """WITH dim AS (
+        |  SELECT doc_id,
+        |         CAST(16 * (1 + doc_id % 2) AS INT) AS width,
+        |         CAST(16 * (1 + doc_id % 3) AS INT) AS height
+        |  FROM documents),
+        |blk AS (SELECT doc_id, width, height,
+        |          unnest(range(0, CAST(width // 16 AS BIGINT)
+        |            * (height // 16))) AS bi
+        |        FROM dim),
+        |rgb AS (SELECT doc_id, width, height,
+        |          (doc_id * 41 + bi * 67 + 5) % 256 AS r,
+        |          (doc_id * 23 + bi * 71 + 9) % 256 AS g,
+        |          (doc_id * 19 + bi * 37 + 13) % 256 AS b
+        |        FROM blk),
+        |ycc AS (SELECT doc_id, width, height,
+        |   greatest(0, least(255, CAST(floor(
+        |     2.99e-1 * r + 5.87e-1 * g + 1.14e-1 * b + 5e-1)
+        |     AS INT)))AS y,
+        |   greatest(0, least(255, CAST(floor(
+        |     -1.68736e-1 * r - 3.31264e-1 * g + 5e-1 * b + 1.285e2)
+        |     AS INT))) AS cb,
+        |   greatest(0, least(255, CAST(floor(
+        |     5e-1 * r - 4.18688e-1 * g - 8.1312e-2 * b + 1.285e2)
+        |     AS INT))) AS cr
+        |  FROM rgb),
+        |dec AS (SELECT doc_id, width, height,
+        |   greatest(0, least(255, CAST(floor(
+        |     y + 1.402e0 * (cr - 128) + 5e-1) AS INT))) AS r2,
+        |   greatest(0, least(255, CAST(floor(
+        |     y - 3.44136e-1 * (cb - 128) - 7.14136e-1 * (cr - 128)
+        |     + 5e-1) AS INT))) AS g2,
+        |   greatest(0, least(255, CAST(floor(
+        |     y + 1.772e0 * (cb - 128) + 5e-1) AS INT))) AS b2
+        |  FROM ycc),
+        |s AS (SELECT doc_id, width, height,
+        |        CAST(width AS BIGINT) * height AS n_pix,
+        |        CAST(sum(r2) * 256 AS BIGINT) AS r_sum,
+        |        CAST(sum(g2) * 256 AS BIGINT) AS g_sum,
+        |        CAST(sum(b2) * 256 AS BIGINT) AS b_sum
+        |      FROM dec GROUP BY 1, 2, 3)
+        |SELECT CAST(doc_id AS VARCHAR) AS media_id, width, height,
+        |       CAST(3 AS INT) AS n_components, n_pix,
+        |       r_sum, g_sum, b_sum,
+        |       CAST(r_sum * 1000 // n_pix AS BIGINT) AS r_mean_milli,
+        |       CAST(g_sum * 1000 // n_pix AS BIGINT) AS g_mean_milli,
+        |       CAST(b_sum * 1000 // n_pix AS BIGINT) AS b_mean_milli
+        |FROM s""".stripMargin,
+
     // the q_multimodal_jpeg replay gated by the id%7=5 casualty rule
     "q_jpeg_corrupt" ->
       """WITH dim AS (

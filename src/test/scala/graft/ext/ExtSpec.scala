@@ -539,6 +539,79 @@ class ExtSpec extends SparkSpec {
     assert(ex.toString.nonEmpty)
   }
 
+  test("multimodal JPEG 4:2:0: our subsampled stream decodes exactly " +
+      "and ImageIO agrees pixel-exactly; our decoder reads an " +
+      "ImageIO-written default-quality color JPEG (real 4:2:0, " +
+      "standard tables) within quantization rounding") {
+    val w = 32; val h = 16
+    val tiles = Array((40, 90, 200), (230, 30, 60))
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = tiles(x / 16)
+      val p = (y * w + x) * 3
+      rgb(p) = r.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = b.toByte
+    }
+    val jpg = Multimodal.jpegEncode(w, h, rgb, chroma420 = true)
+    val f = Multimodal.decodeJpeg(Seq(("x", "image", jpg))
+      .toDF("media_id", "media_type", "content")).collect().head
+    def cl(x: Double) = math.max(0, math.min(255, math.floor(x).toInt))
+    val exp = tiles.map { case (r, g, b) =>
+      val y0 = cl(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+      val cb = cl(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.5)
+      val cr = cl(0.5 * r - 0.418688 * g - 0.081312 * b + 128.5)
+      (cl(y0 + 1.402 * (cr - 128) + 0.5),
+        cl(y0 - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5),
+        cl(y0 + 1.772 * (cb - 128) + 0.5))
+    }
+    assert(f.r_sum === exp.map(_._1.toLong * 256).sum)
+    assert(f.g_sum === exp.map(_._2.toLong * 256).sum)
+    assert(f.b_sum === exp.map(_._3.toLong * 256).sum)
+    // the JDK decodes our subsampled stream and agrees on every
+    // TILE-INTERIOR pixel: ImageIO's chroma upsampler interpolates
+    // (ours replicates), so only pixels within a chroma-filter
+    // radius of the tile boundary may differ — interior flat regions
+    // are upsampling-filter-invariant
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w
+         if (x % 16) >= 4 && (x % 16) < 12) {
+      val (er, eg, eb) = exp(x / 16)
+      val argb = img.getRGB(x, y)
+      assert(((argb >> 16) & 0xff) === er, s"R at ($x,$y)")
+      assert(((argb >> 8) & 0xff) === eg, s"G at ($x,$y)")
+      assert((argb & 0xff) === eb, s"B at ($x,$y)")
+    }
+    // reverse direction: the JDK writes a flat-tile RGB image at its
+    // default quality (real-world 4:2:0 layout, standard quant +
+    // huffman tables, non-trivial DC quantization). GRAY tiles keep
+    // the chroma planes globally uniform, so ImageIO's interpolating
+    // upsampler and our replication agree everywhere and the only
+    // divergence left is integer-IDCT rounding (±1/pixel)
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (x < 16) 60 else 200
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "jpg", bos)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    var rr = 0L; var rg = 0L; var rb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = ref.getRGB(x, y)
+      rr += (a >> 16) & 0xff; rg += (a >> 8) & 0xff; rb += a & 0xff
+    }
+    val gf = Multimodal.decodeJpeg(Seq(("g", "image", bos.toByteArray))
+      .toDF("media_id", "media_type", "content")).collect().head
+    assert(gf.width === w && gf.height === h && gf.n_components === 3)
+    val tol = w.toLong * h // ±1 per pixel
+    assert(math.abs(gf.r_sum - rr) <= tol, s"R ${gf.r_sum} vs $rr")
+    assert(math.abs(gf.g_sum - rg) <= tol, s"G ${gf.g_sum} vs $rg")
+    assert(math.abs(gf.b_sum - rb) <= tol, s"B ${gf.b_sum} vs $rb")
+  }
+
   test("multimodal PPM: encode/decode round-trip on a hand-computed " +
       "image; comments and whitespace in the header are parsed") {
     // 2x1 image: pixels (10,20,30) and (40,50,60)
