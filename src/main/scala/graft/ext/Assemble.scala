@@ -675,6 +675,55 @@ object Assemble {
       .select(col("tok"), col("df"), col("rank"), col("id"), col("tf"))
   }
 
+  /**
+   * Fill-in-the-middle transform (Bavarian et al. 2022,
+   * arXiv:2207.14255) — the standard code-training augmentation:
+   * for a deterministic `fimRateMilli`/1000 fraction of documents,
+   * split the text at two pseudo-random points and re-arrange as
+   * PSM (`<|fim_prefix|>P<|fim_suffix|>S<|fim_middle|>M`) or, for a
+   * `spmRateMilli`/1000 sub-fraction, SPM (suffix first); the rest
+   * pass through untouched. All "randomness" is the engine-portable
+   * 60-bit md5 hash over salted id strings, and the splits are
+   * substring arithmetic — so another engine replays every byte of
+   * the output, and re-running the pipeline is idempotent (the
+   * augmentation a training run saw is reconstructible from ids
+   * alone). One narrow projection: zero shuffles, linear to 100 TB.
+   */
+  def fimTransform(
+      df: DataFrame, idCol: String, textCol: String,
+      fimRateMilli: Long = 500, spmRateMilli: Long = 500): DataFrame = {
+    require(fimRateMilli >= 0 && fimRateMilli <= 1000 &&
+      spmRateMilli >= 0 && spmRateMilli <= 1000,
+      "rates are milli-fractions in [0, 1000]")
+    val t = col(textCol)
+    val n = length(t)
+    val idStr = col(idCol).cast("string")
+    def h(salt: String): Column =
+      TextAnalysis.portableHash60(concat(idStr, lit(salt)))
+    val applied = pmod(h("#fim"), lit(1000L)) < fimRateMilli && n >= 2
+    val p1 = pmod(h("#s1"), (n + 1).cast("long"))
+    val p2 = pmod(h("#s2"), (n + 1).cast("long"))
+    val lo = least(p1, p2).cast("int")
+    val hi = greatest(p1, p2).cast("int")
+    val prefix = t.substr(lit(1), lo)
+    val middle = t.substr(lo + 1, hi - lo)
+    val suffix = t.substr(hi + 1, n - hi)
+    val spm = pmod(h("#spm"), lit(1000L)) < spmRateMilli
+    val psmText = concat(lit("<|fim_prefix|>"), prefix,
+      lit("<|fim_suffix|>"), suffix, lit("<|fim_middle|>"), middle)
+    val spmText = concat(lit("<|fim_suffix|>"), suffix,
+      lit("<|fim_prefix|>"), prefix, lit("<|fim_middle|>"), middle)
+    graft.util.Tables.spread(df).select(
+      col(idCol).as("id"),
+      when(applied, when(spm, lit("spm")).otherwise(lit("psm")))
+        .otherwise(lit("none")).as("fim_mode"),
+      when(applied, lo.cast("long")).as("split_lo"),
+      when(applied, hi.cast("long")).as("split_hi"),
+      when(applied, when(spm, spmText).otherwise(psmText))
+        .otherwise(t).as("fim_text"),
+      n.cast("long").as("n_chars"))
+  }
+
   // ── Incremental RAG-index maintenance ─────────────────────────────
 
   /**

@@ -1180,6 +1180,15 @@ private[graft] object ExtRegistry {
       pub2
     }),
 
+    // fill-in-the-middle augmentation (Bavarian 2022): deterministic
+    // portable-hash gating + substring re-arrangement — every output
+    // byte replays in the oracle; zero shuffles
+    "q_fim_transform" -> ((s, dir) =>
+      Assemble.fimTransform(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        fimRateMilli = 600, spmRateMilli = 500)
+        .withColumnRenamed("id", "doc_id")),
+
     // curriculum phases: distributed global rank by difficulty proxy
     // (n_chars) + exact integer bucket math — no single-task window
     "q_curriculum" -> ((s, dir) =>
@@ -3338,6 +3347,49 @@ private[graft] object ExtRegistry {
         |SELECT tok, CAST(df AS BIGINT) AS df, CAST(rank AS INTEGER)
         |         AS rank, chunk_id, tf
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // byte-exact FIM replay: same salted portable hashes, same
+    // substring arithmetic
+    "q_fim_transform" -> {
+      val hFim = duckHash60("CAST(doc_id AS VARCHAR) || '#fim'")
+      val hS1 = duckHash60("CAST(doc_id AS VARCHAR) || '#s1'")
+      val hS2 = duckHash60("CAST(doc_id AS VARCHAR) || '#s2'")
+      val hSpm = duckHash60("CAST(doc_id AS VARCHAR) || '#spm'")
+      s"""WITH base AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |         ($hFim) % 1000 < 600 AND length(text) >= 2 AS applied,
+         |         ($hSpm) % 1000 < 500 AS spm,
+         |         ($hS1) % (length(text) + 1) AS p1,
+         |         ($hS2) % (length(text) + 1) AS p2
+         |  FROM documents),
+         |sp AS (SELECT doc_id, text, n, applied, spm,
+         |         least(p1, p2) AS lo, greatest(p1, p2) AS hi
+         |       FROM base),
+         |parts AS (SELECT doc_id, text, n, applied, spm, lo, hi,
+         |            substr(text, 1, CAST(lo AS INT)) AS pre,
+         |            substr(text, CAST(lo + 1 AS INT),
+         |              CAST(hi - lo AS INT)) AS mid,
+         |            substr(text, CAST(hi + 1 AS INT),
+         |              CAST(n - hi AS INT)) AS suf
+         |          FROM sp)
+         |SELECT doc_id,
+         |  CASE WHEN applied THEN
+         |         CASE WHEN spm THEN 'spm' ELSE 'psm' END
+         |       ELSE 'none' END AS fim_mode,
+         |  CASE WHEN applied THEN CAST(lo AS BIGINT) END AS split_lo,
+         |  CASE WHEN applied THEN CAST(hi AS BIGINT) END AS split_hi,
+         |  CASE WHEN applied THEN
+         |         CASE WHEN spm THEN
+         |           '<|fim_suffix|>' || suf || '<|fim_prefix|>' || pre
+         |             || '<|fim_middle|>' || mid
+         |         ELSE
+         |           '<|fim_prefix|>' || pre || '<|fim_suffix|>' || suf
+         |             || '<|fim_middle|>' || mid
+         |         END
+         |       ELSE text END AS fim_text,
+         |  CAST(n AS BIGINT) AS n_chars
+         |FROM parts""".stripMargin
+    },
 
     // full-rebuild replay over the FINAL corpus — the incremental
     // path must match it bit-exactly after the two syncs

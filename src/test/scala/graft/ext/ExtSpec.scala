@@ -1839,6 +1839,42 @@ class ExtSpec extends SparkSpec {
     assert(re === out)
   }
 
+  test("fim transform: splits reconstruct the original text, modes " +
+      "follow the hash gates, rate 0 passes everything through, " +
+      "rate 1000 transforms every doc") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "kl"), (3L, "mnopqrstuv"),
+      (4L, "w")).toDF("doc_id", "text")
+    val out = Assemble.fimTransform(docs, "doc_id", "text",
+      fimRateMilli = 1000, spmRateMilli = 500).collect()
+      .map(r => r.get(0).toString -> r).toMap
+    docs.collect().foreach { d =>
+      val id = d.getLong(0).toString; val text = d.getString(1)
+      val r = out(id)
+      val mode = r.getString(1)
+      if (text.length < 2) {
+        assert(mode === "none" && r.getString(4) === text)
+      } else {
+        assert(mode == "psm" || mode == "spm")
+        val lo = r.getLong(2).toInt; val hi = r.getLong(3).toInt
+        assert(0 <= lo && lo <= hi && hi <= text.length)
+        val (pre, mid, suf) = (text.substring(0, lo),
+          text.substring(lo, hi), text.substring(hi))
+        val expect =
+          if (mode == "spm")
+            s"<|fim_suffix|>$suf<|fim_prefix|>$pre<|fim_middle|>$mid"
+          else
+            s"<|fim_prefix|>$pre<|fim_suffix|>$suf<|fim_middle|>$mid"
+        assert(r.getString(4) === expect)
+      }
+    }
+    // rate 0: byte-identical pass-through
+    val none = Assemble.fimTransform(docs, "doc_id", "text",
+      fimRateMilli = 0).collect()
+    assert(none.forall(r => r.getString(1) == "none"))
+    assert(none.map(r => r.get(0).toString -> r.getString(4)).toMap ===
+      docs.collect().map(d => d.getLong(0).toString -> d.getString(1)).toMap)
+  }
+
   test("incremental rag index: ChangeSet-driven refresh equals full " +
     "rebuild, and untouched tokens are carried over, not recomputed") {
     def pub(df: org.apache.spark.sql.DataFrame) =
