@@ -954,6 +954,10 @@ object Multimodal {
               while (q < seg + len - 2) {
                 val prec = (b(q) & 0xf0) >> 4; val tid = b(q) & 0x0f
                 if (tid > 3) fail(s"invalid quant table id $tid")
+                // bound by the SEGMENT end, not the buffer: a table
+                // must not read into the next segment's bytes
+                if (q + 1 + (if (prec == 0) 64 else 128) > seg + len - 2)
+                  fail("quant table overruns segment")
                 val t = new Array[Int](64)
                 var i = 0
                 while (i < 64) {
@@ -970,11 +974,13 @@ object Multimodal {
                 val cls = (b(q) & 0xf0) >> 4; val tid = b(q) & 0x0f
                 if (cls > 1 || tid > 3)
                   fail(s"invalid huffman table class/id $cls/$tid")
+                if (q + 17 > seg + len - 2)
+                  fail("huffman table header overruns segment")
                 val bits = Array.tabulate(17)(i =>
                   if (i == 0) 0 else b(q + i) & 0xff)
                 val total = bits.sum
-                if (q + 17 + total > b.length)
-                  fail("huffman table overruns buffer")
+                if (q + 17 + total > seg + len - 2)
+                  fail("huffman table overruns segment")
                 val vals = Array.tabulate(total)(i => b(q + 17 + i) & 0xff)
                 // canonical code assignment
                 val minC = new Array[Int](17); val maxC = new Array[Int](17)
@@ -1070,6 +1076,10 @@ object Multimodal {
           if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
         }
 
+        // T.81 A.2: a SINGLE-component scan is NON-interleaved — the
+        // MCU is one data unit and the SOF sampling factors do not
+        // shape the scan (a grayscale file may legally declare 2×2)
+        if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
         // general interleaved-MCU geometry: each MCU carries
         // compV(c)×compH(c) blocks per component — covers 4:4:4,
         // 4:2:0, 4:2:2, 4:4:0; planes store each component at its

@@ -68,11 +68,15 @@ object VectorIndex {
     // frame leaves no footer to infer a schema from — write flat so
     // the table stays readable; `cell` is then a data column, which
     // the probe join handles identically (it just loses pruning).
-    if (encoded.isEmpty)
-      encoded.write.parquet(corpusPath(staging))
-    else
-      encoded.repartition(col("cell"))
+    // persist() around the probe+write so the emptiness check costs
+    // one partition, not a full re-execution of the (possibly
+    // refresh-merged) plan before the write runs it again.
+    val mat = encoded.persist()
+    try {
+      if (mat.isEmpty) mat.write.parquet(corpusPath(staging))
+      else mat.repartition(col("cell"))
         .write.partitionBy("cell").parquet(corpusPath(staging))
+    } finally { mat.unpersist(); () }
   }
 
   /** One-pass corpus encode: cell assignment + PQ codes + the raw

@@ -1054,7 +1054,9 @@ private[graft] object ExtRegistry {
     // (both directions, namespaced node ids) — integer arithmetic
     // end-to-end, so the distributed power iteration is exactly
     // oracle-replayable (double sums are order-dependent; longs
-    // aren't)
+    // aren't). pageRank returns a persisted (caller-owned) frame;
+    // the Verify/Bench/TimeQ harnesses release it via their
+    // per-query clearCache.
     "q_pagerank" -> ((s, dir) => {
       val o = tbl(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))

@@ -26,7 +26,8 @@ object SwapCommit {
     * the staging dir is fully materialized — then complete the swap. */
   def commit(live: File, staging: File, manifest: File): Unit = {
     val tmp = Paths.get(manifest.getPath + ".tmp")
-    Files.createDirectories(tmp.getParent)
+    // a cwd-relative single-segment manifest path has no parent
+    Option(tmp.getParent).foreach(p => Files.createDirectories(p))
     Files.writeString(tmp, staging.getPath)
     Files.move(tmp, manifest.toPath,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)

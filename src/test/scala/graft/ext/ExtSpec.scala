@@ -530,6 +530,22 @@ class ExtSpec extends SparkSpec {
       refSum += ref.getRaster.getSample(x, y, 0)
     assert(math.abs(gf.r_sum - refSum) <= gw.toLong * gh,
       s"our=${gf.r_sum} imageio=$refSum")
+    // T.81 A.2: a single-component scan is NON-interleaved — a
+    // grayscale file legally declaring 2x2 sampling in SOF0 must
+    // decode identically (factors ignored), not desync the stream
+    val g22 = gjpg.clone()
+    var sp = 2
+    var sofSamp = -1
+    while (sofSamp < 0) {
+      val m = g22(sp + 1) & 0xff
+      if (m == 0xc0) sofSamp = sp + 2 + 2 + 1 + 2 + 2 + 1 + 1
+      else sp += 2 + (((g22(sp + 2) & 0xff) << 8) | (g22(sp + 3) & 0xff))
+    }
+    assert((g22(sofSamp) & 0xff) === 0x11)
+    g22(sofSamp) = 0x22.toByte
+    val gf22 = Multimodal.decodeJpeg(Seq(("g22", "image", g22))
+      .toDF("media_id", "media_type", "content")).collect().head
+    assert(gf22.r_sum === gf.r_sum && gf22.width === gw)
     // integrity: truncating the entropy stream must throw, not hang
     val trunc = java.util.Arrays.copyOf(jpg, jpg.length - 12)
     val ex = intercept[org.apache.spark.SparkException] {
@@ -1774,21 +1790,24 @@ class ExtSpec extends SparkSpec {
     "hand-computed fixed-point iteration exactly") {
     // a<->b, outdeg 1 each: contrib = rank, rank' = 150k + 850k = 1e6
     val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
-    val rc = Graph.pageRank(cyc, "src", "dst", iterations = 3)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val rcDf = Graph.pageRank(cyc, "src", "dst", iterations = 3)
+    val rc = rcDf.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    rcDf.unpersist() // pageRank returns a persisted frame (caller-owned)
     assert(rc === Map("a" -> 1000000L, "b" -> 1000000L))
     // undirected star: center c with leaves l1, l2 (hand-iterated:
     // i1 c=1850000 leaf=575000; i2 c=1127500 leaf=936250;
     // i3 c=1741625 leaf=629187 — exact integers, floor division)
     val star = Seq(("c", "l1"), ("c", "l2"), ("l1", "c"), ("l2", "c"))
       .toDF("src", "dst")
-    val rs = Graph.pageRank(star, "src", "dst", iterations = 3)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val rsDf = Graph.pageRank(star, "src", "dst", iterations = 3)
+    val rs = rsDf.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    rsDf.unpersist()
     assert(rs === Map(
       "c" -> 1741625L, "l1" -> 629187L, "l2" -> 629187L))
     // partitioning-invariant: integer arithmetic, any layout
-    val rs7 = Graph.pageRank(star.repartition(7), "src", "dst", 3)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val rs7Df = Graph.pageRank(star.repartition(7), "src", "dst", 3)
+    val rs7 = rs7Df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    rs7Df.unpersist()
     assert(rs7 === rs)
   }
 

@@ -125,9 +125,10 @@ class PropertySpec extends SparkSpec {
       "arithmetic exact)") {
     val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     check(Prop.forAll(Gen.choose(0L, 1000L)) { damp =>
-      val r = Graph.pageRank(cyc, "src", "dst", iterations = 2,
+      val rDf = Graph.pageRank(cyc, "src", "dst", iterations = 2,
         dampMilli = damp)
-        .collect().map(x => x.getLong(1))
+      val r = rDf.collect().map(x => x.getLong(1))
+      rDf.unpersist() // persisted frame is caller-owned
       r.forall(_ == 1000000L)
     }, n = 8)
   }
