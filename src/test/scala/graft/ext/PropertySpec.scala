@@ -16,6 +16,63 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("fimTransform: for ANY text and id, stripping the sentinels " +
+      "and re-assembling prefix+middle+suffix reconstructs the " +
+      "original text byte-for-byte, in both PSM and SPM modes") {
+    val gen = for {
+      id <- Gen.choose(1L, 10000L)
+      text <- Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    } yield (id, text)
+    check(Prop.forAll(gen) { case (id, text) =>
+      val df = Seq((id, text)).toDF("doc_id", "text")
+      val r = Assemble.fimTransform(df, "doc_id", "text",
+        fimRateMilli = 1000, spmRateMilli = 500).collect().head
+      val mode = r.getString(1); val out = r.getString(4)
+      if (mode == "none") out == text // len < 2 gate
+      else {
+        val lo = r.getLong(2).toInt; val hi = r.getLong(3).toInt
+        val pre = text.substring(0, lo)
+        val mid = text.substring(lo, hi)
+        val suf = text.substring(hi)
+        val expect =
+          if (mode == "spm")
+            s"<|fim_suffix|>$suf<|fim_prefix|>$pre<|fim_middle|>$mid"
+          else
+            s"<|fim_prefix|>$pre<|fim_suffix|>$suf<|fim_middle|>$mid"
+        out == expect && (pre + mid + suf) == text
+      }
+    }, n = 12)
+  }
+
+  test("annotateQuality: for ANY random text the fused single-pass " +
+      "signals equal the standalone shuffling operators' " +
+      "(repetitionSignals and charEntropy) outputs exactly") {
+    val wordGen = Gen.oneOf("the", "cat", "sat", "on", "mat", "a", "b")
+    val gen = Gen.choose(1, 30).flatMap(k =>
+      Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+    check(Prop.forAll(gen) { text =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val fused = TextAnalysis.annotateQuality(df, "doc_id", "text")
+        .select("n_tokens", "n_distinct", "top_tok_n", "top_2gram_n",
+          "max_run", "dup_tok_frac", "ent_n_chars", "ent_n_distinct",
+          "entropy_unats").collect().head
+      val rep = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+        .select("n_tokens", "n_distinct", "top_tok_n", "top_2gram_n",
+          "max_run", "dup_tok_frac").collect().head
+      val ent = TextAnalysis.charEntropy(df, "doc_id", "text")
+        .select("n_chars", "n_distinct", "entropy_unats").collect().head
+      fused.getLong(0) == rep.getLong(0) &&
+      fused.getLong(1) == rep.getLong(1) &&
+      fused.getLong(2) == rep.getLong(2) &&
+      fused.getLong(3) == rep.getLong(3) &&
+      fused.getLong(4) == rep.getLong(4) &&
+      fused.getDouble(5) == rep.getDouble(5) &&
+      fused.getLong(6) == ent.getLong(0) &&
+      fused.getLong(7) == ent.getLong(1) &&
+      fused.getLong(8) == ent.getLong(2)
+    }, n = 10)
+  }
+
   test("chunkText: for ANY (nTokens, chunkTokens, overlap) the chunk " +
       "rows tile the token range — first starts at 1, strides are " +
       "uniform, lengths are exact, the last chunk reaches token n") {
