@@ -676,6 +676,40 @@ object Assemble {
   }
 
   /**
+   * Apply an ORDERED BPE merge list to the corpus word-type table —
+   * the tokenizer-APPLY path (the production op that runs over every
+   * corpus ingest; training the merges is [[bpeTrain]], certified
+   * against the Sennrich hand example). Each word splits to
+   * space-separated symbols and the merges rewrite it in sequence;
+   * `replace` is leftmost-nonoverlapping-all, exactly BPE's merge
+   * application rule, and string-exact across engines. Output is the
+   * top-`topWords` vocabulary (freq desc, word asc — a total order)
+   * with each word's piece sequence and count.
+   *
+   * Scale shape: ONE corpus shuffle builds the word-type table (the
+   * [[wordTypeTable]] map-side-combined groupBy); the merge chain is
+   * a narrow expression over the bounded vocabulary, and the top-N
+   * collapses through TakeOrdered — no global sort materializes.
+   */
+  def bpeApply(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], topWords: Int = 200): DataFrame = {
+    require(merges.nonEmpty && topWords > 0,
+      "merges must be non-empty and topWords positive")
+    val top = wordTypeTable(df, idCol, textCol)
+      .orderBy(col("freq").desc, col("w")).limit(topWords)
+    // "a b c" symbol form via a global per-char rewrite — identical
+    // string machinery in DuckDB (regexp_replace … 'g' + rtrim)
+    val spaced = rtrim(regexp_replace(col("w"), "(.)", "$1 "))
+    val pieces = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      replace(acc, lit(s"$a $b"), lit(a + b))
+    }
+    top.select(col("w"), col("freq"), pieces.as("pieces"))
+      .withColumn("n_pieces",
+        size(split(col("pieces"), " ")).cast("long"))
+  }
+
+  /**
    * Fill-in-the-middle transform (Bavarian et al. 2022,
    * arXiv:2207.14255) — the standard code-training augmentation:
    * for a deterministic `fimRateMilli`/1000 fraction of documents,

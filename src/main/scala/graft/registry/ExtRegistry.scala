@@ -1182,6 +1182,18 @@ private[graft] object ExtRegistry {
       pub2
     }),
 
+    // BPE APPLY over the top-200 vocabulary with a fixed 8-merge
+    // ladder (t+h→th→the, i+n, a+n→and, e+r, o+n) — certifies the
+    // tokenizer-apply path (training is bpeTrain, spec-certified);
+    // replace is leftmost-nonoverlap-all in both engines, so every
+    // piece string replays byte-exactly
+    "q_bpe_apply" -> ((s, dir) =>
+      Assemble.bpeApply(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+          "an" -> "d", "e" -> "r", "o" -> "n", "o" -> "u"),
+        topWords = 200)),
+
     // fill-in-the-middle augmentation (Bavarian 2022): deterministic
     // portable-hash gating + substring re-arrangement — every output
     // byte replays in the oracle; zero shuffles
@@ -3349,6 +3361,29 @@ private[graft] object ExtRegistry {
         |SELECT tok, CAST(df AS BIGINT) AS df, CAST(rank AS INTEGER)
         |         AS rank, chunk_id, tf
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // byte-exact BPE-apply replay: same merge chain over the same
+    // total-order top-200 vocabulary
+    "q_bpe_apply" -> {
+      val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+        "an" -> "d", "e" -> "r", "o" -> "n", "o" -> "u")
+      val chain = merges.foldLeft(
+        "rtrim(regexp_replace(w, '(.)', '\\1 ', 'g'))") {
+        case (acc, (a, b)) => s"replace($acc, '$a $b', '$a$b')"
+      }
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+         |  FROM documents),
+         |types AS (SELECT w, count(*) AS freq FROM toks
+         |          WHERE length(w) > 0 GROUP BY w),
+         |top AS (SELECT w, CAST(freq AS BIGINT) AS freq FROM types
+         |        ORDER BY freq DESC, w LIMIT 200)
+         |SELECT w, freq, $chain AS pieces,
+         |       CAST(len(string_split($chain, ' ')) AS BIGINT)
+         |         AS n_pieces
+         |FROM top""".stripMargin
+    },
 
     // byte-exact FIM replay: same salted portable hashes, same
     // substring arithmetic

@@ -1858,6 +1858,28 @@ class ExtSpec extends SparkSpec {
     assert(re === out)
   }
 
+  test("bpeApply: merge ladder applies in order with leftmost-" +
+      "nonoverlap semantics; vocabulary is total-ordered top-N") {
+    val docs = Seq(
+      (1L, "then and onon then"),
+      (2L, "then zz")).toDF("doc_id", "text")
+    val out = Assemble.bpeApply(docs, "doc_id", "text",
+      merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+        "an" -> "d", "e" -> "r", "o" -> "n", "o" -> "u"),
+      topWords = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    // freq: then=3, and=1, onon=1, zz=1 → top-3 by (freq desc, w asc)
+    // = then, and, onon
+    assert(out.toSet === Set(
+      // t h e n → th e n → the n
+      ("then", 3L, "the n", 2L),
+      // a n d → an d → and
+      ("and", 1L, "and", 1L),
+      // o n o n → on on (o+n fires at both non-overlapping sites)
+      ("onon", 1L, "on on", 2L)))
+  }
+
   test("fim transform: splits reconstruct the original text, modes " +
       "follow the hash gates, rate 0 passes everything through, " +
       "rate 1000 transforms every doc") {
