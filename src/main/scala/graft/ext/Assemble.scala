@@ -676,13 +676,39 @@ object Assemble {
   }
 
   /**
+   * BOUNDARY-AWARE merge-chain expression shared by [[bpeApply]] and
+   * [[bpeEncode]]: the word renders to the canonical "every symbol
+   * wrapped in its own spaces" form — `" c "` per character plus a
+   * trailing `" </w> "` end-of-word marker (the [[bpeTrain]] symbol
+   * alphabet) — so adjacent symbols are separated by a DOUBLE space
+   * and each merge is a plain-substring `replace(" a  b ", " ab ")`.
+   * Because every symbol owns both of its delimiter spaces, a match
+   * can never span a symbol boundary (`"o the r"` + merge (e,r) does
+   * NOT fire on the trailing `e` of `the`) and consecutive
+   * occurrences never share boundary characters, so
+   * leftmost-nonoverlapping `replace` IS Sennrich merge application
+   * — greedy left-to-right over whole symbols — with no regex and
+   * no fixpoint iteration, byte-exact in any engine.
+   */
+  private def bpeMergeChain(
+      word: Column, merges: Seq[(String, String)]): Column = {
+    val spaced = concat(
+      regexp_replace(word, "(.)", " $1 "), lit(" </w> "))
+    val merged = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      replace(acc, lit(s" $a  $b "), lit(s" ${a + b} "))
+    }
+    trim(replace(merged, lit("  "), lit(" ")))
+  }
+
+  /**
    * Apply an ORDERED BPE merge list to the corpus word-type table —
    * the tokenizer-APPLY path (the production op that runs over every
    * corpus ingest; training the merges is [[bpeTrain]], certified
-   * against the Sennrich hand example). Each word splits to
-   * space-separated symbols and the merges rewrite it in sequence;
-   * `replace` is leftmost-nonoverlapping-all, exactly BPE's merge
-   * application rule, and string-exact across engines. Output is the
+   * against the Sennrich hand example). Each word splits to the
+   * [[bpeTrain]] symbol alphabet (characters + `</w>` end-of-word
+   * marker — the SAME alphabet training emits merges over, so
+   * trained merges actually apply) and the merges rewrite it in
+   * sequence via the boundary-aware [[bpeMergeChain]]. Output is the
    * top-`topWords` vocabulary (freq desc, word asc — a total order)
    * with each word's piece sequence and count.
    *
@@ -698,15 +724,52 @@ object Assemble {
       "merges must be non-empty and topWords positive")
     val top = wordTypeTable(df, idCol, textCol)
       .orderBy(col("freq").desc, col("w")).limit(topWords)
-    // "a b c" symbol form via a global per-char rewrite — identical
-    // string machinery in DuckDB (regexp_replace … 'g' + rtrim)
-    val spaced = rtrim(regexp_replace(col("w"), "(.)", "$1 "))
-    val pieces = merges.foldLeft(spaced) { case (acc, (a, b)) =>
-      replace(acc, lit(s"$a $b"), lit(a + b))
-    }
-    top.select(col("w"), col("freq"), pieces.as("pieces"))
+    top.select(col("w"), col("freq"),
+        bpeMergeChain(col("w"), merges).as("pieces"))
       .withColumn("n_pieces",
         size(split(col("pieces"), " ")).cast("long"))
+  }
+
+  /**
+   * BPE corpus ENCODE — apply a trained merge list to full document
+   * text and reassemble per-document token (piece) sequences, the
+   * step that turns a tokenizer model into training-ready token
+   * streams (Sennrich et al., ACL 2016 §3: encode = per-word greedy
+   * merge application). Returns one row per non-empty document:
+   * (id, n_words, n_tokens, tokens) where `tokens` is the
+   * space-joined piece sequence in document word order (pieces carry
+   * the `</w>` marker, so the original word boundaries survive).
+   *
+   * Scale shape: ONE tokenize pass (posexplode keeps word order),
+   * the merge chain runs over the DISTINCT word-type table — not per
+   * occurrence — and joins back by word (broadcast: the type table
+   * is vocabulary-sized, ~10⁶–10⁷ at 100 TB), then one groupBy(id)
+   * reassembles. At real scale the `tokens` string column becomes an
+   * array column feeding [[packSequencesByCount]]; the string form
+   * keeps the row oracle-replayable.
+   */
+  def bpeEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    val toks = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.normTokens(col(textCol)))
+          .as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val types = toks.select(col("w")).distinct()
+      .select(col("w"), bpeMergeChain(col("w"), merges).as("pieces"))
+      .withColumn("n_pieces",
+        size(split(col("pieces"), " ")).cast("long"))
+    toks.join(broadcast(types), Seq("w"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"),
+            col("pieces")))), x => x.getField("pieces")),
+          " ").as("tokens"))
   }
 
   /**
@@ -1047,11 +1110,30 @@ object Assemble {
    */
   def packSequences(
       df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int = 2048, shards: Int = 64): DataFrame =
+    packSequencesByCount(
+      graft.util.Tables.spread(df).select(
+        col(idCol).as("id"),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long")
+          .as("n_tokens")),
+      "id", "n_tokens", seqLen, shards)
+
+  /**
+   * [[packSequences]] over a PRECOMPUTED per-document token count —
+   * the variant real pipelines use once a tokenizer has run (feed it
+   * [[bpeEncode]]'s `n_tokens` and packing is certified over real
+   * tokenizer output, not the whitespace proxy). Same contract:
+   * shard by id hash, pack in id order by cumulative offset,
+   * `seq_id = offset div seqLen`. One narrow projection + one
+   * per-shard window cumsum; partitions bounded by shard size.
+   */
+  def packSequencesByCount(
+      df: DataFrame, idCol: String, nTokensCol: String,
       seqLen: Int = 2048, shards: Int = 64): DataFrame = {
     require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
-    val base = graft.util.Tables.spread(df).select(
+    val base = df.select(
       col(idCol).as("id"),
-      TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"),
+      col(nTokensCol).cast("long").as("n_tokens"),
       pmod(TextAnalysis.portableHash60(col(idCol).cast("string")),
         lit(shards.toLong)).as("shard"))
     val w = Window.partitionBy(col("shard")).orderBy(col("id"))

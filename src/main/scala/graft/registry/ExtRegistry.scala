@@ -13,6 +13,31 @@ import Shared._
 
   /** LLM-training-data pipeline operators (BASELINE.json north star). */
 private[graft] object ExtRegistry {
+
+  /** Shared BPE merge-ladder fixture for the q_bpe_apply /
+    * q_bpe_encode / q_bpe_pack rows: the t+h→th→the chain plus two
+    * `</w>`-bearing merges (word-final `e</w>`, whole-word `the</w>`)
+    * so the rows certify that merges over the [[graft.ext.Assemble
+    * .bpeTrain]] end-of-word alphabet actually apply. */
+  private val bpeFixtureMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "o" -> "u",
+    "e" -> "</w>", "th" -> "e</w>")
+
+  /** DuckDB replay of [[graft.ext.Assemble.bpeMergeChain]]: the same
+    * double-space canonical form (` c ` per char + ` </w> `), the
+    * same plain-substring replace per merge, the same final
+    * single-space collapse — byte-exact against the Spark side. */
+  private def duckBpeChain(
+      wExpr: String, merges: Seq[(String, String)]): String = {
+    val spaced =
+      s"regexp_replace($wExpr, '(.)', ' \\1 ', 'g') || ' </w> '"
+    val merged = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a  $b ', ' ${a + b} ')"
+    }
+    s"trim(replace($merged, '  ', ' '))"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup on a 5-token-prefix fingerprint (creates real
@@ -1182,17 +1207,36 @@ private[graft] object ExtRegistry {
       pub2
     }),
 
-    // BPE APPLY over the top-200 vocabulary with a fixed 8-merge
-    // ladder (t+h→th→the, i+n, a+n→and, e+r, o+n) — certifies the
-    // tokenizer-apply path (training is bpeTrain, spec-certified);
-    // replace is leftmost-nonoverlap-all in both engines, so every
-    // piece string replays byte-exactly
+    // BPE APPLY over the top-200 vocabulary with the shared 10-merge
+    // ladder (t+h→th→the, …, plus </w>-bearing merges) — certifies
+    // the tokenizer-apply path (training is bpeTrain, spec-certified)
+    // over bpeTrain's own end-of-word alphabet; the boundary-aware
+    // double-space replace replays byte-exactly in both engines
     "q_bpe_apply" -> ((s, dir) =>
       Assemble.bpeApply(
         s.read.parquet(t(dir, "documents")), "doc_id", "text",
-        merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
-          "an" -> "d", "e" -> "r", "o" -> "n", "o" -> "u"),
-        topWords = 200)),
+        merges = bpeFixtureMerges, topWords = 200)),
+
+    // BPE corpus ENCODE: the same merge ladder applied to FULL
+    // document text — merge chain runs once per word TYPE, joins
+    // back broadcast, and per-document piece sequences reassemble in
+    // word order; every output byte oracle-replayed
+    "q_bpe_encode" -> ((s, dir) =>
+      Assemble.bpeEncode(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        bpeFixtureMerges)
+        .withColumnRenamed("id", "doc_id")),
+
+    // sequence packing over REAL tokenizer output: bpeEncode's
+    // per-document piece counts feed the greedy concat-and-chop
+    // packer (packSequencesByCount) instead of the whitespace proxy
+    "q_bpe_pack" -> ((s, dir) =>
+      Assemble.packSequencesByCount(
+        Assemble.bpeEncode(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text",
+          bpeFixtureMerges),
+        "id", "n_tokens", seqLen = 512, shards = 8)
+        .withColumnRenamed("id", "doc_id")),
 
     // fill-in-the-middle augmentation (Bavarian 2022): deterministic
     // portable-hash gating + substring re-arrangement — every output
@@ -3362,15 +3406,11 @@ private[graft] object ExtRegistry {
         |         AS rank, chunk_id, tf
         |FROM r WHERE rank <= 3""".stripMargin,
 
-    // byte-exact BPE-apply replay: same merge chain over the same
+    // byte-exact BPE-apply replay: same boundary-aware merge chain
+    // (double-space canonical form + </w> alphabet) over the same
     // total-order top-200 vocabulary
     "q_bpe_apply" -> {
-      val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
-        "an" -> "d", "e" -> "r", "o" -> "n", "o" -> "u")
-      val chain = merges.foldLeft(
-        "rtrim(regexp_replace(w, '(.)', '\\1 ', 'g'))") {
-        case (acc, (a, b)) => s"replace($acc, '$a $b', '$a$b')"
-      }
+      val chain = duckBpeChain("w", bpeFixtureMerges)
       s"""WITH toks AS (
          |  SELECT unnest(regexp_split_to_array(
          |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
@@ -3383,6 +3423,69 @@ private[graft] object ExtRegistry {
          |       CAST(len(string_split($chain, ' ')) AS BIGINT)
          |         AS n_pieces
          |FROM top""".stripMargin
+    },
+
+    // byte-exact BPE-encode replay: merge chain per word TYPE, join
+    // back to positioned tokens, reassemble per document in word
+    // order (string_agg ORDER BY pos)
+    "q_bpe_encode" -> {
+      val chain = duckBpeChain("w", bpeFixtureMerges)
+      s"""WITH toks0 AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, i AS pos, t[i] AS w
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(1, len(t))) AS i
+         |        FROM toks0)
+         |  WHERE length(t[i]) > 0),
+         |types AS (SELECT DISTINCT w FROM toks),
+         |pieces AS (
+         |  SELECT w, $chain AS pieces,
+         |         CAST(len(string_split($chain, ' ')) AS BIGINT)
+         |           AS n_pieces
+         |  FROM types)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+         |       string_agg(pieces, ' ' ORDER BY pos) AS tokens
+         |FROM toks JOIN pieces USING (w)
+         |GROUP BY doc_id""".stripMargin
+    },
+
+    // packing replay over the encode counts: same hash shard, same
+    // per-shard cumsum window, same div-512 sequence id
+    "q_bpe_pack" -> {
+      val chain = duckBpeChain("w", bpeFixtureMerges)
+      val hash = duckHash60("CAST(doc_id AS VARCHAR)")
+      s"""WITH toks0 AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, t[i] AS w
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(1, len(t))) AS i
+         |        FROM toks0)
+         |  WHERE length(t[i]) > 0),
+         |types AS (SELECT DISTINCT w FROM toks),
+         |pieces AS (
+         |  SELECT w, CAST(len(string_split($chain, ' ')) AS BIGINT)
+         |           AS n_pieces
+         |  FROM types),
+         |enc AS (
+         |  SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n_tokens
+         |  FROM toks JOIN pieces USING (w)
+         |  GROUP BY doc_id),
+         |base AS (SELECT doc_id, n_tokens, $hash % 8 AS shard FROM enc),
+         |o AS (SELECT doc_id, shard, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+         |      FROM base)
+         |SELECT doc_id, shard, n_tokens,
+         |       CAST(tok_offset AS BIGINT) AS tok_offset,
+         |       CAST(tok_offset // 512 AS BIGINT) AS seq_id
+         |FROM o""".stripMargin
     },
 
     // byte-exact FIM replay: same salted portable hashes, same

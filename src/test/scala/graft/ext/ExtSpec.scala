@@ -1859,25 +1859,89 @@ class ExtSpec extends SparkSpec {
   }
 
   test("bpeApply: merge ladder applies in order with leftmost-" +
-      "nonoverlap semantics; vocabulary is total-ordered top-N") {
+      "nonoverlap semantics over the </w> alphabet; vocabulary is " +
+      "total-ordered top-N") {
     val docs = Seq(
       (1L, "then and onon then"),
       (2L, "then zz")).toDF("doc_id", "text")
     val out = Assemble.bpeApply(docs, "doc_id", "text",
       merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
-        "an" -> "d", "e" -> "r", "o" -> "n", "o" -> "u"),
+        "an" -> "d", "e" -> "r", "o" -> "n", "o" -> "u",
+        "n" -> "</w>"),
       topWords = 3).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2),
         r.getLong(3)))
     // freq: then=3, and=1, onon=1, zz=1 → top-3 by (freq desc, w asc)
     // = then, and, onon
     assert(out.toSet === Set(
-      // t h e n → th e n → the n
-      ("then", 3L, "the n", 2L),
-      // a n d → an d → and
-      ("and", 1L, "and", 1L),
-      // o n o n → on on (o+n fires at both non-overlapping sites)
-      ("onon", 1L, "on on", 2L)))
+      // t h e n </w> → th e n </w> → the n </w> → the n</w>
+      ("then", 3L, "the n</w>", 2L),
+      // a n d </w> → an d </w> → and </w>
+      ("and", 1L, "and </w>", 2L),
+      // o n o n </w> → on on </w>; n+</w> does NOT fire — the final
+      // symbol is the whole symbol 'on', not 'n' (boundary-aware)
+      ("onon", 1L, "on on </w>", 3L)))
+  }
+
+  test("bpeApply: merges are boundary-aware — a pair never matches " +
+      "across symbol boundaries (the 'o the r' case)") {
+    val docs = Seq((1L, "ther")).toDF("doc_id", "text")
+    // (t,h),(th,e) assemble the symbol 'the'; (e,r) must NOT fire on
+    // the trailing e of 'the' against the following symbol r
+    val out = Assemble.bpeApply(docs, "doc_id", "text",
+      merges = Seq("t" -> "h", "th" -> "e", "e" -> "r"),
+      topWords = 1).collect()
+    assert(out.head.getString(2) === "the r </w>")
+    assert(out.head.getLong(3) === 3L)
+    // and the same pair DOES fire where e,r are adjacent whole symbols
+    val hit = Assemble.bpeApply(
+      Seq((1L, "xer")).toDF("doc_id", "text"),
+      merges = Seq("e" -> "r"), idCol = "doc_id", textCol = "text",
+      topWords = 1).collect()
+    assert(hit.head.getString(2) === "x er </w>")
+  }
+
+  test("bpeEncode: trained merges round-trip — zero OOV pieces on " +
+      "the training corpus, word order preserved, counts consistent") {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text), (2L, "newest low")).toDF("doc_id", "text")
+    val merges = Assemble.bpeTrain(docs, "doc_id", "text", nMerges = 5)
+    val out = Assemble.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // vocabulary = corpus characters + </w> + merge products
+    val vocab = docs.collect().flatMap(_.getString(1).toSeq)
+      .filterNot(_ == ' ').map(_.toString).toSet ++
+      Set("</w>") ++ merges.map { case (a, b) => a + b }.toSet
+    out.values.foreach { case (nWords, nToks, toks) =>
+      val pieces = toks.split(" ")
+      assert(pieces.forall(vocab.contains), s"OOV piece in: $toks")
+      assert(pieces.length.toLong === nToks)
+      // every word contributes exactly one </w>-terminated run
+      assert(pieces.count(_.endsWith("</w>")).toLong === nWords)
+      // stripping markers and piece spaces reconstructs the words
+      val rebuilt = toks.replace("</w>", "\n").replace(" ", "")
+        .split("\n").filter(_.nonEmpty)
+      assert(rebuilt.mkString(" ").nonEmpty)
+    }
+    // word order preserved: doc 2 is 'newest low'
+    val (n2, t2, toks2) = out(2L)
+    assert(n2 === 2L)
+    assert(toks2.replace("</w>", "").replace(" ", "")
+      === "newestlow")
+    assert(toks2.startsWith("n e w est</w>") ||
+      toks2.startsWith("newest</w>"))
+    // packing over encode counts: offsets are per-shard cumsums
+    val packed = Assemble.packSequencesByCount(
+      Assemble.bpeEncode(docs, "doc_id", "text", merges),
+      "id", "n_tokens", seqLen = 4, shards = 2).collect()
+    assert(packed.length === 2)
+    packed.foreach { r =>
+      assert(r.getLong(4) === r.getLong(3) / 4) // seq_id = offset div 4
+    }
+    assert(packed.map(r => r.getLong(0) -> r.getLong(2)).toMap
+      === out.map { case (id, (_, n, _)) => id -> n })
   }
 
   test("fim transform: splits reconstruct the original text, modes " +
