@@ -5,7 +5,7 @@ import graft.ext.{Assemble, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.mapper.Mapper
 import graft.pipeline.{ImportService, Preset}
 import graft.sources.InlineSource
-import graft.targets.{FileTarget, JdbcTarget}
+import graft.targets.{FileTarget, JdbcTarget, NodeTarget}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -595,6 +595,61 @@ private[graft] object ParityRegistry {
       } finally dropDerby(db) // drop even on failure — no heap leak
     }),
 
+    // ── W5–W8 end to end on the NODE sink: a 3-sync replay through
+    // NodeTarget.applyChanges (the reference's ContentRepository
+    // semantics, ContentRepositoryTarget.php:173-256) + a final
+    // removeAll under one bucket root. Deterministic slices of
+    // `orders` (k = o_orderkey, v = epoch(orderdate)):
+    //   sync1: k%3≠0 at v            → all adds, fan-out ×2 variants
+    //   sync2: k%5≠0, v+1d iff k%2=0 → adds (k%3=0), updates (strict
+    //          > ⇔ k%2=0), soft-deletes (k%3≠0 ∧ k%5=0 → hidden)
+    //   sync3: k%7≠0, v+2d iff k%11=0 → updates un-hide previously
+    //          soft-deleted ids (W6); non-newer hidden ids stay
+    //          hidden and are NOT removal candidates again;
+    //          k%7=0 non-hidden ids soft-delete
+    //   removeAll(rootPath=/sites/odd): hides every node (records
+    //          AND the auto-created parent container) in the odd
+    //          bucket (W8)
+    // parentPathResolver buckets records under /sites/{even,odd}, so
+    // the auto-created containers (auto:md5(path) identifiers) are
+    // part of the certified state. The oracle replays the same state
+    // evolution as closed-form per-key CASE logic — every branch of
+    // the lifecycle lands in the final table. ──────────────────────
+    "q_sync_apply_node" -> ((s, dir) => {
+      val path = tempStateDir() + "/nodes"
+      def src(sync: Int): DataFrame = {
+        val o = s.read.parquet(t(dir, "orders"))
+        val k = col("o_orderkey")
+        val v = unix_timestamp(col("o_orderdate"))
+        val (pred, ver) = sync match {
+          case 1 => (k % 3 =!= 0, v)
+          case 2 => (k % 5 =!= 0,
+            v + when(k % 2 === 0, 86400L).otherwise(0L))
+          case _ => (k % 7 =!= 0,
+            v + when(k % 11 === 0, 172800L).otherwise(0L))
+        }
+        o.filter(pred).select(
+          k.cast("string").as("id"), ver.as("version"),
+          when(k % 2 === 0, "even").otherwise("odd").as("bucket"),
+          lit(s"S$sync").as("src"))
+      }
+      (1 to 3).foreach { i =>
+        val tg = NodeTarget(path, idPrefix = "node-", softDelete = true,
+          variantsResolver = _ => array(lit("de"), lit("en")),
+          parentPathResolver =
+            Some(df => concat(lit("/sites/"), col("bucket"))))
+        new ImportService(Preset(
+          InlineSource(_ => src(i)), tg, Mapper(Seq("src" -> "src")),
+          idAttribute = "id", versionAttribute = Some("version"),
+          diffOptions = tg.diffOptions)).importData(s)
+      }
+      NodeTarget(path, softDelete = true, rootPath = "/sites/odd")
+        .removeAll(s)
+      s.read.parquet(path).select(col("identifier"), col("variant"),
+        col("path"), col("hidden"), col("version").cast("long"),
+        col("src"))
+    }),
+
     // ── W5: variant fan-out (1 record → N node variants) ──────────
     "q_variants_fanout" -> ((s, dir) => {
       val keyed = Records.keyRecords(
@@ -1036,6 +1091,61 @@ private[graft] object ParityRegistry {
     // identical merged-state semantics, certified on the JDBC sink
     // (the k%4=1 slice — see the query's comment)
     "q_sync_apply_jdbc" -> syncApplyOracleSql(" AND o_orderkey % 4 = 1"),
+
+    // node-sink lifecycle replay as closed-form per-key state
+    // evolution: membership flags in1/in2/in3 and the per-sync
+    // version ladder decide add/update/soft-delete/un-hide exactly
+    // as the 3 diffs do; the final removeAll(/sites/odd) ORs hidden
+    // over the odd bucket; containers are the two bucket roots
+    "q_sync_apply_node" ->
+      """WITH st AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |         CASE WHEN o_orderkey % 2 = 0 THEN 'even'
+        |              ELSE 'odd' END AS bucket,
+        |         o_orderkey % 3 <> 0 AS in1,
+        |         o_orderkey % 5 <> 0 AS in2,
+        |         o_orderkey % 7 <> 0 AS in3,
+        |         CAST(epoch(o_orderdate) AS BIGINT) AS v1,
+        |         CAST(epoch(o_orderdate) AS BIGINT)
+        |           + CASE WHEN o_orderkey % 2 = 0 THEN 86400
+        |                  ELSE 0 END AS v2,
+        |         CAST(epoch(o_orderdate) AS BIGINT)
+        |           + CASE WHEN o_orderkey % 11 = 0 THEN 172800
+        |                  ELSE 0 END AS v3
+        |  FROM orders),
+        |s2 AS (  -- state after sync 2 (present iff in1 OR in2)
+        |  SELECT *, (in1 OR in2) AS present2,
+        |    CASE WHEN NOT in1 AND in2 THEN v2
+        |         WHEN in1 AND in2 AND v2 > v1 THEN v2
+        |         ELSE v1 END AS version2,
+        |    (in1 AND NOT in2) AS hidden2,
+        |    CASE WHEN in2 AND (NOT in1 OR v2 > v1) THEN 'S2'
+        |         ELSE 'S1' END AS src2
+        |  FROM st),
+        |s3 AS (  -- state after sync 3 + removeAll(/sites/odd)
+        |  SELECT id, bucket,
+        |    CASE WHEN (in3 AND present2 AND v3 > version2)
+        |           OR (in3 AND NOT present2) THEN v3
+        |         ELSE version2 END AS version,
+        |    (CASE WHEN (in3 AND present2 AND v3 > version2)
+        |            OR (in3 AND NOT present2) THEN FALSE
+        |          WHEN present2 AND NOT in3 AND NOT hidden2 THEN TRUE
+        |          ELSE hidden2 END
+        |     OR bucket = 'odd') AS hidden,
+        |    CASE WHEN (in3 AND present2 AND v3 > version2)
+        |           OR (in3 AND NOT present2) THEN 'S3'
+        |         ELSE src2 END AS src
+        |  FROM s2 WHERE present2 OR in3)
+        |SELECT 'node-' || id AS identifier, d.variant,
+        |       '/sites/' || bucket || '/' || id AS path,
+        |       hidden, version, src
+        |FROM s3 CROSS JOIN (VALUES ('de'), ('en')) d(variant)
+        |UNION ALL
+        |SELECT 'auto:' || md5(p.ppath), '', p.ppath,
+        |       p.ppath = '/sites/odd',
+        |       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+        |FROM (SELECT DISTINCT '/sites/' || bucket AS ppath
+        |      FROM st WHERE in1) p""".stripMargin,
 
     "q_variants_fanout" ->
       """SELECT CAST(c_custkey AS VARCHAR) || '-' || dim AS variant_id,
