@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
  * Multimodal column plumbing — engine extension per BASELINE.json.
  *
  * Media (image/audio/video) are opaque `BinaryType` columns with a
- * typed metadata struct. The Spark-side plumbing — schema,
- * partitioning, batch iteration shape — is real and tested; the
- * actual codec step is STUBBED (this container has no image/audio
- * libraries) behind `decodeStub`, a deterministic fake that a
- * production deployment swaps for a real decoder (JNI/FFI or a
- * `mapInArrow` Python worker on clusters that ship one).
+ * typed metadata struct. The codec tier is REAL for the formats it
+ * names: PPM (`decodePpm`), PNG (zlib inflate + all five filter
+ * types), WAV (RIFF walker), and baseline JPEG (a general T.81
+ * decoder — canonical Huffman, RSTn restarts, DC prediction, float
+ * IDCT, 4:4:4/4:2:0/4:2:2/4:4:0 subsampling — cross-checked
+ * pixel-exactly against JDK ImageIO). `decodeStub` remains ONLY as
+ * the generic-feature fallback for container formats with no parser
+ * here — a deterministic fake a production deployment swaps for a
+ * real decoder (JNI/FFI or a `mapInArrow` Python worker).
  *
  * Scale design: media bytes never pass through a shuffle — metadata
  * extraction is a narrow projection; decode/feature-extract runs
@@ -1160,10 +1163,23 @@ object Multimodal {
           while (mx < mcuCols) {
             if (restartInterval > 0 && mcu > 0 &&
                 mcu % restartInterval == 0) {
-              // skip to the RSTn marker at a byte boundary
+              // skip to the RSTn marker at a byte boundary — the
+              // unconsumed tail may hold a stuffed FF00 (a padding
+              // byte whose bits were never read) and optional 0xFF
+              // fill bytes (T.81 §B.1.1.2) before the marker; scan
+              // past those, consume the RSTn, and only then reset
+              // the DC predictors. Anything else is a desync.
               bitCnt = 0
-              if (bp + 1 < b.length && (b(bp) & 0xff) == 0xff &&
-                  (b(bp + 1) & 0xf8) == 0xd0) bp += 2
+              var found = false
+              while (!found) {
+                if (bp + 1 >= b.length) fail("truncated restart segment")
+                val b0 = b(bp) & 0xff; val b1 = b(bp + 1) & 0xff
+                if (b0 == 0xff && (b1 & 0xf8) == 0xd0) {
+                  bp += 2; found = true
+                } else if (b0 == 0xff && b1 == 0x00) bp += 2 // stuffed pad
+                else if (b0 == 0xff && b1 == 0xff) bp += 1   // fill byte
+                else fail("expected RSTn at restart boundary")
+              }
               java.util.Arrays.fill(pred, 0)
             }
             var c = 0
