@@ -700,6 +700,101 @@ object Assemble {
     trim(replace(merged, lit("  "), lit(" ")))
   }
 
+  /** Expression-chain depth cap for [[bpeMergeChain]]: the chain nests
+    * one `replace` per merge into a single Column, so its analysis /
+    * codegen cost is O(#merges) tree depth — fine at fixture scale,
+    * fatal at production tokenizer scale (30k–50k merges exceed
+    * Catalyst's analysis and janino's method-size limits). Above this
+    * cap [[bpePiecesFrame]] switches to the mapPartitions greedy
+    * merger, spec-proven byte-equal on training-order merge lists. */
+  private[graft] val bpeChainDepthLimit = 64
+
+  /** A word's symbol sequence split per Unicode CODEPOINT (a surrogate
+    * pair is one symbol, never two lone surrogates) — the alphabet all
+    * three BPE paths share: [[bpeTrain]], [[bpeMergeChain]] (Java
+    * regex `(.)` matches per codepoint), and [[bpeGreedyPieces]]. The
+    * DuckDB oracle's RE2 `(.)` also splits per codepoint, so parity
+    * holds beyond the BMP. */
+  private[graft] def codepointSymbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** Greedy BPE merge application — the PRODUCTION-SCALE path
+    * (Sennrich et al., ACL 2016 §3, the `apply_bpe` algorithm):
+    * repeatedly merge the leftmost occurrence of the lowest-rank
+    * adjacent symbol pair until no pair is in the model. Byte-equal
+    * to [[bpeMergeChain]] for TRAINING-ORDER merge lists (each
+    * merge's constituents produced only by earlier merges — every
+    * [[bpeTrain]] output satisfies this, because a pair can only be
+    * counted after its constituent symbols exist): under that order a
+    * merge can never re-create a lower-rank pair, so "apply each
+    * merge exhaustively in list order" and "always merge the
+    * lowest-rank pair present" coincide. Cost is O(|word|²) hash
+    * lookups per word type — independent of merge-list size, which
+    * only enters through the broadcast rank map. */
+  private[graft] def bpeGreedyPieces(
+      word: String, rank: collection.Map[(String, String), Int]): String = {
+    val syms = scala.collection.mutable.ArrayBuffer.from(codepointSymbols(word))
+    syms += "</w>"
+    var more = syms.length > 1
+    while (more) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestI = i }
+        i += 1
+      }
+      if (bestI < 0) more = false
+      else {
+        syms(bestI) = syms(bestI) + syms(bestI + 1)
+        syms.remove(bestI + 1)
+        more = syms.length > 1
+      }
+    }
+    syms.mkString(" ")
+  }
+
+  /** (w, pieces) mapping for a word-type frame (must expose a `w`
+    * string column; other columns pass through). Dispatches on model
+    * size: ≤[[bpeChainDepthLimit]] merges run the oracle-replayable
+    * [[bpeMergeChain]] expression (whole-stage codegen, zero JVM
+    * boundary); larger models — real tokenizers — run
+    * [[bpeGreedyPieces]] in mapPartitions with the rank map broadcast
+    * once (a few MB for a 50k-merge model; the per-executor cost is
+    * one hash map, not an expression tree). */
+  private[graft] def bpePiecesFrame(
+      types: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    if (merges.size <= bpeChainDepthLimit)
+      types.withColumn("pieces", bpeMergeChain(col("w"), merges))
+    else {
+      val s = types.sparkSession
+      import s.implicits._
+      // keep-FIRST rank on duplicates, mirroring the chain (whose
+      // first application of a duplicated pair wins); bpeTrain can
+      // never emit duplicates, so this is belt-and-braces
+      val rank = new java.util.HashMap[(String, String), Int]()
+      merges.zipWithIndex.foreach { case (p, i) =>
+        rank.putIfAbsent(p, i)
+      }
+      val bc = s.sparkContext.broadcast(
+        scala.jdk.CollectionConverters.MapHasAsScala(rank).asScala)
+      val pieces = types.select(col("w")).as[String]
+        .mapPartitions { it =>
+          val r = bc.value
+          it.map(w => (w, bpeGreedyPieces(w, r)))
+        }.toDF("w", "pieces")
+      types.join(broadcast(pieces), Seq("w"))
+    }
+
   /**
    * Apply an ORDERED BPE merge list to the corpus word-type table —
    * the tokenizer-APPLY path (the production op that runs over every
@@ -724,8 +819,8 @@ object Assemble {
       "merges must be non-empty and topWords positive")
     val top = wordTypeTable(df, idCol, textCol)
       .orderBy(col("freq").desc, col("w")).limit(topWords)
-    top.select(col("w"), col("freq"),
-        bpeMergeChain(col("w"), merges).as("pieces"))
+    bpePiecesFrame(top, merges)
+      .select(col("w"), col("freq"), col("pieces"))
       .withColumn("n_pieces",
         size(split(col("pieces"), " ")).cast("long"))
   }
@@ -757,8 +852,7 @@ object Assemble {
         posexplode(TextAnalysis.normTokens(col(textCol)))
           .as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
-    val types = toks.select(col("w")).distinct()
-      .select(col("w"), bpeMergeChain(col("w"), merges).as("pieces"))
+    val types = bpePiecesFrame(toks.select(col("w")).distinct(), merges)
       .withColumn("n_pieces",
         size(split(col("pieces"), " ")).cast("long"))
     toks.join(broadcast(types), Seq("w"))
@@ -982,9 +1076,12 @@ object Assemble {
     val collected = wordTypeTable(df, idCol, textCol)
       .orderBy(col("freq").desc, col("w")).limit(maxTypes)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    // symbols: characters + end-of-word marker
+    // symbols: CODEPOINTS + end-of-word marker — the same alphabet
+    // bpeMergeChain's Java-regex `(.)` and bpeGreedyPieces split to
+    // (a per-Char split would emit lone surrogates here that the
+    // apply paths could never match)
     var types: Array[(Array[String], Long)] = collected.map { case (w, f) =>
-      (w.map(_.toString).toArray :+ "</w>", f)
+      (codepointSymbols(w) :+ "</w>", f)
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0

@@ -1255,4 +1255,215 @@ object Multimodal {
     while (i < 64) { inv(ZigZag(i)) = i; i += 1 }
     inv
   }
+
+  // ── YUV4MPEG2 (Y4M) uncompressed video ────────────────────────────
+
+  /** Frame payload length for a Y4M colorspace tag (the text after
+    * `C` in the stream header). C444 carries three full planes; the
+    * C420 family (jpeg/mpeg2/paldv — same plane LAYOUT, different
+    * chroma siting metadata) carries Y full + Cb,Cr at half
+    * resolution each way, which requires even dimensions. Anything
+    * else (C422, C411, Cmono) fails loudly — a silent wrong-stride
+    * walk would "decode" garbage. */
+  private def y4mFrameLen(w: Int, h: Int, cs: String): Long =
+    if (cs.startsWith("444")) 3L * w * h
+    else if (cs.startsWith("420")) {
+      if (w % 2 != 0 || h % 2 != 0)
+        throw new IllegalArgumentException(
+          s"C420 requires even dimensions, got ${w}x$h")
+      w.toLong * h + 2L * (w / 2) * (h / 2)
+    } else throw new IllegalArgumentException(
+      s"unsupported Y4M colorspace C$cs")
+
+  /**
+   * Y4M (YUV4MPEG2) encode — the public uncompressed video container
+   * (mjpegtools yuv4mpeg(5)): one ASCII stream header
+   * `YUV4MPEG2 W<w> H<h> F<num>:<den> Ip A1:1 C<cs>\n`, then per
+   * frame an ASCII `FRAME\n` marker + raw planes (Y, then Cb, then
+   * Cr). `frames` carry full per-frame payloads already laid out for
+   * `colorspace` (see [[y4mFrameLen]]).
+   */
+  def y4mEncode(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      colorspace: String, frames: Seq[Array[Byte]],
+      extraParams: String = ""): Array[Byte] = {
+    val frameLen = y4mFrameLen(width, height, colorspace)
+    frames.foreach(f => require(f.length == frameLen,
+      s"frame payload ${f.length} != $frameLen for C$colorspace ${width}x$height"))
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 " +
+      s"C$colorspace$extraParams\n").getBytes(ascii))
+    frames.foreach { f =>
+      out.write("FRAME\n".getBytes(ascii))
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
+  /**
+   * Synthesize a REAL video table: one valid Y4M stream per input
+   * row, dimensions / frame count / colorspace / plane bytes pure
+   * integer arithmetic in the row id — `width = 4 + 2·(id mod 6)`,
+   * `height = 4 + 2·(id mod 4)` (even, so 4:2:0 is legal),
+   * `n_frames = 1 + id mod 5`, colorspace C420jpeg when id is even
+   * else C444, 25:1 fps, and plane bytes
+   * `Y(f,p) = (id·17 + f·29 + p·7) mod 256`,
+   * `Cb(f,q) = (id·23 + f·31 + q·11 + 1) mod 256`,
+   * `Cr(f,q) = (id·19 + f·37 + q·13 + 2) mod 256` — so an
+   * independent engine replays every decoded feature from the id
+   * alone. (No video corpus in this container; the FORMAT and the
+   * frame-stride walk are real even though the pixels are synthetic.)
+   */
+  def synthesizeY4m(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { d =>
+      val w = 4 + 2 * math.floorMod(d, 6L).toInt
+      val h = 4 + 2 * math.floorMod(d, 4L).toInt
+      val nf = 1 + math.floorMod(d, 5L).toInt
+      val cs = if (d % 2 == 0) "420jpeg" else "444"
+      val cLen = if (cs.startsWith("420")) (w / 2) * (h / 2) else w * h
+      val frames = (0 until nf).map { f =>
+        val buf = new Array[Byte](w * h + 2 * cLen)
+        var p = 0
+        while (p < w * h) {
+          buf(p) = math.floorMod(d * 17L + f * 29L + p * 7L, 256L).toByte
+          p += 1
+        }
+        var q = 0
+        while (q < cLen) {
+          buf(w * h + q) =
+            math.floorMod(d * 23L + f * 31L + q * 11L + 1L, 256L).toByte
+          buf(w * h + cLen + q) =
+            math.floorMod(d * 19L + f * 37L + q * 13L + 2L, 256L).toByte
+          q += 1
+        }
+        buf
+      }
+      (d.toString, "video", y4mEncode(w, h, 25, 1, cs, frames))
+    }.toDF("media_id", "media_type", "content")
+  }
+
+  /** Per-video features decoded from REAL container bytes. Sums and
+    * floor-milli means are exact integers — engine-replayable. */
+  final case class Y4mFeatures(
+      media_id: String, width: Int, height: Int,
+      fps_num: Int, fps_den: Int, colorspace: String,
+      n_frames: Long, duration_ms: Long,
+      y_sum: Long, cb_sum: Long, cr_sum: Long,
+      y_mean_milli: Long, cb_mean_milli: Long, cr_mean_milli: Long)
+
+  /** Strict YUV4MPEG2 parse: stream-header params, then the
+    * frame-stride walk — `FRAME[ params]\n` marker + fixed-length
+    * planes per frame. Truncated payloads, trailing garbage, a
+    * missing marker, or an unsupported colorspace all throw. */
+  private def parseY4m(id: String, bytes: Array[Byte]): Y4mFeatures = {
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"Y4M $id: $msg")
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      if (i >= bytes.length) fail("unterminated header line") else i
+    }
+    val magic = "YUV4MPEG2"
+    if (bytes.length < magic.length ||
+        new String(bytes, 0, magic.length,
+          java.nio.charset.StandardCharsets.US_ASCII) != magic)
+      fail("bad magic")
+    val hEnd = lineEnd(0)
+    val header = new String(bytes, 0, hEnd,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    var w = -1; var h = -1; var fn = 25; var fd = 1
+    var cs = "420jpeg" // the documented default when C is absent
+    header.split(" ").drop(1).filter(_.nonEmpty).foreach { p =>
+      (p.head, p.tail) match {
+        case ('W', v) => w = v.toInt
+        case ('H', v) => h = v.toInt
+        case ('F', v) =>
+          val Array(a, b) = v.split(":", 2); fn = a.toInt; fd = b.toInt
+        case ('C', v) => cs = v
+        case ('I', _) | ('A', _) | ('X', _) => () // interlace/aspect/comment
+        case _ => fail(s"unknown header parameter '$p'")
+      }
+    }
+    if (w <= 0 || h <= 0) fail(s"missing/invalid dimensions W$w H$h")
+    if (fn <= 0 || fd <= 0) fail(s"invalid frame rate F$fn:$fd")
+    val yLen = w.toLong * h
+    val frameLen = y4mFrameLen(w, h, cs) // throws on unsupported cs
+    val cLen = ((frameLen - yLen) / 2).toInt
+    var pos = hEnd + 1
+    var nf = 0L
+    var ySum = 0L; var cbSum = 0L; var crSum = 0L
+    while (pos < bytes.length) {
+      if (pos + 5 > bytes.length ||
+          new String(bytes, pos, 5,
+            java.nio.charset.StandardCharsets.US_ASCII) != "FRAME")
+        fail(s"expected FRAME marker at offset $pos")
+      pos = lineEnd(pos) + 1 // frame params (if any) are ignored
+      if (pos + frameLen > bytes.length)
+        fail(s"truncated frame ${nf + 1}: need $frameLen bytes at $pos")
+      var i = 0
+      while (i < yLen) { ySum += bytes(pos + i) & 0xff; i += 1 }
+      i = 0
+      while (i < cLen) {
+        cbSum += bytes(pos + yLen.toInt + i) & 0xff
+        crSum += bytes(pos + yLen.toInt + cLen + i) & 0xff
+        i += 1
+      }
+      pos += frameLen.toInt
+      nf += 1
+    }
+    if (nf == 0) fail("stream has no frames")
+    val nY = nf * yLen
+    val nC = nf * cLen
+    Y4mFeatures(id, w, h, fn, fd, "C" + cs, nf,
+      nf * 1000L * fd / fn,
+      ySum, cbSum, crSum,
+      ySum * 1000L / nY, cbSum * 1000L / nC, crSum * 1000L / nC)
+  }
+
+  /**
+   * REAL container walk for one deterministic public video format:
+   * parse the YUV4MPEG2 stream header and stride through the frames,
+   * aggregating per-plane sums and floor-milli means. Same
+   * `mapPartitions` batch shape as [[decodePpm]]/[[decodeWav]] —
+   * media bytes never cross a shuffle; each task holds one batch.
+   * This is the image→audio→VIDEO completion of the codec ladder:
+   * the frame-stride walk is exactly what a JNI/FFI h264 decoder
+   * replaces, with schema/partitioning/batching unchanged.
+   */
+  def decodeY4m(media: DataFrame): Dataset[Y4mFeatures] = {
+    implicit val enc = Encoders.product[Y4mFeatures]
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.map(r => parseY4m(r.getString(0), r.getAs[Array[Byte]](1)))
+    }
+  }
+
+  /** One row per failed decode — the per-record error channel of
+    * [[decodeY4mChannel]]. */
+  final case class Y4mOutcome(
+      media_id: String, ok: Long, width: Option[Int],
+      height: Option[Int], n_frames: Option[Long],
+      y_mean_milli: Option[Long])
+
+  /** TOLERANT Y4M decode: per-record isolation around [[parseY4m]] —
+    * a truncated or garbage stream yields an `ok = 0` row instead of
+    * killing the task (the [[decodePpmChannel]] contract: at 100 TB a
+    * corrupt file per million is a certainty). */
+  def decodeY4mChannel(media: DataFrame): Dataset[Y4mOutcome] = {
+    implicit val enc = Encoders.product[Y4mOutcome]
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getString(0)
+        try {
+          val f = parseY4m(id, r.getAs[Array[Byte]](1))
+          Y4mOutcome(id, 1L, Some(f.width), Some(f.height),
+            Some(f.n_frames), Some(f.y_mean_milli))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Y4mOutcome(id, 0L, None, None, None, None)
+        }
+      }
+    }
+  }
 }

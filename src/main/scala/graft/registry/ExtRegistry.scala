@@ -1009,6 +1009,30 @@ private[graft] object ExtRegistry {
       Multimodal.decodeJpegChannel(media).toDF()
     }),
 
+    // VIDEO rung of the codec ladder (image→audio→video): real
+    // YUV4MPEG2 container walk — stream-header params, per-frame
+    // FRAME markers, fixed-stride plane accumulation over BOTH
+    // C420jpeg (even ids) and C444 (odd ids) layouts; every decoded
+    // feature replays from the id formula
+    "q_multimodal_y4m" -> ((s, dir) => {
+      val media = Multimodal.synthesizeY4m(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      Multimodal.decodeY4m(media).toDF()
+    }),
+
+    // video casualties: id%7==4 streams truncated to 15 bytes (mid
+    // stream-header); the tolerant channel emits ok=0 and decodes
+    // the rest exactly
+    "q_y4m_corrupt" -> ((s, dir) => {
+      val media = Multimodal.synthesizeY4m(
+          s.read.parquet(t(dir, "documents")), "doc_id")
+        .withColumn("content",
+          when(pmod(col("media_id").cast("long"), lit(7)) === 4,
+            expr("substring(content, 1, 15)"))
+            .otherwise(col("content")))
+      Multimodal.decodeY4mChannel(media).toDF()
+    }),
+
     // corrupt-media isolation: every id%7==2 blob truncated to its
     // first 10 bytes — the tolerant channel decodes the rest and
     // emits ok=0 rows for the casualties instead of failing the
@@ -3059,6 +3083,78 @@ private[graft] object ExtRegistry {
         |            ELSE CAST(nf AS BIGINT) END AS n_frames,
         |       CASE WHEN d % 7 = 3 THEN NULL ELSE peak END AS peak
         |FROM a""".stripMargin,
+
+    // Y4M replay: per-frame per-plane byte formulas summed over the
+    // frame count; chroma plane size switches on the id-parity
+    // colorspace (C420jpeg even ids → quarter-res planes, C444 odd)
+    "q_multimodal_y4m" ->
+      """WITH dim AS (
+        |  SELECT doc_id AS d,
+        |         CAST(4 + 2 * (doc_id % 6) AS INT) AS w,
+        |         CAST(4 + 2 * (doc_id % 4) AS INT) AS h,
+        |         1 + doc_id % 5 AS nf,
+        |         doc_id % 2 = 0 AS is420
+        |  FROM documents),
+        |yf AS (SELECT d,
+        |         CAST(sum((d * 17 + f * 29 + p * 7) % 256) AS BIGINT)
+        |           AS y_sum
+        |       FROM dim,
+        |            LATERAL unnest(range(0, nf)) t(f),
+        |            LATERAL unnest(range(0, CAST(w AS BIGINT) * h)) u(p)
+        |       GROUP BY 1),
+        |cf AS (SELECT d,
+        |         CAST(sum((d * 23 + f * 31 + q * 11 + 1) % 256) AS BIGINT)
+        |           AS cb_sum,
+        |         CAST(sum((d * 19 + f * 37 + q * 13 + 2) % 256) AS BIGINT)
+        |           AS cr_sum,
+        |         count(*) AS n_c
+        |       FROM dim,
+        |            LATERAL unnest(range(0, nf)) t(f),
+        |            LATERAL unnest(range(0,
+        |              CASE WHEN is420
+        |                   THEN CAST(w // 2 AS BIGINT) * (h // 2)
+        |                   ELSE CAST(w AS BIGINT) * h END)) u(q)
+        |       GROUP BY 1)
+        |SELECT CAST(d AS VARCHAR) AS media_id, w AS width, h AS height,
+        |       CAST(25 AS INT) AS fps_num, CAST(1 AS INT) AS fps_den,
+        |       CASE WHEN is420 THEN 'C420jpeg' ELSE 'C444' END
+        |         AS colorspace,
+        |       CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(nf * 40 AS BIGINT) AS duration_ms,
+        |       y_sum, cb_sum, cr_sum,
+        |       CAST(y_sum * 1000 // (nf * w * h) AS BIGINT)
+        |         AS y_mean_milli,
+        |       CAST(cb_sum * 1000 // n_c AS BIGINT) AS cb_mean_milli,
+        |       CAST(cr_sum * 1000 // n_c AS BIGINT) AS cr_mean_milli
+        |FROM dim JOIN yf USING (d) JOIN cf USING (d)""".stripMargin,
+
+    // video casualties at id%7==4 (mid-header truncation → ok=0,
+    // features NULL); survivors replay the q_multimodal_y4m formulas
+    "q_y4m_corrupt" ->
+      """WITH dim AS (
+        |  SELECT doc_id AS d,
+        |         CAST(4 + 2 * (doc_id % 6) AS INT) AS w,
+        |         CAST(4 + 2 * (doc_id % 4) AS INT) AS h,
+        |         1 + doc_id % 5 AS nf
+        |  FROM documents),
+        |yf AS (SELECT d,
+        |         CAST(sum((d * 17 + f * 29 + p * 7) % 256) AS BIGINT)
+        |           AS y_sum
+        |       FROM dim,
+        |            LATERAL unnest(range(0, nf)) t(f),
+        |            LATERAL unnest(range(0, CAST(w AS BIGINT) * h)) u(p)
+        |       GROUP BY 1)
+        |SELECT CAST(d AS VARCHAR) AS media_id,
+        |       CAST(CASE WHEN d % 7 = 4 THEN 0 ELSE 1 END AS BIGINT)
+        |         AS ok,
+        |       CASE WHEN d % 7 = 4 THEN NULL ELSE w END AS width,
+        |       CASE WHEN d % 7 = 4 THEN NULL ELSE h END AS height,
+        |       CASE WHEN d % 7 = 4 THEN NULL
+        |            ELSE CAST(nf AS BIGINT) END AS n_frames,
+        |       CASE WHEN d % 7 = 4 THEN NULL
+        |            ELSE CAST(y_sum * 1000 // (nf * w * h) AS BIGINT)
+        |            END AS y_mean_milli
+        |FROM dim JOIN yf USING (d)""".stripMargin,
 
     // both halves from the id formula: id%7==2 rows are the truncated
     // casualties (ok=0, all features NULL); everything else replays

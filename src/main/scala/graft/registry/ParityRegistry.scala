@@ -607,9 +607,10 @@ private[graft] object ParityRegistry {
     //          soft-deleted ids (W6); non-newer hidden ids stay
     //          hidden and are NOT removal candidates again;
     //          k%7=0 non-hidden ids soft-delete
-    //   removeAll(rootPath=/sites/odd): hides every node (records
-    //          AND the auto-created parent container) in the odd
-    //          bucket (W8)
+    //   removeAll(rootPath=/sites/odd): hides every node STRICTLY
+    //          UNDER the root (reference LIKE root||'/%' —
+    //          ContentRepositoryTarget.php:215-236); the /sites/odd
+    //          container itself stays visible (W8)
     // parentPathResolver buckets records under /sites/{even,odd}, so
     // the auto-created containers (auto:md5(path) identifiers) are
     // part of the certified state. The oracle replays the same state
@@ -1096,7 +1097,9 @@ private[graft] object ParityRegistry {
     // evolution: membership flags in1/in2/in3 and the per-sync
     // version ladder decide add/update/soft-delete/un-hide exactly
     // as the 3 diffs do; the final removeAll(/sites/odd) ORs hidden
-    // over the odd bucket; containers are the two bucket roots
+    // over paths strictly under the odd root (record paths are
+    // /sites/odd/<id>; the /sites/odd container itself survives,
+    // mirroring the reference's LIKE root||'/%')
     "q_sync_apply_node" ->
       """WITH st AS (
         |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
@@ -1142,7 +1145,9 @@ private[graft] object ParityRegistry {
         |FROM s3 CROSS JOIN (VALUES ('de'), ('en')) d(variant)
         |UNION ALL
         |SELECT 'auto:' || md5(p.ppath), '', p.ppath,
-        |       p.ppath = '/sites/odd',
+        |       FALSE,  -- removeAll is strictly-under-root (LIKE
+        |               -- root||'/%'): the /sites/odd container node
+        |               -- itself is NOT hidden, only nodes below it
         |       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
         |FROM (SELECT DISTINCT '/sites/' || bucket AS ppath
         |      FROM st WHERE in1) p""".stripMargin,

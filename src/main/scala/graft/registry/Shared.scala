@@ -46,16 +46,31 @@ private[graft] object Shared {
     * SAME even/odd event split in the same 4 ts-range batches, so the
     * staging (two table passes + file stamping) runs ONCE per input
     * dir and each variant pays only its own replay. Keyed by the sf
-    * dir — a fresh dataset (driver round, spec fixture dir) stages
-    * fresh. Harness-scope memo: the engine operator itself
+    * dir PLUS a content fingerprint of the events table (file names,
+    * sizes, mtimes) — a fresh dataset (driver round, spec fixture
+    * dir) stages fresh, and so does an IN-PLACE regeneration of the
+    * same dir (which the dir-only key of rounds ≤11 would have served
+    * stale batches against a fresh oracle). Harness-scope memo: the
+    * engine operator itself
     * ([[graft.streaming.IncrementalSync.replayTransform2Staged]])
     * stays stateless. */
   private val streamJoinStaged =
     new java.util.concurrent.ConcurrentHashMap[
       String, (String, String, org.apache.spark.sql.types.StructType)]()
+  /** Content fingerprint of a table's backing files: relative name +
+    * size + mtime per file, order-independent. Cheap (one directory
+    * listing), and any rewrite — even same-size — bumps an mtime. */
+  private def tableFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val files: Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq else if (f.isFile) Seq(f) else Seq.empty
+    files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .sorted.mkString("|").hashCode.toHexString
+  }
   def streamJoinInputs(s: SparkSession, dir: String)
       : (String, String, org.apache.spark.sql.types.StructType) =
-    streamJoinStaged.computeIfAbsent(dir, _ => {
+    streamJoinStaged.computeIfAbsent(
+      dir + "#" + tableFingerprint(t(dir, "events")), _ => {
       val sync = graft.streaming.IncrementalSync
       // stage only the columns the interval joins read — the staged
       // bytes, the per-batch scan, and the join state all shrink

@@ -185,29 +185,32 @@ final case class NodeTarget(
     res
   }
 
-  /** W8 — remove/hide all nodes under the root path (`:215-236`). */
+  /** W8 — remove/hide all nodes STRICTLY UNDER the root path
+    * (`:215-236`: `path LIKE rootNodePath||'/%'`). The root container
+    * node itself is not affected, and sibling paths sharing the root
+    * as a string prefix (`/sites/oddball` under root `/sites/odd`)
+    * don't match — the reference's `'/'` separator is part of the
+    * pattern, so it is part of ours. */
   override def removeAll(spark: SparkSession): Long = {
     if (!exists) return 0L
+    val under = col("path").startsWith(rootPath.stripSuffix("/") + "/")
     val all = nodes(spark).cache()
-    val affected = all.filter(col("path").startsWith(rootPath))
-    val n = affected.select("identifier").distinct().count()
-    if (softDelete) {
-      val next = all.withColumn("hidden",
-        when(col("path").startsWith(rootPath), lit(true))
-          .otherwise(col("hidden")))
+    val n = all.filter(under).select("identifier").distinct().count()
+    val dir = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (!softDelete && all.filter(!under).isEmpty) {
+      // nothing survives — drop the state wholesale, no empty rewrite
+      rm(dir)
+    } else {
+      val next =
+        if (softDelete)
+          all.withColumn("hidden", when(under, lit(true)).otherwise(col("hidden")))
+        else all.filter(!under)
       val staging = path + ".staging"
       next.write.mode("overwrite").parquet(staging)
-      val dir = new java.io.File(path)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
       rm(dir); new java.io.File(staging).renameTo(dir)
-    } else {
-      val dir = new java.io.File(path)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(dir)
     }
     all.unpersist()
     n

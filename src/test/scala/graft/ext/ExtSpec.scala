@@ -671,6 +671,79 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("multimodal Y4M: hand-computed round-trip over C444 and C420; " +
+      "header/frame params parse; truncation and bad colorspace fail " +
+      "loudly; synthesized table replays the id formula") {
+    def media(rows: (String, Array[Byte])*) =
+      rows.map { case (id, b) => (id, "video", b) }
+        .toDF("media_id", "media_type", "content")
+    // C444 2x2, 2 frames: per frame Y(4) Cb(4) Cr(4)
+    val f0 = Array.tabulate(12)(i => i.toByte)         // 0..11
+    val f1 = Array.tabulate(12)(i => (i + 100).toByte) // 100..111
+    val bytes = Multimodal.y4mEncode(2, 2, 30, 1, "444", Seq(f0, f1),
+      extraParams = " Xgraft")
+    val f = Multimodal.decodeY4m(media("v" -> bytes)).collect().head
+    assert(f.width === 2 && f.height === 2 && f.n_frames === 2L)
+    assert(f.fps_num === 30 && f.fps_den === 1 && f.colorspace === "C444")
+    assert(f.duration_ms === 66L) // floor(2 * 1000 / 30)
+    assert(f.y_sum === (0 to 3).sum + (100 to 103).sum)   // 412
+    assert(f.cb_sum === (4 to 7).sum + (104 to 107).sum)  // 444
+    assert(f.cr_sum === (8 to 11).sum + (108 to 111).sum) // 476
+    assert(f.y_mean_milli === f.y_sum * 1000 / 8)
+    assert(f.cb_mean_milli === f.cb_sum * 1000 / 8)
+
+    // C420 4x2: Y(8) + Cb(2) + Cr(2) per frame
+    val g0 = Array.tabulate(12)(i => (i * 3).toByte)
+    val b420 = Multimodal.y4mEncode(4, 2, 25, 1, "420jpeg", Seq(g0))
+    val g = Multimodal.decodeY4m(media("w" -> b420)).collect().head
+    assert(g.colorspace === "C420jpeg" && g.width === 4 && g.height === 2)
+    assert(g.y_sum === (0 until 8).map(_ * 3).sum.toLong)
+    assert(g.cb_sum === (24 + 27).toLong && g.cr_sum === (30 + 33).toLong)
+    assert(g.duration_ms === 40L)
+
+    // truncated mid-frame: strict throws, tolerant channel isolates
+    val trunc = java.util.Arrays.copyOf(bytes, bytes.length - 3)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeY4m(media("bad" -> trunc)).collect()
+    }
+    val ch = Multimodal.decodeY4mChannel(
+        media("bad" -> trunc, "good" -> b420))
+      .collect().map(o => o.media_id -> o.ok).toMap
+    assert(ch === Map("bad" -> 0L, "good" -> 1L))
+    // garbage magic and a frame-marker gap are casualties too
+    val gap = bytes.clone() // first byte after the header newline = the
+    gap(bytes.indexOf('\n'.toByte) + 1) = 'G'.toByte // F of "FRAME"
+    assert(Multimodal.decodeY4mChannel(
+      media("g1" -> "RIFFnope".getBytes, "g2" -> gap))
+      .collect().forall(_.ok === 0L))
+
+    // unsupported colorspace / odd 4:2:0 dims fail at encode AND parse
+    intercept[IllegalArgumentException] {
+      Multimodal.y4mEncode(2, 2, 25, 1, "422", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.y4mEncode(3, 2, 25, 1, "420jpeg", Seq.empty)
+    }
+
+    // synthesized table: decoded features replay the id formula
+    val ids = Seq(0L, 1L, 5L, 6L, 11L, 144L).toDF("doc_id")
+    val out = Multimodal.decodeY4m(Multimodal.synthesizeY4m(ids, "doc_id"))
+      .collect().map(x => x.media_id -> x).toMap
+    ids.as[Long].collect().foreach { d =>
+      val x = out(d.toString)
+      val w = 4 + 2 * (d % 6).toInt; val h = 4 + 2 * (d % 4).toInt
+      val nf = 1 + (d % 5).toInt
+      val cLen = if (d % 2 == 0) (w / 2) * (h / 2) else w * h
+      assert(x.width === w && x.height === h && x.n_frames === nf.toLong)
+      assert(x.colorspace === (if (d % 2 == 0) "C420jpeg" else "C444"))
+      val ySum = (for (fr <- 0 until nf; p <- 0 until w * h)
+        yield (d * 17 + fr * 29 + p * 7) % 256).sum
+      val cbSum = (for (fr <- 0 until nf; q <- 0 until cLen)
+        yield (d * 23 + fr * 31 + q * 11 + 1) % 256).sum
+      assert(x.y_sum === ySum && x.cb_sum === cbSum)
+    }
+  }
+
   test("jsonl export round-trips hostile text byte-exactly: newlines, " +
       "quotes, backslashes, tabs, unicode") {
     val hostile = Seq(
@@ -1914,16 +1987,20 @@ class ExtSpec extends SparkSpec {
     val vocab = docs.collect().flatMap(_.getString(1).toSeq)
       .filterNot(_ == ' ').map(_.toString).toSet ++
       Set("</w>") ++ merges.map { case (a, b) => a + b }.toSet
-    out.values.foreach { case (nWords, nToks, toks) =>
+    val srcText = docs.collect()
+      .map(d => d.getLong(0) -> d.getString(1)).toMap
+    out.foreach { case (id, (nWords, nToks, toks)) =>
       val pieces = toks.split(" ")
       assert(pieces.forall(vocab.contains), s"OOV piece in: $toks")
       assert(pieces.length.toLong === nToks)
       // every word contributes exactly one </w>-terminated run
       assert(pieces.count(_.endsWith("</w>")).toLong === nWords)
-      // stripping markers and piece spaces reconstructs the words
+      // stripping markers and piece spaces reconstructs the document's
+      // normalized word sequence exactly (the texts are already
+      // lower-cased and single-spaced, so normTokens is identity here)
       val rebuilt = toks.replace("</w>", "\n").replace(" ", "")
         .split("\n").filter(_.nonEmpty)
-      assert(rebuilt.mkString(" ").nonEmpty)
+      assert(rebuilt.mkString(" ") === srcText(id))
     }
     // word order preserved: doc 2 is 'newest low'
     val (n2, t2, toks2) = out(2L)
@@ -1942,6 +2019,98 @@ class ExtSpec extends SparkSpec {
     }
     assert(packed.map(r => r.getLong(0) -> r.getLong(2)).toMap
       === out.map { case (id, (_, n, _)) => id -> n })
+  }
+
+  test("bpeGreedyPieces: byte-equal to the expression merge chain on " +
+      "the fixture ladder, on a 200-merge trained model (the " +
+      "production-scale mapPartitions path), and beyond the BMP") {
+    // independent replica of the merge-chain semantics in plain Scala
+    // string ops — a THIRD implementation, so chain/greedy agreement
+    // is not two copies of one bug (java.lang.String.replace is the
+    // same literal leftmost-nonoverlapping substitution as Spark's
+    // replace over UTF8String)
+    def chainScala(w: String, merges: Seq[(String, String)]): String = {
+      var cur = Assemble.codepointSymbols(w)
+        .map(c => s" $c ").mkString + " </w> "
+      merges.foreach { case (a, b) =>
+        cur = cur.replace(s" $a  $b ", s" ${a + b} ")
+      }
+      cur.replace("  ", " ").trim
+    }
+
+    // 1. the shared fixture ladder over hand-picked boundary cases
+    val fixture = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+      "an" -> "d", "e" -> "r", "o" -> "n", "o" -> "u",
+      "e" -> "</w>", "th" -> "e</w>")
+    val fixRank = fixture.zipWithIndex.toMap
+    for (w <- Seq("then", "and", "onon", "ther", "xer", "the", "zz", "a"))
+      assert(Assemble.bpeGreedyPieces(w, fixRank)
+        === chainScala(w, fixture), s"word $w")
+    // and the DataFrame dispatch at fixture size takes the chain path
+    // yet agrees symbol-for-symbol
+    val words = Seq("then", "and", "onon", "ther", "xer", "the")
+      .toDF("w")
+    Assemble.bpePiecesFrame(words, fixture).collect().foreach { r =>
+      assert(r.getString(1) === chainScala(r.getString(0), fixture))
+    }
+
+    // 2. a REAL trained model big enough to force the greedy path
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = Assemble.bpeTrain(docs, "doc_id", "text", nMerges = 200)
+    assert(model.size > Assemble.bpeChainDepthLimit,
+      s"corpus too small to train past the chain cap (${model.size})")
+    val modelRank = model.zipWithIndex.toMap
+    val types = Assemble.wordTypeTable(docs, "doc_id", "text")
+      .select("w").as[String].collect() ++
+      // corpus vocab is small (synthetic text) — widen coverage with
+      // OOV probes: prefixes/suffixes/concats the model only half-knows
+      Seq("loremipsum", "remlo", "zzzqqq", "lo", "orem")
+    assert(types.distinct.length === types.length,
+      s"probe words collide with corpus vocab: ${types.diff(types.distinct).toSeq}")
+    assert(types.length > 30)
+    types.foreach { w =>
+      assert(Assemble.bpeGreedyPieces(w, modelRank)
+        === chainScala(w, model), s"word $w under trained model")
+    }
+    // the DataFrame dispatch above the cap (greedy mapPartitions +
+    // broadcast join-back) returns the same mapping
+    val framed = Assemble
+      .bpePiecesFrame(Seq(types.toSeq: _*).toDF("w"), model)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(framed.size === types.length)
+    framed.foreach { case (w, p) => assert(p === chainScala(w, model)) }
+
+    // 3. non-BMP: the emoji is ONE symbol in all three paths (train
+    // counts it whole, chain's java-regex (.) and greedy's codepoint
+    // split match), never two lone surrogates
+    val emoji = new String(Character.toChars(0x1F600))
+    val nb = Seq((1L, s"$emoji$emoji $emoji$emoji a${emoji}b"))
+      .toDF("doc_id", "text")
+    // pairs (😀,😀) and (😀,</w>) tie at count 2; lexicographic
+    // tie-break picks (😀,</w>) ("<" sorts below the surrogate range).
+    // The point: the emoji is counted as ONE symbol — the per-Char
+    // split of rounds ≤11 would have emitted lone-surrogate merges
+    val nbModel = Assemble.bpeTrain(nb, "doc_id", "text", nMerges = 1)
+    assert(nbModel === Seq(emoji -> "</w>"))
+    nbModel.foreach { case (a, b) =>
+      Seq(a, b).foreach(p => assert(!Character.isLowSurrogate(p.head) &&
+        !Character.isHighSurrogate(p.last), s"lone surrogate in merge ($a,$b)"))
+    }
+    val nbMerges = Seq("a" -> emoji, s"a$emoji" -> "b")
+    for (w <- Seq(s"a${emoji}b", s"$emoji$emoji", s"ab$emoji")) {
+      val g = Assemble.bpeGreedyPieces(w, nbMerges.zipWithIndex.toMap)
+      assert(g === chainScala(w, nbMerges), s"non-BMP word $w")
+      // no piece may start/end mid-surrogate-pair (a lone surrogate
+      // is exactly what the per-Char split used to produce)
+      g.split(" ").foreach { piece =>
+        assert(!Character.isLowSurrogate(piece.head) &&
+          !Character.isHighSurrogate(piece.last), s"lone surrogate in $piece")
+      }
+    }
+    val nbFrame = Assemble.bpePiecesFrame(
+      Seq(s"a${emoji}b").toDF("w"), nbMerges).collect().head
+    assert(nbFrame.getString(1) === s"a${emoji}b </w>")
   }
 
   test("fim transform: splits reconstruct the original text, modes " +

@@ -247,4 +247,31 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows === Set((1L, 2L, 300L, false), (2L, 1L, 500L, false)))
   }
+
+  test("streamJoinInputs re-stages when a fixture dir is regenerated in place") {
+    val dir = tmpDir("stream-join-memo")
+    def writeEvents(n: Int): Unit =
+      spark.range(n)
+        .select($"id".as("event_id"), ($"id" % 3).as("user_id"),
+          timestamp_seconds(lit(1704067200L) + $"id" * 60).as("ts"),
+          lit("x").as("payload"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    writeEvents(40)
+    val (l1, r1, _) = graft.registry.Shared.streamJoinInputs(spark, dir)
+    // same content ⇒ memo hit (same staged dirs back)
+    val (l1b, _, _) = graft.registry.Shared.streamJoinInputs(spark, dir)
+    assert(l1b === l1)
+
+    // regenerate IN PLACE with different content — the dir-only key of
+    // rounds ≤11 would replay the stale 40-event staging here
+    writeEvents(56)
+    val (l2, r2, _) = graft.registry.Shared.streamJoinInputs(spark, dir)
+    assert(l2 !== l1, "memo served stale staged batches after in-place regen")
+    assert(r2 !== r1)
+    // staged content actually reflects the regenerated fixture:
+    // 28 even event_ids on the left, 28 odd on the right
+    assert(spark.read.parquet(l2).count() === 28)
+    assert(spark.read.parquet(r2).count() === 28)
+  }
 }

@@ -132,4 +132,42 @@ class NodeTargetSpec extends SparkSpec {
     assert(p.target.removeAll(spark) === 2L)
     assert(!new java.io.File(s"$dir/nodes").exists())
   }
+
+  test("removeAll is STRICTLY under root (LIKE root||'/%', " +
+      "ContentRepositoryTarget.php:215-236): the root container node " +
+      "and sibling string-prefix paths survive") {
+    val dir = tmpDir("node7")
+    // bucket resolver puts 'a' under /sites/odd, 'b' under
+    // /sites/oddball (a SIBLING sharing the /sites/odd string prefix)
+    val target = NodeTarget(s"$dir/nodes", idPrefix = "node-",
+      softDelete = true,
+      variantsResolver = _ => array(lit("de")),
+      parentPathResolver = Some(df =>
+        when(col("id") === "a", "/sites/odd").otherwise("/sites/oddball")))
+    new ImportService(Preset(
+      InlineSource(s => { import s.implicits._
+        Seq(("a", 1L, "Ada"), ("b", 1L, "Bob")).toDF("id", "version", "name") }),
+      target, Mapper(Seq("name" -> "${upper(record.name)}")),
+      idAttribute = "id", versionAttribute = Some("version"),
+      diffOptions = target.diffOptions)).importData(spark)
+
+    // soft removeAll under /sites/odd: ONLY node-a (path
+    // /sites/odd/a) is affected — not the /sites/odd container
+    // itself, not the /sites/oddball container, not node-b
+    val n = NodeTarget(s"$dir/nodes", softDelete = true,
+      rootPath = "/sites/odd").removeAll(spark)
+    assert(n === 1L)
+    val st = spark.read.parquet(s"$dir/nodes")
+    assert(st.filter($"hidden").select("path").as[String].collect().toSet
+      === Set("/sites/odd/a"))
+
+    // hard removeAll under /sites/odd: node-a's rows are dropped,
+    // everything else (both containers, node-b) survives on disk
+    val n2 = NodeTarget(s"$dir/nodes", softDelete = false,
+      rootPath = "/sites/odd").removeAll(spark)
+    assert(n2 === 1L)
+    val st2 = spark.read.parquet(s"$dir/nodes")
+    assert(st2.select("path").as[String].collect().toSet
+      === Set("/sites/odd", "/sites/oddball", "/sites/oddball/b"))
+  }
 }
