@@ -408,7 +408,6 @@ final case class FileTarget(
     val csp = cs.persisted()
     val addedM = mapped(csp.added)
     val updatedM = mapped(csp.updated)
-    val (nAdd, nUpd, nRem) = csp.counts // one job, not three
 
     // touched partition buckets (partitioned mode): collect is ≤
     // `partitions` longs, driver-side metadata — not data
@@ -487,6 +486,13 @@ final case class FileTarget(
       writeManifest(staging, Seq("*:swap"))
       completeSwap(manifestFile)
     }
+    // Branch counts AFTER the state write (one job, not three): the
+    // write (or, in partitioned mode, the touchedParts collect) is
+    // what materializes the lazy localCheckpoint, so this aggregation
+    // re-scans in-memory checkpoint blocks instead of forcing its own
+    // standalone diff evaluation — measured ~0.3-0.8 s per sync at
+    // sf0.1 (the r12 node-sink replay diet).
+    val (nAdd, nUpd, nRem) = csp.counts
     // Dispatch BEFORE releasing the checkpointed diff: the phase
     // payload frames (addedM/updatedM) are plans over the snapshot —
     // a listener evaluating them after unpersist would find the

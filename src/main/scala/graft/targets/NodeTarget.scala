@@ -114,9 +114,6 @@ final case class NodeTarget(
     val updatedN = toNodes(csp.updated).cache()
     val removedP = csp.removedIds
       .select(concat(lit(idPrefix), col("id")).as("identifier")).cache()
-    // record counts == distinct fanned-out identifiers (1 record →
-    // 1 identifier across variants) — one aggregation over the diff
-    val (nAdd, nUpd, nRem) = csp.counts
 
     val old = nodes(spark)
     val oldAligned = addedN.schema.fields.foldLeft(old) { (acc, f) =>
@@ -177,6 +174,13 @@ final case class NodeTarget(
     if (dir.exists()) rm(dir)
     new java.io.File(staging).renameTo(dir)
 
+    // record counts == distinct fanned-out identifiers (1 record →
+    // 1 identifier across variants) — one aggregation over the diff.
+    // Deliberately AFTER the state write: the write is the action that
+    // materializes the lazy localCheckpoint (overlapped with the write
+    // pipeline), so this aggregation re-scans in-memory checkpoint
+    // blocks instead of forcing its own standalone diff evaluation.
+    val (nAdd, nUpd, nRem) = csp.counts
     DataTarget.dispatchSnapshotPhases(dispatch,
       addedN, nAdd, updatedN, nUpd, removedP, nRem, idCol = "identifier")
     val res = ApplyResult(nAdd, nUpd, nRem)

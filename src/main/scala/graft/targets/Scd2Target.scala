@@ -151,7 +151,6 @@ final case class Scd2Target(
     val csp = cs.persisted()
     val addedM = mapped(csp.added)
     val updatedM = mapped(csp.updated)
-    val (nAdd, nUpd, nRem) = csp.counts
     val k = ledgerCount()
 
     // ids whose current row closes this sync: superseded (update) or
@@ -197,6 +196,10 @@ final case class Scd2Target(
     recordOrdinal(k) // after staging, before commit — see ledgerCount
     commitSwap(staging)
 
+    // counts AFTER the write: the write materializes the lazy
+    // localCheckpoint, so this re-scans in-memory blocks (the r12
+    // sync-tier diet — see DataTarget.applyChanges)
+    val (nAdd, nUpd, nRem) = csp.counts
     DataTarget.dispatchSnapshotPhases(dispatch,
       addedM, nAdd, updatedM, nUpd, csp.removedIds, nRem,
       idCol = idColumn)

@@ -66,11 +66,16 @@ KG_SHARED_STRIDE = {
 
 
 def salt_documents(t: pa.Table, i: int) -> pa.Table:
-    """Copy-i text salt: rotate the word sequence by i*7 and append a
-    per-copy token. Length, vocabulary, and token statistics are
-    preserved; shingle sets change almost everywhere (only the wrap
-    seam repeats), so cross-copy near-dup similarity collapses and
-    exact-dup cliques don't form."""
+    """Copy-i text salt: replace every 5th word with a copy-and-
+    position-specific token. A word ROTATION preserves interior
+    shingles (adjacency survives everywhere but the seam), so rotated
+    copies stayed J≈0.95 3-gram near-dups of each other — measured,
+    not hypothetical. Periodic replacement destroys the 3 shingles
+    covering each replaced position in BOTH copies at the SAME
+    positions with DIFFERENT tokens, so cross-copy 3-gram Jaccard
+    lands at (m-3)/(m+3) = 0.25 for m=5 — under any near-dup
+    threshold — while ~80% of each document's original tokens (and
+    all of copy 0) survive for realistic text statistics."""
     texts = t.column("text").to_pylist()
     out = []
     for s in texts:
@@ -78,8 +83,9 @@ def salt_documents(t: pa.Table, i: int) -> pa.Table:
             out.append(None)
             continue
         w = s.split(" ")
-        r = (i * 7) % len(w) if w else 0
-        out.append(" ".join(w[r:] + w[:r] + [f"kg{i}"]))
+        for p in range(2, len(w), 5):
+            w[p] = f"kg{i}p{p}"
+        out.append(" ".join(w))
     idx = t.schema.get_field_index("text")
     t = t.set_column(idx, t.schema.field(idx), pa.array(out, pa.string()))
     if "n_chars" in t.column_names:
