@@ -300,34 +300,53 @@ object Similarity {
   // as a literal, assignment is argmax-cosine against them.
 
   /**
-   * Train `nCells` centroids with Lloyd's k-means over a
-   * deterministic sample of the corpus. The sample is the `sampleN`
-   * lowest `xxhash64(id)` values — stable across runs, cluster
-   * sizes, and engines; one TakeOrdered pass over the corpus, only
-   * `sampleN` vectors ever reach the driver (at 100 TB the corpus
-   * never collects). Initialization is farthest-point (k-means++
-   * without the RNG): deterministic, no seed to disagree about.
-   * Cosine geometry: vectors are L2-normalized before clustering and
-   * centroids re-normalized each round, so argmax-dot = nearest.
+   * The shared deterministic training sample both trainers run on:
+   * the `sampleN` lowest `xxhash64(id)` values — stable across runs,
+   * cluster sizes, and engines; ONE TakeOrdered pass over the corpus,
+   * only `sampleN` vectors ever reach the driver (at 100 TB the
+   * corpus never collects). Vectors come back L2-normalized (cosine
+   * geometry for the centroid trainer; ADC-dot-approximates-cosine
+   * for the PQ trainer). Null embeddings (unresolved upstream joins,
+   * failed encoders) cannot train — they drop here and
+   * null-propagate to a null cell downstream. Collect once and feed
+   * [[trainCentroidsOnSample]] + [[trainPqCodebooksOnSample]] when
+   * training both models over the same corpus (the persisted-index
+   * build does): one corpus scan instead of two.
    */
-  def trainCentroids(
-      corpus: DataFrame, nCells: Int, sampleN: Int = 2048,
-      iters: Int = 10, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Seq[Seq[Float]] = {
+  def trainSample(
+      corpus: DataFrame, sampleN: Int = 2048, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] = {
     import org.apache.spark.sql.Row
-    // null embeddings (unresolved upstream joins, failed encoders)
-    // cannot train — they drop here and null-propagate to a null cell
-    // downstream
-    val sampleRows = corpus
+    corpus
       .filter(col(vecCol).isNotNull)
       .select(col(vecCol), xxhash64(col(idCol).cast("string")).as("__h"))
       .orderBy(col("__h")).limit(sampleN)
       .select(col(vecCol)).collect()
-    val sample: Array[Array[Double]] = sampleRows.map {
-      case Row(v: scala.collection.Seq[_]) =>
+      .map { case Row(v: scala.collection.Seq[_]) =>
         val a = v.map(_.asInstanceOf[Float].toDouble).toArray
         normalize(a); a
-    }
+      }
+  }
+
+  /**
+   * Train `nCells` centroids with Lloyd's k-means over a
+   * deterministic sample of the corpus ([[trainSample]]).
+   * Initialization is farthest-point (k-means++ without the RNG):
+   * deterministic, no seed to disagree about. Centroids are
+   * re-normalized each round, so argmax-dot = nearest.
+   */
+  def trainCentroids(
+      corpus: DataFrame, nCells: Int, sampleN: Int = 2048,
+      iters: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Float]] =
+    trainCentroidsOnSample(
+      trainSample(corpus, sampleN, idCol, vecCol), nCells, iters)
+
+  /** [[trainCentroids]] over an already-collected [[trainSample]]
+    * (sample is read, never mutated — safe to share across trainers). */
+  def trainCentroidsOnSample(
+      sample: Array[Array[Double]], nCells: Int,
+      iters: Int = 10): Seq[Seq[Float]] = {
     // Degenerate corpora cap the cell count instead of failing: an
     // empty or tiny input (a pruned partition, a fresh tenant) must
     // flow through, not abort the pipeline.
@@ -544,20 +563,16 @@ object Similarity {
   def trainPqCodebooks(
       corpus: DataFrame, m: Int = 4, k: Int = 16, sampleN: Int = 2048,
       iters: Int = 10, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] = {
-    import org.apache.spark.sql.Row
+      vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] =
+    trainPqCodebooksOnSample(
+      trainSample(corpus, sampleN, idCol, vecCol), m, k, iters)
+
+  /** [[trainPqCodebooks]] over an already-collected [[trainSample]]
+    * (subspace slices copy — the shared sample is never mutated). */
+  def trainPqCodebooksOnSample(
+      sample: Array[Array[Double]], m: Int = 4, k: Int = 16,
+      iters: Int = 10): Seq[Seq[Seq[Float]]] = {
     require(m >= 1 && k >= 1, "m and k must be >= 1")
-    // null embeddings cannot train (same drop as trainCentroids)
-    val sampleRows = corpus
-      .filter(col(vecCol).isNotNull)
-      .select(col(vecCol), xxhash64(col(idCol).cast("string")).as("__h"))
-      .orderBy(col("__h")).limit(sampleN)
-      .select(col(vecCol)).collect()
-    val sample: Array[Array[Double]] = sampleRows.map {
-      case Row(v: scala.collection.Seq[_]) =>
-        val a = v.map(_.asInstanceOf[Float].toDouble).toArray
-        normalize(a); a
-    }
     if (sample.isEmpty) return Nil
     val d = sample.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")

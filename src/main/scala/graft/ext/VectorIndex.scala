@@ -51,12 +51,10 @@ object VectorIndex {
     graft.util.SwapCommit.recover(new java.io.File(root),
       manifestFile(root))
 
-  private def stageState(
+  private def stageModel(
       spark: SparkSession, staging: String,
-      cents: Seq[Seq[Float]], cbs: Seq[Seq[Seq[Float]]],
-      encoded: DataFrame): Unit = {
+      cents: Seq[Seq[Float]], cbs: Seq[Seq[Seq[Float]]]): Unit = {
     import spark.implicits._
-    graft.util.SwapCommit.deleteRec(new java.io.File(staging))
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .repartition(1).write.parquet(centroidsPath(staging))
@@ -64,19 +62,30 @@ object VectorIndex {
       book.zipWithIndex.map { case (cw, c) => (j, c, cw) }
     }.toDF("subspace", "code", "codeword")
       .repartition(1).write.parquet(codebooksPath(staging))
+  }
+
+  private def stageCorpus(
+      spark: SparkSession, staging: String, encoded: DataFrame): Unit = {
+    encoded.repartition(col("cell"))
+      .write.partitionBy("cell").parquet(corpusPath(staging))
     // Degenerate (zero-row) corpus: a partitionBy write of an empty
-    // frame leaves no footer to infer a schema from — write flat so
-    // the table stays readable; `cell` is then a data column, which
-    // the probe join handles identically (it just loses pruning).
-    // persist() around the probe+write so the emptiness check costs
-    // one partition, not a full re-execution of the (possibly
-    // refresh-merged) plan before the write runs it again.
-    val mat = encoded.persist()
-    try {
-      if (mat.isEmpty) mat.write.parquet(corpusPath(staging))
-      else mat.repartition(col("cell"))
-        .write.partitionBy("cell").parquet(corpusPath(staging))
-    } finally { mat.unpersist(); () }
+    // frame leaves no data file to infer a schema from. Detected
+    // driver-side AFTER the single write (a pre-probe of the plan —
+    // the old persist+isEmpty — cost a second partial execution of
+    // the possibly refresh-merged plan); the empty marker then
+    // rewrites flat from an explicit empty frame (no plan
+    // re-execution), with `cell` as a data column — the probe join
+    // handles that identically, it just loses pruning.
+    val dir = new java.io.File(corpusPath(staging))
+    val hasData = Option(dir.listFiles()).exists(_.exists(f =>
+      f.isDirectory || f.getName.startsWith("part-")))
+    if (!hasData) {
+      graft.util.SwapCommit.deleteRec(dir)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.Row], 1),
+        encoded.schema).write.parquet(corpusPath(staging))
+    }
   }
 
   /** One-pass corpus encode: cell assignment + PQ codes + the raw
@@ -95,18 +104,19 @@ object VectorIndex {
 
   /**
    * Train (centroids + codebooks) and encode the whole corpus, then
-   * commit the staged index. The ONLY full-corpus passes are the
-   * deterministic 2048-row training samples and the one encode scan.
+   * commit the staged index. The ONLY full-corpus passes are ONE
+   * deterministic 2048-row training-sample scan (shared by both
+   * trainers — [[Similarity.trainSample]]) and the one encode scan.
    */
   def build(
       spark: SparkSession, corpus: DataFrame, root: String,
       nCells: Int = 8, m: Int = 16, k: Int = 32,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     recover(root)
-    val cents = Similarity.trainCentroids(corpus, nCells,
+    val sample = Similarity.trainSample(corpus,
       idCol = idCol, vecCol = vecCol)
-    val cbs = Similarity.trainPqCodebooks(corpus, m = m, k = k,
-      idCol = idCol, vecCol = vecCol)
+    val cents = Similarity.trainCentroidsOnSample(sample, nCells)
+    val cbs = Similarity.trainPqCodebooksOnSample(sample, m = m, k = k)
     val staging = root + ".staging"
     val enc =
       if (cents.isEmpty || cbs.isEmpty)
@@ -115,7 +125,9 @@ object VectorIndex {
           array().cast("array<int>").as("codes"),
           col(vecCol).as("vec"), lit(0).as("cell")).limit(0)
       else encode(corpus, cents, cbs, idCol, vecCol)
-    stageState(spark, staging, cents, cbs, enc)
+    graft.util.SwapCommit.deleteRec(new java.io.File(staging))
+    stageModel(spark, staging, cents, cbs)
+    stageCorpus(spark, staging, enc)
     commitSwap(root, staging)
   }
 
@@ -166,7 +178,18 @@ object VectorIndex {
     // fully materializes into <root>.staging BEFORE commitSwap
     // deletes the live dir
     val staging = root + ".staging"
-    stageState(spark, staging, cents, cbs, merged)
+    graft.util.SwapCommit.deleteRec(new java.io.File(staging))
+    // the model tables are untouched by a refresh (retraining is a
+    // deliberate, separate build) — carry them into staging with a
+    // driver-side file copy (bounded index metadata: nCells + m·k
+    // rows) instead of two Spark re-write jobs
+    graft.util.SwapCommit.copyRec(
+      new java.io.File(centroidsPath(root)),
+      new java.io.File(centroidsPath(staging)))
+    graft.util.SwapCommit.copyRec(
+      new java.io.File(codebooksPath(root)),
+      new java.io.File(codebooksPath(staging)))
+    stageCorpus(spark, staging, merged)
     commitSwap(root, staging)
   }
 

@@ -108,6 +108,55 @@ object Prof {
       }
       spark.stop(); return
     }
+    // annidx mode: phase-time the q_ann_persisted lifecycle (build →
+    // diff → refresh → probe) so index-machinery diets can be
+    // attributed per phase. Usage: Prof annidx <dir>
+    if (args.headOption.contains("annidx")) {
+      val aDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      graft.SparkEntry.queries("q_ann_persisted")(
+        spark, "/root/testdata/sf0.001").count()
+      (1 to 2).foreach { round =>
+        println(s"── annidx round $round ──")
+        val e = spark.read.parquet(aDir + "/embeddings.parquet")
+        val root = graft.registry.Shared.tempStateDir() + "/annidx"
+        val initial = e.filter(col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"),
+            when(col("vec_id") % 3 === 0, reverse(col("embedding")))
+              .otherwise(col("embedding")).as("embedding"),
+            lit(1L).as("version"))
+        time("build") {
+          graft.ext.VectorIndex.build(spark, initial, root,
+            nCells = 8, m = 16, k = 32)
+        }
+        val source = e.filter(col("vec_id") % 5 =!= 4)
+          .select(col("vec_id").cast("string").as("id"),
+            when(col("vec_id") % 3 === 0, lit(2L)).otherwise(lit(1L))
+              .as("version"),
+            col("embedding"))
+        val cs = time("diff") {
+          graft.core.Diff.computeDataChanges(
+            Records.keyRecords(source, "id", Some("version")),
+            initial.select(col("vec_id").cast("string").as("id"),
+              col("version")))
+        }
+        time("refresh") {
+          val changed = cs.added.select(col("id"), col("embedding"))
+            .unionByName(cs.updated.select(col("id"), col("embedding")))
+            .select(col("id").cast("long").as("vec_id"), col("embedding"))
+          val dropped = cs.removedIds
+            .unionByName(cs.updated.select(col("id")))
+            .select(col("id").cast("long").as("id"))
+          graft.ext.VectorIndex.refresh(spark, root, changed, dropped)
+        }
+        time("probe") {
+          val queries = e.filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") % 5 =!= 4)
+          graft.ext.VectorIndex.probe(spark, root, queries,
+            k = 5, nProbe = 8, shortlist = 100).count()
+        }
+      }
+      spark.stop(); return
+    }
     // shape warmup (JIT + codegen)
     graft.SparkEntry.queries("q_sync_apply_node")(
       spark, "/root/testdata/sf0.001").count()

@@ -22,6 +22,22 @@ object SwapCommit {
       .forEach(p => { Files.deleteIfExists(p); () })
   }
 
+  /** Recursive driver-side copy (bounded metadata dirs only — e.g.
+    * carrying an unchanged model table into a staging dir without a
+    * Spark re-write job). */
+  def copyRec(src: File, dst: File): Unit = {
+    val sp = src.toPath; val dp = dst.toPath
+    Files.walk(sp).forEach { p =>
+      val t = dp.resolve(sp.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Option(t.getParent).foreach(x => Files.createDirectories(x))
+        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+      ()
+    }
+  }
+
   /** Write the manifest atomically (tmp + POSIX rename) — only after
     * the staging dir is fully materialized — then complete the swap. */
   def commit(live: File, staging: File, manifest: File): Unit = {
