@@ -867,6 +867,44 @@ object Assemble {
   }
 
   /**
+   * Tokenizer fertility audit — the standard "is this tokenizer fair
+   * to every language" diagnostic (cf. the fertility metric in
+   * multilingual-tokenizer studies: pieces emitted per word): per
+   * language, documents / words / BPE pieces / word characters, plus
+   * truncating-ppm ratios `fertility_ppm` (pieces per word) and
+   * `chars_per_piece_ppm` (compression: characters per piece). High
+   * fertility on a language means the vocabulary under-serves it —
+   * its documents consume more sequence budget per sentence.
+   *
+   * Built on [[bpeEncode]] (ONE tokenize pass, merge chain over the
+   * distinct word-type table, broadcast join back); the character
+   * side is a second narrow projection aggregated per document, and
+   * the join is two doc-keyed aggregates — nothing wider than per-doc
+   * counts shuffles, and the per-language rollup is a handful of
+   * rows. Documents with no non-empty word carry no fertility signal
+   * and are excluded (they have no pieces to count).
+   */
+  def tokenizerFertility(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc = bpeEncode(df, idCol, textCol, merges)
+    val toks = TextAnalysis.normTokens(col(textCol))
+    val chars = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+      aggregate(filter(toks, w => length(w) > 0), lit(0L),
+        (acc, w) => acc + length(w)).as("word_chars"))
+    enc.join(chars, Seq("id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_pieces"),
+        sum(col("word_chars")).as("n_chars"))
+      .withColumn("fertility_ppm", expr("(n_pieces * 1000000) div n_words"))
+      .withColumn("chars_per_piece_ppm",
+        expr("(n_chars * 1000000) div n_pieces"))
+  }
+
+  /**
    * Fill-in-the-middle transform (Bavarian et al. 2022,
    * arXiv:2207.14255) — the standard code-training augmentation:
    * for a deterministic `fimRateMilli`/1000 fraction of documents,

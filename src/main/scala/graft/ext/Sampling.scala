@@ -132,4 +132,69 @@ object Sampling {
       .orderBy(col("key_nano"), col(idCol))
     top.withColumn("rank", row_number().over(w))
   }
+
+  /**
+   * DSIR-style importance selection (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): score each raw
+   * document by how much its hashed-n-gram profile resembles a TARGET
+   * distribution — a predicate naming the high-quality slice (the
+   * paper's "Wikipedia-like" target) — and keep the `topK` highest.
+   *
+   * Features are the paper's hashed unigrams + bigrams (the hashing
+   * trick buckets the open vocabulary into `dim` cells). Integer-exact
+   * variant: the per-bucket importance weight is the add-one-smoothed
+   * target/raw likelihood RATIO in ppm, `((tc+1)·1e6) div (rc+1)`,
+   * instead of a float log-ratio — the per-document score is then an
+   * order-independent BIGINT sum, bit-stable under any partitioning
+   * and replayable exactly by an oracle (a log-sum would depend on FP
+   * summation order). Selection is deterministic top-k (ties broken
+   * by id) rather than Gumbel resampling, for the same reason.
+   *
+   * Scale shape: ONE tokenize pass — the (doc, bucket) count is the
+   * only corpus-sized shuffle (map-side combine collapses repeats
+   * before the exchange), and because the raw/target distributions
+   * are a single conditional rollup of that same frame, the weights
+   * subtree is byte-identical to the scoring side and ReuseExchange
+   * materializes the pass once. The weight table is a ≤`dim`-row
+   * broadcast and the final selection plans as TakeOrderedAndProject
+   * (per-partition k-heaps, no full sort) — at 100 TB nothing wider
+   * than the bucketed counts ever moves, and the corpus is read and
+   * tokenized exactly once.
+   */
+  def dsirSelect(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, dim: Int = 1024, topK: Int = 50): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    require(topK > 0, "topK must be positive")
+    val toks = TextAnalysis.normTokens(col(textCol))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val buckets = graft.util.Tables.spread(docs)
+      .select(col(idCol).as("doc_id"), targetPred.as("is_t"),
+        explode(concat(toks, bigrams)).as("feat"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(TextAnalysis.portableHash60(col("feat")),
+          lit(dim.toLong)).as("bucket"))
+    val perDoc = buckets
+      .groupBy(col("doc_id"), col("is_t"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // raw and target counts in ONE rollup of perDoc (a conditional
+    // sum instead of a second branch) — the weights subtree is then
+    // byte-identical to the scoring side's perDoc, so ReuseExchange
+    // computes the corpus tokenize+count pass exactly once
+    val weights = perDoc.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("rc"),
+        sum(when(col("is_t"), col("c")).otherwise(lit(0L))).as("tc"))
+      .select(col("bucket"),
+        expr("((tc + 1) * 1000000) div (rc + 1)").as("w_ppm"))
+    perDoc
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("w_ppm")).as("imp_sum"))
+      .withColumn("imp_ppf", expr("imp_sum div n_feats"))
+      .orderBy(col("imp_ppf").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.registry
 
 import graft.core.{Diff, DiffOptions, Records}
-import graft.ext.{Assemble, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Assemble, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.mapper.Mapper
 import graft.pipeline.{ImportService, Preset}
 import graft.sources.InlineSource
@@ -166,6 +166,33 @@ private[graft] object ExtRegistry {
       graft.ext.Sampling.exactKPerStratum(
         tbl(s, dir, "events"), "event_id", "event_type", k = 20)
         .select(col("event_id"), col("event_type"), col("user_id"))),
+
+    // DSIR-style importance selection (Xie 2023): hashed
+    // unigram+bigram likelihood-ratio scoring against the English
+    // slice as the target distribution; integer-ppm weights so the
+    // per-doc score is an order-independent BIGINT sum, top-k via
+    // TakeOrderedAndProject
+    "q_dsir_select" -> ((s, dir) =>
+      graft.ext.Sampling.dsirSelect(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        targetPred = col("lang") === "en", dim = 1024, topK = 50)),
+
+    // end-to-end curation funnel capstone: holdout → language →
+    // length → contamination → dedup → DSIR selection, one first-fail
+    // label per document — the composition a real curation run
+    // executes, with the drop accounting it needs
+    "q_curation_funnel" -> ((s, dir) =>
+      Curation.funnel(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", "lang",
+        targetPred = col("source").isin("src0", "src1", "src2"))),
+
+    // tokenizer fertility audit per language over the trained-merge
+    // fixture: pieces/word and chars/piece in truncating ppm — the
+    // multilingual "is the vocab fair" diagnostic, one tokenize pass
+    "q_tok_fertility" -> ((s, dir) =>
+      Assemble.tokenizerFertility(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", "lang",
+        bpeFixtureMerges)),
 
     // deterministic train/val/test split (90/5/5 hash cells):
     // disjoint by construction, stable under reprocessing
@@ -1524,6 +1551,118 @@ private[graft] object ExtRegistry {
          |SELECT split, count(*) AS n, min(doc_id) AS min_id,
          |       max(doc_id) AS max_id
          |FROM a GROUP BY split""".stripMargin,
+
+    // DSIR replay: same hashed unigram+bigram buckets, same add-one
+    // ppm likelihood-ratio weights, same BIGINT sums, same tie-break
+    "q_dsir_select" ->
+      s"""WITH rel AS (
+         |  SELECT doc_id, (lang = 'en') AS is_t, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |${dsirScoreCtes("rel", 1024)}
+         |SELECT doc_id, n_feats, imp_sum,
+         |  CAST(imp_sum // n_feats AS BIGINT) AS imp_ppf
+         |FROM scores ORDER BY imp_ppf DESC, doc_id LIMIT 50""".stripMargin,
+
+    // funnel replay: every stage CTE-chained in first-fail order —
+    // gram STRINGS against the engine's 60-bit hashes (collision
+    // certification, the q_span_dedup convention), the q_dedup_exact
+    // fingerprint window, and the shared DSIR scoring CTEs over the
+    // survivors
+    "q_curation_funnel" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id,
+         |    (source IN ('src0', 'src1', 'src2')) AS is_t,
+         |    (doc_id % 19 = 3) AS s_eval,
+         |    (lang <> 'en') AS s_lang,
+         |    (CASE WHEN length(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         |     END < 30) AS s_short
+         |  FROM documents),
+         |toksall AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |shx AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+         |    ELSE [array_to_string(t[i:i+12], ' ')
+         |          FOR i IN range(1, len(t) - 11)] END) AS sh
+         |  FROM toksall),
+         |eg AS (SELECT DISTINCT unnest(sh) AS g
+         |       FROM shx JOIN d0 USING (doc_id) WHERE d0.s_eval),
+         |pre AS (SELECT doc_id FROM d0
+         |        WHERE NOT s_eval AND NOT s_lang AND NOT s_short),
+         |contam AS (
+         |  SELECT DISTINCT doc_id
+         |  FROM (SELECT doc_id, unnest(sh) AS g
+         |        FROM shx JOIN pre USING (doc_id))
+         |  WHERE g IN (SELECT g FROM eg)),
+         |rk AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY
+         |      md5(array_to_string(regexp_split_to_array(
+         |        lower(trim(text)), '\\s+')[1:5], ' '))
+         |    ORDER BY doc_id) AS rn
+         |  FROM documents JOIN pre USING (doc_id)
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |rel AS (
+         |  SELECT toksall.doc_id, d0.is_t, toksall.t
+         |  FROM toksall JOIN d0 USING (doc_id) JOIN rk USING (doc_id)
+         |  WHERE rk.rn = 1),
+         |${dsirScoreCtes("rel", 1024)},
+         |sel AS (SELECT doc_id FROM scores
+         |        ORDER BY imp_sum // n_feats DESC, doc_id LIMIT 100)
+         |SELECT d0.doc_id,
+         |  CASE WHEN s_eval THEN 'eval_holdout'
+         |       WHEN s_lang THEN 'lang_filter'
+         |       WHEN s_short THEN 'too_short'
+         |       WHEN doc_id IN (SELECT doc_id FROM contam)
+         |         THEN 'contaminated'
+         |       WHEN doc_id IN (SELECT doc_id FROM rk WHERE rn > 1)
+         |         THEN 'dup'
+         |       WHEN doc_id IN (SELECT doc_id FROM sel) THEN 'kept'
+         |       ELSE 'dsir_cut' END AS stage
+         |FROM d0""".stripMargin,
+
+    // fertility replay over the same encode CTE as q_bpe_encode plus
+    // the per-occurrence word-character sum, rolled up per language
+    "q_tok_fertility" -> {
+      val chain = duckBpeChain("w", bpeFixtureMerges)
+      s"""WITH toks0 AS (
+         |  SELECT doc_id, lang, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, t[i] AS w
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(1, len(t))) AS i
+         |        FROM toks0)
+         |  WHERE length(t[i]) > 0),
+         |types AS (SELECT DISTINCT w FROM toks),
+         |pieces AS (
+         |  SELECT w, CAST(len(string_split($chain, ' ')) AS BIGINT)
+         |           AS n_pieces
+         |  FROM types),
+         |enc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+         |         CAST(sum(length(w)) AS BIGINT) AS word_chars
+         |  FROM toks JOIN pieces USING (w)
+         |  GROUP BY doc_id),
+         |g AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_words) AS BIGINT) AS n_words,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_pieces,
+         |         CAST(sum(word_chars) AS BIGINT) AS n_chars
+         |  FROM enc JOIN toks0 USING (doc_id)
+         |  GROUP BY lang)
+         |SELECT lang, n_docs, n_words, n_pieces, n_chars,
+         |  CAST((n_pieces * 1000000) // n_words AS BIGINT)
+         |    AS fertility_ppm,
+         |  CAST((n_chars * 1000000) // n_pieces AS BIGINT)
+         |    AS chars_per_piece_ppm
+         |FROM g""".stripMargin
+    },
 
     // the fixed-order Jelinek-Mercer interpolation over exact counts
     "q_trigram_ppl" ->

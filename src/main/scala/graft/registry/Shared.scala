@@ -274,6 +274,35 @@ private[graft] object Shared {
   def duckHash60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** DSIR scoring CTE chain ([[graft.ext.Sampling.dsirSelect]]
+    * replay) over a relation `rel(doc_id, is_t, t)` where `t` is the
+    * normalized token array: hashed unigram+bigram buckets, add-one
+    * ppm likelihood-ratio weights, BIGINT score sums. Ends with a
+    * `scores(doc_id, n_feats, imp_sum)` CTE; callers append the
+    * selection. Shared by the q_dsir_select and q_curation_funnel
+    * oracles — ONE definition, one replayed semantics. */
+  def dsirScoreCtes(rel: String, dim: Int): String =
+    s"""dsir_f AS (
+       |  SELECT doc_id, is_t, unnest(t) AS feat FROM $rel
+       |  UNION ALL
+       |  SELECT doc_id, is_t,
+       |    unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))])
+       |      AS feat
+       |  FROM $rel),
+       |dsir_pd AS (
+       |  SELECT doc_id, is_t, ${duckHash60("feat")} % $dim AS bucket,
+       |         count(*) AS c
+       |  FROM dsir_f GROUP BY 1, 2, 3),
+       |dsir_w AS (
+       |  SELECT bucket,
+       |    CAST(((sum(CASE WHEN is_t THEN c ELSE 0 END) + 1) * 1000000)
+       |      // (sum(c) + 1) AS BIGINT) AS w_ppm
+       |  FROM dsir_pd GROUP BY bucket),
+       |scores AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+       |         CAST(sum(c * w_ppm) AS BIGINT) AS imp_sum
+       |  FROM dsir_pd JOIN dsir_w USING (bucket) GROUP BY 1)""".stripMargin
+
   /** Shared DuckDB shingle CTE body (3-gram, normalized, distinct) —
     * identical to the q_ngram_jaccard oracle's, minus the block. */
   val duckShingles =

@@ -108,6 +108,20 @@ object Prof {
       }
       spark.stop(); return
     }
+    // explain mode: print a registry query's formatted physical plan
+    // plus a warmed timing — the ".explain and iterate" loop for new
+    // rows. Usage: Prof explain <query> [dir]
+    if (args.headOption.contains("explain")) {
+      val q = args(1)
+      val eDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+      val df = graft.SparkEntry.queries(q)(spark, eDir)
+      df.explain("formatted")
+      time(s"$q warmup")(df.collect())
+      time(q)(graft.SparkEntry.queries(q)(spark, eDir).count())
+      println("== AQE final plan ==")
+      df.explain("formatted")
+      spark.stop(); return
+    }
     // annidx mode: phase-time the q_ann_persisted lifecycle (build →
     // diff → refresh → probe) so index-machinery diets can be
     // attributed per phase. Usage: Prof annidx <dir>

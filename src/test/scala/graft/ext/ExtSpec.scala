@@ -2273,6 +2273,79 @@ class ExtSpec extends SparkSpec {
     assert(re.toSet === out.toSet)
   }
 
+  test("dsirSelect: target-vocabulary docs outrank off-target docs, " +
+    "feature count is 2n-1, selection is partitioning-invariant") {
+    val corpus = Seq(
+      (1L, "t", "alpha beta gamma delta"),
+      (2L, "t", "beta gamma delta alpha"),
+      (3L, "t", "gamma alpha beta delta"),
+      (4L, "r", "alpha beta gamma delta"),   // target-like, raw slice
+      (5L, "r", "zeta eta theta iota"),
+      (6L, "r", "eta theta iota zeta")
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.dsirSelect(corpus, "doc_id", "text",
+        targetPred = col("lang") === "t", dim = 64, topK = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.length === 6)
+    // 4 words -> 4 unigrams + 3 bigrams
+    assert(out.forall(_._2 === 7L))
+    val score = out.map(t => t._1 -> t._3).toMap
+    // the raw doc written in the target's vocabulary scores with the
+    // target slice; the off-vocabulary docs score strictly lower
+    assert(score(4L) > score(5L) && score(4L) > score(6L))
+    assert(Seq(1L, 2L, 3L).forall(id => score(id) > score(5L)))
+    val re = Sampling.dsirSelect(corpus.repartition(5), "doc_id", "text",
+        targetPred = col("lang") === "t", dim = 64, topK = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(re.toSet === out.toSet)
+  }
+
+  test("curation funnel: every stage fires, first failure wins, " +
+    "exactly one label per document") {
+    def words(prefix: String, from: Int, n: Int): String =
+      (from until from + n).map(i => s"$prefix$i").mkString(" ")
+    val contamSeq = words("c", 1, 13)
+    val corpus = Seq(
+      (1L, "de", "s0", words("d", 1, 30)),                    // lang_filter
+      (2L, "en", "s0", "just five words here now"),           // too_short
+      (3L, "en", "s0", contamSeq + " " + words("e", 1, 5)),   // eval (3%19=3)
+      (5L, "en", "s0", contamSeq + " " + words("f", 1, 17)),  // contaminated
+      (6L, "en", "s0", words("u", 1, 30)),                    // survives → dsir_cut
+      (7L, "en", "s0", words("u", 1, 5) + " " + words("v", 6, 25)), // dup of 6
+      (8L, "en", "s1", words("t", 1, 30)),                    // target → kept
+      (9L, "en", "s1", words("t", 5, 30)),                    // target → kept
+      (10L, "en", "s0", words("t", 11, 30)),                  // target-like → kept
+      (11L, "en", "s0", words("x", 1, 30))                    // off-target → dsir_cut
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = Curation.funnel(corpus, "doc_id", "text", "lang",
+        targetPred = col("source") === "s1", keepK = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "lang_filter", 2L -> "too_short", 3L -> "eval_holdout",
+      5L -> "contaminated", 6L -> "dsir_cut", 7L -> "dup",
+      8L -> "kept", 9L -> "kept", 10L -> "kept", 11L -> "dsir_cut"))
+  }
+
+  test("tokenizerFertility: per-language pieces/word and chars/piece " +
+    "in exact ppm; wordless docs carry no signal") {
+    val corpus = Seq(
+      (1L, "aa", "the the"),
+      (2L, "bb", "xyz"),
+      (3L, "bb", "   "),                      // no non-empty word
+      (4L, "aa", "the")
+    ).toDF("doc_id", "lang", "text")
+    val merges = Seq("t" -> "h", "th" -> "e", "the" -> "</w>")
+    val out = Assemble.tokenizerFertility(
+        corpus, "doc_id", "text", "lang", merges)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // "the" fully merges to one piece: 3 words, 3 pieces, 9 chars
+    assert(out("aa") === ((2L, 3L, 3L, 9L, 1000000L, 3000000L)))
+    // "xyz" stays 4 pieces (x y z </w>): fertility 4.0, 3 chars/4 pieces
+    assert(out("bb") === ((1L, 1L, 4L, 3L, 4000000L, 750000L)))
+  }
+
   test("ppm tolerant channel: valid decodes match the strict parser, " +
     "truncated/garbage/null blobs yield ok=0 rows, batch survives") {
     val good = Multimodal.ppmEncode(2, 1,
