@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/**
+ * Perceptual image hashing — near-duplicate detection for image
+ * corpora (engine extension; BASELINE.json north star). Exact digest
+ * dedup ([[Multimodal.withMeta]]'s sha256) only collapses
+ * byte-identical files; re-encoded, brightness-shifted, or slightly
+ * edited copies need a PERCEPTUAL key. dHash (difference hash — the
+ * classic 9×8 gradient-sign hash) is brightness-shift invariant by
+ * construction: each bit is the sign of a horizontal luma gradient,
+ * so adding a constant to every pixel changes nothing.
+ *
+ * All arithmetic is exact integers (luma in ITU-601 per-mille
+ * weights, box sums, floor-milli cell means, sign comparisons), so
+ * the hash is bit-identical on any engine and an oracle can replay
+ * it per-pixel from the synthesis formula.
+ *
+ * Scale shape: hashing is one mapPartitions pass over the media
+ * batches — bytes never shuffle, only (id, dims, 2×32-bit hash) rows
+ * leave the scan. Pairing is a BANDED LSH join (the
+ * [[Dedup.simhashPairs]] pigeonhole): 4 disjoint 16-bit bands, block
+ * key = (width, height, band#, band value) — hamming ≤ 3 implies at
+ * least one band is untouched, so the candidate join is COMPLETE for
+ * the shipped threshold while never going all-pairs. Verification is
+ * an id-keyed join back to the hash frame and a codegen'd
+ * `bit_count(xor)` filter.
+ */
+object ImageHash {
+
+  /** One image's dHash: 64 gradient bits packed as two NON-NEGATIVE
+    * 32-bit halves (`hi` = bits 0–31, `lo` = bits 32–63) — two longs
+    * sidestep 64-bit sign wrap in every engine's BIGINT. */
+  final case class PpmDHash(
+      media_id: String, width: Int, height: Int, hi: Long, lo: Long)
+
+  /**
+   * Decode P6 PPM bytes and compute the 9×8 dHash. Grid assignment
+   * is the integer partition `gx = x·9 div w`, `gy = y·8 div h`
+   * (cells can be empty below 9×8 pixels — they contribute 0, same
+   * convention both sides); cell value is the floor-milli luma mean;
+   * bit `gy·8+gx` is 1 iff cell(gx+1,gy) > cell(gx,gy).
+   * Header walk mirrors [[Multimodal.parsePpm]] (strict variant).
+   */
+  def ppmDHash(media: DataFrame): Dataset[PpmDHash] = {
+    implicit val enc = Encoders.product[PpmDHash]
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r => dhashOne(r.getString(0), r.getAs[Array[Byte]](1)) }
+    }
+  }
+
+  /** Strict P6 header walk (magic, `#` comments, w/h/maxval, ONE
+    * whitespace byte before payload) → (width, height, payloadPos). */
+  private def p6Header(id: String, b: Array[Byte]): (Int, Int, Int) = {
+    require(b != null, s"null PPM payload: media_id=$id")
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+      s"not a P6 PPM: media_id=$id")
+    var pos = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && pos < b.length) {
+        val ch = b(pos)
+        if (ch == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else if (ch == ' ' || ch == '\n' || ch == '\r' || ch == '\t') pos += 1
+        else done = true
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      require(pos < b.length && b(pos) >= '0' && b(pos) <= '9',
+        s"malformed PPM header: media_id=$id at byte $pos")
+      var v = 0
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); readInt()
+    pos += 1 // exactly ONE whitespace byte separates maxval and payload
+    require(b.length - pos >= w.toLong * h * 3,
+      s"truncated PPM payload: media_id=$id")
+    (w, h, pos)
+  }
+
+  private[ext] def dhashOne(id: String, b: Array[Byte]): PpmDHash = {
+    val (w, h, pos) = p6Header(id, b)
+    val sums = new Array[Long](72)
+    val cnts = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val o = pos + (y * w + x) * 3
+        val luma = (b(o) & 0xff) * 299L + (b(o + 1) & 0xff) * 587L +
+          (b(o + 2) & 0xff) * 114L
+        val c = gy * 9 + x * 9 / w
+        sums(c) += luma; cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    def cell(gx: Int, gy: Int): Long = {
+      val c = gy * 9 + gx
+      sums(c) * 1000L / math.max(cnts(c), 1L)
+    }
+    var hi = 0L; var lo = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (cell(gx + 1, gy) > cell(gx, gy)) {
+          val i = gy * 8 + gx
+          if (i < 32) hi |= 1L << i else lo |= 1L << (i - 32)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    PpmDHash(id, w, h, hi, lo)
+  }
+
+  /**
+   * Synthesize PERCEPTUAL near-dup twins: copy each image, overwrite
+   * pixel 0 with mid-gray (128,128,128), suffix the id. One pixel
+   * only perturbs cell(0,0)'s mean, and cell(0,0) feeds exactly one
+   * gradient bit (the left operand of bit gy=0,gx=0), so
+   * hamming(original, twin) ≤ 1 by construction — a guaranteed
+   * planted pair per input image, deterministic enough for a
+   * per-pixel SQL oracle to replay (twin luma at i=0 is exactly
+   * 128·(299+587+114) = 128000). Same mapPartitions batch shape as
+   * the hasher: bytes never shuffle.
+   */
+  def vandalizeFirstPixel(media: DataFrame, suffix: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media_type", "content")
+      .map { r =>
+        val id = r.getString(0)
+        val b = r.getAs[Array[Byte]](2).clone()
+        val (_, _, pos) = p6Header(id, b)
+        b(pos) = 128.toByte; b(pos + 1) = 128.toByte; b(pos + 2) = 128.toByte
+        (id + suffix, r.getString(1), b)
+      }.toDF("media_id", "media_type", "content")
+  }
+
+  /**
+   * Near-duplicate image pairs: banded candidate join, hamming ≤
+   * `maxHamming` verification. Complete (zero false negatives)
+   * whenever `maxHamming` < number of bands (pigeonhole over the 4
+   * disjoint 16-bit bands); block key includes the dimensions, so a
+   * band value shared across resolutions never widens a bucket.
+   *
+   * @return (id_a, id_b, hamming), id_a < id_b under the id column's
+   *         own ordering.
+   */
+  def dhashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "banded completeness holds for maxHamming < 4")
+    val h = ppmDHash(media).toDF()
+    val bands = h.select(col("media_id"), col("width"), col("height"),
+      posexplode(array(
+        col("hi").bitwiseAND(lit(0xffffL)),
+        shiftright(col("hi"), 16).bitwiseAND(lit(0xffffL)),
+        col("lo").bitwiseAND(lit(0xffffL)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(0xffffL))))
+        .as(Seq("band", "v")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.width") === col("b.width") &&
+          col("a.height") === col("b.height") &&
+          col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    cand
+      .join(h.select(col("media_id").as("id_a"),
+        col("hi").as("hi_a"), col("lo").as("lo_a")), Seq("id_a"))
+      .join(h.select(col("media_id").as("id_b"),
+        col("hi").as("hi_b"), col("lo").as("lo_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

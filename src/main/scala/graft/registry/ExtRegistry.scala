@@ -1,7 +1,7 @@
 package graft.registry
 
 import graft.core.{Diff, DiffOptions, Records}
-import graft.ext.{Assemble, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Assemble, Curation, Dedup, ImageHash, Multimodal, Similarity, TextAnalysis}
 import graft.mapper.Mapper
 import graft.pipeline.{ImportService, Preset}
 import graft.sources.InlineSource
@@ -1007,6 +1007,21 @@ private[graft] object ExtRegistry {
       val media = Multimodal.synthesizePpm(
         s.read.parquet(t(dir, "documents")), "doc_id")
       Multimodal.decodePpm(media).toDF()
+    }),
+
+    // perceptual near-dup tier for images: REAL P6 decode →
+    // 9×8 gradient-sign dHash (exact integer luma/box math) → banded
+    // LSH pair join (4×16-bit bands + dims in the block key;
+    // pigeonhole-complete for hamming ≤ 3) → bit_count(xor) verify.
+    // Every 10th image gets a single-pixel-vandalized twin (id+"v")
+    // — a PLANTED hamming≤1 pair the banded join must recover, so
+    // the row certifies recall, not just precision.
+    "q_image_dhash" -> ((s, dir) => {
+      val base = Multimodal.synthesizePpm(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val twins = ImageHash.vandalizeFirstPixel(
+        base.filter(col("media_id").cast("long") % 10 === 0), "v")
+      ImageHash.dhashPairs(base.unionByName(twins))
     }),
 
     // audio counterpart of q_multimodal_corrupt: id%7==3 WAVs
@@ -2372,6 +2387,75 @@ private[graft] object ExtRegistry {
         |SELECT sha256(text) AS sha, count(*) AS n_copies,
         |       min(CAST(doc_id AS VARCHAR)) AS keeper_id
         |FROM d GROUP BY 1""".stripMargin,
+
+    // dHash replay at PER-PIXEL granularity from the synthesis
+    // formula: same luma weights, same (x·9 div w, y·8 div h) box
+    // partition, same floor-milli cells, same hi/lo 32-bit packing,
+    // same hamming ≤ 3 cut; pair order under VARCHAR ids, matching
+    // the engine's opaque-string media ids. Twin rows (doc_id%10=0,
+    // id||'v') replay the single-pixel vandalism exactly: luma at
+    // pixel 0 is 128·(299+587+114) = 128000.
+    "q_image_dhash" ->
+      """WITH imgs AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id,
+        |         FALSE AS twin
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR) || 'v' AS id, doc_id,
+        |         TRUE AS twin
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |dims AS (
+        |  SELECT id, doc_id, twin,
+        |         CAST(8 + doc_id % 16 AS BIGINT) AS w,
+        |         CAST(6 + doc_id % 9 AS BIGINT) AS h
+        |  FROM imgs),
+        |px AS (
+        |  SELECT id, doc_id, twin, w, h,
+        |         unnest(generate_series(0, w * h - 1)) AS i
+        |  FROM dims),
+        |lum AS (
+        |  SELECT id, w, h, (i % w) AS x, (i // w) AS y,
+        |    CASE WHEN twin AND i = 0 THEN 128000
+        |    ELSE ((doc_id * 31 + i * 7) % 256) * 299
+        |       + ((doc_id * 31 + i * 7 + 13) % 256) * 587
+        |       + ((doc_id * 31 + i * 7 + 26) % 256) * 114 END AS luma
+        |  FROM px),
+        |cells AS (
+        |  SELECT id, (x * 9) // w AS gx, (y * 8) // h AS gy,
+        |         CAST(sum(luma) AS BIGINT) AS s, count(*) AS n
+        |  FROM lum GROUP BY 1, 2, 3),
+        |g72 AS (SELECT id, unnest(generate_series(0, 71)) AS gi
+        |        FROM dims),
+        |dense AS (
+        |  SELECT g72.id, gi % 9 AS gx, gi // 9 AS gy,
+        |         coalesce(c.s * 1000 // c.n, 0) AS cell
+        |  FROM g72 LEFT JOIN cells c
+        |    ON c.id = g72.id AND c.gx = gi % 9
+        |       AND c.gy = gi // 9),
+        |bits AS (
+        |  SELECT l.id, l.gy * 8 + l.gx AS i,
+        |         CASE WHEN r.cell > l.cell THEN 1 ELSE 0 END AS bit
+        |  FROM dense l JOIN dense r
+        |    ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
+        |  WHERE l.gx < 8),
+        |hs AS (
+        |  SELECT id,
+        |    CAST(sum(CASE WHEN i < 32
+        |             THEN bit * (CAST(1 AS BIGINT) << i)
+        |             ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN i >= 32
+        |             THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+        |             ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(bit_count(xor(a.hi, b.hi))
+        |         + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        |FROM hs a JOIN hs b ON a.id < b.id
+        |JOIN dims da ON da.id = a.id
+        |JOIN dims db ON db.id = b.id
+        |WHERE da.w = db.w AND da.h = db.h
+        |  AND bit_count(xor(a.hi, b.hi))
+        |    + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin,
 
     "q_export_jsonl" ->
       s"""SELECT doc_id % 8 AS shard, count(*) AS n,

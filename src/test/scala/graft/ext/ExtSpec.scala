@@ -671,6 +671,64 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("image dHash: brightness-shift invariance, planted-twin recall " +
+      "through the banded join, and an independent formula replay") {
+    // brightness invariance: +40 on every channel shifts every cell
+    // mean by exactly 40000 milli-luma, so no gradient sign flips
+    val w = 12; val h = 7
+    val base = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 180).toByte)
+    val brighter = base.map(b => ((b & 0xff) + 40).toByte)
+    val hA = ImageHash.dhashOne("a", Multimodal.ppmEncode(w, h, base))
+    val hB = ImageHash.dhashOne("b", Multimodal.ppmEncode(w, h, brighter))
+    assert((hA.hi, hA.lo) === ((hB.hi, hB.lo)))
+    assert(hA.hi >= 0L && hA.lo >= 0L) // 32-bit halves never sign-wrap
+
+    // planted twins: single-pixel vandalism only perturbs cell(0,0),
+    // which feeds exactly one gradient bit ⇒ hamming ≤ 1, and the
+    // banded join must RECOVER every planted pair (recall, not just
+    // precision)
+    val ids = Seq(0L, 10L, 20L, 30L, 41L, 55L).toDF("doc_id")
+    val media = Multimodal.synthesizePpm(ids, "doc_id")
+    val twins = ImageHash.vandalizeFirstPixel(
+      media.filter(col("media_id").cast("long") % 10 === 0), "v")
+    val pairs = ImageHash.dhashPairs(media.unionByName(twins)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (d <- Seq("0", "10", "20", "30")) {
+      val hm = pairs.get((d, d + "v"))
+      assert(hm.nonEmpty, s"planted pair ($d, ${d}v) missed by the join")
+      assert(hm.get <= 1L, s"planted pair $d hamming ${hm.get}")
+    }
+
+    // formula replay: dhashOne over the REAL synthesized bytes equals
+    // a from-scratch recompute straight from the id formula (no PPM
+    // path involved) — the oracle's per-pixel contract
+    val d = 41L
+    val bytes = media.filter(col("media_id") === "41")
+      .select("content").collect().head.getAs[Array[Byte]](0)
+    val got = ImageHash.dhashOne("41", bytes)
+    val iw = 8 + (d % 16).toInt; val ih = 6 + (d % 9).toInt
+    val sums = Array.fill(72)(0L); val cnts = Array.fill(72)(0L)
+    for (y <- 0 until ih; x <- 0 until iw) {
+      val p = y * iw + x
+      val lum = ((d * 31 + p * 7) % 256) * 299 +
+        ((d * 31 + p * 7 + 13) % 256) * 587 +
+        ((d * 31 + p * 7 + 26) % 256) * 114
+      val c = (y * 8 / ih) * 9 + x * 9 / iw
+      sums(c) += lum; cnts(c) += 1
+    }
+    var wantHi = 0L; var wantLo = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      def cell(g: Int) = sums(gy * 9 + g) * 1000L /
+        math.max(cnts(gy * 9 + g), 1L)
+      if (cell(gx + 1) > cell(gx)) {
+        val i = gy * 8 + gx
+        if (i < 32) wantHi |= 1L << i else wantLo |= 1L << (i - 32)
+      }
+    }
+    assert(got.width === iw && got.height === ih)
+    assert((got.hi, got.lo) === ((wantHi, wantLo)))
+  }
+
   test("multimodal Y4M: hand-computed round-trip over C444 and C420; " +
       "header/frame params parse; truncation and bad colorspace fail " +
       "loudly; synthesized table replays the id formula") {
