@@ -159,7 +159,13 @@ object ImageHash {
   def dhashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       "banded completeness holds for maxHamming < 4")
-    val h = ppmDHash(media).toDF()
+    pairsOverHashes(ppmDHash(media).toDF(), maxHamming)
+  }
+
+  /** Banded pairing over an explicit hash frame
+    * (media_id, width, height, hi, lo) — shared by [[dhashPairs]]
+    * (all images) and [[dhashClusters]] (distinct hashes only). */
+  private def pairsOverHashes(h: DataFrame, maxHamming: Int): DataFrame = {
     val bands = h.select(col("media_id"), col("width"), col("height"),
       posexplode(array(
         col("hi").bitwiseAND(lit(0xffffL)),
@@ -184,5 +190,49 @@ object ImageHash {
           bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Near-duplicate image CLUSTERS — the production-scale counterpart
+   * of [[dhashPairs]]. Pair enumeration is inherently quadratic in
+   * duplicate-cluster size (k byte-identical copies alone are k·(k−1)/2
+   * hamming-0 rows; the ~sf1 key-growth smoke measured 3,088 → 517,776
+   * within-cluster pairs for 10× data), so at corpus scale the usable
+   * output is a per-image cluster assignment, O(n) rows.
+   *
+   * Shape: (1) one hashing scan (bytes never shuffle); (2) exact-hash
+   * collapse — identical images are hamming-0 cliques, so banding, the
+   * candidate join, and connected components all run over the DISTINCT
+   * (dims, hash) table, never re-deriving the clique edges; (3)
+   * [[Dedup.connectedComponents]] (large-star/small-star, O(log² n)
+   * rounds) over the representative pairs; (4) one hash-keyed join
+   * assigns every image its representative's component.
+   *
+   * Output: (media_id, cluster_id) for every image with at least one
+   * near-duplicate (an identical-hash sibling or a hamming ≤ maxHamming
+   * neighbor); cluster_id = the component's minimum media_id under the
+   * id column's own ordering — the same convention as
+   * [[Dedup.connectedComponents]], so singleton images are omitted,
+   * matching the minhash cluster rows.
+   */
+  def dhashClusters(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "banded completeness holds for maxHamming < 4")
+    val h = ppmDHash(media).toDF()
+    val groups = h.groupBy("width", "height", "hi", "lo")
+      .agg(min("media_id").as("rep"), count(lit(1)).as("members"))
+    val reps = groups.select(col("rep").as("media_id"),
+      col("width"), col("height"), col("hi"), col("lo"))
+    val cc = Dedup.connectedComponents(
+        pairsOverHashes(reps, maxHamming), "id_a", "id_b")
+      .withColumnRenamed("id", "rep")
+      .withColumnRenamed("cluster_id", "cc_id")
+    h.join(groups, Seq("width", "height", "hi", "lo"))
+      .join(cc, Seq("rep"), "left")
+      // in the output iff SOME near-dup exists: an identical-hash
+      // sibling (members > 1) or a cross-hash component edge (cc row)
+      .filter(col("members") > 1 || col("cc_id").isNotNull)
+      .select(col("media_id"),
+        coalesce(col("cc_id"), col("rep")).as("cluster_id"))
   }
 }

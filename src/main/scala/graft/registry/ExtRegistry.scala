@@ -1024,6 +1024,21 @@ private[graft] object ExtRegistry {
       ImageHash.dhashPairs(base.unionByName(twins))
     }),
 
+    // the PRODUCTION path of the perceptual tier: pair enumeration is
+    // quadratic in duplicate-cluster size (the ~sf1 key-growth smoke
+    // measured 3,088 → 517,776 within-cluster pairs for 10× data), so
+    // the scale output is a per-image cluster assignment — exact-hash
+    // collapse, banded pairing + connected components over the
+    // DISTINCT hash table, one join back. Same planted-twin input as
+    // the pair row, so recall is certified here too.
+    "q_image_dhash_clusters" -> ((s, dir) => {
+      val base = Multimodal.synthesizePpm(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val twins = ImageHash.vandalizeFirstPixel(
+        base.filter(col("media_id").cast("long") % 10 === 0), "v")
+      ImageHash.dhashClusters(base.unionByName(twins))
+    }),
+
     // audio counterpart of q_multimodal_corrupt: id%7==3 WAVs
     // truncated mid-container; the tolerant RIFF walker emits ok=0
     // casualties and decodes the rest
@@ -2396,66 +2411,25 @@ private[graft] object ExtRegistry {
     // id||'v') replay the single-pixel vandalism exactly: luma at
     // pixel 0 is 128·(299+587+114) = 128000.
     "q_image_dhash" ->
-      """WITH imgs AS (
-        |  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id,
-        |         FALSE AS twin
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT CAST(doc_id AS VARCHAR) || 'v' AS id, doc_id,
-        |         TRUE AS twin
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |dims AS (
-        |  SELECT id, doc_id, twin,
-        |         CAST(8 + doc_id % 16 AS BIGINT) AS w,
-        |         CAST(6 + doc_id % 9 AS BIGINT) AS h
-        |  FROM imgs),
-        |px AS (
-        |  SELECT id, doc_id, twin, w, h,
-        |         unnest(generate_series(0, w * h - 1)) AS i
-        |  FROM dims),
-        |lum AS (
-        |  SELECT id, w, h, (i % w) AS x, (i // w) AS y,
-        |    CASE WHEN twin AND i = 0 THEN 128000
-        |    ELSE ((doc_id * 31 + i * 7) % 256) * 299
-        |       + ((doc_id * 31 + i * 7 + 13) % 256) * 587
-        |       + ((doc_id * 31 + i * 7 + 26) % 256) * 114 END AS luma
-        |  FROM px),
-        |cells AS (
-        |  SELECT id, (x * 9) // w AS gx, (y * 8) // h AS gy,
-        |         CAST(sum(luma) AS BIGINT) AS s, count(*) AS n
-        |  FROM lum GROUP BY 1, 2, 3),
-        |g72 AS (SELECT id, unnest(generate_series(0, 71)) AS gi
-        |        FROM dims),
-        |dense AS (
-        |  SELECT g72.id, gi % 9 AS gx, gi // 9 AS gy,
-        |         coalesce(c.s * 1000 // c.n, 0) AS cell
-        |  FROM g72 LEFT JOIN cells c
-        |    ON c.id = g72.id AND c.gx = gi % 9
-        |       AND c.gy = gi // 9),
-        |bits AS (
-        |  SELECT l.id, l.gy * 8 + l.gx AS i,
-        |         CASE WHEN r.cell > l.cell THEN 1 ELSE 0 END AS bit
-        |  FROM dense l JOIN dense r
-        |    ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
-        |  WHERE l.gx < 8),
-        |hs AS (
-        |  SELECT id,
-        |    CAST(sum(CASE WHEN i < 32
-        |             THEN bit * (CAST(1 AS BIGINT) << i)
-        |             ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN i >= 32
-        |             THEN bit * (CAST(1 AS BIGINT) << (i - 32))
-        |             ELSE 0 END) AS BIGINT) AS lo
-        |  FROM bits GROUP BY 1)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |       CAST(bit_count(xor(a.hi, b.hi))
-        |         + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
-        |FROM hs a JOIN hs b ON a.id < b.id
-        |JOIN dims da ON da.id = a.id
-        |JOIN dims db ON db.id = b.id
-        |WHERE da.w = db.w AND da.h = db.h
-        |  AND bit_count(xor(a.hi, b.hi))
-        |    + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin,
+      s"""WITH $dhashPairsCtes
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+
+    // the cluster row replays the SAME per-pixel pair derivation, then
+    // the recursive reachability closure + component min — transitive,
+    // so the oracle covers exactly the engine's "every image with at
+    // least one near-duplicate" output set (identical-hash siblings
+    // are hamming-0 pairs here, cross-hash edges are the banded ones)
+    "q_image_dhash_clusters" ->
+      s"""WITH RECURSIVE $dhashPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS n, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a
+         |)
+         |SELECT n AS media_id, least(n, min(r)) AS cluster_id
+         |FROM reach GROUP BY n""".stripMargin,
 
     "q_export_jsonl" ->
       s"""SELECT doc_id % 8 AS shard, count(*) AS n,

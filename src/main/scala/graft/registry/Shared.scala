@@ -343,6 +343,76 @@ private[graft] object Shared {
     * by the connected-components oracle. Ends with a
     * `pairs(id_a, id_b, jaccard)` CTE; callers append the final
     * SELECT. */
+  /** Per-pixel dHash replay over the documents-derived PPM corpus
+    * (base ∪ single-pixel-vandalized twins of doc_id%10=0): same luma
+    * weights, box partition, floor-milli cells, hi/lo packing, and
+    * hamming ≤ 3 cut as [[graft.ext.ImageHash]]. Ends with a
+    * `pairs(id_a, id_b, hamming)` CTE; callers append the final
+    * SELECT (the pair row) or the recursive closure (the cluster
+    * row). */
+  lazy val dhashPairsCtes: String =
+    """imgs AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id,
+      |         FALSE AS twin
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS VARCHAR) || 'v' AS id, doc_id,
+      |         TRUE AS twin
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |dims AS (
+      |  SELECT id, doc_id, twin,
+      |         CAST(8 + doc_id % 16 AS BIGINT) AS w,
+      |         CAST(6 + doc_id % 9 AS BIGINT) AS h
+      |  FROM imgs),
+      |px AS (
+      |  SELECT id, doc_id, twin, w, h,
+      |         unnest(generate_series(0, w * h - 1)) AS i
+      |  FROM dims),
+      |lum AS (
+      |  SELECT id, w, h, (i % w) AS x, (i // w) AS y,
+      |    CASE WHEN twin AND i = 0 THEN 128000
+      |    ELSE ((doc_id * 31 + i * 7) % 256) * 299
+      |       + ((doc_id * 31 + i * 7 + 13) % 256) * 587
+      |       + ((doc_id * 31 + i * 7 + 26) % 256) * 114 END AS luma
+      |  FROM px),
+      |cells AS (
+      |  SELECT id, (x * 9) // w AS gx, (y * 8) // h AS gy,
+      |         CAST(sum(luma) AS BIGINT) AS s, count(*) AS n
+      |  FROM lum GROUP BY 1, 2, 3),
+      |g72 AS (SELECT id, unnest(generate_series(0, 71)) AS gi
+      |        FROM dims),
+      |dense AS (
+      |  SELECT g72.id, gi % 9 AS gx, gi // 9 AS gy,
+      |         coalesce(c.s * 1000 // c.n, 0) AS cell
+      |  FROM g72 LEFT JOIN cells c
+      |    ON c.id = g72.id AND c.gx = gi % 9
+      |       AND c.gy = gi // 9),
+      |bits AS (
+      |  SELECT l.id, l.gy * 8 + l.gx AS i,
+      |         CASE WHEN r.cell > l.cell THEN 1 ELSE 0 END AS bit
+      |  FROM dense l JOIN dense r
+      |    ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
+      |  WHERE l.gx < 8),
+      |hs AS (
+      |  SELECT id,
+      |    CAST(sum(CASE WHEN i < 32
+      |             THEN bit * (CAST(1 AS BIGINT) << i)
+      |             ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN i >= 32
+      |             THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+      |             ELSE 0 END) AS BIGINT) AS lo
+      |  FROM bits GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |         CAST(bit_count(xor(a.hi, b.hi))
+      |           + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      |  FROM hs a JOIN hs b ON a.id < b.id
+      |  JOIN dims da ON da.id = a.id
+      |  JOIN dims db ON db.id = b.id
+      |  WHERE da.w = db.w AND da.h = db.h
+      |    AND bit_count(xor(a.hi, b.hi))
+      |      + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
+
   lazy val minhashPairsCtes: String = {
     val bandConds = minhashBandConds
     s"""$minhashSigCtes,

@@ -729,6 +729,40 @@ class ExtSpec extends SparkSpec {
     assert((got.hi, got.lo) === ((wantHi, wantLo)))
   }
 
+  test("image dHash clusters: exact-hash collapse is lossless vs CC " +
+      "over the full pair set; identical copies, twins, and cross-hash " +
+      "edges land in one component; singletons are omitted") {
+    // ids 2304 apart synthesize BYTE-IDENTICAL images (the pixel
+    // formula's period is lcm(256,16,9) = 2304) — the duplicate-clique
+    // case whose pair enumeration explodes at scale
+    val ids = Seq(0L, 2304L, 4608L, 10L, 2314L, 41L, 55L).toDF("doc_id")
+    val base = Multimodal.synthesizePpm(ids, "doc_id")
+    val twins = ImageHash.vandalizeFirstPixel(
+      base.filter(col("media_id").cast("long") % 10 === 0), "v")
+    val media = base.unionByName(twins)
+
+    val got = ImageHash.dhashClusters(media).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // lossless-collapse property: EXACTLY the labels CC assigns over
+    // the uncollapsed pair set (within-clique hamming-0 pairs and all)
+    val want = Dedup.connectedComponents(
+        ImageHash.dhashPairs(media), "id_a", "id_b").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === want)
+
+    // the identical triplet + its vandalized twin: one component,
+    // labeled by the VARCHAR-min id ("0")
+    for (m <- Seq("0", "2304", "4608", "0v"))
+      assert(got.get(m) === Some("0"), s"member $m")
+    // the identical pair 10/2314 + the planted twin 10v (2314 % 10 ≠ 0,
+    // so it has no twin of its own): "10" is the VARCHAR min
+    for (m <- Seq("10", "2314", "10v"))
+      assert(got.get(m) === Some("10"), s"member $m")
+    // unique hashes with no near-dup edge are omitted, not self-labeled
+    for (m <- Seq("41", "55")) assert(!got.contains(m), s"singleton $m")
+  }
+
   test("multimodal Y4M: hand-computed round-trip over C444 and C420; " +
       "header/frame params parse; truncation and bad colorspace fail " +
       "loudly; synthesized table replays the id formula") {
