@@ -86,6 +86,22 @@ object ImageHash {
 
   private[ext] def dhashOne(id: String, b: Array[Byte]): PpmDHash = {
     val (w, h, pos) = p6Header(id, b)
+    val (hi, lo) = dhashGrid(w, h, (x, y) => {
+      val o = pos + (y * w + x) * 3
+      (b(o) & 0xff) * 299L + (b(o + 1) & 0xff) * 587L +
+        (b(o + 2) & 0xff) * 114L
+    })
+    PpmDHash(id, w, h, hi, lo)
+  }
+
+  /** The 9×8 gradient-sign core over any single-channel pixel
+    * function (milli-luma for images, raw Y for video frames — the
+    * sign compares are scale-invariant): integer box partition
+    * `gx = x·9 div w`, `gy = y·8 div h`, floor-milli cell means,
+    * bit `gy·8+gx` = cell(gx+1,gy) > cell(gx,gy), packed as two
+    * non-negative 32-bit halves. */
+  private[ext] def dhashGrid(
+      w: Int, h: Int, value: (Int, Int) => Long): (Long, Long) = {
     val sums = new Array[Long](72)
     val cnts = new Array[Long](72)
     var y = 0
@@ -93,11 +109,8 @@ object ImageHash {
       val gy = y * 8 / h
       var x = 0
       while (x < w) {
-        val o = pos + (y * w + x) * 3
-        val luma = (b(o) & 0xff) * 299L + (b(o + 1) & 0xff) * 587L +
-          (b(o + 2) & 0xff) * 114L
         val c = gy * 9 + x * 9 / w
-        sums(c) += luma; cnts(c) += 1
+        sums(c) += value(x, y); cnts(c) += 1
         x += 1
       }
       y += 1
@@ -119,7 +132,7 @@ object ImageHash {
       }
       gy += 1
     }
-    PpmDHash(id, w, h, hi, lo)
+    (hi, lo)
   }
 
   /**

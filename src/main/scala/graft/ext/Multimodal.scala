@@ -1357,7 +1357,18 @@ object Multimodal {
     * frame-stride walk — `FRAME[ params]\n` marker + fixed-length
     * planes per frame. Truncated payloads, trailing garbage, a
     * missing marker, or an unsupported colorspace all throw. */
-  private def parseY4m(id: String, bytes: Array[Byte]): Y4mFeatures = {
+  /** Parsed YUV4MPEG2 stream layout: header params plus the byte
+    * offset of each frame's plane payload (Y, then Cb, then Cr). */
+  private[ext] final case class Y4mLayout(
+      width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      colorspace: String, frameOffsets: Array[Int])
+
+  /** The YUV4MPEG2 container walk shared by the aggregate decode and
+    * the perceptual per-frame hasher: stream-header params, then the
+    * `FRAME[ params]\n` marker + fixed-stride plane walk, returning
+    * every frame's payload offset. All malformation failures live
+    * here, so every consumer inherits identical strictness. */
+  private[ext] def y4mWalk(id: String, bytes: Array[Byte]): Y4mLayout = {
     def fail(msg: String) =
       throw new IllegalArgumentException(s"Y4M $id: $msg")
     def lineEnd(from: Int): Int = {
@@ -1388,12 +1399,9 @@ object Multimodal {
     }
     if (w <= 0 || h <= 0) fail(s"missing/invalid dimensions W$w H$h")
     if (fn <= 0 || fd <= 0) fail(s"invalid frame rate F$fn:$fd")
-    val yLen = w.toLong * h
     val frameLen = y4mFrameLen(w, h, cs) // throws on unsupported cs
-    val cLen = ((frameLen - yLen) / 2).toInt
     var pos = hEnd + 1
-    var nf = 0L
-    var ySum = 0L; var cbSum = 0L; var crSum = 0L
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
     while (pos < bytes.length) {
       if (pos + 5 > bytes.length ||
           new String(bytes, pos, 5,
@@ -1401,7 +1409,22 @@ object Multimodal {
         fail(s"expected FRAME marker at offset $pos")
       pos = lineEnd(pos) + 1 // frame params (if any) are ignored
       if (pos + frameLen > bytes.length)
-        fail(s"truncated frame ${nf + 1}: need $frameLen bytes at $pos")
+        fail(s"truncated frame ${offs.length + 1}: need $frameLen bytes at $pos")
+      offs += pos
+      pos += frameLen.toInt
+    }
+    if (offs.isEmpty) fail("stream has no frames")
+    Y4mLayout(w, h, fn, fd, cs, offs.toArray)
+  }
+
+  private def parseY4m(id: String, bytes: Array[Byte]): Y4mFeatures = {
+    val lay = y4mWalk(id, bytes)
+    val w = lay.width; val h = lay.height
+    val yLen = w.toLong * h
+    val frameLen = y4mFrameLen(w, h, lay.colorspace)
+    val cLen = ((frameLen - yLen) / 2).toInt
+    var ySum = 0L; var cbSum = 0L; var crSum = 0L
+    lay.frameOffsets.foreach { pos =>
       var i = 0
       while (i < yLen) { ySum += bytes(pos + i) & 0xff; i += 1 }
       i = 0
@@ -1410,14 +1433,12 @@ object Multimodal {
         crSum += bytes(pos + yLen.toInt + cLen + i) & 0xff
         i += 1
       }
-      pos += frameLen.toInt
-      nf += 1
     }
-    if (nf == 0) fail("stream has no frames")
+    val nf = lay.frameOffsets.length.toLong
     val nY = nf * yLen
     val nC = nf * cLen
-    Y4mFeatures(id, w, h, fn, fd, "C" + cs, nf,
-      nf * 1000L * fd / fn,
+    Y4mFeatures(id, w, h, lay.fpsNum, lay.fpsDen, "C" + lay.colorspace, nf,
+      nf * 1000L * lay.fpsDen / lay.fpsNum,
       ySum, cbSum, crSum,
       ySum * 1000L / nY, cbSum * 1000L / nC, crSum * 1000L / nC)
   }

@@ -1,7 +1,7 @@
 package graft.registry
 
 import graft.core.{Diff, DiffOptions, Records}
-import graft.ext.{Assemble, Curation, Dedup, ImageHash, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Assemble, Curation, Dedup, ImageHash, Multimodal, Similarity, TextAnalysis, VideoHash}
 import graft.mapper.Mapper
 import graft.pipeline.{ImportService, Preset}
 import graft.sources.InlineSource
@@ -1075,6 +1075,30 @@ private[graft] object ExtRegistry {
       val media = Multimodal.synthesizeY4m(
         s.read.parquet(t(dir, "documents")), "doc_id")
       Multimodal.decodeY4m(media).toDF()
+    }),
+
+    // VIDEO rung of the perceptual ladder: per-frame luma dHash over
+    // the real Y4M container walk, banded LSH on the frame-0 hash,
+    // max-over-aligned-frames verification; planted first-luma-byte
+    // twins (doc_id%10=0) certify recall through the banded join
+    "q_video_dhash" -> ((s, dir) => {
+      val base = Multimodal.synthesizeY4m(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val twins = VideoHash.vandalizeFirstLuma(
+        base.filter(col("media_id").cast("long") % 10 === 0), "v")
+      VideoHash.y4mDhashPairs(base.unionByName(twins))
+    }),
+
+    // production path of the video tier (the q_image_dhash_clusters
+    // argument): exact frame-signature collapse + CC over
+    // representatives — O(n) output where pair enumeration read
+    // 16.2M rows at key-growth ~sf1
+    "q_video_dhash_clusters" -> ((s, dir) => {
+      val base = Multimodal.synthesizeY4m(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val twins = VideoHash.vandalizeFirstLuma(
+        base.filter(col("media_id").cast("long") % 10 === 0), "v")
+      VideoHash.y4mDhashClusters(base.unionByName(twins))
     }),
 
     // video casualties: id%7==4 streams truncated to 15 bytes (mid
@@ -3352,6 +3376,29 @@ private[graft] object ExtRegistry {
         |            ELSE CAST(y_sum * 1000 // (nf * w * h) AS BIGINT)
         |            END AS y_mean_milli
         |FROM dim JOIN yf USING (d)""".stripMargin,
+
+    // per-pixel per-FRAME dHash replay from the Y4M luma formula
+    // (d·17 + f·29 + p·7 mod 256; the twin's f=0,p=0 byte is 128),
+    // then the all-pairs max-over-aligned-frames hamming — the banded
+    // engine join must produce exactly this set (pigeonhole recall)
+    "q_video_dhash" ->
+      s"""WITH $videoDhashPairsCtes
+         |SELECT id_a, id_b, hamming_max FROM vpairs""".stripMargin,
+
+    // video cluster row: same per-pixel pair replay + the recursive
+    // reachability closure + component min (the q_image_dhash_clusters
+    // convention) — covers exactly the engine's signature-collapsed CC
+    "q_video_dhash_clusters" ->
+      s"""WITH RECURSIVE $videoDhashPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+         |          UNION SELECT id_b, id_a FROM vpairs),
+         |reach AS (
+         |  SELECT a AS n, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a
+         |)
+         |SELECT n AS media_id, least(n, min(r)) AS cluster_id
+         |FROM reach GROUP BY n""".stripMargin,
 
     // both halves from the id formula: id%7==2 rows are the truncated
     // casualties (ok=0, all features NULL); everything else replays

@@ -413,6 +413,81 @@ private[graft] object Shared {
       |    AND bit_count(xor(a.hi, b.hi))
       |      + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
 
+  /** Per-pixel per-FRAME dHash replay over the documents-derived Y4M
+    * corpus (base ∪ first-luma-byte-vandalized twins of doc_id%10=0):
+    * luma = (d·17 + f·29 + p·7) mod 256, the twin's f=0,p=0 byte is
+    * 128; same grid/cell/packing conventions as [[dhashPairsCtes]].
+    * Ends with a `vpairs(id_a, id_b, hamming_max)` CTE (all-pairs
+    * max-over-aligned-frames, already cut at ≤ 3); callers append the
+    * final SELECT or the recursive closure. */
+  lazy val videoDhashPairsCtes: String =
+    """vids AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id, FALSE AS twin
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS VARCHAR) || 'v' AS id, doc_id, TRUE
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |dims AS (
+      |  SELECT id, doc_id, twin,
+      |         CAST(4 + 2 * (doc_id % 6) AS BIGINT) AS w,
+      |         CAST(4 + 2 * (doc_id % 4) AS BIGINT) AS h,
+      |         CAST(1 + doc_id % 5 AS BIGINT) AS nf
+      |  FROM vids),
+      |fx AS (
+      |  SELECT id, doc_id, twin, w, h, nf,
+      |         unnest(generate_series(0, nf - 1)) AS f
+      |  FROM dims),
+      |px AS (
+      |  SELECT id, doc_id, twin, w, h, f,
+      |         unnest(generate_series(0, w * h - 1)) AS p
+      |  FROM fx),
+      |lum AS (
+      |  SELECT id, w, h, f, (p % w) AS x, (p // w) AS y,
+      |    CASE WHEN twin AND f = 0 AND p = 0 THEN 128
+      |    ELSE (doc_id * 17 + f * 29 + p * 7) % 256 END AS luma
+      |  FROM px),
+      |cells AS (
+      |  SELECT id, f, (x * 9) // w AS gx, (y * 8) // h AS gy,
+      |         CAST(sum(luma) AS BIGINT) AS s, count(*) AS n
+      |  FROM lum GROUP BY 1, 2, 3, 4),
+      |g72 AS (SELECT id, f, unnest(generate_series(0, 71)) AS gi
+      |        FROM fx),
+      |dense AS (
+      |  SELECT g72.id, g72.f, gi % 9 AS gx, gi // 9 AS gy,
+      |         coalesce(c.s * 1000 // c.n, 0) AS cell
+      |  FROM g72 LEFT JOIN cells c
+      |    ON c.id = g72.id AND c.f = g72.f AND c.gx = gi % 9
+      |       AND c.gy = gi // 9),
+      |bits AS (
+      |  SELECT l.id, l.f, l.gy * 8 + l.gx AS i,
+      |         CASE WHEN r.cell > l.cell THEN 1 ELSE 0 END AS bit
+      |  FROM dense l JOIN dense r
+      |    ON r.id = l.id AND r.f = l.f AND r.gy = l.gy
+      |       AND r.gx = l.gx + 1
+      |  WHERE l.gx < 8),
+      |hs AS (
+      |  SELECT id, f,
+      |    CAST(sum(CASE WHEN i < 32
+      |             THEN bit * (CAST(1 AS BIGINT) << i)
+      |             ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN i >= 32
+      |             THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+      |             ELSE 0 END) AS BIGINT) AS lo
+      |  FROM bits GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT hs.id, hs.f, hs.hi, hs.lo, d.w, d.h, d.nf
+      |  FROM hs JOIN dims d ON d.id = hs.id),
+      |vpairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |         CAST(max(bit_count(xor(a.hi, b.hi))
+      |           + bit_count(xor(a.lo, b.lo))) AS BIGINT) AS hamming_max
+      |  FROM fr a JOIN fr b
+      |    ON a.id < b.id AND a.f = b.f
+      |       AND a.w = b.w AND a.h = b.h AND a.nf = b.nf
+      |  GROUP BY 1, 2
+      |  HAVING max(bit_count(xor(a.hi, b.hi))
+      |           + bit_count(xor(a.lo, b.lo))) <= 3)""".stripMargin
+
   lazy val minhashPairsCtes: String = {
     val bandConds = minhashBandConds
     s"""$minhashSigCtes,

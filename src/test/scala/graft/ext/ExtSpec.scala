@@ -763,6 +763,107 @@ class ExtSpec extends SparkSpec {
     for (m <- Seq("41", "55")) assert(!got.contains(m), s"singleton $m")
   }
 
+  test("video dHash: per-frame hashes replay dhashGrid over the real " +
+      "container walk; brightness invariance gives a hamming-0 pair; " +
+      "planted twins are recovered; misaligned frames break a pair") {
+    def enc(w: Int, h: Int, frames: Seq[Array[Byte]]) =
+      Multimodal.y4mEncode(w, h, 25, 1, "444", frames)
+    def vid(rows: (String, Array[Byte])*) =
+      rows.map { case (id, b) => (id, "video", b) }
+        .toDF("media_id", "media_type", "content")
+
+    // hand shape: 6×4 C444, 2 frames with different gradients
+    val w = 6; val h = 4
+    def lumaF(seed: Int) =
+      Array.tabulate(w * h)(p => ((seed * 31 + p * 13) % 180).toByte)
+    def frame(y: Array[Byte]) = // Y plane + flat chroma (C444)
+      y ++ Array.fill(2 * w * h)(64.toByte)
+    val orig = enc(w, h, Seq(frame(lumaF(1)), frame(lumaF(2))))
+
+    // per-frame hashes = dhashGrid over the raw luma values
+    val fh = VideoHash.y4mFrameDHash(vid("a" -> orig)).collect()
+      .map(f => f.frame -> f).toMap
+    assert(fh.size === 2 && fh(0).n_frames === 2)
+    for ((f, seed) <- Seq(0 -> 1, 1 -> 2)) {
+      val y = lumaF(seed)
+      val (wantHi, wantLo) =
+        ImageHash.dhashGrid(w, h, (x, yy) => y(yy * w + x) & 0xffL)
+      assert((fh(f).hi, fh(f).lo) === ((wantHi, wantLo)), s"frame $f")
+    }
+
+    // temporal semantics on provable hashes — width ≥ 9 so every grid
+    // COLUMN is populated (an empty column's cell is pinned at 0,
+    // which legitimately breaks shift invariance; empty ROWS only
+    // compare 0 vs 0 and stay invariant). Flat frames hash to 0;
+    // width-1 vertical stripes (0/170) at w=10 set 4 gradient bits in
+    // each of the 4 populated grid rows = 16 bits. Video A = [flat,
+    // stripes]; B = A with +40 on every luma byte (no wrap) —
+    // brightness invariance demands a hamming_max 0 pair; C = [flat,
+    // flat] — frame 0 is IDENTICAL to A's (so the banded candidate
+    // stage fires) but frame 1 is 16 bits away, so the
+    // max-over-aligned-frames verification must reject the pair.
+    val w2 = 10; val h2 = 4
+    def enc2(frames: Seq[Array[Byte]]) =
+      Multimodal.y4mEncode(w2, h2, 25, 1, "444", frames)
+    def frame2(y: Array[Byte]) = y ++ Array.fill(2 * w2 * h2)(64.toByte)
+    val flat = Array.fill(w2 * h2)(10.toByte)
+    val stripes = Array.tabulate(w2 * h2)(p =>
+      (if (p % w2 % 2 == 0) 0 else 170).toByte)
+    val vA = enc2(Seq(frame2(flat), frame2(stripes)))
+    val vB = enc2(Seq(
+      frame2(flat.map(b => ((b & 0xff) + 40).toByte)),
+      frame2(stripes.map(b => ((b & 0xff) + 40).toByte))))
+    val vC = enc2(Seq(frame2(flat), frame2(flat)))
+    val pairs = VideoHash.y4mDhashPairs(
+        vid("a" -> vA, "b" -> vB, "c" -> vC))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.get(("a", "b")) === Some(0L))
+    assert(!pairs.contains(("a", "c")) && !pairs.contains(("b", "c")))
+
+    // planted twins over the synthesized corpus: every doc_id%10==0
+    // video must pair with its first-luma-byte vandal at hamming ≤ 1
+    val ids = Seq(0L, 10L, 20L, 33L, 47L).toDF("doc_id")
+    val media = Multimodal.synthesizeY4m(ids, "doc_id")
+    val twins = VideoHash.vandalizeFirstLuma(
+      media.filter(col("media_id").cast("long") % 10 === 0), "v")
+    val got = VideoHash.y4mDhashPairs(media.unionByName(twins)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (d <- Seq("0", "10", "20")) {
+      val hm = got.get((d, d + "v"))
+      assert(hm.nonEmpty, s"planted pair ($d, ${d}v) missed")
+      assert(hm.get <= 1L, s"planted pair $d hamming_max ${hm.get}")
+    }
+  }
+
+  test("video dHash clusters: exact frame-signature collapse is " +
+      "lossless vs CC over the full pair set; identical videos and " +
+      "twins share a component") {
+    // the video formula's period is lcm(256,6,4,5) = 7680: ids 7680
+    // apart synthesize BYTE-IDENTICAL streams (dims, frame count, and
+    // every plane byte repeat), the clique case that explodes pairs
+    val ids = Seq(0L, 7680L, 15360L, 10L, 7690L, 33L, 47L).toDF("doc_id")
+    val base = Multimodal.synthesizeY4m(ids, "doc_id")
+    val twins = VideoHash.vandalizeFirstLuma(
+      base.filter(col("media_id").cast("long") % 10 === 0), "v")
+    val media = base.unionByName(twins)
+
+    val got = VideoHash.y4mDhashClusters(media).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = Dedup.connectedComponents(
+        VideoHash.y4mDhashPairs(media), "id_a", "id_b").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === want)
+
+    // the identical triplet 0/7680/15360 + twins 0v/7680v/15360v (all
+    // three ids are %10 == 0): one component, VARCHAR-min labeled "0"
+    for (m <- Seq("0", "7680", "15360", "0v", "7680v", "15360v"))
+      assert(got.get(m) === Some("0"), s"member $m")
+    // 10/7690 identical, 10v/7690v planted: min is "10"
+    for (m <- Seq("10", "7690", "10v", "7690v"))
+      assert(got.get(m) === Some("10"), s"member $m")
+  }
+
   test("multimodal Y4M: hand-computed round-trip over C444 and C420; " +
       "header/frame params parse; truncation and bad colorspace fail " +
       "loudly; synthesized table replays the id formula") {
