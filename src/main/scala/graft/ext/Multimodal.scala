@@ -372,57 +372,79 @@ object Multimodal {
     }
   }
 
+  /** Parsed RIFF/WAVE layout: PCM format params plus the data chunk's
+    * byte offset and frame count. `sample(b, lay, f, c)` below reads
+    * one 16-bit little-endian sample from it. */
+  private[ext] final case class WavLayout(
+      sampleRate: Int, channels: Int, bits: Int,
+      dataOff: Int, nFrames: Long)
+
+  /** The strict RIFF chunk walk shared by the aggregate decode and
+    * the perceptual fingerprinter: magic checks, little-endian sizes,
+    * word alignment, unknown-chunk skip, PCM-only `fmt `, bounded
+    * `data`. All malformation failures live here, so every consumer
+    * inherits identical strictness. */
+  private[ext] def wavLayout(id: String, b: Array[Byte]): WavLayout = {
+    require(b != null, s"null WAVE payload: media_id=$id")
+    def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    require(b.length >= 12 && ascii(0, 4) == "RIFF" &&
+      ascii(8, 4) == "WAVE", s"not a RIFF/WAVE file: media_id=$id")
+    var pos = 12
+    var sr = -1; var ch = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1L
+    while (pos + 8 <= b.length && (sr < 0 || dataOff < 0)) {
+      val cid = ascii(pos, 4); val clen = u32(pos + 4)
+      val body = pos + 8
+      cid match {
+        case "fmt " =>
+          require(clen >= 16, s"short fmt chunk: media_id=$id")
+          require(u16(body) == 1, s"non-PCM WAVE: media_id=$id")
+          ch = u16(body + 2); sr = u32(body + 4).toInt
+          bits = u16(body + 14)
+        case "data" => dataOff = body; dataLen = clen
+        case _ => // unknown chunk (LIST etc): skip
+      }
+      pos = body + clen.toInt + (clen.toInt & 1) // word-aligned
+    }
+    require(sr > 0 && ch > 0 && dataOff >= 0,
+      s"missing fmt/data chunk: media_id=$id")
+    require(bits == 16, s"unsupported bit depth $bits: media_id=$id")
+    require(dataOff + dataLen <= b.length,
+      s"truncated data chunk: media_id=$id")
+    WavLayout(sr, ch, bits, dataOff, dataLen / (ch * 2))
+  }
+
+  /** One 16-bit little-endian PCM sample of frame `f`, channel `c`. */
+  private[ext] def wavSample(
+      b: Array[Byte], lay: WavLayout, f: Long, c: Int): Long = {
+    val off = lay.dataOff + ((f * lay.channels + c) * 2).toInt
+    (((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)).toShort).toLong
+  }
+
   /** The strict RIFF/WAVE parser shared by [[decodeWav]] (throwing)
     * and [[decodeWavChannel]] (per-record isolation). */
   private def parseWav(id: String, b: Array[Byte]): WavFeatures = {
-    require(b != null, s"null WAVE payload: media_id=$id");
-    {
-        def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
-        def u32(off: Int): Long =
-          (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-            ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-        def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-        require(b.length >= 12 && ascii(0, 4) == "RIFF" &&
-          ascii(8, 4) == "WAVE", s"not a RIFF/WAVE file: media_id=$id")
-        var pos = 12
-        var sr = -1; var ch = -1; var bits = -1
-        var dataOff = -1; var dataLen = -1L
-        while (pos + 8 <= b.length && (sr < 0 || dataOff < 0)) {
-          val cid = ascii(pos, 4); val clen = u32(pos + 4)
-          val body = pos + 8
-          cid match {
-            case "fmt " =>
-              require(clen >= 16, s"short fmt chunk: media_id=$id")
-              require(u16(body) == 1, s"non-PCM WAVE: media_id=$id")
-              ch = u16(body + 2); sr = u32(body + 4).toInt
-              bits = u16(body + 14)
-            case "data" => dataOff = body; dataLen = clen
-            case _ => // unknown chunk (LIST etc): skip
-          }
-          pos = body + clen.toInt + (clen.toInt & 1) // word-aligned
-        }
-        require(sr > 0 && ch > 0 && dataOff >= 0,
-          s"missing fmt/data chunk: media_id=$id")
-        require(bits == 16, s"unsupported bit depth $bits: media_id=$id")
-        require(dataOff + dataLen <= b.length,
-          s"truncated data chunk: media_id=$id")
-        val nFrames = dataLen / (ch * 2)
-        var c0 = 0L; var c1 = 0L; var abs = 0L; var peak = 0L
-        var f = 0L
-        while (f < nFrames) {
-          var c = 0
-          while (c < ch) {
-            val v = u16(dataOff + ((f * ch + c) * 2).toInt).toShort.toLong
-            if (c == 0) c0 += v else c1 += v
-            val a = math.abs(v)
-            abs += a; if (a > peak) peak = a
-            c += 1
-          }
-          f += 1
-        }
-        WavFeatures(id, sr, ch, bits, nFrames,
-          nFrames * 1000L / sr, c0, c1, abs, peak)
+    val lay = wavLayout(id, b)
+    val ch = lay.channels
+    var c0 = 0L; var c1 = 0L; var abs = 0L; var peak = 0L
+    var f = 0L
+    while (f < lay.nFrames) {
+      var c = 0
+      while (c < ch) {
+        val v = wavSample(b, lay, f, c)
+        if (c == 0) c0 += v else c1 += v
+        val a = math.abs(v)
+        abs += a; if (a > peak) peak = a
+        c += 1
+      }
+      f += 1
     }
+    WavFeatures(id, lay.sampleRate, ch, lay.bits, lay.nFrames,
+      lay.nFrames * 1000L / lay.sampleRate, c0, c1, abs, peak)
   }
 
   // ── PNG (real compression tier): unlike PPM/WAV, the payload is
