@@ -325,6 +325,100 @@ object Assemble {
   }
 
   /**
+   * Interpolated KNESER-NEY bigram scoring (Chen & Goodman 1999 —
+   * the smoothing KenLM/SRILM ship as the n-gram standard) on the
+   * same held-out train/score split as [[stupidBackoff]]. KN's
+   * insight over count backoff: the lower-order distribution should
+   * be the CONTINUATION probability — how many distinct contexts a
+   * word follows — not its raw frequency ("San Francisco" makes
+   * "Francisco" frequent but it only ever follows "San", so it
+   * should get almost no unigram mass). Per scored token w with
+   * context a, fixed discount D = 0.75:
+   *
+   *   p_cont(w)      = (N1+(·,w) + 1) / (B + V)       (add-one so OOV
+   *                                                     scores finite)
+   *   context seen:  p = (max(c(a,w) − D, 0)
+   *                       + D · N1+(a,·) · p_cont(w)) / c(a,·)
+   *   context unseen or first token:  p = p_cont(w)
+   *
+   * with N1+(a,·) = distinct types following a, N1+(·,w) = distinct
+   * contexts preceding w, B = distinct bigram count, V = vocabulary
+   * size. The interpolation weight D·N1+(a,·)/c(a,·) is exactly the
+   * mass the discount removed, so p sums to 1 over seen vocabularies.
+   *
+   * Determinism: every term is double arithmetic over EXACT integer
+   * counts with literal constants in fixed order; ln truncates ONCE
+   * to integer micro-nats (the [[stupidBackoff]] convention, so both
+   * engines replay bit-identically). B and V ride a one-row broadcast
+   * frame — no driver scalar.
+   *
+   * Scale shape: all four model tables (bigram counts, context
+   * totals, following-type counts, preceding-type counts) are
+   * map-side-combined groupBys over ONE context pass of the TRAIN
+   * stream; they are mergeable across shards exactly like the
+   * [[stupidBackoff]] tables (Brants 2007's argument applies
+   * unchanged — distinct-type counts merge because the bigram table
+   * they derive from merges). Scoring joins the score stream on the
+   * model keys; AQE broadcasts while vocabularies fit.
+   */
+  def knSurprisal(
+      train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def ctx(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      graft.util.Tables.spread(df)
+        .select(col(idCol).as("id"),
+          posexplode(TextAnalysis.normTokens(col(textCol))))
+        .toDF("id", "pos", "tok")
+        .withColumn("p1", lag(col("tok"), 1).over(w))
+    }
+    val ctxT = ctx(train).persist()
+    try {
+      val bi = ctxT.filter(col("p1").isNotNull)
+        .groupBy(col("p1").as("ba"), col("tok").as("bb"))
+        .agg(count(lit(1)).as("cab"))
+      val biP = bi.persist()
+      try {
+        val cctx = biP.groupBy(col("ba").as("ck"))
+          .agg(sum(col("cab")).as("cctx"),
+            count(lit(1)).as("n1fol"))
+        val npre = biP.groupBy(col("bb").as("pk"))
+          .agg(count(lit(1)).as("n1pre"))
+        val vocab = ctxT.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val tot = biP.agg(count(lit(1)).as("b"))
+          .crossJoin(vocab.agg(count(lit(1)).as("v")))
+        val pcont = (coalesce(col("n1pre"), lit(0L)) + 1L).cast("double") /
+          (col("b") + col("v")).cast("double")
+        val u = when(col("p1").isNull || col("cctx").isNull, -log(pcont))
+          .otherwise(-log(
+            (greatest(coalesce(col("cab"), lit(0L)).cast("double") -
+              lit(0.75), lit(0.0)) +
+              lit(0.75) * col("n1fol") * pcont) /
+              col("cctx").cast("double")))
+        ctx(score)
+          .join(bi.select(col("ba"), col("bb"), col("cab")),
+            col("p1") === col("ba") && col("tok") === col("bb"), "left")
+          .join(cctx, col("p1") === col("ck"), "left")
+          .join(npre, col("tok") === col("pk"), "left")
+          .join(vocab.select(col("tok").as("vk"), col("c").as("cu")),
+            col("tok") === col("vk"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("id"),
+            floor(u * 1000000L).cast("long").as("u"),
+            col("cu"))
+          .groupBy(col("id")).agg(
+            count(lit(1)).as("n_tokens"),
+            sum(col("u")).as("surprisal_unats"),
+            sum(when(col("cu").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("id"), col("n_tokens"), col("surprisal_unats"),
+            expr("surprisal_unats div n_tokens").as("mean_unats"),
+            col("n_oov"))
+          .localCheckpoint()
+      } finally biP.unpersist()
+    } finally ctxT.unpersist()
+  }
+
+  /**
    * CCNet-style perplexity bucketing: score every document with the
    * corpus-trained unigram LM ([[unigramSurprisal]]), then split each
    * language into equal-count head / middle / tail thirds by mean

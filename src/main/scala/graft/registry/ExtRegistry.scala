@@ -1,7 +1,7 @@
 package graft.registry
 
 import graft.core.{Diff, DiffOptions, Records}
-import graft.ext.{Assemble, Curation, Dedup, ImageHash, Multimodal, Similarity, TextAnalysis, VideoHash}
+import graft.ext.{Assemble, AudioHash, Curation, Dedup, ImageHash, Multimodal, Similarity, TextAnalysis, VideoHash}
 import graft.mapper.Mapper
 import graft.pipeline.{ImportService, Preset}
 import graft.sources.InlineSource
@@ -220,6 +220,19 @@ private[graft] object ExtRegistry {
     "q_backoff_ppl" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
       Assemble.stupidBackoff(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // interpolated Kneser-Ney bigram (Chen & Goodman 1999 — the
+    // KenLM/SRILM standard) on the same held-out split: discounted
+    // bigram mass interpolated with the CONTINUATION distribution
+    // (distinct-context counts, not raw frequency); all four model
+    // tables are mergeable groupBys, one micro-nat truncation
+    "q_kn_ppl" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      Assemble.knSurprisal(
         d.filter(col("doc_id") % 2 === 0),
         d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
@@ -1114,6 +1127,35 @@ private[graft] object ExtRegistry {
       Multimodal.decodeY4mChannel(media).toDF()
     }),
 
+    // AUDIO rung of the perceptual ladder (images → video → audio):
+    // real RIFF walk → channel-0 lag-1 |diff| envelope over 65 integer
+    // time boxes → 64 sign-of-envelope-delta bits (Haitsma-Kalker
+    // 2002 restated in exact integers) → banded LSH pair join
+    // (4×16-bit bands + format params in the block key;
+    // pigeonhole-complete for hamming ≤ 3) → bit_count(xor) verify.
+    // Every 10th file gets a first-sample-zeroed twin (id+"v") — a
+    // PLANTED hamming≤1 pair the banded join must recover, so the
+    // row certifies recall, not just precision.
+    "q_audio_fp" -> ((s, dir) => {
+      val base = Multimodal.synthesizeWav(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val twins = AudioHash.vandalizeFirstSample(
+        base.filter(col("media_id").cast("long") % 10 === 0), "v")
+      AudioHash.wavFpPairs(base.unionByName(twins))
+    }),
+
+    // production path of the audio tier (the q_image_dhash_clusters
+    // argument): exact-fingerprint collapse + CC over representatives
+    // — O(n) output where pair enumeration is quadratic in
+    // duplicate-clique size
+    "q_audio_fp_clusters" -> ((s, dir) => {
+      val base = Multimodal.synthesizeWav(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val twins = AudioHash.vandalizeFirstSample(
+        base.filter(col("media_id").cast("long") % 10 === 0), "v")
+      AudioHash.wavFpClusters(base.unionByName(twins))
+    }),
+
     // corrupt-media isolation: every id%7==2 blob truncated to its
     // first 10 bytes — the tolerant channel decodes the rest and
     // emits ok=0 rows for the casualties instead of failing the
@@ -1815,6 +1857,61 @@ private[graft] object ExtRegistry {
         |      LEFT JOIN bi b12 ON wpS.p2 = b12.ba AND wpS.p1 = b12.bb
         |      LEFT JOIN tri tr ON wpS.p2 = tr.ta AND wpS.p1 = tr.tb
         |        AND wpS.tok = tr.tc
+        |      CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(u) AS BIGINT) AS surprisal_unats,
+        |  CAST(sum(u) // count(*) AS BIGINT) AS mean_unats,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    // Kneser-Ney replay: identical count tables (bigram, context
+    // totals, following-type, preceding-type), identical double
+    // expression shape and constant order (D = 0.75 literal,
+    // add-one continuation over B + V), one micro-nat truncation
+    "q_kn_ppl" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |toksT AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+        |                 unnest(t) AS tok FROM base WHERE doc_id % 2 = 0),
+        |wpT AS (SELECT doc_id, pos, tok,
+        |          lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS p1
+        |        FROM toksT),
+        |bi AS (SELECT p1 AS ba, tok AS bb, count(*) AS cab
+        |       FROM wpT WHERE p1 IS NOT NULL GROUP BY 1, 2),
+        |cctx AS (SELECT ba AS ck, CAST(sum(cab) AS BIGINT) AS cctx,
+        |                CAST(count(*) AS BIGINT) AS n1fol
+        |         FROM bi GROUP BY 1),
+        |npre AS (SELECT bb AS pk, CAST(count(*) AS BIGINT) AS n1pre
+        |         FROM bi GROUP BY 1),
+        |uni AS (SELECT tok AS uk, count(*) AS c FROM toksT GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bi) AS b,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM uni) AS v),
+        |toksS AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+        |                 unnest(t) AS tok FROM base WHERE doc_id % 2 = 1),
+        |wpS AS (SELECT doc_id, pos, tok,
+        |          lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS p1
+        |        FROM toksS),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(-ln(
+        |          CASE WHEN p1 IS NULL OR cc.cctx IS NULL THEN
+        |                 CAST(coalesce(np.n1pre, 0) + 1 AS DOUBLE)
+        |                   / CAST(tot.b + tot.v AS DOUBLE)
+        |               ELSE
+        |                 (greatest(CAST(coalesce(b2.cab, 0) AS DOUBLE)
+        |                     - 0.75, 0.0)
+        |                  + 0.75 * cc.n1fol
+        |                    * (CAST(coalesce(np.n1pre, 0) + 1 AS DOUBLE)
+        |                       / CAST(tot.b + tot.v AS DOUBLE)))
+        |                 / CAST(cc.cctx AS DOUBLE)
+        |          END) * 1000000) AS BIGINT) AS u,
+        |        CASE WHEN u3.c IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM wpS
+        |      LEFT JOIN bi b2 ON wpS.p1 = b2.ba AND wpS.tok = b2.bb
+        |      LEFT JOIN cctx cc ON wpS.p1 = cc.ck
+        |      LEFT JOIN npre np ON wpS.tok = np.pk
+        |      LEFT JOIN uni u3 ON wpS.tok = u3.uk
         |      CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(u) AS BIGINT) AS surprisal_unats,
@@ -3392,6 +3489,31 @@ private[graft] object ExtRegistry {
       s"""WITH RECURSIVE $videoDhashPairsCtes,
          |edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
          |          UNION SELECT id_b, id_a FROM vpairs),
+         |reach AS (
+         |  SELECT a AS n, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a
+         |)
+         |SELECT n AS media_id, least(n, min(r)) AS cluster_id
+         |FROM reach GROUP BY n""".stripMargin,
+
+    // audio-fingerprint replay at PER-SAMPLE granularity from the
+    // synthesis formula: same lag-1 |diff| stream, 65-box integer
+    // partition, floor-milli envelope, hi/lo packing, and hamming ≤ 3
+    // cut as the engine; pair order under VARCHAR ids. Twin rows
+    // (doc_id%10=0, id||'v') replay the zeroed first sample exactly.
+    "q_audio_fp" ->
+      s"""WITH $audioFpPairsCtes
+         |SELECT id_a, id_b, hamming FROM apairs""".stripMargin,
+
+    // the cluster row replays the SAME per-sample pair derivation,
+    // then the recursive reachability closure + component min — the
+    // q_image_dhash_clusters convention, covering exactly the
+    // engine's "every file with at least one near-duplicate" set
+    "q_audio_fp_clusters" ->
+      s"""WITH RECURSIVE $audioFpPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM apairs
+         |          UNION SELECT id_b, id_a FROM apairs),
          |reach AS (
          |  SELECT a AS n, b AS r FROM edges
          |  UNION

@@ -488,6 +488,80 @@ private[graft] object Shared {
       |  HAVING max(bit_count(xor(a.hi, b.hi))
       |           + bit_count(xor(a.lo, b.lo))) <= 3)""".stripMargin
 
+  /** Per-sample audio-fingerprint replay over the documents-derived
+    * WAV corpus (base ∪ first-sample-zeroed twins of doc_id%10=0):
+    * channel-0 sample `x[f] = ((d·37 + f·11) mod 4001) − 2000` (the
+    * twin's x[0] is exactly 0), lag-1 absolute diffs into 65 integer
+    * time boxes `g = (i−1)·65 div (nf−1)`, floor-milli box means
+    * (empty boxes 0), 64 envelope-delta sign bits packed hi/lo — the
+    * [[graft.ext.AudioHash]] conventions bit for bit. Ends with an
+    * `apairs(id_a, id_b, hamming)` CTE (all-pairs within equal
+    * format params, already cut at ≤ 3); callers append the final
+    * SELECT or the recursive closure. */
+  lazy val audioFpPairsCtes: String =
+    """auds AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id, FALSE AS twin
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS VARCHAR) || 'v' AS id, doc_id, TRUE
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |prm AS (
+      |  SELECT id, doc_id, twin,
+      |         CAST(8000 + 4000 * (doc_id % 4) AS BIGINT) AS sr,
+      |         CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+      |         CAST(50 + doc_id % 101 AS BIGINT) AS nf
+      |  FROM auds),
+      |smp AS (
+      |  SELECT id, doc_id, twin, nf,
+      |         unnest(generate_series(0, nf - 1)) AS f
+      |  FROM prm),
+      |xs AS (
+      |  SELECT id, nf, f,
+      |    CASE WHEN twin AND f = 0 THEN 0
+      |    ELSE ((doc_id * 37 + f * 11) % 4001) - 2000 END AS x
+      |  FROM smp),
+      |dfs AS (
+      |  SELECT l.id, ((r.f - 1) * 65) // (l.nf - 1) AS g,
+      |         abs(r.x - l.x) AS dd
+      |  FROM xs l JOIN xs r ON r.id = l.id AND r.f = l.f + 1),
+      |boxes AS (
+      |  SELECT id, g, CAST(sum(dd) AS BIGINT) AS s, count(*) AS n
+      |  FROM dfs GROUP BY 1, 2),
+      |g65 AS (SELECT id, unnest(generate_series(0, 64)) AS g
+      |        FROM prm),
+      |dense AS (
+      |  SELECT g65.id, g65.g,
+      |         coalesce(b.s * 1000 // b.n, 0) AS env
+      |  FROM g65 LEFT JOIN boxes b
+      |    ON b.id = g65.id AND b.g = g65.g),
+      |abits AS (
+      |  SELECT l.id, l.g AS i,
+      |         CASE WHEN r.env > l.env THEN 1 ELSE 0 END AS bit
+      |  FROM dense l JOIN dense r
+      |    ON r.id = l.id AND r.g = l.g + 1
+      |  WHERE l.g < 64),
+      |ahs AS (
+      |  SELECT id,
+      |    CAST(sum(CASE WHEN i < 32
+      |             THEN bit * (CAST(1 AS BIGINT) << i)
+      |             ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN i >= 32
+      |             THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+      |             ELSE 0 END) AS BIGINT) AS lo
+      |  FROM abits GROUP BY 1),
+      |afp AS (
+      |  SELECT ahs.id, p.sr, p.ch, p.nf, ahs.hi, ahs.lo
+      |  FROM ahs JOIN prm p ON p.id = ahs.id),
+      |apairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |         CAST(bit_count(xor(a.hi, b.hi))
+      |           + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      |  FROM afp a JOIN afp b
+      |    ON a.id < b.id AND a.sr = b.sr AND a.ch = b.ch
+      |       AND a.nf = b.nf
+      |  WHERE bit_count(xor(a.hi, b.hi))
+      |      + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
+
   lazy val minhashPairsCtes: String = {
     val bandConds = minhashBandConds
     s"""$minhashSigCtes,

@@ -864,6 +864,132 @@ class ExtSpec extends SparkSpec {
       assert(got.get(m) === Some("10"), s"member $m")
   }
 
+  test("Kneser-Ney bigram: hand-computed model tables and per-token " +
+      "interpolated probabilities on a held-out split; continuation " +
+      "counts, not raw frequency, set the unigram mass") {
+    // train: ids 0 and 2 (the even split); score: id 1
+    val corpus = Seq(
+      (0L, "san francisco is foggy"),
+      (1L, "francisco is nice"),
+      (2L, "new york is big san francisco wins")).toDF("doc_id", "text")
+    val out = Assemble.knSurprisal(
+        corpus.filter(col("doc_id") % 2 === 0),
+        corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    // hand model: B = 8 distinct bigrams, V = 8 types, B + V = 16.
+    // "francisco" occurs twice in train but only ever follows "san",
+    // so its continuation count is 1 — p_cont = (1+1)/16, HALF of
+    // "is" (2 distinct contexts, p_cont = 3/16) despite equal
+    // frequency: the Kneser-Ney point, asserted through the staged
+    // arithmetic below.
+    def u(p: Double) = math.floor(-math.log(p) * 1000000L).toLong
+    // tok 1 "francisco": first token → p_cont = (1+1)/16
+    val u1 = u((1 + 1).toDouble / 16)
+    // tok 2 "is" | "francisco": c=1, cctx=2, N1+(fol)=2, p_cont(is)=3/16
+    val u2 = u((math.max(1.0 - 0.75, 0.0) + 0.75 * 2 * (3.0 / 16)) / 2)
+    // tok 3 "nice" | "is": unseen bigram (c=0), cctx(is)=2, N1+(fol)=2,
+    // p_cont(nice) = (0+1)/16; OOV (never in train vocab)
+    val u3 = u((0.0 + 0.75 * 2 * (1.0 / 16)) / 2)
+    assert(out(1L) === ((3L, u1 + u2 + u3, (u1 + u2 + u3) / 3, 1L)))
+  }
+
+  test("audio fingerprint: DC-offset invariance is exact; format " +
+      "params gate the block key; planted twins are recovered; " +
+      "independent formula replay") {
+    // DC invariance: the lag-1 |diff| stream is unchanged by adding a
+    // constant to every sample, so the fingerprint is bit-identical —
+    // the audio analog of the image rung's brightness invariance
+    val base = Array.tabulate(80)(i => ((i * 53 + 17) % 1000 - 500).toShort)
+    val shifted = base.map(s => (s + 1000).toShort)
+    val fA = AudioHash.fpOne("a", Multimodal.wavEncode(8000, 1, base))
+    val fB = AudioHash.fpOne("b", Multimodal.wavEncode(8000, 1, shifted))
+    assert((fA.hi, fA.lo) === ((fB.hi, fB.lo)))
+    assert(fA.hi >= 0L && fA.lo >= 0L) // 32-bit halves never sign-wrap
+
+    // identical PCM at a different sample rate must NOT pair: the
+    // block key includes the format params
+    def aud(rows: (String, Array[Byte])*) =
+      rows.map { case (id, b) => (id, "audio", b) }
+        .toDF("media_id", "media_type", "content")
+    val crossFmt = AudioHash.wavFpPairs(aud(
+      "a" -> Multimodal.wavEncode(8000, 1, base),
+      "b" -> Multimodal.wavEncode(16000, 1, base))).collect()
+    assert(crossFmt.isEmpty)
+
+    // planted twins over the synthesized corpus: every doc_id%10==0
+    // file must pair with its first-sample-zeroed vandal — x[0] feeds
+    // exactly one lag-1 diff whose box is always 0, so hamming ≤ 1,
+    // and the banded join must RECOVER the pair (recall)
+    val ids = Seq(0L, 10L, 20L, 33L, 47L).toDF("doc_id")
+    val media = Multimodal.synthesizeWav(ids, "doc_id")
+    val twins = AudioHash.vandalizeFirstSample(
+      media.filter(col("media_id").cast("long") % 10 === 0), "v")
+    val got = AudioHash.wavFpPairs(media.unionByName(twins)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (d <- Seq("0", "10", "20")) {
+      val hm = got.get((d, d + "v"))
+      assert(hm.nonEmpty, s"planted pair ($d, ${d}v) missed")
+      assert(hm.get <= 1L, s"planted pair $d hamming ${hm.get}")
+    }
+
+    // formula replay: fpOne over the REAL synthesized bytes equals a
+    // from-scratch recompute straight from the id formula (no RIFF
+    // path involved) — the oracle's per-sample contract
+    val d = 47L
+    val bytes = media.filter(col("media_id") === "47")
+      .select("content").collect().head.getAs[Array[Byte]](0)
+    val f41 = AudioHash.fpOne("47", bytes)
+    val nf = 50 + (d % 101).toInt
+    def x(f: Int): Long = (d * 37 + f * 11) % 4001 - 2000
+    val sums = Array.fill(65)(0L); val cnts = Array.fill(65)(0L)
+    for (i <- 1 until nf) {
+      val g = (i - 1) * 65 / (nf - 1)
+      sums(g) += math.abs(x(i) - x(i - 1)); cnts(g) += 1
+    }
+    def env(g: Int) = sums(g) * 1000L / math.max(cnts(g), 1L)
+    var wantHi = 0L; var wantLo = 0L
+    for (m <- 0 until 64 if env(m + 1) > env(m)) {
+      if (m < 32) wantHi |= 1L << m else wantLo |= 1L << (m - 32)
+    }
+    assert(f41.sample_rate === 8000 + 4000 * (d % 4).toInt)
+    assert(f41.channels === 1 + (d % 2).toInt && f41.n_frames === nf.toLong)
+    assert((f41.hi, f41.lo) === ((wantHi, wantLo)))
+  }
+
+  test("audio fingerprint clusters: exact-fingerprint collapse is " +
+      "lossless vs CC over the full pair set; identical-PCM files " +
+      "and twins share a component; singletons are omitted") {
+    // ids lcm(4001, 404) = 1,616,404 apart synthesize IDENTICAL PCM
+    // (same sample formula residues and same format params; the LIST
+    // junk differs but never reaches the fingerprint) — the
+    // duplicate-clique case whose pair enumeration explodes at scale
+    val ids = Seq(0L, 1616404L, 3232808L, 10L, 1616414L, 33L, 47L)
+      .toDF("doc_id")
+    val base = Multimodal.synthesizeWav(ids, "doc_id")
+    val twins = AudioHash.vandalizeFirstSample(
+      base.filter(col("media_id").cast("long") % 10 === 0), "v")
+    val media = base.unionByName(twins)
+
+    val got = AudioHash.wavFpClusters(media).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = Dedup.connectedComponents(
+        AudioHash.wavFpPairs(media), "id_a", "id_b").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === want)
+
+    // identical triplet + the planted twin of 0 (1616404 % 10 = 4, so
+    // only id 0 has a twin): one component, VARCHAR-min labeled "0"
+    for (m <- Seq("0", "1616404", "3232808", "0v"))
+      assert(got.get(m) === Some("0"), s"member $m")
+    // 10/1616414 identical PCM + the planted twin 10v: min is "10"
+    for (m <- Seq("10", "1616414", "10v"))
+      assert(got.get(m) === Some("10"), s"member $m")
+    // unique fingerprints with no near-dup edge are omitted
+    for (m <- Seq("33", "47")) assert(!got.contains(m), s"singleton $m")
+  }
+
   test("multimodal Y4M: hand-computed round-trip over C444 and C420; " +
       "header/frame params parse; truncation and bad colorspace fail " +
       "loudly; synthesized table replays the id formula") {
