@@ -999,6 +999,119 @@ object Assemble {
   }
 
   /**
+   * Unigram-LM tokenization (Kudo 2018, arXiv:1804.10959 — the
+   * SentencePiece default; the other tokenizer family production
+   * stacks ship besides BPE). This is the frequency-seeded
+   * vocabulary + Viterbi segmentation: candidate pieces are every
+   * codepoint substring of length ≤ `maxPieceLen` of the word-type
+   * table scored by corpus frequency (exactly Kudo §3.2's EM seed),
+   * the vocabulary keeps ALL single codepoints (so segmentation
+   * always totals) plus the top `vocabSize` multi-codepoint pieces
+   * by (freq desc, piece asc), and each word type is segmented by
+   * the minimum-cost path over piece costs
+   * `floor(ln(N/freq)·1e6)` micro-nats (N = total candidate mass).
+   *
+   * Determinism without path tie-breaking: the DP minimizes the
+   * PAIR (cost, n_pieces) lexicographically by packing it into one
+   * BIGINT `v = cost·64 + n_pieces` — additive across pieces and
+   * carry-free (n_pieces ≤ maxWordLen < 64), so plain integer min
+   * IS the pair min and every engine lands on the identical (cost,
+   * piece-count) even when distinct segmentations tie on cost.
+   * Words beyond `maxWordLen` codepoints bypass segmentation as a
+   * single piece of cost 0 (the SentencePiece long-token escape
+   * hatch), bounding the DP and the oracle's unrolled depth.
+   *
+   * Scale shape: ONE tokenize pass; candidate generation and the
+   * Viterbi DP run over the DISTINCT word-type table — not per
+   * occurrence — in a mapPartitions with the broadcast vocab map
+   * (vocabSize + alphabet entries, model-sized); one broadcast join
+   * back and one per-doc aggregate. The only driver-side data is
+   * the vocabulary itself and the 1-row total — bounded model
+   * metadata, the [[bpeTrain]] convention.
+   *
+   * @return (id, n_words, n_pieces, cost_unats) per document with at
+   *         least one non-empty word.
+   */
+  def unigramEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 512, maxPieceLen: Int = 4,
+      maxWordLen: Int = 40): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.normTokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val types = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val cand = types.as[(String, Long)].flatMap { case (w, cnt) =>
+        val cp = w.codePoints().toArray
+        for {
+          i <- cp.indices
+          k <- 1 to math.min(maxPieceLen, cp.length - i)
+        } yield (new String(cp, i, k), k, cnt)
+      }.toDF("piece", "cplen", "cnt")
+        .groupBy(col("piece"), col("cplen"))
+        .agg(sum(col("cnt")).as("freq"))
+        .persist()
+      try {
+        val nTotal = cand.agg(sum(col("freq"))).collect()(0).getLong(0)
+        val singles = cand.filter(col("cplen") === 1)
+          .select(col("piece"), col("freq")).collect()
+        val multis = cand.filter(col("cplen") > 1)
+          .orderBy(col("freq").desc, col("piece").asc)
+          .limit(vocabSize)
+          .select(col("piece"), col("freq")).collect()
+        val vocab: Map[String, Long] = (singles ++ multis).map { r =>
+          val freq = r.getLong(1)
+          val cost = math.floor(
+            math.log(nTotal.toDouble / freq) * 1000000L).toLong
+          r.getString(0) -> (cost * 64L + 1L)
+        }.toMap
+        val bc = spark.sparkContext.broadcast(vocab)
+        val typeV = types.select(col("w")).as[String].mapPartitions { it =>
+          val m = bc.value
+          it.map { w =>
+            val cp = w.codePoints().toArray
+            val n = cp.length
+            val v =
+              if (n > maxWordLen) 1L // overflow escape: 1 piece, cost 0
+              else {
+                val best = Array.fill(n + 1)(Long.MaxValue)
+                best(0) = 0L
+                var j = 1
+                while (j <= n) {
+                  var k = 1
+                  val kMax = math.min(maxPieceLen, j)
+                  while (k <= kMax) {
+                    if (best(j - k) != Long.MaxValue) {
+                      m.get(new String(cp, j - k, k)) foreach { pv =>
+                        val c = best(j - k) + pv
+                        if (c < best(j)) best(j) = c
+                      }
+                    }
+                    k += 1
+                  }
+                  j += 1
+                }
+                best(n) // total: every single codepoint is in vocab
+              }
+            (w, v)
+          }
+        }.toDF("w", "v")
+        toks.join(broadcast(typeV), Seq("w"))
+          .groupBy(col("id"))
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(expr("v % 64")).as("n_pieces"),
+            sum(expr("v div 64")).as("cost_unats"))
+          .localCheckpoint()
+      } finally cand.unpersist()
+    } finally types.unpersist()
+  }
+
+  /**
    * Fill-in-the-middle transform (Bavarian et al. 2022,
    * arXiv:2207.14255) — the standard code-training augmentation:
    * for a deterministic `fimRateMilli`/1000 fraction of documents,

@@ -238,6 +238,18 @@ private[graft] object ExtRegistry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // unigram-LM tokenization (Kudo 2018, the SentencePiece family —
+    // the other production tokenizer besides BPE): frequency-seeded
+    // piece vocabulary (singles ∪ top-512 substrings ≤ 4 cps),
+    // Viterbi segmentation over the DISTINCT word-type table with
+    // micro-nat piece costs; the DP minimizes (cost, n_pieces)
+    // packed into one BIGINT so both engines land on identical
+    // values even across cost ties
+    "q_unigram_encode" -> ((s, dir) =>
+      Assemble.unigramEncode(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // deterministic domain-mixture sampling over events: hit target
     // event_type proportions 1:3:6 by downsampling only; exact
     // integer thresholds end to end (signup/error carry no weight —
@@ -1918,6 +1930,11 @@ private[graft] object ExtRegistry {
         |  CAST(sum(u) // count(*) AS BIGINT) AS mean_unats,
         |  CAST(sum(oov) AS BIGINT) AS n_oov
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    // unigram-LM replay: same candidate frequencies, vocabulary cut,
+    // packed micro-nat costs, and the Viterbi DP unrolled to 40
+    // chained CTE stages (generated) — integer min end to end
+    "q_unigram_encode" -> unigramEncodeSql(512, 4, 40),
 
     "q_mix_domains" -> {
       val hash = duckHash60("CAST(event_id AS VARCHAR)")

@@ -562,6 +562,84 @@ private[graft] object Shared {
       |  WHERE bit_count(xor(a.hi, b.hi))
       |      + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
 
+  /** Unigram-LM encode replay ([[graft.ext.Assemble.unigramEncode]]):
+    * candidate substring frequencies, the singles ∪ top-`vocabSize`
+    * vocabulary with micro-nat piece costs packed as `cost·64 + 1`,
+    * and the Viterbi DP UNROLLED to `maxWordLen` chained CTE stages —
+    * stage k takes the min packed value over the ≤ `maxPieceLen`
+    * predecessor positions, so plain integer min replays the
+    * engine's lexicographic (cost, n_pieces) minimization exactly.
+    * Words beyond `maxWordLen` codepoints take the single-piece
+    * escape value 1, mirroring the engine. */
+  def unigramEncodeSql(
+      vocabSize: Int, maxPieceLen: Int, maxWordLen: Int): String = {
+    // every stage is MATERIALIZED: DuckDB's default CTE inlining
+    // would expand the d(k) → d(k−1)..d(k−4) references into an
+    // exponentially-sized plan before the first row is read
+    val stages = (1 to maxWordLen).map { k =>
+      val branches = (1 to math.min(maxPieceLen, k)).map { i =>
+        s"""SELECT p.w, p.v + vc.v AS v
+           |      FROM d${k - i} p
+           |      JOIN types t ON t.w = p.w AND t.len >= $k
+           |      JOIN vocab vc ON vc.piece = substr(t.w, ${k - i + 1}, $i)"""
+          .stripMargin
+      }.mkString("\n      UNION ALL\n      ")
+      s"""d$k AS MATERIALIZED (
+         |  SELECT w, min(v) AS v FROM (
+         |      $branches
+         |  ) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val alld = (1 to maxWordLen)
+      .map(k => s"SELECT w, $k AS j, v FROM d$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |toks AS (SELECT doc_id, unnest(t) AS w FROM base),
+       |toksne AS MATERIALIZED (
+       |  SELECT doc_id, w FROM toks WHERE length(w) > 0),
+       |types AS MATERIALIZED (
+       |  SELECT w, count(*) AS cnt, length(w) AS len
+       |  FROM toksne GROUP BY 1),
+       |cand AS (
+       |  SELECT substr(t.w, CAST(i AS INT), CAST(k AS INT)) AS piece,
+       |         k AS cplen, t.cnt
+       |  FROM types t,
+       |       LATERAL unnest(range(1, t.len + 1)) s(i),
+       |       LATERAL unnest(range(1, ${maxPieceLen + 1})) u(k)
+       |  WHERE i + k <= t.len + 1),
+       |freqs AS (SELECT piece, cplen, CAST(sum(cnt) AS BIGINT) AS freq
+       |          FROM cand GROUP BY 1, 2),
+       |ntot AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM freqs),
+       |vkeep AS (
+       |  SELECT piece, freq FROM freqs WHERE cplen = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq FROM freqs WHERE cplen > 1
+       |    QUALIFY row_number() OVER (ORDER BY freq DESC, piece ASC)
+       |      <= $vocabSize)),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor(ln(CAST(n AS DOUBLE) / freq) * 1000000) AS BIGINT)
+       |      * 64 + 1 AS v
+       |  FROM vkeep CROSS JOIN ntot),
+       |d0 AS MATERIALIZED (
+       |  SELECT w, CAST(0 AS BIGINT) AS v FROM types),
+       |$stages,
+       |alld AS (
+       |  $alld),
+       |wv AS (SELECT t.w,
+       |         CASE WHEN t.len > $maxWordLen THEN 1 ELSE a.v END AS v
+       |       FROM types t LEFT JOIN alld a
+       |         ON a.w = t.w AND a.j = t.len)
+       |SELECT tk.doc_id, count(*) AS n_words,
+       |  CAST(sum(wv.v % 64) AS BIGINT) AS n_pieces,
+       |  CAST(sum(wv.v // 64) AS BIGINT) AS cost_unats
+       |FROM toksne tk JOIN wv ON wv.w = tk.w
+       |GROUP BY 1""".stripMargin
+  }
+
   lazy val minhashPairsCtes: String = {
     val bandConds = minhashBandConds
     s"""$minhashSigCtes,

@@ -864,6 +864,68 @@ class ExtSpec extends SparkSpec {
       assert(got.get(m) === Some("10"), s"member $m")
   }
 
+  test("unigram-LM encode: Viterbi DP equals brute-force enumeration " +
+      "over the same seeded vocabulary; packed (cost, n_pieces) min " +
+      "resolves ties; overflow words take the single-piece escape; " +
+      "non-BMP codepoints are one symbol") {
+    val raw = Seq(
+      (1L, "abab abcd a"),
+      (2L, "xxxx abab zz 😀ab"), // 😀ab: 3 codepoints
+      (3L, "a".repeat(41) + " abab"))      // 41-cp word: escape hatch
+    val out = Assemble.unigramEncode(raw.toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // independent replica: same candidate stats and vocab cut, but
+    // segmentation by EXHAUSTIVE enumeration instead of the DP
+    val words = raw.flatMap { case (id, tx) =>
+      tx.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).map(id -> _)
+    }
+    val typeCnt = words.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cand = scala.collection.mutable.Map.empty[String, Long]
+    typeCnt.foreach { case (w, cnt) =>
+      val cp = w.codePoints().toArray
+      for {
+        i <- cp.indices
+        k <- 1 to math.min(4, cp.length - i)
+      } cand.updateWith(new String(cp, i, k))(
+        o => Some(o.getOrElse(0L) + cnt))
+    }
+    val nTot = cand.values.sum
+    def cpLen(s: String) = s.codePointCount(0, s.length)
+    val keep = cand.filter(p => cpLen(p._1) == 1) ++
+      cand.filter(p => cpLen(p._1) > 1).toSeq
+        .sortBy { case (p, f) => (-f, p) }.take(512)
+    val vocab = keep.map { case (p, f) =>
+      p -> (math.floor(
+        math.log(nTot.toDouble / f) * 1000000L).toLong * 64L + 1L)
+    }.toMap
+    def segMin(w: String): Long = {
+      val cp = w.codePoints().toArray
+      if (cp.length > 40) 1L
+      else {
+        def go(pos: Int): Seq[Long] =
+          if (pos == cp.length) Seq(0L)
+          else for {
+            k <- 1 to math.min(4, cp.length - pos)
+            p = new String(cp, pos, k)
+            if vocab.contains(p)
+            rest <- go(pos + k)
+          } yield vocab(p) + rest
+        go(0).min
+      }
+    }
+    val want = words.groupBy(_._1).view.mapValues { ws =>
+      val vs = ws.map { case (_, w) => segMin(w) }
+      (ws.size.toLong, vs.map(_ % 64).sum, vs.map(_ / 64).sum)
+    }.toMap
+    assert(out === want)
+    // the 41-cp word contributed exactly (1 piece, cost 0)
+    val (_, _, costEscape) = (out(3L), want(3L), segMin("a".repeat(41)))
+    assert(costEscape === 1L)
+  }
+
   test("Kneser-Ney bigram: hand-computed model tables and per-token " +
       "interpolated probabilities on a held-out split; continuation " +
       "counts, not raw frequency, set the unigram mass") {
