@@ -158,6 +158,51 @@ object AudioHash {
   }
 
   /**
+   * Incremental near-dup pairing: today's BATCH banded-joined against
+   * the accumulated CORPUS — the production ingest path (the
+   * [[Dedup.minhashPairsAgainst]] shape): candidate volume scales
+   * with the batch, the corpus never self-compares. Same block key
+   * and pigeonhole completeness as [[wavFpPairs]].
+   *
+   * @return (batch_id, corpus_id, hamming) for every cross pair
+   *         within `maxHamming`.
+   */
+  def wavFpPairsAgainst(
+      batch: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "banded completeness holds for maxHamming < 4")
+    val hb = wavFingerprint(batch).toDF()
+    val hc = wavFingerprint(corpus).toDF()
+    def bands(h: DataFrame) = h.select(col("media_id"),
+      col("sample_rate"), col("channels"), col("n_frames"),
+      posexplode(array(
+        col("hi").bitwiseAND(lit(0xffffL)),
+        shiftright(col("hi"), 16).bitwiseAND(lit(0xffffL)),
+        col("lo").bitwiseAND(lit(0xffffL)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(0xffffL))))
+        .as(Seq("band", "v")))
+    val cand = bands(hb).as("a").join(bands(hc).as("b"),
+        col("a.sample_rate") === col("b.sample_rate") &&
+          col("a.channels") === col("b.channels") &&
+          col("a.n_frames") === col("b.n_frames") &&
+          col("a.band") === col("b.band") && col("a.v") === col("b.v"))
+      .select(col("a.media_id").as("batch_id"),
+        col("b.media_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(hb.select(col("media_id").as("batch_id"),
+        col("hi").as("hi_a"), col("lo").as("lo_a")), Seq("batch_id"))
+      .join(hc.select(col("media_id").as("corpus_id"),
+        col("hi").as("hi_b"), col("lo").as("lo_b")), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
    * Near-duplicate audio CLUSTERS — the production-scale counterpart
    * of [[wavFpPairs]], same argument as [[ImageHash.dhashClusters]]:
    * pair enumeration is quadratic in duplicate-clique size, so the

@@ -1168,6 +1168,21 @@ private[graft] object ExtRegistry {
       AudioHash.wavFpClusters(base.unionByName(twins))
     }),
 
+    // incremental perceptual ingest: today's batch (id%3==0)
+    // banded-joined against the accumulated corpus (id%3!=0) — the
+    // q_minhash_incremental shape for the audio tier: candidate
+    // volume scales with the batch, the corpus never self-compares.
+    // (An even/odd split would be vacuous here: the synthetic channel
+    // count is 1 + id%2, so opposite parities never share a format
+    // block — %3 mixes both parities on both sides.)
+    "q_audio_fp_incremental" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWav(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      AudioHash.wavFpPairsAgainst(
+        media.filter(col("media_id").cast("long") % 3 === 0),
+        media.filter(col("media_id").cast("long") % 3 =!= 0))
+    }),
+
     // corrupt-media isolation: every id%7==2 blob truncated to its
     // first 10 bytes — the tolerant channel decodes the rest and
     // emits ok=0 rows for the casualties instead of failing the
@@ -3527,6 +3542,10 @@ private[graft] object ExtRegistry {
     // then the recursive reachability closure + component min — the
     // q_image_dhash_clusters convention, covering exactly the
     // engine's "every file with at least one near-duplicate" set
+    // batch × corpus cross pairs from the same per-sample replay
+    // (base files, no twins), gated by id parity
+    "q_audio_fp_incremental" -> audioFpIncrementalSql,
+
     "q_audio_fp_clusters" ->
       s"""WITH RECURSIVE $audioFpPairsCtes,
          |edges AS (SELECT id_a AS a, id_b AS b FROM apairs

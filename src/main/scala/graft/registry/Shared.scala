@@ -488,23 +488,29 @@ private[graft] object Shared {
       |  HAVING max(bit_count(xor(a.hi, b.hi))
       |           + bit_count(xor(a.lo, b.lo))) <= 3)""".stripMargin
 
-  /** Per-sample audio-fingerprint replay over the documents-derived
-    * WAV corpus (base ∪ first-sample-zeroed twins of doc_id%10=0):
-    * channel-0 sample `x[f] = ((d·37 + f·11) mod 4001) − 2000` (the
+  /** CTEs through `afp(id, d, sr, ch, nf, hi, lo)` — the per-sample
+    * audio-fingerprint replay over the documents-derived WAV corpus:
+    * channel-0 sample `x[f] = ((d·37 + f·11) mod 4001) − 2000` (a
     * twin's x[0] is exactly 0), lag-1 absolute diffs into 65 integer
     * time boxes `g = (i−1)·65 div (nf−1)`, floor-milli box means
     * (empty boxes 0), 64 envelope-delta sign bits packed hi/lo — the
-    * [[graft.ext.AudioHash]] conventions bit for bit. Ends with an
-    * `apairs(id_a, id_b, hamming)` CTE (all-pairs within equal
-    * format params, already cut at ≤ 3); callers append the final
-    * SELECT or the recursive closure. */
-  lazy val audioFpPairsCtes: String =
-    """auds AS (
+    * [[graft.ext.AudioHash]] conventions bit for bit. With
+    * `withTwins`, the first-sample-zeroed twins of doc_id%10=0 ride
+    * along (id||'v'). Shared by [[audioFpPairsCtes]] (self-pairing,
+    * twins in; ends with an `apairs(id_a, id_b, hamming)` CTE cut at
+    * ≤ 3 — callers append the final SELECT or the recursive closure)
+    * and [[audioFpIncrementalSql]] (batch × corpus, base files). */
+  private def audioFpBaseCtes(withTwins: Boolean): String = {
+    val twinUnion =
+      if (withTwins)
+        """
+          |  UNION ALL
+          |  SELECT CAST(doc_id AS VARCHAR) || 'v' AS id, doc_id, TRUE
+          |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
+      else ""
+    s"""auds AS (
       |  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id, FALSE AS twin
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT CAST(doc_id AS VARCHAR) || 'v' AS id, doc_id, TRUE
-      |  FROM documents WHERE doc_id % 10 = 0),
+      |  FROM documents$twinUnion),
       |prm AS (
       |  SELECT id, doc_id, twin,
       |         CAST(8000 + 4000 * (doc_id % 4) AS BIGINT) AS sr,
@@ -550,8 +556,12 @@ private[graft] object Shared {
       |             ELSE 0 END) AS BIGINT) AS lo
       |  FROM abits GROUP BY 1),
       |afp AS (
-      |  SELECT ahs.id, p.sr, p.ch, p.nf, ahs.hi, ahs.lo
-      |  FROM ahs JOIN prm p ON p.id = ahs.id),
+      |  SELECT ahs.id, p.doc_id AS d, p.sr, p.ch, p.nf, ahs.hi, ahs.lo
+      |  FROM ahs JOIN prm p ON p.id = ahs.id)""".stripMargin
+  }
+
+  lazy val audioFpPairsCtes: String =
+    s"""${audioFpBaseCtes(withTwins = true)},
       |apairs AS (
       |  SELECT a.id AS id_a, b.id AS id_b,
       |         CAST(bit_count(xor(a.hi, b.hi))
@@ -561,6 +571,22 @@ private[graft] object Shared {
       |       AND a.nf = b.nf
       |  WHERE bit_count(xor(a.hi, b.hi))
       |      + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
+
+  /** Incremental audio-fingerprint oracle: base files only (no
+    * twins), id%3==0 batch × id%3!=0 corpus cross pairs within the
+    * format block — the q_minhash_incremental convention. (%3, not
+    * even/odd: the synthetic channel count is 1 + id%2, so opposite
+    * parities never share a format block.) */
+  lazy val audioFpIncrementalSql: String =
+    s"""WITH ${audioFpBaseCtes(withTwins = false)}
+      |SELECT a.id AS batch_id, b.id AS corpus_id,
+      |       CAST(bit_count(xor(a.hi, b.hi))
+      |         + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      |FROM afp a JOIN afp b
+      |  ON a.d % 3 = 0 AND b.d % 3 <> 0
+      |     AND a.sr = b.sr AND a.ch = b.ch AND a.nf = b.nf
+      |WHERE bit_count(xor(a.hi, b.hi))
+      |    + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
 
   /** Unigram-LM encode replay ([[graft.ext.Assemble.unigramEncode]]):
     * candidate substring frequencies, the singles ∪ top-`vocabSize`

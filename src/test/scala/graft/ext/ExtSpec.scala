@@ -1050,6 +1050,18 @@ class ExtSpec extends SparkSpec {
       assert(got.get(m) === Some("10"), s"member $m")
     // unique fingerprints with no near-dup edge are omitted
     for (m <- Seq("33", "47")) assert(!got.contains(m), s"singleton $m")
+
+    // incremental ingest: batch × corpus only — the identical-PCM
+    // cross pair is found at hamming 0, the corpus never
+    // self-compares (1616404/3232808 are corpus-side identical but
+    // produce no pair), and format blocks gate everything else
+    val inc = AudioHash.wavFpPairsAgainst(
+        Multimodal.synthesizeWav(Seq(0L, 33L).toDF("doc_id"), "doc_id"),
+        Multimodal.synthesizeWav(
+          Seq(1616404L, 3232808L, 47L).toDF("doc_id"), "doc_id"))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(inc === Map(("0", "1616404") -> 0L, ("0", "3232808") -> 0L))
   }
 
   test("multimodal Y4M: hand-computed round-trip over C444 and C420; " +
