@@ -1112,6 +1112,161 @@ object Assemble {
   }
 
   /**
+   * Frequency-seeded piece probabilities over a word-type table —
+   * Kudo 2018 §3.2's EM initialization, the driver-side counterpart
+   * of [[unigramEncode]]'s distributed candidate pass: every
+   * codepoint substring of length ≤ `maxPieceLen` weighted by type
+   * count, normalized to a probability. Driver math over the bounded
+   * type table (the [[bpeTrain]] convention: the MODEL is small even
+   * when the corpus is not).
+   */
+  def unigramSeedScores(
+      types: Seq[(String, Long)],
+      maxPieceLen: Int = 4): Map[String, Double] = {
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    types.foreach { case (w, cnt) =>
+      val cp = w.codePoints().toArray
+      var i = 0
+      while (i < cp.length) {
+        var k = 1
+        val kMax = math.min(maxPieceLen, cp.length - i)
+        while (k <= kMax) {
+          val p = new String(cp, i, k)
+          freq.update(p, freq.getOrElse(p, 0L) + cnt)
+          k += 1
+        }
+        i += 1
+      }
+    }
+    val n = freq.valuesIterator.sum.toDouble
+    freq.iterator.map { case (p, f) => p -> (f / n) }.toMap
+  }
+
+  /**
+   * One-or-more EM refinement rounds for the unigram LM (Kudo 2018
+   * §3.1/§4 — the training loop SentencePiece runs between seeding
+   * and pruning). Per round, the E-step computes each piece's
+   * EXPECTED count over the full segmentation lattice of every word
+   * type by forward–backward (α/β sums over the ≤ `maxPieceLen`
+   * predecessor positions — the marginal of every lattice edge, not
+   * just the Viterbi path), weighted by type count; the M-step
+   * re-normalizes expected counts into the next round's
+   * probabilities. Corpus log-likelihood is non-decreasing per the
+   * EM guarantee — the spec asserts it round by round.
+   *
+   * Words longer than `maxWordLen` codepoints are skipped (the
+   * [[unigramEncode]] escape hatch); pieces whose expected count
+   * hits exactly 0 drop out (they appear in no reachable lattice
+   * edge). Driver math over the bounded type table — the corpus
+   * never participates, so this trains the same at any data scale;
+   * the distributed half of the tokenizer is [[unigramEncode]]'s
+   * candidate pass + broadcast Viterbi.
+   */
+  def unigramEmRefine(
+      types: Seq[(String, Long)],
+      seed: Map[String, Double],
+      rounds: Int,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 40): Map[String, Double] = {
+    require(rounds >= 1, "rounds >= 1")
+    var scores = seed
+    var r = 0
+    while (r < rounds) {
+      val exp = scala.collection.mutable.Map.empty[String, Double]
+      types.foreach { case (w, cnt) =>
+        val cp = w.codePoints().toArray
+        val n = cp.length
+        if (n <= maxWordLen) {
+          val alpha = new Array[Double](n + 1); alpha(0) = 1.0
+          var j = 1
+          while (j <= n) {
+            var k = 1
+            val kMax = math.min(maxPieceLen, j)
+            var s = 0.0
+            while (k <= kMax) {
+              scores.get(new String(cp, j - k, k))
+                .foreach(p => s += alpha(j - k) * p)
+              k += 1
+            }
+            alpha(j) = s; j += 1
+          }
+          if (alpha(n) > 0) {
+            val beta = new Array[Double](n + 1); beta(n) = 1.0
+            j = n - 1
+            while (j >= 0) {
+              var k = 1
+              val kMax = math.min(maxPieceLen, n - j)
+              var s = 0.0
+              while (k <= kMax) {
+                scores.get(new String(cp, j, k))
+                  .foreach(p => s += p * beta(j + k))
+                k += 1
+              }
+              beta(j) = s; j -= 1
+            }
+            val z = alpha(n)
+            var i = 0
+            while (i < n) {
+              var k = 1
+              val kMax = math.min(maxPieceLen, n - i)
+              while (k <= kMax) {
+                val piece = new String(cp, i, k)
+                scores.get(piece).foreach { p =>
+                  val e = cnt * alpha(i) * p * beta(i + k) / z
+                  if (e > 0) exp.update(piece, exp.getOrElse(piece, 0.0) + e)
+                }
+                k += 1
+              }
+              i += 1
+            }
+          }
+        }
+      }
+      val tot = exp.valuesIterator.sum
+      scores = exp.iterator.map { case (p, e) => p -> (e / tot) }.toMap
+      r += 1
+    }
+    scores
+  }
+
+  /**
+   * Corpus log-likelihood of a word-type table under a unigram piece
+   * model: Σ_w count(w) · ln Σ_(segmentations) Π p(piece) — the
+   * quantity [[unigramEmRefine]]'s EM rounds are guaranteed not to
+   * decrease. Types longer than `maxWordLen` or with an unreachable
+   * lattice contribute 0 (mirroring the EM skip). Spec/diagnostic
+   * helper; driver math.
+   */
+  def unigramLogLikelihood(
+      types: Seq[(String, Long)],
+      scores: Map[String, Double],
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 40): Double = {
+    var ll = 0.0
+    types.foreach { case (w, cnt) =>
+      val cp = w.codePoints().toArray
+      val n = cp.length
+      if (n <= maxWordLen) {
+        val alpha = new Array[Double](n + 1); alpha(0) = 1.0
+        var j = 1
+        while (j <= n) {
+          var k = 1
+          val kMax = math.min(maxPieceLen, j)
+          var s = 0.0
+          while (k <= kMax) {
+            scores.get(new String(cp, j - k, k))
+              .foreach(p => s += alpha(j - k) * p)
+            k += 1
+          }
+          alpha(j) = s; j += 1
+        }
+        if (alpha(n) > 0) ll += cnt * math.log(alpha(n))
+      }
+    }
+    ll
+  }
+
+  /**
    * Fill-in-the-middle transform (Bavarian et al. 2022,
    * arXiv:2207.14255) — the standard code-training augmentation:
    * for a deterministic `fimRateMilli`/1000 fraction of documents,

@@ -926,6 +926,30 @@ class ExtSpec extends SparkSpec {
     assert(costEscape === 1L)
   }
 
+  test("unigram-LM EM refinement: corpus likelihood is non-decreasing " +
+      "round by round (the EM guarantee) and strictly improves over " +
+      "the overlap-inflated frequency seed; the M-step renormalizes; " +
+      "singles survive so segmentation stays total") {
+    // "aaaa"'s frequency seed is overlap-inflated ("a" counted 4× per
+    // occurrence, "aa" 3×, ...) — EM re-fits the piece distribution
+    // to the lattice-marginal expected counts instead
+    val types = Seq(("aaaa", 10L), ("ab", 3L), ("b", 2L))
+    val seed = Assemble.unigramSeedScores(types)
+    val lls = (0 to 3).map { r =>
+      val sc = if (r == 0) seed else Assemble.unigramEmRefine(types, seed, r)
+      Assemble.unigramLogLikelihood(types, sc)
+    }
+    lls.sliding(2).foreach { w => assert(w(1) >= w(0) - 1e-9,
+      s"likelihood decreased: $lls") }
+    assert(lls(3) > lls(0), s"EM never improved over the seed: $lls")
+    val s3 = Assemble.unigramEmRefine(types, seed, 3)
+    // M-step invariant: a probability distribution over pieces
+    assert(math.abs(s3.values.sum - 1.0) < 1e-9)
+    // every single codepoint keeps positive mass (reachable edges), so
+    // Viterbi over the refined model remains total
+    for (p <- Seq("a", "b")) assert(s3.getOrElse(p, 0.0) > 0.0, p)
+  }
+
   test("Kneser-Ney bigram: hand-computed model tables and per-token " +
       "interpolated probabilities on a held-out split; continuation " +
       "counts, not raw frequency, set the unigram mass") {
