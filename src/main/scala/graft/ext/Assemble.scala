@@ -1229,6 +1229,30 @@ object Assemble {
     scores
   }
 
+  /** Lattice-sum P(w) under a piece model, optionally with one piece
+    * excluded — the forward half of the EM pass, shared by
+    * [[unigramLogLikelihood]] and [[unigramPrune]]'s loss scan. */
+  private def latticeSum(
+      cp: Array[Int], scores: Map[String, Double],
+      maxPieceLen: Int, skip: String): Double = {
+    val n = cp.length
+    val alpha = new Array[Double](n + 1); alpha(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var k = 1
+      val kMax = math.min(maxPieceLen, j)
+      var s = 0.0
+      while (k <= kMax) {
+        val piece = new String(cp, j - k, k)
+        if (piece != skip)
+          scores.get(piece).foreach(p => s += alpha(j - k) * p)
+        k += 1
+      }
+      alpha(j) = s; j += 1
+    }
+    alpha(n)
+  }
+
   /**
    * Corpus log-likelihood of a word-type table under a unigram piece
    * model: Σ_w count(w) · ln Σ_(segmentations) Π p(piece) — the
@@ -1245,25 +1269,56 @@ object Assemble {
     var ll = 0.0
     types.foreach { case (w, cnt) =>
       val cp = w.codePoints().toArray
-      val n = cp.length
-      if (n <= maxWordLen) {
-        val alpha = new Array[Double](n + 1); alpha(0) = 1.0
-        var j = 1
-        while (j <= n) {
-          var k = 1
-          val kMax = math.min(maxPieceLen, j)
-          var s = 0.0
-          while (k <= kMax) {
-            scores.get(new String(cp, j - k, k))
-              .foreach(p => s += alpha(j - k) * p)
-            k += 1
-          }
-          alpha(j) = s; j += 1
-        }
-        if (alpha(n) > 0) ll += cnt * math.log(alpha(n))
+      if (cp.length <= maxWordLen) {
+        val z = latticeSum(cp, scores, maxPieceLen, skip = null)
+        if (z > 0) ll += cnt * math.log(z)
       }
     }
     ll
+  }
+
+  /**
+   * Vocabulary pruning by likelihood loss (Kudo 2018 §4 step 3 —
+   * the final stage of the SentencePiece training loop after
+   * [[unigramSeedScores]] seeding and [[unigramEmRefine]]): for each
+   * MULTI-codepoint piece x, the loss is the corpus log-likelihood
+   * drop when x is removed from every lattice (recomputed exactly
+   * over just the types containing x — single codepoints are never
+   * pruned, so every lattice stays reachable); keep the
+   * `keepMultis` highest-loss multis (ties by piece asc), drop the
+   * rest, renormalize. Driver math over the bounded model/type
+   * tables, like the rest of the training loop.
+   */
+  def unigramPrune(
+      types: Seq[(String, Long)],
+      scores: Map[String, Double],
+      keepMultis: Int,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 40): Map[String, Double] = {
+    def cpLen(s: String) = s.codePointCount(0, s.length)
+    val multis = scores.keysIterator.filter(cpLen(_) > 1).toSeq
+    if (multis.size <= keepMultis) return scores
+    val loss = multis.map { x =>
+      var d = 0.0
+      types.foreach { case (w, cnt) =>
+        if (w.contains(x)) {
+          val cp = w.codePoints().toArray
+          if (cp.length <= maxWordLen) {
+            val zFull = latticeSum(cp, scores, maxPieceLen, skip = null)
+            val zWo = latticeSum(cp, scores, maxPieceLen, skip = x)
+            if (zFull > 0 && zWo > 0)
+              d += cnt * (math.log(zFull) - math.log(zWo))
+          }
+        }
+      }
+      x -> d
+    }
+    val kept = loss.sortBy { case (p, l) => (-l, p) }
+      .take(keepMultis).map(_._1).toSet
+    val surviving = scores.filter { case (p, _) =>
+      cpLen(p) == 1 || kept(p) }
+    val tot = surviving.valuesIterator.sum
+    surviving.map { case (p, v) => p -> (v / tot) }
   }
 
   /**

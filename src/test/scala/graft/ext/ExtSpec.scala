@@ -950,6 +950,33 @@ class ExtSpec extends SparkSpec {
     for (p <- Seq("a", "b")) assert(s3.getOrElse(p, 0.0) > 0.0, p)
   }
 
+  test("unigram-LM prune: likelihood-loss ranking drops corpus-absent " +
+      "and rare pieces first, never singles; renormalizes; idempotent " +
+      "input order") {
+    val types = Seq(("abab", 10L), ("zz", 1L))
+    val seed = Assemble.unigramSeedScores(types)
+    // inject a piece no word contains: its removal loss is exactly 0,
+    // so it must rank last and be pruned first
+    val em = Assemble.unigramEmRefine(types, seed, 2) + ("qq" -> 1e-9)
+    def cpLen(s: String) = s.codePointCount(0, s.length)
+    assert(em.keysIterator.count(cpLen(_) > 1) > 2) // pruning bites
+    val pruned = Assemble.unigramPrune(types, em, keepMultis = 2)
+    assert(!pruned.contains("qq")) // zero-loss piece goes first
+    assert(pruned.keysIterator.count(cpLen(_) > 1) === 2)
+    // singles all survive with positive mass; distribution renormalized
+    for (p <- Seq("a", "b", "z"))
+      assert(pruned.getOrElse(p, 0.0) > 0.0, p)
+    assert(math.abs(pruned.values.sum - 1.0) < 1e-9)
+    // loss ordering: "abab" backs 10 type-occurrences, "zz" one — at
+    // keepMultis = 1 the high-loss whole word survives, "zz" doesn't
+    val pruned1 = Assemble.unigramPrune(types, em, keepMultis = 1)
+    assert(pruned1.contains("abab") && !pruned1.contains("zz") &&
+      !pruned1.contains("qq"))
+    // deterministic under type-order permutation
+    val pruned2 = Assemble.unigramPrune(types.reverse, em, keepMultis = 2)
+    assert(pruned === pruned2)
+  }
+
   test("Kneser-Ney bigram: hand-computed model tables and per-token " +
       "interpolated probabilities on a held-out split; continuation " +
       "counts, not raw frequency, set the unigram mass") {
