@@ -1056,7 +1056,12 @@ object Assemble {
         .agg(sum(col("cnt")).as("freq"))
         .persist()
       try {
-        val nTotal = cand.agg(sum(col("freq"))).collect()(0).getLong(0)
+        // sum over an EMPTY candidate table (no non-empty word in the
+        // corpus) is NULL — treat as 0: the vocab collects below are
+        // empty too, so the join legs produce the correctly-shaped
+        // empty result without running the DP
+        val totRow = cand.agg(sum(col("freq"))).collect()(0)
+        val nTotal = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
         val singles = cand.filter(col("cplen") === 1)
           .select(col("piece"), col("freq")).collect()
         val multis = cand.filter(col("cplen") > 1)
