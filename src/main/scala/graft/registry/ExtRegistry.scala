@@ -1183,6 +1183,30 @@ private[graft] object ExtRegistry {
         media.filter(col("media_id").cast("long") % 3 =!= 0))
     }),
 
+    // STREAMING perceptual ingest: the q_audio_fp_incremental batch
+    // arrives as 4 micro-batches through a real foreachBatch stream
+    // (the production ingest sink shape — a banded candidate join
+    // with its own aggregations is per-ingest-batch work a streaming
+    // plan cannot express); each micro-batch pairs against the
+    // static corpus and appends to a distributed parquet sink with
+    // its batch ordinal. Union over batches = exactly the
+    // incremental pair set, which is what the oracle certifies,
+    // batch stamps included. (The corpus index is re-derived per
+    // batch here; production persists it — q_ann_persisted's shape.)
+    "q_stream_media_dedup" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWav(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val corpus = media.filter(col("media_id").cast("long") % 3 =!= 0)
+      val arriving = media.filter(col("media_id").cast("long") % 3 === 0)
+      graft.streaming.IncrementalSync.replayForeachBatch(
+        s, arriving,
+        expr("pmod(CAST(media_id AS BIGINT) div 3, 4)").cast("int"),
+        tempStateDir(), nBatches = 4)(
+        b => AudioHash.wavFpPairsAgainst(b, corpus))
+        .select(col("batch_id"), col("corpus_id"), col("hamming"),
+          col("__batch").as("batch"))
+    }),
+
     // corrupt-media isolation: every id%7==2 blob truncated to its
     // first 10 bytes — the tolerant channel decodes the rest and
     // emits ok=0 rows for the casualties instead of failing the
@@ -3545,6 +3569,12 @@ private[graft] object ExtRegistry {
     // batch × corpus cross pairs from the same per-sample replay
     // (base files, no twins), gated by id parity
     "q_audio_fp_incremental" -> audioFpIncrementalSql,
+
+    // the streaming row is the SAME incremental pair set with each
+    // pair stamped by its arrival micro-batch, (d div 3) mod 4 —
+    // certifying the foreachBatch replay applied every batch exactly
+    // once against the static corpus
+    "q_stream_media_dedup" -> streamMediaDedupSql,
 
     "q_audio_fp_clusters" ->
       s"""WITH RECURSIVE $audioFpPairsCtes,

@@ -588,6 +588,22 @@ private[graft] object Shared {
       |WHERE bit_count(xor(a.hi, b.hi))
       |    + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
 
+  /** Streaming media-dedup oracle: the incremental pair set with the
+    * arrival micro-batch stamp `(d div 3) mod 4` — the staged replay
+    * applies each batch exactly once, so batch ordinal = the
+    * deterministic staging key. */
+  lazy val streamMediaDedupSql: String =
+    s"""WITH ${audioFpBaseCtes(withTwins = false)}
+      |SELECT a.id AS batch_id, b.id AS corpus_id,
+      |       CAST(bit_count(xor(a.hi, b.hi))
+      |         + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming,
+      |       CAST((a.d // 3) % 4 AS BIGINT) AS batch
+      |FROM afp a JOIN afp b
+      |  ON a.d % 3 = 0 AND b.d % 3 <> 0
+      |     AND a.sr = b.sr AND a.ch = b.ch AND a.nf = b.nf
+      |WHERE bit_count(xor(a.hi, b.hi))
+      |    + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
+
   /** Unigram-LM encode replay ([[graft.ext.Assemble.unigramEncode]]):
     * candidate substring frequencies, the singles ∪ top-`vocabSize`
     * vocabulary with micro-nat piece costs packed as `cost·64 + 1`,

@@ -289,6 +289,50 @@ object IncrementalSync {
       transform(readStaged(spark, inL, schema),
         readStaged(spark, inR, schema)), workDir)
 
+  /**
+   * foreachBatch replay for per-micro-batch BATCH transforms — stream
+   * shapes a streaming plan cannot express (a banded candidate join
+   * with its own aggregations against a static corpus, the parity
+   * diff cycle, anything with a `distinct`/`collect_list` that is
+   * per-ingest-batch, not per-stream). Stages `table` into
+   * `nBatches`, drives the stream with `foreachBatch` applying
+   * `perBatch` to each micro-batch, appends the result stamped with
+   * the batch ordinal (`__batch`) to a distributed parquet sink, and
+   * returns the sink contents. Production is the same `foreachBatch`
+   * against a real source; output never touches the driver.
+   */
+  def replayForeachBatch(
+      spark: SparkSession, table: DataFrame, batchCol: Column,
+      workDir: String, nBatches: Int = 4)(
+      perBatch: DataFrame => DataFrame): DataFrame = {
+    val stream = stagedStream(spark, table, batchCol, nBatches,
+      s"$workDir/in")
+    val outDir = s"$workDir/fb_out"
+    // schema anchor for the all-empty case — no action is triggered
+    val outSchema = perBatch(table.limit(0))
+      .withColumn("__batch", lit(0L)).schema
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$workDir/fb_chk")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          perBatch(batch.toDF())
+            .withColumn("__batch", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          ()
+      }
+      .start()
+    if (!q.awaitTermination(600000L)) {
+      q.stop()
+      sys.error("replayForeachBatch: streaming query did not terminate")
+    }
+    val hasData = Option(new java.io.File(outDir).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (hasData) spark.read.parquet(outDir)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+  }
+
   private def runToMemorySink(
       spark: SparkSession, out: DataFrame, workDir: String,
       outputMode: OutputMode = OutputMode.Append): DataFrame = {

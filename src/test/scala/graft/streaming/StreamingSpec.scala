@@ -248,6 +248,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, 2L, 300L, false), (2L, 1L, 500L, false)))
   }
 
+  test("replayForeachBatch: each micro-batch sees exactly its staged " +
+      "slice, results land in the parquet sink stamped with the batch " +
+      "ordinal; the all-empty replay keeps the transform's schema") {
+    val df = spark.range(12).select($"id")
+    val out = IncrementalSync.replayForeachBatch(
+        spark, df, pmod($"id", lit(3)).cast("int"),
+        tmpDir("fbr"), nBatches = 3)(b =>
+        b.agg(count(lit(1)).as("n"), min("id").as("mn"),
+          max("id").as("mx")))
+      .collect()
+      .map(r => r.getLong(3) -> ((r.getLong(0), r.getLong(1), r.getLong(2))))
+      .toMap
+    // batch ordinal = staging key: batch k carried ids ≡ k (mod 3),
+    // i.e. {k, k+3, k+6, k+9} — per-batch isolation, no bleed
+    assert(out === Map(
+      0L -> ((4L, 0L, 9L)), 1L -> ((4L, 1L, 10L)), 2L -> ((4L, 2L, 11L))))
+
+    val empty = IncrementalSync.replayForeachBatch(
+        spark, df.filter(lit(false)), pmod($"id", lit(3)).cast("int"),
+        tmpDir("fbr-empty"), nBatches = 3)(b =>
+        b.agg(count(lit(1)).as("n"), min("id").as("mn"),
+          max("id").as("mx")))
+    assert(empty.columns.toSeq === Seq("n", "mn", "mx", "__batch"))
+  }
+
   test("streamJoinInputs re-stages when a fixture dir is regenerated in place") {
     val dir = tmpDir("stream-join-memo")
     def writeEvents(n: Int): Unit =
