@@ -157,6 +157,127 @@ object AudioHash {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** One aligned window's sub-fingerprint: 32 envelope-delta sign
+    * bits over the `winLen`-sample channel-0 window at `off`, plus a
+    * positional checksum — the Haitsma–Kalker BLOCK-SEARCH key (a
+    * clip is located inside a longer recording by matching its
+    * sub-fingerprint against every aligned window of the corpus). */
+  final case class WavWindowFp(
+      media_id: String, sample_rate: Int, channels: Int,
+      off: Int, fp: Long, ck: Long)
+
+  /**
+   * Sliding-window sub-fingerprint index: for every aligned offset
+   * `off ∈ [0, nf − winLen]` of every file, the 32-bit
+   * envelope-delta fingerprint of the window (lag-1 |diff| stream
+   * into 33 integer boxes, floor-milli means, sign bits — the
+   * [[fpOne]] construction at window granularity) and a positional
+   * checksum `Σ (x[off+i]+2000)·(i+1) mod 1e9+7` (exact integers; the
+   * +2000 lifts the synthetic sample range to non-negative). Only
+   * (id, format, off, fp, ck) rows leave the scan — ~28 bytes per
+   * window; audio bytes never shuffle. At corpus scale this IS the
+   * persisted sub-fingerprint index of the Philips design: rows ∝
+   * total duration, partitionable by fp for the exact-key probe.
+   */
+  def wavWindowFps(media: DataFrame, winLen: Int = 32): Dataset[WavWindowFp] = {
+    require(winLen >= 2, "winLen >= 2")
+    implicit val enc = Encoders.product[WavWindowFp]
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getString(0)
+        val b = r.getAs[Array[Byte]](1)
+        val lay = Multimodal.wavLayout(id, b)
+        val nf = lay.nFrames.toInt
+        val stride = lay.channels * 2
+        def x(f: Int): Int = {
+          val o = lay.dataOff + f * stride
+          ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+        }
+        (0 to nf - winLen).iterator.map { off =>
+          val sums = new Array[Long](33)
+          val cnts = new Array[Long](33)
+          var ck = 0L
+          var i = 0
+          while (i < winLen) {
+            val cur = x(off + i)
+            ck = (ck + (cur + 2000L) * (i + 1)) % 1000000007L
+            if (i >= 1) {
+              val g = (i - 1) * 33 / (winLen - 1)
+              sums(g) += math.abs(cur - x(off + i - 1)); cnts(g) += 1
+            }
+            i += 1
+          }
+          def env(g: Int): Long = sums(g) * 1000L / math.max(cnts(g), 1L)
+          var fp = 0L
+          var m = 0
+          while (m < 32) {
+            if (env(m + 1) > env(m)) fp |= 1L << m
+            m += 1
+          }
+          WavWindowFp(id, lay.sampleRate, lay.channels, off, fp, ck)
+        }
+      }
+    }
+  }
+
+  /**
+   * Extract a real clip from each file: frames `[off, off + len)`
+   * across ALL channels, re-encoded as a standalone RIFF/WAVE at the
+   * source's format, id suffixed. `off` is the deterministic
+   * `id mod 7` (every synthesized file has ≥ 50 frames, so
+   * off + 32 always fits). The clip goes back through the full
+   * byte-level codec path — slice, encode, re-decode, fingerprint —
+   * so a match certifies the codecs end to end, while the oracle
+   * replays the clip's key as the SOURCE window key at `off`.
+   */
+  def extractClips(media: DataFrame, len: Int, suffix: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media_type", "content")
+      .map { r =>
+        val id = r.getString(0)
+        val b = r.getAs[Array[Byte]](2)
+        val lay = Multimodal.wavLayout(id, b)
+        val off = math.floorMod(id.toLong, 7L).toInt
+        require(off + len <= lay.nFrames,
+          s"clip [$off, ${off + len}) exceeds ${lay.nFrames} frames: $id")
+        val stride = lay.channels * 2
+        val samples = new Array[Short](len * lay.channels)
+        var i = 0
+        while (i < len * lay.channels) {
+          val o = lay.dataOff + off * stride + i * 2
+          samples(i) = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort
+          i += 1
+        }
+        (id + suffix, r.getString(1),
+          Multimodal.wavEncode(lay.sampleRate, lay.channels, samples))
+      }.toDF("media_id", "media_type", "content")
+  }
+
+  /**
+   * Locate clips inside the corpus: each clip's whole-file window
+   * (its `nf == winLen` index has exactly one row) exact-key joined
+   * against the corpus window index on (sample_rate, channels, fp,
+   * checksum). The guaranteed hit is the clip's own source at the
+   * extraction offset; byte-identical content elsewhere surfaces as
+   * additional locations — exactly the Philips block-search
+   * semantics, as a plain shuffle join on the fingerprint key.
+   *
+   * @return (clip_id, src_id, src_offset)
+   */
+  def clipMatches(
+      clips: DataFrame, corpus: DataFrame, winLen: Int = 32): DataFrame = {
+    val cw = wavWindowFps(clips, winLen).toDF()
+      .select(col("media_id").as("clip_id"), col("sample_rate"),
+        col("channels"), col("fp"), col("ck"))
+    val ww = wavWindowFps(corpus, winLen).toDF()
+      .select(col("media_id").as("src_id"), col("sample_rate"),
+        col("channels"), col("fp"), col("ck"),
+        col("off").cast("long").as("src_offset"))
+    cw.join(ww, Seq("sample_rate", "channels", "fp", "ck"))
+      .select(col("clip_id"), col("src_id"), col("src_offset"))
+  }
+
   /**
    * Incremental near-dup pairing: today's BATCH banded-joined against
    * the accumulated CORPUS — the production ingest path (the

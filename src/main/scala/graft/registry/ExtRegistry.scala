@@ -1183,6 +1183,22 @@ private[graft] object ExtRegistry {
         media.filter(col("media_id").cast("long") % 3 =!= 0))
     }),
 
+    // CLIP-IN-CORPUS audio search (Haitsma-Kalker block search): a
+    // sliding-window sub-fingerprint index over every file (32-bit
+    // envelope fp + positional checksum per aligned offset; ~28-byte
+    // rows, bytes never shuffle), probed by REAL extracted clips —
+    // frames [id%7, id%7+32) sliced and re-encoded as standalone
+    // RIFF/WAVE, so a match certifies the byte-level codec path end
+    // to end while the oracle replays the clip key as the source
+    // window key at the extraction offset
+    "q_audio_clip_match" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWav(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val clips = AudioHash.extractClips(
+        media.filter(col("media_id").cast("long") % 5 === 0), 32, "c")
+      AudioHash.clipMatches(clips, media)
+    }),
+
     // STREAMING perceptual ingest: the q_audio_fp_incremental batch
     // arrives as 4 micro-batches through a real foreachBatch stream
     // (the production ingest sink shape — a banded candidate join
@@ -3569,6 +3585,10 @@ private[graft] object ExtRegistry {
     // batch × corpus cross pairs from the same per-sample replay
     // (base files, no twins), gated by id parity
     "q_audio_fp_incremental" -> audioFpIncrementalSql,
+
+    // window keys replayed per (file, offset) from the sample
+    // formula; the clip of file d is the source window at d mod 7
+    "q_audio_clip_match" -> audioClipMatchSql,
 
     // the streaming row is the SAME incremental pair set with each
     // pair stamped by its arrival micro-batch, (d div 3) mod 4 —

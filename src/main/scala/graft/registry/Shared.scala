@@ -604,6 +604,63 @@ private[graft] object Shared {
       |WHERE bit_count(xor(a.hi, b.hi))
       |    + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
 
+  /** Clip-in-corpus block-search oracle: the sliding-window
+    * sub-fingerprint keys (32-bit envelope fp over 33 boxes of the
+    * 31 lag-1 |diffs| + positional checksum Σ mod_val·(i+1) mod
+    * 1e9+7) replayed per (file, offset) straight from the sample
+    * formula; a clip of file d IS the source window at offset
+    * d mod 7, so clip keys never need the clip bytes. */
+  lazy val audioClipMatchSql: String =
+    """WITH prm AS (
+      |  SELECT doc_id AS d,
+      |         CAST(8000 + 4000 * (doc_id % 4) AS BIGINT) AS sr,
+      |         CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+      |         CAST(50 + doc_id % 101 AS BIGINT) AS nf
+      |  FROM documents),
+      |wins AS MATERIALIZED (
+      |  SELECT d, sr, ch, unnest(range(0, nf - 31)) AS off FROM prm),
+      |wdfs AS (
+      |  SELECT d, off, ((i - 1) * 33) // 31 AS g,
+      |         abs(((d * 37 + (off + i) * 11) % 4001)
+      |           - ((d * 37 + (off + i - 1) * 11) % 4001)) AS dd
+      |  FROM wins, LATERAL unnest(range(1, 32)) u(i)),
+      |wbox AS (
+      |  SELECT d, off, g, CAST(sum(dd) AS BIGINT) AS s, count(*) AS n
+      |  FROM wdfs GROUP BY 1, 2, 3),
+      |g33 AS (SELECT d, off, unnest(range(0, 33)) AS g FROM wins),
+      |wden AS MATERIALIZED (
+      |  SELECT g33.d, g33.off, g33.g,
+      |         coalesce(b.s * 1000 // b.n, 0) AS env
+      |  FROM g33 LEFT JOIN wbox b
+      |    ON b.d = g33.d AND b.off = g33.off AND b.g = g33.g),
+      |wbit AS (
+      |  SELECT l.d, l.off, l.g AS i,
+      |         CASE WHEN r.env > l.env THEN 1 ELSE 0 END AS bit
+      |  FROM wden l JOIN wden r
+      |    ON r.d = l.d AND r.off = l.off AND r.g = l.g + 1
+      |  WHERE l.g < 32),
+      |wfp AS (
+      |  SELECT d, off,
+      |    CAST(sum(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS fp
+      |  FROM wbit GROUP BY 1, 2),
+      |wck AS (
+      |  SELECT d, off,
+      |    CAST(sum(((d * 37 + (off + i) * 11) % 4001) * (i + 1))
+      |      % 1000000007 AS BIGINT) AS ck
+      |  FROM wins, LATERAL unnest(range(0, 32)) u(i) GROUP BY 1, 2),
+      |keys AS MATERIALIZED (
+      |  SELECT w.d, w.off, w.sr, w.ch, f.fp, c.ck
+      |  FROM wins w
+      |  JOIN wfp f ON f.d = w.d AND f.off = w.off
+      |  JOIN wck c ON c.d = w.d AND c.off = w.off)
+      |SELECT CAST(c.d AS VARCHAR) || 'c' AS clip_id,
+      |       CAST(w.d AS VARCHAR) AS src_id,
+      |       CAST(w.off AS BIGINT) AS src_offset
+      |FROM keys c JOIN keys w
+      |  ON c.sr = w.sr AND c.ch = w.ch
+      |     AND c.fp = w.fp AND c.ck = w.ck
+      |WHERE c.d % 5 = 0 AND c.off = c.d % 7""".stripMargin
+
   /** Unigram-LM encode replay ([[graft.ext.Assemble.unigramEncode]]):
     * candidate substring frequencies, the singles ∪ top-`vocabSize`
     * vocabulary with micro-nat piece costs packed as `cost·64 + 1`,

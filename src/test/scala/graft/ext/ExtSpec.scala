@@ -950,6 +950,32 @@ class ExtSpec extends SparkSpec {
     for (p <- Seq("a", "b")) assert(s3.getOrElse(p, 0.0) > 0.0, p)
   }
 
+  test("audio clip match: a clip sliced and re-encoded from real bytes " +
+      "is located in its source at the extraction offset; planted " +
+      "identical content in another file is found too; distinct " +
+      "content is not") {
+    def aud(rows: (String, Array[Byte])*) =
+      rows.map { case (id, b) => (id, "audio", b) }
+        .toDF("media_id", "media_type", "content")
+    val srcSamples = Array.tabulate(80)(i =>
+      ((i * 97 + 31) % 3000 - 1500).toShort)
+    val src = Multimodal.wavEncode(8000, 1, srcSamples)
+    // plant the source's window [4, 36) inside another file at 10
+    val planted = Array.tabulate(60)(i =>
+      if (i >= 10 && i < 42) srcSamples(4 + (i - 10))
+      else ((i * 13 + 7) % 2000 - 1000).toShort)
+    val other = Multimodal.wavEncode(8000, 1, planted)
+    val noise = Multimodal.wavEncode(8000, 1,
+      Array.tabulate(70)(i => ((i * 53 + 5) % 2500 - 1250).toShort))
+
+    // extractClips slices frames [id%7, id%7+32): id "4" → offset 4
+    val clips = AudioHash.extractClips(aud("4" -> src), 32, "c")
+    val got = AudioHash.clipMatches(clips,
+        aud("4" -> src, "b" -> other, "z" -> noise)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("4c", "4", 4L), ("4c", "b", 10L)))
+  }
+
   test("unigram-LM prune: likelihood-loss ranking drops corpus-absent " +
       "and rare pieces first, never singles; renormalizes; idempotent " +
       "input order") {
