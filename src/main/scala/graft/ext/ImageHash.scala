@@ -206,6 +206,50 @@ object ImageHash {
   }
 
   /**
+   * Incremental near-dup pairing: today's BATCH banded-joined against
+   * the accumulated CORPUS without corpus self-comparison — the
+   * production ingest shape ([[AudioHash.wavFpPairsAgainst]] /
+   * [[graft.ext.Dedup.minhashPairsAgainst]]). Same block key and
+   * pigeonhole completeness as [[dhashPairs]].
+   *
+   * @return (batch_id, corpus_id, hamming) for every cross pair
+   *         within `maxHamming`.
+   */
+  def dhashPairsAgainst(
+      batch: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "banded completeness holds for maxHamming < 4")
+    val hb = ppmDHash(batch).toDF()
+    val hc = ppmDHash(corpus).toDF()
+    def bands(h: DataFrame) = h.select(col("media_id"), col("width"),
+      col("height"),
+      posexplode(array(
+        col("hi").bitwiseAND(lit(0xffffL)),
+        shiftright(col("hi"), 16).bitwiseAND(lit(0xffffL)),
+        col("lo").bitwiseAND(lit(0xffffL)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(0xffffL))))
+        .as(Seq("band", "v")))
+    val cand = bands(hb).as("a").join(bands(hc).as("b"),
+        col("a.width") === col("b.width") &&
+          col("a.height") === col("b.height") &&
+          col("a.band") === col("b.band") && col("a.v") === col("b.v"))
+      .select(col("a.media_id").as("batch_id"),
+        col("b.media_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(hb.select(col("media_id").as("batch_id"),
+        col("hi").as("hi_a"), col("lo").as("lo_a")), Seq("batch_id"))
+      .join(hc.select(col("media_id").as("corpus_id"),
+        col("hi").as("hi_b"), col("lo").as("lo_b")), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
    * Near-duplicate image CLUSTERS — the production-scale counterpart
    * of [[dhashPairs]]. Pair enumeration is inherently quadratic in
    * duplicate-cluster size (k byte-identical copies alone are k·(k−1)/2

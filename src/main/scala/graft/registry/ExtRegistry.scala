@@ -1064,6 +1064,21 @@ private[graft] object ExtRegistry {
       ImageHash.dhashClusters(base.unionByName(twins))
     }),
 
+    // incremental perceptual ingest, IMAGE tier: today's batch is
+    // the single-pixel-vandalized RE-UPLOADS of every 10th image
+    // (the realistic ingest case — slightly-edited copies arriving
+    // against the accumulated corpus), banded-joined against the
+    // full base corpus with no corpus self-comparison. Every batch
+    // image has a guaranteed hamming ≤ 1 source, so the row
+    // certifies cross-join RECALL, not just precision.
+    "q_image_dhash_incremental" -> ((s, dir) => {
+      val media = Multimodal.synthesizePpm(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val batch = ImageHash.vandalizeFirstPixel(
+        media.filter(col("media_id").cast("long") % 10 === 0), "v")
+      ImageHash.dhashPairsAgainst(batch, media)
+    }),
+
     // audio counterpart of q_multimodal_corrupt: id%7==3 WAVs
     // truncated mid-container; the tolerant RIFF walker emits ok=0
     // casualties and decodes the rest
@@ -3568,6 +3583,10 @@ private[graft] object ExtRegistry {
          |)
          |SELECT n AS media_id, least(n, min(r)) AS cluster_id
          |FROM reach GROUP BY n""".stripMargin,
+
+    // batch × corpus cross pairs from the same per-pixel replay
+    // (base files, no twins), gated by id mod 3
+    "q_image_dhash_incremental" -> imageDhashIncrementalSql,
 
     // audio-fingerprint replay at PER-SAMPLE granularity from the
     // synthesis formula: same lag-1 |diff| stream, 65-box integer

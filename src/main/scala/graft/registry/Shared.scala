@@ -350,15 +350,23 @@ private[graft] object Shared {
     * `pairs(id_a, id_b, hamming)` CTE; callers append the final
     * SELECT (the pair row) or the recursive closure (the cluster
     * row). */
-  lazy val dhashPairsCtes: String =
-    """imgs AS (
+  /** CTEs through `hs(id, hi, lo)` + `dims(id, doc_id, w, h)` — the
+    * per-pixel dHash replay, with or without the planted twin rows;
+    * shared by [[dhashPairsCtes]] (self-pairing, twins in) and the
+    * incremental oracle (batch × corpus, base files). */
+  private def dhashBaseCtes(withTwins: Boolean): String = {
+    val twinUnion =
+      if (withTwins)
+        """
+          |  UNION ALL
+          |  SELECT CAST(doc_id AS VARCHAR) || 'v' AS id, doc_id,
+          |         TRUE AS twin
+          |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
+      else ""
+    s"""imgs AS (
       |  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id,
       |         FALSE AS twin
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT CAST(doc_id AS VARCHAR) || 'v' AS id, doc_id,
-      |         TRUE AS twin
-      |  FROM documents WHERE doc_id % 10 = 0),
+      |  FROM documents$twinUnion),
       |dims AS (
       |  SELECT id, doc_id, twin,
       |         CAST(8 + doc_id % 16 AS BIGINT) AS w,
@@ -401,7 +409,11 @@ private[graft] object Shared {
       |    CAST(sum(CASE WHEN i >= 32
       |             THEN bit * (CAST(1 AS BIGINT) << (i - 32))
       |             ELSE 0 END) AS BIGINT) AS lo
-      |  FROM bits GROUP BY 1),
+      |  FROM bits GROUP BY 1)""".stripMargin
+  }
+
+  lazy val dhashPairsCtes: String =
+    s"""${dhashBaseCtes(withTwins = true)},
       |pairs AS (
       |  SELECT a.id AS id_a, b.id AS id_b,
       |         CAST(bit_count(xor(a.hi, b.hi))
@@ -412,6 +424,23 @@ private[graft] object Shared {
       |  WHERE da.w = db.w AND da.h = db.h
       |    AND bit_count(xor(a.hi, b.hi))
       |      + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
+
+  /** Incremental image-dHash oracle: the vandalized re-uploads of
+    * every 10th image (the twin rows) crossed against the full base
+    * corpus within the dims block — batch side twin = TRUE, corpus
+    * side twin = FALSE, no corpus self-pairs. */
+  lazy val imageDhashIncrementalSql: String =
+    s"""WITH ${dhashBaseCtes(withTwins = true)}
+      |SELECT a.id AS batch_id, b.id AS corpus_id,
+      |       CAST(bit_count(xor(a.hi, b.hi))
+      |         + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      |FROM hs a JOIN hs b ON a.id <> b.id
+      |JOIN dims da ON da.id = a.id
+      |JOIN dims db ON db.id = b.id
+      |WHERE da.twin AND NOT db.twin
+      |  AND da.w = db.w AND da.h = db.h
+      |  AND bit_count(xor(a.hi, b.hi))
+      |    + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
 
   /** Per-pixel per-FRAME dHash replay over the documents-derived Y4M
     * corpus (base ∪ first-luma-byte-vandalized twins of doc_id%10=0):

@@ -761,6 +761,16 @@ class ExtSpec extends SparkSpec {
       assert(got.get(m) === Some("10"), s"member $m")
     // unique hashes with no near-dup edge are omitted, not self-labeled
     for (m <- Seq("41", "55")) assert(!got.contains(m), s"singleton $m")
+
+    // incremental ingest: batch × corpus only — the byte-identical
+    // cross pair (period 2304) is found at hamming 0; the corpus
+    // never self-compares; dims blocks gate everything else
+    val inc = ImageHash.dhashPairsAgainst(
+        Multimodal.synthesizePpm(Seq(0L, 41L).toDF("doc_id"), "doc_id"),
+        Multimodal.synthesizePpm(Seq(2304L, 55L).toDF("doc_id"), "doc_id"))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(inc === Map(("0", "2304") -> 0L))
   }
 
   test("video dHash: per-frame hashes replay dhashGrid over the real " +
