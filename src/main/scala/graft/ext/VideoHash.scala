@@ -131,6 +131,51 @@ object VideoHash {
   }
 
   /**
+   * Incremental near-dup pairing: an arriving BATCH of videos
+   * banded-joined (frame-0 hash) against the accumulated CORPUS,
+   * verified over aligned frames — the [[ImageHash.dhashPairsAgainst]]
+   * ingest shape for the video tier; the corpus never self-compares.
+   *
+   * @return (batch_id, corpus_id, hamming_max) within `maxHamming`.
+   */
+  def y4mDhashPairsAgainst(
+      batch: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "banded completeness holds for maxHamming < 4")
+    val fb = y4mFrameDHash(batch).toDF()
+    val fc = y4mFrameDHash(corpus).toDF()
+    def bands(fh: DataFrame) = fh.filter(col("frame") === 0)
+      .select(col("media_id"), col("width"), col("height"),
+        col("n_frames"),
+        posexplode(array(
+          col("hi").bitwiseAND(lit(0xffffL)),
+          shiftright(col("hi"), 16).bitwiseAND(lit(0xffffL)),
+          col("lo").bitwiseAND(lit(0xffffL)),
+          shiftright(col("lo"), 16).bitwiseAND(lit(0xffffL))))
+          .as(Seq("band", "v")))
+    val cand = bands(fb).as("a").join(bands(fc).as("b"),
+        col("a.width") === col("b.width") &&
+          col("a.height") === col("b.height") &&
+          col("a.n_frames") === col("b.n_frames") &&
+          col("a.band") === col("b.band") && col("a.v") === col("b.v"))
+      .select(col("a.media_id").as("batch_id"),
+        col("b.media_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(fb.select(col("media_id").as("batch_id"), col("frame"),
+        col("hi").as("hi_a"), col("lo").as("lo_a")), Seq("batch_id"))
+      .join(fc.select(col("media_id").as("corpus_id"), col("frame"),
+        col("hi").as("hi_b"), col("lo").as("lo_b")),
+        Seq("corpus_id", "frame"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(max(bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+        .cast("long").as("hamming_max"))
+      .filter(col("hamming_max") <= maxHamming)
+  }
+
+  /**
    * Near-duplicate video CLUSTERS — the production-scale counterpart
    * of [[y4mDhashPairs]], same argument as
    * [[ImageHash.dhashClusters]]: pair enumeration is quadratic in

@@ -1141,6 +1141,19 @@ private[graft] object ExtRegistry {
       VideoHash.y4mDhashClusters(base.unionByName(twins))
     }),
 
+    // incremental perceptual ingest, VIDEO tier: the vandalized
+    // re-uploads of every 10th video banded-joined (frame-0 hash)
+    // against the full corpus, aligned-frame max verification —
+    // closes the pairs/clusters/incremental × image/video/audio
+    // matrix; guaranteed hamming ≤ 1 sources certify recall
+    "q_video_dhash_incremental" -> ((s, dir) => {
+      val media = Multimodal.synthesizeY4m(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val batch = VideoHash.vandalizeFirstLuma(
+        media.filter(col("media_id").cast("long") % 10 === 0), "v")
+      VideoHash.y4mDhashPairsAgainst(batch, media)
+    }),
+
     // video casualties: id%7==4 streams truncated to 15 bytes (mid
     // stream-header); the tolerant channel emits ok=0 and decodes
     // the rest exactly
@@ -3568,6 +3581,9 @@ private[graft] object ExtRegistry {
     "q_video_dhash" ->
       s"""WITH $videoDhashPairsCtes
          |SELECT id_a, id_b, hamming_max FROM vpairs""".stripMargin,
+
+    // re-upload batch × base corpus from the same per-frame replay
+    "q_video_dhash_incremental" -> videoDhashIncrementalSql,
 
     // video cluster row: same per-pixel pair replay + the recursive
     // reachability closure + component min (the q_image_dhash_clusters

@@ -449,7 +449,10 @@ private[graft] object Shared {
     * Ends with a `vpairs(id_a, id_b, hamming_max)` CTE (all-pairs
     * max-over-aligned-frames, already cut at ≤ 3); callers append the
     * final SELECT or the recursive closure. */
-  lazy val videoDhashPairsCtes: String =
+  /** CTEs through `fr(id, twin, f, hi, lo, w, h, nf)` — the
+    * per-pixel per-frame dHash replay; shared by
+    * [[videoDhashPairsCtes]] and the incremental oracle. */
+  private lazy val videoDhashBaseCtes: String =
     """vids AS (
       |  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id, FALSE AS twin
       |  FROM documents
@@ -504,8 +507,11 @@ private[graft] object Shared {
       |             ELSE 0 END) AS BIGINT) AS lo
       |  FROM bits GROUP BY 1, 2),
       |fr AS (
-      |  SELECT hs.id, hs.f, hs.hi, hs.lo, d.w, d.h, d.nf
-      |  FROM hs JOIN dims d ON d.id = hs.id),
+      |  SELECT hs.id, d.twin, hs.f, hs.hi, hs.lo, d.w, d.h, d.nf
+      |  FROM hs JOIN dims d ON d.id = hs.id)""".stripMargin
+
+  lazy val videoDhashPairsCtes: String =
+    s"""$videoDhashBaseCtes,
       |vpairs AS (
       |  SELECT a.id AS id_a, b.id AS id_b,
       |         CAST(max(bit_count(xor(a.hi, b.hi))
@@ -516,6 +522,21 @@ private[graft] object Shared {
       |  GROUP BY 1, 2
       |  HAVING max(bit_count(xor(a.hi, b.hi))
       |           + bit_count(xor(a.lo, b.lo))) <= 3)""".stripMargin
+
+  /** Incremental video-dHash oracle: the vandalized re-uploads (twin
+    * rows) crossed against the full base corpus, aligned-frame max
+    * verification, no corpus self-pairs. */
+  lazy val videoDhashIncrementalSql: String =
+    s"""WITH $videoDhashBaseCtes
+      |SELECT a.id AS batch_id, b.id AS corpus_id,
+      |       CAST(max(bit_count(xor(a.hi, b.hi))
+      |         + bit_count(xor(a.lo, b.lo))) AS BIGINT) AS hamming_max
+      |FROM fr a JOIN fr b
+      |  ON a.twin AND NOT b.twin AND a.f = b.f
+      |     AND a.w = b.w AND a.h = b.h AND a.nf = b.nf
+      |GROUP BY 1, 2
+      |HAVING max(bit_count(xor(a.hi, b.hi))
+      |         + bit_count(xor(a.lo, b.lo))) <= 3""".stripMargin
 
   /** CTEs through `afp(id, d, sr, ch, nf, hi, lo)` — the per-sample
     * audio-fingerprint replay over the documents-derived WAV corpus:

@@ -872,6 +872,21 @@ class ExtSpec extends SparkSpec {
     // 10/7690 identical, 10v/7690v planted: min is "10"
     for (m <- Seq("10", "7690", "10v", "7690v"))
       assert(got.get(m) === Some("10"), s"member $m")
+
+    // incremental ingest: re-upload batch × corpus only — each twin
+    // (both 0 and 7680 are %10==0) finds ALL byte-identical copies
+    // of its source at hamming ≤ 1; the corpus (incl. the identical
+    // pair 0/7680) never self-compares
+    val incIds = Seq(0L, 7680L, 33L).toDF("doc_id")
+    val incBase = Multimodal.synthesizeY4m(incIds, "doc_id")
+    val incBatch = VideoHash.vandalizeFirstLuma(
+      incBase.filter(col("media_id").cast("long") % 10 === 0), "v")
+    val inc = VideoHash.y4mDhashPairsAgainst(incBatch, incBase)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(inc.keySet === Set(("0v", "0"), ("0v", "7680"),
+      ("7680v", "0"), ("7680v", "7680")))
+    assert(inc.values.forall(_ <= 1L))
   }
 
   test("unigram-LM encode: Viterbi DP equals brute-force enumeration " +
