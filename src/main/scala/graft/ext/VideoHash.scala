@@ -131,6 +131,76 @@ object VideoHash {
   }
 
   /**
+   * Extract a real clip from each video: frames `[off, off + len)`
+   * re-encoded as a standalone YUV4MPEG2 stream at the source's
+   * header params, id suffixed. `off` is the deterministic
+   * `id mod (nf − 1)` (callers must pass videos with ≥ `len`
+   * frames). The clip goes back through the full container path —
+   * slice, encode, re-walk, hash — so a match certifies the codec
+   * end to end ([[AudioHash.extractClips]]'s convention).
+   */
+  def extractClips(media: DataFrame, len: Int, suffix: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media_type", "content")
+      .map { r =>
+        val id = r.getString(0)
+        val b = r.getAs[Array[Byte]](2)
+        val lay = Multimodal.y4mWalk(id, b)
+        val nf = lay.frameOffsets.length
+        require(nf >= len, s"clip needs >= $len frames, got $nf: $id")
+        val off = math.floorMod(id.toLong, (nf - len + 1).toLong).toInt
+        val cLen =
+          if (lay.colorspace.startsWith("420"))
+            (lay.width / 2) * (lay.height / 2)
+          else lay.width * lay.height
+        val frameLen = lay.width * lay.height + 2 * cLen
+        val frames = (off until off + len).map { f =>
+          java.util.Arrays.copyOfRange(
+            b, lay.frameOffsets(f), lay.frameOffsets(f) + frameLen)
+        }
+        (id + suffix, r.getString(1),
+          Multimodal.y4mEncode(lay.width, lay.height, lay.fpsNum,
+            lay.fpsDen, lay.colorspace, frames))
+      }.toDF("media_id", "media_type", "content")
+  }
+
+  /** Sliding 2-frame window keys over the per-frame hash table:
+    * (id, dims, off, frame-off hash, frame-off+1 hash) — the video
+    * sub-fingerprint index for subsequence search. N_frames is NOT
+    * in the key: a clip must be findable inside longer videos. */
+  private def frameWindowKeys(fh: DataFrame): DataFrame =
+    fh.as("a").join(fh.as("b"),
+        col("a.media_id") === col("b.media_id") &&
+          col("b.frame") === col("a.frame") + 1)
+      .select(col("a.media_id"), col("a.width"), col("a.height"),
+        col("a.frame").as("off"),
+        col("a.hi").as("hi0"), col("a.lo").as("lo0"),
+        col("b.hi").as("hi1"), col("b.lo").as("lo1"))
+
+  /**
+   * Locate 2-frame clips inside the corpus: each clip's single
+   * window exact-key joined against the corpus window index on
+   * (dims, both frame hashes) — the [[AudioHash.clipMatches]] block
+   * search for video. Only (id, dims, off, 4×32-bit hash) rows leave
+   * the hashing scan; the probe is a plain shuffle join.
+   *
+   * @return (clip_id, src_id, src_offset)
+   */
+  def clipMatches(clips: DataFrame, corpus: DataFrame): DataFrame = {
+    val cw = frameWindowKeys(y4mFrameDHash(clips).toDF())
+      .select(col("media_id").as("clip_id"), col("width"), col("height"),
+        col("hi0"), col("lo0"), col("hi1"), col("lo1"))
+    val ww = frameWindowKeys(y4mFrameDHash(corpus).toDF())
+      .select(col("media_id").as("src_id"), col("width"), col("height"),
+        col("hi0"), col("lo0"), col("hi1"), col("lo1"),
+        col("off").cast("long").as("src_offset"))
+    cw.join(ww,
+        Seq("width", "height", "hi0", "lo0", "hi1", "lo1"))
+      .select(col("clip_id"), col("src_id"), col("src_offset"))
+  }
+
+  /**
    * Incremental near-dup pairing: an arriving BATCH of videos
    * banded-joined (frame-0 hash) against the accumulated CORPUS,
    * verified over aligned frames — the [[ImageHash.dhashPairsAgainst]]

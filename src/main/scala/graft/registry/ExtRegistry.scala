@@ -1141,6 +1141,21 @@ private[graft] object ExtRegistry {
       VideoHash.y4mDhashClusters(base.unionByName(twins))
     }),
 
+    // CLIP-IN-CORPUS video search: 2-frame clips sliced from real
+    // Y4M bytes and re-encoded as standalone streams (certifying the
+    // container path end to end), located by an exact-key join of
+    // 2-frame window keys (dims + both frame hashes — n_frames NOT
+    // in the key, so a clip is found inside LONGER videos); clips
+    // from id%4==1 videos with >= 2 frames at offset id mod (nf-1)
+    "q_video_clip_match" -> ((s, dir) => {
+      val media = Multimodal.synthesizeY4m(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val clips = VideoHash.extractClips(
+        media.filter(col("media_id").cast("long") % 5 =!= 0 &&
+          col("media_id").cast("long") % 4 === 1), 2, "c")
+      VideoHash.clipMatches(clips, media)
+    }),
+
     // incremental perceptual ingest, VIDEO tier: the vandalized
     // re-uploads of every 10th video banded-joined (frame-0 hash)
     // against the full corpus, aligned-frame max verification —
@@ -3584,6 +3599,10 @@ private[graft] object ExtRegistry {
 
     // re-upload batch × base corpus from the same per-frame replay
     "q_video_dhash_incremental" -> videoDhashIncrementalSql,
+
+    // 2-frame window keys from the per-frame replay; clip of d =
+    // source window at d mod (nf-1)
+    "q_video_clip_match" -> videoClipMatchSql,
 
     // video cluster row: same per-pixel pair replay + the recursive
     // reachability closure + component min (the q_image_dhash_clusters

@@ -507,7 +507,8 @@ private[graft] object Shared {
       |             ELSE 0 END) AS BIGINT) AS lo
       |  FROM bits GROUP BY 1, 2),
       |fr AS (
-      |  SELECT hs.id, d.twin, hs.f, hs.hi, hs.lo, d.w, d.h, d.nf
+      |  SELECT hs.id, d.doc_id AS d, d.twin, hs.f, hs.hi, hs.lo,
+      |         d.w, d.h, d.nf
       |  FROM hs JOIN dims d ON d.id = hs.id)""".stripMargin
 
   lazy val videoDhashPairsCtes: String =
@@ -653,6 +654,27 @@ private[graft] object Shared {
       |     AND a.sr = b.sr AND a.ch = b.ch AND a.nf = b.nf
       |WHERE bit_count(xor(a.hi, b.hi))
       |    + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
+
+  /** Video clip-in-corpus oracle: 2-frame window keys (dims + both
+    * frame hashes, n_frames deliberately NOT in the key) from the
+    * per-frame replay; a clip of video d is the source window at
+    * offset d mod (nf−1); base files only. */
+  lazy val videoClipMatchSql: String =
+    s"""WITH $videoDhashBaseCtes,
+      |wkeys AS MATERIALIZED (
+      |  SELECT a.id, a.d, a.twin, a.w, a.h, a.f AS off,
+      |         a.hi AS hi0, a.lo AS lo0, b.hi AS hi1, b.lo AS lo1
+      |  FROM fr a JOIN fr b ON b.id = a.id AND b.f = a.f + 1)
+      |SELECT CAST(c.d AS VARCHAR) || 'c' AS clip_id,
+      |       CAST(w.d AS VARCHAR) AS src_id,
+      |       CAST(w.off AS BIGINT) AS src_offset
+      |FROM wkeys c JOIN wkeys w
+      |  ON c.w = w.w AND c.h = w.h
+      |     AND c.hi0 = w.hi0 AND c.lo0 = w.lo0
+      |     AND c.hi1 = w.hi1 AND c.lo1 = w.lo1
+      |WHERE NOT c.twin AND NOT w.twin
+      |  AND c.d % 5 <> 0 AND c.d % 4 = 1
+      |  AND c.off = c.d % (c.d % 5)""".stripMargin
 
   /** Clip-in-corpus block-search oracle: the sliding-window
     * sub-fingerprint keys (32-bit envelope fp over 33 boxes of the

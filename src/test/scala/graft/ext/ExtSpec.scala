@@ -975,6 +975,32 @@ class ExtSpec extends SparkSpec {
     for (p <- Seq("a", "b")) assert(s3.getOrElse(p, 0.0) > 0.0, p)
   }
 
+  test("video clip match: a 2-frame clip sliced and re-encoded from a " +
+      "real Y4M stream is located in its source at the extraction " +
+      "offset and inside a LONGER video with the planted frames; " +
+      "distinct content is not matched") {
+    val w = 6; val h = 4
+    def vid(rows: (String, Array[Byte])*) =
+      rows.map { case (id, b) => (id, "video", b) }
+        .toDF("media_id", "media_type", "content")
+    def frame(seed: Int) = Array.tabulate(w * h)(p =>
+      ((seed * 31 + p * 13) % 200).toByte) ++
+      Array.fill(2 * w * h)(64.toByte) // C444 flat chroma
+    def enc(frames: Seq[Array[Byte]]) =
+      Multimodal.y4mEncode(w, h, 25, 1, "444", frames)
+    // source "1": 3 frames → clip offset 1 mod (3−1) = 1 → frames 1..2
+    val src = enc(Seq(frame(1), frame(2), frame(3)))
+    // longer video carrying the same two frames at offset 2
+    val planted = enc(Seq(frame(7), frame(8), frame(2), frame(3)))
+    val noise = enc(Seq(frame(11), frame(12), frame(13)))
+
+    val clips = VideoHash.extractClips(vid("1" -> src), 2, "c")
+    val got = VideoHash.clipMatches(clips,
+        vid("1" -> src, "b" -> planted, "z" -> noise)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("1c", "1", 1L), ("1c", "b", 2L)))
+  }
+
   test("audio clip match: a clip sliced and re-encoded from real bytes " +
       "is located in its source at the extraction offset; planted " +
       "identical content in another file is found too; distinct " +
