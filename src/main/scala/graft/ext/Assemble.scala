@@ -1117,6 +1117,109 @@ object Assemble {
   }
 
   /**
+   * Interpolated Kneser-Ney TRIGRAM scoring — the full Chen &
+   * Goodman recursion KenLM ships by default: the discounted trigram
+   * distribution interpolates into a MIDDLE-order model built from
+   * CONTINUATION counts (how many distinct left contexts a bigram
+   * continues — not raw bigram frequency), which interpolates into
+   * the continuation unigram of [[knSurprisal]]. Per scored token w
+   * with contexts (u, v), fixed discount D = 0.75:
+   *
+   *   p_cont(w)   = (N1+(·w) + 1) / (B + V)
+   *   p_mid(w|v)  = (max(N1+(·vw) − D, 0)
+   *                  + D · |{w': N1+(·vw') > 0}| · p_cont(w))
+   *                 / N1+(·v·)            [v unseen as middle ⇒ p_cont]
+   *   p(w|u,v)    = (max(c(uvw) − D, 0)
+   *                  + D · N1+(uv·) · p_mid(w|v)) / c(uv·)
+   *                                        [(u,v) unseen ⇒ p_mid]
+   *
+   * All five model tables (trigram counts; top-level context totals
+   * and following-type counts; middle-level continuation counts and
+   * their per-context totals; bottom-level preceding-type counts)
+   * derive from the distinct trigram/bigram tables by
+   * map-side-combined groupBys, so the model merges across shards
+   * exactly like [[stupidBackoff]]'s. Same determinism discipline:
+   * fixed-order double arithmetic over exact integers, one micro-nat
+   * truncation; B and V ride a 1-row broadcast.
+   */
+  def kn3Surprisal(
+      train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def ctx(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      graft.util.Tables.spread(df)
+        .select(col(idCol).as("id"),
+          posexplode(TextAnalysis.normTokens(col(textCol))))
+        .toDF("id", "pos", "tok")
+        .withColumn("p1", lag(col("tok"), 1).over(w))
+        .withColumn("p2", lag(col("tok"), 2).over(w))
+    }
+    val ctxT = ctx(train).persist()
+    try {
+      val bi = ctxT.filter(col("p1").isNotNull)
+        .groupBy(col("p1").as("ba"), col("tok").as("bb"))
+        .agg(count(lit(1)).as("cab"))
+      val tri = ctxT.filter(col("p2").isNotNull)
+        .groupBy(col("p2").as("ta"), col("p1").as("tb"),
+          col("tok").as("tc"))
+        .agg(count(lit(1)).as("ct"))
+        .persist()
+      try {
+        val cctx3 = tri.groupBy(col("ta").as("c3a"), col("tb").as("c3b"))
+          .agg(sum(col("ct")).as("cctx3"), count(lit(1)).as("n1f3"))
+        val npre3 = tri.groupBy(col("tb").as("m3v"), col("tc").as("m3w"))
+          .agg(count(lit(1)).as("npre3"))
+        val ctot2 = npre3.groupBy(col("m3v").as("c2v"))
+          .agg(sum(col("npre3")).as("ctot2"), count(lit(1)).as("n1f2c"))
+        val npre2 = bi.groupBy(col("bb").as("pk"))
+          .agg(count(lit(1)).as("npre2"))
+        val vocab = ctxT.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val tot = bi.agg(count(lit(1)).as("b"))
+          .crossJoin(vocab.agg(count(lit(1)).as("v")))
+        val pcont = (coalesce(col("npre2"), lit(0L)) + 1L).cast("double") /
+          (col("b") + col("v")).cast("double")
+        val pmid = when(col("ctot2").isNull, pcont)
+          .otherwise(
+            (greatest(coalesce(col("npre3"), lit(0L)).cast("double") -
+              lit(0.75), lit(0.0)) +
+              lit(0.75) * col("n1f2c") * pcont) /
+              col("ctot2").cast("double"))
+        val ptop =
+          (greatest(coalesce(col("ct"), lit(0L)).cast("double") -
+            lit(0.75), lit(0.0)) +
+            lit(0.75) * col("n1f3") * pmid) /
+            col("cctx3").cast("double")
+        val u = when(col("p1").isNull, -log(pcont))
+          .when(col("p2").isNull || col("cctx3").isNull, -log(pmid))
+          .otherwise(-log(ptop))
+        ctx(score)
+          .join(tri, col("p2") === col("ta") && col("p1") === col("tb") &&
+            col("tok") === col("tc"), "left")
+          .join(cctx3, col("p2") === col("c3a") &&
+            col("p1") === col("c3b"), "left")
+          .join(npre3, col("p1") === col("m3v") &&
+            col("tok") === col("m3w"), "left")
+          .join(ctot2, col("p1") === col("c2v"), "left")
+          .join(npre2, col("tok") === col("pk"), "left")
+          .join(vocab.select(col("tok").as("vk"), col("c").as("cu")),
+            col("tok") === col("vk"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("id"),
+            floor(u * 1000000L).cast("long").as("u"),
+            col("cu"))
+          .groupBy(col("id")).agg(
+            count(lit(1)).as("n_tokens"),
+            sum(col("u")).as("surprisal_unats"),
+            sum(when(col("cu").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("id"), col("n_tokens"), col("surprisal_unats"),
+            expr("surprisal_unats div n_tokens").as("mean_unats"),
+            col("n_oov"))
+          .localCheckpoint()
+      } finally tri.unpersist()
+    } finally ctxT.unpersist()
+  }
+
+  /**
    * Frequency-seeded piece probabilities over a word-type table —
    * Kudo 2018 §3.2's EM initialization, the driver-side counterpart
    * of [[unigramEncode]]'s distributed candidate pass: every

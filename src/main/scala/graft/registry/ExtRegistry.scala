@@ -238,6 +238,17 @@ private[graft] object ExtRegistry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // the full trigram Kneser-Ney recursion (KenLM's default order-3
+    // shape): discounted trigrams → continuation-count middle order
+    // → continuation unigram; five mergeable model tables
+    "q_kn3_ppl" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      Assemble.kn3Surprisal(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // unigram-LM tokenization (Kudo 2018, the SentencePiece family —
     // the other production tokenizer besides BPE): frequency-seeded
     // piece vocabulary (singles ∪ top-512 substrings ≤ 4 cps),
@@ -2033,6 +2044,83 @@ private[graft] object ExtRegistry {
     // packed micro-nat costs, and the Viterbi DP unrolled to 40
     // chained CTE stages (generated) — integer min end to end
     "q_unigram_encode" -> unigramEncodeSql(512, 4, 40),
+
+    // trigram-KN replay: identical five model tables and the same
+    // nested CASE shape (p_mid inlined in both its uses), D = 0.75
+    // literals, add-one continuation over B + V, one micro-nat
+    // truncation
+    "q_kn3_ppl" -> {
+      val pcont =
+        """CAST(coalesce(np.npre2, 0) + 1 AS DOUBLE)
+          |                   / CAST(tot.b + tot.v AS DOUBLE)""".stripMargin
+      val pmid =
+        s"""CASE WHEN c2.ctot2 IS NULL THEN $pcont
+           |               ELSE
+           |                 (greatest(CAST(coalesce(m3.npre3, 0) AS DOUBLE)
+           |                     - 0.75, 0.0)
+           |                  + 0.75 * c2.n1f2c * ($pcont))
+           |                 / CAST(c2.ctot2 AS DOUBLE) END""".stripMargin
+      s"""WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |toksT AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+        |                 unnest(t) AS tok FROM base WHERE doc_id % 2 = 0),
+        |wpT AS (SELECT doc_id, pos, tok,
+        |          lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+        |          lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+        |        FROM toksT),
+        |bi AS (SELECT p1 AS ba, tok AS bb, count(*) AS cab
+        |       FROM wpT WHERE p1 IS NOT NULL GROUP BY 1, 2),
+        |tri AS (SELECT p2 AS ta, p1 AS tb, tok AS tc, count(*) AS ct
+        |        FROM wpT WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+        |cctx3 AS (SELECT ta AS c3a, tb AS c3b,
+        |                 CAST(sum(ct) AS BIGINT) AS cctx3,
+        |                 CAST(count(*) AS BIGINT) AS n1f3
+        |          FROM tri GROUP BY 1, 2),
+        |npre3 AS (SELECT tb AS m3v, tc AS m3w,
+        |                 CAST(count(*) AS BIGINT) AS npre3
+        |          FROM tri GROUP BY 1, 2),
+        |ctot2 AS (SELECT m3v AS c2v, CAST(sum(npre3) AS BIGINT) AS ctot2,
+        |                 CAST(count(*) AS BIGINT) AS n1f2c
+        |          FROM npre3 GROUP BY 1),
+        |npre2 AS (SELECT bb AS pk, CAST(count(*) AS BIGINT) AS npre2
+        |          FROM bi GROUP BY 1),
+        |uni AS (SELECT tok AS uk, count(*) AS c FROM toksT GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bi) AS b,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM uni) AS v),
+        |toksS AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+        |                 unnest(t) AS tok FROM base WHERE doc_id % 2 = 1),
+        |wpS AS (SELECT doc_id, pos, tok,
+        |          lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+        |          lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+        |        FROM toksS),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(-ln(
+        |          CASE WHEN p1 IS NULL THEN $pcont
+        |               WHEN p2 IS NULL OR cc3.cctx3 IS NULL THEN $pmid
+        |               ELSE
+        |                 (greatest(CAST(coalesce(tr.ct, 0) AS DOUBLE)
+        |                     - 0.75, 0.0)
+        |                  + 0.75 * cc3.n1f3 * ($pmid))
+        |                 / CAST(cc3.cctx3 AS DOUBLE)
+        |          END) * 1000000) AS BIGINT) AS u,
+        |        CASE WHEN u3.c IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM wpS
+        |      LEFT JOIN tri tr ON wpS.p2 = tr.ta AND wpS.p1 = tr.tb
+        |        AND wpS.tok = tr.tc
+        |      LEFT JOIN cctx3 cc3 ON wpS.p2 = cc3.c3a AND wpS.p1 = cc3.c3b
+        |      LEFT JOIN npre3 m3 ON wpS.p1 = m3.m3v AND wpS.tok = m3.m3w
+        |      LEFT JOIN ctot2 c2 ON wpS.p1 = c2.c2v
+        |      LEFT JOIN npre2 np ON wpS.tok = np.pk
+        |      LEFT JOIN uni u3 ON wpS.tok = u3.uk
+        |      CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(u) AS BIGINT) AS surprisal_unats,
+        |  CAST(sum(u) // count(*) AS BIGINT) AS mean_unats,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov
+        |FROM s GROUP BY doc_id""".stripMargin
+    },
 
     "q_mix_domains" -> {
       val hash = duckHash60("CAST(event_id AS VARCHAR)")

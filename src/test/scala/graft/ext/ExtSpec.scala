@@ -1085,6 +1085,43 @@ class ExtSpec extends SparkSpec {
     assert(out(1L) === ((3L, u1 + u2 + u3, (u1 + u2 + u3) / 3, 1L)))
   }
 
+  test("trigram Kneser-Ney: hand-computed recursion through all four " +
+      "branches — continuation unigram (first token), continuation " +
+      "middle order (second), full trigram interpolation (seen " +
+      "context), and the unseen-context fallback chain") {
+    val corpus = Seq(
+      (0L, "a b c d"),
+      (1L, "b c d x"),
+      (2L, "a b c e b c d")).toDF("doc_id", "text")
+    val out = Assemble.kn3Surprisal(
+        corpus.filter(col("doc_id") % 2 === 0),
+        corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    // hand model: B = 5 distinct bigrams, V = 5 → B+V = 10.
+    // tri: (a,b,c):2 (b,c,d):2 (b,c,e):1 (c,e,b):1 (e,b,c):1
+    // cctx3(b,c) = 3 with 2 following types; npre3(b,c)=2, (c,d)=1,
+    // (c,e)=1, (e,b)=1; ctot2: b→2 (1 type), c→2 (2 types), e→1;
+    // npre2: b→2, c→1, d→1, e→1.
+    def u(p: Double) = math.floor(-math.log(p) * 1000000L).toLong
+    def pcont(npre2: Long) = (npre2 + 1).toDouble / 10
+    // tok 1 "b": first token → p_cont(b) = 3/10
+    val u1 = u(pcont(2))
+    // tok 2 "c" | v=b (p2 null): middle order, ctot2(b)=2, n1f2c=1,
+    // npre3(b,c)=2, p_cont(c)=2/10
+    val u2 = u((math.max(2.0 - 0.75, 0.0) + 0.75 * 1 * pcont(1)) / 2)
+    // tok 3 "d" | (b,c): cctx3=3, n1f3=2, tri(b,c,d)=2; p_mid(d|c):
+    // ctot2(c)=2, n1f2c(c)=2, npre3(c,d)=1, p_cont(d)=2/10
+    val pmidD = (math.max(1.0 - 0.75, 0.0) + 0.75 * 2 * pcont(1)) / 2
+    val u3 = u((math.max(2.0 - 0.75, 0.0) + 0.75 * 2 * pmidD) / 3)
+    // tok 4 "x" | (c,d): cctx3(c,d) unseen → p_mid(x|d): ctot2(d)
+    // unseen (d never a trigram middle) → p_cont(x) = 1/10; OOV
+    val u4 = u(pcont(0))
+    assert(out(1L) ===
+      ((4L, u1 + u2 + u3 + u4, (u1 + u2 + u3 + u4) / 4, 1L)))
+  }
+
   test("audio fingerprint: DC-offset invariance is exact; format " +
       "params gate the block key; planted twins are recovered; " +
       "independent formula replay") {
