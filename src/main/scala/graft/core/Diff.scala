@@ -21,10 +21,13 @@ final case class ChangeSet(
     updated: DataFrame,
     removedIds: DataFrame,
     changes: DataFrame) {
-  /** Single-pass (id, change_type) view — one join in the plan. */
+  /** Single-pass (id, change_type) view — one join in the plan.
+    * (The null-change filter is a no-op unless the diff opted into
+    * `keepUnchanged`, which stamps unchanged rows with NULL.) */
   def unioned: DataFrame =
-    changes.select(col("__change_id").as("id"),
-      col("__change").as("change_type"))
+    changes.filter(col("__change").isNotNull)
+      .select(col("__change_id").as("id"),
+        col("__change").as("change_type"))
 
   /** Materialize the shared join ONCE with lineage truncated
     * (`localCheckpoint`) and rebuild every branch over the snapshot.
@@ -89,7 +92,15 @@ final case class DiffOptions(
     /** D3: name of a boolean "hidden" column in the local state; hidden
       * rows are excluded from removal candidates but NOT treated as
       * added (ContentRepositoryTarget.php:95-107). */
-    hiddenCol: Option[String] = None)
+    hiddenCol: Option[String] = None,
+    /** Keep UNCHANGED rows (local present, no add/update/remove fires)
+      * in the `changes` frame with `__change` NULL instead of
+      * filtering them out. The add/update/remove branches and counts
+      * are value-filtered, so they are unaffected; a sink that
+      * maintains a keyed state index ([[graft.targets.NodeTarget]])
+      * opts in so the index's next state is a pure PROJECTION of the
+      * one diff join — no second join against the old index. */
+    keepUnchanged: Boolean = false)
 
 /**
  * The core diff query (reference operators D1-D4, SURVEY §2.1).
@@ -173,11 +184,13 @@ object Diff {
         .when(source(Records.IdCol).isNull && !col("__local_hidden"),
           removeType)
 
-    val changes = joined
+    val stamped = joined
       .withColumn("__change", changeType)
       .withColumn("__change_id",
         coalesce(source(Records.IdCol), col("__local_id")))
-      .filter(col("__change").isNotNull)
+    val changes =
+      if (opts.keepUnchanged) stamped
+      else stamped.filter(col("__change").isNotNull)
 
     val srcCols = source.columns.map(source(_))
     ChangeSet(

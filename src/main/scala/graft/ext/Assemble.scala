@@ -1064,6 +1064,12 @@ object Assemble {
         val nTotal = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
         val singles = cand.filter(col("cplen") === 1)
           .select(col("piece"), col("freq")).collect()
+        // the `piece asc` tie-break collation MATCHES DuckDB's binary
+        // (UTF-8 byte = codepoint) collation even for pieces mixing
+        // non-BMP codepoints with U+E000–U+FFFF: Spark SQL strings
+        // are UTF8String, ordered by unsigned UTF-8 byte comparison —
+        // NOT Java UTF-16 code-unit order (pinned by the "vocab
+        // tie-break collation" spec, ExtSpec)
         val multis = cand.filter(col("cplen") > 1)
           .orderBy(col("freq").desc, col("piece").asc)
           .limit(vocabSize)

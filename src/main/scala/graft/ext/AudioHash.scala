@@ -58,6 +58,10 @@ object AudioHash {
 
   private[ext] def fpOne(id: String, b: Array[Byte]): WavFp = {
     val lay = Multimodal.wavLayout(id, b)
+    // frame indices address a byte array, so > Int.MaxValue frames
+    // cannot be fingerprinted — reject loudly instead of truncating
+    require(lay.nFrames <= Int.MaxValue,
+      s"fingerprint supports <= 2^31-1 frames, got ${lay.nFrames}: $id")
     val nf = lay.nFrames.toInt
     require(nf >= 2, s"fingerprint needs >= 2 frames: media_id=$id")
     val stride = lay.channels * 2
@@ -71,7 +75,8 @@ object AudioHash {
     var prev = x(0)
     while (i < nf) {
       val cur = x(i)
-      val g = (i - 1) * 65 / (nf - 1)
+      // box index in Long — (i-1)*65 overflows Int beyond ~33M frames
+      val g = ((i - 1).toLong * 65L / (nf - 1).toLong).toInt
       sums(g) += math.abs(cur - prev); cnts(g) += 1
       prev = cur; i += 1
     }
@@ -172,8 +177,11 @@ object AudioHash {
    * envelope-delta fingerprint of the window (lag-1 |diff| stream
    * into 33 integer boxes, floor-milli means, sign bits — the
    * [[fpOne]] construction at window granularity) and a positional
-   * checksum `Σ (x[off+i]+2000)·(i+1) mod 1e9+7` (exact integers; the
-   * +2000 lifts the synthetic sample range to non-negative). Only
+   * checksum `floorMod(Σ (x[off+i]+2000)·(i+1), 1e9+7)` (exact
+   * integers; the +2000 lifts the SYNTHETIC sample range — which
+   * never drops below −2000 — to non-negative, and the floorMod
+   * accumulation keeps the checksum non-negative for arbitrary
+   * 16-bit PCM, where x can reach −32768). Only
    * (id, format, off, fp, ck) rows leave the scan — ~28 bytes per
    * window; audio bytes never shuffle. At corpus scale this IS the
    * persisted sub-fingerprint index of the Philips design: rows ∝
@@ -187,6 +195,8 @@ object AudioHash {
         val id = r.getString(0)
         val b = r.getAs[Array[Byte]](1)
         val lay = Multimodal.wavLayout(id, b)
+        require(lay.nFrames <= Int.MaxValue,
+          s"window index supports <= 2^31-1 frames, got ${lay.nFrames}: $id")
         val nf = lay.nFrames.toInt
         val stride = lay.channels * 2
         def x(f: Int): Int = {
@@ -200,7 +210,9 @@ object AudioHash {
           var i = 0
           while (i < winLen) {
             val cur = x(off + i)
-            ck = (ck + (cur + 2000L) * (i + 1)) % 1000000007L
+            // floorMod: a real PCM sample can be < -2000, making the
+            // term negative — the checksum invariant is non-negative
+            ck = math.floorMod(ck + (cur + 2000L) * (i + 1), 1000000007L)
             if (i >= 1) {
               val g = (i - 1) * 33 / (winLen - 1)
               sums(g) += math.abs(cur - x(off + i - 1)); cnts(g) += 1
@@ -224,8 +236,9 @@ object AudioHash {
    * Extract a real clip from each file: frames `[off, off + len)`
    * across ALL channels, re-encoded as a standalone RIFF/WAVE at the
    * source's format, id suffixed. `off` is the deterministic
-   * `id mod 7` (every synthesized file has ≥ 50 frames, so
-   * off + 32 always fits). The clip goes back through the full
+   * `idSeed mod 7` — a numeric id's own value, a non-numeric id's
+   * stable codepoint hash ([[Multimodal.idSeed]]); every synthesized
+   * file has ≥ 50 frames, so off + 32 always fits. The clip goes back through the full
    * byte-level codec path — slice, encode, re-decode, fingerprint —
    * so a match certifies the codecs end to end, while the oracle
    * replays the clip's key as the SOURCE window key at `off`.
@@ -238,7 +251,7 @@ object AudioHash {
         val id = r.getString(0)
         val b = r.getAs[Array[Byte]](2)
         val lay = Multimodal.wavLayout(id, b)
-        val off = math.floorMod(id.toLong, 7L).toInt
+        val off = math.floorMod(Multimodal.idSeed(id), 7L).toInt
         require(off + len <= lay.nFrames,
           s"clip [$off, ${off + len}) exceeds ${lay.nFrames} frames: $id")
         val stride = lay.channels * 2

@@ -26,6 +26,16 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
+  /** Deterministic per-media seed for clip-extraction offsets
+    * ([[AudioHash.extractClips]]/[[VideoHash.extractClips]]): numeric
+    * ids use their value directly — the oracle-replayable convention
+    * for the synthesized corpus — and non-numeric ids fall back to a
+    * stable polynomial codepoint hash instead of throwing
+    * NumberFormatException at runtime. */
+  private[ext] def idSeed(id: String): Long =
+    id.toLongOption.getOrElse(
+      math.floorMod(id.foldLeft(0L)((a, c) => a * 31L + c), 1000003L))
+
   /** Canonical media record schema. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", StringType, nullable = false),

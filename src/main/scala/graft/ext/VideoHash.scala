@@ -149,7 +149,8 @@ object VideoHash {
         val lay = Multimodal.y4mWalk(id, b)
         val nf = lay.frameOffsets.length
         require(nf >= len, s"clip needs >= $len frames, got $nf: $id")
-        val off = math.floorMod(id.toLong, (nf - len + 1).toLong).toInt
+        val off = math.floorMod(
+          Multimodal.idSeed(id), (nf - len + 1).toLong).toInt
         val cLen =
           if (lay.colorspace.startsWith("420"))
             (lay.width / 2) * (lay.height / 2)

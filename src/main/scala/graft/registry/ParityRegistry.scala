@@ -618,8 +618,12 @@ private[graft] object ParityRegistry {
     // the lifecycle lands in the final table. ──────────────────────
     "q_sync_apply_node" -> ((s, dir) => {
       val path = tempStateDir() + "/nodes"
+      // the three sync slices project the same two orders columns —
+      // scan once, serve syncs 2-3 from the cache
+      val orders = s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"), col("o_orderdate")).cache()
       def src(sync: Int): DataFrame = {
-        val o = s.read.parquet(t(dir, "orders"))
+        val o = orders
         val k = col("o_orderkey")
         val v = unix_timestamp(col("o_orderdate"))
         val (pred, ver) = sync match {
@@ -646,6 +650,7 @@ private[graft] object ParityRegistry {
       }
       NodeTarget(path, softDelete = true, rootPath = "/sites/odd")
         .removeAll(s)
+      orders.unpersist()
       s.read.parquet(path).select(col("identifier"), col("variant"),
         col("path"), col("hidden"), col("version").cast("long"),
         col("src"))

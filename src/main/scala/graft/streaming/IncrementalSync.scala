@@ -315,10 +315,20 @@ object IncrementalSync {
       .option("checkpointLocation", s"$workDir/fb_chk")
       .trigger(Trigger.AvailableNow())
       .foreachBatch {
-        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          perBatch(batch.toDF())
-            .withColumn("__batch", lit(batchId))
-            .write.mode("append").parquet(outDir)
+        (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.toDF()
+          // Stamp with the STAGED batch ordinal re-derived from the
+          // rows (all rows of a staged file share one batchCol value
+          // by construction), NOT the stream's batchId: an EMPTY
+          // staged batch writes no file, so later batchIds shift down
+          // and would silently desync the stamps from the staging key.
+          val ord = b.select(batchCol.cast("long")).limit(1).collect()
+            .headOption.map(_.getLong(0))
+          ord.foreach { o =>
+            perBatch(b)
+              .withColumn("__batch", lit(o))
+              .write.mode("append").parquet(outDir)
+          }
           ()
       }
       .start()

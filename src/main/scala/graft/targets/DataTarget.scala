@@ -101,6 +101,34 @@ object DataTarget {
       dispatch(PostRemoveData, nRem)
     }
   }
+
+  /** [[dispatchSnapshotPhases]] with counts AND id samples already in
+    * hand — for sinks that fold both into one aggregation over the
+    * cached diff (three `sampleIds` limit-jobs collapse into the
+    * counts job; see [[graft.targets.NodeTarget]]). Event order and
+    * payload shapes are identical. */
+  def dispatchSnapshotPhasesSampled(
+      dispatch: EventDispatch,
+      added: DataFrame, nAdd: Long, addSample: Seq[String],
+      updated: DataFrame, nUpd: Long, updSample: Seq[String],
+      removedIds: DataFrame, nRem: Long, remSample: Seq[String]): Unit = {
+    import graft.pipeline.ImportEvent._
+    if (nAdd > 0) {
+      dispatch(PreAddData, added)
+      dispatch(DoAddData, PhaseProgress(nAdd, addSample))
+      dispatch(PostAddData, nAdd)
+    }
+    if (nUpd > 0) {
+      dispatch(PreUpdateData, updated)
+      dispatch(DoUpdateData, PhaseProgress(nUpd, updSample))
+      dispatch(PostUpdateData, nUpd)
+    }
+    if (nRem > 0) {
+      dispatch(PreRemoveData, removedIds)
+      dispatch(DoRemoveData, PhaseProgress(nRem, remSample))
+      dispatch(PostRemoveData, nRem)
+    }
+  }
 }
 
 /**

@@ -34,6 +34,24 @@ import org.apache.spark.sql.types._
  *
  * Node table schema: (identifier, variant, path, hidden,
  * version, <mapped columns...>).
+ *
+ * State layout and commit discipline: the node table lives flat under
+ * `path`, with a NARROW keyed diff-state index — one row per record
+ * id: (id, version, hidden) — maintained under `path/_dstate`. The
+ * `_`-prefixed subdirectory is invisible to `spark.read.parquet
+ * (path)` (Spark's file index skips `_*`/`.*` names), and because it
+ * is INSIDE the state dir it commits atomically with the node table
+ * through the same manifest-logged whole-dir swap
+ * ([[graft.util.SwapCommit]]). The index's next state is a pure
+ * projection of the sync's one diff join (the diff keeps unchanged
+ * rows for exactly this — [[graft.core.DiffOptions.keepUnchanged]]),
+ * so [[currentState]] is a direct narrow scan — the reference's
+ * indexed id/version read (DbalTarget.php:118-128) — instead of a
+ * per-sync variant-collapsing aggregation + shuffle over the full
+ * node table (the 100 TB win: the per-sync read scales with record
+ * count, not variant fan-out, and skips the aggregation exchange).
+ * The full-table aggregation remains as the fallback for state dirs
+ * that predate the index and as the rebuild after [[removeAll]].
  */
 final case class NodeTarget(
     path: String,
@@ -65,37 +83,109 @@ final case class NodeTarget(
         StructField("hidden", BooleanType),
         StructField("version", LongType))))
 
-  private def nodes(spark: SparkSession): DataFrame =
-    if (exists) spark.read.parquet(path) else emptyState(spark)
+  private def emptyDstate(spark: SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("id", StringType),
+        StructField("version", LongType),
+        StructField("hidden", BooleanType))))
 
-  /** Diff state: one row per record id (variants collapse), version =
-    * max over variants (the reference keys its node cache by stripped
-    * identifier, ContentRepositoryTarget.php:88-93). */
-  override def currentState(spark: SparkSession): DataFrame =
-    nodes(spark)
+  private def manifestFile = new java.io.File(path + ".swap-manifest")
+
+  private def nodes(spark: SparkSession): DataFrame = {
+    graft.util.SwapCommit.recover(new java.io.File(path), manifestFile)
+    if (exists) spark.read.parquet(path) else emptyState(spark)
+  }
+
+  private def dstatePath = s"$path/_dstate"
+
+  /** The narrow keyed index, or the legacy full-table aggregation for
+    * state dirs written before the index existed. */
+  private def dstate(spark: SparkSession): DataFrame = {
+    graft.util.SwapCommit.recover(new java.io.File(path), manifestFile)
+    if (!exists) emptyDstate(spark)
+    else if (new java.io.File(dstatePath).isDirectory)
+      spark.read.parquet(dstatePath)
+    else dstateOf(nodes(spark))
+  }
+
+  /** The legacy/rebuild aggregation: collapse a node table to one row
+    * per record id — version = max over variants, hidden iff ALL
+    * variants hidden (an un-hidden variant still syncs normally),
+    * containers excluded. Used for state dirs that predate the index
+    * and to rebuild the index after [[removeAll]] (whose path
+    * predicate the narrow index cannot evaluate). */
+  private def dstateOf(nodeTable: DataFrame): DataFrame =
+    nodeTable
       .filter(!col("identifier").startsWith(AutoParent))
       .groupBy(col("identifier").as("id"))
       .agg(max(col("version")).as("version"),
-        // a record is "hidden" for diff purposes iff ALL its variants
-        // are hidden (an un-hidden variant still syncs normally)
         min(col("hidden").cast("int")).cast("boolean").as("hidden"))
 
-  /** DiffOptions this target requires (wired by the Preset). */
+  /** Stage `next` (+ its `_dstate` index) under `<path>.staging` and
+    * swap it in through the manifest-logged two-phase commit
+    * ([[graft.util.SwapCommit]]) — a crash between manifest write and
+    * delete is completed idempotently by the next reader; the node
+    * table and its index always swap together. */
+  private def commitState(next: DataFrame, dstateNext: DataFrame): Unit = {
+    def prof[A](label: String)(f: => A): A =
+      if (sys.env.contains("GRAFT_NODE_PROF")) {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[nodeprof] $label%-14s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+        r
+      } else f
+    val staging = path + ".staging"
+    graft.util.SwapCommit.deleteRec(new java.io.File(staging))
+    prof("write.main") {
+      next.write.mode("overwrite").parquet(staging)
+    }
+    // written second: when `next`'s plan carries the ChangeSet's lazy
+    // checkpoint, the main write above materialized it, so the index
+    // write re-reads checkpoint blocks (narrow, record-count rows)
+    prof("write.dstate") {
+      // the index is narrow (4 columns, one row per record id) — a
+      // handful of compact files beats inheriting the merge plan's
+      // partitioning (dozens of tiny files whose footers every
+      // subsequent narrow read re-lists)
+      dstateNext.coalesce(4).write.mode("overwrite")
+        .parquet(s"$staging/_dstate")
+    }
+    graft.util.SwapCommit.commit(
+      new java.io.File(path), new java.io.File(staging), manifestFile)
+  }
+
+  /** Diff state: one row per record id (variants collapse), version =
+    * max over variants (the reference keys its node cache by stripped
+    * identifier, ContentRepositoryTarget.php:88-93). A narrow indexed
+    * read (see the class doc) — NOT an aggregation over the node
+    * table, mirroring the reference's indexed narrow SELECT. */
+  override def currentState(spark: SparkSession): DataFrame =
+    dstate(spark).select(col("id"), col("version"), col("hidden"))
+
+  /** DiffOptions this target requires (wired by the Preset).
+    * `keepUnchanged` lets [[applyChanges]] derive the next keyed
+    * index as a pure projection of the one diff join. */
   def diffOptions: graft.core.DiffOptions = graft.core.DiffOptions(
     localIdPrefix = if (idPrefix.nonEmpty) Some(idPrefix) else None,
-    hiddenCol = Some("hidden"))
+    hiddenCol = Some("hidden"),
+    keepUnchanged = true)
 
   override def applyChanges(
       spark: SparkSession, cs: ChangeSet, mapper: Mapper,
       dispatch: DataTarget.EventDispatch): ApplyResult = {
+
+    // the record-level (pre-fan-out) identity columns shared by the
+    // node rows and the keyed index
+    def parentOf(df: DataFrame): Column =
+      parentPathResolver.map(_(df)).getOrElse(lit(rootPath))
 
     // W5 fan-out: record → one node row per variant, at WRITE time
     // (ContentRepositoryTarget.php:173-192)
     def toNodes(df: DataFrame): DataFrame = {
       // parent resolution at write time (`:161-171`): the resolver
       // column evaluates against the RECORD attributes, pre-mapping
-      val parent = parentPathResolver.map(_(df)).getOrElse(lit(rootPath))
-      val withParent = df.withColumn("__parent", parent)
+      val withParent = df.withColumn("__parent", parentOf(df))
       val mapped = mapper.applyKeeping(withParent, Seq("__parent"))
         .withColumn("variant", explode(variantsResolver(df)))
       mapped.select(
@@ -121,29 +211,31 @@ final case class NodeTarget(
       else acc.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(addedN.columns.map(col): _*)
 
-    // updates replace every variant of the id and un-hide (W6, `:195-206`)
-    val untouched = oldAligned
-      .join(updatedN.select("identifier").distinct(), Seq("identifier"), "left_anti")
-
-    val next =
-      if (softDelete) {
-        // W7 soft delete: flag instead of dropping (`:245-256`)
-        val flagged = untouched.join(removedP.withColumn("__rm", lit(true)),
-            Seq("identifier"), "left_outer")
-          .withColumn("hidden", when(col("__rm"), lit(true))
-            .otherwise(col("hidden")))
-          .drop("__rm")
-        flagged.unionByName(addedN).unionByName(updatedN)
-      } else {
-        untouched.join(removedP, Seq("identifier"), "left_anti")
-          .unionByName(addedN).unionByName(updatedN)
-      }
+    // ONE pass over the old state handles both updates and removals
+    // (the diff branches are disjoint, so each old id carries at most
+    // one mark): updates replace every variant of the id and un-hide
+    // (W6, `:195-206`); soft delete flags instead of dropping (W7,
+    // `:245-256`). The marks come from the RECORD-level diff branches
+    // — already one row per id, no per-variant distinct needed.
+    val marks = csp.updated
+      .select(concat(lit(idPrefix), col(Records.IdCol)).as("identifier"))
+      .withColumn("__m", lit("u"))
+      .unionByName(removedP.withColumn("__m", lit("r")))
+    val merged = oldAligned.join(marks, Seq("identifier"), "left_outer")
+    val kept =
+      if (softDelete)
+        merged.filter(col("__m").isNull || col("__m") === "r")
+          .withColumn("hidden",
+            when(col("__m") === "r", lit(true)).otherwise(col("hidden")))
+          .drop("__m")
+      else merged.filter(col("__m").isNull).drop("__m")
+    val next = kept.unionByName(addedN).unionByName(updatedN)
 
     // Auto-create missing parent containers (`:363-392`): one row
     // per resolver-derived parent path with no node at that path yet.
     // Containers re-derive from the written paths (strip the last
     // segment), carry the reserved `auto:` identifier, and survive
-    // re-runs through `untouched` — so a second import is a no-op.
+    // re-runs through `kept` — so a second import is a no-op.
     val withParents =
       if (parentPathResolver.isEmpty) next
       else {
@@ -165,24 +257,54 @@ final case class NodeTarget(
         next.unionByName(containers)
       }
 
-    val staging = path + ".staging"
-    withParents.write.mode("overwrite").parquet(staging)
-    val dir = new java.io.File(path)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    // The keyed index's next state is a pure PROJECTION of the one
+    // diff join — the diff opted into `keepUnchanged`, so EVERY
+    // surviving record row is present: adds/updates take the source
+    // version un-hidden, soft removes keep the local version and flip
+    // hidden (hard removes drop), unchanged rows (NULL `__change`,
+    // local side present) carry their local version/hidden through.
+    // No join against the old index, no second state read — the
+    // projection runs over the checkpoint blocks the main write just
+    // materialized.
+    val dstateNext = {
+      val ch = csp.changes
+      val keepRow =
+        col("__change").isin("add", "update") ||
+          (col("__change") === "remove" && lit(softDelete)) ||
+          (col("__change").isNull && col("__local_id").isNotNull)
+      ch.filter(keepRow).select(
+        concat(lit(idPrefix), col("__change_id")).as("id"),
+        when(col("__change").isin("add", "update"),
+          col(Records.VersionCol).cast("long"))
+          .otherwise(col("__local_version").cast("long")).as("version"),
+        when(col("__change").isin("add", "update"), lit(false))
+          .when(col("__change") === "remove", lit(true))
+          .otherwise(col("__local_hidden")).as("hidden"))
     }
-    if (dir.exists()) rm(dir)
-    new java.io.File(staging).renameTo(dir)
+
+    commitState(withParents, dstateNext)
 
     // record counts == distinct fanned-out identifiers (1 record →
-    // 1 identifier across variants) — one aggregation over the diff.
-    // Deliberately AFTER the state write: the write is the action that
-    // materializes the lazy localCheckpoint (overlapped with the write
-    // pipeline), so this aggregation re-scans in-memory checkpoint
-    // blocks instead of forcing its own standalone diff evaluation.
-    val (nAdd, nUpd, nRem) = csp.counts
-    DataTarget.dispatchSnapshotPhases(dispatch,
-      addedN, nAdd, updatedN, nUpd, removedP, nRem, idCol = "identifier")
+    // 1 identifier across variants) — counts AND the bounded phase id
+    // samples come from ONE aggregation over the diff (vs one counts
+    // job + three sample limit-jobs). Deliberately AFTER the state
+    // write: the write is the action that materializes the lazy
+    // localCheckpoint (overlapped with the write pipeline), so this
+    // aggregation re-scans in-memory checkpoint blocks instead of
+    // forcing its own standalone diff evaluation.
+    val stats = csp.changes.filter(col("__change").isNotNull)
+      .groupBy(col("__change"))
+      .agg(count(lit(1)).as("n"),
+        slice(collect_list(
+          concat(lit(idPrefix), col("__change_id"))), 1, 5).as("ids"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[String](2).toSeq))).toMap
+    val (nAdd, aIds) = stats.getOrElse("add", (0L, Nil))
+    val (nUpd, uIds) = stats.getOrElse("update", (0L, Nil))
+    val (nRem, rIds) = stats.getOrElse("remove", (0L, Nil))
+    DataTarget.dispatchSnapshotPhasesSampled(dispatch,
+      addedN, nAdd, aIds, updatedN, nUpd, uIds, removedP, nRem, rIds)
     val res = ApplyResult(nAdd, nUpd, nRem)
     addedN.unpersist(); updatedN.unpersist(); removedP.unpersist()
     csp.unpersist()
@@ -194,28 +316,38 @@ final case class NodeTarget(
     * node itself is not affected, and sibling paths sharing the root
     * as a string prefix (`/sites/oddball` under root `/sites/odd`)
     * don't match — the reference's `'/'` separator is part of the
-    * pattern, so it is part of ours. */
+    * pattern, so it is part of ours. The keyed index evolves by the
+    * The keyed index cannot evaluate the path predicate (it is
+    * id-keyed, pathless), so it is REBUILT from the next node table —
+    * removeAll is the rare prune path; the per-sync hot path never
+    * re-aggregates. */
   override def removeAll(spark: SparkSession): Long = {
     if (!exists) return 0L
     val under = col("path").startsWith(rootPath.stripSuffix("/") + "/")
     val all = nodes(spark).cache()
-    val n = all.filter(under).select("identifier").distinct().count()
-    val dir = new java.io.File(path)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
+    // the affected id set is both the return count AND the index
+    // delta — computed once (paths live in the node table only)
+    val idsUnder = all.filter(under)
+      .select(col("identifier").as("id")).distinct().cache()
+    val n = idsUnder.count()
     if (!softDelete && all.filter(!under).isEmpty) {
       // nothing survives — drop the state wholesale, no empty rewrite
-      rm(dir)
+      graft.util.SwapCommit.deleteRec(new java.io.File(path))
     } else {
-      val next =
-        if (softDelete)
-          all.withColumn("hidden", when(under, lit(true)).otherwise(col("hidden")))
-        else all.filter(!under)
-      val staging = path + ".staging"
-      next.write.mode("overwrite").parquet(staging)
-      rm(dir); new java.io.File(staging).renameTo(dir)
+      val oldD = dstate(spark)
+      val (next, nextD) =
+        if (softDelete) (
+          all.withColumn("hidden",
+            when(under, lit(true)).otherwise(col("hidden"))),
+          oldD.join(idsUnder.withColumn("__rm", lit(true)),
+              Seq("id"), "left_outer")
+            .withColumn("hidden",
+              when(col("__rm"), lit(true)).otherwise(col("hidden")))
+            .drop("__rm"))
+        else (all.filter(!under), oldD.join(idsUnder, Seq("id"), "left_anti"))
+      commitState(next, nextD)
     }
+    idsUnder.unpersist()
     all.unpersist()
     n
   }

@@ -951,6 +951,27 @@ class ExtSpec extends SparkSpec {
     assert(costEscape === 1L)
   }
 
+  test("unigram vocab tie-break collation: Spark SQL string order is " +
+      "UTF8String byte order = codepoint order = DuckDB's binary " +
+      "collation — NOT Java UTF-16 code-unit order — so a frequency " +
+      "tie at the vocab cutoff picks the same piece in both engines " +
+      "even for non-BMP vs U+E000–U+FFFF") {
+    import spark.implicits._
+    // U+E000 (private use, 3-byte UTF-8 0xEE…) vs U+1F600 (non-BMP,
+    // 4-byte UTF-8 0xF0…, UTF-16 surrogate pair starting 0xD83D).
+    // Java/UTF-16 order would put the emoji FIRST (0xD83D < 0xE000);
+    // codepoint order puts U+E000 first (0xE000 < 0x1F600).
+    assert("😀".compareTo("") < 0) // the Java order the engine must NOT use
+    val pieces = Seq("😀", "").toDF("p")
+    val bySql = pieces.orderBy(col("p").asc)
+      .collect().map(_.getString(0)).toSeq
+    assert(bySql === Seq("", "😀")) // codepoint order — DuckDB-compatible
+    // and the explicit-bytes order agrees, as it must
+    val byBytes = pieces.orderBy(encode(col("p"), "UTF-8").asc)
+      .collect().map(_.getString(0)).toSeq
+    assert(byBytes === bySql)
+  }
+
   test("unigram-LM EM refinement: corpus likelihood is non-decreasing " +
       "round by round (the EM guarantee) and strictly improves over " +
       "the overlap-inflated frequency seed; the M-step renormalizes; " +
