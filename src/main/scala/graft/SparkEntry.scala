@@ -25,7 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityRegistry.queries ++ AnalyticsRegistry.queries ++ ExtRegistry.queries
 
-  /** DuckDB oracle per query (driver contract). */
+  /** DuckDB oracle per query (driver contract). The lazy tail holds
+    * oracles whose SQL embeds dump-time trained-model literals
+    * (`ExtRegistry.lazyOracles`) — materialized only when this def is
+    * evaluated, i.e. by the Verify dump with `Shared.verifySfDir`
+    * set and a session active. */
   def oracleSql: Map[String, String] =
-    ParityRegistry.oracles ++ AnalyticsRegistry.oracles ++ ExtRegistry.oracles
+    ParityRegistry.oracles ++ AnalyticsRegistry.oracles ++
+      ExtRegistry.oracles ++ ExtRegistry.lazyOracles
 }

@@ -10,6 +10,9 @@ object Verify {
     // the driver passes exactly two args and dumps everything)
     val wanted = rest.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // data-parameterized lazy oracles (trained-model literals) must
+    // train on the SAME corpus the queries run on
+    graft.registry.Shared.verifySfDir = sfDir
     val spark = graft.util.Tables.session("graft-verify", cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -1080,46 +1080,109 @@ object Assemble {
             math.log(nTotal.toDouble / freq) * 1000000L).toLong
           r.getString(0) -> (cost * 64L + 1L)
         }.toMap
-        val bc = spark.sparkContext.broadcast(vocab)
-        val typeV = types.select(col("w")).as[String].mapPartitions { it =>
-          val m = bc.value
-          it.map { w =>
-            val cp = w.codePoints().toArray
-            val n = cp.length
-            val v =
-              if (n > maxWordLen) 1L // overflow escape: 1 piece, cost 0
-              else {
-                val best = Array.fill(n + 1)(Long.MaxValue)
-                best(0) = 0L
-                var j = 1
-                while (j <= n) {
-                  var k = 1
-                  val kMax = math.min(maxPieceLen, j)
-                  while (k <= kMax) {
-                    if (best(j - k) != Long.MaxValue) {
-                      m.get(new String(cp, j - k, k)) foreach { pv =>
-                        val c = best(j - k) + pv
-                        if (c < best(j)) best(j) = c
-                      }
-                    }
-                    k += 1
-                  }
-                  j += 1
-                }
-                best(n) // total: every single codepoint is in vocab
-              }
-            (w, v)
-          }
-        }.toDF("w", "v")
-        toks.join(broadcast(typeV), Seq("w"))
-          .groupBy(col("id"))
-          .agg(
-            count(lit(1)).as("n_words"),
-            sum(expr("v % 64")).as("n_pieces"),
-            sum(expr("v div 64")).as("cost_unats"))
-          .localCheckpoint()
+        encodeUnderVocab(toks, types, vocab, maxPieceLen, maxWordLen)
       } finally cand.unpersist()
     } finally types.unpersist()
+  }
+
+  /** The distributed half of the unigram tokenizer, under an explicit
+    * (piece → packed `cost·64 + 1`) vocabulary: broadcast-Viterbi
+    * over the DISTINCT word-type table, one broadcast join back, one
+    * per-doc aggregate. Shared by the seeded [[unigramEncode]] and
+    * the trained-model [[unigramEncodeWithVocab]]. */
+  private def encodeUnderVocab(
+      toks: DataFrame, types: DataFrame, vocab: Map[String, Long],
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    val typeV = types.select(col("w")).as[String].mapPartitions { it =>
+      val m = bc.value
+      it.map { w =>
+        val cp = w.codePoints().toArray
+        val n = cp.length
+        val v =
+          if (n > maxWordLen) 1L // overflow escape: 1 piece, cost 0
+          else {
+            val best = Array.fill(n + 1)(Long.MaxValue)
+            best(0) = 0L
+            var j = 1
+            while (j <= n) {
+              var k = 1
+              val kMax = math.min(maxPieceLen, j)
+              while (k <= kMax) {
+                if (best(j - k) != Long.MaxValue) {
+                  m.get(new String(cp, j - k, k)) foreach { pv =>
+                    val c = best(j - k) + pv
+                    if (c < best(j)) best(j) = c
+                  }
+                }
+                k += 1
+              }
+              j += 1
+            }
+            best(n) // total: every single codepoint is in vocab
+          }
+        (w, v)
+      }
+    }.toDF("w", "v")
+    toks.join(broadcast(typeV), Seq("w"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(expr("v % 64")).as("n_pieces"),
+        sum(expr("v div 64")).as("cost_unats"))
+      .localCheckpoint()
+  }
+
+  /** [[unigramEncode]]'s Viterbi under a TRAINED piece vocabulary
+    * (packed `cost·64 + 1` values, e.g. from [[trainUnigramVocab]]) —
+    * the production split: the model trains once on the driver over
+    * the bounded type table, the encode is the one distributed pass
+    * at any corpus scale. */
+  def unigramEncodeWithVocab(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: Map[String, Long], maxPieceLen: Int = 4,
+      maxWordLen: Int = 40): DataFrame = {
+    val toks = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.normTokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val types = toks.select(col("w")).distinct()
+    encodeUnderVocab(toks, types, vocab, maxPieceLen, maxWordLen)
+  }
+
+  /** The full Kudo training loop over a word-type table, composed
+    * from the certified stages: frequency seed ([[unigramSeedScores]],
+    * §3.2) capped to the top `seedMultis` multi-codepoint candidates
+    * (SentencePiece's seed-vocabulary cap), `emRounds` of
+    * forward–backward EM ([[unigramEmRefine]], §3.1/§4), then
+    * likelihood-loss pruning to `keepMultis` ([[unigramPrune]], §4
+    * step 3). Returns packed micro-nat piece costs
+    * (`floor(−ln p · 1e6)·64 + 1`) ready for the Viterbi encode.
+    * All single codepoints survive every stage, so segmentation of
+    * the training corpus stays total. Pure driver math over the
+    * bounded type table — the [[bpeTrain]] convention: the MODEL is
+    * small even when the corpus is not. */
+  def trainUnigramVocab(
+      types: Seq[(String, Long)],
+      seedMultis: Int = 512, keepMultis: Int = 256,
+      emRounds: Int = 2, maxPieceLen: Int = 4,
+      maxWordLen: Int = 40): Map[String, Long] = {
+    def cpLen(s: String) = s.codePointCount(0, s.length)
+    val seed = unigramSeedScores(types, maxPieceLen)
+    val (singles, multis) = seed.toSeq.partition(p => cpLen(p._1) == 1)
+    val capped = singles ++ multis
+      .sortBy { case (p, sc) => (-sc, p) }.take(seedMultis)
+    val z = capped.iterator.map(_._2).sum
+    val cappedNorm = capped.map { case (p, sc) => p -> (sc / z) }.toMap
+    val em = unigramEmRefine(types, cappedNorm, emRounds,
+      maxPieceLen, maxWordLen)
+    val pruned = unigramPrune(types, em, keepMultis,
+      maxPieceLen, maxWordLen)
+    pruned.map { case (p, prob) =>
+      p -> (math.floor(-math.log(prob) * 1000000L).toLong * 64L + 1L)
+    }
   }
 
   /**

@@ -291,6 +291,92 @@ object AudioHash {
       .select(col("clip_id"), col("src_id"), col("src_offset"))
   }
 
+  // ── Persisted clip-search index ──────────────────────────────────
+  // At corpus scale the window-fingerprint table IS the persisted
+  // artifact of the Philips design (rows ∝ total duration) — it must
+  // not be rebuilt per query. Layout under `root`: parquet rows
+  // (media_id, sample_rate, channels, off, fp, ck) PARTITIONED BY
+  // `bucket = fp mod nBuckets`, so an exact-key probe prunes to the
+  // buckets its clips hit (dynamic partition pruning off the
+  // broadcast clip side). Commit discipline is the VectorIndex
+  // manifest-logged whole-dir swap: stage the full next state, swap
+  // atomically, crash-recover idempotently. Refresh is
+  // ChangeSet-driven: re-fingerprint ONLY the added+updated files,
+  // drop the removed+updated ids — refresh ≡ full rebuild bit-exact,
+  // which the q_audio_clip_incremental oracle certifies. (The COW
+  // rewrite is bucket-partitioned; a delta's fingerprints can touch
+  // any bucket, so at 100 TB the refresh narrows to touched buckets
+  // only when deltas are fingerprint-local — the general path is a
+  // full bucket-parallel rewrite, still one scan + one write.)
+
+  private def clipManifest(root: String) =
+    new java.io.File(root + ".swap-manifest")
+
+  private def stageAndSwapClipIndex(
+      root: String, rows: DataFrame, buckets: Int): Unit = {
+    val staging = root + ".staging"
+    graft.util.SwapCommit.deleteRec(new java.io.File(staging))
+    rows.withColumn("bucket", pmod(col("fp"), lit(buckets)))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(staging)
+    graft.util.SwapCommit.commit(new java.io.File(root),
+      new java.io.File(staging), clipManifest(root))
+  }
+
+  /** Build (or rebuild) the persisted window-fingerprint index from a
+    * media corpus. One fingerprint scan — bytes never shuffle; only
+    * the ~28-byte window rows move into the bucket partitions. */
+  def buildClipIndex(
+      spark: org.apache.spark.sql.SparkSession, media: DataFrame,
+      root: String, winLen: Int = 32, buckets: Int = 16): Unit = {
+    graft.util.SwapCommit.recover(new java.io.File(root), clipManifest(root))
+    stageAndSwapClipIndex(root, wavWindowFps(media, winLen).toDF(), buckets)
+  }
+
+  /** ChangeSet-driven refresh: `changedMedia` (added ∪ updated, with
+    * media_id + content) re-fingerprint; `droppedIds` (removed ∪
+    * updated, one `id` column) drop. Commits through the same swap. */
+  def refreshClipIndex(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      changedMedia: DataFrame, droppedIds: DataFrame,
+      winLen: Int = 32, buckets: Int = 16): Unit = {
+    graft.util.SwapCommit.recover(new java.io.File(root), clipManifest(root))
+    val prev = spark.read.parquet(root).select(
+      col("media_id"), col("sample_rate"), col("channels"),
+      col("off"), col("fp"), col("ck"))
+    val kept = prev.join(
+      droppedIds.select(col("id").as("media_id")), Seq("media_id"),
+      "left_anti")
+    // safe to plan lazily over the previous state: the staging write
+    // fully materializes BEFORE the swap deletes the live dir
+    stageAndSwapClipIndex(root,
+      kept.unionByName(wavWindowFps(changedMedia, winLen).toDF()), buckets)
+  }
+
+  /** Probe the persisted index with real extracted clips: each clip's
+    * whole-file window key exact-joined against the bucket-partitioned
+    * corpus index — the [[clipMatches]] semantics served from disk,
+    * no corpus re-fingerprinting in the plan.
+    *
+    * @return (clip_id, src_id, src_offset) */
+  def searchClipIndex(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      clips: DataFrame, winLen: Int = 32, buckets: Int = 16): DataFrame = {
+    graft.util.SwapCommit.recover(new java.io.File(root), clipManifest(root))
+    val cw = wavWindowFps(clips, winLen).toDF()
+      .select(col("media_id").as("clip_id"), col("sample_rate"),
+        col("channels"), col("fp"), col("ck"))
+      .withColumn("bucket", pmod(col("fp"), lit(buckets)))
+    val ww = spark.read.parquet(root)
+    // broadcast the clip side: the bucket key joins against the
+    // PARTITION column, so dynamic partition pruning narrows the
+    // index scan to the probed buckets
+    ww.join(broadcast(cw),
+        Seq("bucket", "sample_rate", "channels", "fp", "ck"))
+      .select(col("clip_id"), col("media_id").as("src_id"),
+        col("off").cast("long").as("src_offset"))
+  }
+
   /**
    * Incremental near-dup pairing: today's BATCH banded-joined against
    * the accumulated CORPUS — the production ingest path (the

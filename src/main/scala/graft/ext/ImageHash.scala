@@ -220,8 +220,15 @@ object ImageHash {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       "banded completeness holds for maxHamming < 4")
-    val hb = ppmDHash(batch).toDF()
-    val hc = ppmDHash(corpus).toDF()
+    pairsAgainstHashes(ppmDHash(batch).toDF(), ppmDHash(corpus).toDF(),
+      maxHamming)
+  }
+
+  /** The batch-vs-corpus banded join over explicit hash frames —
+    * shared by the PPM ([[dhashPairsAgainst]]) and JPEG
+    * ([[jpegDHashPairsAgainst]]) input paths. */
+  private def pairsAgainstHashes(
+      hb: DataFrame, hc: DataFrame, maxHamming: Int): DataFrame = {
     def bands(h: DataFrame) = h.select(col("media_id"), col("width"),
       col("height"),
       posexplode(array(
@@ -247,6 +254,68 @@ object ImageHash {
           bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** dHash over REAL baseline-JPEG bytes: full T.81 decode to RGB
+    * ([[Multimodal.parseJpegRgb]] — marker walk, Huffman, dequant,
+    * IDCT, BT.601), then the same 9×8 gradient-sign grid over the
+    * exact integer milli-luma as the PPM path. One mapPartitions
+    * pass; bytes never shuffle. */
+  def jpegDHash(media: DataFrame): Dataset[PpmDHash] = {
+    implicit val enc = Encoders.product[PpmDHash]
+    media.select("media_id", "content").mapPartitions { rows =>
+      val cosT = Multimodal.jpegCosTable()
+      rows.map { r =>
+        val id = r.getString(0)
+        val (w, h, rgb) =
+          Multimodal.parseJpegRgb(id, r.getAs[Array[Byte]](1), cosT)
+        val (hi, lo) = dhashGrid(w, h, (x, y) => {
+          val o = (y * w + x) * 3
+          (rgb(o) & 0xff) * 299L + (rgb(o + 1) & 0xff) * 587L +
+            (rgb(o + 2) & 0xff) * 114L
+        })
+        PpmDHash(id, w, h, hi, lo)
+      }
+    }
+  }
+
+  /**
+   * Synthesize RE-ENCODED near-dup twins: decode each baseline JPEG
+   * to pixels and re-encode at a DIFFERENT quantization scale —
+   * the realistic near-duplicate (a lossy re-save), not single-pixel
+   * vandalism. The twin's BYTES differ (different DQT, different
+   * entropy stream — exact sha256 dedup misses it) while for the
+   * flat-tile corpus with `quantScale <= 4` the decoded pixels
+   * round-trip bit-exactly (the DC error bound in
+   * [[Multimodal.jpegEncode]]), so dHash survives the re-encode with
+   * hamming 0 by construction — which is what the oracle replays.
+   */
+  def reencodeJpeg(
+      media: DataFrame, suffix: String, quantScale: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media_type", "content")
+      .map { r =>
+        val id = r.getString(0)
+        val cosT = Multimodal.jpegCosTable()
+        val (w, h, rgb) =
+          Multimodal.parseJpegRgb(id, r.getAs[Array[Byte]](2), cosT)
+        (id + suffix, r.getString(1),
+          Multimodal.jpegEncode(w, h, rgb, chroma420 = false,
+            quantScale = quantScale))
+      }.toDF("media_id", "media_type", "content")
+  }
+
+  /** [[dhashPairsAgainst]] over JPEG inputs — the incremental ingest
+    * join for a batch of re-encoded uploads against the accumulated
+    * JPEG corpus. */
+  def jpegDHashPairsAgainst(
+      batch: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "banded completeness holds for maxHamming < 4")
+    pairsAgainstHashes(jpegDHash(batch).toDF(), jpegDHash(corpus).toDF(),
+      maxHamming)
   }
 
   /**

@@ -734,11 +734,20 @@ object Multimodal {
    * ImageIO decodes it pixel-exactly.
    */
   def jpegEncode(w: Int, h: Int, rgb: Array[Byte],
-      chroma420: Boolean = false): Array[Byte] = {
+      chroma420: Boolean = false, quantScale: Int = 1): Array[Byte] = {
     val tile = if (chroma420) 16 else 8
     require(w > 0 && h > 0 && w % tile == 0 && h % tile == 0,
       s"flat-block JPEG needs $tile-aligned dims, got ${w}x$h")
     require(rgb.length == w * h * 3, "rgb length != w*h*3")
+    // quantScale > 1 writes a uniform non-trivial quant table and
+    // quantizes the DC accordingly — a REAL re-encode at a different
+    // quality. For flat tiles the round-trip stays bit-exact whenever
+    // quantScale <= 4: the dequantized DC differs from 8·(v−128) by
+    // at most quantScale/2, so the reconstructed value differs from v
+    // by at most quantScale/16 < 0.5 and the floor(x+0.5) rounding
+    // lands on v exactly (the re-encode-robust dedup row leans on
+    // this bound; see q_image_dhash_reencode).
+    require(quantScale >= 1 && quantScale <= 255, "quantScale in [1,255]")
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -748,7 +757,7 @@ object Multimodal {
     out.write("JFIF".getBytes("US-ASCII")); u8(0)
     u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
     marker(0xdb); u16(2 + 1 + 64) // DQT: one 8-bit table, id 0
-    u8(0x00); (0 until 64).foreach(_ => u8(1)) // all-ones = lossless quant
+    u8(0x00); (0 until 64).foreach(_ => u8(quantScale))
     marker(0xc0); u16(8 + 3 * 3) // SOF0 baseline
     u8(8); u16(h); u16(w); u8(3)
     // 4:2:0: Y at 2x2, chroma 1x1; else 1x1 everywhere. qt 0 for all
@@ -786,7 +795,12 @@ object Multimodal {
     // AC EOB ⇒ code 0 (1 bit)
     val pred = Array(0, 0, 0)
     def encodeBlockDc(c: Int, v: Int): Unit = {
-      val dc = 8 * (v - 128)
+      // quantized DC (Math.round — half toward +inf, deterministic);
+      // the decoder multiplies back by quantScale
+      val raw = 8 * (v - 128)
+      val dc =
+        if (quantScale == 1) raw
+        else math.round(raw.toDouble / quantScale).toInt
       val diff = dc - pred(c); pred(c) = dc
       val mag = math.abs(diff)
       val s = 32 - Integer.numberOfLeadingZeros(mag) // 0 for diff=0
@@ -940,17 +954,53 @@ object Multimodal {
   }
 
   /** cos((2x+1)uπ/16)·C(u)/2 lookup, shared across a decode batch. */
-  private def jpegCosTable(): Array[Array[Double]] =
+  private[ext] def jpegCosTable(): Array[Array[Double]] =
     Array.tabulate(8, 8) { (x, u) =>
       val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
       0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
     }
 
   /** The strict baseline parser shared by [[decodeJpeg]] (throwing)
-    * and [[decodeJpegChannel]] (per-record isolation). */
+    * and [[decodeJpegChannel]] (per-record isolation): full decode to
+    * RGB, then exact integer channel sums. */
   private def parseJpeg(
       id: String, b: Array[Byte],
       cosT: Array[Array[Double]]): JpegFeatures = {
+    val (w, h, rgb) = parseJpegRgb(id, b, cosT)
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var i = 0
+    while (i < w * h) {
+      rs += rgb(i * 3) & 0xff
+      gs += rgb(i * 3 + 1) & 0xff
+      bs += rgb(i * 3 + 2) & 0xff
+      i += 1
+    }
+    val nPix = w.toLong * h
+    // nComp re-derived cheaply for the feature row (the RGB decode
+    // already validated the stream)
+    val nComp = jpegNComp(id, b)
+    JpegFeatures(id, w, h, nComp, nPix, rs, gs, bs,
+      rs * 1000 / nPix, gs * 1000 / nPix, bs * 1000 / nPix)
+  }
+
+  /** Component count from the SOF0 header (for the feature row). */
+  private def jpegNComp(id: String, b: Array[Byte]): Int = {
+    def u16(off: Int): Int = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      val m = b(pos + 1) & 0xff
+      if (m == 0xc0) return b(pos + 4 + 5) & 0xff
+      pos += 2 + u16(pos + 2)
+    }
+    throw new IllegalArgumentException(s"no SOF0: media_id=$id")
+  }
+
+  /** The full T.81 baseline decode to interleaved RGB bytes —
+    * [[parseJpeg]]'s engine, also the pixel source for perceptual
+    * hashing over JPEG inputs ([[graft.ext.ImageHash.jpegDHash]]). */
+  private[ext] def parseJpegRgb(
+      id: String, b: Array[Byte],
+      cosT: Array[Array[Double]]): (Int, Int, Array[Byte]) = {
     {
         def fail(msg: String): Nothing =
           throw new IllegalArgumentException(s"$msg: media_id=$id")
@@ -1246,11 +1296,11 @@ object Multimodal {
           my += 1
         }
 
-        // color conversion + channel sums over the REAL w×h window;
-        // subsampled chroma upsamples by replication (box) — exact
-        // for the flat-tile certification streams, the standard
+        // color conversion over the REAL w×h window; subsampled
+        // chroma upsamples by replication (box) — exact for the
+        // flat-tile certification streams, the standard
         // nearest-neighbor convention otherwise
-        var rs = 0L; var gs = 0L; var bs = 0L
+        val out = new Array[Byte](w * h * 3)
         var py = 0
         while (py < h) {
           var px = 0
@@ -1258,25 +1308,26 @@ object Multimodal {
             def sample(c: Int): Int =
               planes(c)((py * compV(c) / vmax) * strideC(c) +
                 px * compH(c) / hmax)
+            val o = (py * w + px) * 3
             if (nComp == 1) {
-              val yv = sample(0); rs += yv; gs += yv; bs += yv
+              val yv = sample(0)
+              out(o) = yv.toByte; out(o + 1) = yv.toByte
+              out(o + 2) = yv.toByte
             } else {
               val yv = sample(0).toDouble
               val cb = sample(1) - 128
               val cr = sample(2) - 128
               def cl(x: Double): Int =
                 math.max(0, math.min(255, math.floor(x).toInt))
-              rs += cl(yv + 1.402 * cr + 0.5)
-              gs += cl(yv - 0.344136 * cb - 0.714136 * cr + 0.5)
-              bs += cl(yv + 1.772 * cb + 0.5)
+              out(o) = cl(yv + 1.402 * cr + 0.5).toByte
+              out(o + 1) = cl(yv - 0.344136 * cb - 0.714136 * cr + 0.5).toByte
+              out(o + 2) = cl(yv + 1.772 * cb + 0.5).toByte
             }
             px += 1
           }
           py += 1
         }
-        val nPix = w.toLong * h
-        JpegFeatures(id, w, h, nComp, nPix, rs, gs, bs,
-          rs * 1000 / nPix, gs * 1000 / nPix, bs * 1000 / nPix)
+        (w, h, out)
     }
   }
 

@@ -261,6 +261,22 @@ private[graft] object ExtRegistry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // the TRAINED end of the unigram tokenizer (Kudo 2018 §3.1/§4 —
+    // the loop SentencePiece actually ships): capped frequency seed →
+    // 2 forward-backward EM rounds → likelihood-loss prune to 256
+    // multis, all driver math over the bounded word-type table
+    // (memoized per corpus), then the one distributed broadcast-
+    // Viterbi encode under the trained packed costs. The oracle gets
+    // the same trained (piece, cost) pairs as literals — the
+    // q_mix_temperature driver-literal convention — and replays the
+    // encode DP independently (Shared.unigramTrainedSql, generated
+    // lazily at dump time so the literals train on the dump's corpus)
+    "q_unigram_encode_trained" -> ((s, dir) =>
+      Assemble.unigramEncodeWithVocab(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        trainedUnigramVocab(s, dir))
+        .withColumnRenamed("id", "doc_id")),
+
     // deterministic domain-mixture sampling over events: hit target
     // event_type proportions 1:3:6 by downsampling only; exact
     // integer thresholds end to end (signup/error carry no weight —
@@ -958,6 +974,24 @@ private[graft] object ExtRegistry {
         k = 5, nProbe = 8, shortlist = 100)
     }),
 
+    // ── SERVING latency of the persisted index, separated from its
+    // construction: q_ann_persisted times build + ChangeSet refresh +
+    // probe in one row (8.9 s in-suite r13 — almost all index
+    // construction); this row probes an ALREADY-COMMITTED index over
+    // the same final corpus (built once per dir via a harness memo,
+    // so the bench's min-of-3 reports pure probe reps). The plan has
+    // no training/encode stages — model-table reads + the
+    // cell-pruned ADC scan + exact re-rank. Same oracle as
+    // q_ann_persisted: exhaustive top-5 over the final corpus. ──
+    "q_ann_probe" -> ((s, dir) => {
+      val root = annProbeIndex(s, dir)
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val queries = e.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") % 5 =!= 4)
+      graft.ext.VectorIndex.probe(s, root, queries,
+        k = 5, nProbe = 8, shortlist = 100)
+    }),
+
     // IVF-style ANN: corpus in its nearest seed cell, queries probe
     // cells in projection order. Oracle-checked at TOTAL coverage
     // (nProbe = nCells): the data-blind seed cells never reach exact
@@ -1088,6 +1122,25 @@ private[graft] object ExtRegistry {
       val batch = ImageHash.vandalizeFirstPixel(
         media.filter(col("media_id").cast("long") % 10 === 0), "v")
       ImageHash.dhashPairsAgainst(batch, media)
+    }),
+
+    // RE-ENCODE-robust perceptual dedup: the realistic near-dup is a
+    // lossy RE-SAVE, not pixel vandalism — every 10th JPEG is decoded
+    // (full T.81) and re-encoded at quantScale=4 (different DQT,
+    // different entropy bytes ⇒ sha256 dedup misses it), then the
+    // re-upload batch is banded-joined against the full JPEG corpus.
+    // For the flat-tile corpus the quant-4 round trip is provably
+    // pixel-exact (DC error ≤ 4/16 < the 0.5 rounding radius), so
+    // the gradient-sign hash survives with hamming 0 BY CONSTRUCTION
+    // — the oracle replays every twin's hash as its source's hash
+    // from the tile formula and recomputes the full ≤3 pair set.
+    "q_image_dhash_reencode" -> ((s, dir) => {
+      val media = Multimodal.synthesizeJpeg(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val batch = ImageHash.reencodeJpeg(
+        media.filter(col("media_id").cast("long") % 10 === 0), "r",
+        quantScale = 4)
+      ImageHash.jpegDHashPairsAgainst(batch, media)
     }),
 
     // audio counterpart of q_multimodal_corrupt: id%7==3 WAVs
@@ -1251,6 +1304,62 @@ private[graft] object ExtRegistry {
       val clips = AudioHash.extractClips(
         media.filter(col("media_id").cast("long") % 5 === 0), 32, "c")
       AudioHash.clipMatches(clips, media)
+    }),
+
+    // ── PERSISTED incremental clip-search index: the window-
+    // fingerprint table is the corpus-scale artifact (rows ∝ total
+    // duration), so it must refresh from ChangeSet deltas, not
+    // rebuild per query. Build from a v0 corpus (%7!=0 files, %3==0
+    // carrying STALE audio — first sample zeroed), then TWO
+    // ChangeSet-driven syncs: sync1 adds the %7==0 files and updates
+    // the stale %3==0 ones to true content (version bump drives the
+    // diff); sync2 removes the %5==4 slice. The probe then searches
+    // REAL extracted clips (%5==0 sources, offset id%7) against the
+    // refreshed index — the oracle replays the search over the final
+    // corpus from the sample formula, so any refresh drift (stale
+    // windows surviving, dropped rows missing, duplicated ids) would
+    // hash-mismatch: refresh ≡ full rebuild, bit-exact. Index layout:
+    // bucket-partitioned by fp (mod 16) behind a manifest-logged
+    // whole-dir swap; the probe's bucket key joins the partition
+    // column, so partition pruning narrows the scan. ──
+    "q_audio_clip_incremental" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWav(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val idL = col("media_id").cast("long")
+      val root = tempStateDir() + "/clipidx"
+      val stale = AudioHash.vandalizeFirstSample(
+        media.filter(idL % 7 =!= 0 && idL % 3 === 0), "")
+      val initial = media.filter(idL % 7 =!= 0 && idL % 3 =!= 0)
+        .unionByName(stale)
+      AudioHash.buildClipIndex(s, initial, root)
+      def keyed(src: DataFrame) =
+        Records.keyRecords(src, "id", Some("version"))
+      // sync 1: every id, true content, stale files version-bumped
+      val src1 = media.select(col("media_id").as("id"),
+        when(idL % 3 === 0, 2L).otherwise(1L).as("version"),
+        col("content"))
+      val st1 = initial.select(col("media_id").as("id"),
+        lit(1L).as("version"))
+      val cs1 = Diff.computeDataChanges(keyed(src1), st1)
+      AudioHash.refreshClipIndex(s, root,
+        cs1.added.unionByName(cs1.updated)
+          .select(col("id").as("media_id"), col("content")),
+        cs1.removedIds.unionByName(cs1.updated.select(col("id"))))
+      // sync 2: the %5==4 slice leaves the corpus
+      val src2 = media.filter(idL % 5 =!= 4)
+        .select(col("media_id").as("id"),
+          when(idL % 3 === 0, 2L).otherwise(1L).as("version"),
+          col("content"))
+      val st2 = media.select(col("media_id").as("id"),
+        when(idL % 3 === 0, 2L).otherwise(1L).as("version"))
+      val cs2 = Diff.computeDataChanges(keyed(src2), st2)
+      AudioHash.refreshClipIndex(s, root,
+        cs2.added.unionByName(cs2.updated)
+          .select(col("id").as("media_id"), col("content")),
+        cs2.removedIds.unionByName(cs2.updated.select(col("id"))))
+      val clips = AudioHash.extractClips(
+        media.filter(idL % 5 === 0), 32, "c")
+      AudioHash.searchClipIndex(s, root, clips)
     }),
 
     // STREAMING perceptual ingest: the q_audio_fp_incremental batch
@@ -3406,6 +3515,25 @@ private[graft] object ExtRegistry {
         |  FROM scored)
         |SELECT q_id, n_id, round(s, 6) AS sim, CAST(rn AS INTEGER) AS rank
         |FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // the probe-only row serves the same final corpus from a
+    // fresh-model persisted index — same exhaustive replay
+    "q_ann_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 5 <> 4),
+        |q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |         list_dot_product(q.v, e.v)
+        |           / (sqrt(list_dot_product(q.v, q.v))
+        |              * sqrt(list_dot_product(e.v, e.v))) AS s
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, s,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, n_id, round(s, 6) AS sim, CAST(rn AS INTEGER) AS rank
+        |FROM ranked WHERE rn <= 5""".stripMargin,
     "q_ann_ivf" -> duckAnnBruteTop5,
 
     "q_multimodal_meta" ->
@@ -3710,6 +3838,7 @@ private[graft] object ExtRegistry {
     // batch × corpus cross pairs from the same per-pixel replay
     // (base files, no twins), gated by id mod 3
     "q_image_dhash_incremental" -> imageDhashIncrementalSql,
+    "q_image_dhash_reencode" -> jpegDhashReencodeSql,
 
     // audio-fingerprint replay at PER-SAMPLE granularity from the
     // synthesis formula: same lag-1 |diff| stream, 65-box integer
@@ -3731,6 +3860,11 @@ private[graft] object ExtRegistry {
     // window keys replayed per (file, offset) from the sample
     // formula; the clip of file d is the source window at d mod 7
     "q_audio_clip_match" -> audioClipMatchSql,
+    // final two-sync corpus = %5 != 4, all-true content; clips from
+    // the %5==0 files at offset d%7 — a pass proves the refreshed
+    // persisted index equals the full rebuild bit-exactly
+    "q_audio_clip_incremental" -> audioClipSearchSql(
+      corpusPred = "d % 5 <> 4", clipPred = "c.d % 5 = 0"),
 
     // the streaming row is the SAME incremental pair set with each
     // pair stamped by its arrival micro-batch, (d div 3) mod 4 —
@@ -4277,5 +4411,17 @@ private[graft] object ExtRegistry {
         |SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank,
         |       CAST((rank - 1) * 4 // n + 1 AS INTEGER) AS phase
         |FROM r""".stripMargin,
+  )
+
+  /** Oracles whose SQL depends on the dump-time corpus (trained-model
+    * literals) — generated LAZILY when [[graft.SparkEntry.oracleSql]]
+    * is materialized by the Verify dump, after `Shared.verifySfDir`
+    * is set and a session is active. Kept out of the eager [[oracles]]
+    * val so loading the registry never touches data. */
+  def lazyOracles: Map[String, String] = Map(
+    "q_unigram_encode_trained" -> Shared.unigramTrainedSql(
+      Shared.trainedUnigramVocab(
+        org.apache.spark.sql.SparkSession.active, Shared.verifySfDir),
+      maxPieceLen = 4, maxWordLen = 40)
   )
 }

@@ -88,6 +88,60 @@ private[graft] object Shared {
       (lDir, rDir, schema)
     })
 
+  /** Memoized PERSISTED ANN index over the final q_ann_persisted
+    * corpus (`vec_id % 5 != 4`, true vectors): built + manifest-
+    * committed once per (dir, embeddings content fingerprint), so
+    * `q_ann_probe` times SERVING — a probe-only plan over the
+    * already-committed index tables — separately from the build/
+    * refresh certification that stays in `q_ann_persisted`. Bench's
+    * min-of-3 estimator reports the post-build reps, i.e. pure probe.
+    * Harness-scope memo like [[streamJoinInputs]]; the engine
+    * operator ([[graft.ext.VectorIndex]]) stays stateless. */
+  private val annIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def annProbeIndex(s: SparkSession, dir: String): String =
+    annIndexRoots.computeIfAbsent(
+      dir + "#" + tableFingerprint(t(dir, "embeddings")), _ => {
+        val root = tempStateDir() + "/annidx_probe"
+        val corpus = s.read.parquet(t(dir, "embeddings"))
+          .filter(col("vec_id") % 5 =!= 4)
+        graft.ext.VectorIndex.build(s, corpus, root,
+          nCells = 8, m = 16, k = 32)
+        root
+      })
+
+  /** The scale-factor dir the CURRENT correctness dump targets — set
+    * by [[graft.Verify]] from its args before any oracle SQL is
+    * generated, so data-parameterized lazy oracles (the trained
+    * unigram row) train on the same corpus the queries ran on.
+    * Defaults to the driver's gate sf. */
+  @volatile var verifySfDir: String = "/root/testdata/sf0.01"
+
+  /** Memoized TRAINED unigram vocabulary for a corpus dir: word-type
+    * table collected once (bounded model-side data, the bpeTrain
+    * convention), then the full Kudo loop —
+    * [[graft.ext.Assemble.trainUnigramVocab]]: capped frequency seed,
+    * 2 EM rounds, likelihood-loss prune to 256 multis — all driver
+    * math. The SAME memoized map feeds the engine's broadcast Viterbi
+    * (q_unigram_encode_trained) and the oracle's literal vocab CTE
+    * ([[unigramTrainedSql]]), the q_mix_temperature driver-literal
+    * convention: training is shared model configuration; the oracle
+    * independently replays the distributed ENCODE. */
+  private val unigramVocabs =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+  def trainedUnigramVocab(s: SparkSession, dir: String): Map[String, Long] =
+    unigramVocabs.computeIfAbsent(
+      dir + "#" + tableFingerprint(t(dir, "documents")), _ => {
+        val types = graft.util.Tables.spread(
+            s.read.parquet(t(dir, "documents")))
+          .select(explode(TextAnalysis.normTokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1).toSeq // deterministic training-input order
+        Assemble.trainUnigramVocab(types)
+      })
+
   /** Stage a frame as ONE JSON ARRAY document — the reference's
     * whole-file model (FileSource.php:37-41) — via a distributed
     * single-partition text write, NOT a driver collect: the emitted
@@ -442,6 +496,77 @@ private[graft] object Shared {
       |  AND bit_count(xor(a.hi, b.hi))
       |    + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
 
+  /** Re-encode-robust image dedup oracle: per-pixel dHash replay over
+    * the documents-derived FLAT-TILE JPEG corpus (tile color formulas
+    * of [[graft.ext.Multimodal.synthesizeJpeg]]), with the quant-4
+    * re-encoded twins of doc_id%10=0 carrying their SOURCE's hash —
+    * the engine-side exactness claim (DC error ≤ quantScale/16 < the
+    * 0.5 rounding radius ⇒ bit-exact pixels ⇒ identical dHash) is
+    * thereby independently pinned: any engine round-trip drift would
+    * hash-mismatch. Batch × corpus within the dims block, hamming ≤ 3. */
+  lazy val jpegDhashReencodeSql: String =
+    """WITH jimgs AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id, FALSE AS twin
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS VARCHAR) || 'r' AS id, doc_id, TRUE
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |dims AS (
+      |  SELECT id, doc_id, twin,
+      |         CAST(8 * (1 + doc_id % 3) AS BIGINT) AS w,
+      |         CAST(8 * (1 + doc_id % 2) AS BIGINT) AS h
+      |  FROM jimgs),
+      |px AS (
+      |  SELECT id, doc_id, twin, w, h,
+      |         unnest(generate_series(0, w * h - 1)) AS i
+      |  FROM dims),
+      |lum AS (
+      |  SELECT id, w, h, (i % w) AS x, (i // w) AS y,
+      |    ((doc_id * 31 + (((i // w) // 8) * (w // 8) + (i % w) // 8)
+      |        * 59 + 7) % 256) * 299
+      |    + ((doc_id * 17 + (((i // w) // 8) * (w // 8) + (i % w) // 8)
+      |        * 83 + 3) % 256) * 587
+      |    + ((doc_id * 13 + (((i // w) // 8) * (w // 8) + (i % w) // 8)
+      |        * 29 + 11) % 256) * 114 AS luma
+      |  FROM px),
+      |cells AS (
+      |  SELECT id, (x * 9) // w AS gx, (y * 8) // h AS gy,
+      |         CAST(sum(luma) AS BIGINT) AS s, count(*) AS n
+      |  FROM lum GROUP BY 1, 2, 3),
+      |g72 AS (SELECT id, unnest(generate_series(0, 71)) AS gi
+      |        FROM dims),
+      |dense AS (
+      |  SELECT g72.id, gi % 9 AS gx, gi // 9 AS gy,
+      |         coalesce(c.s * 1000 // c.n, 0) AS cell
+      |  FROM g72 LEFT JOIN cells c
+      |    ON c.id = g72.id AND c.gx = gi % 9
+      |       AND c.gy = gi // 9),
+      |bits AS (
+      |  SELECT l.id, l.gy * 8 + l.gx AS i,
+      |         CASE WHEN r.cell > l.cell THEN 1 ELSE 0 END AS bit
+      |  FROM dense l JOIN dense r
+      |    ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
+      |  WHERE l.gx < 8),
+      |hs AS (
+      |  SELECT id,
+      |    CAST(sum(CASE WHEN i < 32
+      |             THEN bit * (CAST(1 AS BIGINT) << i)
+      |             ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN i >= 32
+      |             THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+      |             ELSE 0 END) AS BIGINT) AS lo
+      |  FROM bits GROUP BY 1)
+      |SELECT a.id AS batch_id, b.id AS corpus_id,
+      |       CAST(bit_count(xor(a.hi, b.hi))
+      |         + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      |FROM hs a JOIN hs b ON a.id <> b.id
+      |JOIN dims da ON da.id = a.id
+      |JOIN dims db ON db.id = b.id
+      |WHERE da.twin AND NOT db.twin
+      |  AND da.w = db.w AND da.h = db.h
+      |  AND bit_count(xor(a.hi, b.hi))
+      |    + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
+
   /** Per-pixel per-FRAME dHash replay over the documents-derived Y4M
     * corpus (base ∪ first-luma-byte-vandalized twins of doc_id%10=0):
     * luma = (d·17 + f·29 + p·7) mod 256, the twin's f=0,p=0 byte is
@@ -683,12 +808,22 @@ private[graft] object Shared {
     * formula; a clip of file d IS the source window at offset
     * d mod 7, so clip keys never need the clip bytes. */
   lazy val audioClipMatchSql: String =
-    """WITH prm AS (
+    audioClipSearchSql(corpusPred = "TRUE", clipPred = "c.d % 5 = 0")
+
+  /** Parameterized clip-in-corpus replay: `corpusPred` restricts the
+    * indexed window set (over `d`), `clipPred` the probing clips
+    * (over `c.d`); clip sources must satisfy the corpus predicate so
+    * the extraction-offset window exists on the w side. Shared by the
+    * per-query rebuild row (q_audio_clip_match, full corpus) and the
+    * persisted-index row (q_audio_clip_incremental, the two-sync
+    * final corpus — whose pass certifies refresh ≡ rebuild). */
+  def audioClipSearchSql(corpusPred: String, clipPred: String): String =
+    s"""WITH prm AS (
       |  SELECT doc_id AS d,
       |         CAST(8000 + 4000 * (doc_id % 4) AS BIGINT) AS sr,
       |         CAST(1 + doc_id % 2 AS BIGINT) AS ch,
       |         CAST(50 + doc_id % 101 AS BIGINT) AS nf
-      |  FROM documents),
+      |  FROM documents WHERE $corpusPred),
       |wins AS MATERIALIZED (
       |  SELECT d, sr, ch, unnest(range(0, nf - 31)) AS off FROM prm),
       |wdfs AS (
@@ -731,7 +866,7 @@ private[graft] object Shared {
       |FROM keys c JOIN keys w
       |  ON c.sr = w.sr AND c.ch = w.ch
       |     AND c.fp = w.fp AND c.ck = w.ck
-      |WHERE c.d % 5 = 0 AND c.off = c.d % 7""".stripMargin
+      |WHERE $clipPred AND c.off = c.d % 7""".stripMargin
 
   /** Unigram-LM encode replay ([[graft.ext.Assemble.unigramEncode]]):
     * candidate substring frequencies, the singles ∪ top-`vocabSize`
@@ -742,8 +877,29 @@ private[graft] object Shared {
     * engine's lexicographic (cost, n_pieces) minimization exactly.
     * Words beyond `maxWordLen` codepoints take the single-piece
     * escape value 1, mirroring the engine. */
-  def unigramEncodeSql(
-      vocabSize: Int, maxPieceLen: Int, maxWordLen: Int): String = {
+  /** The corpus-tokenization CTEs shared by the Viterbi replays:
+    * whitespace-normalized tokens and the word-type table. */
+  private val unigramBaseCtes: String =
+    """base AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(t) AS w FROM base),
+      |toksne AS MATERIALIZED (
+      |  SELECT doc_id, w FROM toks WHERE length(w) > 0),
+      |types AS MATERIALIZED (
+      |  SELECT w, count(*) AS cnt, length(w) AS len
+      |  FROM toksne GROUP BY 1)""".stripMargin
+
+  /** The Viterbi DP UNROLLED to `maxWordLen` chained CTE stages over
+    * a `vocab(piece, v)` CTE — stage k takes the min packed value
+    * over the ≤ `maxPieceLen` predecessor positions, so plain integer
+    * min replays the engine's lexicographic (cost, n_pieces)
+    * minimization exactly; words beyond `maxWordLen` codepoints take
+    * the single-piece escape value 1, mirroring the engine. Shared
+    * by the seeded ([[unigramEncodeSql]]) and trained-literal
+    * ([[unigramTrainedSql]]) oracles. */
+  private def unigramViterbiTail(maxPieceLen: Int, maxWordLen: Int): String = {
     // every stage is MATERIALIZED: DuckDB's default CTE inlining
     // would expand the d(k) → d(k−1)..d(k−4) references into an
     // exponentially-sized plan before the first row is read
@@ -763,16 +919,25 @@ private[graft] object Shared {
     val alld = (1 to maxWordLen)
       .map(k => s"SELECT w, $k AS j, v FROM d$k")
       .mkString("\n  UNION ALL ")
-    s"""WITH base AS (
-       |  SELECT doc_id, regexp_split_to_array(
-       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
-       |  FROM documents),
-       |toks AS (SELECT doc_id, unnest(t) AS w FROM base),
-       |toksne AS MATERIALIZED (
-       |  SELECT doc_id, w FROM toks WHERE length(w) > 0),
-       |types AS MATERIALIZED (
-       |  SELECT w, count(*) AS cnt, length(w) AS len
-       |  FROM toksne GROUP BY 1),
+    s"""d0 AS MATERIALIZED (
+       |  SELECT w, CAST(0 AS BIGINT) AS v FROM types),
+       |$stages,
+       |alld AS (
+       |  $alld),
+       |wv AS (SELECT t.w,
+       |         CASE WHEN t.len > $maxWordLen THEN 1 ELSE a.v END AS v
+       |       FROM types t LEFT JOIN alld a
+       |         ON a.w = t.w AND a.j = t.len)
+       |SELECT tk.doc_id, count(*) AS n_words,
+       |  CAST(sum(wv.v % 64) AS BIGINT) AS n_pieces,
+       |  CAST(sum(wv.v // 64) AS BIGINT) AS cost_unats
+       |FROM toksne tk JOIN wv ON wv.w = tk.w
+       |GROUP BY 1""".stripMargin
+  }
+
+  def unigramEncodeSql(
+      vocabSize: Int, maxPieceLen: Int, maxWordLen: Int): String =
+    s"""WITH $unigramBaseCtes,
        |cand AS (
        |  SELECT substr(t.w, CAST(i AS INT), CAST(k AS INT)) AS piece,
        |         k AS cplen, t.cnt
@@ -795,20 +960,26 @@ private[graft] object Shared {
        |    CAST(floor(ln(CAST(n AS DOUBLE) / freq) * 1000000) AS BIGINT)
        |      * 64 + 1 AS v
        |  FROM vkeep CROSS JOIN ntot),
-       |d0 AS MATERIALIZED (
-       |  SELECT w, CAST(0 AS BIGINT) AS v FROM types),
-       |$stages,
-       |alld AS (
-       |  $alld),
-       |wv AS (SELECT t.w,
-       |         CASE WHEN t.len > $maxWordLen THEN 1 ELSE a.v END AS v
-       |       FROM types t LEFT JOIN alld a
-       |         ON a.w = t.w AND a.j = t.len)
-       |SELECT tk.doc_id, count(*) AS n_words,
-       |  CAST(sum(wv.v % 64) AS BIGINT) AS n_pieces,
-       |  CAST(sum(wv.v // 64) AS BIGINT) AS cost_unats
-       |FROM toksne tk JOIN wv ON wv.w = tk.w
-       |GROUP BY 1""".stripMargin
+       |${unigramViterbiTail(maxPieceLen, maxWordLen)}""".stripMargin
+
+  /** Viterbi-encode replay under a TRAINED vocabulary shipped as
+    * literals — the q_mix_temperature driver-literal convention: the
+    * model (seed → EM → prune, driver math over the bounded type
+    * table, spec-certified in ExtSpec) is shared configuration; the
+    * oracle independently replays the DISTRIBUTED computation — the
+    * tokenize + min-cost segmentation of every document — from the
+    * same (piece, packed-cost) literals the engine broadcast. */
+  def unigramTrainedSql(
+      vocab: Map[String, Long], maxPieceLen: Int, maxWordLen: Int): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val rows = vocab.toSeq.sortBy(_._1)
+      .map { case (p, v) => s"('${esc(p)}', CAST($v AS BIGINT))" }
+      .mkString(",\n    ")
+    s"""WITH $unigramBaseCtes,
+       |vocab AS MATERIALIZED (
+       |  SELECT * FROM (VALUES
+       |    $rows) AS t(piece, v)),
+       |${unigramViterbiTail(maxPieceLen, maxWordLen)}""".stripMargin
   }
 
   lazy val minhashPairsCtes: String = {

@@ -463,6 +463,54 @@ class ExtSpec extends SparkSpec {
     assert(ex.toString.nonEmpty) // threw promptly — no infinite loop
   }
 
+  test("JPEG re-encode twins: a quantScale=4 re-save round-trips " +
+      "flat tiles pixel-exactly (the DC error bound), the BYTES " +
+      "differ so exact-digest dedup misses the pair, ImageIO decodes " +
+      "the re-encoded stream to the same pixels, and the banded join " +
+      "recovers every twin at hamming 0") {
+    val ids = Seq(0L, 7L, 10L, 13L, 20L, 30L).toDF("doc_id")
+    val media = Multimodal.synthesizeJpeg(ids, "doc_id")
+    val batch = ImageHash.reencodeJpeg(
+      media.filter(col("media_id").cast("long") % 10 === 0), "r", 4)
+    val origBytes = media.collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](2)).toMap
+    val twinBytes = batch.collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](2)).toMap
+    assert(twinBytes.keySet === Set("0r", "10r", "20r", "30r"))
+    val cosT = Multimodal.jpegCosTable()
+    twinBytes.foreach { case (tid, tb) =>
+      val sid = tid.stripSuffix("r")
+      val sb = origBytes(sid)
+      // different bytes (different DQT + entropy stream): sha misses
+      assert(!java.util.Arrays.equals(tb, sb), s"$tid bytes must differ")
+      // identical decoded pixels: the quant-4 DC error (≤ 4/16) is
+      // inside the 0.5 rounding radius
+      val (w0, h0, p0) = Multimodal.parseJpegRgb(sid, sb, cosT)
+      val (w1, h1, p1) = Multimodal.parseJpegRgb(tid, tb, cosT)
+      assert((w0, h0) === ((w1, h1)))
+      assert(java.util.Arrays.equals(p0, p1), s"$tid pixels must match")
+      // the re-encoded stream is REAL baseline JFIF: the JDK decodes
+      // it and agrees with our decoder on every pixel
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(tb))
+      for (y <- 0 until h1; x <- 0 until w1) {
+        val o = (y * w1 + x) * 3
+        val argb = img.getRGB(x, y)
+        assert(((argb >> 16) & 0xff) === (p1(o) & 0xff), s"R ($x,$y) $tid")
+        assert(((argb >> 8) & 0xff) === (p1(o + 1) & 0xff), s"G ($x,$y) $tid")
+        assert((argb & 0xff) === (p1(o + 2) & 0xff), s"B ($x,$y) $tid")
+      }
+    }
+    // recall: every twin pairs with its source at hamming 0 THROUGH
+    // the banded join (not an exhaustive comparison)
+    val pairs = ImageHash.jpegDHashPairsAgainst(batch, media).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    Seq("0", "10", "20", "30").foreach { sid =>
+      assert(pairs.get((sid + "r", sid)) === Some(0L),
+        s"planted re-encode pair $sid missing")
+    }
+  }
+
   test("multimodal JPEG: flat-tile file decodes exactly; ImageIO " +
       "independently decodes our encoder's output pixel-exactly; our " +
       "decoder handles an ImageIO-written general (gradient) stream; " +
