@@ -316,9 +316,26 @@ object AudioHash {
       root: String, rows: DataFrame, buckets: Int): Unit = {
     val staging = root + ".staging"
     graft.util.SwapCommit.deleteRec(new java.io.File(staging))
-    rows.withColumn("bucket", pmod(col("fp"), lit(buckets)))
-      .repartition(col("bucket"))
+    val bucketed = rows.withColumn("bucket", pmod(col("fp"), lit(buckets)))
+    bucketed.repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(staging)
+    // Degenerate (zero-window) corpus: a partitionBy write of an
+    // empty frame leaves no data file to infer a schema from — the
+    // VectorIndex.stageCorpus convention: detect driver-side after
+    // the single write, then rewrite flat from an explicit empty
+    // frame (bucket becomes a data column; the probe join handles
+    // that identically, it just loses pruning).
+    val dir = new java.io.File(staging)
+    val hasData = Option(dir.listFiles()).exists(_.exists(f =>
+      f.isDirectory || f.getName.startsWith("part-")))
+    if (!hasData) {
+      graft.util.SwapCommit.deleteRec(dir)
+      val spark = rows.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.Row], 1),
+        bucketed.schema).write.parquet(staging)
+    }
     graft.util.SwapCommit.commit(new java.io.File(root),
       new java.io.File(staging), clipManifest(root))
   }

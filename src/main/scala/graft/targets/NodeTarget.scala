@@ -128,29 +128,17 @@ final case class NodeTarget(
     * delete is completed idempotently by the next reader; the node
     * table and its index always swap together. */
   private def commitState(next: DataFrame, dstateNext: DataFrame): Unit = {
-    def prof[A](label: String)(f: => A): A =
-      if (sys.env.contains("GRAFT_NODE_PROF")) {
-        val t0 = System.nanoTime(); val r = f
-        System.err.println(
-          f"[nodeprof] $label%-14s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
-        r
-      } else f
     val staging = path + ".staging"
     graft.util.SwapCommit.deleteRec(new java.io.File(staging))
-    prof("write.main") {
-      next.write.mode("overwrite").parquet(staging)
-    }
+    next.write.mode("overwrite").parquet(staging)
     // written second: when `next`'s plan carries the ChangeSet's lazy
     // checkpoint, the main write above materialized it, so the index
-    // write re-reads checkpoint blocks (narrow, record-count rows)
-    prof("write.dstate") {
-      // the index is narrow (4 columns, one row per record id) — a
-      // handful of compact files beats inheriting the merge plan's
-      // partitioning (dozens of tiny files whose footers every
-      // subsequent narrow read re-lists)
-      dstateNext.coalesce(4).write.mode("overwrite")
-        .parquet(s"$staging/_dstate")
-    }
+    // write re-reads checkpoint blocks (narrow, record-count rows).
+    // Coalesced: a handful of compact files beats inheriting the
+    // merge plan's partitioning (dozens of tiny files whose footers
+    // every subsequent narrow read would re-list).
+    dstateNext.coalesce(4).write.mode("overwrite")
+      .parquet(s"$staging/_dstate")
     graft.util.SwapCommit.commit(
       new java.io.File(path), new java.io.File(staging), manifestFile)
   }
