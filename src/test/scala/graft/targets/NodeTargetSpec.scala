@@ -170,4 +170,89 @@ class NodeTargetSpec extends SparkSpec {
     assert(st2.select("path").as[String].collect().toSet
       === Set("/sites/odd", "/sites/oddball", "/sites/oddball/b"))
   }
+
+  test("keyed diff-state index: _dstate is written inside the state " +
+      "dir (invisible to the table read), tracks the diff state " +
+      "across syncs and removeAll, and a pre-index legacy dir falls " +
+      "back to the aggregation then gains the index on first commit") {
+    val dir = tmpDir("node-dstate")
+    // sync 1: a, b
+    new ImportService(preset(dir,
+      Seq(("a", 1L, "Ada"), ("b", 1L, "Bob")), softDelete = true))
+      .importData(spark)
+    val idx1 = spark.read.parquet(s"$dir/nodes/_dstate")
+    assert(idx1.columns.toSet === Set("id", "version", "hidden"))
+    assert(idx1.as[(String, Long, Boolean)].collect().toSet
+      === Set(("node-a", 1L, false), ("node-b", 1L, false)))
+    // the index subdir must NOT leak into the node-table read
+    assert(spark.read.parquet(s"$dir/nodes").columns.contains("variant"))
+    // sync 2: a updated, b absent → soft-hidden, c added
+    new ImportService(preset(dir,
+      Seq(("a", 2L, "Ada2"), ("c", 1L, "Cyd")), softDelete = true))
+      .importData(spark)
+    val idx2 = spark.read.parquet(s"$dir/nodes/_dstate")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(idx2 === Set(
+      ("node-a", 2L, false), ("node-b", 1L, true), ("node-c", 1L, false)))
+    // index state == the aggregation over the node table (the
+    // invariant the projection maintenance must preserve)
+    val agg = spark.read.parquet(s"$dir/nodes")
+      .groupBy($"identifier").agg(
+        max($"version").as("v"),
+        min($"hidden".cast("int")).cast("boolean").as("h"))
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(agg === idx2)
+    // removeAll evolves the index by the same path predicate
+    NodeTarget(s"$dir/nodes", softDelete = true, rootPath = "/sites")
+      .removeAll(spark)
+    val idx3 = spark.read.parquet(s"$dir/nodes/_dstate")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(idx3 === Set(
+      ("node-a", 2L, true), ("node-b", 1L, true), ("node-c", 1L, true)))
+
+    // legacy dir (no _dstate): the fallback aggregation must serve
+    // the diff, and the next commit must create the index
+    graft.util.SwapCommit.deleteRec(
+      new java.io.File(s"$dir/nodes/_dstate"))
+    val tgt = NodeTarget(s"$dir/nodes", idPrefix = "node-",
+      softDelete = true,
+      variantsResolver = _ => array(lit("de"), lit("en")))
+    val legacyState = tgt.currentState(spark)
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(legacyState === Set(
+      ("node-a", 2L, true), ("node-b", 1L, true), ("node-c", 1L, true)))
+    new ImportService(preset(dir,
+      Seq(("a", 3L, "Ada3")), softDelete = true)).importData(spark)
+    val idx4 = spark.read.parquet(s"$dir/nodes/_dstate")
+      .as[(String, Long, Boolean)].collect().toSet
+    // a's update un-hides it; b and c keep their hidden state
+    assert(idx4 === Set(
+      ("node-a", 3L, false), ("node-b", 1L, true), ("node-c", 1L, true)))
+  }
+
+  test("manifest-logged swap: a commit that crashed between staging " +
+      "and swap is completed idempotently by the next reader — the " +
+      "staged state is never lost and never observed half-written") {
+    val dir = tmpDir("node-crash")
+    new ImportService(preset(dir, Seq(("a", 1L, "Ada"))))
+      .importData(spark)
+    // simulate a crash: stage the next state fully, write the
+    // manifest, but die before the rm+rename
+    val live = s"$dir/nodes"
+    val staging = s"$live.staging"
+    val manifest = new java.io.File(s"$live.swap-manifest")
+    val next = spark.read.parquet(live)
+      .withColumn("name", lit("CRASHED"))
+    next.write.parquet(staging)
+    spark.read.parquet(live).select("name") // live still old
+    java.nio.file.Files.writeString(manifest.toPath, staging)
+    // next NodeTarget read recovers the swap before reading
+    val st = NodeTarget(live, idPrefix = "node-").currentState(spark)
+    st.collect() // forces the read through recover()
+    assert(!manifest.exists(), "manifest must be consumed")
+    assert(!new java.io.File(staging).exists, "staging must be swapped in")
+    val names = spark.read.parquet(live)
+      .select("name").as[String].collect().toSet
+    assert(names === Set("CRASHED"))
+  }
 }
