@@ -344,7 +344,25 @@ object ImageHash {
   def dhashClusters(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       "banded completeness holds for maxHamming < 4")
-    val h = ppmDHash(media).toDF()
+    clustersOverHashes(ppmDHash(media).toDF(), maxHamming)
+  }
+
+  /** [[dhashClusters]] over JPEG inputs — the production (O(n)-output)
+    * counterpart of [[jpegDHashPairsAgainst]]'s pair enumeration for
+    * re-encoded corpora: the ~sf1 key-growth smoke read the re-encode
+    * PAIR row at 100× output (re-uploads hitting their 10×-larger
+    * near-dup cliques); this collapse-first form assigns each image
+    * one cluster id. */
+  def jpegDHashClusters(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "banded completeness holds for maxHamming < 4")
+    clustersOverHashes(jpegDHash(media).toDF(), maxHamming)
+  }
+
+  /** The collapse-first cluster core over an explicit hash frame —
+    * shared by the PPM and JPEG input paths. */
+  private def clustersOverHashes(
+      h: DataFrame, maxHamming: Int): DataFrame = {
     val groups = h.groupBy("width", "height", "hi", "lo")
       .agg(min("media_id").as("rep"), count(lit(1)).as("members"))
     val reps = groups.select(col("rep").as("media_id"),

@@ -1143,6 +1143,20 @@ private[graft] object ExtRegistry {
       ImageHash.jpegDHashPairsAgainst(batch, media)
     }),
 
+    // the PRODUCTION path for re-encoded corpora (the key-growth
+    // smoke read the pair row at 100× output): exact-hash collapse +
+    // banded pairing + CC over representatives over the SAME
+    // corpus ∪ re-encoded twins — O(n) cluster assignments instead
+    // of output-quadratic pair enumeration
+    "q_image_dhash_reencode_clusters" -> ((s, dir) => {
+      val media = Multimodal.synthesizeJpeg(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val batch = ImageHash.reencodeJpeg(
+        media.filter(col("media_id").cast("long") % 10 === 0), "r",
+        quantScale = 4)
+      ImageHash.jpegDHashClusters(media.unionByName(batch))
+    }),
+
     // audio counterpart of q_multimodal_corrupt: id%7==3 WAVs
     // truncated mid-container; the tolerant RIFF walker emits ok=0
     // casualties and decodes the rest
@@ -3839,6 +3853,7 @@ private[graft] object ExtRegistry {
     // (base files, no twins), gated by id mod 3
     "q_image_dhash_incremental" -> imageDhashIncrementalSql,
     "q_image_dhash_reencode" -> jpegDhashReencodeSql,
+    "q_image_dhash_reencode_clusters" -> jpegDhashReencodeClustersSql,
 
     // audio-fingerprint replay at PER-SAMPLE granularity from the
     // synthesis formula: same lag-1 |diff| stream, 65-box integer

@@ -505,7 +505,49 @@ private[graft] object Shared {
     * thereby independently pinned: any engine round-trip drift would
     * hash-mismatch. Batch × corpus within the dims block, hamming ≤ 3. */
   lazy val jpegDhashReencodeSql: String =
-    """WITH jimgs AS (
+    s"""WITH $jpegDhashBaseCtes
+      |SELECT a.id AS batch_id, b.id AS corpus_id,
+      |       CAST(bit_count(xor(a.hi, b.hi))
+      |         + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      |FROM hs a JOIN hs b ON a.id <> b.id
+      |JOIN dims da ON da.id = a.id
+      |JOIN dims db ON db.id = b.id
+      |WHERE da.twin AND NOT db.twin
+      |  AND da.w = db.w AND da.h = db.h
+      |  AND bit_count(xor(a.hi, b.hi))
+      |    + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
+
+  /** The clusters form over the same corpus ∪ re-encoded twins: all
+    * hamming ≤ 3 pairs within dims blocks, then the recursive
+    * reachability closure (the q_image_dhash_clusters convention) —
+    * certifies the engine's collapse-first CC path equals whole-graph
+    * connected components. */
+  lazy val jpegDhashReencodeClustersSql: String =
+    s"""WITH RECURSIVE $jpegDhashBaseCtes,
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM hs a JOIN hs b ON a.id < b.id
+      |  JOIN dims da ON da.id = a.id
+      |  JOIN dims db ON db.id = b.id
+      |  WHERE da.w = db.w AND da.h = db.h
+      |    AND bit_count(xor(a.hi, b.hi))
+      |      + bit_count(xor(a.lo, b.lo)) <= 3),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a AS n, b AS r FROM edges
+      |  UNION
+      |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a
+      |)
+      |SELECT n AS media_id, least(n, min(r)) AS cluster_id
+      |FROM reach GROUP BY n""".stripMargin
+
+  /** CTEs through `hs(id, hi, lo)` + `dims(id, doc_id, twin, w, h)`
+    * for the flat-tile JPEG corpus ∪ quant-4 re-encoded twins of
+    * doc_id%10=0 (twins carry their SOURCE's hash — the exactness
+    * claim the engine must reproduce). */
+  private lazy val jpegDhashBaseCtes: String =
+    """jimgs AS (
       |  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id, FALSE AS twin
       |  FROM documents
       |  UNION ALL
@@ -555,17 +597,7 @@ private[graft] object Shared {
       |    CAST(sum(CASE WHEN i >= 32
       |             THEN bit * (CAST(1 AS BIGINT) << (i - 32))
       |             ELSE 0 END) AS BIGINT) AS lo
-      |  FROM bits GROUP BY 1)
-      |SELECT a.id AS batch_id, b.id AS corpus_id,
-      |       CAST(bit_count(xor(a.hi, b.hi))
-      |         + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
-      |FROM hs a JOIN hs b ON a.id <> b.id
-      |JOIN dims da ON da.id = a.id
-      |JOIN dims db ON db.id = b.id
-      |WHERE da.twin AND NOT db.twin
-      |  AND da.w = db.w AND da.h = db.h
-      |  AND bit_count(xor(a.hi, b.hi))
-      |    + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
+      |  FROM bits GROUP BY 1)""".stripMargin
 
   /** Per-pixel per-FRAME dHash replay over the documents-derived Y4M
     * corpus (base ∪ first-luma-byte-vandalized twins of doc_id%10=0):
