@@ -255,6 +255,33 @@ object Similarity {
     array_max(cellProjections(vec, nCells)).getField("c")
 
   /**
+   * EXACT-INTEGER semantic cell assignment — the oracle-replayable
+   * quantized-projection kernel behind cluster-balanced selection
+   * (q_embed_balanced): the embedding is quantized to integers
+   * (`floor(e·1000)` — a float×1000 is exact in double, so every
+   * engine lands on the same longs), each of `nCells` cells scores it
+   * with a deterministic integer weight stream
+   * `w(k,i) = (k·31 + i·7) mod 11 − 5`, and the cell is the argmax
+   * (ties → max cell id, the same rule as the struct max). No double
+   * ever enters the decision, so a SQL oracle replays assignments
+   * bit-exactly — unlike the float plane kernel ([[ivfAssign]]),
+   * whose rows are gated at total coverage instead. This IS the
+   * int8-quantized-projection sharding production stacks run for
+   * diversity balancing; at recall-critical settings swap in the
+   * native [[ivfAssign]]/trained-centroid kernels.
+   *
+   * Native + codegen'd ([[graft.functions.IntCellAssign]]) — the
+   * composed transform/zip_with/aggregate formulation evaluated
+   * nCells·dim interpreted lambdas per row (measured 2.4 ms/row at
+   * 16×64, a scale-killer for a selection pass); the fused loop is
+   * ~1 µs/row and stays inside whole-stage codegen. A null vector
+   * stays null; an empty vector scores 0 everywhere and the tie
+   * rule yields nCells−1.
+   */
+  def intCellAssign(vec: Column, nCells: Int = 16): Column =
+    graft.functions.GraftFunctions.int_cell_assign(vec, nCells)
+
+  /**
    * IVF cell-occupancy pre-flight — the embedding-tier counterpart of
    * `Dedup.lshBucketStats`: per probed cell, how many vectors land in
    * it and the exact within-cell pair volume the bucketed self-join

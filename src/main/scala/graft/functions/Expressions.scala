@@ -554,6 +554,72 @@ case class PlaneBucket(child: Expression, nPlanes: Int, seedStride: Int)
 }
 
 /**
+ * `int_cell_assign(vec, nCells)` — EXACT-INTEGER quantized-projection
+ * cell argmax for cluster-balanced selection (q_embed_balanced): the
+ * vector quantizes to `floor(f·1000)` longs (a float × 1000 is exact
+ * in double, so every engine quantizes identically), cell `k` scores
+ * it with the deterministic integer weight stream
+ * `w(k,i) = (k·31 + i·7) mod 11 − 5`, and the result is the argmax
+ * with ties to the MAX cell id. No double enters the decision, so a
+ * SQL oracle replays assignments bit-exactly. A zero-length vector
+ * scores 0 everywhere ⇒ the tie rule yields `nCells − 1`.
+ * Precondition: non-null float elements (the plane-kernel contract).
+ * Native + codegen'd: the composed transform/zip_with/aggregate
+ * formulation evaluated ~nCells·dim interpreted lambdas per row
+ * (measured 2.4 ms/row at 16×64 — a scale-killer); this loop is
+ * ~1 µs/row.
+ */
+case class IntCellAssign(child: Expression, nCells: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "int_cell_assign"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"int_cell_assign requires an array<float> argument, got ${t.simpleString}")
+  }
+
+  /** Public — invoked from generated code via a reference object. */
+  def assign(vec: ArrayData): Int = {
+    val d = vec.numElements()
+    val q = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      q(i) = math.floor(vec.getFloat(i).toDouble * 1000.0).toLong
+      i += 1
+    }
+    var bestK = 0
+    var bestS = Long.MinValue
+    var k = 0
+    while (k < nCells) {
+      var s = 0L
+      var j = 0
+      while (j < d) {
+        s += q(j) * (math.floorMod(k.toLong * 31L + j.toLong * 7L, 11L) - 5L)
+        j += 1
+      }
+      if (s >= bestS) { bestS = s; bestK = k } // ties → max k
+      k += 1
+    }
+    bestK
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    assign(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intCellAssignExpr", this,
+      classOf[IntCellAssign].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.assign($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IntCellAssign =
+    copy(child = newChild)
+}
+
+/**
  * Registration — both paths:
  *  - `GraftFunctions.register(spark)` for an existing session
  *    (used by Tables.session);
@@ -581,6 +647,8 @@ object GraftFunctions {
     "plane_bucket" -> (es => PlaneBucket(es.head,
       litInt(es(1), "plane_bucket", "nPlanes"),
       litInt(es(2), "plane_bucket", "seedStride"))),
+    "int_cell_assign" -> (es => IntCellAssign(es.head,
+      litInt(es(1), "int_cell_assign", "nCells"))),
     // Spark's native bloom-probe expression (codegen'd, deserializes
     // the sketch once per task) is NOT in the public function
     // registry (4.1 exposes only bloom_filter_agg) — surface it here
@@ -618,6 +686,9 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("plane_bucket", vec,
       org.apache.spark.sql.functions.lit(nPlanes),
       org.apache.spark.sql.functions.lit(seedStride))
+  def int_cell_assign(vec: Column, nCells: Int): Column =
+    org.apache.spark.sql.functions.call_function("int_cell_assign", vec,
+      org.apache.spark.sql.functions.lit(nCells))
   /** `bloom` is a serialized `org.apache.spark.util.sketch.BloomFilter`
     * (binary, constant-foldable — e.g. `lit(bytes)`); `value` a LONG
     * probed via `mightContainLong`. */

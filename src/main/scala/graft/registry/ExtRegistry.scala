@@ -277,6 +277,26 @@ private[graft] object ExtRegistry {
         trainedUnigramVocab(s, dir))
         .withColumnRenamed("id", "doc_id")),
 
+    // CLUSTER-BALANCED (diversity) selection — the semantic-shard
+    // counterpart of domain mixing (the D4-style "balance over
+    // embedding clusters, not metadata domains" pass of corpus
+    // curation): each vector lands in one of 16 cells via the
+    // exact-integer quantized-projection argmax (intCellAssign —
+    // oracle-replayable bit for bit, unlike the float plane kernel),
+    // then the equal-weight mixture flattens every cell toward the
+    // smallest one with the exact-integer hash-threshold selection.
+    // Composition of two certified pieces; selection is a narrow
+    // filter, zero shuffles beyond the per-cell counts
+    "q_embed_balanced" -> ((s, dir) => {
+      val celled = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"),
+          Similarity.intCellAssign(col("embedding"), 16)
+            .cast("string").as("cell"))
+      Assemble.mixture(celled, "vec_id", "cell",
+        (0 until 16).map(k => k.toString -> 1L).toMap)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    }),
+
     // deterministic domain-mixture sampling over events: hit target
     // event_type proportions 1:3:6 by downsampling only; exact
     // integer thresholds end to end (signup/error carry no weight —
@@ -2243,6 +2263,38 @@ private[graft] object ExtRegistry {
         |  CAST(sum(u) // count(*) AS BIGINT) AS mean_unats,
         |  CAST(sum(oov) AS BIGINT) AS n_oov
         |FROM s GROUP BY doc_id""".stripMargin
+    },
+
+    // quantized-projection cells replayed exactly (floor(e·1000)
+    // longs; integer weight stream; argmax ties → max k = the
+    // engine's struct-max rule), then the equal-weight mixture
+    // thresholds — DuckDB's indexed lambda is 1-BASED, hence (i-1)
+    "q_embed_balanced" -> {
+      val hash = duckHash60("CAST(vec_id AS VARCHAR)")
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |           e -> CAST(floor(e * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |ks AS (SELECT vec_id, qv, unnest(range(0, 16)) AS k FROM q),
+         |sc AS (
+         |  SELECT vec_id, k,
+         |    CAST(coalesce(list_sum(list_transform(qv, (x, i) ->
+         |      x * ((k * 31 + (i - 1) * 7) % 11 - 5))), 0) AS BIGINT) AS s
+         |  FROM ks),
+         |cell AS (
+         |  SELECT vec_id, k FROM (
+         |    SELECT vec_id, k, s,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY s DESC, k DESC) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |c AS (SELECT k, count(*) AS cd FROM cell GROUP BY 1),
+         |b AS (SELECT min(cd) AS bu FROM c),
+         |th AS (SELECT k, (bu * 1000000) // cd AS thr
+         |       FROM c CROSS JOIN b)
+         |SELECT cell.vec_id, CAST(cell.k AS INT) AS cell
+         |FROM cell JOIN th USING (k)
+         |WHERE $hash % 1000000 < thr""".stripMargin
     },
 
     "q_mix_domains" -> {

