@@ -143,6 +143,35 @@ object VectorIndex {
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.map(_.getSeq[Float](2).toSeq).toSeq)
 
+  // Serving-side model cache: the trained tables are bounded index
+  // METADATA (nCells + m·k rows), but each probe otherwise pays two
+  // driver-side Spark reads for them — a server keeps the model hot
+  // and revalidates against the files. Keyed on the model files'
+  // (name, size, mtime) fingerprint, so any build/refresh commit
+  // (which rewrites or re-copies the model dirs) naturally misses and
+  // re-reads; bounded like the plane-matrix cache.
+  private val MaxModelEntries = 32
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Seq[Float]], Seq[Seq[Seq[Float]]])]()
+
+  private def dirFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .sorted.mkString("|").hashCode.toHexString
+  }
+
+  private def readModel(spark: SparkSession, root: String)
+      : (Seq[Seq[Float]], Seq[Seq[Seq[Float]]]) = {
+    val key = root + "#" + dirFingerprint(centroidsPath(root)) +
+      "#" + dirFingerprint(codebooksPath(root))
+    val hit = modelCache.get(key)
+    if (hit != null) return hit
+    if (modelCache.size >= MaxModelEntries) modelCache.clear()
+    modelCache.computeIfAbsent(key, _ =>
+      (readCentroids(spark, root), readCodebooks(spark, root)))
+  }
+
   /**
    * ChangeSet-driven incremental refresh: `changedVecs` (added ∪
    * updated, with idCol/vecCol) re-encode under the EXISTING model;
@@ -156,8 +185,7 @@ object VectorIndex {
       droppedIds: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     recover(root)
-    val cents = readCentroids(spark, root)
-    val cbs = readCodebooks(spark, root)
+    val (cents, cbs) = readModel(spark, root)
     if (cents.isEmpty || cbs.isEmpty) {
       // a degenerate (empty-corpus) build stored no model — new
       // vectors CANNOT encode against it; silently committing an
@@ -208,8 +236,7 @@ object VectorIndex {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     recover(root)
-    val cents = readCentroids(spark, root)
-    val cbs = readCodebooks(spark, root)
+    val (cents, cbs) = readModel(spark, root)
     if (cents.isEmpty || cbs.isEmpty)
       return queries.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
         lit(0.0).as("sim"), lit(1).as("rank")).limit(0)
