@@ -310,6 +310,11 @@ final case class NodeTarget(
     * removeAll is the rare prune path; the per-sync hot path never
     * re-aggregates. */
   override def removeAll(spark: SparkSession): Long = {
+    // recover BEFORE the existence check: a swap that crashed between
+    // deleting the live dir and renaming the staging in leaves no
+    // live dir — the naive check would read that as "no state" and
+    // skip both the recovery and the prune
+    graft.util.SwapCommit.recover(new java.io.File(path), manifestFile)
     if (!exists) return 0L
     val under = col("path").startsWith(rootPath.stripSuffix("/") + "/")
     val all = nodes(spark).cache()

@@ -246,6 +246,9 @@ final case class Scd2Target(
   /** Prune = SOFT-close every current row at a fresh ordinal — the
     * history is the point of this target; nothing is deleted. */
   override def removeAll(spark: SparkSession): Long = {
+    // recover BEFORE the existence check (a swap that crashed between
+    // delete and rename leaves no live dir — same fix as NodeTarget)
+    recoverPendingSwap()
     if (!exists) return 0L
     val h = history(spark)
     if (!h.columns.contains("sync_out")) return 0L

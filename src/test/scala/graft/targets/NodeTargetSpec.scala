@@ -254,5 +254,17 @@ class NodeTargetSpec extends SparkSpec {
     val names = spark.read.parquet(live)
       .select("name").as[String].collect().toSet
     assert(names === Set("CRASHED"))
+
+    // the WORST window: crashed after deleting the live dir, before
+    // renaming staging in — a naive existence check would read this
+    // as "no state"; removeAll must recover first, then prune
+    val staging2 = s"$live.staging"
+    spark.read.parquet(live).write.parquet(staging2)
+    graft.util.SwapCommit.deleteRec(new java.io.File(live))
+    java.nio.file.Files.writeString(manifest.toPath, staging2)
+    val n = NodeTarget(live, idPrefix = "node-", softDelete = true)
+      .removeAll(spark)
+    assert(n === 1L, "removeAll must see the recovered state")
+    assert(!manifest.exists() && new java.io.File(live).isDirectory)
   }
 }
