@@ -376,6 +376,91 @@ object TextAnalysis {
   }
 
   /**
+   * Cross-document EXACT-SUBSTRING SCRUB — the REMOVAL half of
+   * [[dupSpanStats]]'s detection (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better": repeated ≥n-token
+   * substrings are cut from the corpus, not just counted). Every
+   * n-token gram occurring in ≥2 distinct documents keeps exactly its
+   * GLOBALLY FIRST occurrence — minimum (id, position), a total order
+   * both engines share — and every other occurrence's token range is
+   * cut; overlapping cut ranges merge into islands (the
+   * [[dupSpanStats]] island rule, so cut intervals are provably
+   * disjoint) and each document re-assembles from its surviving
+   * tokens.
+   *
+   * Scale shape: the [[dupSpanStats]] skeleton — posexplode to (id,
+   * p, gram-hash); distinct-then-count for the cross-doc hash set
+   * (map-side combine); ONE mergeable min(struct(id, p)) aggregation
+   * finds the global first occurrence per dup hash; islands over one
+   * id-partitioned window; the per-doc cut list (bounded by span
+   * count) drives a single filter over the token array. Nothing
+   * driver-side; the rebuild is per-doc local.
+   *
+   * @return (id, n_tokens, kept_tokens, scrubbed_text) — the text is
+   *         whitespace-normalized (both engines rebuild from tokens).
+   */
+  def scrubDupSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val tokens = normTokens(col(textCol))
+    val nGrams = size(tokens) - n + 1
+    // sequence(1, 0) is DESCENDING, not empty — explicit empty branch
+    val grams = when(nGrams >= 1,
+      transform(sequence(lit(1), nGrams),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+      .otherwise(array())
+    val base = graft.util.Tables.spread(df)
+      .select(col(idCol).as("id"), tokens.as("toks"), grams.as("grams"))
+      .persist()
+    try {
+      val pos = base.select(col("id"), posexplode(col("grams")))
+        .select(col("id"), (col("pos") + 1).as("p"),
+          portableHash60(col("col")).as("gh"))
+      val dupGh = pos.select(col("id"), col("gh")).distinct()
+        .groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2).select(col("gh"))
+      val occ = pos.join(dupGh, Seq("gh"), "left_semi")
+      // the global first occurrence per dup gram: min over the
+      // (id, p) struct — lexicographic, mergeable map-side
+      val first = occ.groupBy(col("gh"))
+        .agg(min(struct(col("id"), col("p"))).as("f"))
+      val nonWin = occ.join(first, Seq("gh"))
+        .filter(!(col("id") === col("f.id") && col("p") === col("f.p")))
+        .select(col("id"), col("p"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("p")
+      val cuts = nonWin
+        .withColumn("brk",
+          when(col("p") - lag(col("p"), 1).over(w) > n, 1).otherwise(0))
+        .withColumn("island", sum(col("brk")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy(col("id"), col("island"))
+        .agg(min(col("p")).as("start"),
+          (max(col("p")) + n - 1).as("end"))
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("start"), col("end"))))
+          .as("cuts"))
+      val emptyCuts = array().cast("array<struct<start:int,end:int>>")
+      val indexed = zip_with(col("toks"),
+        sequence(lit(1), size(col("toks"))),
+        (tok, i) => struct(tok.as("tok"), i.as("i")))
+      val kept = filter(indexed, s =>
+        !exists(coalesce(col("cuts"), emptyCuts), c =>
+          s.getField("i") >= c.getField("start") &&
+            s.getField("i") <= c.getField("end")))
+      base.join(cuts, Seq("id"), "left")
+        .select(col("id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(kept).cast("long").as("kept_tokens"),
+          concat_ws(" ",
+            transform(kept, s => s.getField("tok"))).as("scrubbed_text"))
+        .localCheckpoint()
+    } finally base.unpersist()
+  }
+
+  /**
    * Content-defined chunking (CDC): a token ends up starting a new
    * chunk wherever its hash satisfies `h % avgChunkTokens == 0` —
    * boundaries derive from CONTENT, not position, so a passage two

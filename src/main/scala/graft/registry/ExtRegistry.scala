@@ -514,6 +514,18 @@ private[graft] object ExtRegistry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // the REMOVAL half of cross-doc substring dedup (Lee et al. 2022
+    // — the operation, not just the statistic): every 13-gram shared
+    // across documents keeps its globally-first occurrence (min
+    // (doc_id, position)); every other occurrence's token range is
+    // cut (islands merge overlaps) and the document re-assembles
+    // from surviving tokens — the oracle rebuilds every scrubbed
+    // byte independently
+    "q_span_scrub" -> ((s, dir) =>
+      TextAnalysis.scrubDupSpans(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // the full Gopher rule battery (Rae et al. 2021, Table A1):
     // per-doc quality signals + the composite pass flag, every
     // fraction rounded before comparison so the flag replays exactly
@@ -2647,6 +2659,65 @@ private[graft] object ExtRegistry {
         |       CAST(coalesce(d.dup_tokens, 0) * 1000000 // len(t.t)
         |         AS BIGINT) AS dup_ppm
         |FROM toks t LEFT JOIN per_doc d USING (doc_id)""".stripMargin,
+
+    // the scrub replay: same toks/grams/freq CTEs as q_span_dedup,
+    // plus the global-first winner (row_number over (doc_id, p) per
+    // dup gram), non-winning islands → disjoint cut intervals,
+    // positional anti-join, and a per-doc ordered string_agg rebuild
+    "q_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 13 + 2)) AS p
+        |  FROM toks WHERE len(t) >= 13),
+        |grams AS (
+        |  SELECT doc_id, p, array_to_string(t[p : p + 12], ' ') AS g
+        |  FROM pos),
+        |freq AS (
+        |  SELECT g AS fg FROM (SELECT DISTINCT doc_id, g FROM grams)
+        |  GROUP BY g HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, p, g FROM grams
+        |        WHERE g IN (SELECT fg FROM freq)),
+        |firsts AS (
+        |  SELECT g, doc_id AS fd, p AS fp FROM (
+        |    SELECT g, doc_id, p,
+        |      row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+        |    FROM occ) WHERE rn = 1),
+        |nonwin AS (
+        |  SELECT o.doc_id, o.p FROM occ o JOIN firsts f ON o.g = f.g
+        |  WHERE NOT (o.doc_id = f.fd AND o.p = f.fp)),
+        |brk AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+        |           > 13 THEN 1 ELSE 0 END AS b
+        |  FROM nonwin),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM brk),
+        |cuts AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 12 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |covered AS (
+        |  SELECT c.doc_id, u.i FROM cuts c,
+        |    LATERAL unnest(range(c.s, c.e + 1)) u(i)),
+        |tokpos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |  FROM toks),
+        |keep AS (
+        |  SELECT tp.doc_id, tp.i, tp.t[tp.i] AS tok
+        |  FROM tokpos tp LEFT JOIN covered c
+        |    ON c.doc_id = tp.doc_id AND c.i = tp.i
+        |  WHERE c.i IS NULL)
+        |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(k.kept, 0) AS BIGINT) AS kept_tokens,
+        |  coalesce(k.txt, '') AS scrubbed_text
+        |FROM toks tk LEFT JOIN (
+        |  SELECT doc_id, count(*) AS kept,
+        |         string_agg(tok, ' ' ORDER BY i) AS txt
+        |  FROM keep GROUP BY doc_id) k USING (doc_id)""".stripMargin,
 
     "q_gopher_rules" -> {
       val stopSum = graft.ext.TextAnalysis.GopherStops.map(w =>

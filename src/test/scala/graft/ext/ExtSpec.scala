@@ -999,6 +999,35 @@ class ExtSpec extends SparkSpec {
     assert(costEscape === 1L)
   }
 
+  test("scrubDupSpans: the globally-first occurrence survives, every " +
+      "other occurrence's range is cut, adjacent cuts merge into one " +
+      "island, a fully-shared document scrubs to empty, and unique " +
+      "documents pass through untouched") {
+    val block = ('a' to 'm').map(_.toString) // 13 shared tokens
+    val docs = Seq(
+      (1L, (block ++ Seq("x", "y")).mkString(" ")),       // winner
+      (2L, (block ++ Seq("p", "q")).mkString(" ")),       // cut [1,13]
+      (3L, block.mkString(" ")),                          // cut fully
+      (4L, (1 to 15).map(i => s"u$i").mkString(" ")),     // unique
+      (5L, (block ++ block).mkString(" ")))               // two non-win
+      .toDF("doc_id", "text")                             // occurrences
+    val out = TextAnalysis.scrubDupSpans(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 holds the global first (min (id, p)) — fully kept
+    assert(out(1L) === ((15L, 15L, (block ++ Seq("x", "y")).mkString(" "))))
+    // doc 2: positions 1..13 cut, tail survives
+    assert(out(2L) === ((15L, 2L, "p q")))
+    // doc 3: nothing but the shared block — scrubs to empty
+    assert(out(3L) === ((13L, 0L, "")))
+    // doc 4: no dup grams — untouched (normalized text)
+    assert(out(4L)._2 === 15L)
+    // doc 5: dup gram occurrences at p=1 and p=14 — the gap (13) is
+    // NOT > n, so the island rule merges them into ONE cut [1, 26]
+    assert(out(5L) === ((26L, 0L, "")))
+  }
+
   test("intCellAssign: exact-integer quantized-projection argmax " +
       "matches a plain-Scala replica (incl. the max-k tie rule), an " +
       "empty vector takes the max cell, a null vector stays null — " +
