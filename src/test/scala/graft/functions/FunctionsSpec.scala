@@ -221,4 +221,30 @@ class FunctionsSpec extends SparkSpec {
     val range = both.agg(min($"nat"), max($"nat")).head()
     assert(range.getLong(0) >= 0L && range.getLong(1) < 256L)
   }
+
+  test("int_cell_assign is bit-identical to the composed quantize/" +
+      "score/argmax formulation on real embeddings (codegen path vs " +
+      "column-function path), and cells stay inside [0, nCells)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    // composed reference: floor(e*1000) longs, the integer weight
+    // stream, argmax with ties to the max cell — the formulation the
+    // native kernel replaced (and the DuckDB oracle replays)
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000).cast("long"))
+    val scored = transform(sequence(lit(0), lit(15)), k =>
+      struct(
+        aggregate(
+          zip_with(q, sequence(lit(0L), size(q).cast("long") - 1L),
+            (qi, i) =>
+              qi * (pmod(k.cast("long") * 31L + i * 7L, lit(11L)) - 5L)),
+          lit(0L), (acc, x) => acc + x).as("s"),
+        k.cast("int").as("c")))
+    val both = e.select(
+      GraftFunctions.int_cell_assign(col("embedding"), 16).as("nat"),
+      array_max(scored).getField("c").as("hof"))
+    assert(both.filter($"nat" =!= $"hof").count() === 0)
+    val r = both.agg(min($"nat"), max($"nat")).head()
+    assert(r.getInt(0) >= 0 && r.getInt(1) < 16)
+  }
 }
