@@ -126,8 +126,16 @@ final case class NodeTarget(
     * swap it in through the manifest-logged two-phase commit
     * ([[graft.util.SwapCommit]]) — a crash between manifest write and
     * delete is completed idempotently by the next reader; the node
-    * table and its index always swap together. */
-  private def commitState(next: DataFrame, dstateNext: DataFrame): Unit = {
+    * table and its index always swap together.
+    *
+    * `overlap` (an independent action over the already-materialized
+    * diff — the phase-stats aggregation) runs CONCURRENTLY with the
+    * index write: both only read checkpoint/cached blocks the main
+    * write just produced, so serializing them was pure latency.
+    * Spark job submission is thread-safe; the result is joined
+    * before the swap so failures surface before commit. */
+  private def commitState[A](
+      next: DataFrame, dstateNext: DataFrame)(overlap: => A): A = {
     val staging = path + ".staging"
     graft.util.SwapCommit.deleteRec(new java.io.File(staging))
     next.write.mode("overwrite").parquet(staging)
@@ -137,10 +145,15 @@ final case class NodeTarget(
     // Coalesced: a handful of compact files beats inheriting the
     // merge plan's partitioning (dozens of tiny files whose footers
     // every subsequent narrow read would re-list).
+    val overlapF = scala.concurrent.Future(overlap)(
+      scala.concurrent.ExecutionContext.global)
     dstateNext.coalesce(4).write.mode("overwrite")
       .parquet(s"$staging/_dstate")
+    val a = scala.concurrent.Await.result(
+      overlapF, scala.concurrent.duration.Duration.Inf)
     graft.util.SwapCommit.commit(
       new java.io.File(path), new java.io.File(staging), manifestFile)
+    a
   }
 
   /** Diff state: one row per record id (variants collapse), version =
@@ -270,24 +283,23 @@ final case class NodeTarget(
           .otherwise(col("__local_hidden")).as("hidden"))
     }
 
-    commitState(withParents, dstateNext)
-
     // record counts == distinct fanned-out identifiers (1 record →
     // 1 identifier across variants) — counts AND the bounded phase id
     // samples come from ONE aggregation over the diff (vs one counts
-    // job + three sample limit-jobs). Deliberately AFTER the state
-    // write: the write is the action that materializes the lazy
-    // localCheckpoint (overlapped with the write pipeline), so this
-    // aggregation re-scans in-memory checkpoint blocks instead of
-    // forcing its own standalone diff evaluation.
-    val stats = csp.changes.filter(col("__change").isNotNull)
-      .groupBy(col("__change"))
-      .agg(count(lit(1)).as("n"),
-        slice(collect_list(
-          concat(lit(idPrefix), col("__change_id"))), 1, 5).as("ids"))
-      .collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getSeq[String](2).toSeq))).toMap
+    // job + three sample limit-jobs). It runs AFTER the main state
+    // write (which materializes the lazy checkpoint, so this re-scans
+    // in-memory blocks) and CONCURRENTLY with the index write — both
+    // are independent reads of the materialized diff.
+    val stats = commitState(withParents, dstateNext) {
+      csp.changes.filter(col("__change").isNotNull)
+        .groupBy(col("__change"))
+        .agg(count(lit(1)).as("n"),
+          slice(collect_list(
+            concat(lit(idPrefix), col("__change_id"))), 1, 5).as("ids"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getSeq[String](2).toSeq))).toMap
+    }
     val (nAdd, aIds) = stats.getOrElse("add", (0L, Nil))
     val (nUpd, uIds) = stats.getOrElse("update", (0L, Nil))
     val (nRem, rIds) = stats.getOrElse("remove", (0L, Nil))
@@ -304,11 +316,10 @@ final case class NodeTarget(
     * node itself is not affected, and sibling paths sharing the root
     * as a string prefix (`/sites/oddball` under root `/sites/odd`)
     * don't match — the reference's `'/'` separator is part of the
-    * pattern, so it is part of ours. The keyed index evolves by the
-    * The keyed index cannot evaluate the path predicate (it is
-    * id-keyed, pathless), so it is REBUILT from the next node table —
-    * removeAll is the rare prune path; the per-sync hot path never
-    * re-aggregates. */
+    * pattern, so it is part of ours. The keyed index cannot evaluate
+    * the path predicate itself (it is id-keyed, pathless), so it
+    * evolves by the under-root id set the return count already
+    * computes. */
   override def removeAll(spark: SparkSession): Long = {
     // recover BEFORE the existence check: a swap that crashed between
     // deleting the live dir and renaming the staging in leaves no
@@ -338,7 +349,7 @@ final case class NodeTarget(
               when(col("__rm"), lit(true)).otherwise(col("hidden")))
             .drop("__rm"))
         else (all.filter(!under), oldD.join(idsUnder, Seq("id"), "left_anti"))
-      commitState(next, nextD)
+      commitState(next, nextD)(())
     }
     idsUnder.unpersist()
     all.unpersist()
