@@ -45,8 +45,25 @@ final case class ChangeSet(
     * pass over the join. Callers use the RETURNED ChangeSet and
     * release via [[unpersist]]. */
   def persisted(): ChangeSet = {
-    val snap = changes.localCheckpoint(eager = false)
     val srcCols = added.columns.toSeq // added selects exactly source's columns
+    // Unchanged rows (NULL `__change` — present only when the diff
+    // opted into `keepUnchanged`) are consumed downstream ONLY through
+    // their identity/state columns (`__change_id`, `__local_*`): blank
+    // their source-attribute payload before checkpointing so snapshot
+    // storage scales with the DELTA plus a narrow per-record row, not
+    // with the full corpus width (variable-length attribute bytes are
+    // the dominant cost; NULLed strings store as null bits). The
+    // add/update branches filter on `__change`, so they never see the
+    // blanked rows. No-op when keepUnchanged is off (`changes` is
+    // already filtered to non-NULL `__change`).
+    val srcSet = srcCols.toSet
+    val slim = changes.select(changes.schema.fields.toSeq.map { f =>
+      if (srcSet(f.name))
+        when(col("__change").isNotNull, col(f.name))
+          .otherwise(lit(null).cast(f.dataType)).as(f.name)
+      else col(f.name)
+    }: _*)
+    val snap = slim.localCheckpoint(eager = false)
     ChangeSet(
       added = snap.filter(col("__change") === "add")
         .select(srcCols.map(col): _*),
@@ -156,12 +173,24 @@ object Diff {
       .map(h => coalesce(col(h).cast("boolean"), lit(false)))
       .getOrElse(lit(false))
 
+    // Whether the strip actually fired for this row — a local id that
+    // does NOT start with the configured prefix passes through
+    // unstripped, and a sink rebuilding prefixed ids from the stripped
+    // value must NOT glue the prefix onto it (NodeTarget's keyed
+    // index). One boolean instead of duplicating the raw id string —
+    // raw = if stripped then prefix+__local_id else __local_id.
+    val strippedFlag = opts.localIdPrefix match {
+      case Some(p) => col("id").startsWith(p)
+      case None => lit(false)
+    }
+
     // Narrow local snapshot: (id, version, hidden) only — column
     // pruning to the scan, mirrors the reference's narrow SELECT.
     val localSnap = local.select(
       localId.as("__local_id"),
       col("version").cast("long").as("__local_version"),
-      hidden.as("__local_hidden"))
+      hidden.as("__local_hidden"),
+      strippedFlag.as("__local_stripped"))
 
     val joined = source.join(
       localSnap,

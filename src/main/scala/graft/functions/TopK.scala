@@ -43,3 +43,36 @@ object TopK {
     udaf(new TopK(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
       .apply(score, id)
 }
+
+/**
+ * Bounded "any k values" sample aggregator — `collect_list` with a
+ * HARD buffer cap. `slice(collect_list(x), 1, k)` materializes the
+ * FULL per-group list in one aggregation buffer before slicing —
+ * unbounded executor memory when a group holds millions of rows
+ * (NodeTarget's per-change-type id samples). HeadK's buffer never
+ * exceeds k elements at update OR merge, and it partial-aggregates
+ * map-side, so the exchange ships ≤k values per group per map task.
+ * Which k values survive is arbitrary (partitioning-dependent) —
+ * exactly the contract of a diagnostic sample, and no weaker than
+ * collect_list's own ordering guarantee.
+ */
+class HeadK(k: Int)
+    extends Aggregator[String, Seq[String], Seq[String]] {
+  override def zero: Seq[String] = Nil
+  override def reduce(b: Seq[String], a: String): Seq[String] =
+    if (b.size >= k || a == null) b else b :+ a
+  override def merge(x: Seq[String], y: Seq[String]): Seq[String] =
+    if (x.size >= k) x else x ++ y.take(k - x.size)
+  override def finish(b: Seq[String]): Seq[String] = b
+  override def bufferEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  override def outputEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+}
+
+object HeadK {
+  /** Column form: `head_k(x)` → array<string> of at most k of the
+    * group's non-null values. */
+  def headK(k: Int)(x: Column): Column =
+    udaf(new HeadK(k), Encoders.STRING).apply(x)
+}

@@ -322,8 +322,20 @@ object IncrementalSync {
           // by construction), NOT the stream's batchId: an EMPTY
           // staged batch writes no file, so later batchIds shift down
           // and would silently desync the stamps from the staging key.
-          val ord = b.select(batchCol.cast("long")).limit(1).collect()
-            .headOption.map(_.getLong(0))
+          // The "one value per micro-batch" invariant holds only while
+          // maxFilesPerTrigger matches the per-batch file count — so
+          // ASSERT it instead of sampling one row (which would
+          // silently mis-stamp a multi-batch trigger, and NPE on a
+          // NULL ordinal).
+          val ords = b.select(batchCol.cast("long").as("__o"))
+            .distinct().limit(2).collect()
+          require(ords.length <= 1,
+            "replayForeachBatch: micro-batch spans more than one " +
+              "staged batch — the maxFilesPerTrigger/per-batch-file " +
+              "invariant is violated; stamps would desync")
+          require(ords.headOption.forall(!_.isNullAt(0)),
+            "replayForeachBatch: staged batch ordinal is NULL")
+          val ord = ords.headOption.map(_.getLong(0))
           ord.foreach { o =>
             perBatch(b)
               .withColumn("__batch", lit(o))

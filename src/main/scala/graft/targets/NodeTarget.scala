@@ -149,6 +149,24 @@ final case class NodeTarget(
       scala.concurrent.ExecutionContext.global)
     dstateNext.coalesce(4).write.mode("overwrite")
       .parquet(s"$staging/_dstate")
+    // Degenerate (zero-row) index: a write of an empty frame can leave
+    // no schema-bearing data file (coalesce of an empty RDD has zero
+    // partitions), making the next `spark.read.parquet(_dstate)`
+    // throw. Detect driver-side and rewrite from an explicit
+    // 1-partition empty frame — the VectorIndex.stageCorpus
+    // convention. (Reachable: every record hard-removed while `auto:`
+    // containers keep the node table itself non-empty.)
+    val dDir = new java.io.File(s"$staging/_dstate")
+    val dHasData = Option(dDir.listFiles()).exists(_.exists(f =>
+      f.getName.startsWith("part-") && f.length() > 0))
+    if (!dHasData) {
+      graft.util.SwapCommit.deleteRec(dDir)
+      val spark = dstateNext.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.Row], 1),
+        dstateNext.schema).write.parquet(s"$staging/_dstate")
+    }
     val a = scala.concurrent.Await.result(
       overlapF, scala.concurrent.duration.Duration.Inf)
     graft.util.SwapCommit.commit(
@@ -273,8 +291,19 @@ final case class NodeTarget(
         col("__change").isin("add", "update") ||
           (col("__change") === "remove" && lit(softDelete)) ||
           (col("__change").isNull && col("__local_id").isNotNull)
+      // Index id must equal the NODE identifier. Adds/updates write
+      // concat(prefix, source id). Local-only rows (unchanged, soft
+      // remove) keep their ORIGINAL identifier: the diff's strip is
+      // conditional (`__local_stripped`), so re-gluing the prefix onto
+      // an id the strip never touched would diverge the index from the
+      // node table and surface as a phantom remove+add next sync.
+      val indexId = when(
+        col("__change").isin("add", "update") ||
+          coalesce(col("__local_stripped"), lit(false)),
+        concat(lit(idPrefix), col("__change_id")))
+        .otherwise(col("__change_id"))
       ch.filter(keepRow).select(
-        concat(lit(idPrefix), col("__change_id")).as("id"),
+        indexId.as("id"),
         when(col("__change").isin("add", "update"),
           col(Records.VersionCol).cast("long"))
           .otherwise(col("__local_version").cast("long")).as("version"),
@@ -290,12 +319,16 @@ final case class NodeTarget(
     // write (which materializes the lazy checkpoint, so this re-scans
     // in-memory blocks) and CONCURRENTLY with the index write — both
     // are independent reads of the materialized diff.
+    // samples via the BOUNDED HeadK aggregate — slice(collect_list)
+    // would buffer the full per-change-type id list (millions of ids
+    // in one aggregation buffer on a large sync) before slicing;
+    // HeadK's buffer is capped at 5 through update AND merge.
     val stats = commitState(withParents, dstateNext) {
       csp.changes.filter(col("__change").isNotNull)
         .groupBy(col("__change"))
         .agg(count(lit(1)).as("n"),
-          slice(collect_list(
-            concat(lit(idPrefix), col("__change_id"))), 1, 5).as("ids"))
+          graft.functions.HeadK.headK(5)(
+            concat(lit(idPrefix), col("__change_id"))).as("ids"))
         .collect()
         .map(r => r.getString(0) ->
           ((r.getLong(1), r.getSeq[String](2).toSeq))).toMap

@@ -267,4 +267,74 @@ class NodeTargetSpec extends SparkSpec {
     assert(n === 1L, "removeAll must see the recovered state")
     assert(!manifest.exists() && new java.io.File(live).isDirectory)
   }
+
+  test("pre-existing UNPREFIXED local ids never get the prefix glued " +
+      "on in the keyed index — index id == node identifier for " +
+      "unchanged and soft-removed rows (r14 ADVICE)") {
+    val dir = tmpDir("node-unpref")
+    // a state dir written by some earlier, prefix-less pipeline: the
+    // diff's strip is conditional, so this id passes through raw
+    Seq(("legacy", "", "/sites/legacy", false, 1L, "LEG"))
+      .toDF("identifier", "variant", "path", "hidden", "version", "name")
+      .write.parquet(s"$dir/nodes")
+    // sync 1: source still carries "legacy" (same version → unchanged)
+    // plus a new record
+    val r1 = new ImportService(preset(dir,
+      Seq(("legacy", 1L, "Leg"), ("a", 1L, "Ada")), softDelete = true))
+      .importData(spark)
+    assert(r1.added === 1 && r1.updated === 0 && r1.removed === 0)
+    val idx1 = spark.read.parquet(s"$dir/nodes/_dstate")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(idx1 === Set(("legacy", 1L, false), ("node-a", 1L, false)))
+    // sync 2: legacy gone from the source → soft-hidden under its
+    // ORIGINAL identifier
+    val r2 = new ImportService(preset(dir,
+      Seq(("a", 1L, "Ada")), softDelete = true)).importData(spark)
+    assert(r2.removed === 1)
+    val idx2 = spark.read.parquet(s"$dir/nodes/_dstate")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(idx2 === Set(("legacy", 1L, true), ("node-a", 1L, false)))
+    // the pinned invariant: index == aggregation over the node table
+    val agg = spark.read.parquet(s"$dir/nodes")
+      .filter(!$"identifier".startsWith("auto:"))
+      .groupBy($"identifier").agg(
+        max($"version").as("v"),
+        min($"hidden".cast("int")).cast("boolean").as("h"))
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(agg === idx2)
+    // and a third identical sync is a no-op — no phantom remove+add
+    val r3 = new ImportService(preset(dir,
+      Seq(("a", 1L, "Ada")), softDelete = true)).importData(spark)
+    assert((r3.added, r3.updated, r3.removed) === ((0L, 0L, 0L)))
+  }
+
+  test("a sync that empties the record set (auto: containers survive) " +
+      "leaves a READABLE schema-bearing _dstate (r14 ADVICE)") {
+    val dir = tmpDir("node-empty-idx")
+    def p(data: Seq[(String, Long, String)]) = {
+      val target = NodeTarget(s"$dir/nodes", idPrefix = "node-",
+        parentPathResolver =
+          Some(df => concat(lit("/sites/"), col("cat"))))
+      Preset(
+        InlineSource(s => { import s.implicits._
+          data.toDF("id", "version", "cat") }),
+        target, Mapper(Seq("cat" -> "cat")),
+        idAttribute = "id", versionAttribute = Some("version"),
+        diffOptions = target.diffOptions)
+    }
+    new ImportService(p(Seq(("a", 1L, "news")))).importData(spark)
+    // hard-remove everything; the auto: container keeps the table
+    // non-empty, so the state dir is NOT dropped wholesale — the
+    // degenerate empty-index write path runs
+    val r2 = new ImportService(p(Seq.empty)).importData(spark)
+    assert(r2.removed === 1)
+    assert(spark.read.parquet(s"$dir/nodes").count() === 1) // container
+    val idx = spark.read.parquet(s"$dir/nodes/_dstate") // must not throw
+    assert(idx.count() === 0)
+    assert(idx.columns.toSet === Set("id", "version", "hidden"))
+    // the next sync reads through the empty index and re-adds
+    val r3 = new ImportService(p(Seq(("b", 1L, "news")))).importData(spark)
+    assert(r3.added === 1)
+    assert(spark.read.parquet(s"$dir/nodes/_dstate").count() === 1)
+  }
 }
