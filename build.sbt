@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures the trailing ~2000 chars of
+// `sbt "runMain graft.Bench"` stdout and parses the LAST line as
+// JSON. Two sbt behaviors broke that for three rounds: forked run
+// output is re-logged with an `[info] ` prefix, and sbt appends its
+// own `[success] Total time…` line after the program's final JSON.
+// Pass forked output through raw and suppress the success line so
+// the bare compact JSON is the final stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task — the
+// unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

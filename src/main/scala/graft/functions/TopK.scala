@@ -4,6 +4,18 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
+/** Sequence encoders via the PUBLIC `SQLImplicits.newSequenceEncoder`
+  * surface (not the internal `catalyst.encoders.ExpressionEncoder`,
+  * which can shift across Spark minors). Resolved driver-side at
+  * `udaf(...)` registration time, where an active session always
+  * exists — never called on executors. */
+private object SeqEnc {
+  import scala.reflect.runtime.universe.TypeTag
+  def of[T <: Seq[_] : TypeTag]: Encoder[T] =
+    org.apache.spark.sql.SparkSession.active.implicits
+      .newSequenceEncoder[T]
+}
+
 /**
  * Typed top-k aggregator — the custom-aggregate tier (SURVEY §7.3:
  * "Top-k similarity → custom Aggregator"). Keeps a bounded buffer of
@@ -31,9 +43,9 @@ class TopK(k: Int)
   override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(b)
 
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    SeqEnc.of[Seq[(Double, Long)]]
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    SeqEnc.of[Seq[(Double, Long)]]
 }
 
 object TopK {
@@ -65,9 +77,9 @@ class HeadK(k: Int)
     if (x.size >= k) x else x ++ y.take(k - x.size)
   override def finish(b: Seq[String]): Seq[String] = b
   override def bufferEncoder: Encoder[Seq[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    SeqEnc.of[Seq[String]]
   override def outputEncoder: Encoder[Seq[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    SeqEnc.of[Seq[String]]
 }
 
 object HeadK {

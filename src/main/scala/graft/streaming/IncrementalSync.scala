@@ -326,16 +326,23 @@ object IncrementalSync {
           // maxFilesPerTrigger matches the per-batch file count — so
           // ASSERT it instead of sampling one row (which would
           // silently mis-stamp a multi-batch trigger, and NPE on a
-          // NULL ordinal).
-          val ords = b.select(batchCol.cast("long").as("__o"))
-            .distinct().limit(2).collect()
-          require(ords.length <= 1,
+          // NULL ordinal). Single-valuedness via ONE min/max
+          // aggregation pass — no distinct shuffle, one Spark job
+          // (r15 ADVICE); nulls counted explicitly since min/max
+          // skip them. Fail-fast on a multi-batch trigger is
+          // deliberate: silent mis-stamping corrupts the replay.
+          val s = b.agg(
+            min(batchCol.cast("long")).as("mn"),
+            max(batchCol.cast("long")).as("mx"),
+            count(lit(1)).as("n"),
+            count(when(batchCol.isNull, lit(1))).as("nNull")).head()
+          require(s.getLong(3) == 0L,
+            "replayForeachBatch: staged batch ordinal is NULL")
+          require(s.getLong(2) == 0L || s.getLong(0) == s.getLong(1),
             "replayForeachBatch: micro-batch spans more than one " +
               "staged batch — the maxFilesPerTrigger/per-batch-file " +
               "invariant is violated; stamps would desync")
-          require(ords.headOption.forall(!_.isNullAt(0)),
-            "replayForeachBatch: staged batch ordinal is NULL")
-          val ord = ords.headOption.map(_.getLong(0))
+          val ord = if (s.getLong(2) == 0L) None else Some(s.getLong(0))
           ord.foreach { o =>
             perBatch(b)
               .withColumn("__batch", lit(o))

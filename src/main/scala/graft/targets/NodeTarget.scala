@@ -52,6 +52,15 @@ import org.apache.spark.sql.types._
  * count, not variant fan-out, and skips the aggregation exchange).
  * The full-table aggregation remains as the fallback for state dirs
  * that predate the index and as the rebuild after [[removeAll]].
+ *
+ * STORAGE ASSUMPTION: the state path is a LOCAL filesystem — the
+ * swap commit ([[graft.util.SwapCommit]]), the existence probes and
+ * the degenerate-index detection all walk `java.io.File` directly,
+ * matching this repo's sandbox convention. Deploying the node state
+ * on HDFS/S3 requires routing those walks through the Hadoop
+ * `FileSystem` API and replacing the rename-based swap with an
+ * object-store-safe commit (e.g. a manifest-pointer flip) — rename
+ * is neither atomic nor cheap on object stores.
  */
 final case class NodeTarget(
     path: String,
@@ -221,8 +230,25 @@ final case class NodeTarget(
     val csp = cs.persisted() // single evaluation of the diff join
     val addedN = toNodes(csp.added).cache()
     val updatedN = toNodes(csp.updated).cache()
-    val removedP = csp.removedIds
-      .select(concat(lit(idPrefix), col("id")).as("identifier")).cache()
+
+    // Identifier of the EXISTING node row a change addresses. The
+    // diff's prefix strip is conditional (`__local_stripped`): a
+    // pre-existing local id that never carried the prefix passes
+    // through raw, and its node row keeps that raw identifier — so
+    // update-replacement and remove marks must re-glue the prefix
+    // ONLY when the strip actually fired. (The unconditional
+    // concat(idPrefix, …) this replaces left legacy rows visible
+    // forever on soft delete, undeleted on hard delete, and
+    // duplicated on update — NodeTargetSpec "pre-existing UNPREFIXED
+    // local ids".) Matches the reference: the strip is
+    // comparison-only; nodes keep their real identifiers through
+    // update/remove (ContentRepositoryTarget.php:99,195-256).
+    val oldIdOfChange = when(
+      coalesce(col("__local_stripped"), lit(false)),
+      concat(lit(idPrefix), col("__change_id")))
+      .otherwise(col("__change_id"))
+    val removedP = csp.changes.filter(col("__change") === "remove")
+      .select(oldIdOfChange.as("identifier")).cache()
 
     val old = nodes(spark)
     val oldAligned = addedN.schema.fields.foldLeft(old) { (acc, f) =>
@@ -234,10 +260,13 @@ final case class NodeTarget(
     // (the diff branches are disjoint, so each old id carries at most
     // one mark): updates replace every variant of the id and un-hide
     // (W6, `:195-206`); soft delete flags instead of dropping (W7,
-    // `:245-256`). The marks come from the RECORD-level diff branches
-    // — already one row per id, no per-variant distinct needed.
-    val marks = csp.updated
-      .select(concat(lit(idPrefix), col(Records.IdCol)).as("identifier"))
+    // `:245-256`). The marks come from the RECORD-level diff rows
+    // — already one row per id, no per-variant distinct needed — and
+    // key on the OLD row's identifier ([[oldIdOfChange]]): an update
+    // of a legacy unprefixed id must replace its `legacy` rows, not
+    // strand them next to the new `node-legacy` rows.
+    val marks = csp.changes.filter(col("__change") === "update")
+      .select(oldIdOfChange.as("identifier"))
       .withColumn("__m", lit("u"))
       .unionByName(removedP.withColumn("__m", lit("r")))
     val merged = oldAligned.join(marks, Seq("identifier"), "left_outer")
@@ -327,8 +356,13 @@ final case class NodeTarget(
       csp.changes.filter(col("__change").isNotNull)
         .groupBy(col("__change"))
         .agg(count(lit(1)).as("n"),
+          // sampled ids are NODE identifiers: adds/updates write
+          // concat(prefix, source id); removes address the old row,
+          // whose identifier is the conditional [[oldIdOfChange]]
           graft.functions.HeadK.headK(5)(
-            concat(lit(idPrefix), col("__change_id"))).as("ids"))
+            when(col("__change") === "remove", oldIdOfChange)
+              .otherwise(concat(lit(idPrefix), col("__change_id"))))
+            .as("ids"))
         .collect()
         .map(r => r.getString(0) ->
           ((r.getLong(1), r.getSeq[String](2).toSeq))).toMap

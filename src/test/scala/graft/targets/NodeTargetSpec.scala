@@ -308,6 +308,58 @@ class NodeTargetSpec extends SparkSpec {
     assert((r3.added, r3.updated, r3.removed) === ((0L, 0L, 0L)))
   }
 
+  test("a legacy UNPREFIXED id that is UPDATED replaces its old rows " +
+      "— no stranded duplicates — and the index tracks the new " +
+      "prefixed identifier (r15 verdict, update twin)") {
+    val dir = tmpDir("node-unpref-upd")
+    Seq(("legacy", "", "/sites/legacy", false, 1L, "LEG"))
+      .toDF("identifier", "variant", "path", "hidden", "version", "name")
+      .write.parquet(s"$dir/nodes")
+    val r = new ImportService(preset(dir, Seq(("legacy", 5L, "Leg2"))))
+      .importData(spark)
+    assert(r.updated === 1)
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    val ids = nodes.select("identifier").as[String].collect()
+    assert(ids.toSet === Set("node-legacy"),
+      "the old unprefixed rows must be replaced, not stranded")
+    assert(ids.length === 2) // de + en variants, nothing else
+    assert(nodes.select("version").distinct().as[Long].head() === 5L)
+    val idx = spark.read.parquet(s"$dir/nodes/_dstate")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(idx === Set(("node-legacy", 5L, false)))
+    // pinned invariant: index == aggregation(node table)
+    val agg = nodes.filter(!$"identifier".startsWith("auto:"))
+      .groupBy($"identifier").agg(
+        max($"version").as("v"),
+        min($"hidden".cast("int")).cast("boolean").as("h"))
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(agg === idx)
+    // and the next identical sync is a clean no-op
+    val r2 = new ImportService(preset(dir, Seq(("legacy", 5L, "Leg2"))))
+      .importData(spark)
+    assert((r2.added, r2.updated, r2.removed) === ((0L, 0L, 0L)))
+  }
+
+  test("a legacy UNPREFIXED id hard-removed actually drops its rows " +
+      "(r15 verdict, hard-delete twin)") {
+    val dir = tmpDir("node-unpref-rm")
+    Seq(
+      ("legacy", "", "/sites/legacy", false, 1L, "LEG"),
+      ("node-a", "de", "/sites/a", false, 1L, "ADA"),
+      ("node-a", "en", "/sites/a", false, 1L, "ADA"))
+      .toDF("identifier", "variant", "path", "hidden", "version", "name")
+      .write.parquet(s"$dir/nodes")
+    val r = new ImportService(preset(dir, Seq(("a", 1L, "Ada"))))
+      .importData(spark)
+    assert(r.removed === 1)
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    assert(nodes.select("identifier").as[String].collect().toSet
+      === Set("node-a"), "the legacy row must actually be deleted")
+    val idx = spark.read.parquet(s"$dir/nodes/_dstate")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(idx === Set(("node-a", 1L, false)))
+  }
+
   test("a sync that empties the record set (auto: containers survive) " +
       "leaves a READABLE schema-bearing _dstate (r14 ADVICE)") {
     val dir = tmpDir("node-empty-idx")
