@@ -309,45 +309,17 @@ object AudioHash {
   // only when deltas are fingerprint-local — the general path is a
   // full bucket-parallel rewrite, still one scan + one write.)
 
-  private def clipManifest(root: String) =
-    new java.io.File(root + ".swap-manifest")
-
-  private def stageAndSwapClipIndex(
-      root: String, rows: DataFrame, buckets: Int): Unit = {
-    val staging = root + ".staging"
-    graft.util.SwapCommit.deleteRec(new java.io.File(staging))
-    val bucketed = rows.withColumn("bucket", pmod(col("fp"), lit(buckets)))
-    bucketed.repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(staging)
-    // Degenerate (zero-window) corpus: a partitionBy write of an
-    // empty frame leaves no data file to infer a schema from — the
-    // VectorIndex.stageCorpus convention: detect driver-side after
-    // the single write, then rewrite flat from an explicit empty
-    // frame (bucket becomes a data column; the probe join handles
-    // that identically, it just loses pruning).
-    val dir = new java.io.File(staging)
-    val hasData = Option(dir.listFiles()).exists(_.exists(f =>
-      f.isDirectory || f.getName.startsWith("part-")))
-    if (!hasData) {
-      graft.util.SwapCommit.deleteRec(dir)
-      val spark = rows.sparkSession
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          Seq.empty[org.apache.spark.sql.Row], 1),
-        bucketed.schema).write.parquet(staging)
-    }
-    graft.util.SwapCommit.commit(new java.io.File(root),
-      new java.io.File(staging), clipManifest(root))
-  }
-
   /** Build (or rebuild) the persisted window-fingerprint index from a
     * media corpus. One fingerprint scan — bytes never shuffle; only
-    * the ~28-byte window rows move into the bucket partitions. */
+    * the ~28-byte window rows move into the bucket partitions.
+    * Staging/swap/degenerate-write mechanics live in
+    * [[graft.util.BucketedSwapIndex]] (shared with the video tier). */
   def buildClipIndex(
       spark: org.apache.spark.sql.SparkSession, media: DataFrame,
       root: String, winLen: Int = 32, buckets: Int = 16): Unit = {
-    graft.util.SwapCommit.recover(new java.io.File(root), clipManifest(root))
-    stageAndSwapClipIndex(root, wavWindowFps(media, winLen).toDF(), buckets)
+    graft.util.BucketedSwapIndex.recover(root)
+    graft.util.BucketedSwapIndex.stageAndSwap(
+      root, wavWindowFps(media, winLen).toDF(), col("fp"), buckets)
   }
 
   /** ChangeSet-driven refresh: `changedMedia` (added ∪ updated, with
@@ -357,7 +329,7 @@ object AudioHash {
       spark: org.apache.spark.sql.SparkSession, root: String,
       changedMedia: DataFrame, droppedIds: DataFrame,
       winLen: Int = 32, buckets: Int = 16): Unit = {
-    graft.util.SwapCommit.recover(new java.io.File(root), clipManifest(root))
+    graft.util.BucketedSwapIndex.recover(root)
     val prev = spark.read.parquet(root).select(
       col("media_id"), col("sample_rate"), col("channels"),
       col("off"), col("fp"), col("ck"))
@@ -366,8 +338,9 @@ object AudioHash {
       "left_anti")
     // safe to plan lazily over the previous state: the staging write
     // fully materializes BEFORE the swap deletes the live dir
-    stageAndSwapClipIndex(root,
-      kept.unionByName(wavWindowFps(changedMedia, winLen).toDF()), buckets)
+    graft.util.BucketedSwapIndex.stageAndSwap(root,
+      kept.unionByName(wavWindowFps(changedMedia, winLen).toDF()),
+      col("fp"), buckets)
   }
 
   /** Probe the persisted index with real extracted clips: each clip's
@@ -379,7 +352,7 @@ object AudioHash {
   def searchClipIndex(
       spark: org.apache.spark.sql.SparkSession, root: String,
       clips: DataFrame, winLen: Int = 32, buckets: Int = 16): DataFrame = {
-    graft.util.SwapCommit.recover(new java.io.File(root), clipManifest(root))
+    graft.util.BucketedSwapIndex.recover(root)
     val cw = wavWindowFps(clips, winLen).toDF()
       .select(col("media_id").as("clip_id"), col("sample_rate"),
         col("channels"), col("fp"), col("ck"))

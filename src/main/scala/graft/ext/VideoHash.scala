@@ -201,6 +201,76 @@ object VideoHash {
       .select(col("clip_id"), col("src_id"), col("src_offset"))
   }
 
+  // ── Persisted clip-search index ──────────────────────────────────
+  // The video twin of [[AudioHash.buildClipIndex]]: the 2-frame
+  // window-key table is the corpus-scale artifact (rows ∝ total
+  // frames), so it must refresh from ChangeSet deltas, not rebuild
+  // per query. Layout under `root`: parquet rows (media_id, width,
+  // height, off, hi0, lo0, hi1, lo1) PARTITIONED BY
+  // `bucket = hi0 mod nBuckets`; probes carry the same bucket column
+  // so dynamic partition pruning narrows the index scan to the
+  // probed buckets. Commit discipline + degenerate-write handling:
+  // [[graft.util.BucketedSwapIndex]] (shared with the audio tier).
+
+  private def windowKeyRows(media: DataFrame): DataFrame =
+    frameWindowKeys(y4mFrameDHash(media).toDF())
+
+  /** Build (or rebuild) the persisted window-key index from a media
+    * corpus. One hashing scan — bytes never shuffle; only the narrow
+    * key rows move into the bucket partitions. */
+  def buildClipIndex(
+      spark: org.apache.spark.sql.SparkSession, media: DataFrame,
+      root: String, buckets: Int = 16): Unit = {
+    graft.util.BucketedSwapIndex.recover(root)
+    graft.util.BucketedSwapIndex.stageAndSwap(
+      root, windowKeyRows(media), col("hi0"), buckets)
+  }
+
+  /** ChangeSet-driven refresh: `changedMedia` (added ∪ updated, with
+    * media_id + content) re-hash; `droppedIds` (removed ∪ updated,
+    * one `id` column) drop. Refresh ≡ full rebuild bit-exact — the
+    * q_video_clip_incremental oracle certifies it. */
+  def refreshClipIndex(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      changedMedia: DataFrame, droppedIds: DataFrame,
+      buckets: Int = 16): Unit = {
+    graft.util.BucketedSwapIndex.recover(root)
+    val prev = spark.read.parquet(root).select(
+      col("media_id"), col("width"), col("height"), col("off"),
+      col("hi0"), col("lo0"), col("hi1"), col("lo1"))
+    val kept = prev.join(
+      droppedIds.select(col("id").as("media_id")), Seq("media_id"),
+      "left_anti")
+    // safe to plan lazily over the previous state: the staging write
+    // fully materializes BEFORE the swap deletes the live dir
+    graft.util.BucketedSwapIndex.stageAndSwap(root,
+      kept.unionByName(windowKeyRows(changedMedia)), col("hi0"), buckets)
+  }
+
+  /** Probe the persisted index with real extracted clips: each
+    * clip's single 2-frame window key exact-joined against the
+    * bucket-partitioned corpus index — the [[clipMatches]] semantics
+    * served from disk, no corpus re-hashing in the plan.
+    *
+    * @return (clip_id, src_id, src_offset) */
+  def searchClipIndex(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      clips: DataFrame, buckets: Int = 16): DataFrame = {
+    graft.util.BucketedSwapIndex.recover(root)
+    val cw = windowKeyRows(clips)
+      .select(col("media_id").as("clip_id"), col("width"), col("height"),
+        col("hi0"), col("lo0"), col("hi1"), col("lo1"))
+      .withColumn("bucket", pmod(col("hi0"), lit(buckets)))
+    val ww = spark.read.parquet(root)
+    // broadcast the clip side: the bucket key joins against the
+    // PARTITION column, so dynamic partition pruning narrows the
+    // index scan to the probed buckets
+    ww.join(broadcast(cw),
+        Seq("bucket", "width", "height", "hi0", "lo0", "hi1", "lo1"))
+      .select(col("clip_id"), col("media_id").as("src_id"),
+        col("off").cast("long").as("src_offset"))
+  }
+
   /**
    * Incremental near-dup pairing: an arriving BATCH of videos
    * banded-joined (frame-0 hash) against the accumulated CORPUS,

@@ -1266,6 +1266,60 @@ private[graft] object ExtRegistry {
       VideoHash.clipMatches(clips, media)
     }),
 
+    // ── PERSISTED incremental clip-search index, VIDEO tier — the
+    // q_audio_clip_incremental scenario over 2-frame window keys:
+    // build from a v0 corpus (%7!=0 files, %3==0 carrying STALE
+    // video — first luma byte vandalized), then TWO ChangeSet-driven
+    // syncs (sync1 adds %7==0 + updates the stale %3==0 to true
+    // content via version bump; sync2 removes the %5==4 slice), then
+    // probe with REAL extracted 2-frame clips re-encoded through the
+    // Y4M container path. The oracle replays the search over the
+    // final corpus from the luma formula, so any refresh drift
+    // (stale windows surviving, dropped rows missing, duplicated
+    // ids) hash-mismatches: refresh ≡ full rebuild, bit-exact.
+    // Index: bucket-partitioned by hi0 (mod 16) behind the
+    // manifest-logged swap; probes prune to their buckets. ──
+    "q_video_clip_incremental" -> ((s, dir) => {
+      val media = Multimodal.synthesizeY4m(
+        s.read.parquet(t(dir, "documents")), "doc_id")
+      val idL = col("media_id").cast("long")
+      val root = tempStateDir() + "/vclipidx"
+      val stale = VideoHash.vandalizeFirstLuma(
+        media.filter(idL % 7 =!= 0 && idL % 3 === 0), "")
+      val initial = media.filter(idL % 7 =!= 0 && idL % 3 =!= 0)
+        .unionByName(stale)
+      VideoHash.buildClipIndex(s, initial, root)
+      def keyed(src: DataFrame) =
+        Records.keyRecords(src, "id", Some("version"))
+      // sync 1: every id, true content, stale files version-bumped
+      val src1 = media.select(col("media_id").as("id"),
+        when(idL % 3 === 0, 2L).otherwise(1L).as("version"),
+        col("content"))
+      val st1 = initial.select(col("media_id").as("id"),
+        lit(1L).as("version"))
+      val cs1 = Diff.computeDataChanges(keyed(src1), st1)
+      VideoHash.refreshClipIndex(s, root,
+        cs1.added.unionByName(cs1.updated)
+          .select(col("id").as("media_id"), col("content")),
+        cs1.removedIds.unionByName(cs1.updated.select(col("id"))))
+      // sync 2: the %5==4 slice leaves the corpus
+      val src2 = media.filter(idL % 5 =!= 4)
+        .select(col("media_id").as("id"),
+          when(idL % 3 === 0, 2L).otherwise(1L).as("version"),
+          col("content"))
+      val st2 = media.select(col("media_id").as("id"),
+        when(idL % 3 === 0, 2L).otherwise(1L).as("version"))
+      val cs2 = Diff.computeDataChanges(keyed(src2), st2)
+      VideoHash.refreshClipIndex(s, root,
+        cs2.added.unionByName(cs2.updated)
+          .select(col("id").as("media_id"), col("content")),
+        cs2.removedIds.unionByName(cs2.updated.select(col("id"))))
+      val clips = VideoHash.extractClips(
+        media.filter(idL % 4 === 1 && idL % 5 =!= 0 && idL % 5 =!= 4),
+        2, "c")
+      VideoHash.searchClipIndex(s, root, clips)
+    }),
+
     // incremental perceptual ingest, VIDEO tier: the vandalized
     // re-uploads of every 10th video banded-joined (frame-0 hash)
     // against the full corpus, aligned-frame max verification —
@@ -3956,6 +4010,12 @@ private[graft] object ExtRegistry {
     // 2-frame window keys from the per-frame replay; clip of d =
     // source window at d mod (nf-1)
     "q_video_clip_match" -> videoClipMatchSql,
+    // final two-sync corpus = %5 != 4, all-true content; clips from
+    // the %4==1, nf>=2 files still in the corpus — a pass proves the
+    // refreshed persisted video index equals the full rebuild
+    "q_video_clip_incremental" -> videoClipSearchSql(
+      corpusPred = "a.d % 5 <> 4",
+      clipPred = "c.d % 4 = 1 AND c.d % 5 <> 0 AND c.d % 5 <> 4"),
 
     // video cluster row: same per-pixel pair replay + the recursive
     // reachability closure + component min (the q_image_dhash_clusters

@@ -817,11 +817,25 @@ private[graft] object Shared {
     * per-frame replay; a clip of video d is the source window at
     * offset d mod (nf−1); base files only. */
   lazy val videoClipMatchSql: String =
+    videoClipSearchSql(corpusPred = "TRUE",
+      clipPred = "c.d % 5 <> 0 AND c.d % 4 = 1")
+
+  /** Parameterized video clip-in-corpus replay: `corpusPred`
+    * restricts the indexed window set (over `a.d`), `clipPred` the
+    * probing clips (over `c.d`); clip sources must satisfy the
+    * corpus predicate so the extraction-offset window exists on the
+    * w side, and need `d % 5 <> 0` (nf = 1 + d%5 ≥ 2 frames). Shared
+    * by the per-query rebuild row (q_video_clip_match, full corpus)
+    * and the persisted-index row (q_video_clip_incremental, the
+    * two-sync final corpus — whose pass certifies refresh ≡ rebuild
+    * bit-exact). */
+  def videoClipSearchSql(corpusPred: String, clipPred: String): String =
     s"""WITH $videoDhashBaseCtes,
       |wkeys AS MATERIALIZED (
-      |  SELECT a.id, a.d, a.twin, a.w, a.h, a.f AS off,
+      |  SELECT a.id, a.d, a.w, a.h, a.f AS off,
       |         a.hi AS hi0, a.lo AS lo0, b.hi AS hi1, b.lo AS lo1
-      |  FROM fr a JOIN fr b ON b.id = a.id AND b.f = a.f + 1)
+      |  FROM fr a JOIN fr b ON b.id = a.id AND b.f = a.f + 1
+      |  WHERE NOT a.twin AND ($corpusPred))
       |SELECT CAST(c.d AS VARCHAR) || 'c' AS clip_id,
       |       CAST(w.d AS VARCHAR) AS src_id,
       |       CAST(w.off AS BIGINT) AS src_offset
@@ -829,9 +843,7 @@ private[graft] object Shared {
       |  ON c.w = w.w AND c.h = w.h
       |     AND c.hi0 = w.hi0 AND c.lo0 = w.lo0
       |     AND c.hi1 = w.hi1 AND c.lo1 = w.lo1
-      |WHERE NOT c.twin AND NOT w.twin
-      |  AND c.d % 5 <> 0 AND c.d % 4 = 1
-      |  AND c.off = c.d % (c.d % 5)""".stripMargin
+      |WHERE $clipPred AND c.off = c.d % (c.d % 5)""".stripMargin
 
   /** Clip-in-corpus block-search oracle: the sliding-window
     * sub-fingerprint keys (32-bit envelope fp over 33 boxes of the

@@ -1,0 +1,58 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Bucket-partitioned persisted index behind the manifest-logged
+ * whole-dir swap — the common layout of the clip-search indexes
+ * ([[graft.ext.AudioHash]], [[graft.ext.VideoHash]]): narrow key rows
+ * written `PARTITIONED BY (bucket = pmod(key, nBuckets))`, so an
+ * exact-key probe that carries the same bucket column joins against
+ * the PARTITION column and dynamic partition pruning narrows the
+ * scan to the probed buckets. Commit discipline is [[SwapCommit]]:
+ * stage the full next state, swap atomically, crash-recover
+ * idempotently. Local-FS only, like every swap sink in this repo.
+ */
+object BucketedSwapIndex {
+
+  def manifest(root: String): java.io.File =
+    new java.io.File(root + ".swap-manifest")
+
+  /** Complete any crashed swap before reading or re-staging. */
+  def recover(root: String): Unit =
+    SwapCommit.recover(new java.io.File(root), manifest(root))
+
+  /**
+   * Stage `rows` + `bucket = pmod(bucketOf, buckets)` partitioned by
+   * bucket, then swap into `root`.
+   *
+   * Degenerate (zero-row) input: a partitionBy write of an empty
+   * frame leaves no data file to infer a schema from — detect
+   * driver-side after the single write, then rewrite flat from an
+   * explicit 1-partition empty frame (bucket becomes a data column;
+   * a probe join handles that identically, it just loses pruning).
+   */
+  def stageAndSwap(
+      root: String, rows: DataFrame, bucketOf: Column,
+      buckets: Int): Unit = {
+    val staging = root + ".staging"
+    SwapCommit.deleteRec(new java.io.File(staging))
+    val bucketed = rows.withColumn("bucket", pmod(bucketOf, lit(buckets)))
+    bucketed.repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(staging)
+    val dir = new java.io.File(staging)
+    val hasData = Option(dir.listFiles()).exists(_.exists(f =>
+      f.isDirectory || f.getName.startsWith("part-")))
+    if (!hasData) {
+      SwapCommit.deleteRec(dir)
+      val spark = rows.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.Row], 1),
+        bucketed.schema).write.parquet(staging)
+    }
+    SwapCommit.commit(new java.io.File(root),
+      new java.io.File(staging), manifest(root))
+  }
+}
