@@ -916,6 +916,36 @@ object Similarity {
     } finally cands.unpersist()
   }
 
+  /** Corpus-sized cell count — the 100 TB sizing rule for every
+    * cell-join operator here: hold EXPECTED CELL OCCUPANCY constant
+    * (`n / nCells ≈ targetPerCell`) so the within-cell self-join's
+    * candidate volume stays O(n · targetPerCell · nProbe²/nCells…) —
+    * linear in n — instead of O(n²/nCells) under a pinned cell count
+    * (measured: q_semdedup at 30× key-growth data read 5.2× the wall
+    * of 10× under pinned nCells=16; see BASELINE.md r16). More cells
+    * trade recall (a τ-similar pair can land in disjoint probe sets)
+    * — the SemDeDup production posture, which dedups within clusters
+    * by design; [[cellStats]] is the pre-flight that shows when to
+    * re-size. */
+  def sizedCells(n: Long, targetPerCell: Int = 128, floor: Int = 16): Int =
+    math.max(floor.toLong, (n + targetPerCell - 1) / targetPerCell)
+      .min(Int.MaxValue.toLong).toInt
+
+  /** [[semDedup]] with the cell count sized from the corpus — ONE
+    * count of the id column (cheap columnar scan) buys a linear
+    * candidate join at any scale. The production entry point; the
+    * pinned-nCells form below is the oracle-certification shape
+    * (its exhaustive-recall oracle needs the generous probe
+    * coverage a small fixed cell count provides). */
+  def semDedupAuto(
+      corpus: DataFrame, threshold: Double, targetPerCell: Int = 128,
+      nProbe: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = graft.util.Tables.spread(corpus).select(col(idCol)).count()
+    semDedup(corpus, threshold, sizedCells(n, targetPerCell), nProbe,
+      idCol, vecCol)
+  }
+
   def semDedup(
       corpus: DataFrame, threshold: Double, nCells: Int = 16,
       nProbe: Int = 6, idCol: String = "vec_id",

@@ -657,6 +657,45 @@ private[graft] object AnalyticsRegistry {
       }
     }),
 
+    // ── S3 standalone: the PARTITIONED JDBC scan itself, not just
+    // via the e2e sync rows — a deterministic orders slice (k%4=2)
+    // staged into Derby, read back through JdbcSource with
+    // partitionColumn/numPartitions=8 (real MIN/MAX bounds queried
+    // driver-side, so every stride is busy — JdbcSourceSpec pins the
+    // no-empty-shards property; THIS row certifies the scanned
+    // VALUES against the parquet oracle, full rows, no aggregation
+    // hiding a short read). ──
+    "q_source_jdbc" -> ((s, dir) => {
+      val db = "srcq_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try conn.createStatement().execute(
+        // unquoted DDL ⇒ canonical UPPERCASE names (the
+        // q_sync_apply_jdbc convention)
+        "CREATE TABLE src_orders (okey BIGINT PRIMARY KEY, " +
+          "ckey BIGINT, total_cents BIGINT, status VARCHAR(8))")
+      finally conn.close()
+      graft.util.Tables.spread(s.read.parquet(t(dir, "orders")))
+        .filter(col("o_orderkey") % 4 === 2)
+        .select(col("o_orderkey").as("OKEY"),
+          col("o_custkey").as("CKEY"),
+          floor(col("o_totalprice") * 100).cast("long").as("TOTAL_CENTS"),
+          col("o_orderstatus").as("STATUS"))
+        .coalesce(8)
+        .write.mode("append").format("jdbc")
+        .option("url", url).option("dbtable", "src_orders").save()
+      try {
+        graft.sources.JdbcSource(url, "src_orders",
+            partitionColumn = Some("OKEY"), numPartitions = 8)
+          .load(s)
+          .select(col("OKEY").cast("long").as("o_orderkey"),
+            col("CKEY").cast("long").as("o_custkey"),
+            col("TOTAL_CENTS").cast("long").as("total_cents"),
+            col("STATUS").as("o_orderstatus"))
+          .localCheckpoint() // materialize, then the db can drop
+      } finally dropDerby(db)
+    }),
+
     // ── S1 corrupt-record channel: stage JSONL where every id ≡ 3
     // (mod 10) line is truncated mid-object, read back PERMISSIVE
     // with a corrupt-record column — bad lines land in the channel
@@ -1114,6 +1153,14 @@ private[graft] object AnalyticsRegistry {
         |       min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events WHERE event_id % 5 = 2
         |GROUP BY event_type""".stripMargin,
+
+    // the Derby round trip of the k%4=2 orders slice must agree with
+    // the parquet table row-for-row
+    "q_source_jdbc" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |       o_orderstatus
+        |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin,
 
     // replays which staged lines were truncated (id ≡ 3 mod 10 within
     // the id ≡ 2 mod 3 slice) — corrupt lines count into the channel,

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Builder-local A/B of the semantic-dedup cell sizing (BASELINE.md
+  * r16): pinned nCells=16 (the oracle-certification shape) vs the
+  * occupancy-sized production path ([[graft.ext.Similarity
+  * .semDedupAuto]]) on the same embeddings table. Usage:
+  * SemDedupScale <dir> [reps] */
+object SemDedupScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val spark = graft.util.Tables.session("semdedup-scale", "32")
+    graft.SparkEntry.queries("q1_agg")(spark, dir).count() // warm
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    def best(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = f.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      println(f"[semdedup] $tag%-18s n=$n%8d best=${times.map(_._1).min}%7.2fs rows=${times.head._2}")
+    }
+    best("pinned_16")(
+      graft.ext.Similarity.semDedup(emb, 0.4, nCells = 16, nProbe = 6))
+    best("auto_sized")(
+      graft.ext.Similarity.semDedupAuto(emb, 0.4, targetPerCell = 128,
+        nProbe = 6))
+    spark.stop()
+  }
+}

@@ -2551,6 +2551,22 @@ class ExtSpec extends SparkSpec {
       (9L, -1L, true)))
   }
 
+  test("semDedupAuto: occupancy-sized cells — one verdict row per " +
+      "vector, and sizedCells holds occupancy constant") {
+    import graft.ext.Similarity
+    assert(Similarity.sizedCells(2000, targetPerCell = 128) === 16)
+    assert(Similarity.sizedCells(60000, targetPerCell = 128) === 469)
+    assert(Similarity.sizedCells(5, targetPerCell = 128) === 16) // floor
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.semDedupAuto(e, 0.4, targetPerCell = 32)
+    assert(got.count() === e.count(), "one verdict row per vector")
+    assert(got.columns.toSeq === Seq("vec_id", "cluster_id", "kept"))
+    // survivors exist and every non-null cluster keeps exactly one
+    val perCluster = got.filter($"cluster_id".isNotNull)
+      .groupBy("cluster_id").agg(sum($"kept".cast("int")).as("k"))
+    assert(perCluster.filter($"k" =!= 1).isEmpty)
+  }
+
   test("tfidf: hand-computed micro-nat scores, score-desc/token-asc " +
       "tie-break, rank bounded by topK") {
     val docs = Seq(

@@ -86,6 +86,47 @@ class VectorIndexSpec extends SparkSpec {
     assert(!new java.io.File(staging).exists())
   }
 
+  test("probe across a refresh swap: post-swap probes serve the NEW " +
+    "index (the model cache revalidates by file fingerprint), and a " +
+    "probe plan captured BEFORE the swap fails loudly instead of " +
+    "silently mixing old and new state (r15 verdict task 9)") {
+    val corpus = vecs(1L to 30L)
+    val root = tmpDir("vidx") + "/idx"
+    VectorIndex.build(spark, corpus, root, nCells = 2, m = 4, k = 8)
+    // one query vector; its exact twin will arrive in the refresh
+    val q = corpus.filter(col("vec_id") === 7)
+      .select(col("vec_id"), col("embedding"))
+    // warm the model cache + capture a pre-swap plan (NOT collected)
+    val preSwapPlan = VectorIndex.probe(spark, root, q, 3, 2, 30)
+    assert(top(VectorIndex.probe(spark, root, q, 3, 2, 30)).nonEmpty)
+    // refresh: add 107 = an exact twin of 7 (cosine 1.0 → must be
+    // the new rank-1 hit), drop 8
+    val twin = corpus.filter(col("vec_id") === 7)
+      .select(lit(107L).as("vec_id"), col("embedding"))
+    VectorIndex.refresh(spark, root, twin, Seq(8L).toDF("id"))
+    // a FRESH probe serves the post-swap state: the twin lands in
+    // the top-k at cosine ~1.0 (id 20 — vecs has period 13, so it is
+    // ALSO an exact twin of 7 — outranks 107 by the id tie-break),
+    // the dropped id is gone — old/new state never blends
+    val after = top(VectorIndex.probe(spark, root, q, 3, 2, 30))
+    assert(after.exists { case (qi, ni, _, _) =>
+      qi == 7L && ni == 107L }, s"twin 107 missing from $after")
+    assert(after.forall { case (_, ni, sim, _) =>
+      ni != 107L || sim > 0.999999 })
+    assert(!after.exists(_._2 == 8L))
+    // the pre-swap plan's corpus files were deleted by the swap: a
+    // reader that captured the OLD index must FAIL (and re-probe),
+    // never return a mixed answer
+    val e = intercept[Exception] { preSwapPlan.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(c.getMessage).contains("FileNotFound") ||
+        String.valueOf(c.getMessage).contains("does not exist")),
+      s"expected a missing-file failure, got: $e")
+  }
+
   test("degenerate inputs: empty corpus builds an empty but probeable " +
     "index; empty query set probes to empty") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
