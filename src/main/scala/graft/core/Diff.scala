@@ -57,12 +57,14 @@ final case class ChangeSet(
     // blanked rows. No-op when keepUnchanged is off (`changes` is
     // already filtered to non-NULL `__change`).
     val srcSet = srcCols.toSet
-    val slim = changes.select(changes.schema.fields.toSeq.map { f =>
-      if (srcSet(f.name))
-        when(col("__change").isNotNull, col(f.name))
-          .otherwise(lit(null).cast(f.dataType)).as(f.name)
-      else col(f.name)
-    }: _*)
+    val slim =
+      if (!Diff.blankUnchangedPayloads) changes
+      else changes.select(changes.schema.fields.toSeq.map { f =>
+        if (srcSet(f.name))
+          when(col("__change").isNotNull, col(f.name))
+            .otherwise(lit(null).cast(f.dataType)).as(f.name)
+        else col(f.name)
+      }: _*)
     val snap = slim.localCheckpoint(eager = false)
     ChangeSet(
       added = snap.filter(col("__change") === "add")
@@ -135,6 +137,13 @@ final case class DiffOptions(
  * sink projects them. Skew on id is handled by AQE skew-join.
  */
 object Diff {
+
+  /** Measurement escape hatch for [[ChangeSet.persisted]]'s
+    * unchanged-row payload blanking (the wide-table A/B recorded in
+    * BASELINE.md r16) — production code never flips this; it exists
+    * so the A/B measures the SAME build with and without the
+    * optimization instead of comparing across commits. */
+  @volatile private[graft] var blankUnchangedPayloads: Boolean = true
 
   /** D4 — update-needed predicate (DbalTarget.php:106-116):
     * update iff force ∨ source.version unset ∨ local.version unset ∨
