@@ -245,6 +245,28 @@ object Similarity {
       .unionByName(dupEdges)
   }
 
+  /** [[pairGraphCollapsed]] with the cell count sized from the
+    * UNIQUE-vector count ([[sizedCells]]: constant expected cell
+    * occupancy) — the production entry point for every consumer of
+    * the pair graph (near-dup filter, clusters, SemDeDup). A pinned
+    * cell count makes the within-cell self-join ~quadratic in corpus
+    * size (measured at 30× key-growth: q_embed_clusters 4.8× and
+    * q_embed_dedup 5.9× the wall of 10× — BASELINE.md r16); sizing
+    * on the rep count (one narrow count over the collapse the call
+    * does anyway) keeps it linear. Recall trades per the
+    * dedup-within-cluster posture; [[cellStats]] is the
+    * pre-flight. */
+  def pairGraphCollapsedAuto(
+      corpus: DataFrame, threshold: Double, targetPerCell: Int = 128,
+      nProbe: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (reps, dupEdges) = collapseExactVectors(corpus, idCol, vecCol)
+    val nReps = reps.select(col(idCol)).count()
+    bucketedPairs(reps, threshold, sizedCells(nReps, targetPerCell),
+      nProbe, idCol, vecCol)
+      .unionByName(dupEdges)
+  }
+
   /**
    * IVF-style variant: corpus assigned to the nearest of `nCells`
    * deterministic seed centroids (derived from hashed unit vectors);
@@ -931,27 +953,34 @@ object Similarity {
     math.max(floor.toLong, (n + targetPerCell - 1) / targetPerCell)
       .min(Int.MaxValue.toLong).toInt
 
-  /** [[semDedup]] with the cell count sized from the corpus — ONE
-    * count of the id column (cheap columnar scan) buys a linear
-    * candidate join at any scale. The production entry point; the
+  /** [[semDedup]] over [[pairGraphCollapsedAuto]] — the cell count
+    * sized from the unique-vector count, so the candidate join stays
+    * linear at any scale. The production entry point; the
     * pinned-nCells form below is the oracle-certification shape
     * (its exhaustive-recall oracle needs the generous probe
     * coverage a small fixed cell count provides). */
   def semDedupAuto(
       corpus: DataFrame, threshold: Double, targetPerCell: Int = 128,
       nProbe: Int = 6, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val n = graft.util.Tables.spread(corpus).select(col(idCol)).count()
-    semDedup(corpus, threshold, sizedCells(n, targetPerCell), nProbe,
-      idCol, vecCol)
-  }
+      vecCol: String = "embedding"): DataFrame =
+    semDedupFromPairs(corpus,
+      pairGraphCollapsedAuto(corpus, threshold, targetPerCell, nProbe,
+        idCol, vecCol), idCol, vecCol)
 
   def semDedup(
       corpus: DataFrame, threshold: Double, nCells: Int = 16,
       nProbe: Int = 6, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val pairs = pairGraphCollapsed(corpus, threshold, nCells, nProbe,
-      idCol, vecCol)
+      vecCol: String = "embedding"): DataFrame =
+    semDedupFromPairs(corpus,
+      pairGraphCollapsed(corpus, threshold, nCells, nProbe, idCol,
+        vecCol), idCol, vecCol)
+
+  /** SemDeDup survivor selection over an already-built near-dup pair
+    * graph: connected components, exact-integer centroid per
+    * component, keep the member FARTHEST from the centroid. */
+  private def semDedupFromPairs(
+      corpus: DataFrame, pairs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val labels = graft.ext.Dedup.connectedComponents(pairs, "q_id", "n_id")
       .withColumnRenamed("id", idCol)
     val mem = graft.util.Tables.spread(corpus)

@@ -24,11 +24,33 @@ object SemDedupScale {
       }
       println(f"[semdedup] $tag%-18s n=$n%8d best=${times.map(_._1).min}%7.2fs rows=${times.head._2}")
     }
-    best("pinned_16")(
+    best("semdedup_pinned")(
       graft.ext.Similarity.semDedup(emb, 0.4, nCells = 16, nProbe = 6))
-    best("auto_sized")(
+    best("semdedup_auto")(
       graft.ext.Similarity.semDedupAuto(emb, 0.4, targetPerCell = 128,
         nProbe = 6))
+    best("clusters_pinned") {
+      val pairs = graft.ext.Similarity.pairGraphCollapsed(
+        emb, 0.4, nCells = 16, nProbe = 6)
+      graft.ext.Dedup.connectedComponents(pairs, "q_id", "n_id")
+    }
+    best("clusters_auto") {
+      val pairs = graft.ext.Similarity.pairGraphCollapsedAuto(
+        emb, 0.4, targetPerCell = 128, nProbe = 6)
+      graft.ext.Dedup.connectedComponents(pairs, "q_id", "n_id")
+    }
+    best("dedup_pinned") {
+      val pairs = graft.ext.Similarity.pairGraphCollapsed(
+        emb, 0.4, nCells = 16, nProbe = 6)
+      emb.join(pairs.select(col("n_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+    }
+    best("dedup_auto") {
+      val pairs = graft.ext.Similarity.pairGraphCollapsedAuto(
+        emb, 0.4, targetPerCell = 128, nProbe = 6)
+      emb.join(pairs.select(col("n_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+    }
     spark.stop()
   }
 }
