@@ -37,19 +37,16 @@ object VectorIndex {
   private def centroidsPath(root: String) = s"$root/centroids"
   private def codebooksPath(root: String) = s"$root/codebooks"
   private def corpusPath(root: String) = s"$root/corpus"
-  private def manifestFile(root: String) =
-    new java.io.File(root + ".swap-manifest")
+  private def manifestFile(root: String) = root + ".swap-manifest"
 
   private def commitSwap(root: String, staging: String): Unit =
-    graft.util.SwapCommit.commit(new java.io.File(root),
-      new java.io.File(staging), manifestFile(root))
+    graft.util.SwapCommit.commit(root, staging, manifestFile(root))
 
   /** Crash recovery: a pending manifest means the last build/refresh
     * staged fully but died mid-swap — finish it. Every reader/writer
     * calls this first. */
   def recover(root: String): Unit =
-    graft.util.SwapCommit.recover(new java.io.File(root),
-      manifestFile(root))
+    graft.util.SwapCommit.recover(root, manifestFile(root))
 
   private def stageModel(
       spark: SparkSession, staging: String,
@@ -76,11 +73,8 @@ object VectorIndex {
     // rewrites flat from an explicit empty frame (no plan
     // re-execution), with `cell` as a data column — the probe join
     // handles that identically, it just loses pruning.
-    val dir = new java.io.File(corpusPath(staging))
-    val hasData = Option(dir.listFiles()).exists(_.exists(f =>
-      f.isDirectory || f.getName.startsWith("part-")))
-    if (!hasData) {
-      graft.util.SwapCommit.deleteRec(dir)
+    if (!graft.util.Fs.hasData(corpusPath(staging), acceptDirs = true)) {
+      graft.util.SwapCommit.deleteRec(corpusPath(staging))
       spark.createDataFrame(
         spark.sparkContext.parallelize(
           Seq.empty[org.apache.spark.sql.Row], 1),
@@ -108,16 +102,17 @@ object VectorIndex {
    * deterministic 2048-row training-sample scan (shared by both
    * trainers — [[Similarity.trainSample]]) and the one encode scan.
    */
-  def build(
-      spark: SparkSession, corpus: DataFrame, root: String,
-      nCells: Int = 8, m: Int = 16, k: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    recover(root)
+  /** Train + encode + write a COMPLETE index layout into `dir` —
+    * shared by the in-place swap ([[build]]) and generation-pointer
+    * ([[buildGen]]) commit disciplines. */
+  private def stageFull(
+      spark: SparkSession, dir: String, corpus: DataFrame,
+      nCells: Int, m: Int, k: Int, idCol: String,
+      vecCol: String): Unit = {
     val sample = Similarity.trainSample(corpus,
       idCol = idCol, vecCol = vecCol)
     val cents = Similarity.trainCentroidsOnSample(sample, nCells)
     val cbs = Similarity.trainPqCodebooksOnSample(sample, m = m, k = k)
-    val staging = root + ".staging"
     val enc =
       if (cents.isEmpty || cbs.isEmpty)
         // degenerate training corpus ⇒ empty index, schema preserved
@@ -125,10 +120,35 @@ object VectorIndex {
           array().cast("array<int>").as("codes"),
           col(vecCol).as("vec"), lit(0).as("cell")).limit(0)
       else encode(corpus, cents, cbs, idCol, vecCol)
-    graft.util.SwapCommit.deleteRec(new java.io.File(staging))
-    stageModel(spark, staging, cents, cbs)
-    stageCorpus(spark, staging, enc)
+    graft.util.SwapCommit.deleteRec(dir)
+    stageModel(spark, dir, cents, cbs)
+    stageCorpus(spark, dir, enc)
+  }
+
+  def build(
+      spark: SparkSession, corpus: DataFrame, root: String,
+      nCells: Int = 8, m: Int = 16, k: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    recover(root)
+    val staging = root + ".staging"
+    stageFull(spark, staging, corpus, nCells, m, k, idCol, vecCol)
     commitSwap(root, staging)
+  }
+
+  /** [[build]] under the GENERATION-POINTER commit
+    * ([[graft.util.GenSwap]]): the index is written as an immutable
+    * `root/gen-<n>` dir and `root/CURRENT` flips to it. Use this
+    * layout when probes must keep serving ACROSS refreshes (the
+    * in-place swap fails pre-swap plans loudly — see the spec) or
+    * when the index lives on an object store, where the whole-dir
+    * rename swap is a per-object copy. */
+  def buildGen(
+      spark: SparkSession, corpus: DataFrame, root: String,
+      nCells: Int = 8, m: Int = 16, k: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val gen = graft.util.GenSwap.nextDir(root)
+    stageFull(spark, gen, corpus, nCells, m, k, idCol, vecCol)
+    graft.util.GenSwap.commit(root, gen)
   }
 
   private def readCentroids(
@@ -154,12 +174,8 @@ object VectorIndex {
   private val modelCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[Seq[Float]], Seq[Seq[Seq[Float]]])]()
 
-  private def dirFingerprint(path: String): String = {
-    val f = new java.io.File(path)
-    Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-      .sorted.mkString("|").hashCode.toHexString
-  }
+  private def dirFingerprint(path: String): String =
+    graft.util.Fs.fingerprint(path)
 
   private def readModel(spark: SparkSession, root: String)
       : (Seq[Seq[Float]], Seq[Seq[Seq[Float]]]) = {
@@ -206,20 +222,74 @@ object VectorIndex {
     // fully materializes into <root>.staging BEFORE commitSwap
     // deletes the live dir
     val staging = root + ".staging"
-    graft.util.SwapCommit.deleteRec(new java.io.File(staging))
+    graft.util.SwapCommit.deleteRec(staging)
     // the model tables are untouched by a refresh (retraining is a
     // deliberate, separate build) — carry them into staging with a
     // driver-side file copy (bounded index metadata: nCells + m·k
     // rows) instead of two Spark re-write jobs
     graft.util.SwapCommit.copyRec(
-      new java.io.File(centroidsPath(root)),
-      new java.io.File(centroidsPath(staging)))
+      centroidsPath(root), centroidsPath(staging))
     graft.util.SwapCommit.copyRec(
-      new java.io.File(codebooksPath(root)),
-      new java.io.File(codebooksPath(staging)))
+      codebooksPath(root), codebooksPath(staging))
     stageCorpus(spark, staging, merged)
     commitSwap(root, staging)
   }
+
+  /** [[refresh]] under the generation-pointer commit: reads the
+    * CURRENT generation, stages the merged corpus (and the unchanged
+    * model tables — a driver-side copy of bounded metadata) into a
+    * FRESH `gen-<n+1>` dir, then flips the pointer. The previous
+    * generation stays on disk until the commit after next, so a
+    * reader that resolved it mid-refresh keeps a complete, immutable
+    * index — zero-downtime serving (asserted in VectorIndexSpec). */
+  def refreshGen(
+      spark: SparkSession, root: String, changedVecs: DataFrame,
+      droppedIds: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val cur = graft.util.GenSwap.currentDir(root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed generation at $root — buildGen first"))
+    val (cents, cbs) = readModel(spark, cur)
+    if (cents.isEmpty || cbs.isEmpty) {
+      // same no-model guard as [[refresh]]
+      if (!changedVecs.isEmpty)
+        throw new IllegalStateException(
+          s"vector index at $root has no trained model — rebuild " +
+            "before refreshing with new vectors")
+      return
+    }
+    val prev = spark.read.parquet(corpusPath(cur))
+      .select(col("id"), col("codes"), col("vec"), col("cell"))
+    val kept = prev.join(
+      droppedIds.select(col("id")), Seq("id"), "left_anti")
+    val merged = kept.unionByName(
+      encode(changedVecs, cents, cbs, idCol, vecCol))
+    val gen = graft.util.GenSwap.nextDir(root)
+    graft.util.SwapCommit.copyRec(centroidsPath(cur), centroidsPath(gen))
+    graft.util.SwapCommit.copyRec(codebooksPath(cur), codebooksPath(gen))
+    // unlike the in-place swap there is NO read-while-write hazard to
+    // reason about: the lazy `merged` plan reads the old generation
+    // and writes the new one — different immutable dirs by design
+    stageCorpus(spark, gen, merged)
+    graft.util.GenSwap.commit(root, gen)
+  }
+
+  /** [[probe]] against the CURRENT generation of a
+    * generation-pointer index; resolves the pointer once per call,
+    * then plans against that immutable dir. Empty result when no
+    * generation has committed yet (mirrors the degenerate-model
+    * probe). */
+  def probeGen(
+      spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, nProbe: Int, shortlist: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.util.GenSwap.currentDir(root) match {
+      case Some(cur) =>
+        probe(spark, cur, queries, k, nProbe, shortlist, idCol, vecCol)
+      case None =>
+        queries.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
+          lit(0.0).as("sim"), lit(1).as("rank")).limit(0)
+    }
 
   /**
    * Probe-only search: NO training, NO corpus encode — the plan

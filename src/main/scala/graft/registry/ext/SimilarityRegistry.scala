@@ -268,6 +268,46 @@ private[graft] object SimilarityRegistry {
         k = 5, nProbe = 8, shortlist = 100)
     }),
 
+    // ── q_ann_persisted's build/refresh/probe lifecycle under the
+    // GENERATION-POINTER commit (graft.util.GenSwap): each commit
+    // writes an immutable gen-<n> dir and flips a tiny CURRENT
+    // pointer — the object-store-safe discipline (no bulk rename) —
+    // and in-flight readers of the previous generation keep serving
+    // through the refresh (VectorIndexSpec pins that; this row
+    // certifies the end state). Same exhaustive oracle as
+    // q_ann_persisted: the commit primitive must not change one
+    // answer bit. ──
+    "q_ann_gen" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val root = tempStateDir() + "/annidx-gen"
+      val initial = e.filter(col("vec_id") % 7 =!= 0)
+        .select(col("vec_id"),
+          when(col("vec_id") % 3 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"),
+          lit(1L).as("version"))
+      graft.ext.VectorIndex.buildGen(s, initial, root,
+        nCells = 8, m = 16, k = 32)
+      val source = e.filter(col("vec_id") % 5 =!= 4)
+        .select(col("vec_id").cast("string").as("id"),
+          when(col("vec_id") % 3 === 0, lit(2L)).otherwise(lit(1L))
+            .as("version"),
+          col("embedding"))
+      val cs = Diff.computeDataChanges(
+        Records.keyRecords(source, "id", Some("version")),
+        initial.select(col("vec_id").cast("string").as("id"),
+          col("version")))
+      val changed = cs.added.select(col("id"), col("embedding"))
+        .unionByName(cs.updated.select(col("id"), col("embedding")))
+        .select(col("id").cast("long").as("vec_id"), col("embedding"))
+      val dropped = cs.removedIds.unionByName(cs.updated.select(col("id")))
+        .select(col("id").cast("long").as("id"))
+      graft.ext.VectorIndex.refreshGen(s, root, changed, dropped)
+      val queries = e.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") % 5 =!= 4)
+      graft.ext.VectorIndex.probeGen(s, root, queries,
+        k = 5, nProbe = 8, shortlist = 100)
+    }),
+
     // IVF-style ANN: corpus in its nearest seed cell, queries probe
     // cells in projection order. Oracle-checked at TOTAL coverage
     // (nProbe = nCells): the data-blind seed cells never reach exact
@@ -626,6 +666,26 @@ private[graft] object SimilarityRegistry {
     // brute-force replay over the FINAL corpus — the persisted index
     // (built stale, ChangeSet-refreshed, probe-only query) must agree
     "q_ann_persisted" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 5 <> 4),
+        |q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |         list_dot_product(q.v, e.v)
+        |           / (sqrt(list_dot_product(q.v, q.v))
+        |              * sqrt(list_dot_product(e.v, e.v))) AS s
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, s,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, n_id, round(s, 6) AS sim, CAST(rn AS INTEGER) AS rank
+        |FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // the generation-pointer lifecycle serves the same final corpus —
+    // identical exhaustive replay (the commit discipline must be
+    // answer-invariant)
+    "q_ann_gen" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id % 5 <> 4),
         |q AS (SELECT * FROM e WHERE vec_id % 100 = 0),

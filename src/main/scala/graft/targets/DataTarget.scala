@@ -256,10 +256,7 @@ final case class FileTarget(
   private def bucketOf(id: org.apache.spark.sql.Column) =
     pmod(xxhash64(id.cast("string")), lit(partitions.toLong))
 
-  private def exists: Boolean = {
-    val f = new java.io.File(path)
-    f.exists() && (f.listFiles() != null && f.listFiles().nonEmpty)
-  }
+  private def exists: Boolean = graft.util.Fs.list(path).nonEmpty
 
   /**
    * Small-files compaction — the lakehouse maintenance op a
@@ -279,19 +276,18 @@ final case class FileTarget(
       targetFileBytes: Long = 128L << 20): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     if (buckets > 0 || !exists) return -1L
-    def dataFiles(f: java.io.File): Seq[java.io.File] =
-      Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap {
-        case d if d.isDirectory => dataFiles(d)
-        case p if p.getName.endsWith(".parquet") => Seq(p)
+    def dataFiles(d: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      graft.util.Fs.list(d).flatMap {
+        case s if s.isDirectory => dataFiles(s.getPath.toString)
+        case s if s.getPath.getName.endsWith(".parquet") => Seq(s)
         case _ => Nil
       }
-    val files = dataFiles(new java.io.File(path))
+    val files = dataFiles(path)
     val want = math.max(1L,
-      (files.map(_.length).sum + targetFileBytes - 1) / targetFileBytes)
+      (files.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes)
     val partDirs = if (partitions > 0)
-      Option(new java.io.File(path).listFiles())
-        .map(_.count(f => f.isDirectory && f.getName.startsWith("pt=")))
-        .getOrElse(0)
+      graft.util.Fs.list(path)
+        .count(s => s.isDirectory && s.getPath.getName.startsWith("pt="))
     else 1
     // partitioned target shape = one file per pt dir; flat = `want`
     if (files.size <= math.max(want, partDirs.toLong)) return -1L
@@ -304,11 +300,11 @@ final case class FileTarget(
       df.coalesce(want.toInt).write.mode("overwrite").parquet(staging)
     writeManifest(staging, Seq("*:swap"))
     completeSwap(manifestFile) // deletes the manifest on completion
-    dataFiles(new java.io.File(path)).size.toLong
+    dataFiles(path).size.toLong
   }
 
   /** Swap-manifest path: present ⇔ a bucket swap is in flight. */
-  private def manifestFile = new java.io.File(path + ".swap-manifest")
+  private def manifestFile = path + ".swap-manifest"
 
   /** Write the swap manifest ATOMICALLY (tmp + POSIX rename): line 1
     * the staging dir, then one `<bucket>:<action>` line per touched
@@ -323,20 +319,26 @@ final case class FileTarget(
   private def writeManifest(staging: String, parts: Array[Long]): Unit =
     writeManifest(staging, parts.toSeq.map { p =>
       val action =
-        if (new java.io.File(s"$staging/pt=$p").exists()) "swap" else "drop"
+        if (graft.util.Fs.exists(s"$staging/pt=$p")) "swap" else "drop"
       s"$p:$action"
     })
 
   /** Raw-entry overload — also carries the bucketed whole-dir swap
-    * (`*:swap`: the staging dir itself replaces the live dir). */
+    * (`*:swap`: the staging dir itself replaces the live dir).
+    * Written tmp-then-rename through the path's Hadoop `FileSystem`
+    * (atomic on local/HDFS; see the object-store caveat on
+    * [[graft.util.SwapCommit]]). */
   private def writeManifest(staging: String, entries: Seq[String]): Unit = {
-    val tmp = java.nio.file.Paths.get(path + ".swap-manifest.tmp")
-    java.nio.file.Files.write(tmp,
-      (staging +: entries).mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, manifestFile.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val m = graft.util.Fs.path(manifestFile)
+    val fs = graft.util.Fs.fsOf(m)
+    val tmp = m.suffix(".tmp")
+    val out = fs.create(tmp, true)
+    try out.write((staging +: entries).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(m)) fs.delete(m, false)
+    if (!fs.rename(tmp, m))
+      throw new java.io.IOException(s"manifest rename failed: $tmp -> $m")
   }
 
   /** Replay the bucket swap recorded in `manifest` — every step is
@@ -346,45 +348,47 @@ final case class FileTarget(
     * between those two re-runs the rename); one whose staged dir is
     * gone already renamed — skipped; a `drop` bucket's live dir is
     * deleted (rm is idempotent). */
-  private def completeSwap(manifest: java.io.File): Unit = {
-    val lines = new String(
-      java.nio.file.Files.readAllBytes(manifest.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+  private def completeSwap(manifest: String): Unit = {
+    val m = graft.util.Fs.path(manifest)
+    val mfs = graft.util.Fs.fsOf(m)
+    val in = mfs.open(m)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .split("\n").toSeq
+      finally in.close()
     val staging = lines.head
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
     lines.tail.filter(_.nonEmpty).foreach { entry =>
       val Array(p, action) = entry.split(":", 2)
       // `*` = whole-dir swap (bucketed mode): the staging dir itself
       // replaces the live dir; per-bucket entries swap `pt=` subdirs
-      val src =
-        if (p == "*") new java.io.File(staging)
-        else new java.io.File(s"$staging/pt=$p")
-      val dst =
-        if (p == "*") new java.io.File(path)
-        else new java.io.File(s"$path/pt=$p")
+      val src = graft.util.Fs.path(
+        if (p == "*") staging else s"$staging/pt=$p")
+      val dst = graft.util.Fs.path(
+        if (p == "*") path else s"$path/pt=$p")
+      val fs = graft.util.Fs.fsOf(dst)
       action match {
         case "swap" =>
-          if (src.exists()) {
-            if (dst.exists()) rm(dst)
-            dst.getParentFile.mkdirs()
-            src.renameTo(dst)
+          if (fs.exists(src)) {
+            if (fs.exists(dst)) fs.delete(dst, true)
+            Option(dst.getParent).foreach(fs.mkdirs(_))
+            if (!fs.rename(src, dst))
+              throw new java.io.IOException(
+                s"bucket swap rename failed: $src -> $dst")
           } // else: this bucket's rename completed before the crash
-        case _ => if (dst.exists()) rm(dst)
+        case _ => if (fs.exists(dst)) { fs.delete(dst, true); () }
       }
     }
-    rm(new java.io.File(staging))
-    manifest.delete()
+    graft.util.SwapCommit.deleteRec(staging)
+    mfs.delete(m, false)
+    ()
   }
 
   /** Crash recovery: a pending manifest means the last sync staged
     * its next-state but died mid-swap — finish it before reading or
     * writing, so readers never see a half-swapped table. */
   private def recoverPendingSwap(spark: SparkSession): Unit = {
-    val m = manifestFile
-    if (m.exists()) {
-      completeSwap(m)
+    if (graft.util.Fs.exists(manifestFile)) {
+      completeSwap(manifestFile)
       // the recovered swap moved files under the table's location —
       // a LIVE session completing another process's crash must drop
       // its cached file listing or later scans chase deleted files
@@ -534,11 +538,7 @@ final case class FileTarget(
   override def removeAll(spark: SparkSession): Long = {
     recoverPendingSwap(spark)
     val n = if (exists) currentStateNoRecover(spark).count() else 0L
-    val dir = new java.io.File(path)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    if (dir.exists()) rm(dir)
+    graft.util.SwapCommit.deleteRec(path)
     if (buckets > 0) spark.sql(s"DROP TABLE IF EXISTS $tableName")
     n
   }

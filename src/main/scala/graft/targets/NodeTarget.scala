@@ -53,14 +53,14 @@ import org.apache.spark.sql.types._
  * The full-table aggregation remains as the fallback for state dirs
  * that predate the index and as the rebuild after [[removeAll]].
  *
- * STORAGE ASSUMPTION: the state path is a LOCAL filesystem — the
- * swap commit ([[graft.util.SwapCommit]]), the existence probes and
- * the degenerate-index detection all walk `java.io.File` directly,
- * matching this repo's sandbox convention. Deploying the node state
- * on HDFS/S3 requires routing those walks through the Hadoop
- * `FileSystem` API and replacing the rename-based swap with an
- * object-store-safe commit (e.g. a manifest-pointer flip) — rename
- * is neither atomic nor cheap on object stores.
+ * STORAGE: the swap commit ([[graft.util.SwapCommit]]), the
+ * existence probes and the degenerate-index detection all go through
+ * the Hadoop `FileSystem` of the state path ([[graft.util.Fs]]), so
+ * the layout works on `file://` (tests/sandbox) and HDFS unchanged.
+ * On object stores the rename-based swap is crash-consistent but not
+ * reader-atomic — see the caveat on [[graft.util.SwapCommit]];
+ * the sync model (one import run owns the target) satisfies its
+ * single-writer assumption.
  */
 final case class NodeTarget(
     path: String,
@@ -78,10 +78,7 @@ final case class NodeTarget(
   /** Reserved identifier prefix for auto-created parent containers. */
   private val AutoParent = "auto:"
 
-  private def exists: Boolean = {
-    val f = new java.io.File(path)
-    f.exists() && Option(f.listFiles()).exists(_.nonEmpty)
-  }
+  private def exists: Boolean = graft.util.Fs.list(path).nonEmpty
 
   private def emptyState(spark: SparkSession): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -99,10 +96,10 @@ final case class NodeTarget(
         StructField("version", LongType),
         StructField("hidden", BooleanType))))
 
-  private def manifestFile = new java.io.File(path + ".swap-manifest")
+  private def manifestFile = path + ".swap-manifest"
 
   private def nodes(spark: SparkSession): DataFrame = {
-    graft.util.SwapCommit.recover(new java.io.File(path), manifestFile)
+    graft.util.SwapCommit.recover(path, manifestFile)
     if (exists) spark.read.parquet(path) else emptyState(spark)
   }
 
@@ -111,9 +108,9 @@ final case class NodeTarget(
   /** The narrow keyed index, or the legacy full-table aggregation for
     * state dirs written before the index existed. */
   private def dstate(spark: SparkSession): DataFrame = {
-    graft.util.SwapCommit.recover(new java.io.File(path), manifestFile)
+    graft.util.SwapCommit.recover(path, manifestFile)
     if (!exists) emptyDstate(spark)
-    else if (new java.io.File(dstatePath).isDirectory)
+    else if (graft.util.Fs.isDir(dstatePath))
       spark.read.parquet(dstatePath)
     else dstateOf(nodes(spark))
   }
@@ -146,7 +143,7 @@ final case class NodeTarget(
   private def commitState[A](
       next: DataFrame, dstateNext: DataFrame)(overlap: => A): A = {
     val staging = path + ".staging"
-    graft.util.SwapCommit.deleteRec(new java.io.File(staging))
+    graft.util.SwapCommit.deleteRec(staging)
     next.write.mode("overwrite").parquet(staging)
     // written second: when `next`'s plan carries the ChangeSet's lazy
     // checkpoint, the main write above materialized it, so the index
@@ -165,11 +162,9 @@ final case class NodeTarget(
     // 1-partition empty frame — the VectorIndex.stageCorpus
     // convention. (Reachable: every record hard-removed while `auto:`
     // containers keep the node table itself non-empty.)
-    val dDir = new java.io.File(s"$staging/_dstate")
-    val dHasData = Option(dDir.listFiles()).exists(_.exists(f =>
-      f.getName.startsWith("part-") && f.length() > 0))
-    if (!dHasData) {
-      graft.util.SwapCommit.deleteRec(dDir)
+    if (!graft.util.Fs.hasData(s"$staging/_dstate",
+        acceptDirs = false, requireBytes = true)) {
+      graft.util.SwapCommit.deleteRec(s"$staging/_dstate")
       val spark = dstateNext.sparkSession
       spark.createDataFrame(
         spark.sparkContext.parallelize(
@@ -178,8 +173,7 @@ final case class NodeTarget(
     }
     val a = scala.concurrent.Await.result(
       overlapF, scala.concurrent.duration.Duration.Inf)
-    graft.util.SwapCommit.commit(
-      new java.io.File(path), new java.io.File(staging), manifestFile)
+    graft.util.SwapCommit.commit(path, staging, manifestFile)
     a
   }
 
@@ -392,7 +386,7 @@ final case class NodeTarget(
     // deleting the live dir and renaming the staging in leaves no
     // live dir — the naive check would read that as "no state" and
     // skip both the recovery and the prune
-    graft.util.SwapCommit.recover(new java.io.File(path), manifestFile)
+    graft.util.SwapCommit.recover(path, manifestFile)
     if (!exists) return 0L
     val under = col("path").startsWith(rootPath.stripSuffix("/") + "/")
     val all = nodes(spark).cache()
@@ -403,7 +397,7 @@ final case class NodeTarget(
     val n = idsUnder.count()
     if (!softDelete && all.filter(!under).isEmpty) {
       // nothing survives — drop the state wholesale, no empty rewrite
-      graft.util.SwapCommit.deleteRec(new java.io.File(path))
+      graft.util.SwapCommit.deleteRec(path)
     } else {
       val oldD = dstate(spark)
       val (next, nextD) =

@@ -49,27 +49,24 @@ final case class Scd2Target(
     versionColumn: Option[String] = Some("version"))
     extends DataTarget {
 
-  private def dataDir = new java.io.File(path, "data")
-  private def ledgerDir = new java.io.File(path, "_applies")
-  private def manifestFile = new java.io.File(path, "data.swap-manifest")
+  private def dataDir = s"$path/data"
+  private def ledgerDir = s"$path/_applies"
+  private def manifestFile = s"$path/data.swap-manifest"
 
   /** Manifest-logged whole-dir swap — the shared
     * [[graft.util.SwapCommit]] two-phase-commit primitive: a crash
     * anywhere between manifest write and delete is completed by the
     * next reader/writer, and the staged next-state is never lost
     * mid-swap. */
-  private def commitSwap(staging: java.io.File): Unit =
+  private def commitSwap(staging: String): Unit =
     graft.util.SwapCommit.commit(dataDir, staging, manifestFile)
 
   /** Finish a swap a crashed writer left pending — before any read. */
   private def recoverPendingSwap(): Unit =
     graft.util.SwapCommit.recover(dataDir, manifestFile)
 
-  private def exists: Boolean = {
-    val f = dataDir
-    f.exists() && (f.listFiles() != null &&
-      f.listFiles().exists(_.getName.endsWith(".parquet")))
-  }
+  private def exists: Boolean = graft.util.Fs.list(dataDir)
+    .exists(_.getPath.getName.endsWith(".parquet"))
 
   /** Full history table (empty two-column frame before first write —
     * callers project their expected schema stably, the
@@ -89,7 +86,7 @@ final case class Scd2Target(
           versionColumn.map(vc =>
             org.apache.spark.sql.types.StructField(vc,
               org.apache.spark.sql.types.LongType)).toSeq))
-    else spark.read.parquet(dataDir.toString)
+    else spark.read.parquet(dataDir)
   }
 
   /** This apply's sync ordinal = number of recorded prior applies
@@ -101,12 +98,11 @@ final case class Scd2Target(
     * share one — gaps remain possible (crash between marker and
     * commit) and remain harmless. */
   private def ledgerCount(): Long =
-    Option(ledgerDir.listFiles()).map(_.length.toLong).getOrElse(0L)
+    graft.util.Fs.list(ledgerDir).length.toLong
 
   private def recordOrdinal(n: Long): Unit = {
-    ledgerDir.mkdirs()
-    java.nio.file.Files.createFile(
-      new java.io.File(ledgerDir, f"k_$n%012d").toPath)
+    graft.util.Fs.mkdirs(ledgerDir)
+    graft.util.Fs.touch(s"$ledgerDir/" + f"k_$n%012d")
   }
 
   /** TIME-TRAVEL read: the state as of sync ordinal `k` — the rows
@@ -191,8 +187,8 @@ final case class Scd2Target(
 
     // stage-then-swap (manifest-logged): never read-while-write the
     // live snapshot, never lose it to a crash mid-swap
-    val staging = new java.io.File(path, "data.staging")
-    next.write.mode("overwrite").parquet(staging.toString)
+    val staging = s"$path/data.staging"
+    next.write.mode("overwrite").parquet(staging)
     recordOrdinal(k) // after staging, before commit — see ledgerCount
     commitSwap(staging)
 
@@ -227,18 +223,18 @@ final case class Scd2Target(
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     recoverPendingSwap()
     if (!exists) return -1L
-    def dataFiles: Seq[java.io.File] =
-      Option(dataDir.listFiles()).map(_.toSeq).getOrElse(Nil)
-        .filter(_.getName.endsWith(".parquet"))
+    def dataFiles: Seq[org.apache.hadoop.fs.FileStatus] =
+      graft.util.Fs.list(dataDir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
     val files = dataFiles
     val want = math.max(1L,
-      (files.map(_.length).sum + targetFileBytes - 1) / targetFileBytes)
+      (files.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes)
     if (files.size <= want) return -1L
-    val staging = new java.io.File(path, "data.staging")
+    val staging = s"$path/data.staging"
     history(spark)
       .coalesce(want.toInt)
       .sortWithinPartitions(col("sync_in"), col(idColumn))
-      .write.mode("overwrite").parquet(staging.toString)
+      .write.mode("overwrite").parquet(staging)
     commitSwap(staging) // no recordOrdinal: content-preserving rewrite
     dataFiles.size.toLong
   }
@@ -257,8 +253,8 @@ final case class Scd2Target(
       val k = ledgerCount()
       val next = h.withColumn("sync_out",
         coalesce(col("sync_out"), lit(k)))
-      val staging = new java.io.File(path, "data.staging")
-      next.write.mode("overwrite").parquet(staging.toString)
+      val staging = s"$path/data.staging"
+      next.write.mode("overwrite").parquet(staging)
       recordOrdinal(k) // after staging, before commit — see ledgerCount
       commitSwap(staging)
     }

@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
   * r16): pinned nCells=16 (the oracle-certification shape) vs the
   * occupancy-sized production path ([[graft.ext.Similarity
   * .semDedupAuto]]) on the same embeddings table. Usage:
-  * SemDedupScale <dir> [reps] */
+  * SemDedupScale <dir> [reps] [--auto-only]
+  * (--auto-only skips the pinned shapes — at ≥100× key-growth their
+  * quadratic within-cell volume makes them minutes-per-rep; the
+  * decade table only needs the production path there.) */
 object SemDedupScale {
   def main(args: Array[String]): Unit = {
-    val dir = args(0)
-    val reps = if (args.length > 1) args(1).toInt else 2
+    val autoOnly = args.contains("--auto-only")
+    val pos = args.filterNot(_ == "--auto-only")
+    val dir = pos(0)
+    val reps = if (pos.length > 1) pos(1).toInt else 2
     val spark = graft.util.Tables.session("semdedup-scale", "32")
     graft.SparkEntry.queries("q1_agg")(spark, dir).count() // warm
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -24,12 +29,12 @@ object SemDedupScale {
       }
       println(f"[semdedup] $tag%-18s n=$n%8d best=${times.map(_._1).min}%7.2fs rows=${times.head._2}")
     }
-    best("semdedup_pinned")(
+    if (!autoOnly) best("semdedup_pinned")(
       graft.ext.Similarity.semDedup(emb, 0.4, nCells = 16, nProbe = 6))
     best("semdedup_auto")(
       graft.ext.Similarity.semDedupAuto(emb, 0.4, targetPerCell = 128,
         nProbe = 6))
-    best("clusters_pinned") {
+    if (!autoOnly) best("clusters_pinned") {
       val pairs = graft.ext.Similarity.pairGraphCollapsed(
         emb, 0.4, nCells = 16, nProbe = 6)
       graft.ext.Dedup.connectedComponents(pairs, "q_id", "n_id")
@@ -39,7 +44,7 @@ object SemDedupScale {
         emb, 0.4, targetPerCell = 128, nProbe = 6)
       graft.ext.Dedup.connectedComponents(pairs, "q_id", "n_id")
     }
-    best("dedup_pinned") {
+    if (!autoOnly) best("dedup_pinned") {
       val pairs = graft.ext.Similarity.pairGraphCollapsed(
         emb, 0.4, nCells = 16, nProbe = 6)
       emb.join(pairs.select(col("n_id").as("vec_id")).distinct(),

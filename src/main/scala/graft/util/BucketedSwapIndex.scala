@@ -12,16 +12,17 @@ import org.apache.spark.sql.functions._
  * the PARTITION column and dynamic partition pruning narrows the
  * scan to the probed buckets. Commit discipline is [[SwapCommit]]:
  * stage the full next state, swap atomically, crash-recover
- * idempotently. Local-FS only, like every swap sink in this repo.
+ * idempotently — through the Hadoop `FileSystem` of the index path
+ * ([[Fs]]), so the layout works on `file://` and HDFS alike (see the
+ * object-store caveat on [[SwapCommit]]).
  */
 object BucketedSwapIndex {
 
-  def manifest(root: String): java.io.File =
-    new java.io.File(root + ".swap-manifest")
+  def manifest(root: String): String = root + ".swap-manifest"
 
   /** Complete any crashed swap before reading or re-staging. */
   def recover(root: String): Unit =
-    SwapCommit.recover(new java.io.File(root), manifest(root))
+    SwapCommit.recover(root, manifest(root))
 
   /**
    * Stage `rows` + `bucket = pmod(bucketOf, buckets)` partitioned by
@@ -37,22 +38,18 @@ object BucketedSwapIndex {
       root: String, rows: DataFrame, bucketOf: Column,
       buckets: Int): Unit = {
     val staging = root + ".staging"
-    SwapCommit.deleteRec(new java.io.File(staging))
+    SwapCommit.deleteRec(staging)
     val bucketed = rows.withColumn("bucket", pmod(bucketOf, lit(buckets)))
     bucketed.repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(staging)
-    val dir = new java.io.File(staging)
-    val hasData = Option(dir.listFiles()).exists(_.exists(f =>
-      f.isDirectory || f.getName.startsWith("part-")))
-    if (!hasData) {
-      SwapCommit.deleteRec(dir)
+    if (!Fs.hasData(staging, acceptDirs = true)) {
+      SwapCommit.deleteRec(staging)
       val spark = rows.sparkSession
       spark.createDataFrame(
         spark.sparkContext.parallelize(
           Seq.empty[org.apache.spark.sql.Row], 1),
         bucketed.schema).write.parquet(staging)
     }
-    SwapCommit.commit(new java.io.File(root),
-      new java.io.File(staging), manifest(root))
+    SwapCommit.commit(root, staging, manifest(root))
   }
 }

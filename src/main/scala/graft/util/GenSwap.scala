@@ -1,0 +1,95 @@
+package graft.util
+
+/**
+ * Generation-pointer commit — the object-store-safe alternative to
+ * the in-place rename swap ([[SwapCommit]]): each build/refresh
+ * writes a FRESH immutable generation directory `root/gen-<n>/` and
+ * then flips a tiny `root/CURRENT` pointer file (tmp + rename — one
+ * small-object op) to it. Readers resolve the pointer per query and
+ * plan against an immutable dir, so:
+ *
+ *  - no rename of bulk data ever happens — on S3-like stores a
+ *    commit is O(pointer), not O(index bytes);
+ *  - a reader that resolved the OLD generation keeps a consistent
+ *    view through a concurrent commit (its dir is immutable and is
+ *    retained until the commit after next) — serving never blocks
+ *    on, or fails across, a refresh, unlike the in-place swap whose
+ *    pre-swap plans fail loudly ([[graft.ext.VectorIndex]] spec);
+ *  - crash anywhere is safe without a recovery step: an interrupted
+ *    stage leaves an orphaned (never-referenced) generation that the
+ *    next successful commit's cleanup removes; the pointer flip
+ *    itself is a single atomic rename (local/HDFS) or single-object
+ *    PUT-copy (S3) of ~20 bytes.
+ *
+ * Cleanup policy: after flipping to generation M, every generation
+ * dir except M and the immediately-previous CURRENT is deleted —
+ * exactly the in-flight-reader generation survives, and orphans from
+ * crashed stages go with the old history. Single-writer (one import/
+ * build run owns the root), like every sink in this library.
+ */
+object GenSwap {
+
+  private val PointerName = "CURRENT"
+  private val GenPrefix = "gen-"
+
+  private def pointerPath(root: String) = s"$root/$PointerName"
+
+  private def ordinalOf(name: String): Option[Long] =
+    if (name.startsWith(GenPrefix))
+      name.stripPrefix(GenPrefix).toLongOption
+    else None
+
+  /** Committed generation NAME (e.g. "gen-00000002"), if any. */
+  def currentGen(root: String): Option[String] = {
+    val p = Fs.path(pointerPath(root))
+    val fs = Fs.fsOf(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      if (s.nonEmpty) Some(s) else None
+    }
+  }
+
+  /** Committed generation DIRECTORY (the path readers plan against). */
+  def currentDir(root: String): Option[String] =
+    currentGen(root).map(g => s"$root/$g")
+
+  /** Path for the NEXT generation dir (not created): one past the
+    * highest ordinal present on disk — committed, previous, or
+    * orphaned-by-crash alike — so a re-run after a failed stage never
+    * writes into a half-written dir. */
+  def nextDir(root: String): String = {
+    val maxSeen = Fs.list(root)
+      .flatMap(st => ordinalOf(st.getPath.getName)).maxOption
+      .getOrElse(-1L)
+    f"$root/$GenPrefix${maxSeen + 1}%08d"
+  }
+
+  /** Flip the pointer to `genDir` (must be fully staged), then prune
+    * every generation except the new one and the one that was CURRENT
+    * until this flip. */
+  def commit(root: String, genDir: String): Unit = {
+    val genName = Fs.path(genDir).getName
+    require(ordinalOf(genName).nonEmpty,
+      s"not a generation dir: $genDir")
+    val prev = currentGen(root)
+    val p = Fs.path(pointerPath(root))
+    val fs = Fs.fsOf(p)
+    val tmp = p.suffix(".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(genName.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"pointer rename failed: $tmp -> $p")
+    // prune: everything but {new, previous} — removes older committed
+    // generations AND orphans from crashed stages, idempotently
+    Fs.list(root).foreach { st =>
+      val name = st.getPath.getName
+      if (ordinalOf(name).nonEmpty && name != genName &&
+          !prev.contains(name))
+        SwapCommit.deleteRec(st.getPath)
+    }
+  }
+}

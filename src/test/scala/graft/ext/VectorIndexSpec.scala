@@ -127,6 +127,64 @@ class VectorIndexSpec extends SparkSpec {
       s"expected a missing-file failure, got: $e")
   }
 
+  test("generation-pointer commit: buildGen+probeGen equals brute " +
+    "force; a probe plan captured BEFORE a refresh KEEPS SERVING the " +
+    "old generation through the commit (zero-downtime, the object-" +
+    "store posture) while fresh probes see the new state; the " +
+    "commit after next prunes the old generation") {
+    val corpus = vecs(1L to 30L)
+    val root = tmpDir("vidx") + "/gidx"
+    VectorIndex.buildGen(spark, corpus, root, nCells = 2, m = 4, k = 8)
+    assert(graft.util.GenSwap.currentGen(root) === Some("gen-00000000"))
+    val q = corpus.filter(col("vec_id") === 7)
+    // parity with brute force at total coverage
+    val got = VectorIndex.probeGen(spark, root, q, 3, 2, shortlist = 30)
+    assert(top(got) === top(Similarity.bruteForceTopK(corpus, q, 3)))
+    // capture an old-generation plan, then refresh (add twin 107,
+    // drop 8) — the old plan must still COLLECT the old answer
+    val oldPlan = VectorIndex.probeGen(spark, root, q, 3, 2, 30)
+    val oldAnswer = top(oldPlan)
+    val twin = corpus.filter(col("vec_id") === 7)
+      .select(lit(107L).as("vec_id"), col("embedding"))
+    VectorIndex.refreshGen(spark, root, twin, Seq(8L).toDF("id"))
+    assert(graft.util.GenSwap.currentGen(root) === Some("gen-00000001"))
+    assert(top(oldPlan) === oldAnswer) // old gen retained: no failure
+    val fresh = top(VectorIndex.probeGen(spark, root, q, 3, 2, 30))
+    assert(fresh.exists { case (qi, ni, _, _) => qi == 7L && ni == 107L })
+    assert(!fresh.exists(_._2 == 8L))
+    // second refresh prunes gen-0 but keeps gen-1 for its readers
+    VectorIndex.refreshGen(spark, root,
+      corpus.limit(0), Seq(107L).toDF("id"))
+    assert(graft.util.Fs.exists(s"$root/gen-00000001"))
+    assert(!graft.util.Fs.exists(s"$root/gen-00000000"))
+    assert(!top(VectorIndex.probeGen(spark, root, q, 3, 2, 30))
+      .exists(_._2 == 107L))
+  }
+
+  test("generation-pointer commit: a crashed stage's orphan dir is " +
+    "never served, is skipped by the next stage's ordinal, and is " +
+    "pruned by its commit; probeGen on an uncommitted root is empty") {
+    val corpus = vecs(1L to 20L)
+    val root = tmpDir("vidx") + "/gidx"
+    // no generation yet: probe degenerates to empty, not an error
+    assert(VectorIndex.probeGen(spark, root,
+      corpus.limit(3), 3, 2, 10).count() === 0L)
+    VectorIndex.buildGen(spark, corpus, root, nCells = 2, m = 4, k = 4)
+    // simulate a crash mid-stage: a half-written gen-1 with no pointer
+    graft.util.Fs.mkdirs(s"$root/gen-00000001")
+    graft.util.Fs.touch(s"$root/gen-00000001/garbage")
+    // readers still resolve gen-0 (the orphan is unreferenced)
+    val q = corpus.filter(col("vec_id") === 5)
+    assert(top(VectorIndex.probeGen(spark, root, q, 3, 2, 20)).nonEmpty)
+    // the next writer skips PAST the orphan (never reuses a
+    // half-written dir) and its commit prunes it
+    VectorIndex.refreshGen(spark, root, corpus.limit(0),
+      Seq(5L).toDF("id"))
+    assert(graft.util.GenSwap.currentGen(root) === Some("gen-00000002"))
+    assert(!graft.util.Fs.exists(s"$root/gen-00000001"))
+    assert(graft.util.Fs.exists(s"$root/gen-00000000")) // reader gen
+  }
+
   test("degenerate inputs: empty corpus builds an empty but probeable " +
     "index; empty query set probes to empty") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
