@@ -391,8 +391,40 @@ object Similarity {
     trainCentroidsOnSample(
       trainSample(corpus, sampleN, idCol, vecCol), nCells, iters)
 
+  /** Fixed work-chunk width for the driver-side trainers: constant
+    * (NOT core-count-derived) so the chunk boundaries — and with them
+    * the floating-point merge order — are identical on every machine
+    * and at every parallelism. */
+  private val TrainChunk = 1024
+
+  /** Run `f` over fixed [start, end) chunks of `0 until n`
+    * concurrently, returning results in chunk order. */
+  private def mapChunks[T: scala.reflect.ClassTag](n: Int)(
+      f: (Int, Int) => T): Array[T] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ranges = (0 until n by TrainChunk)
+      .map(s => (s, math.min(s + TrainChunk, n)))
+    Await.result(
+      Future.sequence(ranges.map { case (s, e) => Future(f(s, e)) }),
+      scala.concurrent.duration.Duration.Inf).toArray
+  }
+
   /** [[trainCentroids]] over an already-collected [[trainSample]]
-    * (sample is read, never mutated — safe to share across trainers). */
+    * (sample is read, never mutated — safe to share across trainers).
+    *
+    * The assignment scans — O(sample·k·d) per Lloyd round, the whole
+    * cost of training at occupancy-sized cell counts (k ≈ 800 took
+    * 83 s sequential at 100× key-growth, BASELINE.md r16) — run
+    * chunk-parallel on the driver. Determinism is preserved:
+    * per-element results are exact regardless of threading, the
+    * farthest-point argmin merges chunks in order under the same
+    * strict-< first-wins rule as the sequential scan (bit-identical),
+    * and the per-cell Lloyd sums accumulate within fixed
+    * [[TrainChunk]] chunks then merge in chunk order — a fixed FP
+    * association independent of core count (it differs in ulps from
+    * the old whole-sample sequential order; exact-re-rank consumers
+    * are invariant to centroid ulps by construction). */
   def trainCentroidsOnSample(
       sample: Array[Array[Double]], nCells: Int,
       iters: Int = 10): Seq[Seq[Float]] = {
@@ -402,20 +434,31 @@ object Similarity {
     if (sample.isEmpty) return Nil
     val kCells = math.min(nCells, sample.length)
     val d = sample.head.length
+    val n = sample.length
 
     // farthest-point init: start from the first sample (hash-order ⇒
     // arbitrary but fixed), repeatedly add the point least similar to
     // its nearest chosen centroid
     val centers = scala.collection.mutable.ArrayBuffer(sample.head.clone())
-    val bestSim = Array.fill(sample.length)(Double.MinValue)
+    val bestSim = Array.fill(n)(Double.MinValue)
     while (centers.length < kCells) {
+      val last = centers.last
+      // chunks own disjoint bestSim ranges; Future scheduling/Await
+      // give the cross-round happens-before
+      val mins = mapChunks(n) { (s, e) =>
+        var worst = s; var worstSim = Double.MaxValue
+        var i = s
+        while (i < e) {
+          val sim = dotArr(sample(i), last)
+          if (sim > bestSim(i)) bestSim(i) = sim
+          if (bestSim(i) < worstSim) { worstSim = bestSim(i); worst = i }
+          i += 1
+        }
+        (worstSim, worst)
+      }
       var worst = 0; var worstSim = Double.MaxValue
-      var i = 0
-      while (i < sample.length) {
-        val s = dotArr(sample(i), centers.last)
-        if (s > bestSim(i)) bestSim(i) = s
-        if (bestSim(i) < worstSim) { worstSim = bestSim(i); worst = i }
-        i += 1
+      mins.foreach { case (ws, w) =>
+        if (ws < worstSim) { worstSim = ws; worst = w }
       }
       centers += sample(worst).clone()
     }
@@ -423,22 +466,40 @@ object Similarity {
     // Lloyd rounds on the sample
     var round = 0
     while (round < iters) {
+      val cArr = centers.toArray // stable snapshot for the tasks
+      val parts = mapChunks(n) { (s, e) =>
+        val sums = Array.fill(kCells)(new Array[Double](d))
+        val counts = new Array[Int](kCells)
+        var i = s
+        while (i < e) {
+          var best = 0; var bs = Double.MinValue
+          var c = 0
+          while (c < kCells) {
+            val sim = dotArr(sample(i), cArr(c))
+            if (sim > bs) { bs = sim; best = c }
+            c += 1
+          }
+          val t = sums(best); val v = sample(i)
+          var j = 0
+          while (j < d) { t(j) += v(j); j += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        (sums, counts)
+      }
       val sums = Array.fill(kCells)(new Array[Double](d))
       val counts = new Array[Int](kCells)
-      var i = 0
-      while (i < sample.length) {
-        var best = 0; var bs = Double.MinValue
+      parts.foreach { case (cs, cc) => // chunk order: fixed FP assoc
         var c = 0
         while (c < kCells) {
-          val s = dotArr(sample(i), centers(c))
-          if (s > bs) { bs = s; best = c }
+          if (cc(c) > 0) {
+            val t = sums(c); val f = cs(c)
+            var j = 0
+            while (j < d) { t(j) += f(j); j += 1 }
+            counts(c) += cc(c)
+          }
           c += 1
         }
-        val t = sums(best); val v = sample(i)
-        var j = 0
-        while (j < d) { t(j) += v(j); j += 1 }
-        counts(best) += 1
-        i += 1
       }
       var c = 0
       while (c < kCells) {
@@ -469,12 +530,17 @@ object Similarity {
   }
 
   /** Top-`nProbe` cells by cosine against EXTERNALLY SUPPLIED
-    * centroids (trained here or anywhere else). The centroid matrix
+    * centroids (trained here or anywhere else) — the native
+    * [[graft.functions.CentroidProbe]] kernel: the centroid matrix
     * rides into the plan as one literal (broadcast with the plan,
-    * O(nCells·d) floats — metadata next to any corpus); per row this
-    * is `nCells` native one-pass cosines, so it reaches the
-    * nCells≈10³–10⁴ range the pseudo-centroid expression column
-    * stack cannot. */
+    * O(nCells·d) floats — metadata next to any corpus), and each row
+    * pays `nCells` fused dot/norm passes plus an insertion top-k
+    * INSIDE whole-stage codegen. The transform/array_sort HOF chain
+    * this replaces allocated an interpreted struct per centroid per
+    * row then fully sorted them — ~9 ms/row at the occupancy-sized
+    * nCells=782 of the 100× smoke (it WAS the entire buildAuto wall,
+    * BASELINE.md r16); the kernel's ordering (cosine desc, cell asc,
+    * CosineSimilarity arithmetic) is bit-identical to that chain. */
   def centroidProbe(
       vec: Column, centroids: Seq[Seq[Float]], nProbe: Int): Column = {
     require(nProbe >= 1 && centroids.nonEmpty,
@@ -482,15 +548,7 @@ object Similarity {
     // a tiny trained model (degenerate corpus) clamps the probe
     // fan-out rather than failing
     val probes = math.min(nProbe, centroids.length)
-    val cents = typedLit(centroids)
-    val scored = transform(cents, (c, i) => struct(
-      graft.functions.GraftFunctions.cosine_sim(vec, c).as("s"),
-      i.as("c")))
-    val bySim = array_sort(scored, (a, b) =>
-      when(a.getField("s") > b.getField("s"), -1)
-        .when(a.getField("s") < b.getField("s"), 1)
-        .otherwise((a.getField("c") - b.getField("c")).cast("int")))
-    transform(slice(bySim, 1, probes), x => x.getField("c").cast("int"))
+    graft.functions.GraftFunctions.centroid_probe(vec, centroids, probes)
   }
 
   /** Nearest trained centroid (argmax cosine) — the corpus-side

@@ -108,8 +108,8 @@ object VectorIndex {
   private def stageFull(
       spark: SparkSession, dir: String, corpus: DataFrame,
       nCells: Int, m: Int, k: Int, idCol: String,
-      vecCol: String): Unit = {
-    val sample = Similarity.trainSample(corpus,
+      vecCol: String, sampleN: Int = 2048): Unit = {
+    val sample = Similarity.trainSample(corpus, sampleN,
       idCol = idCol, vecCol = vecCol)
     val cents = Similarity.trainCentroidsOnSample(sample, nCells)
     val cbs = Similarity.trainPqCodebooksOnSample(sample, m = m, k = k)
@@ -133,6 +133,35 @@ object VectorIndex {
     val staging = root + ".staging"
     stageFull(spark, staging, corpus, nCells, m, k, idCol, vecCol)
     commitSwap(root, staging)
+  }
+
+  /** [[build]] with the cell count SIZED FROM THE CORPUS
+    * ([[Similarity.sizedCells]]: constant expected occupancy) — the
+    * production entry point at scale. The pinned-nCells [[build]] is
+    * the oracle-certification shape: its exhaustive-recall oracle
+    * probes at TOTAL cell coverage, which makes the ADC candidate
+    * volume O(|queries|·n) — measured 7.0× wall for 3.3× data at
+    * 100× key-growth (BASELINE.md r16). Sizing holds candidates per
+    * query at O(nProbe · targetPerCell) instead, trading recall the
+    * IVF way (a true neighbor can land outside the probed cells);
+    * raise nProbe/targetPerCell for recall-critical serving. The
+    * training sample grows with the cell count (≥16 samples per
+    * centroid, capped) so Lloyd's rounds still see enough points per
+    * cell; it stays bounded driver-side metadata. Returns the cell
+    * count chosen. */
+  def buildAuto(
+      spark: SparkSession, corpus: DataFrame, root: String,
+      targetPerCell: Int = 256, m: Int = 16, k: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
+    recover(root)
+    val n = corpus.filter(col(vecCol).isNotNull).count()
+    val nCells = Similarity.sizedCells(n, targetPerCell, floor = 8)
+    val sampleN = math.min(65536, math.max(2048, 16 * nCells))
+    val staging = root + ".staging"
+    stageFull(spark, staging, corpus, nCells, m, k, idCol, vecCol,
+      sampleN)
+    commitSwap(root, staging)
+    nCells
   }
 
   /** [[build]] under the GENERATION-POINTER commit

@@ -620,6 +620,95 @@ case class IntCellAssign(child: Expression, nCells: Int)
 }
 
 /**
+ * Top-`nProbe` trained-centroid cells by cosine (descending, ties to
+ * the smaller cell id) — the IVF cell-probe/assign kernel behind
+ * [[graft.ext.Similarity.centroidProbe]]. The composed
+ * transform/array_sort HOF formulation it replaces evaluated an
+ * interpreted lambda + struct alloc PER CENTROID per row, then a
+ * full interpreted sort — measured ~9 ms/row at 782 occupancy-sized
+ * cells (the whole 100× buildAuto wall, BASELINE.md r16); this loop
+ * is nCells fused dot/norm passes + an insertion top-k, ~50 µs/row
+ * at the same width, and stays inside whole-stage codegen via a
+ * reference-object call. Per-cell cosine arithmetic is EXACTLY
+ * [[CosineSimilarity]]'s (same accumulation order, same zero-denom
+ * clamp), and the (sim desc, cell asc) total order matches the old
+ * array_sort comparator — assignments are bit-identical to the HOF
+ * formulation. Centroids ride the expression as a value-equal Seq
+ * (plan canonicalization/CSE see through to the matrix).
+ */
+case class CentroidProbe(
+    child: Expression, centroids: Seq[Seq[Float]], nProbe: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "centroid_probe"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) =>
+      if (centroids.isEmpty) TypeCheckResult.TypeCheckFailure(
+        "centroid_probe requires a non-empty centroid matrix")
+      else if (nProbe < 1) TypeCheckResult.TypeCheckFailure(
+        "centroid_probe requires nProbe >= 1")
+      else TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"centroid_probe requires an array<float> argument, got ${t.simpleString}")
+  }
+
+  @transient private lazy val cents: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  /** Public — invoked from generated code via a reference object. */
+  def probe(vec: ArrayData): ArrayData = {
+    val m = cents.length
+    val k = math.min(nProbe, m)
+    val simT = new Array[Double](k)
+    val idxT = new Array[Int](k)
+    var filled = 0
+    var c = 0
+    while (c < m) {
+      val ctr = cents(c)
+      val n = math.min(vec.numElements(), ctr.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = vec.getFloat(i).toDouble
+        val yi = ctr(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      val den = math.sqrt(nx) * math.sqrt(ny)
+      val s = if (den == 0.0) 0.0 else dot / den
+      // insertion keeping (sim desc, cell asc): strictly-greater sims
+      // displace; equal sims keep the earlier (smaller) cell id
+      if (filled < k || s > simT(filled - 1)) {
+        var pos = math.min(filled, k - 1)
+        while (pos > 0 && simT(pos - 1) < s) {
+          simT(pos) = simT(pos - 1); idxT(pos) = idxT(pos - 1)
+          pos -= 1
+        }
+        simT(pos) = s; idxT(pos) = c
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(idxT, filled))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    probe(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidProbeExpr", this,
+      classOf[CentroidProbe].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.probe($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidProbe =
+    copy(child = newChild)
+}
+
+/**
  * Registration — both paths:
  *  - `GraftFunctions.register(spark)` for an existing session
  *    (used by Tables.session);
@@ -632,6 +721,20 @@ object GraftFunctions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  /** Extract a constant float matrix (e.g. `typedLit(Seq[Seq[Float]])`)
+    * from a literal argument — the registry route for expressions
+    * parameterized by a trained model. */
+  private def litFloatMatrix(
+      e: Expression, fn: String, arg: String): Seq[Seq[Float]] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: ArrayData, ArrayType(ArrayType(FloatType, _), _)) =>
+      v.toObjectArray(ArrayType(FloatType)).toSeq.map(row =>
+        row.asInstanceOf[ArrayData].toFloatArray().toSeq)
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a constant array<array<float>> literal, got " +
+        other.simpleString(25))
   }
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -649,6 +752,9 @@ object GraftFunctions {
       litInt(es(2), "plane_bucket", "seedStride"))),
     "int_cell_assign" -> (es => IntCellAssign(es.head,
       litInt(es(1), "int_cell_assign", "nCells"))),
+    "centroid_probe" -> (es => CentroidProbe(es.head,
+      litFloatMatrix(es(1), "centroid_probe", "centroids"),
+      litInt(es(2), "centroid_probe", "nProbe"))),
     // Spark's native bloom-probe expression (codegen'd, deserializes
     // the sketch once per task) is NOT in the public function
     // registry (4.1 exposes only bloom_filter_agg) — surface it here
@@ -689,6 +795,11 @@ object GraftFunctions {
   def int_cell_assign(vec: Column, nCells: Int): Column =
     org.apache.spark.sql.functions.call_function("int_cell_assign", vec,
       org.apache.spark.sql.functions.lit(nCells))
+  def centroid_probe(
+      vec: Column, centroids: Seq[Seq[Float]], nProbe: Int): Column =
+    org.apache.spark.sql.functions.call_function("centroid_probe", vec,
+      org.apache.spark.sql.functions.typedLit(centroids),
+      org.apache.spark.sql.functions.lit(nProbe))
   /** `bloom` is a serialized `org.apache.spark.util.sketch.BloomFilter`
     * (binary, constant-foldable — e.g. `lit(bytes)`); `value` a LONG
     * probed via `mightContainLong`. */

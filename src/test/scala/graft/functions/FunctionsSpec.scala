@@ -247,4 +247,37 @@ class FunctionsSpec extends SparkSpec {
     val r = both.agg(min($"nat"), max($"nat")).head()
     assert(r.getInt(0) >= 0 && r.getInt(1) < 16)
   }
+
+  test("centroid_probe is bit-identical to the composed transform/" +
+      "array_sort HOF chain it replaced (cosine desc, cell-id asc, " +
+      "zero-vector clamp), including tie cells and nProbe > nCells") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // centroids deliberately include a DUPLICATE (tie on every row)
+    // and a zero vector (denominator clamp)
+    val sample = Similarity.trainSample(e, sampleN = 64)
+    val cents: Seq[Seq[Float]] =
+      Similarity.trainCentroidsOnSample(sample, 7) ++
+        Seq(Similarity.trainCentroidsOnSample(sample, 7).head,
+          Seq.fill(sample.head.length)(0.0f))
+    for (nProbe <- Seq(1, 3, cents.length, cents.length + 5)) {
+      val probes = math.min(nProbe, cents.length)
+      val lit0 = typedLit(cents)
+      val scored = transform(lit0, (c, i) => struct(
+        GraftFunctions.cosine_sim(col("embedding"), c).as("s"),
+        i.as("c")))
+      val bySim = array_sort(scored, (a, b) =>
+        when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1)
+          .otherwise((a.getField("c") - b.getField("c")).cast("int")))
+      val hof = transform(slice(bySim, 1, probes),
+        x => x.getField("c").cast("int"))
+      val both = e.select(
+        GraftFunctions.centroid_probe(col("embedding"), cents, probes)
+          .as("nat"),
+        hof.as("hof"))
+      assert(both.filter(to_json($"nat") =!= to_json($"hof")).count() === 0,
+        s"nProbe=$nProbe")
+    }
+  }
 }
