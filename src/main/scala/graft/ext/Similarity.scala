@@ -778,35 +778,21 @@ object Similarity {
   def pqCodesCol(
       vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column = {
     require(codebooks.nonEmpty, "codebooks must be non-empty")
-    val dSub = codebooks.head.head.length
     // argmin_c ||x̂_j − cw_c||² over the NORMALIZED vector x̂ ≡
-    // argmax_c (x_j·cw_c / ||x|| − ||cw_c||²/2) over the RAW vector —
-    // every score is one native 4-to-8-dim dot kernel call, no
-    // higher-order function anywhere. The first cut normalized with
-    // an interpreted transform/aggregate HOF that was re-inlined into
-    // all m·k score expressions (no CSE in interpreted mode): ~20
-    // ms/row, 100 s for the sf0.1 corpus. This shape encodes the same
-    // corpus in under a second. Zero vectors: the norm clamp makes
-    // every dot 0 ⇒ argmax picks the min-norm codeword —
-    // deterministic, same as the normalized-space argmin.
-    val x = vec
-    val nrm = greatest(
-      sqrt(graft.functions.GraftFunctions.dot_product(x, x)), lit(1e-30))
-    val codeCols: Seq[Column] = codebooks.zipWithIndex.map { case (cb, j) =>
-      val sub = slice(x, j * dSub + 1, dSub)
-      val scored = cb.zipWithIndex.map { case (cw, ci) =>
-        val cwNorm2 = cw.map(v => v.toDouble * v.toDouble).sum
-        val s = graft.functions.GraftFunctions.dot_product(sub, typedLit(cw)) /
-          nrm - lit(cwNorm2 / 2)
-        struct(s.as("s"), lit(-ci).as("o"), lit(ci).as("c"))
-      }
-      // a single-codeword book (k = 1, or a 1-vector training corpus
-      // past the empty-corpus guard) has nothing to argmax — and
-      // Spark's `greatest` requires >= 2 arguments at analysis time
-      if (scored.length == 1) lit(0)
-      else greatest(scored: _*).getField("c")
-    }
-    array(codeCols: _*)
+    // argmax_c (x_j·cw_c / ||x|| − ||cw_c||²/2) over the RAW vector,
+    // as the native [[graft.functions.PqCodes]] kernel (one codebook
+    // reference + one fused loop). Two formulations preceded it, both
+    // scale-killers: interpreted transform/aggregate normalization
+    // re-inlined into all m·k scores (~20 ms/row), then a composed
+    // stack of m·k dot_product-vs-literal kernels whose fused stage
+    // passed Janino's 64 KB method limit and silently demoted the
+    // WHOLE encode stage to interpreted eval (the "Failed to compile"
+    // ERRORs in earlier verify logs). The kernel is bit-identical to
+    // both (same accumulation order, norm clamp at 1e-30, ties to the
+    // smaller codeword id — FunctionsSpec pins the equivalence).
+    // Zero vectors: the clamp makes every dot 0 ⇒ argmax picks the
+    // min-norm codeword — deterministic.
+    graft.functions.GraftFunctions.pq_codes(vec, codebooks)
   }
 
   /**
@@ -827,26 +813,24 @@ object Similarity {
     if (codebooks.isEmpty)
       return queries.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
         lit(0.0).as("sim"), lit(1).as("rank")).limit(0)
-    // ADC identity: Σ_j dot(q_j, cw_{j,code_j}) = dot(q, concat_j cw).
-    // Decode each corpus row's reconstruction ONCE (m element_at
-    // lookups into the flat codeword literal — per ROW, below the
-    // join), then score every (query, candidate) pair with the native
-    // codegen'd dot kernel. The first cut scored pairs with nested
-    // interpreted zip_with/aggregate lambdas: 173 s for 250k pairs at
-    // sf0.1 vs ~1 s this way — the same lesson as brute-force cosine
-    // (see the CosineSimilarity note). Storage still ships codes, not
-    // floats; the reconstruction is compute-local to the scan.
-    val flat: Seq[Seq[Float]] = codebooks.flatten
-    val kPerSub = codebooks.head.length
-    val cbCol = typedLit(flat)
-    val recon = flatten(transform(col("codes"), (code, j) =>
-      element_at(cbCol, (j * kPerSub + code + 1).cast("int"))))
+    // ADC identity: Σ_j dot(q_j, cw_{j,code_j}) = dot(q, concat_j cw),
+    // scored per (query, candidate) pair by the native
+    // [[graft.functions.PqAdcScore]] kernel — bit-identical to the
+    // reconstruct-then-dot formulation it replaces (flatten/transform
+    // element_at into the flat codeword literal, then dot_product)
+    // WITHOUT materializing a d-float reconstruction per pair, and
+    // without the interpreted HOF decode (~10 µs/pair) the transform
+    // cost. (The first cut scored pairs with nested interpreted
+    // zip_with/aggregate lambdas: 173 s for 250k pairs at sf0.1 —
+    // same lesson as brute-force cosine, see the CosineSimilarity
+    // note.) Storage still ships codes, not floats; the codebook
+    // rides the plan once as a reference object.
     val q = queries.select(col(idCol).as("q_id"),
       l2norm(col(vecCol)).as("q_vec"))
-    val scored = codes.withColumn("recon", recon)
+    val scored = codes
       .join(broadcast(q), col("q_id") =!= col("id"))
-      .withColumn("sim",
-        graft.functions.GraftFunctions.dot_product(col("q_vec"), col("recon")))
+      .withColumn("sim", graft.functions.GraftFunctions.pq_adc_score(
+        col("codes"), col("q_vec"), codebooks))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

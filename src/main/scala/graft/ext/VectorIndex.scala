@@ -341,14 +341,6 @@ object VectorIndex {
         lit(0.0).as("sim"), lit(1).as("rank")).limit(0)
     val corpus = spark.read.parquet(corpusPath(root))
 
-    // ADC decode: flat codeword lookup per corpus row (same identity
-    // as pqTopK: Σ_j dot(q_j, cw_{j,code_j}) = dot(q, concat_j cw))
-    val flat: Seq[Seq[Float]] = cbs.flatten
-    val kPerSub = cbs.head.length
-    val cbCol = typedLit(flat)
-    val recon = flatten(transform(col("codes"), (code, j) =>
-      element_at(cbCol, (j * kPerSub + code + 1).cast("int"))))
-
     val q = queries.select(col(idCol).as("q_id"),
         Similarity.l2norm(col(vecCol)).as("q_norm"),
         explode(Similarity.centroidProbe(col(vecCol), cents, nProbe))
@@ -357,12 +349,15 @@ object VectorIndex {
     // must — ADC needs it), but the shortlist WINDOW exchange ships
     // only (q_id, id, adc): the d-dim vectors are projected away
     // before the shuffle and re-joined for the tiny surviving set
+    // ADC per pair via the native PqAdcScore kernel (identity as in
+    // pqTopK: Σ_j dot(q_j, cw_{j,code_j}) = dot(q, concat_j cw)) —
+    // no per-pair reconstruction array, no interpreted HOF decode
     val scored = corpus.select(col("id"), col("codes"), col("cell"))
       .join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),
-        graft.functions.GraftFunctions.dot_product(col("q_norm"), recon)
-          .as("adc"))
+        graft.functions.GraftFunctions.pq_adc_score(
+          col("codes"), col("q_norm"), cbs).as("adc"))
     val bySl = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("id"))
     val short = scored.withColumn("slrank", row_number().over(bySl))

@@ -709,6 +709,168 @@ case class CentroidProbe(
 }
 
 /**
+ * PQ code assignment — `m` codes per vector, one per subspace:
+ * `argmax_c (x_j·cw_c / ‖x‖ − ‖cw_c‖²/2)`, ties to the SMALLER
+ * codeword id, norm clamped at 1e-30 — exactly the composed
+ * expression stack in [[graft.ext.Similarity.pqCodesCol]]'s first
+ * formulation. That stack inlined m·k (=512 at the default 16×32)
+ * codeword-literal dot loops into the fused stage: the generated
+ * `processNext()` passed 64 KB and Janino REJECTED it, silently
+ * demoting the whole encode stage to interpreted eval (the ERROR
+ * lines in every verify log that touched the PQ tier). This kernel
+ * is one reference object + one tight loop — the stage stays
+ * codegen'd at any m·k. Arithmetic is bit-identical (same
+ * accumulation order, same clamp, same tie rule).
+ */
+case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) =>
+      if (codebooks.isEmpty || codebooks.exists(_.isEmpty))
+        TypeCheckResult.TypeCheckFailure(
+          "pq_codes requires non-empty codebooks")
+      else TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_codes requires an array<float> argument, got ${t.simpleString}")
+  }
+
+  @transient private lazy val books: Array[Array[Array[Float]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val cwNorm2: Array[Array[Double]] =
+    codebooks.map(_.map(_.map(v => v.toDouble * v.toDouble).sum).toArray)
+      .toArray
+
+  /** Public — invoked from generated code via a reference object. */
+  def assign(vec: ArrayData): ArrayData = {
+    val d = vec.numElements()
+    val m = books.length
+    val dSub = books.head.head.length
+    var nx = 0.0
+    var i = 0
+    while (i < d) {
+      val xi = vec.getFloat(i).toDouble; nx += xi * xi; i += 1
+    }
+    val nrm = math.max(math.sqrt(nx), 1e-30)
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = books(j)
+      val base = j * dSub
+      var bestC = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        // slice(x, base+1, dSub): elements past the vector end just
+        // don't exist — same truncation as the dot over the slice
+        var dot = 0.0
+        var t = 0
+        val lim = math.min(dSub, math.max(0, d - base))
+        while (t < lim) {
+          dot += vec.getFloat(base + t).toDouble * cw(t).toDouble
+          t += 1
+        }
+        val s = dot / nrm - cwNorm2(j)(c) / 2
+        if (s > bestS) { bestS = s; bestC = c } // ties → smaller c
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    assign(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodesExpr", this,
+      classOf[PqCodes].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.assign($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/**
+ * ADC score of one (query, PQ-coded candidate) pair:
+ * `Σ_i q[i] · cw_{j(i), code_{j(i)}}[i mod dSub]` — bit-identical to
+ * `dot_product(q, flatten(transform(codes, (code, j) =>
+ * element_at(flatCodebook, j·k + code + 1))))`, the reconstruct-then-
+ * dot formulation it replaces (same element order, same double
+ * accumulation, same min-length truncation), WITHOUT materializing
+ * the d-float reconstruction per scored pair — one codebook
+ * reference object and a fused loop inside whole-stage codegen. The
+ * query side accepts float or double elements (the normalized query
+ * is double).
+ */
+case class PqAdcScore(
+    left: Expression, right: Expression,
+    codebooks: Seq[Seq[Seq[Float]]]) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(FloatType | DoubleType, _)) =>
+        if (codebooks.isEmpty || codebooks.exists(_.isEmpty))
+          TypeCheckResult.TypeCheckFailure(
+            "pq_adc_score requires non-empty codebooks")
+        else TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "pq_adc_score requires (array<int> codes, array<float|double> " +
+          s"query), got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  @transient private lazy val books: Array[Array[Array[Float]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val qIsDouble: Boolean = right.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** Public — invoked from generated code via a reference object. */
+  def score(codes: ArrayData, q: ArrayData): Double = {
+    val m = math.min(codes.numElements(), books.length)
+    val dSub = books.head.head.length
+    val qLen = q.numElements()
+    var s = 0.0
+    var j = 0
+    var i = 0 // flat reconstruction index — dot truncates at min(len)
+    while (j < m && i < qLen) {
+      val cw = books(j)(codes.getInt(j))
+      var t = 0
+      while (t < dSub && i < qLen) {
+        val qi = if (qIsDouble) q.getDouble(i) else q.getFloat(i).toDouble
+        s += qi * cw(t).toDouble
+        t += 1; i += 1
+      }
+      j += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcScoreExpr", this,
+      classOf[PqAdcScore].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.score($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Registration — both paths:
  *  - `GraftFunctions.register(spark)` for an existing session
  *    (used by Tables.session);
@@ -737,6 +899,22 @@ object GraftFunctions {
         other.simpleString(25))
   }
 
+  /** Three-level variant of [[litFloatMatrix]] (trained PQ codebooks:
+    * subspace → codeword → components). */
+  private def litFloatCube(
+      e: Expression, fn: String, arg: String): Seq[Seq[Seq[Float]]] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: ArrayData,
+        ArrayType(inner @ ArrayType(ArrayType(FloatType, _), _), _)) =>
+      v.toObjectArray(inner).toSeq.map(book =>
+        book.asInstanceOf[ArrayData]
+          .toObjectArray(ArrayType(FloatType)).toSeq
+          .map(cw => cw.asInstanceOf[ArrayData].toFloatArray().toSeq))
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a constant array<array<array<float>>> " +
+        s"literal, got ${other.simpleString(25)}")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es.head, es(1))),
     "dot_product" -> (es => DotProduct(es.head, es(1))),
@@ -755,6 +933,10 @@ object GraftFunctions {
     "centroid_probe" -> (es => CentroidProbe(es.head,
       litFloatMatrix(es(1), "centroid_probe", "centroids"),
       litInt(es(2), "centroid_probe", "nProbe"))),
+    "pq_codes" -> (es => PqCodes(es.head,
+      litFloatCube(es(1), "pq_codes", "codebooks"))),
+    "pq_adc_score" -> (es => PqAdcScore(es.head, es(1),
+      litFloatCube(es(2), "pq_adc_score", "codebooks"))),
     // Spark's native bloom-probe expression (codegen'd, deserializes
     // the sketch once per task) is NOT in the public function
     // registry (4.1 exposes only bloom_filter_agg) — surface it here
@@ -800,6 +982,14 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("centroid_probe", vec,
       org.apache.spark.sql.functions.typedLit(centroids),
       org.apache.spark.sql.functions.lit(nProbe))
+  def pq_codes(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column =
+    org.apache.spark.sql.functions.call_function("pq_codes", vec,
+      org.apache.spark.sql.functions.typedLit(codebooks))
+  def pq_adc_score(
+      codes: Column, query: Column,
+      codebooks: Seq[Seq[Seq[Float]]]): Column =
+    org.apache.spark.sql.functions.call_function("pq_adc_score", codes,
+      query, org.apache.spark.sql.functions.typedLit(codebooks))
   /** `bloom` is a serialized `org.apache.spark.util.sketch.BloomFilter`
     * (binary, constant-foldable — e.g. `lit(bytes)`); `value` a LONG
     * probed via `mightContainLong`. */

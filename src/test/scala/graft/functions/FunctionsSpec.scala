@@ -280,4 +280,71 @@ class FunctionsSpec extends SparkSpec {
         s"nProbe=$nProbe")
     }
   }
+
+  test("pq_codes is bit-identical to the composed greatest-of-structs " +
+      "stack it replaced (norm clamp, tie-to-smaller-codeword, short " +
+      "vectors, k=1 books) — without the 64 KB codegen blowup") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding"))
+      // a SHORT vector exercises the slice truncation, a zero vector
+      // the norm clamp
+      .unionByName(Seq(Seq(1.0f, 2.0f), Seq.empty[Float])
+        .toDF("embedding"))
+    val sample = Similarity.trainSample(
+      e.withColumn("vec_id", monotonically_increasing_id()), sampleN = 64)
+    for (cbs <- Seq(
+        Similarity.trainPqCodebooksOnSample(sample, m = 8, k = 16),
+        // k=1 books: degenerate argmax branch
+        Similarity.trainPqCodebooksOnSample(sample, m = 4, k = 1))) {
+      val dSub = cbs.head.head.length
+      val x = col("embedding")
+      val nrm = greatest(
+        sqrt(GraftFunctions.dot_product(x, x)), lit(1e-30))
+      val codeCols: Seq[org.apache.spark.sql.Column] =
+        cbs.zipWithIndex.map { case (cb, j) =>
+          val sub = slice(x, j * dSub + 1, dSub)
+          val scored = cb.zipWithIndex.map { case (cw, ci) =>
+            val cwNorm2 = cw.map(v => v.toDouble * v.toDouble).sum
+            val s = GraftFunctions.dot_product(sub, typedLit(cw)) /
+              nrm - lit(cwNorm2 / 2)
+            struct(s.as("s"), lit(-ci).as("o"), lit(ci).as("c"))
+          }
+          if (scored.length == 1) lit(0)
+          else greatest(scored: _*).getField("c")
+        }
+      val both = e.select(
+        GraftFunctions.pq_codes(x, cbs).as("nat"),
+        array(codeCols: _*).as("hof"))
+      assert(both.filter(to_json($"nat") =!= to_json($"hof")).count() === 0,
+        s"m=${cbs.length} k=${cbs.head.length}")
+    }
+  }
+
+  test("pq_adc_score is bit-identical to reconstruct-then-dot_product " +
+      "(flat codeword element_at chain), for float and double queries") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val sample = Similarity.trainSample(e, sampleN = 64)
+    val cbs = Similarity.trainPqCodebooksOnSample(sample, m = 8, k = 16)
+    val flat: Seq[Seq[Float]] = cbs.flatten
+    val kPerSub = cbs.head.length
+    val cbCol = typedLit(flat)
+    val coded = e.select(col("vec_id"),
+      GraftFunctions.pq_codes(col("embedding"), cbs).as("codes"),
+      col("embedding"))
+    val recon = flatten(transform(col("codes"), (code, j) =>
+      element_at(cbCol, (j * kPerSub + code + 1).cast("int"))))
+    // float query = the raw embedding; double query = normalized
+    val qDouble = transform(col("embedding"), x => x.cast("double") * 0.5)
+    val both = coded.select(
+      GraftFunctions.pq_adc_score(col("codes"), col("embedding"), cbs)
+        .as("natF"),
+      GraftFunctions.dot_product(col("embedding"), recon).as("hofF"),
+      GraftFunctions.pq_adc_score(col("codes"), qDouble, cbs).as("natD"),
+      GraftFunctions.dot_product(qDouble, recon).as("hofD"))
+    both.collect().foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1), s"float row $r")
+      assert(r.getDouble(2) === r.getDouble(3), s"double row $r")
+    }
+  }
 }
