@@ -61,24 +61,43 @@ object VectorIndex {
       .repartition(1).write.parquet(codebooksPath(staging))
   }
 
+  /** Fixed count of corpus partition DIRECTORIES. A `partitionBy`
+    * over the raw cell id writes one dir per cell — fine at the
+    * pinned certification cell counts, absurd under occupancy sizing
+    * (nCells ∝ corpus: ~4M dirs at 10⁹ vectors, where dir listing
+    * alone dwarfs the probe). Cells hash into a BOUNDED set of
+    * `__cbucket` dirs instead, with rows SORTED BY `cell` inside each
+    * bucket: dynamic partition pruning narrows the scan to the probed
+    * buckets, and parquet row-group stats on the sorted cell column
+    * prune within them — two-level pruning whose dir count never
+    * grows with the corpus. (pmod keeps small pinned indexes
+    * one-cell-per-dir: nCells ≤ 64 ⇒ bucket == cell.) */
+  private val CorpusBuckets = 64
+
+  private def bucketOfCell(cell: Column): Column =
+    pmod(cell, lit(CorpusBuckets))
+
   private def stageCorpus(
       spark: SparkSession, staging: String, encoded: DataFrame): Unit = {
-    encoded.repartition(col("cell"))
-      .write.partitionBy("cell").parquet(corpusPath(staging))
+    encoded.withColumn("__cbucket", bucketOfCell(col("cell")))
+      .repartition(col("__cbucket"))
+      .sortWithinPartitions(col("cell"))
+      .write.partitionBy("__cbucket").parquet(corpusPath(staging))
     // Degenerate (zero-row) corpus: a partitionBy write of an empty
     // frame leaves no data file to infer a schema from. Detected
     // driver-side AFTER the single write (a pre-probe of the plan —
     // the old persist+isEmpty — cost a second partial execution of
     // the possibly refresh-merged plan); the empty marker then
     // rewrites flat from an explicit empty frame (no plan
-    // re-execution), with `cell` as a data column — the probe join
-    // handles that identically, it just loses pruning.
+    // re-execution), with `__cbucket` as a data column — the probe
+    // join handles that identically, it just loses pruning.
     if (!graft.util.Fs.hasData(corpusPath(staging), acceptDirs = true)) {
       graft.util.SwapCommit.deleteRec(corpusPath(staging))
       spark.createDataFrame(
         spark.sparkContext.parallelize(
           Seq.empty[org.apache.spark.sql.Row], 1),
-        encoded.schema).write.parquet(corpusPath(staging))
+        encoded.withColumn("__cbucket",
+          lit(0)).schema).write.parquet(corpusPath(staging))
     }
   }
 
@@ -348,12 +367,26 @@ object VectorIndex {
     // the broadcast scoring join carries q_norm per candidate (it
     // must — ADC needs it), but the shortlist WINDOW exchange ships
     // only (q_id, id, adc): the d-dim vectors are projected away
-    // before the shuffle and re-joined for the tiny surviving set
-    // ADC per pair via the native PqAdcScore kernel (identity as in
-    // pqTopK: Σ_j dot(q_j, cw_{j,code_j}) = dot(q, concat_j cw)) —
-    // no per-pair reconstruction array, no interpreted HOF decode
-    val scored = corpus.select(col("id"), col("codes"), col("cell"))
-      .join(broadcast(q), Seq("cell"))
+    // before the shuffle and re-joined for the tiny surviving set.
+    // The join key includes the `__cbucket` PARTITION column when the
+    // layout has it (dynamic partition pruning to the probed buckets;
+    // row-group stats on the within-bucket-sorted `cell` prune the
+    // rest) — `cell` alone on pre-bucketing or degenerate-flat
+    // layouts. ADC per pair via the native PqAdcScore kernel
+    // (identity as in pqTopK: Σ_j dot(q_j, cw_{j,code_j}) =
+    // dot(q, concat_j cw)) — no per-pair reconstruction array, no
+    // interpreted HOF decode.
+    val bucketed = corpus.columns.contains("__cbucket")
+    val corpusKeys = if (bucketed)
+      corpus.select(col("id"), col("codes"), col("cell"),
+        col("__cbucket"))
+    else corpus.select(col("id"), col("codes"), col("cell"))
+    val qKeyed = if (bucketed)
+      q.withColumn("__cbucket", bucketOfCell(col("cell")))
+    else q
+    val joinKeys = if (bucketed) Seq("cell", "__cbucket") else Seq("cell")
+    val scored = corpusKeys
+      .join(broadcast(qKeyed), joinKeys)
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),
         graft.functions.GraftFunctions.pq_adc_score(

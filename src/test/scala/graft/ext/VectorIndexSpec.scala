@@ -185,6 +185,33 @@ class VectorIndexSpec extends SparkSpec {
     assert(graft.util.Fs.exists(s"$root/gen-00000000")) // reader gen
   }
 
+  test("bucketed corpus layout: more cells than bucket dirs shares " +
+    "dirs (bounded dir count at ANY nCells) and probes still equal " +
+    "brute force at total coverage") {
+    val corpus = vecs(1L to 300L)
+    val root = tmpDir("vidx") + "/bidx"
+    // 100 cells > the 64 fixed bucket dirs ⇒ buckets must share
+    VectorIndex.build(spark, corpus, root, nCells = 100, m = 4, k = 8)
+    val dirs = graft.util.Fs.list(s"$root/corpus")
+      .filter(_.isDirectory).map(_.getPath.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("__cbucket=")))
+    assert(dirs.size <= 64, s"expected <= 64 bucket dirs, got ${dirs.size}")
+    val q = corpus.filter(col("vec_id") % 50 === 0)
+    val got = VectorIndex.probe(spark, root, q, 3, nProbe = 100,
+      shortlist = 300)
+    assert(top(got) === top(Similarity.bruteForceTopK(corpus, q, 3)))
+    // refresh over the bucketed layout keeps the layout + answers.
+    // vecs() has period 13, so vec 50 has ~23 exact twins already in
+    // the corpus that win the id tie-break — k=30 is wide enough that
+    // the added twin 1050 (cosine 1.0, largest twin id) must appear
+    val twin = corpus.filter(col("vec_id") === 50)
+      .select(lit(1050L).as("vec_id"), col("embedding"))
+    VectorIndex.refresh(spark, root, twin, Seq(51L).toDF("id"))
+    val after = top(VectorIndex.probe(spark, root, q, 30, 100, 300))
+    assert(after.exists { case (qi, ni, _, _) => qi == 50L && ni == 1050L })
+    assert(!after.exists(_._2 == 51L))
+  }
+
   test("degenerate inputs: empty corpus builds an empty but probeable " +
     "index; empty query set probes to empty") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
