@@ -391,6 +391,15 @@ object VectorIndex {
       .select(col("q_id"), col("id"),
         graft.functions.GraftFunctions.pq_adc_score(
           col("codes"), col("q_norm"), cbs).as("adc"))
+    // shortlist via the row_number window. The bounded TopK
+    // aggregator (map-side partial combine) was A/B'd here at 100×
+    // key-growth and did NOT beat the window (24.2 s vs 15–20 s
+    // probe, same band) — the window's per-partition sort is not the
+    // bottleneck at local shuffle widths, and the udaf object-agg
+    // pays per-row buffer churn. Re-measure on a real cluster before
+    // swapping: the aggregator's wire bound (≤ shortlist per (q_id,
+    // map task)) only pays when candidates-per-query-per-task far
+    // exceeds the shortlist.
     val bySl = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("id"))
     val short = scored.withColumn("slrank", row_number().over(bySl))

@@ -212,6 +212,26 @@ class VectorIndexSpec extends SparkSpec {
     assert(!after.exists(_._2 == 51L))
   }
 
+  test("buildAuto sizes cells from the corpus (floor for tiny inputs, " +
+    "occupancy rule above it) and probes at total coverage equal " +
+    "brute force") {
+    val corpus = vecs(1L to 300L)
+    // tiny corpus: the floor wins — 300/256 rounds to 2, floored to 8
+    val r1 = tmpDir("vidx") + "/a1"
+    val c1 = VectorIndex.buildAuto(spark, corpus, r1,
+      targetPerCell = 256, m = 4, k = 8)
+    assert(c1 === 8)
+    // occupancy rule above the floor: ceil(300/32) = 10 cells
+    val r2 = tmpDir("vidx") + "/a2"
+    val c2 = VectorIndex.buildAuto(spark, corpus, r2,
+      targetPerCell = 32, m = 4, k = 8)
+    assert(c2 === 10)
+    val q = corpus.filter(col("vec_id") % 50 === 0)
+    val want = top(Similarity.bruteForceTopK(corpus, q, 3))
+    assert(top(VectorIndex.probe(spark, r1, q, 3, c1, 300)) === want)
+    assert(top(VectorIndex.probe(spark, r2, q, 3, c2, 300)) === want)
+  }
+
   test("degenerate inputs: empty corpus builds an empty but probeable " +
     "index; empty query set probes to empty") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
