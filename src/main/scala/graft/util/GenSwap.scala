@@ -80,9 +80,23 @@ object GenSwap {
     val tmp = p.suffix(".tmp")
     val out = fs.create(tmp, true)
     try out.write(genName.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"pointer rename failed: $tmp -> $p")
+    // Readers resolve the pointer PER QUERY, so the flip must never
+    // leave a no-pointer window: prefer the atomic-overwrite rename
+    // (FileContext — local/HDFS), fall back to delete+rename on
+    // stores without an AbstractFileSystem binding (the window is
+    // then one small-object op wide, and a reader hitting it resolves
+    // the previous pointer state as "no generation", never a torn one).
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, Fs.conf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(
+            s"pointer rename failed: $tmp -> $p")
+    }
     // prune: everything but {new, previous} — removes older committed
     // generations AND orphans from crashed stages, idempotently
     Fs.list(root).foreach { st =>
