@@ -241,8 +241,12 @@ object VectorIndex {
    * updated, with idCol/vecCol) re-encode under the EXISTING model;
    * `droppedIds` (removed ∪ updated, one `id` column) drop. The
    * next state commits through the same manifest swap. Copy-on-write
-   * at the table level — at 100 TB the rewrite narrows to the cell
-   * partitions the delta touches (`cell` is the partition key).
+   * at the table level: [[stageCorpus]] rewrites the FULL merged
+   * corpus into the bucketed (`__cbucket`, sorted-by-cell) layout —
+   * the partition key is the bounded bucket, not the raw cell, so a
+   * delta-narrowed rewrite (touch only the `__cbucket` dirs the
+   * changed cells hash into, carry the rest) is possible future work,
+   * not current behavior.
    */
   def refresh(
       spark: SparkSession, root: String, changedVecs: DataFrame,

@@ -26,6 +26,13 @@ package graft.util
  * exactly the in-flight-reader generation survives, and orphans from
  * crashed stages go with the old history. Single-writer (one import/
  * build run owns the root), like every sink in this library.
+ *
+ * Serving guidance — the TWO-REFRESH reader limit: retention is
+ * exactly {new, previous}, so a reader may cache a resolved
+ * generation dir across AT MOST ONE subsequent commit. A server that
+ * pins a dir across two refreshes finds it deleted; re-resolve the
+ * pointer per query (the [[graft.ext.VectorIndex.probeGen]]
+ * discipline) or at least once per refresh interval.
  */
 object GenSwap {
 
