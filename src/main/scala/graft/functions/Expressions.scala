@@ -635,6 +635,15 @@ case class IntCellAssign(child: Expression, nCells: Int)
  * array_sort comparator — assignments are bit-identical to the HOF
  * formulation. Centroids ride the expression as a value-equal Seq
  * (plan canonicalization/CSE see through to the matrix).
+ *
+ * FINITE-INPUT PRECONDITION: the bit-identical claim is scoped to
+ * finite components. A NaN component poisons every cell's cosine to
+ * NaN; the strict `>` insertions never let a NaN displace anything,
+ * so a NaN-bearing vector probes cells in id order `[0..nProbe)` —
+ * deterministic (FunctionsSpec pins it), but NOT Spark's
+ * NaN-is-largest comparator order the replaced array_sort would
+ * apply. Trained centroids are finite by construction unless the
+ * corpus itself carried NaN.
  */
 case class CentroidProbe(
     child: Expression, centroids: Seq[Seq[Float]], nProbe: Int)
@@ -721,6 +730,14 @@ case class CentroidProbe(
  * is one reference object + one tight loop — the stage stays
  * codegen'd at any m·k. Arithmetic is bit-identical (same
  * accumulation order, same clamp, same tie rule).
+ *
+ * FINITE-INPUT PRECONDITION: the bit-identical claim is scoped to
+ * finite components. A NaN component drives the norm (math.max
+ * propagates NaN) and thus every subspace score to NaN, and the
+ * strict `>` argmax never selects a NaN score — a NaN-bearing vector
+ * encodes as codeword 0 in every subspace, deterministic
+ * (FunctionsSpec pins it) but distinct from greatest()'s
+ * NaN-wins rule in the replaced struct stack.
  */
 case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
     extends UnaryExpression {

@@ -275,6 +275,12 @@ final case class FileTarget(
   def compact(spark: SparkSession,
       targetFileBytes: Long = 128L << 20): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    // finish any crashed sync's pending swap FIRST: compact as the
+    // first op after a writer crash would otherwise read the PRE-swap
+    // live dir and its manifest write below would overwrite the
+    // recovery record — silently discarding the staged sync state
+    // (writeManifest's "no pending manifest at entry" invariant)
+    recoverPendingSwap(spark)
     if (buckets > 0 || !exists) return -1L
     def dataFiles(d: String): Seq[org.apache.hadoop.fs.FileStatus] =
       graft.util.Fs.list(d).flatMap {

@@ -46,17 +46,52 @@ object GenSwap {
       name.stripPrefix(GenPrefix).toLongOption
     else None
 
-  /** Committed generation NAME (e.g. "gen-00000002"), if any. */
+  /** Committed generation NAME (e.g. "gen-00000002"), if any.
+    *
+    * A missing pointer is NOT always "no generation": on stores
+    * without an AbstractFileSystem binding (the s3a default) the flip
+    * is delete+rename, so a committed root transiently has no pointer
+    * — exactly one small-object op wide, with `CURRENT.tmp` present
+    * throughout (created before the delete, removed only by the
+    * rename). Silently answering None there would serve EMPTY results
+    * mid-commit on the very store this layout targets, so the cases
+    * are distinguished:
+    *  - pointer present → that generation;
+    *  - pointer and tmp both absent → genuinely uncommitted root
+    *    (empty, or a stage crashed before its first commit) → None;
+    *  - pointer absent, tmp present → a commit is in flight: retry
+    *    through the window (bounded ~1 s), then fail LOUDLY — a
+    *    still-missing pointer means the writer died mid-flip; recover
+    *    by re-running the build or renaming CURRENT.tmp to CURRENT. */
   def currentGen(root: String): Option[String] = {
     val p = Fs.path(pointerPath(root))
+    val tmp = p.suffix(".tmp")
     val fs = Fs.fsOf(p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim finally in.close()
-      if (s.nonEmpty) Some(s) else None
+    def readPointer(): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        if (s.nonEmpty) Some(s) else None
+      }
+    var got = readPointer()
+    var attempts = 0
+    while (got.isEmpty && fs.exists(tmp) && attempts < 50) {
+      Thread.sleep(20)
+      got = readPointer()
+      attempts += 1
     }
+    if (got.nonEmpty) got
+    // tmp probed AFTER the last pointer read: a flip completing
+    // between the two probes leaves the pointer present above, never
+    // a false "mid-flip" verdict here
+    else if (fs.exists(tmp))
+      throw new IllegalStateException(
+        s"generation pointer missing at $root but CURRENT.tmp is " +
+          "present — a commit died mid-flip on a non-atomic pointer " +
+          "store; re-run the build or rename CURRENT.tmp to CURRENT")
+    else None
   }
 
   /** Committed generation DIRECTORY (the path readers plan against). */

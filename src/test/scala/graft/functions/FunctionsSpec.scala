@@ -320,6 +320,31 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("NaN-bearing vectors: centroid_probe fills cells in id order, " +
+      "pq_codes emits codeword 0 per subspace — deterministic; the " +
+      "HOF-equivalence claims are scoped to FINITE inputs (Spark " +
+      "orders NaN largest, the kernels' strict > never selects NaN)") {
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(1.0f, 1.0f))
+    val cbs = Seq(Seq(Seq(1.0f), Seq(2.0f)), Seq(Seq(3.0f), Seq(4.0f)))
+    val df = Seq(
+      Seq(Float.NaN, 1.0f), // NaN leading
+      Seq(1.0f, Float.NaN)  // NaN trailing — norm still poisons all
+    ).toDF("embedding")
+    val got = df.select(
+      GraftFunctions.centroid_probe(col("embedding"), cents, 2).as("cells"),
+      GraftFunctions.pq_codes(col("embedding"), cbs).as("codes"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Int](0) === Seq(0, 1), s"cells in $r")
+      assert(r.getSeq[Int](1) === Seq(0, 0), s"codes in $r")
+    }
+    // a FINITE vector alongside is unaffected (sanity anchor)
+    val fin = Seq(Seq(0.0f, 1.0f)).toDF("embedding")
+      .select(GraftFunctions.centroid_probe(col("embedding"), cents, 1))
+      .collect().head.getSeq[Int](0)
+    assert(fin === Seq(1))
+  }
+
   test("pq_adc_score is bit-identical to reconstruct-then-dot_product " +
       "(flat codeword element_at chain), for float and double queries") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -263,6 +263,33 @@ class PipelineSpec extends SparkSpec {
     assert(bt.compact(spark) === -1L)
   }
 
+  test("compaction as the FIRST op after a writer crash completes the " +
+      "pending swap before rewriting — staged sync state is not lost") {
+    import spark.implicits._
+    val dir = tmpDir("pipeline-compact-crash")
+    val live = s"$dir/state"
+    val target = FileTarget(live)
+    Seq(("a", 1L, "OLD")).toDF("id", "version", "name")
+      .repartition(2).write.parquet(live)
+    // a crashed sync: staged next-state + manifest written, swap never
+    // replayed (the window SwapCommitSpec's crash tests reconstruct)
+    val staging = s"$live.staging"
+    Seq(("a", 2L, "NEW"), ("b", 1L, "NEW"))
+      .toDF("id", "version", "name").repartition(2).write.parquet(staging)
+    val m = graft.util.Fs.path(s"$live.swap-manifest")
+    val out = graft.util.Fs.fsOf(m).create(m, true)
+    out.write(s"$staging\n*:swap".getBytes("UTF-8")); out.close()
+    // compact must recover FIRST: the result is the staged (post-sync)
+    // content, compacted — not the pre-swap rows, and no manifest left
+    val n = target.compact(spark, targetFileBytes = 1L << 30)
+    assert(n === 1L)
+    val got = spark.read.parquet(live)
+      .as[(String, Long, String)].collect().toSet
+    assert(got === Set(("a", 2L, "NEW"), ("b", 1L, "NEW")))
+    assert(!graft.util.Fs.exists(s"$live.swap-manifest"))
+    assert(!graft.util.Fs.exists(staging))
+  }
+
   test("compaction: partitioned state collapses to one file per pt " +
       "dir and every row survives") {
     val dir = tmpDir("pipeline-compact-pt")
