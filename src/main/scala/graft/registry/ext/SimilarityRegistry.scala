@@ -100,6 +100,22 @@ private[graft] object SimilarityRegistry {
         s.read.parquet(t(dir, "embeddings")), 0.4,
         nCells = 16, nProbe = 6)),
 
+    // ── the AUTO-SIZED SemDeDup production path
+    // ([[Similarity.semDedupAuto]]): the cell count comes from the
+    // unique-vector count at constant target occupancy
+    // ([[Similarity.sizedCells]]) — the code a 100 TB run executes,
+    // where the pinned-nCells shape above goes quadratic (the r16
+    // scale-killer). On the gate corpus the occupancy rule lands on
+    // the SAME cell count whose recall is exhaustively pinned
+    // (500 reps / 128-per-cell ⇒ the floor of 16 ≡ the certified
+    // shape; 2000 at sf0.1 ⇒ ceil = 16 too), so the exhaustive
+    // oracle certifies the full production path — count, sizing,
+    // bucketed join, survivor rule — bit for bit. ──
+    "q_semdedup_auto" -> ((s, dir) =>
+      Similarity.semDedupAuto(
+        s.read.parquet(t(dir, "embeddings")), 0.4,
+        targetPerCell = 128, nProbe = 6)),
+
     // semantic near-dup CLUSTERS: connected components over the
     // collapsed embedding pair graph (same IVF settings as
     // q_embed_dedup, whose exact recall is spec-pinned; exact-dup
@@ -268,6 +284,27 @@ private[graft] object SimilarityRegistry {
         k = 5, nProbe = 8, shortlist = 100)
     }),
 
+    // ── the AUTO-SIZED index build ([[VectorIndex.buildAuto]]) — the
+    // production entry point at scale, where the pinned-nCells build
+    // above is the certification shape. targetPerCell=32 puts the
+    // occupancy rule ABOVE its floor on the gate corpus (500 vecs ⇒
+    // 16 cells, not the floor 8), so the computed sizing is live in
+    // the certified plan, not short-circuited. Probe at total cell
+    // coverage (nProbe = the cell count buildAuto returns — the
+    // q_ann_ivf convention: the gate pins the plumbing; production
+    // sub-exhaustive recall is ExtSpec's recall-pinned business) with
+    // a genuinely sub-exhaustive ADC shortlist (150 of 500) + exact
+    // re-rank. Oracle: the exhaustive brute-force top-5. ──
+    "q_ann_auto" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val root = tempStateDir() + "/annidx-auto"
+      val nCells = graft.ext.VectorIndex.buildAuto(s, e, root,
+        targetPerCell = 32, m = 16, k = 32)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      graft.ext.VectorIndex.probe(s, root, queries,
+        k = 5, nProbe = nCells, shortlist = 150)
+    }),
+
     // ── q_ann_persisted's build/refresh/probe lifecycle under the
     // GENERATION-POINTER commit (graft.util.GenSwap): each commit
     // writes an immutable gen-<n> dir and flips a tiny CURRENT
@@ -394,6 +431,52 @@ private[graft] object SimilarityRegistry {
     }),
   )
 
+  /** Exhaustive SemDeDup replay: pair graph -> recursive CC ->
+    * integer-micro centroid -> fixed-order cosine -> (sim asc, id
+    * asc) keeper — the state both the pinned (q_semdedup) and the
+    * auto-sized (q_semdedup_auto) engine paths compute via the
+    * bucketed joins. */
+  private lazy val duckSemDedup: String =
+    """WITH RECURSIVE emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib
+      |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v))
+      |       * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+      |edges AS (SELECT ia AS a, ib AS b FROM p
+      |          UNION SELECT ib, ia FROM p),
+      |reach AS (
+      |  SELECT a AS n, b AS r FROM edges
+      |  UNION
+      |  SELECT reach.n, g.b FROM reach JOIN edges g ON reach.r = g.a),
+      |lab AS (SELECT n AS vec_id, least(n, min(r)) AS cluster_id
+      |        FROM reach GROUP BY n),
+      |mem AS (SELECT l.vec_id, l.cluster_id, e.v
+      |        FROM lab l JOIN emb e USING (vec_id)),
+      |cd AS (SELECT cluster_id, CAST(i - 1 AS INT) AS d,
+      |              sum(CAST(floor(v[i] * 1000000) AS BIGINT)) AS s,
+      |              count(*) AS cnt
+      |       FROM mem, LATERAL unnest(range(1, len(v) + 1)) t(i)
+      |       GROUP BY 1, 2),
+      |ca AS (SELECT cluster_id,
+      |              list(CAST(s AS DOUBLE) / (cnt * 1000000.0)
+      |                ORDER BY d) AS cent
+      |       FROM cd GROUP BY cluster_id),
+      |scored AS (SELECT m.vec_id, m.cluster_id,
+      |                  list_dot_product(m.v, c.cent)
+      |                    / (sqrt(list_dot_product(m.v, m.v))
+      |                       * sqrt(list_dot_product(c.cent, c.cent)))
+      |                    AS sim
+      |           FROM mem m JOIN ca c USING (cluster_id)),
+      |verdict AS (SELECT vec_id, cluster_id,
+      |                   row_number() OVER (PARTITION BY cluster_id
+      |                     ORDER BY sim, vec_id) = 1 AS kept
+      |            FROM scored)
+      |SELECT e.vec_id, v.cluster_id, coalesce(v.kept, TRUE) AS kept
+      |FROM embeddings e LEFT JOIN verdict v USING (vec_id)""".stripMargin
+
   /** DuckDB oracles for this file's queries. */
   val oracles: Map[String, String] = Map(
 
@@ -487,46 +570,16 @@ private[graft] object SimilarityRegistry {
     // exhaustive pair graph -> recursive CC -> integer-micro centroid
     // -> fixed-order cosine -> (sim asc, id asc) keeper — the same
     // state the engine computes via the bucketed paths
-    "q_semdedup" ->
-      """WITH RECURSIVE emb AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p AS (
-        |  SELECT a.vec_id AS ia, b.vec_id AS ib
-        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-        |  WHERE list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v))
-        |       * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
-        |edges AS (SELECT ia AS a, ib AS b FROM p
-        |          UNION SELECT ib, ia FROM p),
-        |reach AS (
-        |  SELECT a AS n, b AS r FROM edges
-        |  UNION
-        |  SELECT reach.n, g.b FROM reach JOIN edges g ON reach.r = g.a),
-        |lab AS (SELECT n AS vec_id, least(n, min(r)) AS cluster_id
-        |        FROM reach GROUP BY n),
-        |mem AS (SELECT l.vec_id, l.cluster_id, e.v
-        |        FROM lab l JOIN emb e USING (vec_id)),
-        |cd AS (SELECT cluster_id, CAST(i - 1 AS INT) AS d,
-        |              sum(CAST(floor(v[i] * 1000000) AS BIGINT)) AS s,
-        |              count(*) AS cnt
-        |       FROM mem, LATERAL unnest(range(1, len(v) + 1)) t(i)
-        |       GROUP BY 1, 2),
-        |ca AS (SELECT cluster_id,
-        |              list(CAST(s AS DOUBLE) / (cnt * 1000000.0)
-        |                ORDER BY d) AS cent
-        |       FROM cd GROUP BY cluster_id),
-        |scored AS (SELECT m.vec_id, m.cluster_id,
-        |                  list_dot_product(m.v, c.cent)
-        |                    / (sqrt(list_dot_product(m.v, m.v))
-        |                       * sqrt(list_dot_product(c.cent, c.cent)))
-        |                    AS sim
-        |           FROM mem m JOIN ca c USING (cluster_id)),
-        |verdict AS (SELECT vec_id, cluster_id,
-        |                   row_number() OVER (PARTITION BY cluster_id
-        |                     ORDER BY sim, vec_id) = 1 AS kept
-        |            FROM scored)
-        |SELECT e.vec_id, v.cluster_id, coalesce(v.kept, TRUE) AS kept
-        |FROM embeddings e LEFT JOIN verdict v USING (vec_id)""".stripMargin,
+    "q_semdedup" -> duckSemDedup,
+
+    // the auto-sized production path computes the identical survivor
+    // state on the gate corpus (occupancy sizing lands on the
+    // recall-pinned cell count) — same exhaustive replay
+    "q_semdedup_auto" -> duckSemDedup,
+
+    // the auto-sized build serves the full corpus at total cell
+    // coverage — same exhaustive replay as the other ANN rows
+    "q_ann_auto" -> duckAnnBruteTop5,
 
     "q_embed_clusters" ->
       """WITH RECURSIVE emb AS (
