@@ -1573,16 +1573,41 @@ object Assemble {
   /** Publish the capped serving view over posting state: per token,
     * df and the top-`maxPostings` chunks (tf desc, chunk_id asc — a
     * total order). Same plan shape as [[invertedIndex]]'s serving
-    * stage: one token exchange, rank + df from the same window. */
-  def publishIndex(postings: DataFrame, maxPostings: Int): DataFrame = {
+    * stage: one token exchange, rank + df from the same window.
+    *
+    * `dfCap` (> 0 to enable) drops tokens with df above the cap
+    * BEFORE the ranking window — the stop-word guard for the window's
+    * heap shape: a token in (nearly) every chunk concentrates all its
+    * posting rows in ONE window partition (measured: the
+    * q_rag_incremental 100×-key-growth OOM at default executor heap,
+    * BASELINE.md r16), and such tokens are retrieval-useless anyway
+    * (they match everything). With the cap, df comes from a
+    * pre-aggregation (map-side partial combine — no giant partition
+    * buffer), capped tokens' postings never reach the window, and the
+    * surviving rows are IDENTICAL to the uncapped view filtered to
+    * `df <= dfCap` (the df a token has is the same in both plans). */
+  def publishIndex(
+      postings: DataFrame, maxPostings: Int, dfCap: Long = 0L)
+      : DataFrame = {
     require(maxPostings > 0, "maxPostings must be positive")
     val byTok = Window.partitionBy(col("tok"))
     val ranked = byTok.orderBy(col("tf").desc, col("chunk_id"))
-    postings.withColumn("rank", row_number().over(ranked))
-      .withColumn("df", count(lit(1)).over(byTok))
-      .filter(col("rank") <= maxPostings)
-      .select(col("tok"), col("df"), col("rank"), col("chunk_id"),
-        col("tf"))
+    if (dfCap <= 0L)
+      postings.withColumn("rank", row_number().over(ranked))
+        .withColumn("df", count(lit(1)).over(byTok))
+        .filter(col("rank") <= maxPostings)
+        .select(col("tok"), col("df"), col("rank"), col("chunk_id"),
+          col("tf"))
+    else {
+      val dfs = postings.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap)
+      postings.join(dfs, Seq("tok"))
+        .withColumn("rank", row_number().over(ranked))
+        .filter(col("rank") <= maxPostings)
+        .select(col("tok"), col("df"), col("rank"), col("chunk_id"),
+          col("tf"))
+    }
   }
 
   /**
@@ -1604,15 +1629,26 @@ object Assemble {
    *                      added ∪ updated, with `idCol`/`textCol`
    * @param droppedDocIds one `id` column: removedIds ∪ updated ids
    *                      (an update drops old postings first)
+   * @param dfCap         > 0 drops tokens with df above the cap from
+   *                      the published view ([[publishIndex]]'s
+   *                      stop-word heap guard). Refresh-safe: a
+   *                      token's df moves only when one of its
+   *                      posting rows is added/dropped, i.e. only for
+   *                      TOUCHED tokens — carried-over rows keep
+   *                      their cap verdict, and a touched token whose
+   *                      new df exceeds the cap simply vanishes from
+   *                      the republished slice, exactly as a full
+   *                      rebuild with the same cap would have it
    * @return (new posting state, new published index) — published
    *         rows are bit-identical to a full rebuild over the
-   *         post-sync corpus
+   *         post-sync corpus (with the same `dfCap`)
    */
   def refreshRagIndex(
       prevPostings: DataFrame, prevPublished: DataFrame,
       changedDocs: DataFrame, droppedDocIds: DataFrame,
       idCol: String, textCol: String,
-      chunkTokens: Int, overlap: Int, maxPostings: Int)
+      chunkTokens: Int, overlap: Int, maxPostings: Int,
+      dfCap: Long = 0L)
       : (DataFrame, DataFrame) = {
     val dropIds = droppedDocIds.select(col("id").as("doc_id"))
     val newPostings = ragPostings(changedDocs, idCol, textCol,
@@ -1625,7 +1661,8 @@ object Assemble {
     val touched = dropped.select(col("tok"))
       .union(newPostings.select(col("tok"))).distinct()
     val republished = publishIndex(
-      postings.join(touched, Seq("tok"), "left_semi"), maxPostings)
+      postings.join(touched, Seq("tok"), "left_semi"), maxPostings,
+      dfCap)
     val carried = prevPublished.join(touched, Seq("tok"), "left_anti")
     (postings, carried.unionByName(republished))
   }

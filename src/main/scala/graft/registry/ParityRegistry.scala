@@ -651,7 +651,9 @@ private[graft] object ParityRegistry {
       NodeTarget(path, softDelete = true, rootPath = "/sites/odd")
         .removeAll(s)
       orders.unpersist()
-      s.read.parquet(path).select(col("identifier"), col("variant"),
+      // read through the target: the state lives under a generation
+      // dir resolved by the CURRENT pointer, not flat at `path`
+      NodeTarget(path).table(s).select(col("identifier"), col("variant"),
         col("path"), col("hidden"), col("version").cast("long"),
         col("src"))
     }),

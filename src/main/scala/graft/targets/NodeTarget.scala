@@ -35,14 +35,18 @@ import org.apache.spark.sql.types._
  * Node table schema: (identifier, variant, path, hidden,
  * version, <mapped columns...>).
  *
- * State layout and commit discipline: the node table lives flat under
- * `path`, with a NARROW keyed diff-state index — one row per record
- * id: (id, version, hidden) — maintained under `path/_dstate`. The
- * `_`-prefixed subdirectory is invisible to `spark.read.parquet
- * (path)` (Spark's file index skips `_*`/`.*` names), and because it
- * is INSIDE the state dir it commits atomically with the node table
- * through the same manifest-logged whole-dir swap
- * ([[graft.util.SwapCommit]]). The index's next state is a pure
+ * State layout and commit discipline: `path` is a GENERATION ROOT
+ * ([[graft.util.GenSwap]]) — every sync writes a fresh immutable
+ * `path/gen-<n>/` holding the node table plus its NARROW keyed
+ * diff-state index — one row per record id: (id, version, hidden) —
+ * under `gen-<n>/_dstate` (the `_`-prefixed subdirectory is invisible
+ * to the generation dir's parquet read), then flips the tiny
+ * `path/CURRENT` pointer. The table and its index live in ONE
+ * generation, so they commit atomically by construction; readers that
+ * resolved the previous generation keep serving through a concurrent
+ * sync (retained until the commit after next — the two-refresh limit
+ * documented on GenSwap), and on object stores the commit is
+ * O(pointer), never a bulk rename. The index's next state is a pure
  * projection of the sync's one diff join (the diff keeps unchanged
  * rows for exactly this — [[graft.core.DiffOptions.keepUnchanged]]),
  * so [[currentState]] is a direct narrow scan — the reference's
@@ -53,14 +57,19 @@ import org.apache.spark.sql.types._
  * The full-table aggregation remains as the fallback for state dirs
  * that predate the index and as the rebuild after [[removeAll]].
  *
- * STORAGE: the swap commit ([[graft.util.SwapCommit]]), the
- * existence probes and the degenerate-index detection all go through
- * the Hadoop `FileSystem` of the state path ([[graft.util.Fs]]), so
- * the layout works on `file://` (tests/sandbox) and HDFS unchanged.
- * On object stores the rename-based swap is crash-consistent but not
- * reader-atomic — see the caveat on [[graft.util.SwapCommit]];
- * the sync model (one import run owns the target) satisfies its
- * single-writer assumption.
+ * LEGACY LAYOUTS: state dirs written before the generation layout —
+ * or seeded externally by a plain `df.write.parquet(path)` — hold the
+ * table flat under `path` (optionally with a pending in-place
+ * swap manifest). [[resolvedDir]] recovers any pending legacy swap,
+ * then reads flat state when no pointer exists; the first commit
+ * migrates: it writes `gen-0`, flips the pointer, and sweeps the
+ * legacy flat files ([[graft.util.GenSwap.cleanupForeign]]).
+ *
+ * STORAGE: every probe and commit goes through the Hadoop
+ * `FileSystem` of the state path ([[graft.util.Fs]]), so the layout
+ * works on `file://` (tests/sandbox), HDFS, and object stores
+ * unchanged; the sync model (one import run owns the target)
+ * satisfies GenSwap's single-writer assumption.
  */
 final case class NodeTarget(
     path: String,
@@ -77,8 +86,6 @@ final case class NodeTarget(
 
   /** Reserved identifier prefix for auto-created parent containers. */
   private val AutoParent = "auto:"
-
-  private def exists: Boolean = graft.util.Fs.list(path).nonEmpty
 
   private def emptyState(spark: SparkSession): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -98,22 +105,45 @@ final case class NodeTarget(
 
   private def manifestFile = path + ".swap-manifest"
 
-  private def nodes(spark: SparkSession): DataFrame = {
+  /** Resolve the COMMITTED state dir: the generation named by the
+    * CURRENT pointer (every commit writes this layout), or the legacy
+    * flat dir itself — pre-generation states and externally seeded
+    * tables (`df.write.parquet(path)`). A pending LEGACY in-place
+    * swap (crashed pre-generation writer) is completed first. */
+  private def resolvedDir(): Option[String] = {
     graft.util.SwapCommit.recover(path, manifestFile)
-    if (exists) spark.read.parquet(path) else emptyState(spark)
+    graft.util.GenSwap.currentDir(path).orElse(
+      if (graft.util.Fs.hasData(path, acceptDirs = false)) Some(path)
+      else None)
   }
 
-  private def dstatePath = s"$path/_dstate"
+  /** The committed node table (empty-schema frame before the first
+    * commit) — the read surface for consumers: a raw
+    * `spark.read.parquet(path)` stopped being meaningful when the
+    * state moved under generation dirs. */
+  def table(spark: SparkSession): DataFrame = nodes(spark)
+
+  /** Resolved committed state dir (generation dir, or the legacy flat
+    * dir) — exposed for tools/tests that inspect the on-disk layout
+    * (e.g. the `_dstate` index files). */
+  def stateDirResolved: Option[String] = resolvedDir()
+
+  private def nodes(spark: SparkSession): DataFrame =
+    resolvedDir() match {
+      case Some(d) => spark.read.parquet(d)
+      case None => emptyState(spark)
+    }
 
   /** The narrow keyed index, or the legacy full-table aggregation for
     * state dirs written before the index existed. */
-  private def dstate(spark: SparkSession): DataFrame = {
-    graft.util.SwapCommit.recover(path, manifestFile)
-    if (!exists) emptyDstate(spark)
-    else if (graft.util.Fs.isDir(dstatePath))
-      spark.read.parquet(dstatePath)
-    else dstateOf(nodes(spark))
-  }
+  private def dstate(spark: SparkSession): DataFrame =
+    resolvedDir() match {
+      case None => emptyDstate(spark)
+      case Some(d) =>
+        if (graft.util.Fs.isDir(s"$d/_dstate"))
+          spark.read.parquet(s"$d/_dstate")
+        else dstateOf(spark.read.parquet(d))
+    }
 
   /** The legacy/rebuild aggregation: collapse a node table to one row
     * per record id — version = max over variants, hidden iff ALL
@@ -128,22 +158,25 @@ final case class NodeTarget(
       .agg(max(col("version")).as("version"),
         min(col("hidden").cast("int")).cast("boolean").as("hidden"))
 
-  /** Stage `next` (+ its `_dstate` index) under `<path>.staging` and
-    * swap it in through the manifest-logged two-phase commit
-    * ([[graft.util.SwapCommit]]) — a crash between manifest write and
-    * delete is completed idempotently by the next reader; the node
-    * table and its index always swap together.
+  /** Stage `next` (+ its `_dstate` index) into a fresh immutable
+    * generation dir and flip the pointer ([[graft.util.GenSwap]]) —
+    * the node table and its index live in ONE generation, so they
+    * commit atomically by construction; a crash mid-stage leaves an
+    * orphaned never-referenced dir the next commit's cleanup removes,
+    * and in-flight readers of the previous generation keep serving.
+    * The first commit over a legacy flat layout migrates it: the
+    * `next` plan reads the flat files lazily while the write lands in
+    * the (distinct) generation subdir, then the legacy files sweep.
     *
     * `overlap` (an independent action over the already-materialized
     * diff — the phase-stats aggregation) runs CONCURRENTLY with the
     * index write: both only read checkpoint/cached blocks the main
     * write just produced, so serializing them was pure latency.
     * Spark job submission is thread-safe; the result is joined
-    * before the swap so failures surface before commit. */
+    * before the flip so failures surface before commit. */
   private def commitState[A](
       next: DataFrame, dstateNext: DataFrame)(overlap: => A): A = {
-    val staging = path + ".staging"
-    graft.util.SwapCommit.deleteRec(staging)
+    val staging = graft.util.GenSwap.nextDir(path)
     next.write.mode("overwrite").parquet(staging)
     // written second: when `next`'s plan carries the ChangeSet's lazy
     // checkpoint, the main write above materialized it, so the index
@@ -173,7 +206,13 @@ final case class NodeTarget(
     }
     val a = scala.concurrent.Await.result(
       overlapF, scala.concurrent.duration.Duration.Inf)
-    graft.util.SwapCommit.commit(path, staging, manifestFile)
+    graft.util.GenSwap.commit(path, staging)
+    // legacy-layout migration sweep: once a generation owns the
+    // state, the old flat files (and any stale legacy staging) go —
+    // idempotent, and a crash before the sweep is harmless (readers
+    // prefer the pointer; the next commit retries)
+    graft.util.GenSwap.cleanupForeign(path)
+    graft.util.SwapCommit.deleteRec(path + ".staging")
     a
   }
 
@@ -382,12 +421,11 @@ final case class NodeTarget(
     * evolves by the under-root id set the return count already
     * computes. */
   override def removeAll(spark: SparkSession): Long = {
-    // recover BEFORE the existence check: a swap that crashed between
-    // deleting the live dir and renaming the staging in leaves no
-    // live dir — the naive check would read that as "no state" and
-    // skip both the recovery and the prune
-    graft.util.SwapCommit.recover(path, manifestFile)
-    if (!exists) return 0L
+    // resolvedDir recovers a pending LEGACY swap before the existence
+    // check: a legacy writer that crashed between deleting the live
+    // dir and renaming the staging in leaves no live dir — a naive
+    // check would read that as "no state" and skip the prune
+    if (resolvedDir().isEmpty) return 0L
     val under = col("path").startsWith(rootPath.stripSuffix("/") + "/")
     val all = nodes(spark).cache()
     // the affected id set is both the return count AND the index

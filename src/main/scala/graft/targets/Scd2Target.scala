@@ -53,26 +53,40 @@ final case class Scd2Target(
   private def ledgerDir = s"$path/_applies"
   private def manifestFile = s"$path/data.swap-manifest"
 
-  /** Manifest-logged whole-dir swap — the shared
-    * [[graft.util.SwapCommit]] two-phase-commit primitive: a crash
-    * anywhere between manifest write and delete is completed by the
-    * next reader/writer, and the staged next-state is never lost
-    * mid-swap. */
-  private def commitSwap(staging: String): Unit =
-    graft.util.SwapCommit.commit(dataDir, staging, manifestFile)
-
-  /** Finish a swap a crashed writer left pending — before any read. */
-  private def recoverPendingSwap(): Unit =
+  /** Resolve the COMMITTED history dir: `$path/data` is a GENERATION
+    * ROOT ([[graft.util.GenSwap]]) — every apply/compact writes a
+    * fresh immutable `data/gen-<n>/` and flips `data/CURRENT`, so
+    * time-travel readers holding the previous generation survive a
+    * concurrent sync (two-refresh limit — see GenSwap) and object-
+    * store commits are O(pointer). Legacy flat layouts (pre-
+    * generation states) read as themselves after completing any
+    * pending in-place swap; the first commit migrates them. */
+  private def resolvedDataDir(): Option[String] = {
     graft.util.SwapCommit.recover(dataDir, manifestFile)
+    graft.util.GenSwap.currentDir(dataDir).orElse(
+      if (graft.util.Fs.list(dataDir)
+          .exists(_.getPath.getName.endsWith(".parquet"))) Some(dataDir)
+      else None)
+  }
 
-  private def exists: Boolean = graft.util.Fs.list(dataDir)
-    .exists(_.getPath.getName.endsWith(".parquet"))
+  /** Resolved committed history dir (generation dir, or the legacy
+    * flat dir) — exposed for tools/tests that inspect file layout. */
+  def dataDirResolved: Option[String] = resolvedDataDir()
+
+  /** Commit `staged` (a fully-written next generation) and sweep any
+    * legacy flat files the first post-migration commit leaves. */
+  private def commitGen(staged: String): Unit = {
+    graft.util.GenSwap.commit(dataDir, staged)
+    graft.util.GenSwap.cleanupForeign(dataDir)
+    graft.util.SwapCommit.deleteRec(s"$path/data.staging")
+  }
+
+  private def exists: Boolean = resolvedDataDir().nonEmpty
 
   /** Full history table (empty two-column frame before first write —
     * callers project their expected schema stably, the
     * q_sync_incremental convention). */
   def history(spark: SparkSession): DataFrame = {
-    recoverPendingSwap()
     if (!exists)
       // the empty frame's columns come from the CONFIGURED id/version
       // names — hardcoding ("id", "version") made currentState's
@@ -86,7 +100,7 @@ final case class Scd2Target(
           versionColumn.map(vc =>
             org.apache.spark.sql.types.StructField(vc,
               org.apache.spark.sql.types.LongType)).toSeq))
-    else spark.read.parquet(dataDir)
+    else spark.read.parquet(resolvedDataDir().get)
   }
 
   /** This apply's sync ordinal = number of recorded prior applies
@@ -185,12 +199,14 @@ final case class Scd2Target(
       .withColumn("sync_out", lit(null).cast("long"))
     val next = closedOrKept.unionByName(opens)
 
-    // stage-then-swap (manifest-logged): never read-while-write the
-    // live snapshot, never lose it to a crash mid-swap
-    val staging = s"$path/data.staging"
+    // stage into a fresh generation, then flip the pointer: never
+    // read-while-write the live snapshot (distinct immutable dirs by
+    // construction), never lose it to a crash (an interrupted stage
+    // is an orphan the next commit prunes)
+    val staging = graft.util.GenSwap.nextDir(dataDir)
     next.write.mode("overwrite").parquet(staging)
     recordOrdinal(k) // after staging, before commit — see ledgerCount
-    commitSwap(staging)
+    commitGen(staging)
 
     // counts AFTER the write: the write materializes the lazy
     // localCheckpoint, so this re-scans in-memory blocks (the r12
@@ -221,30 +237,29 @@ final case class Scd2Target(
   def compact(spark: SparkSession,
       targetFileBytes: Long = 128L << 20): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    recoverPendingSwap()
-    if (!exists) return -1L
-    def dataFiles: Seq[org.apache.hadoop.fs.FileStatus] =
-      graft.util.Fs.list(dataDir)
+    val cur = resolvedDataDir().getOrElse(return -1L)
+    def dataFiles(d: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      graft.util.Fs.list(d)
         .filter(_.getPath.getName.endsWith(".parquet"))
-    val files = dataFiles
+    val files = dataFiles(cur)
     val want = math.max(1L,
       (files.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes)
     if (files.size <= want) return -1L
-    val staging = s"$path/data.staging"
+    val staging = graft.util.GenSwap.nextDir(dataDir)
     history(spark)
       .coalesce(want.toInt)
       .sortWithinPartitions(col("sync_in"), col(idColumn))
       .write.mode("overwrite").parquet(staging)
-    commitSwap(staging) // no recordOrdinal: content-preserving rewrite
-    dataFiles.size.toLong
+    commitGen(staging) // no recordOrdinal: content-preserving rewrite
+    dataFiles(resolvedDataDir().get).size.toLong
   }
 
   /** Prune = SOFT-close every current row at a fresh ordinal — the
     * history is the point of this target; nothing is deleted. */
   override def removeAll(spark: SparkSession): Long = {
-    // recover BEFORE the existence check (a swap that crashed between
-    // delete and rename leaves no live dir — same fix as NodeTarget)
-    recoverPendingSwap()
+    // resolvedDataDir recovers a pending LEGACY swap before the
+    // existence check (a legacy writer that crashed between delete
+    // and rename left no live dir — same fix as NodeTarget)
     if (!exists) return 0L
     val h = history(spark)
     if (!h.columns.contains("sync_out")) return 0L
@@ -253,10 +268,10 @@ final case class Scd2Target(
       val k = ledgerCount()
       val next = h.withColumn("sync_out",
         coalesce(col("sync_out"), lit(k)))
-      val staging = s"$path/data.staging"
+      val staging = graft.util.GenSwap.nextDir(dataDir)
       next.write.mode("overwrite").parquet(staging)
       recordOrdinal(k) // after staging, before commit — see ledgerCount
-      commitSwap(staging)
+      commitGen(staging)
     }
     n
   }

@@ -213,9 +213,10 @@ object Prof {
           .removeAll(spark)
       }
       time("final read") {
-        spark.read.parquet(path).count()
+        NodeTarget(path).table(spark).count()
       }
-      val parts = Option(new java.io.File(path).listFiles())
+      val parts = NodeTarget(path).stateDirResolved
+        .flatMap(d => Option(new java.io.File(d).listFiles()))
         .map(_.count(_.getName.startsWith("part-"))).getOrElse(-1)
       println(s"[prof] state part-files: $parts")
     }

@@ -56,13 +56,13 @@ object ProfileNode {
         }
       }
       println(s"[prof] rep$rep state files after sync3: " +
-        Option(new java.io.File(path).listFiles()).map(_.count(_.getName.startsWith("part-"))).getOrElse(-1))
+        NodeTarget(path).stateDirResolved.flatMap(d => Option(new java.io.File(d).listFiles())).map(_.count(_.getName.startsWith("part-"))).getOrElse(-1))
       timed("removeAll") {
         NodeTarget(path, softDelete = true, rootPath = "/sites/odd")
           .removeAll(spark)
       }
       timed("readback") {
-        spark.read.parquet(path).count()
+        NodeTarget(path).table(spark).count()
       }
       graft.util.SwapCommit.deleteRec(new java.io.File(root))
     }

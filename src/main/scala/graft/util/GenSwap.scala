@@ -148,4 +148,20 @@ object GenSwap {
         SwapCommit.deleteRec(st.getPath)
     }
   }
+
+  /** Migration sweep for roots that previously held a flat in-place
+    * layout (the pre-generation snapshot sinks): once a generation
+    * owns the state, every top-level entry that is neither a
+    * generation dir nor the pointer (old flat data files, a stale
+    * `_dstate`, committer markers) is deleted. Idempotent; call AFTER
+    * a successful [[commit]] — readers already prefer the pointer, so
+    * a crash before the sweep only leaves dead bytes the next sweep
+    * removes. */
+  def cleanupForeign(root: String): Unit =
+    Fs.list(root).foreach { st =>
+      val name = st.getPath.getName
+      if (ordinalOf(name).isEmpty && name != PointerName &&
+          name != PointerName + ".tmp")
+        SwapCommit.deleteRec(st.getPath)
+    }
 }

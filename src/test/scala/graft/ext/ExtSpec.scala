@@ -2931,6 +2931,44 @@ class ExtSpec extends SparkSpec {
     assert(!pub(pub2).exists(_._1 == "gone"))
   }
 
+  test("rag index df-cap: capped tokens drop from the published view " +
+    "(= uncapped filtered to df <= cap), and a ChangeSet refresh with " +
+    "the cap equals a capped full rebuild — including a token the " +
+    "delta pushes OVER the cap") {
+    def pub(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getString(3), r.getLong(4))).toSet
+    // "stop" in all 3 docs (df 3 > cap 2); "hot" in 2 (df 2 = cap);
+    // the rest df 1
+    val initial = Seq(
+      ("1", "stop hot alpha"),
+      ("2", "stop hot beta"),
+      ("3", "stop gamma")
+    ).toDF("id", "text")
+    val p1 = Assemble.ragPostings(initial, "id", "text", 8, 4)
+    val capped = Assemble.publishIndex(p1, 2, dfCap = 2L)
+    val uncapped = Assemble.publishIndex(p1, 2)
+    assert(pub(capped) === pub(uncapped).filter(_._2 <= 2L))
+    assert(!pub(capped).exists(_._1 == "stop"))
+    assert(pub(capped).exists(_._1 == "hot"))
+    // refresh with the cap: doc 4 adds another "hot" — df crosses the
+    // cap and the token must vanish, exactly as a capped rebuild has it
+    val pub1 = Assemble.publishIndex(p1, 2, dfCap = 2L)
+    val changed = Seq(("4", "hot delta")).toDF("id", "text")
+    val droppedIds = Seq.empty[String].toDF("id")
+    val (p2, pub2) = Assemble.refreshRagIndex(p1, pub1, changed,
+      droppedIds, "id", "text", 8, 4, 2, dfCap = 2L)
+    val finalCorpus = initial.unionByName(changed)
+    val rebuilt = Assemble.publishIndex(
+      Assemble.ragPostings(finalCorpus, "id", "text", 8, 4), 2,
+      dfCap = 2L)
+    assert(pub(pub2) === pub(rebuilt))
+    assert(!pub(pub2).exists(_._1 == "hot")) // df 3 > cap now
+    assert(pub(pub2).exists(_._1 == "alpha")) // untouched carry-over
+    // posting STATE stays uncapped — the cap is a serving-view filter
+    assert(p2.filter($"tok" === "stop").count() === 3L)
+  }
+
   test("chunkText: overlapping chunks cover every token, trailing " +
     "partial emits, empty docs drop") {
     val df = Seq(

@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
 class NodeTargetSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Read surface for the generation-layout state: the committed
+    * node table / `_dstate` index of `$dir/nodes`, resolved through
+    * the CURRENT pointer (or the legacy flat dir). */
+  private def nodesOf(dir: String) =
+    NodeTarget(s"$dir/nodes").table(spark)
+  private def stateDirOf(dir: String): String =
+    NodeTarget(s"$dir/nodes").stateDirResolved.get
+  private def idxOf(dir: String) =
+    spark.read.parquet(stateDirOf(dir) + "/_dstate")
+
   private def preset(dir: String, data: Seq[(String, Long, String)],
       softDelete: Boolean = false) = {
     val target = NodeTarget(s"$dir/nodes", idPrefix = "node-",
@@ -28,7 +38,7 @@ class NodeTargetSpec extends SparkSpec {
     val r = new ImportService(preset(dir, Seq(("a", 1L, "Ada"))))
       .importData(spark)
     assert(r.added === 1)
-    val nodes = spark.read.parquet(s"$dir/nodes")
+    val nodes = nodesOf(dir)
     assert(nodes.count() === 2) // de + en variants
     assert(nodes.select("identifier").distinct().as[String].head() === "node-a")
     assert(nodes.select("variant").as[String].collect().toSet === Set("de", "en"))
@@ -52,7 +62,7 @@ class NodeTargetSpec extends SparkSpec {
     val data = Seq(("a", 1L, "news"), ("b", 1L, "news"), ("c", 1L, "blog"))
     val r1 = new ImportService(p(data)).importData(spark)
     assert(r1.added === 3)
-    val nodes = spark.read.parquet(s"$dir/nodes")
+    val nodes = nodesOf(dir)
     val paths = nodes.select("identifier", "path").as[(String, String)]
       .collect().toMap
     assert(paths("node-a") === "/sites/news/a")
@@ -65,7 +75,7 @@ class NodeTargetSpec extends SparkSpec {
     // re-run is a clean no-op (no duplicate containers either)
     val r2 = new ImportService(p(data)).importData(spark)
     assert((r2.added, r2.updated, r2.removed) === ((0L, 0L, 0L)))
-    assert(spark.read.parquet(s"$dir/nodes")
+    assert(nodesOf(dir)
       .filter($"identifier".startsWith("auto:")).count() === 2)
   }
 
@@ -83,7 +93,7 @@ class NodeTargetSpec extends SparkSpec {
     val r = new ImportService(preset(dir, Seq(("a", 5L, "Ada2"))))
       .importData(spark)
     assert(r.updated === 1)
-    val nodes = spark.read.parquet(s"$dir/nodes")
+    val nodes = nodesOf(dir)
     assert(nodes.count() === 2)
     assert(nodes.select("version").distinct().as[Long].head() === 5L)
     assert(nodes.select("name").distinct().as[String].head() === "ADA2")
@@ -96,7 +106,7 @@ class NodeTargetSpec extends SparkSpec {
     val r = new ImportService(preset(dir, Seq(("a", 1L, "Ada"))))
       .importData(spark)
     assert(r.removed === 1)
-    val ids = spark.read.parquet(s"$dir/nodes")
+    val ids = nodesOf(dir)
       .select("identifier").distinct().as[String].collect().toSet
     assert(ids === Set("node-a"))
   }
@@ -110,7 +120,7 @@ class NodeTargetSpec extends SparkSpec {
     val r = new ImportService(preset(dir, Seq(("a", 1L, "Ada")),
       softDelete = true)).importData(spark)
     assert(r.removed === 1)
-    val nodes = spark.read.parquet(s"$dir/nodes")
+    val nodes = nodesOf(dir)
     assert(nodes.select("identifier").distinct().count() === 2)
     assert(nodes.filter($"identifier" === "node-b" && $"hidden").count() === 2)
     // re-run with b still absent: hidden b is NOT a removal candidate again
@@ -121,7 +131,7 @@ class NodeTargetSpec extends SparkSpec {
     val r3 = new ImportService(preset(dir, Seq(("a", 1L, "Ada"), ("b", 9L, "Bob")),
       softDelete = true)).importData(spark)
     assert(r3.updated === 1)
-    val b = spark.read.parquet(s"$dir/nodes").filter($"identifier" === "node-b")
+    val b = nodesOf(dir).filter($"identifier" === "node-b")
     assert(b.filter($"hidden").count() === 0)
   }
 
@@ -157,7 +167,7 @@ class NodeTargetSpec extends SparkSpec {
     val n = NodeTarget(s"$dir/nodes", softDelete = true,
       rootPath = "/sites/odd").removeAll(spark)
     assert(n === 1L)
-    val st = spark.read.parquet(s"$dir/nodes")
+    val st = nodesOf(dir)
     assert(st.filter($"hidden").select("path").as[String].collect().toSet
       === Set("/sites/odd/a"))
 
@@ -166,7 +176,7 @@ class NodeTargetSpec extends SparkSpec {
     val n2 = NodeTarget(s"$dir/nodes", softDelete = false,
       rootPath = "/sites/odd").removeAll(spark)
     assert(n2 === 1L)
-    val st2 = spark.read.parquet(s"$dir/nodes")
+    val st2 = nodesOf(dir)
     assert(st2.select("path").as[String].collect().toSet
       === Set("/sites/odd", "/sites/oddball", "/sites/oddball/b"))
   }
@@ -180,23 +190,23 @@ class NodeTargetSpec extends SparkSpec {
     new ImportService(preset(dir,
       Seq(("a", 1L, "Ada"), ("b", 1L, "Bob")), softDelete = true))
       .importData(spark)
-    val idx1 = spark.read.parquet(s"$dir/nodes/_dstate")
+    val idx1 = idxOf(dir)
     assert(idx1.columns.toSet === Set("id", "version", "hidden"))
     assert(idx1.as[(String, Long, Boolean)].collect().toSet
       === Set(("node-a", 1L, false), ("node-b", 1L, false)))
     // the index subdir must NOT leak into the node-table read
-    assert(spark.read.parquet(s"$dir/nodes").columns.contains("variant"))
+    assert(nodesOf(dir).columns.contains("variant"))
     // sync 2: a updated, b absent → soft-hidden, c added
     new ImportService(preset(dir,
       Seq(("a", 2L, "Ada2"), ("c", 1L, "Cyd")), softDelete = true))
       .importData(spark)
-    val idx2 = spark.read.parquet(s"$dir/nodes/_dstate")
+    val idx2 = idxOf(dir)
       .as[(String, Long, Boolean)].collect().toSet
     assert(idx2 === Set(
       ("node-a", 2L, false), ("node-b", 1L, true), ("node-c", 1L, false)))
     // index state == the aggregation over the node table (the
     // invariant the projection maintenance must preserve)
-    val agg = spark.read.parquet(s"$dir/nodes")
+    val agg = nodesOf(dir)
       .groupBy($"identifier").agg(
         max($"version").as("v"),
         min($"hidden".cast("int")).cast("boolean").as("h"))
@@ -205,7 +215,7 @@ class NodeTargetSpec extends SparkSpec {
     // removeAll evolves the index by the same path predicate
     NodeTarget(s"$dir/nodes", softDelete = true, rootPath = "/sites")
       .removeAll(spark)
-    val idx3 = spark.read.parquet(s"$dir/nodes/_dstate")
+    val idx3 = idxOf(dir)
       .as[(String, Long, Boolean)].collect().toSet
     assert(idx3 === Set(
       ("node-a", 2L, true), ("node-b", 1L, true), ("node-c", 1L, true)))
@@ -213,7 +223,7 @@ class NodeTargetSpec extends SparkSpec {
     // legacy dir (no _dstate): the fallback aggregation must serve
     // the diff, and the next commit must create the index
     graft.util.SwapCommit.deleteRec(
-      new java.io.File(s"$dir/nodes/_dstate"))
+      new java.io.File(stateDirOf(dir) + "/_dstate"))
     val tgt = NodeTarget(s"$dir/nodes", idPrefix = "node-",
       softDelete = true,
       variantsResolver = _ => array(lit("de"), lit("en")))
@@ -223,27 +233,28 @@ class NodeTargetSpec extends SparkSpec {
       ("node-a", 2L, true), ("node-b", 1L, true), ("node-c", 1L, true)))
     new ImportService(preset(dir,
       Seq(("a", 3L, "Ada3")), softDelete = true)).importData(spark)
-    val idx4 = spark.read.parquet(s"$dir/nodes/_dstate")
+    val idx4 = idxOf(dir)
       .as[(String, Long, Boolean)].collect().toSet
     // a's update un-hides it; b and c keep their hidden state
     assert(idx4 === Set(
       ("node-a", 3L, false), ("node-b", 1L, true), ("node-c", 1L, true)))
   }
 
-  test("manifest-logged swap: a commit that crashed between staging " +
-      "and swap is completed idempotently by the next reader — the " +
-      "staged state is never lost and never observed half-written") {
+  test("LEGACY in-place layout: a pre-generation writer's pending swap " +
+      "(manifest + staging) is completed idempotently before the next " +
+      "read — the staged state is never lost, both crash windows") {
     val dir = tmpDir("node-crash")
-    new ImportService(preset(dir, Seq(("a", 1L, "Ada"))))
-      .importData(spark)
-    // simulate a crash: stage the next state fully, write the
-    // manifest, but die before the rm+rename
     val live = s"$dir/nodes"
+    // a pre-generation state dir: flat parquet, no pointer
+    Seq(("node-a", "de", "/sites/a", false, 1L, "ADA"))
+      .toDF("identifier", "variant", "path", "hidden", "version", "name")
+      .write.parquet(live)
+    // simulate a legacy writer's crash: stage the next state fully,
+    // write the manifest, but die before the rm+rename
     val staging = s"$live.staging"
     val manifest = new java.io.File(s"$live.swap-manifest")
-    val next = spark.read.parquet(live)
-      .withColumn("name", lit("CRASHED"))
-    next.write.parquet(staging)
+    spark.read.parquet(live)
+      .withColumn("name", lit("CRASHED")).write.parquet(staging)
     spark.read.parquet(live).select("name") // live still old
     java.nio.file.Files.writeString(manifest.toPath, staging)
     // next NodeTarget read recovers the swap before reading
@@ -251,7 +262,7 @@ class NodeTargetSpec extends SparkSpec {
     st.collect() // forces the read through recover()
     assert(!manifest.exists(), "manifest must be consumed")
     assert(!new java.io.File(staging).exists, "staging must be swapped in")
-    val names = spark.read.parquet(live)
+    val names = NodeTarget(live).table(spark)
       .select("name").as[String].collect().toSet
     assert(names === Set("CRASHED"))
 
@@ -265,7 +276,41 @@ class NodeTargetSpec extends SparkSpec {
     val n = NodeTarget(live, idPrefix = "node-", softDelete = true)
       .removeAll(spark)
     assert(n === 1L, "removeAll must see the recovered state")
-    assert(!manifest.exists() && new java.io.File(live).isDirectory)
+    assert(!manifest.exists())
+    // the soft removeAll COMMITTED: the state now lives under a
+    // generation and the legacy flat files are swept
+    assert(NodeTarget(live).stateDirResolved.get.contains("gen-"))
+    assert(NodeTarget(live).table(spark)
+      .filter($"hidden").count() === 1L)
+  }
+
+  test("generation commit: a reader holding the PREVIOUS generation " +
+      "survives a concurrent sync (retained until the commit after " +
+      "next), and the pointer-resolved read always sees the new state") {
+    val dir = tmpDir("node-genreader")
+    new ImportService(preset(dir, Seq(("a", 1L, "Ada"))))
+      .importData(spark)
+    val gen1 = stateDirOf(dir)
+    assert(gen1.contains("gen-"))
+    // a long-lived reader plans against the resolved dir (the
+    // probeGen discipline: resolve per query, plan against immutable)
+    val oldReader = spark.read.parquet(gen1).select("identifier", "name")
+    // sync 2 commits a new generation while the reader is in flight
+    new ImportService(preset(dir, Seq(("a", 2L, "Ada2"))))
+      .importData(spark)
+    val gen2 = stateDirOf(dir)
+    assert(gen2 !== gen1)
+    // the old reader still serves its complete pre-sync view
+    assert(oldReader.as[(String, String)].collect().toSet ===
+      Set(("node-a", "ADA")))
+    // the pointer-resolved read sees the committed new state
+    assert(nodesOf(dir).select("name").distinct()
+      .as[String].head() === "ADA2")
+    // two-refresh limit: after a THIRD commit, gen1 is pruned
+    new ImportService(preset(dir, Seq(("a", 3L, "Ada3"))))
+      .importData(spark)
+    assert(!graft.util.Fs.exists(gen1))
+    assert(graft.util.Fs.exists(gen2)) // the previous survives
   }
 
   test("pre-existing UNPREFIXED local ids never get the prefix glued " +
@@ -283,7 +328,7 @@ class NodeTargetSpec extends SparkSpec {
       Seq(("legacy", 1L, "Leg"), ("a", 1L, "Ada")), softDelete = true))
       .importData(spark)
     assert(r1.added === 1 && r1.updated === 0 && r1.removed === 0)
-    val idx1 = spark.read.parquet(s"$dir/nodes/_dstate")
+    val idx1 = idxOf(dir)
       .as[(String, Long, Boolean)].collect().toSet
     assert(idx1 === Set(("legacy", 1L, false), ("node-a", 1L, false)))
     // sync 2: legacy gone from the source → soft-hidden under its
@@ -291,11 +336,11 @@ class NodeTargetSpec extends SparkSpec {
     val r2 = new ImportService(preset(dir,
       Seq(("a", 1L, "Ada")), softDelete = true)).importData(spark)
     assert(r2.removed === 1)
-    val idx2 = spark.read.parquet(s"$dir/nodes/_dstate")
+    val idx2 = idxOf(dir)
       .as[(String, Long, Boolean)].collect().toSet
     assert(idx2 === Set(("legacy", 1L, true), ("node-a", 1L, false)))
     // the pinned invariant: index == aggregation over the node table
-    val agg = spark.read.parquet(s"$dir/nodes")
+    val agg = nodesOf(dir)
       .filter(!$"identifier".startsWith("auto:"))
       .groupBy($"identifier").agg(
         max($"version").as("v"),
@@ -318,13 +363,13 @@ class NodeTargetSpec extends SparkSpec {
     val r = new ImportService(preset(dir, Seq(("legacy", 5L, "Leg2"))))
       .importData(spark)
     assert(r.updated === 1)
-    val nodes = spark.read.parquet(s"$dir/nodes")
+    val nodes = nodesOf(dir)
     val ids = nodes.select("identifier").as[String].collect()
     assert(ids.toSet === Set("node-legacy"),
       "the old unprefixed rows must be replaced, not stranded")
     assert(ids.length === 2) // de + en variants, nothing else
     assert(nodes.select("version").distinct().as[Long].head() === 5L)
-    val idx = spark.read.parquet(s"$dir/nodes/_dstate")
+    val idx = idxOf(dir)
       .as[(String, Long, Boolean)].collect().toSet
     assert(idx === Set(("node-legacy", 5L, false)))
     // pinned invariant: index == aggregation(node table)
@@ -352,10 +397,10 @@ class NodeTargetSpec extends SparkSpec {
     val r = new ImportService(preset(dir, Seq(("a", 1L, "Ada"))))
       .importData(spark)
     assert(r.removed === 1)
-    val nodes = spark.read.parquet(s"$dir/nodes")
+    val nodes = nodesOf(dir)
     assert(nodes.select("identifier").as[String].collect().toSet
       === Set("node-a"), "the legacy row must actually be deleted")
-    val idx = spark.read.parquet(s"$dir/nodes/_dstate")
+    val idx = idxOf(dir)
       .as[(String, Long, Boolean)].collect().toSet
     assert(idx === Set(("node-a", 1L, false)))
   }
@@ -380,13 +425,13 @@ class NodeTargetSpec extends SparkSpec {
     // degenerate empty-index write path runs
     val r2 = new ImportService(p(Seq.empty)).importData(spark)
     assert(r2.removed === 1)
-    assert(spark.read.parquet(s"$dir/nodes").count() === 1) // container
-    val idx = spark.read.parquet(s"$dir/nodes/_dstate") // must not throw
+    assert(nodesOf(dir).count() === 1) // container
+    val idx = idxOf(dir) // must not throw
     assert(idx.count() === 0)
     assert(idx.columns.toSet === Set("id", "version", "hidden"))
     // the next sync reads through the empty index and re-adds
     val r3 = new ImportService(p(Seq(("b", 1L, "news")))).importData(spark)
     assert(r3.added === 1)
-    assert(spark.read.parquet(s"$dir/nodes/_dstate").count() === 1)
+    assert(idxOf(dir).count() === 1)
   }
 }

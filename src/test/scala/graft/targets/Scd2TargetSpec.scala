@@ -92,7 +92,9 @@ class Scd2TargetSpec extends SparkSpec {
     val nOrd = tgt.ordinals()
     assert(nOrd === 4L)
     val before = (0L until nOrd).map(k => k -> at(k)).toMap
-    def fileCount = Option(new java.io.File(s"$dir/hist/data").listFiles())
+    // the history lives under the generation dir the pointer names
+    def fileCount = tgt.dataDirResolved
+      .flatMap(d => Option(new java.io.File(d).listFiles()))
       .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
     val filesBefore = fileCount
     // tiny target size forces the rewrite path; history is a few KB
@@ -176,8 +178,30 @@ class Scd2TargetSpec extends SparkSpec {
       ("a", 7L, 2L, None)))
   }
 
-  test("crash recovery: a pending swap manifest is completed before " +
-      "any read — the staged next-state is never lost mid-swap") {
+  test("generation commit: a time-travel reader holding the PREVIOUS " +
+      "generation survives a concurrent sync; two-refresh pruning") {
+    val dir = tmpDir("scd2-genreader")
+    val tgt = Scd2Target(s"$dir/hist")
+    new ImportService(preset(dir, Seq(("a", 1L, "a0")))).importData(spark)
+    val gen1 = tgt.dataDirResolved.get
+    assert(gen1.contains("gen-"))
+    val oldReader = spark.read.parquet(gen1).select("id", "attr")
+    new ImportService(preset(dir, Seq(("a", 2L, "a1")))).importData(spark)
+    val gen2 = tgt.dataDirResolved.get
+    assert(gen2 !== gen1)
+    // the in-flight reader keeps its complete pre-sync history view
+    assert(oldReader.as[(String, String)].collect().toSet ===
+      Set(("a", "a0")))
+    // the pointer-resolved read sees both history rows
+    assert(tgt.history(spark).count() === 2L)
+    // third commit prunes gen1 (the two-refresh limit), keeps gen2
+    new ImportService(preset(dir, Seq(("a", 3L, "a2")))).importData(spark)
+    assert(!graft.util.Fs.exists(gen1))
+    assert(graft.util.Fs.exists(gen2))
+  }
+
+  test("LEGACY crash recovery: a pending swap manifest is completed " +
+      "before any read — the staged next-state is never lost mid-swap") {
     val dir = tmpDir("scd2-crash")
     new ImportService(preset(dir, Seq(("a", 1L, "a0")))).importData(spark)
     val t = Scd2Target(s"$dir/hist")
