@@ -317,7 +317,6 @@ object AudioHash {
   def buildClipIndex(
       spark: org.apache.spark.sql.SparkSession, media: DataFrame,
       root: String, winLen: Int = 32, buckets: Int = 16): Unit = {
-    graft.util.BucketedSwapIndex.recover(root)
     graft.util.BucketedSwapIndex.stageAndSwap(
       root, wavWindowFps(media, winLen).toDF(), col("fp"), buckets)
   }
@@ -329,8 +328,7 @@ object AudioHash {
       spark: org.apache.spark.sql.SparkSession, root: String,
       changedMedia: DataFrame, droppedIds: DataFrame,
       winLen: Int = 32, buckets: Int = 16): Unit = {
-    graft.util.BucketedSwapIndex.recover(root)
-    val prev = spark.read.parquet(root).select(
+    val prev = graft.util.BucketedSwapIndex.read(spark, root).select(
       col("media_id"), col("sample_rate"), col("channels"),
       col("off"), col("fp"), col("ck"))
     val kept = prev.join(
@@ -352,12 +350,11 @@ object AudioHash {
   def searchClipIndex(
       spark: org.apache.spark.sql.SparkSession, root: String,
       clips: DataFrame, winLen: Int = 32, buckets: Int = 16): DataFrame = {
-    graft.util.BucketedSwapIndex.recover(root)
     val cw = wavWindowFps(clips, winLen).toDF()
       .select(col("media_id").as("clip_id"), col("sample_rate"),
         col("channels"), col("fp"), col("ck"))
       .withColumn("bucket", pmod(col("fp"), lit(buckets)))
-    val ww = spark.read.parquet(root)
+    val ww = graft.util.BucketedSwapIndex.read(spark, root)
     // broadcast the clip side: the bucket key joins against the
     // PARTITION column, so dynamic partition pruning narrows the
     // index scan to the probed buckets

@@ -221,7 +221,6 @@ object VideoHash {
   def buildClipIndex(
       spark: org.apache.spark.sql.SparkSession, media: DataFrame,
       root: String, buckets: Int = 16): Unit = {
-    graft.util.BucketedSwapIndex.recover(root)
     graft.util.BucketedSwapIndex.stageAndSwap(
       root, windowKeyRows(media), col("hi0"), buckets)
   }
@@ -234,8 +233,7 @@ object VideoHash {
       spark: org.apache.spark.sql.SparkSession, root: String,
       changedMedia: DataFrame, droppedIds: DataFrame,
       buckets: Int = 16): Unit = {
-    graft.util.BucketedSwapIndex.recover(root)
-    val prev = spark.read.parquet(root).select(
+    val prev = graft.util.BucketedSwapIndex.read(spark, root).select(
       col("media_id"), col("width"), col("height"), col("off"),
       col("hi0"), col("lo0"), col("hi1"), col("lo1"))
     val kept = prev.join(
@@ -256,12 +254,11 @@ object VideoHash {
   def searchClipIndex(
       spark: org.apache.spark.sql.SparkSession, root: String,
       clips: DataFrame, buckets: Int = 16): DataFrame = {
-    graft.util.BucketedSwapIndex.recover(root)
     val cw = windowKeyRows(clips)
       .select(col("media_id").as("clip_id"), col("width"), col("height"),
         col("hi0"), col("lo0"), col("hi1"), col("lo1"))
       .withColumn("bucket", pmod(col("hi0"), lit(buckets)))
-    val ww = spark.read.parquet(root)
+    val ww = graft.util.BucketedSwapIndex.read(spark, root)
     // broadcast the clip side: the bucket key joins against the
     // PARTITION column, so dynamic partition pruning narrows the
     // index scan to the probed buckets

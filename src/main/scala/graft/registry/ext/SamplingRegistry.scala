@@ -79,10 +79,15 @@ private[graft] object SamplingRegistry {
         .select(col("o_orderkey"), col("o_custkey"))
       val l = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
+      // dedup on the RAW INT pair, stringify after: the distinct is
+      // the big shuffle (|join output| rows), and shipping two longs
+      // through it instead of two built-up strings halves its width —
+      // the 100×-kg smoke OOM'd the string-pair sort at default heap
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .select(col("o_custkey").as("ca"), col("l_suppkey").as("sb"))
         .distinct()
+        .select(concat(lit("c"), col("ca")).as("a"),
+          concat(lit("s"), col("sb")).as("b"))
       val edges = pairs.union(
         pairs.select(col("b").as("a"), col("a").as("b")))
       graft.ext.Graph.pageRank(edges, "a", "b", iterations = 3)

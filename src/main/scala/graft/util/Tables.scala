@@ -45,12 +45,30 @@ object Tables {
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
-  /** Session defaults shared by Verify / Bench / tests. */
+  /** Session defaults shared by Verify / Bench / tests.
+    *
+    * `shuffle.partitions` matches the core count — the gate-SF
+    * posture, and the number BUCKETED state tables are created at
+    * (their diff joins consume the bucketing only when the bucket
+    * count satisfies the join's expected partitioning; a larger
+    * global initial number makes the planner disable the bucketed
+    * scan and re-exchange the state side, PipelineSpec pins this).
+    * For LARGE-scale runs set `GRAFT_INITIAL_PARTITIONS` (e.g. 256):
+    * AQE then starts every shuffle that wide and COALESCES by size —
+    * small stages still land on a handful of post-coalesce
+    * partitions, while a 100×-scale sort gets splits that fit task
+    * memory (a fixed 32-way sort of a 60M-row join output OOMs at
+    * the default heap — the r17 q_pagerank 100×-kg smoke). This is
+    * the knob a real deployment sizes per target SF, together with
+    * bucket counts sized to match. */
   def session(appName: String, cpus: String): SparkSession = {
+    val initial = sys.env.getOrElse("GRAFT_INITIAL_PARTITIONS", cpus)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initial)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
