@@ -232,6 +232,34 @@ class VectorIndexSpec extends SparkSpec {
     assert(top(VectorIndex.probe(spark, r2, q, 3, c2, 300)) === want)
   }
 
+  test("buildAuto sub-exhaustive recall pinned on the gate corpus: " +
+    "nProbe 6 of the 16 occupancy-sized cells at the shipped ADC " +
+    "settings — the ivfTopKTrained recall convention for the " +
+    "PERSISTED production path") {
+    val e = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val root = tmpDir("vidx") + "/recall"
+    val cells = VectorIndex.buildAuto(spark, e, root, targetPerCell = 32)
+    assert(cells === 16) // 500 vecs / 32 — above the floor of 8
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val brute = graft.ext.Similarity.bruteForceTopK(e, q, 5)
+      .select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSet
+    val got = VectorIndex.probe(spark, root, q, k = 5, nProbe = 6,
+        shortlist = 100)
+      .select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    // deterministic (hash-ordered sample, farthest-point init, fixed
+    // Lloyd rounds) — measures 0.72 here: this uniform-on-sphere
+    // corpus is the recall WORST CASE (every cell boundary cuts true
+    // neighbor sets; 6/16 cells ≈ 37% coverage). On the clustered
+    // fixture — IVF's actual premise — the SAME path reads 0.890 at
+    // nProbe 8 of 196 cells, total-coverage parity (BASELINE.md r17).
+    // Floor pinned just under the measured uniform worst case.
+    assert(recall >= 0.70, s"recall@5 = $recall")
+  }
+
   test("degenerate inputs: empty corpus builds an empty but probeable " +
     "index; empty query set probes to empty") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
