@@ -102,18 +102,20 @@ object VectorIndex {
   }
 
   /** One-pass corpus encode: cell assignment + PQ codes + the raw
-    * vector (kept for the exact re-rank fetch), using the exact
+    * vector (kept for the exact re-rank fetch) + any carried
+    * metadata columns (the filtered-probe payload), using the exact
     * [[Similarity.pqEncode]] / [[Similarity.centroidAssign]]
     * semantics. */
   private def encode(
       corpus: DataFrame, cents: Seq[Seq[Float]],
       cbs: Seq[Seq[Seq[Float]]], idCol: String,
-      vecCol: String): DataFrame =
+      vecCol: String, metaCols: Seq[String]): DataFrame =
     graft.util.Tables.spread(corpus).select(
-      col(idCol).as("id"),
-      Similarity.pqCodesCol(col(vecCol), cbs).as("codes"),
-      col(vecCol).as("vec"),
-      Similarity.centroidAssign(col(vecCol), cents).as("cell"))
+      Seq(col(idCol).as("id"),
+        Similarity.pqCodesCol(col(vecCol), cbs).as("codes"),
+        col(vecCol).as("vec"),
+        Similarity.centroidAssign(col(vecCol), cents).as("cell")) ++
+        metaCols.map(col): _*)
 
   /**
    * Train (centroids + codebooks) and encode the whole corpus, then
@@ -127,7 +129,8 @@ object VectorIndex {
   private def stageFull(
       spark: SparkSession, dir: String, corpus: DataFrame,
       nCells: Int, m: Int, k: Int, idCol: String,
-      vecCol: String, sampleN: Int = 2048): Unit = {
+      vecCol: String, sampleN: Int = 2048,
+      metaCols: Seq[String] = Nil): Unit = {
     val sample = Similarity.trainSample(corpus, sampleN,
       idCol = idCol, vecCol = vecCol)
     val cents = Similarity.trainCentroidsOnSample(sample, nCells)
@@ -135,22 +138,29 @@ object VectorIndex {
     val enc =
       if (cents.isEmpty || cbs.isEmpty)
         // degenerate training corpus ⇒ empty index, schema preserved
-        corpus.select(col(idCol).as("id"),
+        corpus.select(Seq(col(idCol).as("id"),
           array().cast("array<int>").as("codes"),
-          col(vecCol).as("vec"), lit(0).as("cell")).limit(0)
-      else encode(corpus, cents, cbs, idCol, vecCol)
+          col(vecCol).as("vec"), lit(0).as("cell")) ++
+          metaCols.map(col): _*).limit(0)
+      else encode(corpus, cents, cbs, idCol, vecCol, metaCols)
     graft.util.SwapCommit.deleteRec(dir)
     stageModel(spark, dir, cents, cbs)
     stageCorpus(spark, dir, enc)
   }
 
+  /** `metaCols`: corpus columns carried verbatim into the index's
+    * corpus table — the payload [[probe]]'s `filter` evaluates
+    * against (filtered vector search served FROM the index, predicate
+    * pushed to the parquet scan). */
   def build(
       spark: SparkSession, corpus: DataFrame, root: String,
       nCells: Int = 8, m: Int = 16, k: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metaCols: Seq[String] = Nil): Unit = {
     recover(root)
     val staging = root + ".staging"
-    stageFull(spark, staging, corpus, nCells, m, k, idCol, vecCol)
+    stageFull(spark, staging, corpus, nCells, m, k, idCol, vecCol,
+      metaCols = metaCols)
     commitSwap(root, staging)
   }
 
@@ -171,14 +181,15 @@ object VectorIndex {
   def buildAuto(
       spark: SparkSession, corpus: DataFrame, root: String,
       targetPerCell: Int = 256, m: Int = 16, k: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metaCols: Seq[String] = Nil): Int = {
     recover(root)
     val n = corpus.filter(col(vecCol).isNotNull).count()
     val nCells = Similarity.sizedCells(n, targetPerCell, floor = 8)
     val sampleN = math.min(65536, math.max(2048, 16 * nCells))
     val staging = root + ".staging"
     stageFull(spark, staging, corpus, nCells, m, k, idCol, vecCol,
-      sampleN)
+      sampleN, metaCols)
     commitSwap(root, staging)
     nCells
   }
@@ -193,9 +204,11 @@ object VectorIndex {
   def buildGen(
       spark: SparkSession, corpus: DataFrame, root: String,
       nCells: Int = 8, m: Int = 16, k: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metaCols: Seq[String] = Nil): Unit = {
     val gen = graft.util.GenSwap.nextDir(root)
-    stageFull(spark, gen, corpus, nCells, m, k, idCol, vecCol)
+    stageFull(spark, gen, corpus, nCells, m, k, idCol, vecCol,
+      metaCols = metaCols)
     graft.util.GenSwap.commit(root, gen)
   }
 
@@ -264,12 +277,16 @@ object VectorIndex {
             "before refreshing with new vectors")
       return
     }
-    val prev = spark.read.parquet(corpusPath(root))
-      .select(col("id"), col("codes"), col("vec"), col("cell"))
+    // carry EVERY corpus column except the layout bucket — metadata
+    // columns a build declared ride through refreshes; changedVecs
+    // must carry them under the same names
+    val prev = spark.read.parquet(corpusPath(root)).drop("__cbucket")
+    val metaCols = prev.columns.toSeq
+      .filterNot(Set("id", "codes", "vec", "cell"))
     val kept = prev.join(
       droppedIds.select(col("id")), Seq("id"), "left_anti")
     val merged = kept.unionByName(
-      encode(changedVecs, cents, cbs, idCol, vecCol))
+      encode(changedVecs, cents, cbs, idCol, vecCol, metaCols))
     // safe to plan lazily over the previous state: the staging write
     // fully materializes into <root>.staging BEFORE commitSwap
     // deletes the live dir
@@ -310,12 +327,13 @@ object VectorIndex {
             "before refreshing with new vectors")
       return
     }
-    val prev = spark.read.parquet(corpusPath(cur))
-      .select(col("id"), col("codes"), col("vec"), col("cell"))
+    val prev = spark.read.parquet(corpusPath(cur)).drop("__cbucket")
+    val metaCols = prev.columns.toSeq
+      .filterNot(Set("id", "codes", "vec", "cell"))
     val kept = prev.join(
       droppedIds.select(col("id")), Seq("id"), "left_anti")
     val merged = kept.unionByName(
-      encode(changedVecs, cents, cbs, idCol, vecCol))
+      encode(changedVecs, cents, cbs, idCol, vecCol, metaCols))
     val gen = graft.util.GenSwap.nextDir(root)
     graft.util.SwapCommit.copyRec(centroidsPath(cur), centroidsPath(gen))
     graft.util.SwapCommit.copyRec(codebooksPath(cur), codebooksPath(gen))
@@ -334,10 +352,12 @@ object VectorIndex {
   def probeGen(
       spark: SparkSession, root: String, queries: DataFrame,
       k: Int, nProbe: Int, shortlist: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      filter: Option[Column] = None): DataFrame =
     graft.util.GenSwap.currentDir(root) match {
       case Some(cur) =>
-        probe(spark, cur, queries, k, nProbe, shortlist, idCol, vecCol)
+        probe(spark, cur, queries, k, nProbe, shortlist, idCol, vecCol,
+          filter)
       case None =>
         queries.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
           lit(0.0).as("sim"), lit(1).as("rank")).limit(0)
@@ -351,18 +371,28 @@ object VectorIndex {
    * pruning keeps the 4·d-byte vectors out of the scored stream —
    * and the exact re-rank fetches (id, vec) for just the
    * |queries|·shortlist surviving rows.
+   *
+   * `filter`: metadata predicate over columns the build carried
+   * (`metaCols`) — PRE-FILTER semantics: the predicate prunes the
+   * corpus BEFORE any scoring, landing in the parquet scan's
+   * PushedFilters, so selective predicates shrink the scored stream
+   * instead of discarding scored rows and losing k-coverage (the
+   * post-filter failure mode). Queries keep their unfiltered
+   * identity, matching the brute-force `q_ann_filtered` semantics.
    */
   def probe(
       spark: SparkSession, root: String, queries: DataFrame,
       k: Int, nProbe: Int, shortlist: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      filter: Option[Column] = None): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     recover(root)
     val (cents, cbs) = readModel(spark, root)
     if (cents.isEmpty || cbs.isEmpty)
       return queries.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
         lit(0.0).as("sim"), lit(1).as("rank")).limit(0)
-    val corpus = spark.read.parquet(corpusPath(root))
+    val corpus = filter.foldLeft(
+      spark.read.parquet(corpusPath(root)))((c, f) => c.filter(f))
 
     val q = queries.select(col(idCol).as("q_id"),
         Similarity.l2norm(col(vecCol)).as("q_norm"),

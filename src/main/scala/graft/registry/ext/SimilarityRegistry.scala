@@ -284,6 +284,28 @@ private[graft] object SimilarityRegistry {
         k = 5, nProbe = 8, shortlist = 100)
     }),
 
+    // ── FILTERED vector search served FROM the persisted index: the
+    // build carries a metadata column (`label`) into the index's
+    // corpus table, and the probe applies a PRE-FILTER predicate that
+    // lands in the parquet scan's PushedFilters — the corpus prunes
+    // BEFORE any scoring, so selective predicates shrink the scored
+    // stream instead of post-discarding and losing k-coverage
+    // (q_ann_filtered certifies the same semantics brute-force and
+    // in-query; this row certifies them from the index tables).
+    // nProbe = nCells total coverage + sub-exhaustive ADC shortlist,
+    // exact re-rank. Oracle: exhaustive top-5 within label < 5,
+    // queries keep their unfiltered identity. ──
+    "q_ann_persisted_filtered" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val root = tempStateDir() + "/annidx-filt"
+      graft.ext.VectorIndex.build(s, e, root,
+        nCells = 8, m = 16, k = 32, metaCols = Seq("label"))
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      graft.ext.VectorIndex.probe(s, root, queries,
+        k = 5, nProbe = 8, shortlist = 100,
+        filter = Some(col("label") < 5))
+    }),
+
     // ── the AUTO-SIZED index build ([[VectorIndex.buildAuto]]) — the
     // production entry point at scale, where the pinned-nCells build
     // above is the certification shape. targetPerCell=32 puts the
@@ -580,6 +602,29 @@ private[graft] object SimilarityRegistry {
     // the auto-sized build serves the full corpus at total cell
     // coverage — same exhaustive replay as the other ANN rows
     "q_ann_auto" -> duckAnnBruteTop5,
+
+    // filtered probe from the persisted index: exhaustive replay
+    // restricted to label < 5 NEIGHBORS, unfiltered query identity —
+    // exactly the q_ann_filtered oracle (the index path must agree
+    // with the brute-force path bit for bit)
+    "q_ann_persisted_filtered" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT * FROM e WHERE label < 5),
+        |q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |         list_dot_product(q.v, c.v)
+        |           / (sqrt(list_dot_product(q.v, q.v))
+        |              * sqrt(list_dot_product(c.v, c.v))) AS s
+        |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, s,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY s DESC, n_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, n_id, round(s, 6) AS sim, CAST(rn AS INTEGER) AS rank
+        |FROM ranked WHERE rn <= 5""".stripMargin,
 
     "q_embed_clusters" ->
       """WITH RECURSIVE emb AS (

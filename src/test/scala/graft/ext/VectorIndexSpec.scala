@@ -232,6 +232,45 @@ class VectorIndexSpec extends SparkSpec {
     assert(top(VectorIndex.probe(spark, r2, q, 3, c2, 300)) === want)
   }
 
+  test("filtered probe from the persisted index: metadata carried by " +
+    "the build (and through a refresh), pre-filter semantics equal " +
+    "brute force over the filtered corpus, predicate lands in " +
+    "PushedFilters") {
+    val withMeta = vecs(1L to 40L)
+      .withColumn("label", (col("vec_id") % 4).cast("int"))
+    val root = tmpDir("vidx") + "/fidx"
+    VectorIndex.build(spark, withMeta, root, nCells = 4, m = 4, k = 8,
+      metaCols = Seq("label"))
+    val q = withMeta.filter(col("vec_id") % 10 === 0)
+    val pred = col("label") < 2
+    val got = VectorIndex.probe(spark, root, q, k = 3, nProbe = 4,
+      shortlist = 40, filter = Some(pred))
+    val want = Similarity.bruteForceTopK(
+      withMeta.filter(pred), q, 3)
+    assert(top(got) === top(want))
+    assert(top(got).nonEmpty)
+    // every neighbor satisfies the predicate; queries keep their
+    // unfiltered identity (q_id 10, 20, 30, 40 all present)
+    assert(got.select($"q_id").distinct().as[Long].collect().toSet ===
+      Set(10L, 20L, 30L, 40L))
+    // the predicate reaches the parquet scan: PushedFilters mentions
+    // the metadata column (pre-filter, not post-discard)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(label,2)"), plan.take(1200))
+    // metadata survives a ChangeSet refresh (prev columns carried,
+    // delta re-encoded with the same meta)
+    val changed = vecs(41L to 44L)
+      .withColumn("label", (col("vec_id") % 4).cast("int"))
+    VectorIndex.refresh(spark, root, changed, Seq(1L, 2L).toDF("id"))
+    val after = VectorIndex.probe(spark, root, q, k = 3, nProbe = 4,
+      shortlist = 44, filter = Some(pred))
+    val finalCorpus = withMeta.filter(!col("vec_id").isin(1L, 2L))
+      .unionByName(changed)
+    assert(top(after) ===
+      top(Similarity.bruteForceTopK(finalCorpus.filter(pred), q, 3)))
+  }
+
   test("buildAuto sub-exhaustive recall pinned on the gate corpus: " +
     "nProbe 6 of the 16 occupancy-sized cells at the shipped ADC " +
     "settings — the ivfTopKTrained recall convention for the " +
