@@ -1,7 +1,7 @@
 package graft.registry.ext
 
 import graft.core.{Diff, DiffOptions, Records}
-import graft.ext.{Assemble, AudioHash, Curation, Dedup, ImageHash, Multimodal, Similarity, TextAnalysis, VideoHash}
+import graft.ext.{Assemble, AudioHash, Curation, Dedup, DedupIndex, ImageHash, Multimodal, Similarity, TextAnalysis, VideoHash}
 import graft.mapper.Mapper
 import graft.pipeline.{ImportService, Preset}
 import graft.sources.InlineSource
@@ -236,6 +236,53 @@ private[graft] object DedupRegistry {
         d.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", threshold = 0.5,
         baseHash = TextAnalysis.portableHash60)
+    }),
+
+    // ── dedup-at-ingest from the PERSISTED minhash index
+    // ([[DedupIndex]]): build over a perturbed initial corpus
+    // (evens; %6=0 docs carry STALE text, the %10=6 slice will be
+    // removed), ChangeSet-refresh to the final corpus (delta-only
+    // re-shingle), then probe the ODD-doc ingest batch against the
+    // stored bands+shingles. Answer must be bit-identical to
+    // minhashPairsAgainst(batch, final corpus) — the oracle replays
+    // the full LSH machinery (sigs + band conds + exact Jaccard)
+    // over batch × final corpus, the q_minhash_incremental
+    // convention. ──
+    "q_dedup_index" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val root = tempStateDir() + "/dedupidx"
+      val initial = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").cast("string").as("id"),
+          when(col("doc_id") % 6 === 0,
+            concat(lit("stale "), col("text")))
+            .otherwise(col("text")).as("text"),
+          lit(1L).as("version"))
+      DedupIndex.build(s, initial, root, k = 32, bands = 8, n = 3,
+        idCol = "id", textCol = "text",
+        baseHash = TextAnalysis.portableHash60)
+      val source = d
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 =!= 6)
+        .select(col("doc_id").cast("string").as("id"),
+          when(col("doc_id") % 6 === 0, lit(2L)).otherwise(lit(1L))
+            .as("version"),
+          col("text"))
+      val cs = Diff.computeDataChanges(
+        Records.keyRecords(source, "id", Some("version")),
+        initial.select(col("id"), col("version")))
+      val changed = cs.added.select(col("id"), col("text"))
+        .unionByName(cs.updated.select(col("id"), col("text")))
+      val dropped = cs.removedIds.unionByName(cs.updated.select(col("id")))
+      DedupIndex.refresh(s, root, changed, dropped,
+        idCol = "id", textCol = "text",
+        baseHash = TextAnalysis.portableHash60)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+      DedupIndex.probe(s, root, batch, threshold = 0.5,
+        idCol = "id", textCol = "text",
+        baseHash = TextAnalysis.portableHash60)
+        .select(col("id_l").cast("long").as("id_l"),
+          col("id_r").cast("long").as("id_r"), col("jaccard"))
     }),
 
     // SimHash near-dup pairs at hamming ≤ 8 over a 60-bit portable
@@ -616,6 +663,27 @@ private[graft] object DedupRegistry {
          |cands AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r
          |  FROM sigs a JOIN sigs b
          |    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  WHERE $minhashBandConds)
+         |SELECT c.id_l, c.id_r,
+         |  round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+         |    / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1), 6)
+         |    AS jaccard
+         |FROM cands c
+         |JOIN docs da ON c.id_l = da.doc_id
+         |JOIN docs db ON c.id_r = db.doc_id
+         |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+         |  / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1) >= 0.5""".stripMargin,
+
+    // probe-from-persisted-index replay: batch = odd docs, corpus =
+    // the FINAL post-refresh state (= evens minus the %10=6 slice at
+    // true text — the q_rag_incremental oracle trick); the same sigs
+    // CTE serves both sides, band conds + exact Jaccard verify
+    "q_dedup_index" ->
+      s"""WITH $minhashSigCtes,
+         |cands AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r
+         |  FROM sigs a JOIN sigs b
+         |    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |       AND b.doc_id % 10 <> 6
          |  WHERE $minhashBandConds)
          |SELECT c.id_l, c.id_r,
          |  round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)

@@ -1,0 +1,96 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted minhash-LSH dedup index: probe parity with the in-query
+  * two-corpus path, ChangeSet refresh ≡ rebuild, stored parameters,
+  * generation-commit behavior, degenerate inputs. */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic corpus with planted near-dups: base texts plus
+  // lightly-perturbed twins (shared 3-gram mass ⇒ jaccard >= 0.5)
+  private def doc(i: Long, extra: String = "") =
+    (i, s"alpha beta gamma delta epsilon zeta eta theta id$i $extra")
+  private def corpus(ids: Seq[Long]) = ids.map(doc(_)).toDF("doc_id", "text")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSet
+
+  test("probe is bit-identical to minhashPairsAgainst over the same " +
+      "corpus and parameters; stored params drive the probe") {
+    val c = corpus(1L to 30L)
+    val batch = (101L to 110L).map(i => doc(i)).toDF("doc_id", "text")
+    val root = tmpDir("didx") + "/idx"
+    DedupIndex.build(spark, c, root, k = 32, bands = 8, n = 3)
+    val got = DedupIndex.probe(spark, root, batch, threshold = 0.5)
+      .select($"id_l".cast("long"), $"id_r".cast("long"), $"jaccard")
+    val want = Dedup.minhashPairsAgainst(batch, c, "doc_id", "text",
+      threshold = 0.5)
+      .select($"id_l".cast("long"), $"id_r".cast("long"), $"jaccard")
+    assert(pairs(got) === pairs(want))
+    assert(pairs(got).nonEmpty) // the planted twins really pair
+  }
+
+  test("ChangeSet refresh (drop + delta) probes identically to a " +
+      "fresh build over the final corpus") {
+    val initial = corpus(1L to 20L)
+      .union(Seq((21L, "completely different words entirely"))
+        .toDF("doc_id", "text"))
+    val root = tmpDir("didx") + "/idx"
+    DedupIndex.build(spark, initial, root)
+    // drop 21 and 5..8, update 1..2 (new text), add 31..33
+    val changed = ((1L to 2L).map(i => doc(i, "updated")) ++
+      (31L to 33L).map(doc(_))).toDF("doc_id", "text")
+    val dropped = ((5L to 8L) :+ 21L :+ 1L :+ 2L).toDF("id")
+    DedupIndex.refresh(spark, root, changed, dropped)
+    val finalCorpus = (((3L to 4L) ++ (9L to 20L)).map(doc(_)) ++
+      (1L to 2L).map(i => doc(i, "updated")) ++
+      (31L to 33L).map(doc(_))).toDF("doc_id", "text")
+    val root2 = tmpDir("didx") + "/idx2"
+    DedupIndex.build(spark, finalCorpus, root2)
+    val batch = (101L to 105L).map(doc(_)).toDF("doc_id", "text")
+    val a = DedupIndex.probe(spark, root, batch, threshold = 0.5)
+    val b = DedupIndex.probe(spark, root2, batch, threshold = 0.5)
+    assert(pairs(a.select($"id_l".cast("long"), $"id_r".cast("long"),
+      $"jaccard")) === pairs(b.select($"id_l".cast("long"),
+      $"id_r".cast("long"), $"jaccard")))
+    assert(pairs(a.select($"id_l".cast("long"), $"id_r".cast("long"),
+      $"jaccard")).nonEmpty)
+    // dropped ids never appear as corpus-side matches
+    assert(a.filter($"id_r".isin(5L, 6L, 7L, 8L, 21L)).count() === 0L)
+  }
+
+  test("generation commit: probe before any build is empty; an " +
+      "in-flight reader of the previous generation survives a refresh") {
+    val root = tmpDir("didx") + "/idx"
+    val batch = (101L to 103L).map(doc(_)).toDF("doc_id", "text")
+    assert(DedupIndex.probe(spark, root, batch).count() === 0L)
+    DedupIndex.build(spark, corpus(1L to 10L), root)
+    val gen1 = graft.util.GenSwap.currentDir(root).get
+    val oldReader = spark.read.parquet(s"$gen1/shingles").select($"id")
+    DedupIndex.refresh(spark, root,
+      (31L to 32L).map(doc(_)).toDF("doc_id", "text"),
+      Seq(1L).toDF("id"))
+    assert(oldReader.count() === 10L) // pre-refresh view intact
+    val gen2 = graft.util.GenSwap.currentDir(root).get
+    assert(gen2 !== gen1)
+    // post-refresh probe excludes the dropped id, includes the adds
+    val got = DedupIndex.probe(spark, root, batch, threshold = 0.5)
+    assert(got.filter($"id_r" === 1L).count() === 0L)
+    assert(got.filter($"id_r" === 31L).count() > 0L)
+  }
+
+  test("degenerate inputs: empty corpus builds a probeable (empty) " +
+      "index; empty batch probes to empty") {
+    val root = tmpDir("didx") + "/idx"
+    DedupIndex.build(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), root)
+    val batch = (101L to 103L).map(doc(_)).toDF("doc_id", "text")
+    assert(DedupIndex.probe(spark, root, batch).count() === 0L)
+    assert(DedupIndex.probe(spark, root,
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() === 0L)
+  }
+}
