@@ -107,7 +107,7 @@ object Dedup {
   /** Signatures from an already-shingled (id, sh) frame — lets
     * [[minhashDedup]] share ONE shingling pass between candidate
     * generation and verification. */
-  private[ext] def signaturesFromShingled(
+  private[graft] def signaturesFromShingled(
       docs: DataFrame, k: Int, baseHash: Column => Column): DataFrame = {
     // each shingle is hashed ONCE; the k "permutations" are universal
     // hashes of that value — k multiply-mods instead of k full hashes
@@ -122,7 +122,7 @@ object Dedup {
         (1 until k).map(i => min(s"h$i").as(s"m$i")): _*)
   }
 
-  private[ext] def shingled(
+  private[graft] def shingled(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     graft.util.Tables.spread(df).select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
@@ -153,7 +153,7 @@ object Dedup {
       minhashSignatures(df, idCol, textCol, k, n, baseHash), k, bands,
       maxBucket)._1
 
-  private[ext] def bandedSignatures(
+  private[graft] def bandedSignatures(
       sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     sig.select(col("id"),

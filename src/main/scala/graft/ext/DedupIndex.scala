@@ -64,16 +64,30 @@ object DedupIndex {
   private def stageTables(
       spark: SparkSession, dir: String, banded: DataFrame,
       shingles: DataFrame, k: Int, nBands: Int, n: Int): Unit = {
+    // the three writes are independent (bands/shingles read the SAME
+    // cached shingled frame or disjoint parquet inputs) — run them
+    // concurrently, the NodeTarget.commitState overlap pattern: Spark
+    // job submission is thread-safe, and serializing them was pure
+    // commit-floor latency. Failures surface at the Await, before
+    // the generation commits.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val shF = Future {
+      shingles.write.parquet(shinglesPath(dir))
+      ensureReadable(spark, shinglesPath(dir), shingles)
+    }
+    val pF = Future {
+      import spark.implicits._
+      Seq((k, nBands, n)).toDF("k", "bands", "n")
+        .repartition(1).write.parquet(paramsPath(dir))
+    }
     val bb = banded.withColumn("__bbucket", bucketDir(col("bucket")))
     bb.repartition(col("__bbucket"))
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.partitionBy("__bbucket").parquet(bandsPath(dir))
     ensureReadable(spark, bandsPath(dir), bb.withColumn("__bbucket", lit(0L)))
-    shingles.write.parquet(shinglesPath(dir))
-    ensureReadable(spark, shinglesPath(dir), shingles)
-    import spark.implicits._
-    Seq((k, nBands, n)).toDF("k", "bands", "n")
-      .repartition(1).write.parquet(paramsPath(dir))
+    Await.result(shF, scala.concurrent.duration.Duration.Inf)
+    Await.result(pF, scala.concurrent.duration.Duration.Inf)
   }
 
   private def readParams(
@@ -82,18 +96,24 @@ object DedupIndex {
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
-  /** Shingle + sign + band the corpus once and commit the index. */
+  /** Shingle + sign + band the corpus once and commit the index.
+    * The shingled frame is cached across the two table writes — the
+    * shingle pipeline is interpreted-HOF-heavy (zip_with/array_sort
+    * lambdas never codegen), so re-evaluating it per write is the
+    * cost that matters at any scale. */
   def build(
       spark: SparkSession, corpus: DataFrame, root: String,
       k: Int = 32, bands: Int = 8, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       baseHash: Column => Column = xxhash64(_)): Unit = {
     val gen = graft.util.GenSwap.nextDir(root)
-    val sh = Dedup.shingled(corpus, idCol, textCol, n)
-    val banded = Dedup.bandedSignatures(
-      Dedup.signaturesFromShingled(sh, k, baseHash), k, bands)
-    stageTables(spark, gen, banded, sh, k, bands, n)
-    graft.util.GenSwap.commit(root, gen)
+    val sh = Dedup.shingled(corpus, idCol, textCol, n).persist()
+    try {
+      val banded = Dedup.bandedSignatures(
+        Dedup.signaturesFromShingled(sh, k, baseHash), k, bands)
+      stageTables(spark, gen, banded, sh, k, bands, n)
+      graft.util.GenSwap.commit(root, gen)
+    } finally { sh.unpersist(); () }
   }
 
   /** ChangeSet-driven refresh: `changedDocs` (added ∪ updated, with
@@ -110,20 +130,26 @@ object DedupIndex {
       throw new IllegalStateException(
         s"no committed dedup index at $root — build first"))
     val (k, nBands, n) = readParams(spark, cur)
-    val drop = droppedIds.select(col("id"))
-    val prevB = spark.read.parquet(bandsPath(cur)).drop("__bbucket")
-      .select(col("id"), col("band"), col("bucket"))
-    val prevS = spark.read.parquet(shinglesPath(cur))
-      .select(col("id"), col("sh"))
-    val chSh = Dedup.shingled(changedDocs, idCol, textCol, n)
-    val chB = Dedup.bandedSignatures(
-      Dedup.signaturesFromShingled(chSh, k, baseHash), k, nBands)
-    val gen = graft.util.GenSwap.nextDir(root)
-    stageTables(spark, gen,
-      prevB.join(drop, Seq("id"), "left_anti").unionByName(chB),
-      prevS.join(drop, Seq("id"), "left_anti").unionByName(chSh),
-      k, nBands, n)
-    graft.util.GenSwap.commit(root, gen)
+    // drop ids are consumed by TWO anti-joins and the delta by two
+    // table writes — cache both (the delta's shingle pipeline is the
+    // expensive re-evaluation; the id set is the diff join's output,
+    // which would otherwise re-run per use)
+    val drop = droppedIds.select(col("id")).persist()
+    val chSh = Dedup.shingled(changedDocs, idCol, textCol, n).persist()
+    try {
+      val prevB = spark.read.parquet(bandsPath(cur)).drop("__bbucket")
+        .select(col("id"), col("band"), col("bucket"))
+      val prevS = spark.read.parquet(shinglesPath(cur))
+        .select(col("id"), col("sh"))
+      val chB = Dedup.bandedSignatures(
+        Dedup.signaturesFromShingled(chSh, k, baseHash), k, nBands)
+      val gen = graft.util.GenSwap.nextDir(root)
+      stageTables(spark, gen,
+        prevB.join(drop, Seq("id"), "left_anti").unionByName(chB),
+        prevS.join(drop, Seq("id"), "left_anti").unionByName(chSh),
+        k, nBands, n)
+      graft.util.GenSwap.commit(root, gen)
+    } finally { drop.unpersist(); chSh.unpersist(); () }
   }
 
   /**

@@ -110,6 +110,27 @@ private[graft] object Shared {
         root
       })
 
+  /** Memoized PERSISTED dedup index over q_dedup_index's FINAL corpus
+    * (evens minus the %10=6 slice, true text), so `q_dedup_probe`
+    * times dedup-at-ingest SERVING — batch shingle/sign + the
+    * bands/shingles table joins — separately from the build/refresh
+    * certification that stays in `q_dedup_index`. Same harness-memo
+    * convention as [[annProbeIndex]]. */
+  private val dedupIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def dedupProbeIndex(s: SparkSession, dir: String): String =
+    dedupIndexRoots.computeIfAbsent(
+      dir + "#" + tableFingerprint(t(dir, "documents")), _ => {
+        val root = tempStateDir() + "/dedupidx_probe"
+        val corpus = s.read.parquet(t(dir, "documents"))
+          .filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 =!= 6)
+          .select(col("doc_id").cast("string").as("id"), col("text"))
+        graft.ext.DedupIndex.build(s, corpus, root,
+          k = 32, bands = 8, n = 3, idCol = "id", textCol = "text",
+          baseHash = graft.ext.TextAnalysis.portableHash60)
+        root
+      })
+
   /** The scale-factor dir the CURRENT correctness dump targets — set
     * by [[graft.Verify]] from its args before any oracle SQL is
     * generated, so data-parameterized lazy oracles (the trained

@@ -285,6 +285,24 @@ private[graft] object DedupRegistry {
           col("id_r").cast("long").as("id_r"), col("jaccard"))
     }),
 
+    // ── SERVING latency of the persisted dedup index, separated
+    // from its construction (the q_ann_probe convention): this row
+    // probes an ALREADY-COMMITTED index over the same final corpus
+    // (built once per dir via a harness memo), so the bench's
+    // min-of-3 reports pure dedup-at-ingest cost — batch shingle/sign
+    // + the two index-table joins. Same oracle as q_dedup_index. ──
+    "q_dedup_probe" -> ((s, dir) => {
+      val root = dedupProbeIndex(s, dir)
+      val batch = s.read.parquet(t(dir, "documents"))
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+      DedupIndex.probe(s, root, batch, threshold = 0.5,
+        idCol = "id", textCol = "text",
+        baseHash = TextAnalysis.portableHash60)
+        .select(col("id_l").cast("long").as("id_l"),
+          col("id_r").cast("long").as("id_r"), col("jaccard"))
+    }),
+
     // SimHash near-dup pairs at hamming ≤ 8 over a 60-bit portable
     // signature; 9-segment pigeonhole blocking is exact at radius 8.
     // Oracle-checked: DuckDB replays the signature bit votes and
@@ -678,7 +696,16 @@ private[graft] object DedupRegistry {
     // the FINAL post-refresh state (= evens minus the %10=6 slice at
     // true text — the q_rag_incremental oracle trick); the same sigs
     // CTE serves both sides, band conds + exact Jaccard verify
-    "q_dedup_index" ->
+    "q_dedup_index" -> duckDedupIndexProbe,
+
+    // identical replay: the probe-only row serves the same final
+    // corpus from the memoized persisted index
+    "q_dedup_probe" -> duckDedupIndexProbe,
+  ) ++ oraclesTail
+
+  /** Batch (odds) x final corpus (evens minus %10=6) LSH replay —
+    * shared by the lifecycle row and the probe-only serving row. */
+  private lazy val duckDedupIndexProbe: String =
       s"""WITH $minhashSigCtes,
          |cands AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r
          |  FROM sigs a JOIN sigs b
@@ -693,8 +720,9 @@ private[graft] object DedupRegistry {
          |JOIN docs da ON c.id_l = da.doc_id
          |JOIN docs db ON c.id_r = db.doc_id
          |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-         |  / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1) >= 0.5""".stripMargin,
+         |  / greatest(len(list_distinct(list_concat(da.sh, db.sh))), 1) >= 0.5""".stripMargin
 
+  private lazy val oraclesTail: Map[String, String] = Map(
     "q_simhash_pairs" -> {
       val sigTerms = (0 until 60).map(j =>
         s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
