@@ -158,8 +158,8 @@ object DedupIndex {
    * verified by exact n-gram Jaccard ≥ `threshold` — bit-identical to
    * [[Dedup.minhashPairsAgainst]] over the same corpus/parameters.
    * Only the batch shingles in-plan; the corpus side is two narrow
-   * index-table scans (bands pruned to the batch's buckets via the
-   * broadcast join on the partition column; shingles fetched for the
+   * index-table scans (bands statically pruned to the batch's bucket
+   * dirs — see the isin note in the body; shingles fetched for the
    * surviving candidate ids only). Equal ids across the two sides are
    * excluded (a doc already in the corpus is not a near-dup of
    * itself). Empty result when no index has committed yet.
@@ -177,19 +177,33 @@ object DedupIndex {
     }
     val (k, nBands, nShingle) = readParams(spark, cur)
     val bSh = Dedup.shingled(batch, idCol, textCol, nShingle).persist()
+    val bB = Dedup.bandedSignatures(
+      Dedup.signaturesFromShingled(bSh, k, baseHash), k, nBands)
+      .withColumnRenamed("id", "id_l").persist()
     try {
-      val bB = Dedup.bandedSignatures(
-        Dedup.signaturesFromShingled(bSh, k, baseHash), k, nBands)
-        .withColumnRenamed("id", "id_l")
       val cB = spark.read.parquet(bandsPath(cur))
         .withColumnRenamed("id", "id_r")
       val bucketed = cB.columns.contains("__bbucket")
+      // STATIC partition pruning: the batch's distinct bucket-dir set
+      // is ≤ 64 values — collect it from the CACHED batch bands (one
+      // tiny aggregation over in-memory blocks) and filter the scan
+      // explicitly. Deliberately NOT dynamic partition pruning: the
+      // DPP subquery re-executes the batch's whole shingle/sign
+      // pipeline when AQE fails to reuse the broadcast (measured 2×
+      // probe wall at 100× key-growth), while this isin lands in
+      // PartitionFilters for free and prunes identically.
       val bKeyed = if (bucketed)
-        bB.withColumn("__bbucket", bucketDir(col("bucket")))
+        bB.withColumn("__bbucket",
+          bucketDir(col("bucket")).cast(cB.schema("__bbucket").dataType))
       else bB
+      val cBpruned = if (bucketed) {
+        val dirs = bKeyed.select(col("__bbucket")).distinct()
+          .collect().map(_.get(0)).toSeq
+        cB.filter(col("__bbucket").isInCollection(dirs))
+      } else cB
       val keys = if (bucketed) Seq("band", "bucket", "__bbucket")
         else Seq("band", "bucket")
-      val cands = cB.join(broadcast(bKeyed), keys)
+      val cands = cBpruned.join(broadcast(bKeyed), keys)
         .filter(col("id_l") =!= col("id_r"))
         .select(col("id_l"), col("id_r")).distinct()
       val corpusSh = spark.read.parquet(shinglesPath(cur))
@@ -203,6 +217,6 @@ object DedupIndex {
         .select(col("id_l"), col("id_r"),
           round(col("jaccard"), 6).as("jaccard"))
       verified.localCheckpoint()
-    } finally { bSh.unpersist(); () }
+    } finally { bSh.unpersist(); bB.unpersist(); () }
   }
 }

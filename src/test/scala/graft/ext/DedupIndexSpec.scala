@@ -83,6 +83,41 @@ class DedupIndexSpec extends SparkSpec {
     assert(got.filter($"id_r" === 31L).count() > 0L)
   }
 
+  test("the candidate join prunes the bands scan to the batch's " +
+      "bucket dirs (STATIC isin on the __bbucket partition column — " +
+      "deliberately not DPP, whose subquery re-ran the batch pipeline)") {
+    val root = tmpDir("didx") + "/idx"
+    DedupIndex.build(spark, corpus(1L to 400L), root)
+    val cur = graft.util.GenSwap.currentDir(root).get
+    // the probe's candidate join, reconstructed from the same pieces
+    // (the probe itself returns a checkpointed result, whose inner
+    // plan has already executed) — parity with the real path is
+    // pinned by the minhashPairsAgainst test above
+    val batch = (101L to 103L).map(doc(_)).toDF("doc_id", "text")
+    val cB = spark.read.parquet(s"$cur/bands")
+      .withColumnRenamed("id", "id_r")
+    val bBK = Dedup.bandedSignatures(
+      Dedup.signaturesFromShingled(
+        Dedup.shingled(batch, "doc_id", "text", 3), 32, xxhash64(_)),
+      32, 8)
+      .withColumnRenamed("id", "id_l")
+      .withColumn("__bbucket",
+        pmod($"bucket", lit(64L)).cast(cB.schema("__bbucket").dataType))
+      .persist()
+    val dirs = bBK.select($"__bbucket").distinct()
+      .collect().map(_.get(0)).toSeq
+    // a 3-doc batch touches far fewer than the 64 bucket dirs — the
+    // pruning is real, not vacuous
+    assert(dirs.size < 64 && dirs.nonEmpty)
+    val cands = cB.filter($"__bbucket".isInCollection(dirs))
+      .join(broadcast(bBK), Seq("band", "bucket", "__bbucket"))
+    cands.collect()
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [__bbucket"), plan.take(1500))
+    assert(plan.contains("INSET"), plan.take(1500))
+    bBK.unpersist()
+  }
+
   test("degenerate inputs: empty corpus builds a probeable (empty) " +
       "index; empty batch probes to empty") {
     val root = tmpDir("didx") + "/idx"
