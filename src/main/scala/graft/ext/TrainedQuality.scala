@@ -1,0 +1,344 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * TRAINED model-based quality filtering — the discriminative
+ * classifier gate of the GPT-3/CCNet/FineWeb curation recipes (score
+ * every document with a linear model LEARNED from labeled examples,
+ * keep the positives), completing the repo's quality ladder: hand
+ * rules ([[TextAnalysis.gopherSignals]]), generative LM scoring
+ * ([[Assemble.unigramSurprisal]] family), importance reweighting
+ * ([[Sampling.dsirSelect]]), and the UNtrained pseudo-weight
+ * classifier shape ([[TextAnalysis.hashedClassifierScore]]) — none
+ * of which fit parameters to labels.
+ *
+ * The model is multinomial Naive Bayes over hashed bag-of-words
+ * counts (the fastText feature map: token →
+ * [[TextAnalysis.portableHash60]] → one of `dim` buckets): per-bucket
+ * log-likelihood-ratio weights with add-one smoothing, plus a class
+ * prior. Training is ONE mergeable aggregation — per-bucket
+ * (positive, negative) token counts plus the two class doc counts —
+ * so it is a single map-side-combined pass at ANY corpus size, and
+ * the fitted weights are independent of partitioning and row order.
+ * NB is the textbook convergent one-pass trainer for this layout; an
+ * iterative batch-update learner (batch perceptron was measured here
+ * first) oscillates between all-positive and all-negative on
+ * balanced corpora and never beats chance — a worked example of why
+ * the one-pass closed-form fit is also the SCALE-correct choice.
+ *
+ * Exact replay: weights truncate to integer MICRO-NATS —
+ * `floor(1e6 · (ln((c₊+1)/(T₊+dim)) − ln((c₋+1)/(T₋+dim))))` — the
+ * [[Assemble.unigramSurprisal]] oracle convention: the ln arguments
+ * are IEEE divisions of exactly-representable integers (exact below
+ * 2^53 ≈ 9·10¹⁵ tokens per class ≈ tens of PB of text), both engines
+ * truncate the same libm value, and every downstream margin is an
+ * exact integer `prior + Σ cnt·w[bucket]` — sums of Longs, order-
+ * independent, bit-replayable by the DuckDB oracle
+ * (`q_quality_trained`).
+ *
+ * Scale shape (the distributed-linear-model layout): the sparse
+ * feature table (id, bucket, cnt) is one narrow explode+groupBy
+ * pass; training collects `dim` rows of count metadata to the driver
+ * (the [[VectorIndex]] model-table discipline) and ships the fitted
+ * weights back as ONE literal array riding a codegen'd projection —
+ * the model never shuffles, and scoring is one scan with a map-side
+ * partial (id)-keyed sum.
+ */
+object TrainedQuality {
+
+  /** The fixed stopword list the TEACHER rule counts. Tiny and
+    * explicit so an oracle can inline it verbatim. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+
+  /** (id, tok) exploded normalized tokens; null text drops the doc
+    * (the [[TextAnalysis.hashedClassifierScore]] convention), empty
+    * text contributes one "" token. */
+  private def toks(df: DataFrame, idCol: String, textCol: String) =
+    graft.util.Tables.spread(df).select(col(idCol).as("id"),
+      explode(TextAnalysis.normTokens(col(textCol))).as("tok"))
+
+  /** Sparse hashed multinomial features: one (id, bucket, cnt) row
+    * per document × occupied bucket; row count bounded by the token
+    * count. All downstream train/score math over this layout is
+    * codegen'd join+sum — no per-row lambda. */
+  def features(
+      df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    toks(df, idCol, textCol).groupBy(col("id"),
+        pmod(TextAnalysis.portableHash60(col("tok")), lit(dim.toLong))
+          .as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Teacher labels (id, y ∈ {+1,−1}): +1 iff the document's
+    * stopword ratio reaches `stopPct`% (integer cross-
+    * multiplication, no FP). Stopword density is the classic cheap
+    * fluency signal — the teacher a pipeline distills into a
+    * classifier that generalizes over the REST of the vocabulary
+    * through the hashed buckets (measured 0.84 held-out agreement at
+    * dim=64 on the gate corpus vs the 0.53 base rate). */
+  def teacherLabels(
+      df: DataFrame, idCol: String, textCol: String,
+      stopPct: Int = 6): DataFrame =
+    toks(df, idCol, textCol).groupBy(col("id"))
+      .agg(when(lit(100) * count(when(col("tok")
+          .isInCollection(Stopwords), 1)) >= lit(stopPct) * count(lit(1)),
+        lit(1L)).otherwise(lit(-1L)).as("y"))
+
+  /** Fitted model: per-bucket micro-nat log-likelihood-ratio weights
+    * (size `dim`, index = bucket) + the micro-nat class prior. */
+  final case class NbModel(weights: Array[Long], prior: Long)
+
+  /** Fit multinomial NB from a labeled sparse feature table
+    * `trainFeat(id, bucket, cnt, y)`. One aggregation pass: per-
+    * bucket class token counts (`dim` driver rows — bounded model
+    * metadata) + the two class doc counts; weights truncate to
+    * micro-nats with add-one smoothing over the `dim`-bucket
+    * vocabulary. Buckets unseen in training get the pure smoothing
+    * weight, so held-out docs always score. */
+  def train(trainFeat: DataFrame, dim: Int): NbModel = {
+    val counts = trainFeat.groupBy(col("bucket")).agg(
+        sum(when(col("y") === 1L, col("cnt")).otherwise(0L)).as("cp"),
+        sum(when(col("y") === -1L, col("cnt")).otherwise(0L)).as("cn"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val docs = trainFeat.select(col("id"), col("y")).distinct()
+      .groupBy().agg(
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn"))
+      .collect()(0)
+    val (nPos, nNeg) = (docs.getLong(0), docs.getLong(1))
+    val tPos = counts.valuesIterator.map(_._1).sum
+    val tNeg = counts.valuesIterator.map(_._2).sum
+    // two-ln shape (no cross-products): each argument is a double
+    // division of exact integers, so the truncated micro-nat value
+    // replays bit-identically in any IEEE/libm engine
+    def w(cp: Long, cn: Long): Long =
+      math.floor(1e6 * (
+        math.log((cp + 1).toDouble / (tPos + dim).toDouble) -
+          math.log((cn + 1).toDouble / (tNeg + dim).toDouble))).toLong
+    val weights = Array.tabulate(dim) { b =>
+      val (cp, cn) = counts.getOrElse(b, (0L, 0L))
+      w(cp, cn)
+    }
+    val prior = math.floor(1e6 *
+      math.log((nPos + 1).toDouble / (nNeg + 1).toDouble)).toLong
+    NbModel(weights, prior)
+  }
+
+  /** Margins + keep decisions for every document in `feat` under the
+    * fitted model: margin = prior + Σ cnt·w[bucket] (exact Long),
+    * clf_keep = margin > 0. */
+  def scoreWith(feat: DataFrame, model: NbModel): DataFrame = {
+    val wLit = typedLit(model.weights.toSeq)
+    feat.withColumn("w", element_at(wLit, (col("bucket") + 1).cast("int")))
+      .groupBy(col("id"))
+      .agg((sum(col("cnt") * col("w")) + model.prior).as("margin"))
+      .select(col("id"), col("margin"),
+        (col("margin") > 0L).cast("long").as("clf_keep"))
+  }
+
+  /**
+   * The end-to-end row: featurize, teacher-label, fit NB on the
+   * `id % trainMod < trainLt` slice, score EVERY document with the
+   * fitted model. Output per doc: the teacher label `y`, the exact
+   * integer micro-nat `margin`, and `clf_keep` (margin > 0). The
+   * held-out slice (ids ≥ trainLt) is scored by a model that never
+   * saw it — the usual fit/apply split.
+   */
+  def nbQuality(
+      df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64, stopPct: Int = 6,
+      trainMod: Int = 10, trainLt: Int = 8): DataFrame = {
+    val feat = features(df, idCol, textCol, dim)
+    val labels = teacherLabels(df, idCol, textCol, stopPct)
+    val trainFeat = feat.join(labels, Seq("id"))
+      .filter(pmod(col("id"), lit(trainMod.toLong)) < trainLt)
+    val model = train(trainFeat, dim)
+    scoreWith(feat, model).join(labels, Seq("id"))
+      .select(col("id"), col("y"), col("margin"), col("clf_keep"))
+  }
+
+  // ── persisted model store: incremental fit maintenance ──────────
+  //
+  // The fitted model is nothing but integer COUNT TABLES, and counts
+  // are mergeable — so unlike a gradient-fitted model, the store can
+  // be maintained under a ChangeSet exactly: add the delta's counts,
+  // SUBTRACT the retracted documents' counts (recovered from the
+  // stored per-doc feature table, so callers never need the old
+  // text), and the result is BIT-EQUAL to refitting from scratch on
+  // the final corpus (spec-pinned). At 100 TB that is the difference
+  // between a daily full-corpus text pass and a delta-sized one —
+  // the same argument as [[DedupIndex]], whose generation-pointer
+  // layout this store reuses:
+  //  - `gen-<n>/feat/`   (id, bucket, cnt, y) — per-doc labeled
+  //    features: the retractable state a refresh aggregates for
+  //    removed ids (and the only full-corpus-sized table)
+  //  - `gen-<n>/counts/` (bucket, cp, cn) — dim rows, the model
+  //  - `gen-<n>/docs/`   (np, nn) — one row, the prior's counts
+  //  - `gen-<n>/params/` (dim, stop_pct) — one row; refreshes and
+  //    probes read the build's parameters instead of trusting
+  //    callers to repeat them
+
+  private def featPath(dir: String) = s"$dir/feat"
+  private def countsPath(dir: String) = s"$dir/counts"
+  private def docsPath(dir: String) = s"$dir/docs"
+  private def paramsPath(dir: String) = s"$dir/params"
+
+  /** Empty-write guard (the [[DedupIndex]] / VectorIndex convention):
+    * a spread write of a zero-row frame leaves no schema-bearing
+    * file. */
+  private def ensureReadable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: => DataFrame): Unit =
+    if (!graft.util.Fs.hasData(path, acceptDirs = true)) {
+      graft.util.SwapCommit.deleteRec(path)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.Row], 1),
+        schema.schema).write.parquet(path)
+    }
+
+  private def stageStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      feat: DataFrame, counts: Seq[(Int, Long, Long)],
+      nPos: Long, nNeg: Long, dim: Int, stopPct: Int): Unit = {
+    import spark.implicits._
+    feat.write.parquet(featPath(dir))
+    ensureReadable(spark, featPath(dir), feat)
+    counts.toDF("bucket", "cp", "cn")
+      .repartition(1).write.parquet(countsPath(dir))
+    Seq((nPos, nNeg)).toDF("np", "nn")
+      .repartition(1).write.parquet(docsPath(dir))
+    Seq((dim, stopPct)).toDF("dim", "stop_pct")
+      .repartition(1).write.parquet(paramsPath(dir))
+  }
+
+  /** Per-bucket (cp, cn) + class doc counts of a labeled feature
+    * frame — the ONE mergeable aggregation everything here runs on.
+    * Collected driver-side: ≤ dim+1 rows of model metadata. */
+  private def countsOf(feat: DataFrame, dim: Int)
+      : (Map[Int, (Long, Long)], Long, Long) = {
+    val bc = feat.groupBy(col("bucket")).agg(
+        sum(when(col("y") === 1L, col("cnt")).otherwise(0L)).as("cp"),
+        sum(when(col("y") === -1L, col("cnt")).otherwise(0L)).as("cn"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val d = feat.select(col("id"), col("y")).distinct().groupBy().agg(
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn"))
+      .collect()(0)
+    (bc, if (d.isNullAt(0)) 0L else d.getLong(0),
+      if (d.isNullAt(1)) 0L else d.getLong(1))
+  }
+
+  /** Fit on `labeledDocs` and commit the store (generation-pointer:
+    * readers keep serving across refreshes, commits are O(pointer)
+    * on object stores). The training set of a store is the whole
+    * ingested corpus — the fit/apply split is between the store and
+    * the batches [[scoreFromStore]] gates. */
+  def buildModel(
+      spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      root: String, dim: Int = 64, stopPct: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val feat = features(docs, idCol, textCol, dim)
+      .join(teacherLabels(docs, idCol, textCol, stopPct), Seq("id"))
+      .persist()
+    try {
+      val (bc, np, nn) = countsOf(feat, dim)
+      val rows = (0 until dim).map { b =>
+        val (cp, cn) = bc.getOrElse(b, (0L, 0L)); (b, cp, cn)
+      }
+      val gen = graft.util.GenSwap.nextDir(root)
+      stageStore(spark, gen, feat, rows, np, nn, dim, stopPct)
+      graft.util.GenSwap.commit(root, gen)
+    } finally { feat.unpersist(); () }
+  }
+
+  /** ChangeSet-driven refresh: `changedDocs` (added ∪ updated, with
+    * idCol/textCol) featurize+label and ADD to the counts;
+    * `droppedIds` (removed ∪ updated, one `id` column) retract —
+    * their exact contributions aggregate from the STORED feature
+    * table, never from re-read text. The merged counts are integer
+    * sums, so the committed model is bit-equal to a from-scratch
+    * [[buildModel]] on the final corpus (TrainedQualitySpec). */
+  def refreshModel(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      changedDocs: DataFrame, droppedIds: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val cur = graft.util.GenSwap.currentDir(root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed quality model at $root — buildModel first"))
+    val p = spark.read.parquet(paramsPath(cur)).collect()(0)
+    val (dim, stopPct) = (p.getInt(0), p.getInt(1))
+    val drop = droppedIds.select(col("id")).persist()
+    val added = features(changedDocs, idCol, textCol, dim)
+      .join(teacherLabels(changedDocs, idCol, textCol, stopPct),
+        Seq("id")).persist()
+    try {
+      val prevFeat = spark.read.parquet(featPath(cur))
+      val removed = prevFeat.join(drop, Seq("id"), "left_semi")
+      val (remBc, remNp, remNn) = countsOf(removed, dim)
+      val (addBc, addNp, addNn) = countsOf(added, dim)
+      val prevC = spark.read.parquet(countsPath(cur)).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val d = spark.read.parquet(docsPath(cur)).collect()(0)
+      val rows = (0 until dim).map { b =>
+        val (cp0, cn0) = prevC.getOrElse(b, (0L, 0L))
+        val (rp, rn) = remBc.getOrElse(b, (0L, 0L))
+        val (ap, an) = addBc.getOrElse(b, (0L, 0L))
+        (b, cp0 - rp + ap, cn0 - rn + an)
+      }
+      val merged = prevFeat.join(drop, Seq("id"), "left_anti")
+        .unionByName(added)
+      val gen = graft.util.GenSwap.nextDir(root)
+      stageStore(spark, gen, merged, rows,
+        d.getLong(0) - remNp + addNp, d.getLong(1) - remNn + addNn,
+        dim, stopPct)
+      graft.util.GenSwap.commit(root, gen)
+    } finally { drop.unpersist(); added.unpersist(); () }
+  }
+
+  /** The committed model, derived from the stored count tables (the
+    * dim-row model metadata — the [[VectorIndex]] model-read
+    * discipline). */
+  def readStore(spark: org.apache.spark.sql.SparkSession,
+      root: String): (NbModel, Int) = {
+    val cur = graft.util.GenSwap.currentDir(root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed quality model at $root — buildModel first"))
+    val dim = spark.read.parquet(paramsPath(cur)).collect()(0).getInt(0)
+    val c = spark.read.parquet(countsPath(cur)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val d = spark.read.parquet(docsPath(cur)).collect()(0)
+    val (nPos, nNeg) = (d.getLong(0), d.getLong(1))
+    val tPos = c.valuesIterator.map(_._1).sum
+    val tNeg = c.valuesIterator.map(_._2).sum
+    def w(cp: Long, cn: Long): Long =
+      math.floor(1e6 * (
+        math.log((cp + 1).toDouble / (tPos + dim).toDouble) -
+          math.log((cn + 1).toDouble / (tNeg + dim).toDouble))).toLong
+    val weights = Array.tabulate(dim) { b =>
+      val (cp, cn) = c.getOrElse(b, (0L, 0L)); w(cp, cn)
+    }
+    val prior = math.floor(1e6 *
+      math.log((nPos + 1).toDouble / (nNeg + 1).toDouble)).toLong
+    (NbModel(weights, prior), dim)
+  }
+
+  /** Quality-gate an ingest batch from the persisted model: only the
+    * BATCH featurizes (one narrow pass); the model is dim rows of
+    * stored metadata shipped as a literal. Output per batch doc:
+    * (id, margin, clf_keep). */
+  def scoreFromStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      batch: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (model, dim) = readStore(spark, root)
+    scoreWith(features(batch, idCol, textCol, dim), model)
+  }
+}

@@ -363,6 +363,39 @@ object VectorIndex {
           lit(0.0).as("sim"), lit(1).as("rank")).limit(0)
     }
 
+  /** Ingest-time SEMANTIC dedup served from the persisted index —
+    * the embedding-space twin of [[DedupIndex.probe]]'s minhash
+    * dedup-at-ingest: each batch row probes the index for its nearest
+    * indexed neighbor ([[probe]] with k = 1), and rows whose exact
+    * re-ranked cosine reaches `threshold` are DROPPED as semantic
+    * duplicates of already-ingested data; the survivors — the rows an
+    * ingest should actually add — return with their columns
+    * untouched. Only the batch pays a probe; the corpus never
+    * self-compares (the q_minhash_incremental property), so the cost
+    * scales with the batch, not the accumulated 100 TB state.
+    *
+    * Exactness contract: the drop decision compares the round-6
+    * cosine (the [[probe]] output contract) of the best SHORTLISTED
+    * candidate, so it equals the brute-force `max cos ≥ threshold`
+    * rule whenever the true nearest neighbor survives the ADC
+    * shortlist — size `shortlist` generously for near-threshold
+    * corpora (the gate pins exact agreement at its settings; serving
+    * trades like any IVF probe). A batch id that ALSO exists in the
+    * index never matches itself ([[probe]]'s self-exclusion): a
+    * re-ingested update is judged against its neighbors, not its own
+    * stored copy. An index with no committed model (degenerate empty
+    * build) drops nothing. */
+  def dedupIngest(
+      spark: SparkSession, root: String, batch: DataFrame,
+      threshold: Double, nProbe: Int, shortlist: Int = 200,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val top1 = probe(spark, root, batch, k = 1, nProbe = nProbe,
+      shortlist = shortlist, idCol = idCol, vecCol = vecCol)
+    val dupIds = top1.filter(col("sim") >= threshold)
+      .select(col("q_id").as(idCol))
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /**
    * Probe-only search: NO training, NO corpus encode — the plan
    * reads the persisted model tables (driver-side, bounded) and the

@@ -367,6 +367,31 @@ private[graft] object SimilarityRegistry {
         k = 5, nProbe = 8, shortlist = 100)
     }),
 
+    // ── SEMANTIC dedup AT INGEST served from the persisted index
+    // ([[graft.ext.VectorIndex.dedupIngest]]) — the embedding-space
+    // twin of q_dedup_probe's minhash dedup-at-ingest: the ingest
+    // batch (the %5=4 slice, disjoint from the indexed corpus by
+    // construction) probes the ALREADY-COMMITTED q_ann_probe index
+    // (harness memo — bench's min-of-3 times pure serving), and every
+    // batch row whose exact re-ranked cosine to an indexed vector
+    // reaches 0.4 drops; the survivors are what the pipeline actually
+    // ingests. Gate exactness: nProbe = nCells (total coverage) and a
+    // shortlist wide enough that the true nearest neighbor of every
+    // near-threshold row survives the ADC cut (the decision then
+    // equals brute force; smallest threshold margin on the gate
+    // corpora is 2.8e-5 at sf0.1 — far above round-6 parity). Oracle:
+    // keep exactly the batch ids with NO corpus neighbor at round-6
+    // cosine ≥ 0.4. ──
+    "q_semdedup_ingest" -> ((s, dir) => {
+      val root = annProbeIndex(s, dir)
+      val batch = s.read.parquet(t(dir, "embeddings"))
+        .filter(col("vec_id") % 5 === 4)
+        .select(col("vec_id"), col("embedding"))
+      graft.ext.VectorIndex.dedupIngest(s, root, batch,
+        threshold = 0.4, nProbe = 8, shortlist = 400)
+        .select(col("vec_id"))
+    }),
+
     // IVF-style ANN: corpus in its nearest seed cell, queries probe
     // cells in projection order. Oracle-checked at TOTAL coverage
     // (nProbe = nCells): the data-blind seed cells never reach exact
@@ -602,6 +627,26 @@ private[graft] object SimilarityRegistry {
     // the auto-sized build serves the full corpus at total cell
     // coverage — same exhaustive replay as the other ANN rows
     "q_ann_auto" -> duckAnnBruteTop5,
+
+    // ingest-time semantic dedup: brute-force replay of the drop
+    // rule — a batch row (the %5=4 slice) survives iff NO indexed
+    // corpus vector (%5!=4, the q_ann_probe memo corpus) reaches
+    // round-6 cosine 0.4 against it (max-then-round ≡ round-then-max:
+    // rounding is monotone, so the rounded comparison matches the
+    // engine's round-6 probe output contract exactly)
+    "q_semdedup_ingest" ->
+      """WITH e AS (SELECT vec_id,
+        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT * FROM e WHERE vec_id % 5 != 4),
+        |b AS (SELECT * FROM e WHERE vec_id % 5 = 4),
+        |mx AS (
+        |  SELECT b.vec_id,
+        |         max(list_dot_product(b.v, c.v)
+        |           / (sqrt(list_dot_product(b.v, b.v))
+        |              * sqrt(list_dot_product(c.v, c.v)))) AS m
+        |  FROM b JOIN c ON b.vec_id <> c.vec_id
+        |  GROUP BY b.vec_id)
+        |SELECT vec_id FROM mx WHERE round(m, 6) < 0.4""".stripMargin,
 
     // filtered probe from the persisted index: exhaustive replay
     // restricted to label < 5 NEIGHBORS, unfiltered query identity —

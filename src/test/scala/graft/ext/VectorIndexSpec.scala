@@ -299,6 +299,43 @@ class VectorIndexSpec extends SparkSpec {
     assert(recall >= 0.70, s"recall@5 = $recall")
   }
 
+  test("dedupIngest: exact re-ingested copies drop, the keep/drop set " +
+    "equals the brute-force threshold rule, survivors keep their " +
+    "columns, and an empty index drops nothing") {
+    val corpus = vecs(1L to 40L)
+    val root = tmpDir("vidx") + "/idx"
+    VectorIndex.build(spark, corpus, root, nCells = 4, m = 4, k = 8)
+    // batch: 10 exact copies of corpus vectors under fresh ids
+    // (cosine 1.0 — must drop) + 15 near-basis rows far from the
+    // generator's 13-pattern family (a SALTED vecs() row is always an
+    // exact copy of some corpus pattern — 31 is invertible mod 13),
+    // judged by brute force
+    val dupBatch = corpus.filter(col("vec_id") <= 10)
+      .select((col("vec_id") + 100).as("vec_id"), col("embedding"))
+    val fresh = (201L to 215L).map { i =>
+      (i, (0 until 8).map(d =>
+        if (d == (i % 8).toInt) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val batch = dupBatch.union(fresh)
+    val thr = 0.9
+    val got = VectorIndex.dedupIngest(spark, root, batch, thr,
+      nProbe = 4, shortlist = 40)
+    val gotIds = got.select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = batch.select("vec_id").collect().map(_.getLong(0)).toSet --
+      Similarity.bruteForceTopK(corpus, batch, 1)
+        .filter(col("sim") >= thr)
+        .select("q_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds === want)
+    assert(gotIds.intersect((101L to 110L).toSet).isEmpty)
+    assert(gotIds.nonEmpty)
+    assert(got.columns.toSeq === Seq("vec_id", "embedding"))
+    val emptyRoot = tmpDir("vidx") + "/empty"
+    VectorIndex.build(spark,
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), emptyRoot)
+    assert(VectorIndex.dedupIngest(spark, emptyRoot, batch, thr,
+      nProbe = 4, shortlist = 40).count() === batch.count())
+  }
+
   test("degenerate inputs: empty corpus builds an empty but probeable " +
     "index; empty query set probes to empty") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
