@@ -60,34 +60,55 @@ object TrainedQuality {
     graft.util.Tables.spread(df).select(col(idCol).as("id"),
       explode(TextAnalysis.normTokens(col(textCol))).as("tok"))
 
-  /** Sparse hashed multinomial features: one (id, bucket, cnt) row
-    * per document × occupied bucket; row count bounded by the token
-    * count. All downstream train/score math over this layout is
-    * codegen'd join+sum — no per-row lambda. */
-  def features(
+  /** ONE tokenize pass feeding everything: (id, bucket, cnt,
+    * stop_cnt) — the sparse features plus, per bucket, how many of
+    * its tokens were teacher stopwords, so labels derive from THIS
+    * (already token-collapsed) frame instead of a second explode of
+    * the corpus. Every consumer (fit, labels, scoring) is a cheap
+    * aggregation over these rows. */
+  private def bucketAgg(
       df: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
     require(dim > 0, "dim must be positive")
     toks(df, idCol, textCol).groupBy(col("id"),
         pmod(TextAnalysis.portableHash60(col("tok")), lit(dim.toLong))
           .as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col("tok").isInCollection(Stopwords), 1))
+          .as("stop_cnt"))
   }
 
-  /** Teacher labels (id, y ∈ {+1,−1}): +1 iff the document's
-    * stopword ratio reaches `stopPct`% (integer cross-
-    * multiplication, no FP). Stopword density is the classic cheap
-    * fluency signal — the teacher a pipeline distills into a
-    * classifier that generalizes over the REST of the vocabulary
-    * through the hashed buckets (measured 0.84 held-out agreement at
-    * dim=64 on the gate corpus vs the 0.53 base rate). */
+  /** Sparse hashed multinomial features: one (id, bucket, cnt) row
+    * per document × occupied bucket; row count bounded by the token
+    * count. All downstream train/score math over this layout is
+    * codegen'd join+sum — no per-row lambda. */
+  def features(
+      df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame =
+    bucketAgg(df, idCol, textCol, dim)
+      .select(col("id"), col("bucket"), col("cnt"))
+
+  /** Teacher labels (id, y ∈ {+1,−1}) from a [[bucketAgg]] frame:
+    * +1 iff the document's stopword ratio reaches `stopPct`%
+    * (integer cross-multiplication, no FP). Stopword density is the
+    * classic cheap fluency signal — the teacher a pipeline distills
+    * into a classifier that generalizes over the REST of the
+    * vocabulary through the hashed buckets (measured 0.84 held-out
+    * agreement at dim=64 on the gate corpus vs the 0.53 base
+    * rate). */
+  private def labelsFrom(ba: DataFrame, stopPct: Int): DataFrame =
+    ba.groupBy(col("id"))
+      .agg(when(lit(100) * sum(col("stop_cnt")) >=
+          lit(stopPct.toLong) * sum(col("cnt")),
+        lit(1L)).otherwise(lit(-1L)).as("y"))
+
+  /** Teacher labels over a corpus (standalone entry point — shares
+    * the [[bucketAgg]] pass when called through [[nbQuality]] /
+    * [[buildModel]]). */
   def teacherLabels(
       df: DataFrame, idCol: String, textCol: String,
       stopPct: Int = 6): DataFrame =
-    toks(df, idCol, textCol).groupBy(col("id"))
-      .agg(when(lit(100) * count(when(col("tok")
-          .isInCollection(Stopwords), 1)) >= lit(stopPct) * count(lit(1)),
-        lit(1L)).otherwise(lit(-1L)).as("y"))
+    labelsFrom(bucketAgg(df, idCol, textCol, 1), stopPct)
 
   /** Fitted model: per-bucket micro-nat log-likelihood-ratio weights
     * (size `dim`, index = bucket) + the micro-nat class prior. */
@@ -154,8 +175,12 @@ object TrainedQuality {
       df: DataFrame, idCol: String, textCol: String,
       dim: Int = 64, stopPct: Int = 6,
       trainMod: Int = 10, trainLt: Int = 8): DataFrame = {
-    val feat = features(df, idCol, textCol, dim)
-    val labels = teacherLabels(df, idCol, textCol, stopPct)
+    // one tokenize pass, persisted for the query's lifetime (the
+    // shingle-pass convention): the fit's two aggregations, the
+    // label join, and the returned scoring plan all read this frame
+    val ba = bucketAgg(df, idCol, textCol, dim).persist()
+    val feat = ba.select(col("id"), col("bucket"), col("cnt"))
+    val labels = labelsFrom(ba, stopPct)
     val trainFeat = feat.join(labels, Seq("id"))
       .filter(pmod(col("id"), lit(trainMod.toLong)) < trainLt)
     val model = train(trainFeat, dim)
@@ -208,14 +233,24 @@ object TrainedQuality {
       feat: DataFrame, counts: Seq[(Int, Long, Long)],
       nPos: Long, nNeg: Long, dim: Int, stopPct: Int): Unit = {
     import spark.implicits._
+    // the four writes are independent (three are driver-literal
+    // frames) — run the tiny ones concurrently with the feat write,
+    // the DedupIndex.stageTables overlap pattern; serializing them
+    // was pure commit-floor latency. Failures surface at the Await,
+    // before the generation commits.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val small = Future {
+      counts.toDF("bucket", "cp", "cn")
+        .repartition(1).write.parquet(countsPath(dir))
+      Seq((nPos, nNeg)).toDF("np", "nn")
+        .repartition(1).write.parquet(docsPath(dir))
+      Seq((dim, stopPct)).toDF("dim", "stop_pct")
+        .repartition(1).write.parquet(paramsPath(dir))
+    }
     feat.write.parquet(featPath(dir))
     ensureReadable(spark, featPath(dir), feat)
-    counts.toDF("bucket", "cp", "cn")
-      .repartition(1).write.parquet(countsPath(dir))
-    Seq((nPos, nNeg)).toDF("np", "nn")
-      .repartition(1).write.parquet(docsPath(dir))
-    Seq((dim, stopPct)).toDF("dim", "stop_pct")
-      .repartition(1).write.parquet(paramsPath(dir))
+    Await.result(small, scala.concurrent.duration.Duration.Inf)
   }
 
   /** Per-bucket (cp, cn) + class doc counts of a labeled feature
@@ -223,15 +258,23 @@ object TrainedQuality {
     * Collected driver-side: ≤ dim+1 rows of model metadata. */
   private def countsOf(feat: DataFrame, dim: Int)
       : (Map[Int, (Long, Long)], Long, Long) = {
-    val bc = feat.groupBy(col("bucket")).agg(
-        sum(when(col("y") === 1L, col("cnt")).otherwise(0L)).as("cp"),
-        sum(when(col("y") === -1L, col("cnt")).otherwise(0L)).as("cn"))
-      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
-      .toMap
+    // the two aggregations are independent reads of the same
+    // (persisted) frame — overlap them, same rationale as stageStore
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bcF = Future {
+      feat.groupBy(col("bucket")).agg(
+          sum(when(col("y") === 1L, col("cnt")).otherwise(0L)).as("cp"),
+          sum(when(col("y") === -1L, col("cnt")).otherwise(0L)).as("cn"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    }
     val d = feat.select(col("id"), col("y")).distinct().groupBy().agg(
         sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
         sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn"))
       .collect()(0)
+    val bc = Await.result(bcF, scala.concurrent.duration.Duration.Inf)
     (bc, if (d.isNullAt(0)) 0L else d.getLong(0),
       if (d.isNullAt(1)) 0L else d.getLong(1))
   }
@@ -245,8 +288,11 @@ object TrainedQuality {
       spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       root: String, dim: Int = 64, stopPct: Int = 6,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val feat = features(docs, idCol, textCol, dim)
-      .join(teacherLabels(docs, idCol, textCol, stopPct), Seq("id"))
+    // cache the single tokenize pass: the label self-join, the two
+    // fit aggregations, and the feat-table write all read it
+    val ba = bucketAgg(docs, idCol, textCol, dim).persist()
+    val feat = ba.select(col("id"), col("bucket"), col("cnt"))
+      .join(labelsFrom(ba, stopPct), Seq("id"))
       .persist()
     try {
       val (bc, np, nn) = countsOf(feat, dim)
@@ -256,7 +302,7 @@ object TrainedQuality {
       val gen = graft.util.GenSwap.nextDir(root)
       stageStore(spark, gen, feat, rows, np, nn, dim, stopPct)
       graft.util.GenSwap.commit(root, gen)
-    } finally { feat.unpersist(); () }
+    } finally { feat.unpersist(); ba.unpersist(); () }
   }
 
   /** ChangeSet-driven refresh: `changedDocs` (added ∪ updated, with
@@ -276,9 +322,10 @@ object TrainedQuality {
     val p = spark.read.parquet(paramsPath(cur)).collect()(0)
     val (dim, stopPct) = (p.getInt(0), p.getInt(1))
     val drop = droppedIds.select(col("id")).persist()
-    val added = features(changedDocs, idCol, textCol, dim)
-      .join(teacherLabels(changedDocs, idCol, textCol, stopPct),
-        Seq("id")).persist()
+    // one tokenize pass over the delta (the buildModel convention)
+    val ba = bucketAgg(changedDocs, idCol, textCol, dim).persist()
+    val added = ba.select(col("id"), col("bucket"), col("cnt"))
+      .join(labelsFrom(ba, stopPct), Seq("id")).persist()
     try {
       val prevFeat = spark.read.parquet(featPath(cur))
       val removed = prevFeat.join(drop, Seq("id"), "left_semi")
@@ -300,7 +347,7 @@ object TrainedQuality {
         d.getLong(0) - remNp + addNp, d.getLong(1) - remNn + addNn,
         dim, stopPct)
       graft.util.GenSwap.commit(root, gen)
-    } finally { drop.unpersist(); added.unpersist(); () }
+    } finally { drop.unpersist(); added.unpersist(); ba.unpersist(); () }
   }
 
   /** The committed model, derived from the stored count tables (the
