@@ -745,7 +745,20 @@ object Similarity {
   }
 
   /** L2-normalized copy of an array column (zero vector stays zero). */
-  private[ext] def l2norm(v: Column): Column = {
+  /** L2-normalized copy of a float vector, as array<double> — the
+    * native [[graft.functions.VecNormalize]] kernel. The HOF
+    * formulation below ([[l2normHof]]) was the r17 bulk-ingest-gate
+    * scale-killer: Catalyst inlines the norm subexpression into
+    * EVERY element's interpreted lambda, so each row paid d×d boxed
+    * evals (~2.75 ms/row at d=64 — 110 CPU-seconds per 40k-row
+    * batch, measured via stage metrics). Bit-identical swap,
+    * FunctionsSpec-pinned. */
+  private[ext] def l2norm(v: Column): Column =
+    graft.functions.GraftFunctions.vec_normalize(v)
+
+  /** The replaced HOF formulation — kept ONLY as the equivalence
+    * oracle for the kernel spec (the pqCodesCol convention). */
+  private[graft] def l2normHof(v: Column): Column = {
     val n = norm(transform(v, x => x.cast("double")))
     transform(v, x =>
       when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))

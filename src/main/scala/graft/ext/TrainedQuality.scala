@@ -132,7 +132,11 @@ object TrainedQuality {
         sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
         sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn"))
       .collect()(0)
-    val (nPos, nNeg) = (docs.getLong(0), docs.getLong(1))
+    // empty training set: the whole-frame sums are NULL — fit the
+    // pure-smoothing model (all weights from add-one counts alone)
+    val (nPos, nNeg) = (
+      if (docs.isNullAt(0)) 0L else docs.getLong(0),
+      if (docs.isNullAt(1)) 0L else docs.getLong(1))
     val tPos = counts.valuesIterator.map(_._1).sum
     val tNeg = counts.valuesIterator.map(_._2).sum
     // two-ln shape (no cross-products): each argument is a double

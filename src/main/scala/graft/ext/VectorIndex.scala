@@ -388,9 +388,11 @@ object VectorIndex {
   def dedupIngest(
       spark: SparkSession, root: String, batch: DataFrame,
       threshold: Double, nProbe: Int, shortlist: Int = 200,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastBatch: Boolean = true): DataFrame = {
     val top1 = probe(spark, root, batch, k = 1, nProbe = nProbe,
-      shortlist = shortlist, idCol = idCol, vecCol = vecCol)
+      shortlist = shortlist, idCol = idCol, vecCol = vecCol,
+      broadcastQueries = broadcastBatch)
     val dupIds = top1.filter(col("sim") >= threshold)
       .select(col("q_id").as(idCol))
     batch.join(dupIds, Seq(idCol), "left_anti")
@@ -413,11 +415,22 @@ object VectorIndex {
    * post-filter failure mode). Queries keep their unfiltered
    * identity, matching the brute-force `q_ann_filtered` semantics.
    */
+  /** `broadcastQueries`: the scoring join's strategy for the query
+    * side. `true` (default) pins a broadcast — it keeps the corpus
+    * scan shuffle-free and dynamic partition pruning alive, and it
+    * measured 2.2× FASTER than the shuffled join even at a 40k-row
+    * ingest batch over a 200k corpus (20.7 s vs 46.1 s, BASELINE.md
+    * r17). `false` leaves the strategy to Spark/AQE for batches
+    * whose exploded (|batch|·nProbe rows × d floats) query side no
+    * longer fits a sane broadcast — the driver and every task
+    * materialize that table in memory, so at some batch size the
+    * pinned hint stops being an optimization and becomes an OOM. */
   def probe(
       spark: SparkSession, root: String, queries: DataFrame,
       k: Int, nProbe: Int, shortlist: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      broadcastQueries: Boolean = true): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     recover(root)
     val (cents, cbs) = readModel(spark, root)
@@ -427,7 +440,13 @@ object VectorIndex {
     val corpus = filter.foldLeft(
       spark.read.parquet(corpusPath(root)))((c, f) => c.filter(f))
 
-    val q = queries.select(col(idCol).as("q_id"),
+    // spread() the query side: the normalize + centroid-probe
+    // projection is the CPU-heavy per-query stage, and a bulk ingest
+    // batch read from few parquet files otherwise runs it on
+    // file-count-many tasks (measured: 7 tasks carrying 110
+    // CPU-seconds at a 40k-row batch — the whole gate wall)
+    val q = graft.util.Tables.spread(queries)
+      .select(col(idCol).as("q_id"),
         Similarity.l2norm(col(vecCol)).as("q_norm"),
         explode(Similarity.centroidProbe(col(vecCol), cents, nProbe))
           .as("cell"))
@@ -453,7 +472,8 @@ object VectorIndex {
     else q
     val joinKeys = if (bucketed) Seq("cell", "__cbucket") else Seq("cell")
     val scored = corpusKeys
-      .join(broadcast(qKeyed), joinKeys)
+      .join(if (broadcastQueries) broadcast(qKeyed) else qKeyed,
+        joinKeys)
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),
         graft.functions.GraftFunctions.pq_adc_score(
@@ -476,7 +496,8 @@ object VectorIndex {
       col(vecCol).as("q_raw"))
     val refined = short
       .join(corpus.select(col("id"), col("vec")), Seq("id"))
-      .join(broadcast(qRaw), Seq("q_id"))
+      .join(if (broadcastQueries) broadcast(qRaw) else qRaw,
+        Seq("q_id"))
       .withColumn("sim", graft.functions.GraftFunctions.cosine_sim(
         col("q_raw"), col("vec")))
     val w = Window.partitionBy(col("q_id"))

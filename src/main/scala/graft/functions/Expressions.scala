@@ -826,6 +826,73 @@ case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
  * query side accepts float or double elements (the normalized query
  * is double).
  */
+/**
+ * L2-normalize a float vector to array<double> — the native kernel
+ * behind [[graft.ext.Similarity.l2norm]]. Bit-identical to the HOF
+ * formulation it replaces (`transform(v, x => when(n === 0, 0.0)
+ * .otherwise(x.cast(double) / n))` with `n = sqrt(aggregate(...))`):
+ * the norm is the same left-fold Σx² then sqrt, each output element
+ * the same IEEE division, zero-norm vectors map to all-0.0, and a
+ * null element poisons the fold so EVERY output element is null
+ * (the when/otherwise branch yields null once n is null) —
+ * FunctionsSpec pins all of it. The HOF shape was the r17 bulk-gate
+ * scale-killer: Catalyst inlines the norm subexpression into every
+ * element's lambda, so each row paid d × d interpreted boxed evals
+ * (~2.75 ms/row at d=64 — 110 CPU-seconds per 40k-row ingest batch,
+ * measured); this kernel is one primitive loop inside whole-stage
+ * codegen.
+ */
+case class VecNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "vec_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_normalize requires an array<float> argument, got ${t.simpleString}")
+  }
+
+  /** Public — invoked from generated code via a reference object. */
+  def normalize(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    var i = 0
+    while (i < n) { // a null element nulls the fold, hence every slot
+      if (vec.isNullAt(i))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Any](n))
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
+    while (i < n) { // the aggregate() left fold: acc + x² in order
+      val x = vec.getFloat(i).toDouble
+      ss += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (nrm == 0.0) 0.0 else vec.getFloat(i).toDouble / nrm
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    normalize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecNormalizeExpr", this,
+      classOf[VecNormalize].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.normalize($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecNormalize =
+    copy(child = newChild)
+}
+
 case class PqAdcScore(
     left: Expression, right: Expression,
     codebooks: Seq[Seq[Seq[Float]]]) extends BinaryExpression {
@@ -950,6 +1017,7 @@ object GraftFunctions {
     "centroid_probe" -> (es => CentroidProbe(es.head,
       litFloatMatrix(es(1), "centroid_probe", "centroids"),
       litInt(es(2), "centroid_probe", "nProbe"))),
+    "vec_normalize" -> (es => VecNormalize(es.head)),
     "pq_codes" -> (es => PqCodes(es.head,
       litFloatCube(es(1), "pq_codes", "codebooks"))),
     "pq_adc_score" -> (es => PqAdcScore(es.head, es(1),
@@ -1010,6 +1078,8 @@ object GraftFunctions {
   /** `bloom` is a serialized `org.apache.spark.util.sketch.BloomFilter`
     * (binary, constant-foldable — e.g. `lit(bytes)`); `value` a LONG
     * probed via `mightContainLong`. */
+  def vec_normalize(v: Column): Column =
+    org.apache.spark.sql.functions.call_function("vec_normalize", v)
   def bloom_might_contain(bloom: Column, value: Column): Column =
     org.apache.spark.sql.functions.call_function(
       "bloom_might_contain", bloom, value)

@@ -281,6 +281,41 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("vec_normalize is bit-identical to the nested-HOF l2norm it " +
+      "replaced (same left-fold norm, per-element IEEE division, " +
+      "zero-vector => all-0.0, null element poisons every slot, " +
+      "empty array passes through)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val both = e.select(
+      GraftFunctions.vec_normalize(col("embedding")).as("nat"),
+      Similarity.l2normHof(col("embedding")).as("hof"))
+    assert(both.filter(to_json($"nat") =!= to_json($"hof")).count() === 0)
+    // edge shapes: zero vector, empty, single element, a null slot,
+    // denormal-ish tiny components
+    val edge = Seq(
+      (1L, Array[java.lang.Float](0f, 0f, 0f)),
+      (2L, Array.empty[java.lang.Float]),
+      (3L, Array[java.lang.Float](42.5f)),
+      (4L, Array[java.lang.Float](1f, null, 3f)),
+      (5L, Array[java.lang.Float](1e-38f, -1e-38f, 1f))
+    ).toDF("vec_id", "embedding")
+    val eb = edge.select(
+      GraftFunctions.vec_normalize(col("embedding")).as("nat"),
+      Similarity.l2normHof(col("embedding")).as("hof"))
+    assert(eb.filter(
+      to_json($"nat") =!= to_json($"hof") ||
+        (to_json($"nat").isNull =!= to_json($"hof").isNull)).count() === 0)
+    // null ARRAY maps to null out (nullSafeEval), matching the HOF
+    val nulls = Seq((6L, null: Array[java.lang.Float]))
+      .toDF("vec_id", "embedding")
+      .select(
+        GraftFunctions.vec_normalize(col("embedding")).as("nat"),
+        Similarity.l2normHof(col("embedding")).as("hof"))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("pq_codes is bit-identical to the composed greatest-of-structs " +
       "stack it replaced (norm clamp, tie-to-smaller-codeword, short " +
       "vectors, k=1 books) — without the 64 KB codegen blowup") {
