@@ -31,6 +31,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object IncrementalSync {
 
+  /** Hang guard for the replay harnesses' awaitTermination: a replay
+    * that never terminates must fail LOUDLY (and stop the query, not
+    * leave it contending for cores), but the bound itself scales with
+    * data — the 10-minute default covers every gate/bench shape,
+    * while big key-growth smokes (a 100× media replay legitimately
+    * runs past 10 minutes) raise it via
+    * `SPARK_GRAFT_REPLAY_TIMEOUT_MS` without touching query code. */
+  private def replayTimeoutMs: Long =
+    sys.env.get("SPARK_GRAFT_REPLAY_TIMEOUT_MS")
+      .flatMap(_.toLongOption).getOrElse(600000L)
+
   /**
    * Run a preset's sync per micro-batch. The stream carries raw
    * source records; keying/diff/apply happen inside foreachBatch via
@@ -112,7 +123,7 @@ object IncrementalSync {
     // per-batch keying window + full-outer diff).
     val q = start(spark, stream, preset, s"$workDir/chk",
       trigger = Trigger.AvailableNow())
-    if (!q.awaitTermination(600000L)) {
+    if (!q.awaitTermination(replayTimeoutMs)) {
       q.stop() // don't leave an orphaned stream contending for cores
       sys.error("replaySync: streaming query did not terminate")
     }
@@ -351,7 +362,7 @@ object IncrementalSync {
           ()
       }
       .start()
-    if (!q.awaitTermination(600000L)) {
+    if (!q.awaitTermination(replayTimeoutMs)) {
       q.stop()
       sys.error("replayForeachBatch: streaming query did not terminate")
     }
@@ -405,7 +416,7 @@ object IncrementalSync {
       val q =
         if (append) writer.format("parquet").option("path", outDir).start()
         else writer.format("memory").queryName(name).start()
-      if (!q.awaitTermination(600000L)) {
+      if (!q.awaitTermination(replayTimeoutMs)) {
         q.stop() // don't leave an orphaned stream contending for cores
         sys.error("replayTransform: streaming query did not terminate")
       }
