@@ -25,14 +25,22 @@ import org.apache.spark.sql.functions._
  *    inside each dir: a broadcast probe joins on the partition
  *    column, so dynamic partition pruning narrows the scan to the
  *    batch's buckets and row-group stats prune within
- *  - `gen-<n>/shingles/` (id, sh) — the exact-verification sets
+ *  - `gen-<n>/shingles/` (id, sh) — the exact-verification sets,
+ *    PARTITIONED BY `__sbucket = pmod(xxhash64(id), 64)` so a
+ *    refresh's touched set is computable from the delta's ids alone
  *  - `gen-<n>/params/`   (k, bands, n) — one row; probes and
  *    refreshes read the build's parameters instead of trusting
  *    callers to repeat them
  *
- * Refresh is ChangeSet-driven ([[refresh]]): drop removed+updated
- * ids from both tables, append the re-shingled delta — work
- * proportional to the delta, the corpus text never re-reads.
+ * Refresh is ChangeSet-driven ([[refresh]]) and DELTA-PROPORTIONAL
+ * in both compute and COMMIT WRITE VOLUME: the delta re-shingles and
+ * re-bands (the corpus text never re-reads), and the new generation
+ * Spark-writes ONLY the partition dirs the delta's rows or the
+ * dropped ids' rows live in — every untouched dir is carried forward
+ * by [[graft.util.GenIndex.carryUntouched]] (hard links on local
+ * stores: zero new bytes; per-object copy elsewhere — see
+ * [[graft.util.SwapCommit.linkOrCopyRec]] for the object-store
+ * upgrade path).
  */
 object DedupIndex {
 
@@ -48,51 +56,44 @@ object DedupIndex {
   private def bucketDir(bucket: Column): Column =
     pmod(bucket, lit(BandBuckets))
 
-  /** Rewrite-from-empty guard shared by both tables: a
-    * partitionBy/spread write of a zero-row frame leaves no
-    * schema-bearing file (the VectorIndex.stageCorpus convention). */
-  private def ensureReadable(
-      spark: SparkSession, path: String, schema: => DataFrame): Unit =
-    if (!graft.util.Fs.hasData(path, acceptDirs = true)) {
-      graft.util.SwapCommit.deleteRec(path)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          Seq.empty[org.apache.spark.sql.Row], 1),
-        schema.schema).write.parquet(path)
-    }
+  /** Shingles-table partition: a pure function of the id, so a
+    * refresh knows its touched dirs WITHOUT scanning the previous
+    * table (the bands table needs a narrow (id, __bbucket) scan — a
+    * band row's dir derives from text we no longer have for dropped
+    * ids). */
+  private def shingleDir(id: Column): Column =
+    pmod(xxhash64(id), lit(BandBuckets))
 
-  private def stageTables(
-      spark: SparkSession, dir: String, banded: DataFrame,
-      shingles: DataFrame, k: Int, nBands: Int, n: Int): Unit = {
-    // the three writes are independent (bands/shingles read the SAME
-    // cached shingled frame or disjoint parquet inputs) — run them
-    // concurrently, the NodeTarget.commitState overlap pattern: Spark
-    // job submission is thread-safe, and serializing them was pure
-    // commit-floor latency. Failures surface at the Await, before
-    // the generation commits.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val shF = Future {
-      shingles.write.parquet(shinglesPath(dir))
-      ensureReadable(spark, shinglesPath(dir), shingles)
-    }
-    val pF = Future {
-      import spark.implicits._
-      Seq((k, nBands, n)).toDF("k", "bands", "n")
-        .repartition(1).write.parquet(paramsPath(dir))
-    }
+  private def writeBands(
+      spark: SparkSession, dir: String, banded: DataFrame): Unit = {
     val bb = banded.withColumn("__bbucket", bucketDir(col("bucket")))
     bb.repartition(col("__bbucket"))
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.partitionBy("__bbucket").parquet(bandsPath(dir))
-    ensureReadable(spark, bandsPath(dir), bb.withColumn("__bbucket", lit(0L)))
-    Await.result(shF, scala.concurrent.duration.Duration.Inf)
-    Await.result(pF, scala.concurrent.duration.Duration.Inf)
+  }
+
+  private def writeShingles(
+      spark: SparkSession, dir: String, shingles: DataFrame): Unit =
+    shingles.withColumn("__sbucket", shingleDir(col("id")))
+      .repartition(col("__sbucket"))
+      .write.partitionBy("__sbucket").parquet(shinglesPath(dir))
+
+  private def bandsMarkerSchema(banded: DataFrame) =
+    banded.withColumn("__bbucket", lit(0L)).schema
+  private def shinglesMarkerSchema(shingles: DataFrame) =
+    shingles.withColumn("__sbucket", lit(0L)).schema
+
+  private def writeParamsTable(
+      spark: SparkSession, dir: String, k: Int, nBands: Int,
+      n: Int): Unit = {
+    import spark.implicits._
+    graft.util.GenIndex.writeParams(
+      Seq((k, nBands, n)).toDF("k", "bands", "n"), paramsPath(dir))
   }
 
   private def readParams(
       spark: SparkSession, dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(paramsPath(dir)).collect()(0)
+    val r = graft.util.GenIndex.readParamsRow(spark, paramsPath(dir))
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
@@ -111,7 +112,21 @@ object DedupIndex {
     try {
       val banded = Dedup.bandedSignatures(
         Dedup.signaturesFromShingled(sh, k, baseHash), k, bands)
-      stageTables(spark, gen, banded, sh, k, bands, n)
+      // the three writes are independent (bands/shingles read the
+      // SAME cached shingled frame) — run them concurrently and
+      // settle all before the commit (GenIndex.writeAll)
+      graft.util.GenIndex.writeAll(
+        () => {
+          writeBands(spark, gen, banded)
+          graft.util.GenIndex.ensureReadable(
+            spark, bandsPath(gen), bandsMarkerSchema(banded))
+        },
+        () => {
+          writeShingles(spark, gen, sh)
+          graft.util.GenIndex.ensureReadable(
+            spark, shinglesPath(gen), shinglesMarkerSchema(sh))
+        },
+        () => writeParamsTable(spark, gen, k, bands, n))
       graft.util.GenSwap.commit(root, gen)
     } finally { sh.unpersist(); () }
   }
@@ -120,36 +135,118 @@ object DedupIndex {
     * idCol/textCol) re-shingle and re-band; `droppedIds` (removed ∪
     * updated, one `id` column) drop from both tables. Parameters come
     * from the stored `params` row — the delta is signed exactly like
-    * the build. */
+    * the build.
+    *
+    * The commit is DELTA-NARROWED: only the partition dirs holding
+    * delta or dropped rows are Spark-written (for shingles the
+    * touched set derives from the delta ids alone; for bands a
+    * narrow (id, __bbucket) semi-join locates the dropped rows'
+    * dirs); every untouched dir carries forward without a rewrite.
+    * `deltaCommit = false` forces the historical full-table rewrite
+    * — the A/B hook for the write-volume instrumentation
+    * ([[graft.tools.RefreshScale]]) and an escape hatch for stores
+    * where even the per-object copy fallback is undesirable. Legacy
+    * or degenerate (empty-marker) layouts fall back to the full
+    * rewrite automatically. */
   def refresh(
       spark: SparkSession, root: String, changedDocs: DataFrame,
       droppedIds: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
-      baseHash: Column => Column = xxhash64(_)): Unit = {
+      baseHash: Column => Column = xxhash64(_),
+      deltaCommit: Boolean = true): Unit = {
     val cur = graft.util.GenSwap.currentDir(root).getOrElse(
       throw new IllegalStateException(
         s"no committed dedup index at $root — build first"))
     val (k, nBands, n) = readParams(spark, cur)
-    // drop ids are consumed by TWO anti-joins and the delta by two
-    // table writes — cache both (the delta's shingle pipeline is the
-    // expensive re-evaluation; the id set is the diff join's output,
-    // which would otherwise re-run per use)
+    // drop ids are consumed by several anti/semi-joins and the delta
+    // by two table writes — cache both (the delta's shingle pipeline
+    // is the expensive re-evaluation; the id set is the diff join's
+    // output, which would otherwise re-run per use)
     val drop = droppedIds.select(col("id")).persist()
     val chSh = Dedup.shingled(changedDocs, idCol, textCol, n).persist()
+    val chB = Dedup.bandedSignatures(
+      Dedup.signaturesFromShingled(chSh, k, baseHash), k, nBands)
+      .persist() // consumed twice on the delta path: touched-dir
+                 // collect + the table write
     try {
-      val prevB = spark.read.parquet(bandsPath(cur)).drop("__bbucket")
-        .select(col("id"), col("band"), col("bucket"))
-      val prevS = spark.read.parquet(shinglesPath(cur))
-        .select(col("id"), col("sh"))
-      val chB = Dedup.bandedSignatures(
-        Dedup.signaturesFromShingled(chSh, k, baseHash), k, nBands)
       val gen = graft.util.GenSwap.nextDir(root)
-      stageTables(spark, gen,
-        prevB.join(drop, Seq("id"), "left_anti").unionByName(chB),
-        prevS.join(drop, Seq("id"), "left_anti").unionByName(chSh),
-        k, nBands, n)
+      val bandDirsPrev =
+        graft.util.GenIndex.partitionValues(bandsPath(cur), "__bbucket")
+      val shDirsPrev =
+        graft.util.GenIndex.partitionValues(shinglesPath(cur), "__sbucket")
+
+      val stageBands: () => Unit =
+        if (deltaCommit && bandDirsPrev.nonEmpty) () => {
+          // touched = dirs the delta writes into ∪ dirs the dropped
+          // ids' band rows live in (located via a NARROW (id,
+          // __bbucket) scan — a dropped doc's bucket derives from
+          // text we no longer have)
+          val deltaDirs = chB.select(bucketDir(col("bucket")).as("v"))
+            .distinct().collect().map(_.get(0))
+          val dropDirs = spark.read.parquet(bandsPath(cur))
+            .select(col("id"), col("__bbucket"))
+            .join(drop, Seq("id"), "left_semi")
+            .select(col("__bbucket").as("v"))
+            .distinct().collect().map(_.get(0))
+          val touched: Seq[Any] = (deltaDirs ++ dropDirs).distinct.toSeq
+          val keptTouched = spark.read.parquet(bandsPath(cur))
+            .filter(col("__bbucket").isInCollection(touched))
+            .drop("__bbucket")
+            .select(col("id"), col("band"), col("bucket"))
+            .join(drop, Seq("id"), "left_anti")
+          writeBands(spark, gen, keptTouched.unionByName(chB))
+          graft.util.GenIndex.carryUntouched(
+            bandsPath(cur), bandsPath(gen), "__bbucket",
+            touched.map(String.valueOf).toSet)
+          graft.util.GenIndex.ensureReadable(
+            spark, bandsPath(gen), bandsMarkerSchema(chB))
+        }
+        else () => {
+          val prevB = spark.read.parquet(bandsPath(cur))
+            .drop("__bbucket")
+            .select(col("id"), col("band"), col("bucket"))
+          val merged =
+            prevB.join(drop, Seq("id"), "left_anti").unionByName(chB)
+          writeBands(spark, gen, merged)
+          graft.util.GenIndex.ensureReadable(
+            spark, bandsPath(gen), bandsMarkerSchema(chB))
+        }
+
+      val stageShingles: () => Unit =
+        if (deltaCommit && shDirsPrev.nonEmpty) () => {
+          // the shingles partition is a pure function of the id, so
+          // the touched set needs NO scan of the previous table
+          val touched: Seq[Any] = chSh
+            .select(shingleDir(col("id")).as("v"))
+            .unionByName(drop.select(shingleDir(col("id")).as("v")))
+            .distinct().collect().map(_.get(0)).toSeq
+          val keptTouched = spark.read.parquet(shinglesPath(cur))
+            .filter(col("__sbucket").isInCollection(touched))
+            .select(col("id"), col("sh"))
+            .join(drop, Seq("id"), "left_anti")
+          writeShingles(spark, gen, keptTouched.unionByName(
+            chSh.select(col("id"), col("sh"))))
+          graft.util.GenIndex.carryUntouched(
+            shinglesPath(cur), shinglesPath(gen), "__sbucket",
+            touched.map(String.valueOf).toSet)
+          graft.util.GenIndex.ensureReadable(
+            spark, shinglesPath(gen), shinglesMarkerSchema(chSh))
+        }
+        else () => {
+          val prevS = spark.read.parquet(shinglesPath(cur))
+            .select(col("id"), col("sh"))
+          val merged = prevS.join(drop, Seq("id"), "left_anti")
+            .unionByName(chSh.select(col("id"), col("sh")))
+          writeShingles(spark, gen, merged)
+          graft.util.GenIndex.ensureReadable(
+            spark, shinglesPath(gen), shinglesMarkerSchema(chSh))
+        }
+
+      graft.util.GenIndex.writeAll(
+        stageBands, stageShingles,
+        () => writeParamsTable(spark, gen, k, nBands, n))
       graft.util.GenSwap.commit(root, gen)
-    } finally { drop.unpersist(); chSh.unpersist(); () }
+    } finally { drop.unpersist(); chSh.unpersist(); chB.unpersist(); () }
   }
 
   /**
@@ -163,12 +260,24 @@ object DedupIndex {
    * surviving candidate ids only). Equal ids across the two sides are
    * excluded (a doc already in the corpus is not a near-dup of
    * itself). Empty result when no index has committed yet.
+   *
+   * `broadcastBatch`: the candidate join's strategy for the batch
+   * side — the [[VectorIndex.probe]] `broadcastQueries` escape hatch.
+   * `true` (default) pins a broadcast of the batch's banded
+   * signatures: the corpus-bands scan stays shuffle-free, which is
+   * the right shape at ingest-batch sizes (the A/B table in
+   * BASELINE.md). `false` leaves the strategy to Spark/AQE for
+   * BACKFILL-sized batches whose banded side (|batch| × nBands rows)
+   * no longer fits a sane broadcast — the driver and every task
+   * materialize that table in memory, so past some batch size the
+   * pinned hint stops being an optimization and becomes an OOM.
    */
   def probe(
       spark: SparkSession, root: String, batch: DataFrame,
       threshold: Double = 0.8, idCol: String = "doc_id",
       textCol: String = "text",
-      baseHash: Column => Column = xxhash64(_)): DataFrame = {
+      baseHash: Column => Column = xxhash64(_),
+      broadcastBatch: Boolean = true): DataFrame = {
     val cur = graft.util.GenSwap.currentDir(root) match {
       case Some(c) => c
       case None =>
@@ -203,7 +312,8 @@ object DedupIndex {
       } else cB
       val keys = if (bucketed) Seq("band", "bucket", "__bbucket")
         else Seq("band", "bucket")
-      val cands = cBpruned.join(broadcast(bKeyed), keys)
+      val cands = cBpruned
+        .join(if (broadcastBatch) broadcast(bKeyed) else bKeyed, keys)
         .filter(col("id_l") =!= col("id_r"))
         .select(col("id_l"), col("id_r")).distinct()
       val corpusSh = spark.read.parquet(shinglesPath(cur))

@@ -179,17 +179,23 @@ object TrainedQuality {
       df: DataFrame, idCol: String, textCol: String,
       dim: Int = 64, stopPct: Int = 6,
       trainMod: Int = 10, trainLt: Int = 8): DataFrame = {
-    // one tokenize pass, persisted for the query's lifetime (the
-    // shingle-pass convention): the fit's two aggregations, the
-    // label join, and the returned scoring plan all read this frame
+    // one tokenize pass, persisted across the consumers — the fit's
+    // two aggregations, the label join, and the scoring plan — then
+    // RELEASED before returning (the buildModel discipline): the
+    // result is materialized via an eager localCheckpoint (its size is
+    // the returned per-doc score table itself, not the token frame),
+    // so the cached token partitions don't accumulate across calls
     val ba = bucketAgg(df, idCol, textCol, dim).persist()
-    val feat = ba.select(col("id"), col("bucket"), col("cnt"))
-    val labels = labelsFrom(ba, stopPct)
-    val trainFeat = feat.join(labels, Seq("id"))
-      .filter(pmod(col("id"), lit(trainMod.toLong)) < trainLt)
-    val model = train(trainFeat, dim)
-    scoreWith(feat, model).join(labels, Seq("id"))
-      .select(col("id"), col("y"), col("margin"), col("clf_keep"))
+    try {
+      val feat = ba.select(col("id"), col("bucket"), col("cnt"))
+      val labels = labelsFrom(ba, stopPct)
+      val trainFeat = feat.join(labels, Seq("id"))
+        .filter(pmod(col("id"), lit(trainMod.toLong)) < trainLt)
+      val model = train(trainFeat, dim)
+      scoreWith(feat, model).join(labels, Seq("id"))
+        .select(col("id"), col("y"), col("margin"), col("clf_keep"))
+        .localCheckpoint()
+    } finally { ba.unpersist(); () }
   }
 
   // ── persisted model store: incremental fit maintenance ──────────
@@ -206,7 +212,13 @@ object TrainedQuality {
   // layout this store reuses:
   //  - `gen-<n>/feat/`   (id, bucket, cnt, y) — per-doc labeled
   //    features: the retractable state a refresh aggregates for
-  //    removed ids (and the only full-corpus-sized table)
+  //    removed ids (and the only full-corpus-sized table),
+  //    PARTITIONED BY `__fbucket = pmod(xxhash64(id), 64)` so a
+  //    refresh retracts from (and rewrites) ONLY the dirs the
+  //    changed/dropped ids hash into — the touched set derives from
+  //    the delta's ids alone, untouched dirs carry forward without a
+  //    rewrite (GenIndex.carryUntouched), and the commit write
+  //    volume is delta-proportional like the compute
   //  - `gen-<n>/counts/` (bucket, cp, cn) — dim rows, the model
   //  - `gen-<n>/docs/`   (np, nn) — one row, the prior's counts
   //  - `gen-<n>/params/` (dim, stop_pct) — one row; refreshes and
@@ -218,43 +230,37 @@ object TrainedQuality {
   private def docsPath(dir: String) = s"$dir/docs"
   private def paramsPath(dir: String) = s"$dir/params"
 
-  /** Empty-write guard (the [[DedupIndex]] / VectorIndex convention):
-    * a spread write of a zero-row frame leaves no schema-bearing
-    * file. */
-  private def ensureReadable(
-      spark: org.apache.spark.sql.SparkSession, path: String,
-      schema: => DataFrame): Unit =
-    if (!graft.util.Fs.hasData(path, acceptDirs = true)) {
-      graft.util.SwapCommit.deleteRec(path)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          Seq.empty[org.apache.spark.sql.Row], 1),
-        schema.schema).write.parquet(path)
-    }
+  /** Fixed feat-table partition-dir count (bounded like every bucket
+    * layout here) and the id→dir function — pure in the id, so a
+    * refresh computes its touched dirs from the delta alone. */
+  private val FeatBuckets = 64L
+  private def featDir(id: org.apache.spark.sql.Column) =
+    pmod(xxhash64(id), lit(FeatBuckets))
 
+  private def writeFeat(dir: String, feat: DataFrame): Unit =
+    feat.withColumn("__fbucket", featDir(col("id")))
+      .repartition(col("__fbucket"))
+      .write.partitionBy("__fbucket").parquet(featPath(dir))
+
+  /** Stage the four store tables into a generation dir; `stageFeat`
+    * writes the (corpus-sized) feature table — full on build,
+    * delta-narrowed on refresh. All four writes run concurrently and
+    * ALL settle before return ([[graft.util.GenIndex.writeAll]]): a
+    * feat-write failure never leaves the small-table jobs running
+    * detached against the abandoned generation dir. */
   private def stageStore(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      feat: DataFrame, counts: Seq[(Int, Long, Long)],
+      stageFeat: () => Unit, counts: Seq[(Int, Long, Long)],
       nPos: Long, nNeg: Long, dim: Int, stopPct: Int): Unit = {
     import spark.implicits._
-    // the four writes are independent (three are driver-literal
-    // frames) — run the tiny ones concurrently with the feat write,
-    // the DedupIndex.stageTables overlap pattern; serializing them
-    // was pure commit-floor latency. Failures surface at the Await,
-    // before the generation commits.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val small = Future {
-      counts.toDF("bucket", "cp", "cn")
-        .repartition(1).write.parquet(countsPath(dir))
-      Seq((nPos, nNeg)).toDF("np", "nn")
-        .repartition(1).write.parquet(docsPath(dir))
-      Seq((dim, stopPct)).toDF("dim", "stop_pct")
-        .repartition(1).write.parquet(paramsPath(dir))
-    }
-    feat.write.parquet(featPath(dir))
-    ensureReadable(spark, featPath(dir), feat)
-    Await.result(small, scala.concurrent.duration.Duration.Inf)
+    graft.util.GenIndex.writeAll(
+      stageFeat,
+      () => graft.util.GenIndex.writeParams(
+        counts.toDF("bucket", "cp", "cn"), countsPath(dir)),
+      () => graft.util.GenIndex.writeParams(
+        Seq((nPos, nNeg)).toDF("np", "nn"), docsPath(dir)),
+      () => graft.util.GenIndex.writeParams(
+        Seq((dim, stopPct)).toDF("dim", "stop_pct"), paramsPath(dir)))
   }
 
   /** Per-bucket (cp, cn) + class doc counts of a labeled feature
@@ -304,7 +310,13 @@ object TrainedQuality {
         val (cp, cn) = bc.getOrElse(b, (0L, 0L)); (b, cp, cn)
       }
       val gen = graft.util.GenSwap.nextDir(root)
-      stageStore(spark, gen, feat, rows, np, nn, dim, stopPct)
+      stageStore(spark, gen,
+        () => {
+          writeFeat(gen, feat)
+          graft.util.GenIndex.ensureReadable(spark, featPath(gen),
+            feat.withColumn("__fbucket", lit(0L)).schema)
+        },
+        rows, np, nn, dim, stopPct)
       graft.util.GenSwap.commit(root, gen)
     } finally { feat.unpersist(); ba.unpersist(); () }
   }
@@ -315,11 +327,20 @@ object TrainedQuality {
     * their exact contributions aggregate from the STORED feature
     * table, never from re-read text. The merged counts are integer
     * sums, so the committed model is bit-equal to a from-scratch
-    * [[buildModel]] on the final corpus (TrainedQualitySpec). */
+    * [[buildModel]] on the final corpus (TrainedQualitySpec).
+    *
+    * The feat-table commit is DELTA-NARROWED: the touched `__fbucket`
+    * dirs derive from the delta's ids alone (the partition is a pure
+    * function of id), the retraction aggregate reads ONLY those dirs
+    * (partition-pruned scan), and untouched dirs carry forward
+    * without a rewrite. `deltaCommit = false` forces the historical
+    * full rewrite (the A/B hook); legacy flat layouts fall back
+    * automatically. */
   def refreshModel(
       spark: org.apache.spark.sql.SparkSession, root: String,
       changedDocs: DataFrame, droppedIds: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      deltaCommit: Boolean = true): Unit = {
     val cur = graft.util.GenSwap.currentDir(root).getOrElse(
       throw new IllegalStateException(
         s"no committed quality model at $root — buildModel first"))
@@ -331,8 +352,22 @@ object TrainedQuality {
     val added = ba.select(col("id"), col("bucket"), col("cnt"))
       .join(labelsFrom(ba, stopPct), Seq("id")).persist()
     try {
-      val prevFeat = spark.read.parquet(featPath(cur))
-      val removed = prevFeat.join(drop, Seq("id"), "left_semi")
+      val prevAll = spark.read.parquet(featPath(cur))
+      val prevDirs =
+        graft.util.GenIndex.partitionValues(featPath(cur), "__fbucket")
+      val delta = deltaCommit && prevDirs.nonEmpty
+      // touched dirs: pure function of the delta's ids — no scan
+      val touched: Seq[Any] =
+        if (delta)
+          added.select(featDir(col("id")).as("v"))
+            .unionByName(drop.select(featDir(col("id")).as("v")))
+            .distinct().collect().map(_.get(0)).toSeq
+        else Seq.empty
+      // retraction reads only the dropped ids' dirs on the delta path
+      val retractFrom =
+        if (delta) prevAll.filter(col("__fbucket").isInCollection(touched))
+        else prevAll
+      val removed = retractFrom.join(drop, Seq("id"), "left_semi")
       val (remBc, remNp, remNn) = countsOf(removed, dim)
       val (addBc, addNp, addNn) = countsOf(added, dim)
       val prevC = spark.read.parquet(countsPath(cur)).collect()
@@ -344,10 +379,29 @@ object TrainedQuality {
         val (ap, an) = addBc.getOrElse(b, (0L, 0L))
         (b, cp0 - rp + ap, cn0 - rn + an)
       }
-      val merged = prevFeat.join(drop, Seq("id"), "left_anti")
-        .unionByName(added)
       val gen = graft.util.GenSwap.nextDir(root)
-      stageStore(spark, gen, merged, rows,
+      val stageFeat: () => Unit =
+        if (delta) () => {
+          val keptTouched = prevAll
+            .filter(col("__fbucket").isInCollection(touched))
+            .drop("__fbucket")
+            .join(drop, Seq("id"), "left_anti")
+          writeFeat(gen, keptTouched.unionByName(added))
+          graft.util.GenIndex.carryUntouched(
+            featPath(cur), featPath(gen), "__fbucket",
+            touched.map(String.valueOf).toSet)
+          graft.util.GenIndex.ensureReadable(spark, featPath(gen),
+            added.withColumn("__fbucket", lit(0L)).schema)
+        }
+        else () => {
+          val merged = prevAll.drop("__fbucket")
+            .join(drop, Seq("id"), "left_anti")
+            .unionByName(added)
+          writeFeat(gen, merged)
+          graft.util.GenIndex.ensureReadable(spark, featPath(gen),
+            added.withColumn("__fbucket", lit(0L)).schema)
+        }
+      stageStore(spark, gen, stageFeat, rows,
         d.getLong(0) - remNp + addNp, d.getLong(1) - remNn + addNn,
         dim, stopPct)
       graft.util.GenSwap.commit(root, gen)

@@ -77,12 +77,16 @@ object VectorIndex {
   private def bucketOfCell(cell: Column): Column =
     pmod(cell, lit(CorpusBuckets))
 
-  private def stageCorpus(
-      spark: SparkSession, staging: String, encoded: DataFrame): Unit = {
+  private def writeCorpus(
+      spark: SparkSession, staging: String, encoded: DataFrame): Unit =
     encoded.withColumn("__cbucket", bucketOfCell(col("cell")))
       .repartition(col("__cbucket"))
       .sortWithinPartitions(col("cell"))
       .write.partitionBy("__cbucket").parquet(corpusPath(staging))
+
+  private def stageCorpus(
+      spark: SparkSession, staging: String, encoded: DataFrame): Unit = {
+    writeCorpus(spark, staging, encoded)
     // Degenerate (zero-row) corpus: a partitionBy write of an empty
     // frame leaves no data file to infer a schema from. Detected
     // driver-side AFTER the single write (a pre-probe of the plan —
@@ -91,13 +95,62 @@ object VectorIndex {
     // rewrites flat from an explicit empty frame (no plan
     // re-execution), with `__cbucket` as a data column — the probe
     // join handles that identically, it just loses pruning.
-    if (!graft.util.Fs.hasData(corpusPath(staging), acceptDirs = true)) {
-      graft.util.SwapCommit.deleteRec(corpusPath(staging))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          Seq.empty[org.apache.spark.sql.Row], 1),
-        encoded.withColumn("__cbucket",
-          lit(0)).schema).write.parquet(corpusPath(staging))
+    graft.util.GenIndex.ensureReadable(spark, corpusPath(staging),
+      encoded.withColumn("__cbucket", lit(0)).schema)
+  }
+
+  /** Stage the REFRESHED corpus table into `dir`: DELTA-NARROWED when
+    * the previous layout is bucket-partitioned — Spark-write only the
+    * `__cbucket` dirs the re-encoded delta lands in or the dropped
+    * ids' rows live in (the latter located via a narrow (id,
+    * __cbucket) semi-join), carry every untouched dir forward without
+    * a rewrite ([[graft.util.GenIndex.carryUntouched]]: hard links on
+    * local stores — zero new bytes; per-object copy elsewhere).
+    * Full-table rewrite on legacy/degenerate layouts or when
+    * `deltaCommit = false` (the [[graft.tools.RefreshScale]] A/B
+    * hook). */
+  private def stageRefreshedCorpus(
+      spark: SparkSession, dir: String, prevCorpusDir: String,
+      changedVecs: DataFrame, droppedIds: DataFrame,
+      cents: Seq[Seq[Float]], cbs: Seq[Seq[Seq[Float]]],
+      idCol: String, vecCol: String, deltaCommit: Boolean): Unit = {
+    val prevAll = spark.read.parquet(prevCorpusDir)
+    val prev = prevAll.drop("__cbucket")
+    // carry EVERY corpus column except the layout bucket — metadata
+    // columns a build declared ride through refreshes; changedVecs
+    // must carry them under the same names
+    val metaCols = prev.columns.toSeq
+      .filterNot(Set("id", "codes", "vec", "cell"))
+    val drop = droppedIds.select(col("id"))
+    val prevDirs =
+      graft.util.GenIndex.partitionValues(prevCorpusDir, "__cbucket")
+    if (deltaCommit && prevDirs.nonEmpty) {
+      val enc = encode(changedVecs, cents, cbs, idCol, vecCol, metaCols)
+        .persist() // consumed twice: touched-dir collect + the write
+      try {
+        val deltaDirs = enc.select(bucketOfCell(col("cell")).as("v"))
+          .distinct().collect().map(_.get(0))
+        val dropDirs = prevAll.select(col("id"), col("__cbucket"))
+          .join(drop, Seq("id"), "left_semi")
+          .select(col("__cbucket").as("v"))
+          .distinct().collect().map(_.get(0))
+        val touched: Seq[Any] = (deltaDirs ++ dropDirs).distinct.toSeq
+        val keptTouched = prevAll
+          .filter(col("__cbucket").isInCollection(touched))
+          .drop("__cbucket")
+          .join(drop, Seq("id"), "left_anti")
+        writeCorpus(spark, dir, keptTouched.unionByName(enc))
+        graft.util.GenIndex.carryUntouched(
+          prevCorpusDir, corpusPath(dir), "__cbucket",
+          touched.map(String.valueOf).toSet)
+        graft.util.GenIndex.ensureReadable(spark, corpusPath(dir),
+          enc.withColumn("__cbucket", lit(0)).schema)
+      } finally { enc.unpersist(); () }
+    } else {
+      val kept = prev.join(drop, Seq("id"), "left_anti")
+      val merged = kept.unionByName(
+        encode(changedVecs, cents, cbs, idCol, vecCol, metaCols))
+      stageCorpus(spark, dir, merged)
     }
   }
 
@@ -253,18 +306,18 @@ object VectorIndex {
    * ChangeSet-driven incremental refresh: `changedVecs` (added ∪
    * updated, with idCol/vecCol) re-encode under the EXISTING model;
    * `droppedIds` (removed ∪ updated, one `id` column) drop. The
-   * next state commits through the same manifest swap. Copy-on-write
-   * at the table level: [[stageCorpus]] rewrites the FULL merged
-   * corpus into the bucketed (`__cbucket`, sorted-by-cell) layout —
-   * the partition key is the bounded bucket, not the raw cell, so a
-   * delta-narrowed rewrite (touch only the `__cbucket` dirs the
-   * changed cells hash into, carry the rest) is possible future work,
-   * not current behavior.
+   * next state commits through the same manifest swap. The staged
+   * corpus is DELTA-NARROWED ([[stageRefreshedCorpus]]): only the
+   * `__cbucket` dirs the delta touches are Spark-written; untouched
+   * dirs hard-link (local) or copy into staging — the links survive
+   * the swap's delete of the live dir, so commit write volume is
+   * proportional to the delta, not the corpus. `deltaCommit = false`
+   * forces the historical full rewrite (the A/B hook).
    */
   def refresh(
       spark: SparkSession, root: String, changedVecs: DataFrame,
       droppedIds: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", deltaCommit: Boolean = true): Unit = {
     recover(root)
     val (cents, cbs) = readModel(spark, root)
     if (cents.isEmpty || cbs.isEmpty) {
@@ -277,16 +330,6 @@ object VectorIndex {
             "before refreshing with new vectors")
       return
     }
-    // carry EVERY corpus column except the layout bucket — metadata
-    // columns a build declared ride through refreshes; changedVecs
-    // must carry them under the same names
-    val prev = spark.read.parquet(corpusPath(root)).drop("__cbucket")
-    val metaCols = prev.columns.toSeq
-      .filterNot(Set("id", "codes", "vec", "cell"))
-    val kept = prev.join(
-      droppedIds.select(col("id")), Seq("id"), "left_anti")
-    val merged = kept.unionByName(
-      encode(changedVecs, cents, cbs, idCol, vecCol, metaCols))
     // safe to plan lazily over the previous state: the staging write
     // fully materializes into <root>.staging BEFORE commitSwap
     // deletes the live dir
@@ -300,7 +343,8 @@ object VectorIndex {
       centroidsPath(root), centroidsPath(staging))
     graft.util.SwapCommit.copyRec(
       codebooksPath(root), codebooksPath(staging))
-    stageCorpus(spark, staging, merged)
+    stageRefreshedCorpus(spark, staging, corpusPath(root),
+      changedVecs, droppedIds, cents, cbs, idCol, vecCol, deltaCommit)
     commitSwap(root, staging)
   }
 
@@ -314,7 +358,7 @@ object VectorIndex {
   def refreshGen(
       spark: SparkSession, root: String, changedVecs: DataFrame,
       droppedIds: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", deltaCommit: Boolean = true): Unit = {
     val cur = graft.util.GenSwap.currentDir(root).getOrElse(
       throw new IllegalStateException(
         s"no committed generation at $root — buildGen first"))
@@ -327,20 +371,15 @@ object VectorIndex {
             "before refreshing with new vectors")
       return
     }
-    val prev = spark.read.parquet(corpusPath(cur)).drop("__cbucket")
-    val metaCols = prev.columns.toSeq
-      .filterNot(Set("id", "codes", "vec", "cell"))
-    val kept = prev.join(
-      droppedIds.select(col("id")), Seq("id"), "left_anti")
-    val merged = kept.unionByName(
-      encode(changedVecs, cents, cbs, idCol, vecCol, metaCols))
     val gen = graft.util.GenSwap.nextDir(root)
     graft.util.SwapCommit.copyRec(centroidsPath(cur), centroidsPath(gen))
     graft.util.SwapCommit.copyRec(codebooksPath(cur), codebooksPath(gen))
     // unlike the in-place swap there is NO read-while-write hazard to
-    // reason about: the lazy `merged` plan reads the old generation
-    // and writes the new one — different immutable dirs by design
-    stageCorpus(spark, gen, merged)
+    // reason about: the refresh plan reads the old generation and
+    // writes the new one — different immutable dirs by design (and
+    // the delta-narrowed path links untouched dirs between them)
+    stageRefreshedCorpus(spark, gen, corpusPath(cur),
+      changedVecs, droppedIds, cents, cbs, idCol, vecCol, deltaCommit)
     graft.util.GenSwap.commit(root, gen)
   }
 
@@ -380,7 +419,13 @@ object VectorIndex {
     * rule whenever the true nearest neighbor survives the ADC
     * shortlist — size `shortlist` generously for near-threshold
     * corpora (the gate pins exact agreement at its settings; serving
-    * trades like any IVF probe). A batch id that ALSO exists in the
+    * trades like any IVF probe). For a PROVABLY brute-force-equal
+    * decision independent of the corpus distribution, pass
+    * `shortlist >= corpus size` with total cell coverage: the ADC cut
+    * then never prunes anything and the refine stage ranks every
+    * candidate by exact cosine — the certification shape when a
+    * corpus change could erode the empirical threshold margin, at
+    * O(|batch|·n) cost. A batch id that ALSO exists in the
     * index never matches itself ([[probe]]'s self-exclusion): a
     * re-ingested update is judged against its neighbors, not its own
     * stored copy. An index with no committed model (degenerate empty

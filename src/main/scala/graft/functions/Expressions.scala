@@ -847,11 +847,43 @@ case class VecNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def prettyName: String = "vec_normalize"
 
+  // Any atomic numeric element type is accepted (the HOF formulation
+  // this kernel replaced cast each element to double, so
+  // array<double>/array<int> callers — pqTopK over double embeddings —
+  // worked before the kernel and must keep working); decimals stay
+  // rejected (no caller, and exact-decimal division is a different
+  // contract than the IEEE one pinned here).
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+        ShortType | ByteType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"vec_normalize requires an array<float> argument, got ${t.simpleString}")
+      "vec_normalize requires an array of a non-decimal numeric type, " +
+        s"got ${t.simpleString}")
   }
+
+  // element accessor resolved ONCE (not per element — the loop body
+  // must stay a primitive read): 0=float 1=double 2=int 3=long
+  // 4=short 5=byte
+  @transient private lazy val elemKind: Int =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => 0
+      case DoubleType => 1
+      case IntegerType => 2
+      case LongType => 3
+      case ShortType => 4
+      case ByteType => 5
+      case t => throw new IllegalStateException(s"unreachable: $t")
+    }
+
+  private def elemAsDouble(vec: ArrayData, i: Int): Double =
+    elemKind match {
+      case 0 => vec.getFloat(i).toDouble
+      case 1 => vec.getDouble(i)
+      case 2 => vec.getInt(i).toDouble
+      case 3 => vec.getLong(i).toDouble
+      case 4 => vec.getShort(i).toDouble
+      case _ => vec.getByte(i).toDouble
+    }
 
   /** Public — invoked from generated code via a reference object. */
   def normalize(vec: ArrayData): ArrayData = {
@@ -866,7 +898,7 @@ case class VecNormalize(child: Expression) extends UnaryExpression {
     var ss = 0.0
     i = 0
     while (i < n) { // the aggregate() left fold: acc + x² in order
-      val x = vec.getFloat(i).toDouble
+      val x = elemAsDouble(vec, i)
       ss += x * x
       i += 1
     }
@@ -874,7 +906,7 @@ case class VecNormalize(child: Expression) extends UnaryExpression {
     val out = new Array[Any](n)
     i = 0
     while (i < n) {
-      out(i) = if (nrm == 0.0) 0.0 else vec.getFloat(i).toDouble / nrm
+      out(i) = if (nrm == 0.0) 0.0 else elemAsDouble(vec, i) / nrm
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

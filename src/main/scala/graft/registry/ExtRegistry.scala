@@ -16,7 +16,8 @@ private[graft] object ExtRegistry {
     (ext.MultimodalRegistry.queries, ext.MultimodalRegistry.oracles),
     (ext.TextQualityRegistry.queries, ext.TextQualityRegistry.oracles),
     (ext.AssembleRegistry.queries, ext.AssembleRegistry.oracles),
-    (ext.SamplingRegistry.queries, ext.SamplingRegistry.oracles)
+    (ext.SamplingRegistry.queries, ext.SamplingRegistry.oracles),
+    (ext.IngestDayRegistry.queries, ext.IngestDayRegistry.oracles)
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   * runs (the pinned-vs-auto convention, BASELINE.md r16/r17).
   * Reports index build wall, ingest-gate wall, survivor count, and
   * drop agreement vs the brute-force threshold rule on a batch
-  * subsample. Usage: IngestScale <dir> [reps] [nProbe]
+  * subsample. `--pinned` smokes the CERTIFICATION shape instead
+  * (fixed 8 cells, nProbe 8 ⇒ total coverage, shortlist 400 — the
+  * q_semdedup_ingest row's exact settings) so the pinned-vs-auto
+  * convention has a measured 100x number on BOTH sides.
+  * Usage: IngestScale <dir> [reps] [nProbe] [--pinned]
   */
 object IngestScale {
   def main(args: Array[String]): Unit = {
@@ -19,6 +23,8 @@ object IngestScale {
     val dir = pos(0)
     val reps = if (pos.length > 1) pos(1).toInt else 2
     val nProbe = if (pos.length > 2) pos(2).toInt else 8
+    val pinned = args.contains("--pinned")
+    val shortlist = if (pinned) 400 else 200
     val spark = graft.util.Tables.session("ingest-scale", "32")
     graft.SparkEntry.queries("q1_agg")(spark, dir).count() // warm
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -28,15 +34,20 @@ object IngestScale {
     val root = s"${System.getProperty("java.io.tmpdir")}/ingestscale"
     graft.util.SwapCommit.deleteRec(root)
     val tb0 = System.nanoTime()
-    val cells = graft.ext.VectorIndex.buildAuto(spark, corpus, root,
-      targetPerCell = 256, m = 16, k = 32)
+    val cells =
+      if (pinned) {
+        graft.ext.VectorIndex.build(spark, corpus, root,
+          nCells = 8, m = 16, k = 32)
+        8
+      } else graft.ext.VectorIndex.buildAuto(spark, corpus, root,
+        targetPerCell = 256, m = 16, k = 32)
     val buildS = (System.nanoTime() - tb0) / 1e9
     var survivors = 0L
     def gate(bcast: Boolean) = (1 to reps).map { _ =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       survivors = graft.ext.VectorIndex.dedupIngest(spark, root, batch,
-        threshold = 0.4, nProbe = nProbe, shortlist = 200,
+        threshold = 0.4, nProbe = nProbe, shortlist = shortlist,
         broadcastBatch = bcast).count()
       (System.nanoTime() - t0) / 1e9
     }.min
@@ -96,7 +107,7 @@ object IngestScale {
       .filter(col("sim") >= 0.4)
       .select(col("q_id")).collect().map(_.getLong(0)).toSet
     val gateKept = graft.ext.VectorIndex.dedupIngest(spark, root,
-      sample, threshold = 0.4, nProbe = nProbe, shortlist = 200,
+      sample, threshold = 0.4, nProbe = nProbe, shortlist = shortlist,
       broadcastBatch = false)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     val sampleIds = sample.select(col("vec_id")).collect()

@@ -68,6 +68,54 @@ object SwapCommit {
   def copyRec(src: String, dst: String): Unit =
     copyRec(Fs.path(src), Fs.path(dst))
 
+  /** Carry an immutable directory tree forward WITHOUT rewriting its
+    * bytes where the store allows it: when both ends resolve to a
+    * local filesystem, every file is HARD-LINKED — O(metadata) per
+    * file, zero new bytes on disk, and the link survives deletion of
+    * the source dir (an in-place swap may link from the live dir it
+    * is about to replace). Elsewhere falls back to [[copyRec]]: on
+    * object stores that is a per-object copy — no executor re-encode,
+    * but O(bytes) through the copier; a store-native server-side copy
+    * (or a manifest-indirection layout that references unchanged dirs
+    * in place) is the upgrade path when carried state outgrows that.
+    * The delta-narrowed index refreshes ([[graft.ext.DedupIndex]],
+    * [[graft.ext.VectorIndex]], [[graft.ext.TrainedQuality]]) use
+    * this to carry untouched partition dirs into a new generation. */
+  def linkOrCopyRec(src: Path, dst: Path): Unit = {
+    val sfs = Fs.fsOf(src)
+    val dfs = Fs.fsOf(dst)
+    def isLocal(fs: org.apache.hadoop.fs.FileSystem): Boolean = fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem => true
+      case _: org.apache.hadoop.fs.RawLocalFileSystem => true
+      case _ => false
+    }
+    if (!(isLocal(sfs) && isLocal(dfs))) { copyRec(src, dst); return }
+    def walk(s: Path, d: Path): Unit =
+      if (sfs.getFileStatus(s).isDirectory) {
+        dfs.mkdirs(d)
+        sfs.listStatus(s).foreach(st =>
+          walk(st.getPath, new Path(d, st.getPath.getName)))
+      } else {
+        val sNio = java.nio.file.Paths.get(s.toUri.getPath)
+        val dNio = java.nio.file.Paths.get(d.toUri.getPath)
+        java.nio.file.Files.deleteIfExists(dNio)
+        try { java.nio.file.Files.createLink(dNio, sNio); () }
+        catch {
+          // cross-device / no-hardlink filesystems: fall back per file
+          case _: UnsupportedOperationException |
+              _: java.nio.file.FileSystemException =>
+            FileUtil.copy(sfs, s, dfs, d,
+              /* deleteSource = */ false, /* overwrite = */ true,
+              Fs.conf)
+            ()
+        }
+      }
+    walk(src, dst)
+  }
+
+  def linkOrCopyRec(src: String, dst: String): Unit =
+    linkOrCopyRec(Fs.path(src), Fs.path(dst))
+
   /** Write the manifest atomically (tmp + rename) — only after the
     * staging dir is fully materialized — then complete the swap. At
     * entry no pending manifest can exist (writers [[recover]] first

@@ -118,6 +118,84 @@ class DedupIndexSpec extends SparkSpec {
     bBK.unpersist()
   }
 
+  test("delta-narrowed refresh: committed state equals the full " +
+      "rewrite's, untouched partition dirs carry as hard links " +
+      "(zero new bytes), touched dirs are freshly written") {
+    val c = corpus(1L to 200L)
+    val rootA = tmpDir("didx") + "/delta"
+    val rootB = tmpDir("didx") + "/full"
+    DedupIndex.build(spark, c, rootA)
+    DedupIndex.build(spark, c, rootB)
+    // a SMALL delta: 1 update, 1 add, 2 drops — most of the 64 dirs
+    // must carry, not rewrite
+    val changed = Seq(doc(3L, "updated"), doc(201L)).toDF("doc_id", "text")
+    val dropped = Seq(3L, 7L).toDF("id")
+    DedupIndex.refresh(spark, rootA, changed, dropped) // delta default
+    DedupIndex.refresh(spark, rootB, changed, dropped,
+      deltaCommit = false)
+    def cur(root: String) = graft.util.GenSwap.currentDir(root).get
+    def bandRows(root: String) = spark.read
+      .parquet(s"${cur(root)}/bands")
+      .select($"id".cast("long"), $"band".cast("int"),
+        $"bucket".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def shingleIds(root: String) = spark.read
+      .parquet(s"${cur(root)}/shingles")
+      .select($"id".cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(bandRows(rootA) === bandRows(rootB))
+    assert(shingleIds(rootA) === shingleIds(rootB))
+    assert(!shingleIds(rootA).contains(7L))
+    assert(shingleIds(rootA).contains(201L))
+    // probes agree bit-for-bit
+    val batch = (101L to 110L).map(doc(_)).toDF("doc_id", "text")
+    assert(pairs(DedupIndex.probe(spark, rootA, batch, threshold = 0.5)
+        .select($"id_l".cast("long"), $"id_r".cast("long"), $"jaccard"))
+      === pairs(DedupIndex.probe(spark, rootB, batch, threshold = 0.5)
+        .select($"id_l".cast("long"), $"id_r".cast("long"), $"jaccard")))
+    // carried files are hard links (nlink > 1: the previous
+    // generation still holds the other name); the delta's dirs hold
+    // freshly-written files (nlink == 1)
+    import scala.jdk.CollectionConverters._
+    def nlinks(table: String): Seq[Int] =
+      java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"${cur(rootA)}/$table"))
+        .iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(p => java.nio.file.Files.getAttribute(p, "unix:nlink")
+          .asInstanceOf[Number].intValue).toSeq
+    val bandLinks = nlinks("bands")
+    val shLinks = nlinks("shingles")
+    assert(bandLinks.count(_ > 1) > 0, "no carried band dirs")
+    assert(bandLinks.count(_ == 1) > 0, "no freshly-written band dirs")
+    assert(shLinks.count(_ > 1) > 0, "no carried shingle dirs")
+    assert(shLinks.count(_ == 1) > 0, "no freshly-written shingle dirs")
+    // the full-rewrite twin wrote everything fresh
+    def nlinksB(table: String): Seq[Int] =
+      java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"${cur(rootB)}/$table"))
+        .iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(p => java.nio.file.Files.getAttribute(p, "unix:nlink")
+          .asInstanceOf[Number].intValue).toSeq
+    assert(nlinksB("bands").forall(_ == 1))
+  }
+
+  test("broadcastBatch=false (the backfill escape hatch) answers " +
+      "bit-identically to the pinned-broadcast default") {
+    val c = corpus(1L to 60L)
+    val root = tmpDir("didx") + "/idx"
+    DedupIndex.build(spark, c, root, k = 32, bands = 8, n = 3)
+    val batch = (101L to 120L).map(i => doc(i)).toDF("doc_id", "text")
+    val pinned = DedupIndex.probe(spark, root, batch, threshold = 0.5)
+      .select($"id_l".cast("long"), $"id_r".cast("long"), $"jaccard")
+    val free = DedupIndex.probe(spark, root, batch, threshold = 0.5,
+      broadcastBatch = false)
+      .select($"id_l".cast("long"), $"id_r".cast("long"), $"jaccard")
+    assert(pairs(pinned) === pairs(free))
+    assert(pairs(pinned).nonEmpty)
+  }
+
   test("degenerate inputs: empty corpus builds a probeable (empty) " +
       "index; empty batch probes to empty") {
     val root = tmpDir("didx") + "/idx"

@@ -107,6 +107,43 @@ class TrainedQualitySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("delta-narrowed refreshModel: committed model and feat table " +
+    "equal the full rewrite's, untouched __fbucket dirs carry as " +
+    "hard links") {
+    val all = docs(200)
+    val rootA = tmpDir("qm") + "/delta"
+    val rootB = tmpDir("qm") + "/full"
+    TrainedQuality.buildModel(spark, all, rootA)
+    TrainedQuality.buildModel(spark, all, rootB)
+    val changed = docs(204).filter(col("doc_id") >= 200)
+    val dropped = Seq(3L, 8L).toDF("id")
+    TrainedQuality.refreshModel(spark, rootA, changed, dropped)
+    TrainedQuality.refreshModel(spark, rootB, changed, dropped,
+      deltaCommit = false)
+    val (a, _) = TrainedQuality.readStore(spark, rootA)
+    val (b, _) = TrainedQuality.readStore(spark, rootB)
+    assert(a.weights.toSeq === b.weights.toSeq)
+    assert(a.prior === b.prior)
+    def cur(root: String) = graft.util.GenSwap.currentDir(root).get
+    def featRows(root: String) = spark.read
+      .parquet(s"${cur(root)}/feat")
+      .select($"id", $"bucket", $"cnt", $"y")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(featRows(rootA) === featRows(rootB))
+    assert(!featRows(rootA).exists(_._1 == 3L))
+    assert(featRows(rootA).exists(_._1 == 201L))
+    import scala.jdk.CollectionConverters._
+    val links = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"${cur(rootA)}/feat"))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .map(p => java.nio.file.Files.getAttribute(p, "unix:nlink")
+        .asInstanceOf[Number].intValue).toSeq
+    assert(links.count(_ > 1) > 0, "no carried feat dirs")
+    assert(links.count(_ == 1) > 0, "no freshly-written feat dirs")
+  }
+
   test("refreshModel and readStore on an uncommitted root fail " +
     "loudly instead of serving an empty model") {
     val root = tmpDir("qm") + "/none"

@@ -336,6 +336,46 @@ class VectorIndexSpec extends SparkSpec {
       nProbe = 4, shortlist = 40).count() === batch.count())
   }
 
+  test("delta-narrowed refreshGen: committed corpus equals the full " +
+    "rewrite's, untouched __cbucket dirs carry as hard links") {
+    val corpus = vecs(1L to 200L)
+    val rootA = tmpDir("vidx") + "/delta"
+    val rootB = tmpDir("vidx") + "/full"
+    // 8 cells ⇒ 8 __cbucket dirs; a 2-vector delta + 1 drop touches
+    // a strict subset, so the carry path really exercises
+    VectorIndex.buildGen(spark, corpus, rootA, nCells = 8, m = 4, k = 8)
+    VectorIndex.buildGen(spark, corpus, rootB, nCells = 8, m = 4, k = 8)
+    val changed = vecs(201L to 202L)
+    val dropped = Seq(5L).toDF("id")
+    VectorIndex.refreshGen(spark, rootA, changed, dropped)
+    VectorIndex.refreshGen(spark, rootB, changed, dropped,
+      deltaCommit = false)
+    def cur(root: String) = graft.util.GenSwap.currentDir(root).get
+    def corpusRows(root: String) = spark.read
+      .parquet(s"${cur(root)}/corpus")
+      .select($"id", $"cell".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(corpusRows(rootA) === corpusRows(rootB))
+    assert(!corpusRows(rootA).exists(_._1 == 5L))
+    assert(corpusRows(rootA).exists(_._1 == 201L))
+    // probes agree bit-for-bit
+    val q = corpus.filter(col("vec_id") % 50 === 1)
+    assert(top(VectorIndex.probeGen(spark, rootA, q, 3, nProbe = 8,
+        shortlist = 200))
+      === top(VectorIndex.probeGen(spark, rootB, q, 3, nProbe = 8,
+        shortlist = 200)))
+    // carried dirs are hard links; the delta's dirs are fresh
+    import scala.jdk.CollectionConverters._
+    val links = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"${cur(rootA)}/corpus"))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .map(p => java.nio.file.Files.getAttribute(p, "unix:nlink")
+        .asInstanceOf[Number].intValue).toSeq
+    assert(links.count(_ > 1) > 0, "no carried corpus dirs")
+    assert(links.count(_ == 1) > 0, "no freshly-written corpus dirs")
+  }
+
   test("degenerate inputs: empty corpus builds an empty but probeable " +
     "index; empty query set probes to empty") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")

@@ -86,6 +86,56 @@ class GenSwapSpec extends SparkSpec {
     flip.join()
   }
 
+  test("two-refresh reader limit: a plan pinned to gen-N keeps serving " +
+      "through ONE later commit, then fails LOUDLY (never wrong " +
+      "answers) once commit N+2 prunes its dir") {
+    val root = tmpDir("genswap-limit")
+    import spark.implicits._
+    def commitGen(v: Long): String = {
+      val gen = GenSwap.nextDir(root)
+      Seq((v, s"g$v")).toDF("id", "tag").write.parquet(s"$gen/t")
+      GenSwap.commit(root, gen)
+      gen
+    }
+    def isLoudMissingFile(t: Throwable): Boolean = {
+      var c: Throwable = t
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+        val m = Option(c.getMessage).getOrElse("")
+        if (m.contains("PATH_NOT_FOUND") || m.contains("does not exist")
+          || m.contains("FileNotFound")) return true
+        c = if (c.getCause eq c) null else c.getCause
+      }
+      false
+    }
+    val gen0 = commitGen(0L)
+    // the reader resolves the pointer ONCE and pins its plan to gen-0
+    val pinned = spark.read.parquet(s"$gen0/t")
+    assert(pinned.select("tag").collect().map(_.getString(0)).toSeq
+      === Seq("g0"))
+    // one refresh later: gen-0 is the retained previous generation,
+    // the pinned plan still serves — the documented one-commit grace
+    commitGen(1L)
+    assert(Fs.exists(s"$gen0/t"))
+    assert(pinned.count() === 1L)
+    // two refreshes later: gen-0 is pruned; the pinned plan must fail
+    // with a missing-file error, not return empty/stale rows...
+    commitGen(2L)
+    assert(!Fs.exists(gen0))
+    val stale = intercept[Throwable](pinned.count())
+    assert(isLoudMissingFile(stale),
+      s"stale pinned plan failed with the wrong error: $stale")
+    // ...and a FRESH read of the dead dir fails at plan time too
+    val replan = intercept[Throwable](
+      spark.read.parquet(s"$gen0/t").count())
+    assert(isLoudMissingFile(replan),
+      s"re-plan over the pruned dir failed with the wrong error: $replan")
+    // re-resolving the pointer (the documented recovery) serves gen-2
+    val cur = GenSwap.currentDir(root).get
+    assert(spark.read.parquet(s"$cur/t").select("tag")
+      .collect().map(_.getString(0)).toSeq === Seq("g2"))
+  }
+
   test("a flip that DIED mid-window (tmp present, pointer gone) fails " +
       "loudly; a genuinely uncommitted root still reads as None") {
     val root = rawRoot("genswap-dead")
