@@ -20,33 +20,39 @@ import org.apache.spark.sql.functions._
  * Layout under the generation root ([[graft.util.GenSwap]] — the
  * same O(pointer) object-store commit as every persisted state
  * here):
- *  - `gen-<n>/bands/`    (id, band, bucket) PARTITIONED BY
+ *  - `gen-<n>/bands/seg=<k>/`    (id, band, bucket) PARTITIONED BY
  *    `__bbucket = pmod(bucket, 64)`, rows sorted by (band, bucket)
  *    inside each dir: a broadcast probe joins on the partition
- *    column, so dynamic partition pruning narrows the scan to the
- *    batch's buckets and row-group stats prune within
- *  - `gen-<n>/shingles/` (id, sh) — the exact-verification sets,
- *    PARTITIONED BY `__sbucket = pmod(xxhash64(id), 64)` so a
- *    refresh's touched set is computable from the delta's ids alone
- *  - `gen-<n>/params/`   (k, bands, n) — one row; probes and
- *    refreshes read the build's parameters instead of trusting
- *    callers to repeat them
+ *    column, so partition pruning narrows the scan to the batch's
+ *    buckets (per segment) and row-group stats prune within
+ *  - `gen-<n>/shingles/seg=<k>/` (id, sh) — the exact-verification
+ *    sets, PARTITIONED BY `__sbucket = pmod(xxhash64(id), 64)`
+ *  - `gen-<n>/tomb/`   (id, tseq) — the dropped-id ledger shared by
+ *    both tables ([[graft.util.GenIndex.readSegmented]] masking)
+ *  - `gen-<n>/params/` (k, bands, n) — one row; probes and refreshes
+ *    read the build's parameters instead of trusting callers to
+ *    repeat them
  *
  * Refresh is ChangeSet-driven ([[refresh]]) and DELTA-PROPORTIONAL
  * in both compute and COMMIT WRITE VOLUME: the delta re-shingles and
  * re-bands (the corpus text never re-reads), and the new generation
- * Spark-writes ONLY the partition dirs the delta's rows or the
- * dropped ids' rows live in — every untouched dir is carried forward
- * by [[graft.util.GenIndex.carryUntouched]] (hard links on local
- * stores: zero new bytes; per-object copy elsewhere — see
- * [[graft.util.SwapCommit.linkOrCopyRec]] for the object-store
- * upgrade path).
+ * Spark-writes ONLY one delta-sized `seg=<k>` per table plus the
+ * (delta-scale) tombstone ledger — every previous segment carries
+ * forward as hard links ([[graft.util.SwapCommit.linkOrCopyRec]]:
+ * zero new bytes on local stores; per-object copy elsewhere). Dir-
+ * level partial rewrites were measured NOT to help here
+ * (RefreshScale: a ~1% delta hash-touches all 64 bounded dirs), so
+ * the segment/tombstone layout is the mechanism; segment count is
+ * bounded by [[graft.util.GenIndex.MaxSegments]], past which the
+ * refresh COMPACTS (one full rewrite per MaxSegments refreshes —
+ * amortized delta-proportional, the LSM trade).
  */
 object DedupIndex {
 
   private def bandsPath(dir: String) = s"$dir/bands"
   private def shinglesPath(dir: String) = s"$dir/shingles"
   private def paramsPath(dir: String) = s"$dir/params"
+  private def tombPath(dir: String) = s"$dir/tomb"
 
   /** Fixed band-bucket directory count — bounded like the vector
     * index's `__cbucket` (the dir count must not grow with the
@@ -56,27 +62,33 @@ object DedupIndex {
   private def bucketDir(bucket: Column): Column =
     pmod(bucket, lit(BandBuckets))
 
-  /** Shingles-table partition: a pure function of the id, so a
-    * refresh knows its touched dirs WITHOUT scanning the previous
-    * table (the bands table needs a narrow (id, __bbucket) scan — a
-    * band row's dir derives from text we no longer have for dropped
-    * ids). */
+  /** Shingles-table partition: a pure function of the id — bounded
+    * dirs, row-group locality by id. */
   private def shingleDir(id: Column): Column =
     pmod(xxhash64(id), lit(BandBuckets))
 
   private def writeBands(
-      spark: SparkSession, dir: String, banded: DataFrame): Unit = {
+      spark: SparkSession, segDir: String, banded: DataFrame): Unit = {
     val bb = banded.withColumn("__bbucket", bucketDir(col("bucket")))
     bb.repartition(col("__bbucket"))
       .sortWithinPartitions(col("band"), col("bucket"))
-      .write.partitionBy("__bbucket").parquet(bandsPath(dir))
+      .write.partitionBy("__bbucket").parquet(segDir)
   }
 
   private def writeShingles(
-      spark: SparkSession, dir: String, shingles: DataFrame): Unit =
+      spark: SparkSession, segDir: String, shingles: DataFrame): Unit =
     shingles.withColumn("__sbucket", shingleDir(col("id")))
       .repartition(col("__sbucket"))
-      .write.partitionBy("__sbucket").parquet(shinglesPath(dir))
+      .write.partitionBy("__sbucket").parquet(segDir)
+
+  /** LIVE rows of the two stored tables (segments unioned, tombstone
+    * ledger applied). Public: the spec-side view of committed state. */
+  def bandsTable(spark: SparkSession, genDir: String): DataFrame =
+    graft.util.GenIndex.readSegmented(
+      spark, bandsPath(genDir), tombPath(genDir))
+  def shinglesTable(spark: SparkSession, genDir: String): DataFrame =
+    graft.util.GenIndex.readSegmented(
+      spark, shinglesPath(genDir), tombPath(genDir))
 
   private def bandsMarkerSchema(banded: DataFrame) =
     banded.withColumn("__bbucket", lit(0L)).schema
@@ -117,14 +129,15 @@ object DedupIndex {
       // settle all before the commit (GenIndex.writeAll)
       graft.util.GenIndex.writeAll(
         () => {
-          writeBands(spark, gen, banded)
-          graft.util.GenIndex.ensureReadable(
-            spark, bandsPath(gen), bandsMarkerSchema(banded))
+          writeBands(spark, s"${bandsPath(gen)}/seg=0", banded)
+          graft.util.GenIndex.ensureSegReadable(spark, bandsPath(gen),
+            s"${bandsPath(gen)}/seg=0", bandsMarkerSchema(banded))
         },
         () => {
-          writeShingles(spark, gen, sh)
-          graft.util.GenIndex.ensureReadable(
-            spark, shinglesPath(gen), shinglesMarkerSchema(sh))
+          writeShingles(spark, s"${shinglesPath(gen)}/seg=0", sh)
+          graft.util.GenIndex.ensureSegReadable(spark,
+            shinglesPath(gen), s"${shinglesPath(gen)}/seg=0",
+            shinglesMarkerSchema(sh))
         },
         () => writeParamsTable(spark, gen, k, bands, n))
       graft.util.GenSwap.commit(root, gen)
@@ -137,17 +150,17 @@ object DedupIndex {
     * from the stored `params` row — the delta is signed exactly like
     * the build.
     *
-    * The commit is DELTA-NARROWED: only the partition dirs holding
-    * delta or dropped rows are Spark-written (for shingles the
-    * touched set derives from the delta ids alone; for bands a
-    * narrow (id, __bbucket) semi-join locates the dropped rows'
-    * dirs); every untouched dir carries forward without a rewrite.
-    * `deltaCommit = false` forces the historical full-table rewrite
-    * — the A/B hook for the write-volume instrumentation
-    * ([[graft.tools.RefreshScale]]) and an escape hatch for stores
-    * where even the per-object copy fallback is undesirable. Legacy
-    * or degenerate (empty-marker) layouts fall back to the full
-    * rewrite automatically. */
+    * The commit is DELTA-PROPORTIONAL (segment/tombstone — see the
+    * object scaladoc): Spark writes ONE delta-sized `seg=<k>` per
+    * table plus the tombstone ledger; previous segments hard-link
+    * into the new generation. Past
+    * [[graft.util.GenIndex.MaxSegments]] live segments the refresh
+    * COMPACTS (full rewrite into a fresh seg=0, ledger cleared).
+    * `deltaCommit = false` forces the compaction path every time —
+    * the A/B hook for the write-volume instrumentation
+    * ([[graft.tools.RefreshScale]]). Legacy or degenerate
+    * (empty-marker) layouts fall back to the full rewrite
+    * automatically. */
   def refresh(
       spark: SparkSession, root: String, changedDocs: DataFrame,
       droppedIds: DataFrame, idCol: String = "doc_id",
@@ -158,95 +171,61 @@ object DedupIndex {
       throw new IllegalStateException(
         s"no committed dedup index at $root — build first"))
     val (k, nBands, n) = readParams(spark, cur)
-    // drop ids are consumed by several anti/semi-joins and the delta
-    // by two table writes — cache both (the delta's shingle pipeline
-    // is the expensive re-evaluation; the id set is the diff join's
-    // output, which would otherwise re-run per use)
+    // drop ids are consumed by the ledger and (on compaction) two
+    // anti-joins; the delta's shingle pipeline is the expensive
+    // re-evaluation — cache both
     val drop = droppedIds.select(col("id")).persist()
     val chSh = Dedup.shingled(changedDocs, idCol, textCol, n).persist()
     val chB = Dedup.bandedSignatures(
       Dedup.signaturesFromShingled(chSh, k, baseHash), k, nBands)
-      .persist() // consumed twice on the delta path: touched-dir
-                 // collect + the table write
     try {
       val gen = graft.util.GenSwap.nextDir(root)
-      val bandDirsPrev =
-        graft.util.GenIndex.partitionValues(bandsPath(cur), "__bbucket")
-      val shDirsPrev =
-        graft.util.GenIndex.partitionValues(shinglesPath(cur), "__sbucket")
-
-      val stageBands: () => Unit =
-        if (deltaCommit && bandDirsPrev.nonEmpty) () => {
-          // touched = dirs the delta writes into ∪ dirs the dropped
-          // ids' band rows live in (located via a NARROW (id,
-          // __bbucket) scan — a dropped doc's bucket derives from
-          // text we no longer have)
-          val deltaDirs = chB.select(bucketDir(col("bucket")).as("v"))
-            .distinct().collect().map(_.get(0))
-          val dropDirs = spark.read.parquet(bandsPath(cur))
-            .select(col("id"), col("__bbucket"))
-            .join(drop, Seq("id"), "left_semi")
-            .select(col("__bbucket").as("v"))
-            .distinct().collect().map(_.get(0))
-          val touched: Seq[Any] = (deltaDirs ++ dropDirs).distinct.toSeq
-          val keptTouched = spark.read.parquet(bandsPath(cur))
-            .filter(col("__bbucket").isInCollection(touched))
-            .drop("__bbucket")
-            .select(col("id"), col("band"), col("bucket"))
-            .join(drop, Seq("id"), "left_anti")
-          writeBands(spark, gen, keptTouched.unionByName(chB))
-          graft.util.GenIndex.carryUntouched(
-            bandsPath(cur), bandsPath(gen), "__bbucket",
-            touched.map(String.valueOf).toSet)
-          graft.util.GenIndex.ensureReadable(
-            spark, bandsPath(gen), bandsMarkerSchema(chB))
-        }
-        else () => {
-          val prevB = spark.read.parquet(bandsPath(cur))
-            .drop("__bbucket")
-            .select(col("id"), col("band"), col("bucket"))
-          val merged =
-            prevB.join(drop, Seq("id"), "left_anti").unionByName(chB)
-          writeBands(spark, gen, merged)
-          graft.util.GenIndex.ensureReadable(
-            spark, bandsPath(gen), bandsMarkerSchema(chB))
-        }
-
-      val stageShingles: () => Unit =
-        if (deltaCommit && shDirsPrev.nonEmpty) () => {
-          // the shingles partition is a pure function of the id, so
-          // the touched set needs NO scan of the previous table
-          val touched: Seq[Any] = chSh
-            .select(shingleDir(col("id")).as("v"))
-            .unionByName(drop.select(shingleDir(col("id")).as("v")))
-            .distinct().collect().map(_.get(0)).toSeq
-          val keptTouched = spark.read.parquet(shinglesPath(cur))
-            .filter(col("__sbucket").isInCollection(touched))
-            .select(col("id"), col("sh"))
-            .join(drop, Seq("id"), "left_anti")
-          writeShingles(spark, gen, keptTouched.unionByName(
-            chSh.select(col("id"), col("sh"))))
-          graft.util.GenIndex.carryUntouched(
-            shinglesPath(cur), shinglesPath(gen), "__sbucket",
-            touched.map(String.valueOf).toSet)
-          graft.util.GenIndex.ensureReadable(
-            spark, shinglesPath(gen), shinglesMarkerSchema(chSh))
-        }
-        else () => {
-          val prevS = spark.read.parquet(shinglesPath(cur))
-            .select(col("id"), col("sh"))
-          val merged = prevS.join(drop, Seq("id"), "left_anti")
-            .unionByName(chSh.select(col("id"), col("sh")))
-          writeShingles(spark, gen, merged)
-          graft.util.GenIndex.ensureReadable(
-            spark, shinglesPath(gen), shinglesMarkerSchema(chSh))
-        }
-
-      graft.util.GenIndex.writeAll(
-        stageBands, stageShingles,
-        () => writeParamsTable(spark, gen, k, nBands, n))
+      val segs = graft.util.GenIndex.segValues(bandsPath(cur))
+      val delta = deltaCommit && segs.nonEmpty &&
+        segs.size < graft.util.GenIndex.MaxSegments
+      if (delta) {
+        val sv = segs.max + 1
+        graft.util.GenIndex.writeAll(
+          () => {
+            writeBands(spark, s"${bandsPath(gen)}/seg=$sv", chB)
+            graft.util.GenIndex.carrySegs(bandsPath(cur), bandsPath(gen))
+          },
+          () => {
+            writeShingles(spark, s"${shinglesPath(gen)}/seg=$sv",
+              chSh.select(col("id"), col("sh")))
+            graft.util.GenIndex.carrySegs(
+              shinglesPath(cur), shinglesPath(gen))
+          },
+          () => graft.util.GenIndex.stageTomb(spark, tombPath(cur),
+            tombPath(gen), drop, sv),
+          () => writeParamsTable(spark, gen, k, nBands, n))
+      } else {
+        // compaction / legacy / forced-full: merge the LIVE state
+        // (tombstones applied) with the delta into a fresh seg=0;
+        // the ledger resets
+        val prevB = bandsTable(spark, cur)
+          .select(col("id"), col("band"), col("bucket"))
+        val prevS = shinglesTable(spark, cur)
+          .select(col("id"), col("sh"))
+        graft.util.GenIndex.writeAll(
+          () => {
+            writeBands(spark, s"${bandsPath(gen)}/seg=0",
+              prevB.join(drop, Seq("id"), "left_anti").unionByName(chB))
+            graft.util.GenIndex.ensureSegReadable(spark, bandsPath(gen),
+              s"${bandsPath(gen)}/seg=0", bandsMarkerSchema(chB))
+          },
+          () => {
+            writeShingles(spark, s"${shinglesPath(gen)}/seg=0",
+              prevS.join(drop, Seq("id"), "left_anti")
+                .unionByName(chSh.select(col("id"), col("sh"))))
+            graft.util.GenIndex.ensureSegReadable(spark,
+              shinglesPath(gen), s"${shinglesPath(gen)}/seg=0",
+              shinglesMarkerSchema(chSh))
+          },
+          () => writeParamsTable(spark, gen, k, nBands, n))
+      }
       graft.util.GenSwap.commit(root, gen)
-    } finally { drop.unpersist(); chSh.unpersist(); chB.unpersist(); () }
+    } finally { drop.unpersist(); chSh.unpersist(); () }
   }
 
   /**
@@ -290,7 +269,7 @@ object DedupIndex {
       Dedup.signaturesFromShingled(bSh, k, baseHash), k, nBands)
       .withColumnRenamed("id", "id_l").persist()
     try {
-      val cB = spark.read.parquet(bandsPath(cur))
+      val cB = bandsTable(spark, cur)
         .withColumnRenamed("id", "id_r")
       val bucketed = cB.columns.contains("__bbucket")
       // STATIC partition pruning: the batch's distinct bucket-dir set
@@ -316,7 +295,7 @@ object DedupIndex {
         .join(if (broadcastBatch) broadcast(bKeyed) else bKeyed, keys)
         .filter(col("id_l") =!= col("id_r"))
         .select(col("id_l"), col("id_r")).distinct()
-      val corpusSh = spark.read.parquet(shinglesPath(cur))
+      val corpusSh = shinglesTable(spark, cur)
       val verified = cands
         .join(bSh.select(col("id").as("id_l"), col("sh").as("sh_l")),
           Seq("id_l"))

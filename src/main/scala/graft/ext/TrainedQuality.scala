@@ -210,15 +210,16 @@ object TrainedQuality {
   // between a daily full-corpus text pass and a delta-sized one —
   // the same argument as [[DedupIndex]], whose generation-pointer
   // layout this store reuses:
-  //  - `gen-<n>/feat/`   (id, bucket, cnt, y) — per-doc labeled
+  //  - `gen-<n>/feat/seg=<k>/` (id, bucket, cnt, y) — per-doc labeled
   //    features: the retractable state a refresh aggregates for
-  //    removed ids (and the only full-corpus-sized table),
-  //    PARTITIONED BY `__fbucket = pmod(xxhash64(id), 64)` so a
-  //    refresh retracts from (and rewrites) ONLY the dirs the
-  //    changed/dropped ids hash into — the touched set derives from
-  //    the delta's ids alone, untouched dirs carry forward without a
-  //    rewrite (GenIndex.carryUntouched), and the commit write
-  //    volume is delta-proportional like the compute
+  //    removed ids (and the only full-corpus-sized table). Each
+  //    segment is PARTITIONED BY `__fbucket = pmod(xxhash64(id), 64)`
+  //    so the retraction reads only the dropped ids' dirs (a pure
+  //    function of id); refreshes APPEND one delta-sized segment and
+  //    mask drops via the `gen-<n>/tomb/` ledger
+  //    (GenIndex.readSegmented) — commit write volume is
+  //    delta-proportional like the compute, compacting past
+  //    GenIndex.MaxSegments segments
   //  - `gen-<n>/counts/` (bucket, cp, cn) — dim rows, the model
   //  - `gen-<n>/docs/`   (np, nn) — one row, the prior's counts
   //  - `gen-<n>/params/` (dim, stop_pct) — one row; refreshes and
@@ -229,6 +230,14 @@ object TrainedQuality {
   private def countsPath(dir: String) = s"$dir/counts"
   private def docsPath(dir: String) = s"$dir/docs"
   private def paramsPath(dir: String) = s"$dir/params"
+  private def tombPath(dir: String) = s"$dir/tomb"
+
+  /** LIVE feature rows (segments unioned, tombstone ledger applied)
+    * — what refreshes retract from and specs inspect. */
+  def featTable(spark: org.apache.spark.sql.SparkSession,
+      genDir: String): DataFrame =
+    graft.util.GenIndex.readSegmented(
+      spark, featPath(genDir), tombPath(genDir))
 
   /** Fixed feat-table partition-dir count (bounded like every bucket
     * layout here) and the id→dir function — pure in the id, so a
@@ -237,10 +246,10 @@ object TrainedQuality {
   private def featDir(id: org.apache.spark.sql.Column) =
     pmod(xxhash64(id), lit(FeatBuckets))
 
-  private def writeFeat(dir: String, feat: DataFrame): Unit =
+  private def writeFeat(segDir: String, feat: DataFrame): Unit =
     feat.withColumn("__fbucket", featDir(col("id")))
       .repartition(col("__fbucket"))
-      .write.partitionBy("__fbucket").parquet(featPath(dir))
+      .write.partitionBy("__fbucket").parquet(segDir)
 
   /** Stage the four store tables into a generation dir; `stageFeat`
     * writes the (corpus-sized) feature table — full on build,
@@ -312,8 +321,9 @@ object TrainedQuality {
       val gen = graft.util.GenSwap.nextDir(root)
       stageStore(spark, gen,
         () => {
-          writeFeat(gen, feat)
-          graft.util.GenIndex.ensureReadable(spark, featPath(gen),
+          writeFeat(s"${featPath(gen)}/seg=0", feat)
+          graft.util.GenIndex.ensureSegReadable(spark, featPath(gen),
+            s"${featPath(gen)}/seg=0",
             feat.withColumn("__fbucket", lit(0L)).schema)
         },
         rows, np, nn, dim, stopPct)
@@ -329,13 +339,15 @@ object TrainedQuality {
     * sums, so the committed model is bit-equal to a from-scratch
     * [[buildModel]] on the final corpus (TrainedQualitySpec).
     *
-    * The feat-table commit is DELTA-NARROWED: the touched `__fbucket`
-    * dirs derive from the delta's ids alone (the partition is a pure
-    * function of id), the retraction aggregate reads ONLY those dirs
-    * (partition-pruned scan), and untouched dirs carry forward
-    * without a rewrite. `deltaCommit = false` forces the historical
-    * full rewrite (the A/B hook); legacy flat layouts fall back
-    * automatically. */
+    * The feat-table commit is DELTA-PROPORTIONAL (segment/tombstone
+    * — [[graft.util.GenIndex]] scaladoc): one delta-sized `seg=<k>`
+    * plus the tombstone ledger Spark-write; previous segments
+    * hard-link forward; the retraction aggregate reads ONLY the
+    * dropped ids' `__fbucket` dirs (a pure function of id —
+    * partition-pruned scan per segment). Past
+    * [[graft.util.GenIndex.MaxSegments]] segments the refresh
+    * COMPACTS; `deltaCommit = false` forces the compaction path (the
+    * A/B hook); legacy flat layouts fall back automatically. */
   def refreshModel(
       spark: org.apache.spark.sql.SparkSession, root: String,
       changedDocs: DataFrame, droppedIds: DataFrame,
@@ -352,21 +364,19 @@ object TrainedQuality {
     val added = ba.select(col("id"), col("bucket"), col("cnt"))
       .join(labelsFrom(ba, stopPct), Seq("id")).persist()
     try {
-      val prevAll = spark.read.parquet(featPath(cur))
-      val prevDirs =
-        graft.util.GenIndex.partitionValues(featPath(cur), "__fbucket")
-      val delta = deltaCommit && prevDirs.nonEmpty
-      // touched dirs: pure function of the delta's ids — no scan
-      val touched: Seq[Any] =
-        if (delta)
-          added.select(featDir(col("id")).as("v"))
-            .unionByName(drop.select(featDir(col("id")).as("v")))
-            .distinct().collect().map(_.get(0)).toSeq
-        else Seq.empty
-      // retraction reads only the dropped ids' dirs on the delta path
+      val prevLive = featTable(spark, cur)
+      val segs = graft.util.GenIndex.segValues(featPath(cur))
+      val delta = deltaCommit && segs.nonEmpty &&
+        segs.size < graft.util.GenIndex.MaxSegments
+      // the retraction aggregate needs only the dropped ids' dirs —
+      // a pure function of id, no scan to find them
       val retractFrom =
-        if (delta) prevAll.filter(col("__fbucket").isInCollection(touched))
-        else prevAll
+        if (delta && prevLive.columns.contains("__fbucket")) {
+          val dropDirs: Seq[Any] = drop
+            .select(featDir(col("id")).as("v"))
+            .distinct().collect().map(_.get(0)).toSeq
+          prevLive.filter(col("__fbucket").isInCollection(dropDirs))
+        } else prevLive
       val removed = retractFrom.join(drop, Seq("id"), "left_semi")
       val (remBc, remNp, remNn) = countsOf(removed, dim)
       val (addBc, addNp, addNn) = countsOf(added, dim)
@@ -382,23 +392,19 @@ object TrainedQuality {
       val gen = graft.util.GenSwap.nextDir(root)
       val stageFeat: () => Unit =
         if (delta) () => {
-          val keptTouched = prevAll
-            .filter(col("__fbucket").isInCollection(touched))
-            .drop("__fbucket")
-            .join(drop, Seq("id"), "left_anti")
-          writeFeat(gen, keptTouched.unionByName(added))
-          graft.util.GenIndex.carryUntouched(
-            featPath(cur), featPath(gen), "__fbucket",
-            touched.map(String.valueOf).toSet)
-          graft.util.GenIndex.ensureReadable(spark, featPath(gen),
-            added.withColumn("__fbucket", lit(0L)).schema)
+          val sv = segs.max + 1
+          writeFeat(s"${featPath(gen)}/seg=$sv", added)
+          graft.util.GenIndex.carrySegs(featPath(cur), featPath(gen))
+          graft.util.GenIndex.stageTomb(spark, tombPath(cur),
+            tombPath(gen), drop, sv)
         }
         else () => {
-          val merged = prevAll.drop("__fbucket")
+          val merged = prevLive.drop("__fbucket")
             .join(drop, Seq("id"), "left_anti")
             .unionByName(added)
-          writeFeat(gen, merged)
-          graft.util.GenIndex.ensureReadable(spark, featPath(gen),
+          writeFeat(s"${featPath(gen)}/seg=0", merged)
+          graft.util.GenIndex.ensureSegReadable(spark, featPath(gen),
+            s"${featPath(gen)}/seg=0",
             added.withColumn("__fbucket", lit(0L)).schema)
         }
       stageStore(spark, gen, stageFeat, rows,

@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
  * Layout under the index root (all parquet):
  *  - `centroids/`  (cell, centroid)           — nCells rows
  *  - `codebooks/`  (subspace, code, codeword) — m·k rows
- *  - `corpus/`     (id, codes, vec, cell=…)   — PARTITIONED BY cell,
- *    so a probe of p cells prunes to p partition directories at the
- *    scan (the IVF inverted lists ARE the partition layout)
+ *  - `corpus/seg=<k>/` (id, codes, vec, cell, __cbucket=…) — each
+ *    segment PARTITIONED BY the bounded cell bucket, rows sorted by
+ *    cell within (the IVF inverted lists ARE the partition layout);
+ *    refreshes APPEND one delta-sized segment and mask drops via the
+ *    `tomb/` ledger ([[graft.util.GenIndex.readSegmented]]) — the
+ *    delta-proportional-commit layout, compacted past
+ *    [[graft.util.GenIndex.MaxSegments]] segments
  *
  * Commit discipline: every build/refresh stages the full next state
  * under `<root>.staging` and swaps it in through a manifest-logged
@@ -37,7 +41,15 @@ object VectorIndex {
   private def centroidsPath(root: String) = s"$root/centroids"
   private def codebooksPath(root: String) = s"$root/codebooks"
   private def corpusPath(root: String) = s"$root/corpus"
+  private def tombPath(root: String) = s"$root/tomb"
   private def manifestFile(root: String) = root + ".swap-manifest"
+
+  /** LIVE corpus rows (segments unioned, tombstone ledger applied) —
+    * the read every probe and refresh plans against. Public: the
+    * spec-side view of committed state. */
+  def corpusTable(spark: SparkSession, root: String): DataFrame =
+    graft.util.GenIndex.readSegmented(
+      spark, corpusPath(root), tombPath(root))
 
   private def commitSwap(root: String, staging: String): Unit =
     graft.util.SwapCommit.commit(root, staging, manifestFile(root))
@@ -78,15 +90,15 @@ object VectorIndex {
     pmod(cell, lit(CorpusBuckets))
 
   private def writeCorpus(
-      spark: SparkSession, staging: String, encoded: DataFrame): Unit =
+      spark: SparkSession, segDir: String, encoded: DataFrame): Unit =
     encoded.withColumn("__cbucket", bucketOfCell(col("cell")))
       .repartition(col("__cbucket"))
       .sortWithinPartitions(col("cell"))
-      .write.partitionBy("__cbucket").parquet(corpusPath(staging))
+      .write.partitionBy("__cbucket").parquet(segDir)
 
   private def stageCorpus(
       spark: SparkSession, staging: String, encoded: DataFrame): Unit = {
-    writeCorpus(spark, staging, encoded)
+    writeCorpus(spark, s"${corpusPath(staging)}/seg=0", encoded)
     // Degenerate (zero-row) corpus: a partitionBy write of an empty
     // frame leaves no data file to infer a schema from. Detected
     // driver-side AFTER the single write (a pre-probe of the plan —
@@ -95,57 +107,42 @@ object VectorIndex {
     // rewrites flat from an explicit empty frame (no plan
     // re-execution), with `__cbucket` as a data column — the probe
     // join handles that identically, it just loses pruning.
-    graft.util.GenIndex.ensureReadable(spark, corpusPath(staging),
+    graft.util.GenIndex.ensureSegReadable(spark, corpusPath(staging),
+      s"${corpusPath(staging)}/seg=0",
       encoded.withColumn("__cbucket", lit(0)).schema)
   }
 
-  /** Stage the REFRESHED corpus table into `dir`: DELTA-NARROWED when
-    * the previous layout is bucket-partitioned — Spark-write only the
-    * `__cbucket` dirs the re-encoded delta lands in or the dropped
-    * ids' rows live in (the latter located via a narrow (id,
-    * __cbucket) semi-join), carry every untouched dir forward without
-    * a rewrite ([[graft.util.GenIndex.carryUntouched]]: hard links on
-    * local stores — zero new bytes; per-object copy elsewhere).
-    * Full-table rewrite on legacy/degenerate layouts or when
-    * `deltaCommit = false` (the [[graft.tools.RefreshScale]] A/B
-    * hook). */
+  /** Stage the REFRESHED corpus into `dir` — DELTA-PROPORTIONAL via
+    * the segment/tombstone layout ([[graft.util.GenIndex]] scaladoc):
+    * Spark writes ONE delta-sized `seg=<k>` (the re-encoded changed
+    * vectors) plus the tombstone ledger; previous segments hard-link
+    * forward. Past [[graft.util.GenIndex.MaxSegments]] segments the
+    * refresh COMPACTS — a full rewrite of the live state into a
+    * fresh seg=0 with the ledger cleared. `deltaCommit = false`
+    * forces the compaction path (the [[graft.tools.RefreshScale]]
+    * A/B hook); legacy/degenerate layouts fall back automatically. */
   private def stageRefreshedCorpus(
-      spark: SparkSession, dir: String, prevCorpusDir: String,
+      spark: SparkSession, dir: String, prevRoot: String,
       changedVecs: DataFrame, droppedIds: DataFrame,
       cents: Seq[Seq[Float]], cbs: Seq[Seq[Seq[Float]]],
       idCol: String, vecCol: String, deltaCommit: Boolean): Unit = {
-    val prevAll = spark.read.parquet(prevCorpusDir)
-    val prev = prevAll.drop("__cbucket")
+    val prev = corpusTable(spark, prevRoot).drop("__cbucket")
     // carry EVERY corpus column except the layout bucket — metadata
     // columns a build declared ride through refreshes; changedVecs
     // must carry them under the same names
     val metaCols = prev.columns.toSeq
       .filterNot(Set("id", "codes", "vec", "cell"))
     val drop = droppedIds.select(col("id"))
-    val prevDirs =
-      graft.util.GenIndex.partitionValues(prevCorpusDir, "__cbucket")
-    if (deltaCommit && prevDirs.nonEmpty) {
-      val enc = encode(changedVecs, cents, cbs, idCol, vecCol, metaCols)
-        .persist() // consumed twice: touched-dir collect + the write
-      try {
-        val deltaDirs = enc.select(bucketOfCell(col("cell")).as("v"))
-          .distinct().collect().map(_.get(0))
-        val dropDirs = prevAll.select(col("id"), col("__cbucket"))
-          .join(drop, Seq("id"), "left_semi")
-          .select(col("__cbucket").as("v"))
-          .distinct().collect().map(_.get(0))
-        val touched: Seq[Any] = (deltaDirs ++ dropDirs).distinct.toSeq
-        val keptTouched = prevAll
-          .filter(col("__cbucket").isInCollection(touched))
-          .drop("__cbucket")
-          .join(drop, Seq("id"), "left_anti")
-        writeCorpus(spark, dir, keptTouched.unionByName(enc))
-        graft.util.GenIndex.carryUntouched(
-          prevCorpusDir, corpusPath(dir), "__cbucket",
-          touched.map(String.valueOf).toSet)
-        graft.util.GenIndex.ensureReadable(spark, corpusPath(dir),
-          enc.withColumn("__cbucket", lit(0)).schema)
-      } finally { enc.unpersist(); () }
+    val segs = graft.util.GenIndex.segValues(corpusPath(prevRoot))
+    if (deltaCommit && segs.nonEmpty &&
+        segs.size < graft.util.GenIndex.MaxSegments) {
+      val sv = segs.max + 1
+      writeCorpus(spark, s"${corpusPath(dir)}/seg=$sv",
+        encode(changedVecs, cents, cbs, idCol, vecCol, metaCols))
+      graft.util.GenIndex.carrySegs(
+        corpusPath(prevRoot), corpusPath(dir))
+      graft.util.GenIndex.stageTomb(spark, tombPath(prevRoot),
+        tombPath(dir), drop, sv)
     } else {
       val kept = prev.join(drop, Seq("id"), "left_anti")
       val merged = kept.unionByName(
@@ -307,12 +304,15 @@ object VectorIndex {
    * updated, with idCol/vecCol) re-encode under the EXISTING model;
    * `droppedIds` (removed ∪ updated, one `id` column) drop. The
    * next state commits through the same manifest swap. The staged
-   * corpus is DELTA-NARROWED ([[stageRefreshedCorpus]]): only the
-   * `__cbucket` dirs the delta touches are Spark-written; untouched
-   * dirs hard-link (local) or copy into staging — the links survive
-   * the swap's delete of the live dir, so commit write volume is
-   * proportional to the delta, not the corpus. `deltaCommit = false`
-   * forces the historical full rewrite (the A/B hook).
+   * corpus is DELTA-PROPORTIONAL ([[stageRefreshedCorpus]]): one
+   * delta-sized segment + the tombstone ledger Spark-write; previous
+   * segments hard-link into staging, and the links survive the
+   * swap's delete of the live dir. Reader consequence (spec-pinned):
+   * a plan captured before a DELTA refresh keeps serving the
+   * complete OLD state (its segment files persist under the same
+   * names) — consistent-stale, never mixed; a COMPACTION refresh
+   * (segment bound reached, or `deltaCommit = false`) replaces the
+   * file set and fails pre-swap plans loudly.
    */
   def refresh(
       spark: SparkSession, root: String, changedVecs: DataFrame,
@@ -343,7 +343,7 @@ object VectorIndex {
       centroidsPath(root), centroidsPath(staging))
     graft.util.SwapCommit.copyRec(
       codebooksPath(root), codebooksPath(staging))
-    stageRefreshedCorpus(spark, staging, corpusPath(root),
+    stageRefreshedCorpus(spark, staging, root,
       changedVecs, droppedIds, cents, cbs, idCol, vecCol, deltaCommit)
     commitSwap(root, staging)
   }
@@ -378,7 +378,7 @@ object VectorIndex {
     // reason about: the refresh plan reads the old generation and
     // writes the new one — different immutable dirs by design (and
     // the delta-narrowed path links untouched dirs between them)
-    stageRefreshedCorpus(spark, gen, corpusPath(cur),
+    stageRefreshedCorpus(spark, gen, cur,
       changedVecs, droppedIds, cents, cbs, idCol, vecCol, deltaCommit)
     graft.util.GenSwap.commit(root, gen)
   }
@@ -483,7 +483,7 @@ object VectorIndex {
       return queries.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
         lit(0.0).as("sim"), lit(1).as("rank")).limit(0)
     val corpus = filter.foldLeft(
-      spark.read.parquet(corpusPath(root)))((c, f) => c.filter(f))
+      corpusTable(spark, root))((c, f) => c.filter(f))
 
     // spread() the query side: the normalize + centroid-probe
     // projection is the CPU-heavy per-query stage, and a bulk ingest

@@ -84,7 +84,15 @@ object GenIndex {
     * `newTable` without a rewrite ([[SwapCommit.linkOrCopyRec]]).
     * `touched` holds the string forms of the partition values the
     * refresh Spark-wrote (integer buckets print identically in the
-    * dir name and `String.valueOf`). Returns the carried-dir count. */
+    * dir name and `String.valueOf`). Returns the carried-dir count.
+    *
+    * NOTE — measured limit (RefreshScale, 100x-kg): dir-level carry
+    * only pays for TINY deltas. With a bounded dir count (64) any
+    * realistic delta (thousands of rows × hash-distributed buckets)
+    * touches every dir, so the "partial" rewrite degenerates to the
+    * full one. The segmented layout below is the mechanism that
+    * actually makes commit write volume ∝ delta; this helper remains
+    * for bounded-metadata carries. */
   def carryUntouched(
       prevTable: String, newTable: String, partCol: String,
       touched: Set[String]): Int = {
@@ -96,4 +104,96 @@ object GenIndex {
     }
     untouched.size
   }
+
+  // ── segmented (append + tombstone) table layout ─────────────────
+  //
+  // The delta-proportional COMMIT primitive (the LSM / merge-on-read
+  // delete discipline restated for immutable generation dirs):
+  //
+  //   table/seg=0/...   the initial build (inner layout unchanged —
+  //   table/seg=1/...   e.g. __bbucket dirs with sorted rows)
+  //   table/seg=k/...   each refresh appends ONE delta-sized segment
+  //   <sibling tomb>/   (id, tseq) — cumulative dropped-id ledger
+  //
+  // A refresh Spark-writes ONLY its delta segment and the (small)
+  // tombstone ledger; every previous segment carries forward as hard
+  // links (zero new bytes on local stores). Readers union the
+  // segments and mask each row by the ledger: a row in seg s of id i
+  // is live iff no drop of i was issued at a LATER segment
+  // (max tseq(i) <= s — a drop and re-add land in the SAME refresh,
+  // so the re-added rows in seg k survive the tseq-k tombstone while
+  // the stale rows in segs < k are masked). Segment count is bounded
+  // by [[MaxSegments]]: the next refresh past the bound COMPACTS —
+  // a full rewrite into a fresh seg=0 with the ledger cleared — so
+  // read-side overhead stays bounded and write volume is
+  // delta-proportional AMORTIZED (one full write per MaxSegments
+  // refreshes), the standard LSM trade.
+
+  /** Segment ordinals present under a segmented table; empty for
+    * legacy flat layouts and the degenerate empty marker (callers
+    * fall back to a full rewrite there). */
+  def segValues(tableDir: String): Seq[Long] =
+    partitionValues(tableDir, "seg").flatMap(_.toLongOption)
+
+  /** Bound on live segments per table — the compaction trigger. */
+  val MaxSegments = 8
+
+  /** Read a segmented table's LIVE rows: union the segments, mask by
+    * the tombstone ledger, drop the bookkeeping `seg` column (inner
+    * partition columns — `__bbucket` et al. — remain for pruning).
+    * Non-segmented (legacy / empty-marker) layouts read through
+    * unchanged. The mask join is left unhinted: the ledger is
+    * delta × [[MaxSegments]] rows, so Spark's size estimate picks a
+    * broadcast for the normal case without pinning one on a
+    * backfill-sized ledger. */
+  def readSegmented(
+      spark: SparkSession, tableDir: String,
+      tombDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val data = spark.read.parquet(tableDir)
+    if (!data.columns.contains("seg")) return data
+    if (!Fs.hasData(tombDir, acceptDirs = true)) return data.drop("seg")
+    val maxT = spark.read.parquet(tombDir)
+      .groupBy(col("id")).agg(max(col("tseq")).as("__tseq"))
+    data.join(maxT, Seq("id"), "left")
+      .filter(col("__tseq").isNull ||
+        col("seg").cast("long") >= col("__tseq"))
+      .drop("__tseq", "seg")
+  }
+
+  /** Carry every segment dir of `prevTable` into `newTable` without a
+    * rewrite (hard links locally — see [[SwapCommit.linkOrCopyRec]]). */
+  def carrySegs(prevTable: String, newTable: String): Unit =
+    segValues(prevTable).foreach { sv =>
+      SwapCommit.linkOrCopyRec(
+        s"$prevTable/seg=$sv", s"$newTable/seg=$sv")
+    }
+
+  /** Stage the next tombstone ledger: previous ledger ∪ `drops`
+    * stamped with the new segment ordinal. Ledger size is bounded by
+    * the drops since the last compaction — a delta-scale write. */
+  def stageTomb(
+      spark: SparkSession, prevTombDir: String, newTombDir: String,
+      drops: DataFrame, k: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val cur = drops.select(col("id"), lit(k).as("tseq"))
+    val merged =
+      if (Fs.hasData(prevTombDir, acceptDirs = true))
+        spark.read.parquet(prevTombDir).unionByName(cur)
+      else cur
+    merged.repartition(1).write.parquet(newTombDir)
+  }
+
+  /** Empty-write guard for a segmented BUILD: if the freshly-written
+    * seg dir holds no data, replace the whole table with a flat
+    * schema-bearing marker (readers then take the legacy path). */
+  def ensureSegReadable(
+      spark: SparkSession, tableDir: String, segDir: String,
+      schema: => StructType): Unit =
+    if (!Fs.hasData(segDir, acceptDirs = true)) {
+      SwapCommit.deleteRec(tableDir)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)
+        .write.parquet(tableDir)
+    }
 }

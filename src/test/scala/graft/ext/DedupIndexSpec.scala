@@ -118,31 +118,30 @@ class DedupIndexSpec extends SparkSpec {
     bBK.unpersist()
   }
 
-  test("delta-narrowed refresh: committed state equals the full " +
-      "rewrite's, untouched partition dirs carry as hard links " +
-      "(zero new bytes), touched dirs are freshly written") {
+  test("delta (segment/tombstone) refresh: committed state equals " +
+      "the full rewrite's, previous segments carry as hard links " +
+      "(zero new bytes), the delta segment is freshly written") {
     val c = corpus(1L to 200L)
     val rootA = tmpDir("didx") + "/delta"
     val rootB = tmpDir("didx") + "/full"
     DedupIndex.build(spark, c, rootA)
     DedupIndex.build(spark, c, rootB)
-    // a SMALL delta: 1 update, 1 add, 2 drops — most of the 64 dirs
-    // must carry, not rewrite
+    // a SMALL delta: 1 update, 1 add, 2 drops — the refresh must
+    // write only a delta-sized segment + ledger, never the corpus
     val changed = Seq(doc(3L, "updated"), doc(201L)).toDF("doc_id", "text")
     val dropped = Seq(3L, 7L).toDF("id")
     DedupIndex.refresh(spark, rootA, changed, dropped) // delta default
     DedupIndex.refresh(spark, rootB, changed, dropped,
       deltaCommit = false)
     def cur(root: String) = graft.util.GenSwap.currentDir(root).get
-    def bandRows(root: String) = spark.read
-      .parquet(s"${cur(root)}/bands")
+    def bandRows(root: String) = DedupIndex.bandsTable(spark, cur(root))
       .select($"id".cast("long"), $"band".cast("int"),
         $"bucket".cast("long"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    def shingleIds(root: String) = spark.read
-      .parquet(s"${cur(root)}/shingles")
-      .select($"id".cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    def shingleIds(root: String) =
+      DedupIndex.shinglesTable(spark, cur(root))
+        .select($"id".cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
     assert(bandRows(rootA) === bandRows(rootB))
     assert(shingleIds(rootA) === shingleIds(rootB))
     assert(!shingleIds(rootA).contains(7L))
@@ -153,9 +152,9 @@ class DedupIndexSpec extends SparkSpec {
         .select($"id_l".cast("long"), $"id_r".cast("long"), $"jaccard"))
       === pairs(DedupIndex.probe(spark, rootB, batch, threshold = 0.5)
         .select($"id_l".cast("long"), $"id_r".cast("long"), $"jaccard")))
-    // carried files are hard links (nlink > 1: the previous
-    // generation still holds the other name); the delta's dirs hold
-    // freshly-written files (nlink == 1)
+    // carried segments are hard links (nlink > 1: the previous
+    // generation still holds the other name); the delta segment
+    // holds freshly-written files (nlink == 1)
     import scala.jdk.CollectionConverters._
     def nlinks(table: String): Seq[Int] =
       java.nio.file.Files.walk(
@@ -179,6 +178,53 @@ class DedupIndexSpec extends SparkSpec {
         .map(p => java.nio.file.Files.getAttribute(p, "unix:nlink")
           .asInstanceOf[Number].intValue).toSeq
     assert(nlinksB("bands").forall(_ == 1))
+  }
+
+  test("segmented refreshes accumulate: drop-then-re-add survives " +
+      "the tombstone, the MaxSegments bound triggers compaction, and " +
+      "the end state probes identically to a fresh build") {
+    import org.apache.spark.sql.functions.{col => c0}
+    val rootA = tmpDir("didx") + "/segacc"
+    DedupIndex.build(spark, corpus(1L to 40L), rootA)
+    def cur() = graft.util.GenSwap.currentDir(rootA).get
+    // refresh 1: drop 3 and 4 (no adds)
+    DedupIndex.refresh(spark, rootA,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq(3L, 4L).toDF("id"))
+    // refresh 2: RE-ADD 3 with new text (drop+add in one ChangeSet —
+    // the tombstone must mask only the STALE rows, not the re-add)
+    DedupIndex.refresh(spark, rootA,
+      Seq(doc(3L, "back")).toDF("doc_id", "text"),
+      Seq(3L).toDF("id"))
+    val ids = DedupIndex.shinglesTable(spark, cur())
+      .select(c0("id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(4L) && ids.contains(3L))
+    assert(ids.size === 39)
+    // many more small refreshes cross the MaxSegments bound — the
+    // segment count must stay bounded (compaction fired)
+    val extra = graft.util.GenIndex.MaxSegments + 2
+    (1 to extra).foreach { i =>
+      DedupIndex.refresh(spark, rootA,
+        Seq(doc(100L + i)).toDF("doc_id", "text"),
+        Seq.empty[Long].toDF("id"))
+    }
+    val segsNow = graft.util.GenIndex.segValues(s"${cur()}/bands")
+    assert(segsNow.size <= graft.util.GenIndex.MaxSegments,
+      s"segment count unbounded: $segsNow")
+    assert(segsNow.size < 3 + extra, "compaction never fired")
+    // the accumulated state answers like a fresh build over the
+    // final corpus
+    val finalCorpus = (((1L to 2L) ++ (5L to 40L)).map(doc(_)) ++
+      Seq(doc(3L, "back")) ++
+      (1 to extra).map(i => doc(100L + i))).toDF("doc_id", "text")
+    val rootB = tmpDir("didx") + "/segacc2"
+    DedupIndex.build(spark, finalCorpus, rootB)
+    val batch = (201L to 210L).map(doc(_)).toDF("doc_id", "text")
+    assert(pairs(DedupIndex.probe(spark, rootA, batch, threshold = 0.5)
+        .select($"id_l".cast("long"), $"id_r".cast("long"), $"jaccard"))
+      === pairs(DedupIndex.probe(spark, rootB, batch, threshold = 0.5)
+        .select($"id_l".cast("long"), $"id_r".cast("long"), $"jaccard")))
   }
 
   test("broadcastBatch=false (the backfill escape hatch) answers " +

@@ -91,9 +91,10 @@ class TrainedQualitySpec extends SparkSpec {
     assert(dimA === dimB)
     assert(a.weights.toSeq === b.weights.toSeq)
     assert(a.prior === b.prior)
-    // stored per-doc state matches the final corpus exactly
-    val ids = spark.read.parquet(
-        graft.util.GenSwap.currentDir(root).get + "/feat")
+    // stored per-doc state matches the final corpus exactly (live
+    // view: segments unioned, tombstones applied)
+    val ids = TrainedQuality.featTable(spark,
+        graft.util.GenSwap.currentDir(root).get)
       .select("id").distinct().collect().map(_.getLong(0)).toSet
     assert(ids === (10L until 70L).toSet)
     // gating a batch from the store == scoring under the final fit
@@ -107,9 +108,9 @@ class TrainedQualitySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("delta-narrowed refreshModel: committed model and feat table " +
-    "equal the full rewrite's, untouched __fbucket dirs carry as " +
-    "hard links") {
+  test("delta (segment/tombstone) refreshModel: committed model and " +
+    "feat table equal the full rewrite's, previous segments carry " +
+    "as hard links") {
     val all = docs(200)
     val rootA = tmpDir("qm") + "/delta"
     val rootB = tmpDir("qm") + "/full"
@@ -125,11 +126,11 @@ class TrainedQualitySpec extends SparkSpec {
     assert(a.weights.toSeq === b.weights.toSeq)
     assert(a.prior === b.prior)
     def cur(root: String) = graft.util.GenSwap.currentDir(root).get
-    def featRows(root: String) = spark.read
-      .parquet(s"${cur(root)}/feat")
-      .select($"id", $"bucket", $"cnt", $"y")
-      .collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def featRows(root: String) =
+      TrainedQuality.featTable(spark, cur(root))
+        .select($"id", $"bucket", $"cnt", $"y")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(featRows(rootA) === featRows(rootB))
     assert(!featRows(rootA).exists(_._1 == 3L))
     assert(featRows(rootA).exists(_._1 == 201L))

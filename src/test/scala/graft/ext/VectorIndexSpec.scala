@@ -57,8 +57,9 @@ class VectorIndexSpec extends SparkSpec {
       shortlist = 40)
     assert(top(a) === top(b))
     assert(top(a).nonEmpty)
-    // index state matches the final corpus exactly
-    val ids = spark.read.parquet(s"$root/corpus")
+    // index state matches the final corpus exactly (live view:
+    // segments unioned, tombstones applied)
+    val ids = VectorIndex.corpusTable(spark, root)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids === finalCorpus.collect().map(_.getLong(0)).toSet)
   }
@@ -87,9 +88,11 @@ class VectorIndexSpec extends SparkSpec {
   }
 
   test("probe across a refresh swap: post-swap probes serve the NEW " +
-    "index (the model cache revalidates by file fingerprint), and a " +
-    "probe plan captured BEFORE the swap fails loudly instead of " +
-    "silently mixing old and new state (r15 verdict task 9)") {
+    "index (the model cache revalidates by file fingerprint); a " +
+    "probe plan captured BEFORE the swap never blends states — a " +
+    "delta refresh leaves it serving the complete OLD state (its " +
+    "segment files persist as hard links under the same names), a " +
+    "COMPACTION refresh fails it loudly (file set replaced)") {
     val corpus = vecs(1L to 30L)
     val root = tmpDir("vidx") + "/idx"
     VectorIndex.build(spark, corpus, root, nCells = 2, m = 4, k = 8)
@@ -98,9 +101,10 @@ class VectorIndexSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"))
     // warm the model cache + capture a pre-swap plan (NOT collected)
     val preSwapPlan = VectorIndex.probe(spark, root, q, 3, 2, 30)
-    assert(top(VectorIndex.probe(spark, root, q, 3, 2, 30)).nonEmpty)
-    // refresh: add 107 = an exact twin of 7 (cosine 1.0 → must be
-    // the new rank-1 hit), drop 8
+    val before = top(VectorIndex.probe(spark, root, q, 3, 2, 30))
+    assert(before.nonEmpty)
+    // DELTA refresh: add 107 = an exact twin of 7 (cosine 1.0 → must
+    // be the new rank-1 hit), drop 8
     val twin = corpus.filter(col("vec_id") === 7)
       .select(lit(107L).as("vec_id"), col("embedding"))
     VectorIndex.refresh(spark, root, twin, Seq(8L).toDF("id"))
@@ -114,10 +118,18 @@ class VectorIndexSpec extends SparkSpec {
     assert(after.forall { case (_, ni, sim, _) =>
       ni != 107L || sim > 0.999999 })
     assert(!after.exists(_._2 == 8L))
-    // the pre-swap plan's corpus files were deleted by the swap: a
-    // reader that captured the OLD index must FAIL (and re-probe),
-    // never return a mixed answer
-    val e = intercept[Exception] { preSwapPlan.collect() }
+    // the delta refresh carried the old segment's files as hard
+    // links under their original names, so the pre-swap plan keeps
+    // serving the COMPLETE pre-refresh answer — consistent-stale,
+    // never mixed (its file list IS the old segment set; new
+    // segments and tombstones cannot enter an already-planned scan)
+    assert(top(preSwapPlan) === before)
+    // a COMPACTION refresh rewrites the whole file set: a plan
+    // captured before it must now FAIL loudly, never mix
+    val preCompactPlan = VectorIndex.probe(spark, root, q, 3, 2, 30)
+    VectorIndex.refresh(spark, root, corpus.limit(0),
+      Seq(9L).toDF("id"), deltaCommit = false)
+    val e = intercept[Exception] { preCompactPlan.collect() }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: chain(t.getCause)
     assert(chain(e).exists(c =>
@@ -192,7 +204,7 @@ class VectorIndexSpec extends SparkSpec {
     val root = tmpDir("vidx") + "/bidx"
     // 100 cells > the 64 fixed bucket dirs ⇒ buckets must share
     VectorIndex.build(spark, corpus, root, nCells = 100, m = 4, k = 8)
-    val dirs = graft.util.Fs.list(s"$root/corpus")
+    val dirs = graft.util.Fs.list(s"$root/corpus/seg=0")
       .filter(_.isDirectory).map(_.getPath.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("__cbucket=")))
     assert(dirs.size <= 64, s"expected <= 64 bucket dirs, got ${dirs.size}")
@@ -336,13 +348,11 @@ class VectorIndexSpec extends SparkSpec {
       nProbe = 4, shortlist = 40).count() === batch.count())
   }
 
-  test("delta-narrowed refreshGen: committed corpus equals the full " +
-    "rewrite's, untouched __cbucket dirs carry as hard links") {
+  test("delta (segment/tombstone) refreshGen: committed corpus " +
+    "equals the full rewrite's, previous segments carry as hard links") {
     val corpus = vecs(1L to 200L)
     val rootA = tmpDir("vidx") + "/delta"
     val rootB = tmpDir("vidx") + "/full"
-    // 8 cells ⇒ 8 __cbucket dirs; a 2-vector delta + 1 drop touches
-    // a strict subset, so the carry path really exercises
     VectorIndex.buildGen(spark, corpus, rootA, nCells = 8, m = 4, k = 8)
     VectorIndex.buildGen(spark, corpus, rootB, nCells = 8, m = 4, k = 8)
     val changed = vecs(201L to 202L)
@@ -351,10 +361,10 @@ class VectorIndexSpec extends SparkSpec {
     VectorIndex.refreshGen(spark, rootB, changed, dropped,
       deltaCommit = false)
     def cur(root: String) = graft.util.GenSwap.currentDir(root).get
-    def corpusRows(root: String) = spark.read
-      .parquet(s"${cur(root)}/corpus")
-      .select($"id", $"cell".cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def corpusRows(root: String) =
+      VectorIndex.corpusTable(spark, cur(root))
+        .select($"id", $"cell".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(corpusRows(rootA) === corpusRows(rootB))
     assert(!corpusRows(rootA).exists(_._1 == 5L))
     assert(corpusRows(rootA).exists(_._1 == 201L))
@@ -364,7 +374,7 @@ class VectorIndexSpec extends SparkSpec {
         shortlist = 200))
       === top(VectorIndex.probeGen(spark, rootB, q, 3, nProbe = 8,
         shortlist = 200)))
-    // carried dirs are hard links; the delta's dirs are fresh
+    // carried segments are hard links; the delta segment is fresh
     import scala.jdk.CollectionConverters._
     val links = java.nio.file.Files.walk(
         java.nio.file.Paths.get(s"${cur(rootA)}/corpus"))
