@@ -51,7 +51,7 @@ def load_query_map(path):
                 if k in d}
     elif isinstance(d, dict) and ("tail" in d or "parsed" in d):
         text = d.get("tail", "")
-        for m in re.finditer(r'"(q[0-9a-z_]+)":([0-9.]+)', text):
+        for m in re.finditer(r'"((?:q\d+|q)_[0-9a-z_]+)":([0-9.]+)', text):
             out[m.group(1)] = float(m.group(2))
         parsed = d.get("parsed") or {}
         for k, v in (parsed.get("slowest") or {}).items():
@@ -166,10 +166,17 @@ def check(anchors_path, bench_path):
               "regressions):")
         for a, b, n in windows:
             print(f"    {a} .. {b} ({n} rows)")
-    isolated = len(high) - sum(n for _, _, n in windows)
     if high and not windows:
-        print("  high rows are ISOLATED - candidate real regressions; "
-              "re-time solo with graft.tools.TimeQ before judging")
+        if len(qs) < len(anchors):
+            print("  high rows look isolated, but only "
+                  f"{len(qs)}/{len(anchors)} readings were parseable "
+                  "(truncated driver tail) - contiguity is not "
+                  "assessable; re-time the flagged rows solo with "
+                  "graft.tools.TimeQ")
+        else:
+            print("  high rows are ISOLATED - candidate real "
+                  "regressions; re-time solo with graft.tools.TimeQ "
+                  "before judging")
     return 1 if (high and not windows) else 0
 
 
