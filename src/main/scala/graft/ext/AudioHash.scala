@@ -323,23 +323,19 @@ object AudioHash {
 
   /** ChangeSet-driven refresh: `changedMedia` (added ∪ updated, with
     * media_id + content) re-fingerprint; `droppedIds` (removed ∪
-    * updated, one `id` column) drop. Commits through the same swap. */
+    * updated, one `id` column) drop. The commit is
+    * DELTA-PROPORTIONAL ([[graft.util.BucketedSwapIndex
+    * .refreshAndSwap]]: one delta segment + tombstone ledger,
+    * previous segments hard-linked; compaction past the segment
+    * bound) — only the delta re-fingerprints, and only delta-sized
+    * bytes write. */
   def refreshClipIndex(
       spark: org.apache.spark.sql.SparkSession, root: String,
       changedMedia: DataFrame, droppedIds: DataFrame,
-      winLen: Int = 32, buckets: Int = 16): Unit = {
-    val prev = graft.util.BucketedSwapIndex.read(spark, root).select(
-      col("media_id"), col("sample_rate"), col("channels"),
-      col("off"), col("fp"), col("ck"))
-    val kept = prev.join(
-      droppedIds.select(col("id").as("media_id")), Seq("media_id"),
-      "left_anti")
-    // safe to plan lazily over the previous state: the staging write
-    // fully materializes BEFORE the swap deletes the live dir
-    graft.util.BucketedSwapIndex.stageAndSwap(root,
-      kept.unionByName(wavWindowFps(changedMedia, winLen).toDF()),
-      col("fp"), buckets)
-  }
+      winLen: Int = 32, buckets: Int = 16): Unit =
+    graft.util.BucketedSwapIndex.refreshAndSwap(root,
+      wavWindowFps(changedMedia, winLen).toDF(),
+      droppedIds.select(col("id")), col("fp"), buckets)
 
   /** Probe the persisted index with real extracted clips: each clip's
     * whole-file window key exact-joined against the bucket-partitioned

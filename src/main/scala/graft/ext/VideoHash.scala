@@ -228,22 +228,18 @@ object VideoHash {
   /** ChangeSet-driven refresh: `changedMedia` (added ∪ updated, with
     * media_id + content) re-hash; `droppedIds` (removed ∪ updated,
     * one `id` column) drop. Refresh ≡ full rebuild bit-exact — the
-    * q_video_clip_incremental oracle certifies it. */
+    * q_video_clip_incremental oracle certifies it. The commit is
+    * DELTA-PROPORTIONAL ([[graft.util.BucketedSwapIndex
+    * .refreshAndSwap]]: one delta segment + tombstone ledger,
+    * previous segments hard-linked; compaction past the segment
+    * bound). */
   def refreshClipIndex(
       spark: org.apache.spark.sql.SparkSession, root: String,
       changedMedia: DataFrame, droppedIds: DataFrame,
-      buckets: Int = 16): Unit = {
-    val prev = graft.util.BucketedSwapIndex.read(spark, root).select(
-      col("media_id"), col("width"), col("height"), col("off"),
-      col("hi0"), col("lo0"), col("hi1"), col("lo1"))
-    val kept = prev.join(
-      droppedIds.select(col("id").as("media_id")), Seq("media_id"),
-      "left_anti")
-    // safe to plan lazily over the previous state: the staging write
-    // fully materializes BEFORE the swap deletes the live dir
-    graft.util.BucketedSwapIndex.stageAndSwap(root,
-      kept.unionByName(windowKeyRows(changedMedia)), col("hi0"), buckets)
-  }
+      buckets: Int = 16): Unit =
+    graft.util.BucketedSwapIndex.refreshAndSwap(root,
+      windowKeyRows(changedMedia), droppedIds.select(col("id")),
+      col("hi0"), buckets)
 
   /** Probe the persisted index with real extracted clips: each
     * clip's single 2-frame window key exact-joined against the

@@ -147,15 +147,16 @@ object GenIndex {
     * broadcast for the normal case without pinning one on a
     * backfill-sized ledger. */
   def readSegmented(
-      spark: SparkSession, tableDir: String,
-      tombDir: String): DataFrame = {
+      spark: SparkSession, tableDir: String, tombDir: String,
+      idCol: String = "id"): DataFrame = {
     import org.apache.spark.sql.functions._
     val data = spark.read.parquet(tableDir)
     if (!data.columns.contains("seg")) return data
     if (!Fs.hasData(tombDir, acceptDirs = true)) return data.drop("seg")
     val maxT = spark.read.parquet(tombDir)
       .groupBy(col("id")).agg(max(col("tseq")).as("__tseq"))
-    data.join(maxT, Seq("id"), "left")
+      .withColumnRenamed("id", idCol)
+    data.join(maxT, Seq(idCol), "left")
       .filter(col("__tseq").isNull ||
         col("seg").cast("long") >= col("__tseq"))
       .drop("__tseq", "seg")
