@@ -281,6 +281,12 @@ class VectorIndexSpec extends SparkSpec {
       .unionByName(changed)
     assert(top(after) ===
       top(Similarity.bruteForceTopK(finalCorpus.filter(pred), q, 3)))
+    // the refreshed index reads through the segment/tombstone mask
+    // join — the metadata predicate must STILL reach the parquet scan
+    // (Catalyst pushes it below the id-keyed mask join)
+    val planAfter = after.queryExecution.executedPlan.toString
+    assert(planAfter.contains("PushedFilters") &&
+      planAfter.contains("LessThan(label,2)"), planAfter.take(1500))
   }
 
   test("buildAuto sub-exhaustive recall pinned on the gate corpus: " +
