@@ -476,6 +476,46 @@ private[graft] object SimilarityRegistry {
         changed, dropped, "id", "text", 8, 4, 3)
       pub2
     }),
+
+    // ── the PERSISTED retrieval store ([[graft.ext.RagStore]]):
+    // the q_rag_incremental lifecycle (build over the perturbed
+    // initial corpus, ChangeSet-refresh to the final one) run
+    // through the disk-backed store — delta-proportional segment/
+    // tombstone commits on BOTH tables (postings by doc, published
+    // by token), the committed serving view read back through the
+    // generation pointer. Same full-rebuild oracle: the store's
+    // lifecycle must land bit-identical to rebuilding from the final
+    // corpus. ──
+    "q_rag_store" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+      val initial = docs
+        .filter(pmod(col("id").cast("long"), lit(7)) =!= 0)
+        .select(col("id"),
+          when(pmod(col("id").cast("long"), lit(3)) === 0,
+            concat(lit("stale "), col("text")))
+            .otherwise(col("text")).as("text"),
+          lit(1L).as("version"))
+      val source = docs
+        .filter(pmod(col("id").cast("long"), lit(5)) =!= 4)
+        .select(col("id"),
+          when(pmod(col("id").cast("long"), lit(3)) === 0, lit(2L))
+            .otherwise(lit(1L)).as("version"),
+          col("text"))
+      val root = tempStateDir() + "/ragstore"
+      graft.ext.RagStore.build(s, initial, root, chunkTokens = 8,
+        overlap = 4, maxPostings = 3, idCol = "id", textCol = "text")
+      val cs = Diff.computeDataChanges(
+        Records.keyRecords(source, "id", Some("version")),
+        initial.select(col("id"), col("version")))
+      val changed = cs.added.select(col("id"), col("text"))
+        .unionByName(cs.updated.select(col("id"), col("text")))
+      val dropped = cs.removedIds
+        .unionByName(cs.updated.select(col("id")))
+      graft.ext.RagStore.refresh(s, root, changed, dropped,
+        idCol = "id", textCol = "text")
+      graft.ext.RagStore.servingView(s, root)
+    }),
   )
 
   /** Exhaustive SemDeDup replay: pair graph -> recursive CC ->
@@ -896,30 +936,41 @@ private[graft] object SimilarityRegistry {
 
     // full-rebuild replay over the FINAL corpus — the incremental
     // path must match it bit-exactly after the two syncs
-    "q_rag_incremental" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
-        |    x -> x <> '') AS tk
-        |  FROM documents WHERE doc_id % 5 <> 4),
-        |e AS (SELECT doc_id, tk,
-        |        unnest(range(1, len(tk) + 1, 4)) AS start
-        |      FROM d WHERE len(tk) > 0),
-        |chunks AS (
-        |  SELECT doc_id || '#' || CAST((start - 1) // 4 AS INTEGER)
-        |           AS chunk_id,
-        |         tk[start:start+7] AS ct
-        |  FROM e),
-        |tf AS (SELECT tok, chunk_id, count(*) AS tf
-        |       FROM (SELECT chunk_id, unnest(ct) AS tok FROM chunks)
-        |       WHERE tok <> '' GROUP BY 1, 2),
-        |r AS (SELECT tok, chunk_id, tf,
-        |        row_number() OVER
-        |          (PARTITION BY tok ORDER BY tf DESC, chunk_id) AS rank,
-        |        count(*) OVER (PARTITION BY tok) AS df
-        |      FROM tf)
-        |SELECT tok, CAST(df AS BIGINT) AS df, CAST(rank AS INTEGER)
-        |         AS rank, chunk_id, tf
-        |FROM r WHERE rank <= 3""".stripMargin,
+    "q_rag_incremental" -> duckRagFinalRebuild,
+
+    // identical replay: the PERSISTED store's committed serving view
+    // after the same build+refresh lifecycle must equal the same
+    // full rebuild (the q_dedup_index / q_dedup_probe shared-oracle
+    // convention)
+    "q_rag_store" -> duckRagFinalRebuild,
   )
+
+  /** Full-rebuild replay of the capped published view over the FINAL
+    * corpus (%5≠4, true text) — shared by the in-query incremental
+    * row and the persisted-store lifecycle row. */
+  private lazy val duckRagFinalRebuild: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |    x -> x <> '') AS tk
+      |  FROM documents WHERE doc_id % 5 <> 4),
+      |e AS (SELECT doc_id, tk,
+      |        unnest(range(1, len(tk) + 1, 4)) AS start
+      |      FROM d WHERE len(tk) > 0),
+      |chunks AS (
+      |  SELECT doc_id || '#' || CAST((start - 1) // 4 AS INTEGER)
+      |           AS chunk_id,
+      |         tk[start:start+7] AS ct
+      |  FROM e),
+      |tf AS (SELECT tok, chunk_id, count(*) AS tf
+      |       FROM (SELECT chunk_id, unnest(ct) AS tok FROM chunks)
+      |       WHERE tok <> '' GROUP BY 1, 2),
+      |r AS (SELECT tok, chunk_id, tf,
+      |        row_number() OVER
+      |          (PARTITION BY tok ORDER BY tf DESC, chunk_id) AS rank,
+      |        count(*) OVER (PARTITION BY tok) AS df
+      |      FROM tf)
+      |SELECT tok, CAST(df AS BIGINT) AS df, CAST(rank AS INTEGER)
+      |         AS rank, chunk_id, tf
+      |FROM r WHERE rank <= 3""".stripMargin
 }
