@@ -424,20 +424,27 @@ object AudioHash {
   def wavFpClusters(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       "banded completeness holds for maxHamming < 4")
-    val h = wavFingerprint(media).toDF()
-    val groups = h.groupBy("sample_rate", "channels", "n_frames", "hi", "lo")
-      .agg(min("media_id").as("rep"), count(lit(1)).as("members"))
-    val reps = groups.select(col("rep").as("media_id"),
-      col("sample_rate"), col("channels"), col("n_frames"),
-      col("hi"), col("lo"))
-    val cc = Dedup.connectedComponents(
-        pairsOverFps(reps, maxHamming), "id_a", "id_b")
-      .withColumnRenamed("id", "rep")
-      .withColumnRenamed("cluster_id", "cc_id")
-    h.join(groups, Seq("sample_rate", "channels", "n_frames", "hi", "lo"))
-      .join(cc, Seq("rep"), "left")
-      .filter(col("members") > 1 || col("cc_id").isNotNull)
-      .select(col("media_id"),
-        coalesce(col("cc_id"), col("rep")).as("cluster_id"))
+    // the fingerprint pass decodes WAV bytes and feeds three consumers
+    // (groups, the pair graph, the final join) — persist it so the
+    // decode runs once; the result materializes via localCheckpoint
+    // before the cache drops (the clustersOverHashes convention)
+    val h = wavFingerprint(media).toDF().persist()
+    try {
+      val groups = h.groupBy("sample_rate", "channels", "n_frames", "hi", "lo")
+        .agg(min("media_id").as("rep"), count(lit(1)).as("members"))
+      val reps = groups.select(col("rep").as("media_id"),
+        col("sample_rate"), col("channels"), col("n_frames"),
+        col("hi"), col("lo"))
+      val cc = Dedup.connectedComponents(
+          pairsOverFps(reps, maxHamming), "id_a", "id_b")
+        .withColumnRenamed("id", "rep")
+        .withColumnRenamed("cluster_id", "cc_id")
+      h.join(groups, Seq("sample_rate", "channels", "n_frames", "hi", "lo"))
+        .join(cc, Seq("rep"), "left")
+        .filter(col("members") > 1 || col("cc_id").isNotNull)
+        .select(col("media_id"),
+          coalesce(col("cc_id"), col("rep")).as("cluster_id"))
+        .localCheckpoint()
+    } finally { h.unpersist(); () }
   }
 }

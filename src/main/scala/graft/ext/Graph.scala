@@ -46,12 +46,21 @@ object Graph {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, dampMilli: Long = 850,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      /** `true` ⇒ the caller guarantees `edges` carries no duplicate
+        * (src, dst) rows, and the defensive `distinct()` below — a
+        * full-width shuffle of the edge list, the single biggest
+        * exchange in the whole computation when the caller already
+        * deduped — is skipped. Duplicate edges under `true` would
+        * double-count contributions, so only pass it when
+        * distinctness is structural (e.g. a deduped pair list
+        * unioned with its own reversal over disjoint namespaces). */
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampMilli >= 0 && dampMilli <= 1000, "dampMilli in [0, 1000]")
-    val e = edges
+    val eRaw = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
+    val e = if (edgesDistinct) eRaw else eRaw.distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // one partitioning, attached degree, reused by every iteration
     val eDeg = e.join(outdeg, "src").repartition(col("src")).cache()

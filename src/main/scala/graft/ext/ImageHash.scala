@@ -362,21 +362,29 @@ object ImageHash {
   /** The collapse-first cluster core over an explicit hash frame —
     * shared by the PPM and JPEG input paths. */
   private def clustersOverHashes(
-      h: DataFrame, maxHamming: Int): DataFrame = {
-    val groups = h.groupBy("width", "height", "hi", "lo")
-      .agg(min("media_id").as("rep"), count(lit(1)).as("members"))
-    val reps = groups.select(col("rep").as("media_id"),
-      col("width"), col("height"), col("hi"), col("lo"))
-    val cc = Dedup.connectedComponents(
-        pairsOverHashes(reps, maxHamming), "id_a", "id_b")
-      .withColumnRenamed("id", "rep")
-      .withColumnRenamed("cluster_id", "cc_id")
-    h.join(groups, Seq("width", "height", "hi", "lo"))
-      .join(cc, Seq("rep"), "left")
-      // in the output iff SOME near-dup exists: an identical-hash
-      // sibling (members > 1) or a cross-hash component edge (cc row)
-      .filter(col("members") > 1 || col("cc_id").isNotNull)
-      .select(col("media_id"),
-        coalesce(col("cc_id"), col("rep")).as("cluster_id"))
+      hIn: DataFrame, maxHamming: Int): DataFrame = {
+    // the hash frame is the codec-decode pass (PPM/JPEG walk) and
+    // feeds three consumers (groups, the pair graph, the final join) —
+    // persist it so the decode runs once; the result materializes via
+    // localCheckpoint before the cache drops
+    val h = hIn.persist()
+    try {
+      val groups = h.groupBy("width", "height", "hi", "lo")
+        .agg(min("media_id").as("rep"), count(lit(1)).as("members"))
+      val reps = groups.select(col("rep").as("media_id"),
+        col("width"), col("height"), col("hi"), col("lo"))
+      val cc = Dedup.connectedComponents(
+          pairsOverHashes(reps, maxHamming), "id_a", "id_b")
+        .withColumnRenamed("id", "rep")
+        .withColumnRenamed("cluster_id", "cc_id")
+      h.join(groups, Seq("width", "height", "hi", "lo"))
+        .join(cc, Seq("rep"), "left")
+        // in the output iff SOME near-dup exists: an identical-hash
+        // sibling (members > 1) or a cross-hash component edge (cc row)
+        .filter(col("members") > 1 || col("cc_id").isNotNull)
+        .select(col("media_id"),
+          coalesce(col("cc_id"), col("rep")).as("cluster_id"))
+        .localCheckpoint()
+    } finally { h.unpersist(); () }
   }
 }

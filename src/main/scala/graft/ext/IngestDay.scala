@@ -65,20 +65,28 @@ object IngestDay {
     val didx = s"$workDir/didx"
     val vidx = s"$workDir/vidx"
     val qm = s"$workDir/qm"
-    DedupIndex.build(s, evens, didx, k = 32, bands = 8, n = 3,
-      idCol = "doc_id", textCol = "text", baseHash = hash)
-    if (pinned)
-      VectorIndex.build(s, evenVecs, vidx, nCells = 8, m = 16, k = 32)
-    else
-      VectorIndex.buildAuto(s, evenVecs, vidx, targetPerCell = 256,
-        m = 16, k = 32)
-    TrainedQuality.buildModel(s, evens, qm)
-    val corpusN = evenVecs.count().toInt
+    // the four yesterday-states live under independent roots and none
+    // reads another's output — run the builds as concurrent jobs
+    // (guide §2.6: actions are only sequential because the driver
+    // calls them sequentially; overlapping fills each build's
+    // straggler tail with the next build's tasks). All settle before
+    // the gates run (GenIndex.writeAll rethrows the first failure).
     val target = graft.targets.FileTarget(s"$workDir/state",
       buckets = s.conf.get("spark.sql.shuffle.partitions").toInt)
-    target.writeState(s, evens.select(
-      col("doc_id").cast("string").as("id"), lit(1L).as("version"),
-      length(col("text")).cast("long").as("len_chars")))
+    graft.util.GenIndex.writeAll(
+      () => DedupIndex.build(s, evens, didx, k = 32, bands = 8, n = 3,
+        idCol = "doc_id", textCol = "text", baseHash = hash),
+      () =>
+        if (pinned)
+          VectorIndex.build(s, evenVecs, vidx, nCells = 8, m = 16, k = 32)
+        else
+          VectorIndex.buildAuto(s, evenVecs, vidx, targetPerCell = 256,
+            m = 16, k = 32),
+      () => TrainedQuality.buildModel(s, evens, qm),
+      () => target.writeState(s, evens.select(
+        col("doc_id").cast("string").as("id"), lit(1L).as("version"),
+        length(col("text")).cast("long").as("len_chars"))))
+    val corpusN = evenVecs.count().toInt
     def gateShortlist(n: Int): Int =
       if (pinned) math.max(n, 1) else math.min(math.max(n, 1), 400)
 
@@ -147,13 +155,18 @@ object IngestDay {
       val droppedTextIds = deleted
         .unionByName(updated.select(col("doc_id")))
         .select(col("doc_id").as("id"))
-      DedupIndex.refresh(s, didx, changedText, droppedTextIds,
-        idCol = "doc_id", textCol = "text", baseHash = hash)
-      VectorIndex.refresh(s, vidx,
-        e.join(ingested.select(col("doc_id").as("vec_id")),
-          Seq("vec_id"), "left_semi"),
-        deleted.select(col("doc_id").as("id")))
-      TrainedQuality.refreshModel(s, qm, changedText, droppedTextIds)
+      // the three refreshes touch disjoint persisted roots and share
+      // only read-side inputs (the cached gate frames) — overlap them
+      // like the builds above; all settle before the read-back
+      graft.util.GenIndex.writeAll(
+        () => DedupIndex.refresh(s, didx, changedText, droppedTextIds,
+          idCol = "doc_id", textCol = "text", baseHash = hash),
+        () => VectorIndex.refresh(s, vidx,
+          e.join(ingested.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"),
+          deleted.select(col("doc_id").as("id"))),
+        () => TrainedQuality.refreshModel(s, qm, changedText,
+          droppedTextIds))
 
       // ── 7. read back through the refreshed states ──
       val (model, dim) = TrainedQuality.readStore(s, qm)

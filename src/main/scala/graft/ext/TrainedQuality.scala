@@ -378,8 +378,17 @@ object TrainedQuality {
           prevLive.filter(col("__fbucket").isInCollection(dropDirs))
         } else prevLive
       val removed = retractFrom.join(drop, Seq("id"), "left_semi")
-      val (remBc, remNp, remNn) = countsOf(removed, dim)
+      // retraction and addition counts are independent aggregations
+      // over disjoint inputs — overlap them (each already overlaps
+      // its own two aggregates internally; this stacks the pairs)
+      val remF = {
+        import scala.concurrent.Future
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Future(countsOf(removed, dim))
+      }
       val (addBc, addNp, addNn) = countsOf(added, dim)
+      val (remBc, remNp, remNn) = scala.concurrent.Await.result(
+        remF, scala.concurrent.duration.Duration.Inf)
       val prevC = spark.read.parquet(countsPath(cur)).collect()
         .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
       val d = spark.read.parquet(docsPath(cur)).collect()(0)

@@ -137,12 +137,17 @@ object VectorIndex {
     if (deltaCommit && segs.nonEmpty &&
         segs.size < graft.util.GenIndex.MaxSegments) {
       val sv = segs.max + 1
-      writeCorpus(spark, s"${corpusPath(dir)}/seg=$sv",
-        encode(changedVecs, cents, cbs, idCol, vecCol, metaCols))
-      graft.util.GenIndex.carrySegs(
-        corpusPath(prevRoot), corpusPath(dir))
-      graft.util.GenIndex.stageTomb(spark, tombPath(prevRoot),
-        tombPath(dir), drop, sv)
+      // delta segment and tombstone ledger are independent writes —
+      // overlap them (the DedupIndex.refresh writeAll discipline)
+      graft.util.GenIndex.writeAll(
+        () => {
+          writeCorpus(spark, s"${corpusPath(dir)}/seg=$sv",
+            encode(changedVecs, cents, cbs, idCol, vecCol, metaCols))
+          graft.util.GenIndex.carrySegs(
+            corpusPath(prevRoot), corpusPath(dir))
+        },
+        () => graft.util.GenIndex.stageTomb(spark, tombPath(prevRoot),
+          tombPath(dir), drop, sv))
     } else {
       val kept = prev.join(drop, Seq("id"), "left_anti")
       val merged = kept.unionByName(
@@ -194,8 +199,12 @@ object VectorIndex {
           metaCols.map(col): _*).limit(0)
       else encode(corpus, cents, cbs, idCol, vecCol, metaCols)
     graft.util.SwapCommit.deleteRec(dir)
-    stageModel(spark, dir, cents, cbs)
-    stageCorpus(spark, dir, enc)
+    // the model tables and the encoded corpus are independent writes
+    // into the same staging dir — overlap them (the DedupIndex.build
+    // writeAll discipline); all settle before the caller commits
+    graft.util.GenIndex.writeAll(
+      () => stageModel(spark, dir, cents, cbs),
+      () => stageCorpus(spark, dir, enc))
   }
 
   /** `metaCols`: corpus columns carried verbatim into the index's

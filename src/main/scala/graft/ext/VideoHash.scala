@@ -333,22 +333,31 @@ object VideoHash {
   def y4mDhashClusters(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       "banded completeness holds for maxHamming < 4")
-    val fh = y4mFrameDHash(media).toDF()
+    // the per-frame hash pass walks the Y4M container bytes — by far
+    // the expensive leg. Four consumers read it (sigs twice via the
+    // final join, the rep frames, and the pair graph's checkpoint), so
+    // without the persist the codec walk re-runs per consumer; the
+    // result materializes via localCheckpoint before the caches drop
+    val fh = y4mFrameDHash(media).toDF().persist()
     val sigs = fh.groupBy("media_id", "width", "height", "n_frames")
       .agg(sort_array(collect_list(
         struct(col("frame"), col("hi"), col("lo")))).as("sig"))
-    val groups = sigs.groupBy("width", "height", "n_frames", "sig")
-      .agg(min("media_id").as("rep"), count(lit(1)).as("members"))
-    val repFrames = fh.join(
-      groups.select(col("rep").as("media_id")), Seq("media_id"), "left_semi")
-    val cc = Dedup.connectedComponents(
-        pairsOverFrameHashes(repFrames, maxHamming), "id_a", "id_b")
-      .withColumnRenamed("id", "rep")
-      .withColumnRenamed("cluster_id", "cc_id")
-    sigs.join(groups, Seq("width", "height", "n_frames", "sig"))
-      .join(cc, Seq("rep"), "left")
-      .filter(col("members") > 1 || col("cc_id").isNotNull)
-      .select(col("media_id"),
-        coalesce(col("cc_id"), col("rep")).as("cluster_id"))
+      .persist()
+    try {
+      val groups = sigs.groupBy("width", "height", "n_frames", "sig")
+        .agg(min("media_id").as("rep"), count(lit(1)).as("members"))
+      val repFrames = fh.join(
+        groups.select(col("rep").as("media_id")), Seq("media_id"), "left_semi")
+      val cc = Dedup.connectedComponents(
+          pairsOverFrameHashes(repFrames, maxHamming), "id_a", "id_b")
+        .withColumnRenamed("id", "rep")
+        .withColumnRenamed("cluster_id", "cc_id")
+      sigs.join(groups, Seq("width", "height", "n_frames", "sig"))
+        .join(cc, Seq("rep"), "left")
+        .filter(col("members") > 1 || col("cc_id").isNotNull)
+        .select(col("media_id"),
+          coalesce(col("cc_id"), col("rep")).as("cluster_id"))
+        .localCheckpoint()
+    } finally { sigs.unpersist(); fh.unpersist(); () }
   }
 }

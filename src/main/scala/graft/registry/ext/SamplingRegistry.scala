@@ -90,7 +90,12 @@ private[graft] object SamplingRegistry {
           concat(lit("s"), col("sb")).as("b"))
       val edges = pairs.union(
         pairs.select(col("b").as("a"), col("a").as("b")))
-      graft.ext.Graph.pageRank(edges, "a", "b", iterations = 3)
+      // edgesDistinct: `pairs` is already distinct, and the union's
+      // two halves are disjoint by namespace (every edge is c→s or
+      // s→c) — pageRank's defensive distinct would re-shuffle the
+      // full 2×|pairs| string-pair list for nothing
+      graft.ext.Graph.pageRank(edges, "a", "b", iterations = 3,
+        edgesDistinct = true)
     }),
 
     // weighted sampling without replacement (Efraimidis–Spirakis

@@ -114,10 +114,16 @@ object BucketedSwapIndex {
     val gen = GenSwap.nextDir(root)
     if (segs.nonEmpty && segs.size < GenIndex.MaxSegments) {
       val sv = segs.max + 1
-      writeSeg(delta, bucketOf, buckets, s"$gen/table/seg=$sv")
-      GenIndex.carrySegs(s"$cur/table", s"$gen/table")
-      GenIndex.stageTomb(spark, s"$cur/tomb", s"$gen/tomb",
-        dropIds.select(col("id")), sv)
+      // segment write and tombstone write are independent Spark jobs
+      // — overlap them (the GenIndex.writeAll discipline the other
+      // three index families already apply); both settle pre-commit
+      GenIndex.writeAll(
+        () => {
+          writeSeg(delta, bucketOf, buckets, s"$gen/table/seg=$sv")
+          GenIndex.carrySegs(s"$cur/table", s"$gen/table")
+        },
+        () => GenIndex.stageTomb(spark, s"$cur/tomb", s"$gen/tomb",
+          dropIds.select(col("id")), sv))
     } else {
       val kept = read(spark, root).drop("bucket")
         .join(dropIds.select(col("id").as(IdCol)), Seq(IdCol),

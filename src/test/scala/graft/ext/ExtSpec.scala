@@ -2617,6 +2617,14 @@ class ExtSpec extends SparkSpec {
     val rs7 = rs7Df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
     rs7Df.unpersist()
     assert(rs7 === rs)
+    // edgesDistinct (the r18 q_pagerank exchange removal): on an
+    // already-distinct edge list the fast path must be bit-equal to
+    // the defensive-distinct path
+    val rsdDf = Graph.pageRank(star, "src", "dst", iterations = 3,
+      edgesDistinct = true)
+    val rsd = rsdDf.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    rsdDf.unpersist()
+    assert(rsd === rs)
   }
 
   test("bm25: term-frequency monotone, non-matching docs excluded, " +
