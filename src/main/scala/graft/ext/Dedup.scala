@@ -41,31 +41,29 @@ object Dedup {
   // ── shingling (shared by minhash / jaccard) ─────────────────────
 
   /**
-   * Word n-gram shingles of the normalized text (distinct).
+   * Word n-gram shingles of the normalized text (distinct, SORTED in
+   * binary order — the contract the native `sorted_intersect_size`
+   * verification kernel relies on; set semantics downstream are
+   * order-independent).
    *
-   * Built by zipping the token array with its own shifted slices —
-   * n-1 zip passes total — rather than `transform(i => slice(toks,
-   * i, n))`, which allocates a slice per POSITION (O(tokens) slices
-   * per doc; measured ~2.4ms/doc interpreted, the single hottest
-   * expression in the dedup pipeline — the zip form is ~10× less
-   * work). `concat` (null-propagating) marks the ragged tail where
-   * the shifted slice ran out; the final slice drops it.
-   *
-   * The result is SORTED (binary order) as well as distinct — the
-   * contract the native `sorted_intersect_size` verification kernel
-   * relies on; set semantics downstream are order-independent.
+   * History of this hot spot: `transform(i => slice(toks, i, n))`
+   * measured ~2.4 ms/doc interpreted; the zip_with-shifted-slices
+   * HOF form cut that ~10×; the r18 fused kernel
+   * ([[graft.functions.WordShingles]]) removes the remaining
+   * ~2·|tokens| interpreted lambda dispatches + two boxed array
+   * passes per row and stays inside whole-stage codegen.
    */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val tokens = TextAnalysis.normTokens(text)
-    val nTok = size(tokens)
-    val grams = (2 to n).foldLeft(tokens) { (acc, k) =>
-      zip_with(acc, slice(tokens, lit(k), greatest(nTok - k + 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    array_sort(array_distinct(
-      when(nTok < n, array(concat_ws(" ", tokens)))
-        .otherwise(slice(grams, lit(1), nTok - n + 1))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    // native fused kernel (r18): the zip_with/array_distinct/
+    // array_sort HOF formulation this replaces dispatched ~2·|tokens|
+    // interpreted lambda evals per row plus two boxed array passes —
+    // on the hottest text-ingest path in the engine (every minhash
+    // build/refresh/probe shingles its input). Bit-equality with the
+    // HOF form (kept as the reference formulation in FunctionsSpec)
+    // is spec-pinned; the result stays SORTED (binary order) and
+    // distinct — the contract `sorted_intersect_size` relies on.
+    graft.functions.GraftFunctions.word_shingles(
+      TextAnalysis.normTokens(text), n)
 
   // ── 2. minhash + LSH ────────────────────────────────────────────
 

@@ -62,10 +62,17 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = if (edgesDistinct) eRaw else eRaw.distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // one partitioning, attached degree, reused by every iteration
-    val eDeg = e.join(outdeg, "src").repartition(col("src")).cache()
+    // one partitioning AND one sort, attached degree, reused by every
+    // iteration: the per-iteration join is a sort-merge against the
+    // (small) rank frame, and InMemoryTableScan propagates both the
+    // cached plan's partitioning and its ordering — so pre-sorting
+    // the big side here means each iteration re-sorts ONLY the rank
+    // frame, not the edge list (bucketed-table reasoning, §2.4)
+    val eDeg = e.join(outdeg, "src").repartition(col("src"))
+      .sortWithinPartitions(col("src")).cache()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .sortWithinPartitions(col("node")).cache()
     val base = (1000L - dampMilli) * scale / 1000L
     try {
       var ranks = nodes.withColumn("rank", lit(scale))

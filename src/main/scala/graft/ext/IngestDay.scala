@@ -55,6 +55,16 @@ object IngestDay {
       spark: SparkSession, docs: DataFrame, embeddings: DataFrame,
       workDir: String, pinned: Boolean = true): DataFrame = {
     val s = spark
+    // opt-in phase walls to stderr (`GRAFT_INGEST_PROF=1`) — the
+    // §1 "measure first" surface for this composed row; zero cost
+    // and zero behavior when unset
+    val profT0 = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    def mark(phase: String): Unit =
+      if (sys.env.contains("GRAFT_INGEST_PROF")) {
+        val now = System.nanoTime()
+        val dt = (now - profT0.getAndSet(now)) / 1e9
+        Console.err.println(f"[ingest-day] $phase%-18s $dt%7.2fs")
+      }
     val hash = TextAnalysis.portableHash60 _
     val d = docs.select(col("doc_id"), col("text"))
     val e = embeddings.select(col("vec_id"), col("embedding"))
@@ -87,6 +97,7 @@ object IngestDay {
         col("doc_id").cast("string").as("id"), lit(1L).as("version"),
         length(col("text")).cast("long").as("len_chars"))))
     val corpusN = evenVecs.count().toInt
+    mark("builds")
     def gateShortlist(n: Int): Int =
       if (pinned) math.max(n, 1) else math.min(math.max(n, 1), 400)
 
@@ -110,6 +121,7 @@ object IngestDay {
         .select(col("vec_id").as("doc_id"))
         .persist()
     }
+    mark("gates")
     try {
       val ingested = odds.join(dupText, Seq("doc_id"), "left_anti")
         .join(dupEmbed, Seq("doc_id"), "left_anti")
@@ -135,7 +147,29 @@ object IngestDay {
           Seq("len_chars" -> "${length(record.text)}")),
         idAttribute = "id",
         versionAttribute = Some("version"))
-      new graft.pipeline.ImportService(preset).importData(s)
+      // ── 5.+6. sink apply ∥ index/model refreshes ──
+      // The sync and the three refreshes consume only the CACHED gate
+      // frames and write to four disjoint roots — none reads another's
+      // output (the read-back below needs all four, and runs after
+      // every write settles). Phase-profiled at sf0.1: sync ≈ 6-9 s
+      // and refreshes ≈ 8 s serial, so the overlap hides the shorter
+      // of the two.
+      val changedText = ingested.select(col("doc_id"), col("text"))
+        .unionByName(updated)
+      val droppedTextIds = deleted
+        .unionByName(updated.select(col("doc_id")))
+        .select(col("doc_id").as("id"))
+      graft.util.GenIndex.writeAll(
+        () => new graft.pipeline.ImportService(preset).importData(s),
+        () => DedupIndex.refresh(s, didx, changedText, droppedTextIds,
+          idCol = "doc_id", textCol = "text", baseHash = hash),
+        () => VectorIndex.refresh(s, vidx,
+          e.join(ingested.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"),
+          deleted.select(col("doc_id").as("id"))),
+        () => TrainedQuality.refreshModel(s, qm, changedText,
+          droppedTextIds))
+      mark("sync+refreshes")
       // an all-empty sync never materializes the partitioned state, so
       // the snapshot may come back with the minimal (id, version)
       // schema — project the declared columns stably either way (the
@@ -148,25 +182,6 @@ object IngestDay {
           .as("doc_id"),
         sc("version", "long").cast("long").as("version"),
         sc("len_chars", "long").cast("long").as("len_chars"))
-
-      // ── 6. refresh both indexes + the model from the ChangeSet ──
-      val changedText = ingested.select(col("doc_id"), col("text"))
-        .unionByName(updated)
-      val droppedTextIds = deleted
-        .unionByName(updated.select(col("doc_id")))
-        .select(col("doc_id").as("id"))
-      // the three refreshes touch disjoint persisted roots and share
-      // only read-side inputs (the cached gate frames) — overlap them
-      // like the builds above; all settle before the read-back
-      graft.util.GenIndex.writeAll(
-        () => DedupIndex.refresh(s, didx, changedText, droppedTextIds,
-          idCol = "doc_id", textCol = "text", baseHash = hash),
-        () => VectorIndex.refresh(s, vidx,
-          e.join(ingested.select(col("doc_id").as("vec_id")),
-            Seq("vec_id"), "left_semi"),
-          deleted.select(col("doc_id").as("id"))),
-        () => TrainedQuality.refreshModel(s, qm, changedText,
-          droppedTextIds))
 
       // ── 7. read back through the refreshed states ──
       val (model, dim) = TrainedQuality.readStore(s, qm)
@@ -219,6 +234,9 @@ object IngestDay {
             coalesce(col("n_dup_post"), lit(0L))).as("n_dup_post"),
           col("sim_post"))
         .localCheckpoint() // materialize before releasing the caches
-    } finally { dupText.unpersist(); dupEmbed.unpersist(); () }
+    } finally {
+      mark("readback")
+      dupText.unpersist(); dupEmbed.unpersist(); ()
+    }
   }
 }

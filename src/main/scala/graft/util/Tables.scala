@@ -69,6 +69,21 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         initial)
+      // Production posture knobs, env-parameterized with the local
+      // defaults unchanged so driver bench series stay comparable:
+      //  - GRAFT_PARQUET_CODEC=zstd shrinks state/index bytes ~30-40%
+      //    at similar read speed (guide §6) — the right trade on
+      //    object stores; snappy locally (the historical series).
+      //  - GRAFT_SHJ_LOCALMAP (e.g. "64m") lets AQE rewrite a
+      //    sort-merge join to shuffled-hash when every post-shuffle
+      //    build partition is under the bound — skips the sort, with
+      //    the OOM risk bounded per partition by the same number
+      //    (guide §3.1). Off ("0") by default: at 100 TB the safe
+      //    default is SMJ unless the operator is measured.
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("GRAFT_PARQUET_CODEC", "snappy"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("GRAFT_SHJ_LOCALMAP", "0"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
