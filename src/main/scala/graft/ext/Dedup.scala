@@ -62,8 +62,36 @@ object Dedup {
     // HOF form (kept as the reference formulation in FunctionsSpec)
     // is spec-pinned; the result stays SORTED (binary order) and
     // distinct — the contract `sorted_intersect_size` relies on.
-    graft.functions.GraftFunctions.word_shingles(
-      TextAnalysis.normTokens(text), n)
+    // DEFAULT remains the HOF form — a measured, unresolved
+    // contradiction (r18): in ISOLATION the kernel wins clearly
+    // (ShingleAB, min-of-5, noop sink: shingle→explode 0.96 → 0.50 s,
+    // full minhash signatures 1.95 → 1.34 s at sf0.1), but the
+    // dedup QUERIES read consistently ~1.3-1.5× SLOWER with the
+    // kernel in two independent A/Bs (interleaved before/after-tree
+    // ABAB and a same-tree env-switch pair) on a host whose control
+    // rows swing ±1.5× — not yet explained, so the bench-anchored
+    // default stays the historical form and the kernel ships behind
+    // `GRAFT_SHINGLE_KERNEL=1` (bit-equal, FunctionsSpec-pinned)
+    // for the next round to resolve on a quieter host.
+    if (sys.env.get("GRAFT_SHINGLE_KERNEL").contains("1"))
+      graft.functions.GraftFunctions.word_shingles(
+        TextAnalysis.normTokens(text), n)
+    else
+      shinglesHof(text, n)
+
+  /** The HOF reference formulation (pre-r18 production form) — kept
+    * callable for the kernel escape hatch and the A/B harness. */
+  private[graft] def shinglesHof(text: Column, n: Int): Column = {
+    val tokens = TextAnalysis.normTokens(text)
+    val nTok = size(tokens)
+    val grams = (2 to n).foldLeft(tokens) { (acc, k) =>
+      zip_with(acc, slice(tokens, lit(k), greatest(nTok - k + 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_sort(array_distinct(
+      when(nTok < n, array(concat_ws(" ", tokens)))
+        .otherwise(slice(grams, lit(1), nTok - n + 1))))
+  }
 
   // ── 2. minhash + LSH ────────────────────────────────────────────
 

@@ -441,7 +441,8 @@ class FunctionsSpec extends SparkSpec {
       .toDF("id", "text")
     (1 to 4).foreach { n =>
       val got = texts.select(col("id"),
-        graft.ext.Dedup.shingles(col("text"), n).as("k"),
+        graft.functions.GraftFunctions.word_shingles(
+          graft.ext.TextAnalysis.normTokens(col("text")), n).as("k"),
         hofShingles(col("text"), n).as("h"))
       got.collect().foreach { r =>
         assert(r.isNullAt(1) === r.isNullAt(2), s"n=$n null row $r")
@@ -489,7 +490,8 @@ class FunctionsSpec extends SparkSpec {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
     val both = docs.select(
-      graft.ext.Dedup.shingles(col("text"), 3).as("k"),
+      graft.functions.GraftFunctions.word_shingles(
+        graft.ext.TextAnalysis.normTokens(col("text")), 3).as("k"),
       hofShingles(col("text"), 3).as("h"))
     both.collect().foreach { r =>
       assert(r.getSeq[String](0) === r.getSeq[String](1))
