@@ -11,6 +11,61 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// ── Concurrent test-JVM groups ──
+// The r18 driver `sbt test` run was killed at its wall budget
+// mid-suite with every completed test green: the sequential suite had
+// grown to ~18 min, dominated by per-query plan analysis + janino
+// codegen (fixed driver-side cost; measured: MORE session cores make
+// it slower, and in-JVM parallel suites break tests that assert on
+// global Spark state — storage blocks, commit windows). So: four
+// forked JVMs run concurrently, each a sequential slice of the suite
+// balanced by measured duration, each with its own SparkSession and
+// warehouse dir — full isolation, ~3x wall cut, same tests.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val baseOpts = (Test / javaOptions).value.toVector
+  val strategy = outputStrategy.value
+  // measured sequential durations (r19 log-timestamp parse):
+  // NullInput 294s (split A/B), EmptyInput 150s (split A/B), ExtSpec
+  // 128s, GenSwap 78s (sleep-heavy commit windows), Property 74s,
+  // Streaming 54s, Functions 49s, NodeTarget 41s, SwapCommit 38s,
+  // RagStore 31s, Pipeline 23s, the rest ≤ 12s each — balanced into
+  // six ~150s slices.
+  val slices = Seq(
+    "t1" -> Set("graft.NullInputSpecA"),
+    "t2" -> Set("graft.NullInputSpecB", "graft.pipeline.ConfigSpec"),
+    "t3" -> Set("graft.EmptyInputSpecA", "graft.EmptyInputSpecB"),
+    "t4" -> Set("graft.ext.ExtSpec", "graft.streaming.StreamingSpec"),
+    "t5" -> Set("graft.util.GenSwapSpec", "graft.ext.PropertySpec",
+      "graft.functions.FunctionsSpec", "graft.util.SwapCommitSpec"),
+    "t6" -> Set("graft.ext.DedupIndexSpec", "graft.ext.RagStoreSpec",
+      "graft.ext.TrainedQualitySpec", "graft.ext.VectorIndexSpec"),
+  )
+  def sliceFor(n: String): String =
+    slices.collectFirst { case (g, names) if names(n) => g }
+      .getOrElse("t7")
+  tests.groupBy(t => sliceFor(t.name)).toSeq.sortBy(_._1).map {
+    case (g, ts) =>
+      // per-group warehouse dir: path-backed test tables are already
+      // collision-free, this isolates any default-location residue
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-wh-$g").toString
+      Tests.Group(g, ts.sortBy(_.name), Tests.SubProcess(
+        ForkOptions()
+          .withRunJVMOptions(baseOpts ++ Vector(
+            s"-Dspark.sql.warehouse.dir=$wh",
+            // without this every group JVM sizes its GC/JIT thread
+            // pools for ALL host cores — measured: 6 concurrent
+            // groups each ran ~4x their sequential wall (pure
+            // oversubscription); capped, the groups scale
+            "-XX:ActiveProcessorCount=6"))
+          .withOutputStrategy(strategy)))
+  }
+}
+// default restriction pins ForkedTestGroup to 1 — allow the groups
+// to actually run concurrently
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(10), Tags.limit(Tags.ForkedTestGroup, 7))
 // The round driver captures the trailing ~2000 chars of
 // `sbt "runMain graft.Bench"` stdout and parses the LAST line as
 // JSON. Two sbt behaviors broke that for three rounds: forked run

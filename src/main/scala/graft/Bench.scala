@@ -30,6 +30,34 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.util.Tables.session("graft-bench", cpus)
 
+    // ── Wall-clock self-budget (r19) ───────────────────────────────
+    // The r18 32-core driver run died rc 124 (wall timeout) with no
+    // number recorded — the suite's FIXED cost (206-shape warmup pass
+    // + min-of-3 + a possible full attempt-2 re-run under canary
+    // contamination) outgrew the driver's budget. A bench that
+    // produces no number is worse than one with a slightly weaker
+    // estimator, so the suite now bounds ITSELF:
+    //  - the sf0.001 warmup pass stops early past WARMUP_BUDGET
+    //    (remaining shapes pay their one-time codegen in timed run 1,
+    //    which min-of-3 absorbs — run 2/3 are warm);
+    //  - the full attempt-2 re-run only starts if elapsed wall is
+    //    under ATTEMPT2_START_BUDGET (otherwise the run is recorded
+    //    with "valid": false, exactly as an exhausted retry would be);
+    //  - past DEGRADE_BUDGET each remaining query times ONCE instead
+    //    of min-of-3 — every query still reports (dropping rows is a
+    //    regression; a single-run estimate is merely noisier).
+    // All three are env-tunable; defaults sized from measured local
+    // runs (warmup ≈ 110 s, full 32c suite wall ≈ 17 min) with head-
+    // room. The estimator, env contract, and last-line JSON are
+    // unchanged on any run that fits the budget.
+    val wallStart = System.nanoTime()
+    def elapsedWall: Double = (System.nanoTime() - wallStart) / 1e9
+    def envSec(name: String, dflt: Double): Double =
+      sys.env.get(name).map(_.toDouble).getOrElse(dflt)
+    val warmupBudget = envSec("GRAFT_BENCH_WARMUP_BUDGET_S", 300.0)
+    val attempt2Budget = envSec("GRAFT_BENCH_ATTEMPT2_BUDGET_S", 1500.0)
+    val degradeBudget = envSec("GRAFT_BENCH_DEGRADE_BUDGET_S", 2700.0)
+
     // warmup: spin executors and compile the common codegen shapes
     // (scan → filter → broadcast join → partial agg → shuffle → sort)
     // on the two tiny dims, so the first timed query measures the
@@ -53,13 +81,26 @@ object Bench {
     // long-lived cluster" actually is at 100 TB.
     {
       val warmDir = "/root/testdata/sf0.001"
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
+        var warmed = 0
+        var skipped = 0
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-          // best-effort, but fatal errors (OOM, interrupt) must abort
-          try fn(spark, warmDir).count()
-          catch { case scala.util.control.NonFatal(_) => () }
-          spark.catalog.clearCache()
+          // wall-budget bound (see header): past the budget the
+          // remaining shapes skip the warmup and pay their one-time
+          // codegen in timed run 1, which the min-of-3 estimator
+          // absorbs (runs 2/3 are warm)
+          if (elapsedWall <= warmupBudget) {
+            // best-effort, but fatal errors (OOM, interrupt) must abort
+            try fn(spark, warmDir).count()
+            catch { case scala.util.control.NonFatal(_) => () }
+            spark.catalog.clearCache()
+            warmed += 1
+          } else skipped += 1
         }
+        System.err.println(
+          f"[bench] warmup pass: $warmed shapes warmed, $skipped " +
+            f"skipped (budget ${warmupBudget}%.0fs), wall ${elapsedWall}%.1fs")
+      }
     }
 
     def loadavg1: Double =
@@ -91,6 +132,10 @@ object Bench {
     def timeStable(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       var best = timeOnce(name, fn)
       if (best < 0) return best
+      // degraded mode (see header): past the wall budget every query
+      // still reports — one run instead of min-of-3. Noisier, never
+      // absent.
+      if (elapsedWall > degradeBudget) return best
       var runs = 1
       var stable = false
       while (runs < 3 && !stable) {
@@ -161,7 +206,11 @@ object Bench {
     var cMax = -1.0
     var cMed = -1.0
     var canaryTotal = 0
-    while (attempt < 2 && !valid) {
+    while (attempt < 2 && !valid &&
+        // attempt-2 gate (see header): a full re-run that cannot fit
+        // the remaining wall is worse than an honest "valid": false —
+        // the r18 32c run died mid-suite and recorded NOTHING
+        (attempt == 0 || elapsedWall < attempt2Budget)) {
       attempt += 1
       canaries.clear()
       runCanary()
@@ -176,6 +225,8 @@ object Bench {
           else math.min(prev, rec)
       }
       runCanary()
+      System.err.println(
+        f"[bench] attempt $attempt done, wall ${elapsedWall}%.1fs")
       // the certificate (canary_min/max/median/runs) describes the FINAL
       // attempt only, so its spread is recomputable from the record.
       // Per-query times keep the min ACROSS attempts — sound under
@@ -191,7 +242,11 @@ object Bench {
       if (!valid && attempt < 2)
         System.err.println(
           f"[bench] canary median spread ${cMed / math.max(cMin, 1e-9)}%.1fx > 3 — " +
-            "host contaminated; re-running the suite once")
+            (if (elapsedWall < attempt2Budget)
+              "host contaminated; re-running the suite once"
+            else
+              f"host contaminated, but wall ${elapsedWall}%.0fs exceeds the " +
+                f"attempt-2 budget ${attempt2Budget}%.0fs; recording valid=false"))
     }
     val loadAfter = loadavg1
 
@@ -208,14 +263,19 @@ object Bench {
     // a compact record that always fits the capture window whole —
     // total, certificate, and the slowest rows (the tier the judge
     // audits), with a pointer to the full map.
+    // Name-filtered iteration runs must NOT clobber the committed
+    // certified full-suite record (r18 shipped a 3-query A/B remnant
+    // as "the certified run") — they land in a scratch file instead.
+    val fullPath =
+      if (wanted.isEmpty) "BENCH_FULL.json" else "BENCH_SCRATCH.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullRecord + "\n")
+      java.nio.file.Paths.get(fullPath), fullRecord + "\n")
     def num(v: Double, digits: Int): String =
       ("%." + digits + "f").formatLocal(java.util.Locale.ROOT, v)
     val slowest = best.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","sf":"$sfDir","valid":$valid,"attempts":$attempt,"queries_n":${best.size},"queries_full":"BENCH_FULL.json","slowest":$slowest,"canary_min":${num(cMin, 3)},"canary_median":${num(cMed, 3)},"canary_ratio":${num(cRatio, 2)},"canary_runs":$canaryTotal,"loadavg_before":${num(loadBefore, 1)},"loadavg_after":${num(loadAfter, 1)},"estimator":"min_of_3_early_exit_15pct;canary=min_of_2_per_slot;valid=median_over_min_le_3"}""")
+    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","sf":"$sfDir","valid":$valid,"attempts":$attempt,"queries_n":${best.size},"queries_full":"$fullPath","slowest":$slowest,"canary_min":${num(cMin, 3)},"canary_median":${num(cMed, 3)},"canary_ratio":${num(cRatio, 2)},"canary_runs":$canaryTotal,"loadavg_before":${num(loadBefore, 1)},"loadavg_after":${num(loadAfter, 1)},"estimator":"min_of_3_early_exit_15pct;canary=min_of_2_per_slot;valid=median_over_min_le_3"}""")
     spark.stop()
   }
 }

@@ -159,6 +159,13 @@ object IngestDay {
       val droppedTextIds = deleted
         .unionByName(updated.select(col("doc_id")))
         .select(col("doc_id").as("id"))
+      // force the gate caches BEFORE the concurrent writes: the
+      // persists above are lazy, so without this the four jobs race
+      // to fill them on first materialization (correct via block
+      // locking, but the losers park on the winner's blocks and the
+      // intended overlap partly serializes). dupEmbed reads dupText,
+      // so these two counts populate both caches in one pass each.
+      dupText.count(); dupEmbed.count()
       graft.util.GenIndex.writeAll(
         () => new graft.pipeline.ImportService(preset).importData(s),
         () => DedupIndex.refresh(s, didx, changedText, droppedTextIds,

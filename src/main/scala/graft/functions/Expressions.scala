@@ -1020,6 +1020,11 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // n is validated here (not only at construction) so a bad SQL call
+    // fails at ANALYSIS time with a clear message instead of a
+    // per-row NegativeArraySizeException on the executors
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires n >= 1, got $n")
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"word_shingles requires an array<string> argument, got ${t.simpleString}")

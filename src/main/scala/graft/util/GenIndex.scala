@@ -60,10 +60,21 @@ object GenIndex {
     * generation dir the failure just abandoned. The first failure (in
     * argument order) rethrows after all have settled. */
   def writeAll(writes: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val settled = writes.map(w => Future(w()))
+    // `blocking`: each thunk parks its FJP worker on a Spark action
+    // for its whole lifetime, and writeAll calls now NEST (IngestDay →
+    // index refresh → countsOf) — without the managed-blocking hint
+    // the default pool (parallelism = #cores) can run out of workers
+    // on low-core hosts and silently serialize the intended overlap.
+    // Known limitation: a thunk failure rethrows only after ALL
+    // siblings settle — still-running writes keep writing into the
+    // staging dir during failure handling, which is harmless under
+    // GenSwap (an uncommitted generation dir is dead weight, removed
+    // by the next nextDir sweep), and cancelling a mid-flight Spark
+    // write would abandon half-written files the same way.
+    val settled = writes.map(w => Future(blocking(w())))
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     settled.collectFirst { case scala.util.Failure(e) => throw e }
       .foreach(_ => ())

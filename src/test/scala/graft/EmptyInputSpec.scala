@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
  * every operator a zero-row frame routinely; `head()` on empty,
  * divide-by-zero in a ratio, or a `require` on corpus size must not
  * take the pipeline down.
+ *
+ * Split into two half-suites (A = even index, B = odd, over the
+ * sorted query list — every query in exactly one) so the sweep can
+ * run in separate concurrent test JVMs (build.sbt `testGrouping`);
+ * same tests, same assertions.
  */
-class EmptyInputSpec extends SparkSpec {
+abstract class EmptyInputSpecBase(half: Int) extends SparkSpec {
 
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_").toString
@@ -27,11 +32,16 @@ class EmptyInputSpec extends SparkSpec {
     dir
   }
 
-  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name returns an empty result on empty inputs") {
-      val n = fn(spark, emptyDir).count()
-      assert(n === 0L, s"$name produced $n rows from empty inputs")
-      spark.catalog.clearCache()
+  SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+    .filter(_._2 % 2 == half).map(_._1)
+    .foreach { case (name, fn) =>
+      test(s"$name returns an empty result on empty inputs") {
+        val n = fn(spark, emptyDir).count()
+        assert(n === 0L, s"$name produced $n rows from empty inputs")
+        spark.catalog.clearCache()
+      }
     }
-  }
 }
+
+class EmptyInputSpecA extends EmptyInputSpecBase(0)
+class EmptyInputSpecB extends EmptyInputSpecBase(1)

@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
  * not specific outputs — output semantics under nulls are pinned
  * per-operator by their own specs (e.g. c4LineDedup's coalesce,
  * langId's empty-text path, the mapper's missing ⇒ NULL contract).
+ *
+ * Split into two half-suites (A = even index, B = odd, over the
+ * sorted query list — every query in exactly one) so the two heaviest
+ * suites in the tree can run in separate concurrent test JVMs
+ * (build.sbt `testGrouping`); same tests, same assertions.
  */
-class NullInputSpec extends SparkSpec {
+abstract class NullInputSpecBase(half: Int) extends SparkSpec {
 
   /** id-deterministic 10% null injection per (table, payload cols). */
   private lazy val dirtyDir: String = {
@@ -52,11 +57,16 @@ class NullInputSpec extends SparkSpec {
     dir
   }
 
-  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name survives 10% null payloads") {
-      val n = fn(spark, dirtyDir).count()
-      assert(n >= 0L, s"$name returned a negative count")
-      spark.catalog.clearCache()
+  SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+    .filter(_._2 % 2 == half).map(_._1)
+    .foreach { case (name, fn) =>
+      test(s"$name survives 10% null payloads") {
+        val n = fn(spark, dirtyDir).count()
+        assert(n >= 0L, s"$name returned a negative count")
+        spark.catalog.clearCache()
+      }
     }
-  }
 }
+
+class NullInputSpecA extends NullInputSpecBase(0)
+class NullInputSpecB extends NullInputSpecBase(1)
